@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A20 + end-to-end batch ingest — the whole reference hot path (SURVEY
+  * §3.1) collapsed into one Spark job:
+  *
+  *   raw JSON → envelope (A2) → config broadcast-join routing (A3/A4) →
+  *   control filter (A7) → per-config function chain (A20):
+  *     "pii-detection" → payload masking (A21)
+  *     "ingester"      → time-partitioned parquet lake write (A9-A17)
+  *     "deltawriter"   → append-mode table write with schema merge (A23)
+  *
+  * The reference hops through Kafka + Flink StateFun between every stage
+  * (6 process boundaries); here the chain is a fold of DataFrame
+  * transforms inside one plan — the only boundaries left are source and
+  * storage, which is why the rebuild's per-message cost collapses.
+  *
+  * Chain semantics preserved: stages run in config order after dedup
+  * (ingester.go:174-184, 1600-1650); each stage after the first receives
+  * the (possibly transformed) payload, and sinks see the payload as it is
+  * at their position in the chain (pii before ingester masks what lands
+  * in the lake; after, only downstream stages see masked data).
+  *
+  * Delta divergence note: stock /opt/spark/jars has no delta-core, so
+  * "deltawriter" appends parquet with schema evolution via mergeSchema-on-
+  * read — same append-only table semantics (delta_writer.py:88-94), no
+  * ACID log. Swap to format("delta") when the jar is present.
+  */
+object IngestPipeline {
+
+  final case class BatchResult(
+      config: StreamConfig,
+      tables: Seq[(String, String)],
+      chain: Seq[String])
+
+  /** Run one batch of raw JSON documents through the full pipeline. */
+  def runBatch(
+      spark: SparkSession,
+      rawJson: DataFrame,
+      jsonCol: String,
+      configs: Seq[StreamConfig],
+      destRoot: String,
+      tsCol: Column = current_timestamp(),
+      database: String = "rtdl",
+      registerTables: Boolean = true): Seq[BatchResult] = {
+
+    val env = Envelope.project(rawJson, jsonCol)
+    val routed = Router.activeOnly(
+      Envelope.filterControl(Router.route(spark, env, configs)))
+      .cache() // reused once per config; unpersisted below
+
+    try {
+      configs.filter(_.active).flatMap { cfg =>
+        val mine = routed.filter(
+          (col("cfg_stream_id") === cfg.streamId) ||
+          (lit(cfg.streamAltId) =!= "" && col("cfg_stream_alt_id") === cfg.streamAltId))
+        val chain = StreamConfig.dedupChain(
+          if (cfg.functions.nonEmpty) cfg.functions else Seq(Router.DefaultFunction))
+
+        var df = mine
+        val written = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        chain.foreach {
+          case "pii-detection" =>
+            df = PiiMask.maskColumn(df, "payload")
+          case "ingester" =>
+            written ++= LakeWriter.writeStreamTable(
+              spark, df, cfg, destRoot, tsCol, database, registerTables)
+          case "deltawriter" =>
+            written ++= appendDeltaStyle(spark, df, cfg, destRoot, database, registerTables)
+          case other =>
+            throw new IllegalArgumentException(s"unknown chain function '$other'")
+        }
+        if (written.isEmpty) None
+        else Some(BatchResult(cfg, written.toSeq, chain))
+      }
+    } finally routed.unpersist()
+  }
+
+  /** A23 — append-mode table per (db, table) with db/table resolution
+    * project_id > stream_alt_id > stream_id and type > message_type
+    * (delta_writer.py:25-41). */
+  private def appendDeltaStyle(
+      spark: SparkSession,
+      messages: DataFrame,
+      cfg: StreamConfig,
+      destRoot: String,
+      database: String,
+      registerTables: Boolean): Seq[(String, String)] = {
+    val dbName = LakeWriter.sanitizeIdent(
+      if (cfg.streamAltId.nonEmpty) cfg.streamAltId else cfg.streamId)
+    val types = messages.select(col("message_type_resolved")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    types.map { mt =>
+      val sub = messages.filter(col("message_type_resolved") === mt)
+      val parsed = SchemaPolicy.parseColumn(spark, sub, "payload", "__p")
+      val flat = parsed.select(col("__p.*"))
+      val path = s"$destRoot/_delta/$dbName/$mt"
+      flat.write.mode(SaveMode.Append).parquet(path)
+      val table = s"${LakeWriter.sanitizeIdent(database)}.delta_${dbName}_${LakeWriter.sanitizeIdent(mt)}"
+      if (registerTables) LakeWriter.registerTable(spark, table, path)
+      (table, path)
+    }
+  }
+
+  /** A24 — read-back of an append table with schema drift merged. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(path)
+}

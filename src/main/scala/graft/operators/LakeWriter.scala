@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A10-A17 — the lake write path: time-partitioned, compressed, columnar,
+  * catalog-registered tables.
+  *
+  * Reference behavior (ingester.go:568-606, 995-1035): ONE parquet file per
+  * message under <folder>/<message_type>/<time-bucket>/ — the small-files
+  * pathology SURVEY §1.3 flags. The rebuild batches: one write per
+  * (config, message_type) per ingest batch, Hive-style partitioned by the
+  * time bucket so Catalyst prunes partitions on read, with
+  * maxRecordsPerFile bounding file size at scale.
+  *
+  * Sink targets A12-A16 (local/S3/GCS/Azure/HDFS) all collapse to the
+  * path scheme (file:/ s3a:// gs:// wasbs:// hdfs://) — hadoop filesystem
+  * connectors handle transport, so `destRoot` is scheme-agnostic.
+  *
+  * A17 (Dremio registration, ingester.go:778-992) becomes native catalog
+  * registration: CREATE TABLE ... USING PARQUET LOCATION, idempotent.
+  */
+object LakeWriter {
+
+  def sanitizeIdent(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Write one batch of routed messages for one config. `messages` must
+    * carry `payload` (JSON string), `message_type_resolved`, and the
+    * timestamp column `tsCol` used for bucketing.
+    * Returns (tableName, path) per message type written. */
+  def writeStreamTable(
+      spark: SparkSession,
+      messages: DataFrame,
+      cfg: StreamConfig,
+      destRoot: String,
+      tsCol: Column,
+      database: String = "rtdl",
+      registerTables: Boolean = true,
+      maxRecordsPerFile: Long = 5000000L): Seq[(String, String)] = {
+
+    val folder = if (cfg.folderName.nonEmpty) cfg.folderName
+      else sanitizeIdent(if (cfg.streamAltId.nonEmpty) cfg.streamAltId else cfg.streamId)
+
+    // distinct message types in this batch: tiny driver-side list (schema
+    // inference is per-type because each type is its own table)
+    val types = messages.select(col("message_type_resolved")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+    if (registerTables) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${sanitizeIdent(database)}")
+    }
+
+    types.map { mt =>
+      val sub = messages.filter(col("message_type_resolved") === mt)
+        .withColumn("part", TimePartitions.bucket(tsCol, cfg.partitionTimeId))
+      val parsed = SchemaPolicy.parseColumn(spark, sub, "payload", "__p")
+      val flat = parsed.select(col("__p.*"), col("part"))
+      val path = s"$destRoot/$folder/$mt"
+
+      flat.write
+        .mode(SaveMode.Append)
+        .partitionBy("part")
+        .option("compression", cfg.codec)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(path)
+
+      val table = s"${sanitizeIdent(database)}.${sanitizeIdent(folder)}_${sanitizeIdent(mt)}"
+      if (registerTables) registerTable(spark, table, path)
+      (table, path)
+    }
+  }
+
+  /** Idempotent catalog registration (the native replacement for Dremio /
+    * Glue / Snowflake external-table registration, SURVEY §2.A A17-A19). */
+  def registerTable(spark: SparkSession, table: String, path: String): Unit = {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING PARQUET LOCATION '$path'")
+    // partition discovery for Hive-style dirs written after registration
+    try spark.sql(s"MSCK REPAIR TABLE $table")
+    catch { case _: Throwable => () } // unpartitioned tables have nothing to repair
+  }
+
+  /** Compaction (M6 hardening — fixes the reference's small-files model
+    * for data ingested before batching, and re-buckets partition counts).
+    * Rewrites a table directory to ~targetFileMB-sized files. */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    val df = spark.read.option("mergeSchema", true).parquet(path)
+    val sizeBytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    val parts = math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val tmp = path + "_compacting"
+    val hasPart = df.columns.contains("part")
+    val w = df.repartition(parts).write.mode(SaveMode.Overwrite)
+    (if (hasPart) w.partitionBy("part") else w).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** The ingest-side operators of SURVEY §2.A surfaced as oracle-checkable
+  * queries. Raw messages are reconstructed deterministically from the
+  * events table (identical string construction in Spark and DuckDB), so
+  * the oracle exercises the same envelope/routing/masking/partitioning
+  * semantics the pipeline applies, not a reimplementation shortcut.
+  */
+object IngestQueries extends QueryModule {
+
+  /** A2 envelope projection + identity precedence over synthesized raw
+    * JSON (projectId > writeKey; payload verbatim). */
+  private val q33 = QueryDef(
+    "q33_envelope_projection",
+    (s, d) => {
+      val raw = Tables.events(s, d)
+        .select(
+          when(col("user_id") % 4 === 0,
+            format_string("""{"projectId":"proj-%d","writeKey":"wk-%d","stream_id":"sid-%d","type":"%s","v":%d}""",
+              col("user_id"), col("user_id"), col("user_id"), col("event_type"), col("user_id")))
+          .otherwise(
+            format_string("""{"writeKey":"wk-%d","stream_id":"sid-%d","v":%d}""",
+              col("user_id"), col("user_id"), col("user_id"))).as("json"))
+      Envelope.project(raw, "json")
+        .groupBy(col("stream_id"), col("stream_alt_id"), col("message_type"))
+        .agg(count(lit(1)).as("n"), min(col("payload")).as("sample_payload"))
+        .orderBy(col("stream_id"), col("stream_alt_id").asc_nulls_first,
+          col("message_type").asc_nulls_first)
+    },
+    Some("""
+      WITH raw AS (
+        SELECT CASE WHEN user_id % 4 = 0
+               THEN printf('{"projectId":"proj-%d","writeKey":"wk-%d","stream_id":"sid-%d","type":"%s","v":%d}',
+                           user_id, user_id, user_id, event_type, user_id)
+               ELSE printf('{"writeKey":"wk-%d","stream_id":"sid-%d","v":%d}',
+                           user_id, user_id, user_id) END AS json
+        FROM events),
+      env AS (
+        SELECT nullif(json_extract_string(json, '$.stream_id'), '') AS stream_id,
+               coalesce(nullif(json_extract_string(json, '$.projectId'), ''),
+                        nullif(json_extract_string(json, '$.writeKey'), '')) AS stream_alt_id,
+               nullif(json_extract_string(json, '$.type'), '') AS message_type,
+               json AS payload
+        FROM raw)
+      SELECT stream_id, stream_alt_id, message_type,
+             count(*) AS n, min(payload) AS sample_payload
+      FROM env
+      GROUP BY 1, 2, 3
+      ORDER BY stream_id, stream_alt_id ASC NULLS FIRST, message_type ASC NULLS FIRST"""))
+
+  /** A7 control filter + A8 type precedence on a stream with rtdl_205
+    * control messages mixed in. */
+  private val q34 = QueryDef(
+    "q34_control_and_type_precedence",
+    (s, d) => {
+      val msgs = Tables.events(s, d)
+        .select(
+          when(col("event_id") % 100 === 0, lit(Envelope.ControlMessageType))
+            .when(col("event_id") % 3 === 0, col("event_type"))
+            .otherwise(lit("")).as("message_type"),
+          when(col("event_id") % 5 === 0,
+            format_string("""{"type":"pt-%s"}""", col("event_type")))
+            .otherwise(lit("{}")).as("payload"))
+      Envelope.filterControl(msgs)
+        .select(Envelope.resolvedMessageType(
+          col("payload"), col("message_type"), lit("cfg-default")).as("resolved"))
+        .groupBy(col("resolved"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("resolved"))
+    },
+    Some("""
+      WITH msgs AS (
+        SELECT CASE WHEN event_id % 100 = 0 THEN 'rtdl_205'
+                    WHEN event_id % 3 = 0 THEN event_type
+                    ELSE '' END AS message_type,
+               CASE WHEN event_id % 5 = 0 THEN printf('{"type":"pt-%s"}', event_type)
+                    ELSE '{}' END AS payload
+        FROM events)
+      SELECT coalesce(nullif(json_extract_string(payload, '$.type'), ''),
+                      nullif(message_type, ''),
+                      'cfg-default') AS resolved,
+             count(*) AS n
+      FROM msgs
+      WHERE message_type IS NULL OR message_type <> 'rtdl_205'
+      GROUP BY 1
+      ORDER BY resolved"""))
+
+  /** A21 PII masking: exact reference regexes over text salted with
+    * deterministic SSN/phone strings (incl. the leading-1 near-miss). */
+  private val q35 = QueryDef(
+    "q35_pii_masking",
+    (s, d) => {
+      val salted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          format_string("%s ssn=%03d-%02d-%04d phone=%d%02d-555-%04d note=123-555-1234",
+            substring(col("text"), 1, 40),
+            col("doc_id") % 1000, col("doc_id") % 100, col("doc_id") % 10000,
+            col("doc_id") % 8 + 2, col("doc_id") % 100, col("doc_id") % 10000).as("txt"))
+      salted.select(col("doc_id"), PiiMask.mask(col("txt")).as("masked"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 printf('%s ssn=%03d-%02d-%04d phone=%d%02d-555-%04d note=123-555-1234',
+                        substring(text, 1, 40),
+                        doc_id % 1000, doc_id % 100, doc_id % 10000,
+                        doc_id % 8 + 2, doc_id % 100, doc_id % 10000),
+                 '\d{3}-\d{2}-\d{4}', '###', 'g'),
+               '[2-9]\d{2}-\d{3}-\d{4}', '###', 'g') AS masked
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** A10 time-partition buckets, all five granularities on event time. */
+  private val q36 = QueryDef(
+    "q36_time_partition_buckets",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(
+          TimePartitions.bucket(col("ts"), TimePartitions.Hourly).as("hourly"),
+          TimePartitions.bucket(col("ts"), TimePartitions.Daily).as("daily"),
+          TimePartitions.bucket(col("ts"), TimePartitions.Weekly).as("weekly"),
+          TimePartitions.bucket(col("ts"), TimePartitions.Monthly).as("monthly"),
+          TimePartitions.bucket(col("ts"), TimePartitions.Quarterly).as("quarterly"))
+        .groupBy(col("hourly"), col("daily"), col("weekly"), col("monthly"), col("quarterly"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("hourly"))
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d-%H') AS hourly,
+             strftime(ts, '%Y-%m-%d') AS daily,
+             concat(CAST(isoyear(ts) AS VARCHAR), '-', CAST(weekofyear(ts) AS VARCHAR)) AS weekly,
+             strftime(ts, '%Y-%m') AS monthly,
+             concat(strftime(ts, '%Y'), '-', CAST(quarter(ts) AS VARCHAR)) AS quarterly,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY hourly"""))
+
+  /** A3/A4 config routing: alt-id-over-id precedence, chain head → topic,
+    * config message_type fallback — via the real Router over an inline
+    * config set. */
+  private val q37 = QueryDef(
+    "q37_config_routing",
+    (s, d) => {
+      val configs = Seq(
+        StreamConfig("sid-0", "", active = true, "cfg-t0", 1, "", 2, 1, Seq("ingester")),
+        StreamConfig("sid-1", "alt-1", active = true, "cfg-t1", 1, "", 2, 1, Seq("pii-detection", "ingester")),
+        StreamConfig("", "alt-2", active = true, "cfg-t2", 1, "", 2, 1, Seq.empty),
+        StreamConfig("sid-3", "", active = true, "", 1, "", 2, 1, Seq("deltawriter", "ingester")))
+      val msgs = Tables.events(s, d)
+        .select(
+          format_string("sid-%d", col("user_id") % 5).as("stream_id"),
+          when(col("user_id") % 3 === 0,
+            format_string("alt-%d", col("user_id") % 5)).as("stream_alt_id"),
+          when(col("user_id") % 2 === 0, col("event_type")).otherwise(lit("")).as("message_type"),
+          lit("{}").as("payload"))
+      Router.route(s, msgs, configs)
+        .groupBy(col("stream_id"), col("stream_alt_id"),
+          col("cfg_stream_id"), col("cfg_message_type"),
+          col("route_topic"), col("message_type_resolved"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("stream_id"), col("stream_alt_id").asc_nulls_first,
+          col("message_type_resolved"))
+    },
+    Some("""
+      WITH cfg(cfg_stream_id, cfg_stream_alt_id, cfg_message_type, cfg_functions) AS (
+        VALUES ('sid-0', '', 'cfg-t0', 'ingester'),
+               ('sid-1', 'alt-1', 'cfg-t1', 'pii-detection,ingester'),
+               ('', 'alt-2', 'cfg-t2', ''),
+               ('sid-3', '', '', 'deltawriter,ingester')),
+      msgs AS (
+        SELECT printf('sid-%d', user_id % 5) AS stream_id,
+               CASE WHEN user_id % 3 = 0 THEN printf('alt-%d', user_id % 5) END AS stream_alt_id,
+               CASE WHEN user_id % 2 = 0 THEN event_type ELSE '' END AS message_type,
+               '{}' AS payload
+        FROM events),
+      routed AS (
+        SELECT m.stream_id, m.stream_alt_id, m.message_type, m.payload,
+               CASE WHEN a.cfg_stream_alt_id IS NOT NULL THEN a.cfg_stream_id ELSE b.cfg_stream_id END AS cfg_stream_id,
+               CASE WHEN a.cfg_stream_alt_id IS NOT NULL THEN a.cfg_message_type ELSE b.cfg_message_type END AS cfg_message_type,
+               CASE WHEN a.cfg_stream_alt_id IS NOT NULL THEN a.cfg_functions ELSE b.cfg_functions END AS cfg_functions,
+               (a.cfg_stream_alt_id IS NOT NULL OR b.cfg_stream_id IS NOT NULL) AS matched
+        FROM msgs m
+        LEFT JOIN cfg a ON a.cfg_stream_alt_id <> '' AND m.stream_alt_id = a.cfg_stream_alt_id
+        LEFT JOIN cfg b ON b.cfg_stream_id <> '' AND m.stream_id = b.cfg_stream_id)
+      SELECT stream_id, stream_alt_id, cfg_stream_id, cfg_message_type,
+             CASE WHEN matched THEN
+               concat(coalesce(nullif(string_split(cfg_functions, ',')[1], ''), 'ingester'), '-ingress')
+             ELSE concat(coalesce(nullif(string_split(CAST(NULL AS VARCHAR), ',')[1], ''), 'ingester'), '-ingress') END AS route_topic,
+             coalesce(nullif(json_extract_string(payload, '$.type'), ''),
+                      nullif(message_type, ''),
+                      nullif(cfg_message_type, ''),
+                      'rtdl_default') AS message_type_resolved,
+             count(*) AS n
+      FROM routed
+      GROUP BY 1, 2, 3, 4, 5, 6
+      ORDER BY stream_id, stream_alt_id ASC NULLS FIRST, message_type_resolved"""))
+
+  /** approx_count_distinct (HLL++): sketch values are engine-specific, so
+    * this is a rows-only entry; the spec asserts error bounds instead. */
+  private val q38 = QueryDef(
+    "q38_approx_count_distinct",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  override val entries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38)
+}
