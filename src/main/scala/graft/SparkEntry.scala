@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    Relational, Windows, Scalars, IngestQueries)
+    Relational, Windows, Scalars, IngestQueries,
+    DedupQueries, SimilarityQueries, TextQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

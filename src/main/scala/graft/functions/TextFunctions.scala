@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/hash building blocks for the dedup / similarity / text-
+  * analysis extension operators.
+  *
+  * All hashes are md5-based and truncated to 60 bits so every function here
+  * is reproducible in ANSI SQL on any engine with md5 (the DuckDB oracles
+  * spell the same formula as ('0x' || substr(md5(x),1,15))::UBIGINT) —
+  * engine-native hash() would be faster but unverifiable cross-engine.
+  * Swap `h60` for xxhash64 when oracle parity is not required.
+  */
+object TextFunctions {
+
+  /** 60-bit deterministic hash of a string column (hex md5 prefix). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant for hash families (minhash seeds, hyperplanes). */
+  def h60(c: Column, salt: Int): Column =
+    h60(concat(c.cast("string"), lit("#" + salt)))
+
+  /** Whitespace tokenization, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set in sorted order (canonical bag-of-words). */
+  def tokenSet(text: Column): Column =
+    array_sort(array_distinct(tokens(text)))
+
+  /** k-word shingles from a token array ([] when fewer than k tokens). */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        j => concat_ws(" ", slice(toks, j, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: for seed i, min over shingles of h60(shingle#i).
+    * Computed per-row with higher-order functions — no explode, no
+    * shuffle; signature width n is a column-count-free array. */
+  def minhashSignature(shingleCol: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => array_min(transform(shingleCol,
+        s => h60(concat(s, lit("#"), i.cast("string"))))))
+
+  /** LSH band hashes for a signature: bands of `rows` values, each band
+    * hashed to a bucket key. Emits array of "bandIdx:bandHash" strings. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(":", b.cast("string"),
+        h60(concat_ws(",", slice(sig, b * lit(rows) + lit(1), lit(rows)))).cast("string")))
+
+  /** A BPE-ish subword token count: whitespace words plus an extra token
+    * for every 4 characters beyond the first 4 of each word (a stand-in
+    * for byte-pair merges — deterministic, SQL-expressible). */
+  def approxBpeTokenCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + lit(1) + floor((length(t) - lit(1)) / lit(4)).cast("int"))
+}

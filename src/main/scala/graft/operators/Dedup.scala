@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: every variant is a pure dataflow — per-row signature
+  * computation (no shuffle), then a single groupBy/join on the signature
+  * or bucket key. Candidate generation is always bucketed (LSH bands /
+  * simhash chunks / content hash) so the pairwise verification join is
+  * |bucket|², never |corpus|². At 100 TB the bucket key is the shuffle
+  * key; skewed buckets (stop-shingle collisions) are capped via
+  * `maxBucketSize` before pairing.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeps the row with min `idCol` per
+    * distinct value of `contentCol`; adds `dup_count`. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val hashed = df.withColumn("__h", md5(col(contentCol).cast("string")))
+    val winners = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+    hashed.drop(idCol, "dup_count").join(winners, Seq("__h"))
+      .filter(col(idCol).isNotNull)
+      .drop("__h")
+      .dropDuplicates(idCol)
+  }
+
+  /** Exact dedup after canonicalization (lowercase, collapse whitespace). */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df.withColumn("__norm",
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " ")), idCol, "__norm")
+      .drop("__norm")
+
+  /** MinHash+LSH near-dup candidate pairs.
+    *
+    * shingle→minhash→band→bucket-join: per-row signature (numHashes
+    * hashes over k-word shingles), banded into `bands`×`rows`; docs
+    * sharing any band bucket become candidates; candidates are verified
+    * with exact shingle-set Jaccard and filtered at `threshold`.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 1, numHashes: Int = 16, bands: Int = 4, rows: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    require(bands * rows == numHashes, "bands*rows must equal numHashes")
+
+    val sets = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sset"))
+      .filter(size(col("sset")) > 0)
+    val sigs = sets.withColumn("sig", minhashSignature(col("sset"), numHashes))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
+      .select(col("id"), col("sset"), col("band"))
+
+    // cap pathological buckets (a bucket of b docs yields b^2 pairs)
+    val bucketed = sigs
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+
+    val a = bucketed.select(col("band"), col("id").as("id_a"), col("sset").as("set_a"))
+    val b = bucketed.select(col("band"), col("id").as("id_b"), col("sset").as("set_b"))
+    val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("set_a"), col("set_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash of the distinct-token set: bit b is set when more
+    * tokens hash to 1 than 0 at position b (sum of ±1 > 0).
+    * Explode-based (tokens × bits) so the shape is a plain shuffle-agg —
+    * scales linearly with corpus size. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .withColumn("h", h60(col("t")))
+    val perBit = toks
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .withColumn("contrib", expr("shiftright(h, b) & 1") * lit(2) - lit(1))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+    perBit
+      .withColumn("bitval", when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(lit(0L)))
+      .groupBy(col("id"))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    *
+    * Candidate generation buckets by 15-bit chunks of the signature
+    * (pigeonhole: with 4 chunks, any pair at hamming ≤ 3 must share an
+    * identical chunk; larger maxHamming trades recall). The pairwise
+    * verification join runs inside chunk buckets only — |bucket|², never
+    * |corpus|² — which is what makes this shape survive 100 TB.
+    * Verification is exact bit_count(xor). */
+  def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = sim.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), 15 * c).bitwiseAND(lit(32767L))): _*)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Brute-force
+    * within-bucket at scale (pre-bucket with Similarity.lshSignBits);
+    * plain all-pairs here for exactness on verification sets. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * language ID, token counting, fingerprinting. All per-row column
+  * expressions (codegen'd, shuffle-free) except language ID, which is an
+  * explode + broadcast-join + argmax — the shape that scales to 100 TB
+  * because the stopword table is the broadcast side.
+  */
+object TextAnalysis {
+
+  /** Small multilingual stopword lists for the n-gram/stopword-voting
+    * language heuristic. Deliberately tiny and fixed: the operator shape
+    * (broadcast lexicon join + per-doc argmax) is the deliverable; swap in
+    * real lexicons without changing the plan. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "von", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "que"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"))
+
+  private val enStop = stopwords("en")
+
+  /** Per-document stats: token counts (whitespace + BPE-ish), char count,
+    * distinct-token ratio, mean word length, punctuation ratio, English
+    * stopword ratio. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      approxBpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)).as("mean_word_len"),
+      ((length(col(textCol)) - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double")
+        / length(col(textCol))).as("punct_ratio"),
+      (size(filter(toks, t => t.isin(enStop: _*))).cast("double") / size(toks))
+        .as("en_stopword_ratio"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards moderate length, lexical
+    * diversity, low punctuation density, presence of function words. */
+  def qualityScore(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val n = size(toks).cast("double")
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val punct = (length(textCol) - length(regexp_replace(textCol, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(textCol), lit(1)).cast("double")
+    val stopRatio = size(filter(toks,
+      t => enStop.foldLeft(lit(false))((acc, s) => acc || (t === s)))).cast("double") / n
+    lenScore * lit(0.4) + ttr * lit(0.3) + (lit(1.0) - least(punct * lit(5.0), lit(1.0))) * lit(0.2) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.1)
+  }
+
+  /** Language ID by stopword voting: explode tokens, broadcast-join the
+    * (lang, word) lexicon, count hits per lang, argmax with lang-asc
+    * tie-break; docs with zero hits → "und". */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("lang_cand", "word")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    val hits = toks.join(broadcast(lex), Seq("word"))
+      .groupBy(col(idCol), col("lang_cand"))
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("hits").desc, col("lang_cand").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lang_cand").as("lang_pred"), col("hits"))
+    df.select(col(idCol)).join(best, Seq(idCol), "left")
+      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+  }
+
+  /** Bag-of-words content fingerprint: md5 of the sorted distinct token
+    * set — groups word-order permutations of the same content. */
+  def fingerprint(textCol: Column): Column =
+    md5(concat_ws(" ", tokenSet(textCol)))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash character
+    * k-grams, take the min hash of every sliding window of `w` k-gram
+    * hashes, distinct. Returns an array<bigint> per document. */
+  def winnow(textCol: Column, k: Int = 8, w: Int = 4): Column = {
+    val n = length(textCol) - lit(k - 1)
+    val grams = when(n >= 1,
+      transform(sequence(lit(1), n), i => h60(substr(textCol, i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val windows = when(size(grams) >= w,
+      array_distinct(transform(sequence(lit(1), size(grams) - lit(w - 1)),
+        j => array_min(slice(grams, j, lit(w))))))
+      .otherwise(when(size(grams) > 0, array(array_min(grams)))
+        .otherwise(array().cast("array<bigint>")))
+    array_sort(windows)
+  }
+}

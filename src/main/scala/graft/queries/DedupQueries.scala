@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication extension operators surfaced through the correctness
+  * gate. MinHash/SimHash use md5-derived 60-bit hashes (TextFunctions.h60)
+  * precisely so LSH itself — not just a downstream aggregate — is
+  * reproducible in the DuckDB oracle: both engines compute identical
+  * signatures, identical band buckets, identical candidate pairs.
+  *
+  * DuckDB spelling of h60(x): ('0x' || substr(md5(x),1,15))::UBIGINT::BIGINT
+  */
+object DedupQueries extends QueryModule {
+
+  /** Exact dedup by content hash over a corpus with synthesized exact
+    * duplicates (docs 1-100 re-appended under shifted ids). */
+  private val q40 = QueryDef(
+    "q40_dedup_exact",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") <= 100)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exact(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id <= 100)
+      SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM corpus
+      GROUP BY md5(text)
+      ORDER BY doc_id"""))
+
+  /** Normalized exact dedup: case/whitespace variants collapse. */
+  private val q41 = QueryDef(
+    "q41_dedup_normalized",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") <= 50)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("  ")).as("text")))
+      Dedup.exactNormalized(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, concat('  ', upper(text), '  ') FROM documents WHERE doc_id <= 50)
+      SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM corpus
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id"""))
+
+  /** MinHash signatures over 3-word shingles (16 hashes), the per-row
+    * no-shuffle building block of LSH. */
+  private val q42 = QueryDef(
+    "q42_minhash_signature",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      Tables.documents(s, d)
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("sset"))
+        .filter(size(col("sset")) > 0)
+        .select(col("doc_id"),
+          concat_ws(",", minhashSignature(col("sset"), 16)).as("sig"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w
+        FROM documents WHERE doc_id <= 200),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3
+                 THEN list_transform(generate_series(1, len(w) - 2),
+                      j -> concat_ws(' ', w[j], w[j+1], w[j+2]))
+                 ELSE [] END) AS sset
+        FROM toks)
+      SELECT doc_id,
+             array_to_string(
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))),
+               ',') AS sig
+      FROM sh
+      WHERE len(sset) > 0
+      ORDER BY doc_id"""))
+
+  /** Full MinHash+LSH near-dup pipeline: token-set signatures → 4×4 bands
+    * → bucket join → exact-Jaccard verification at 0.8. The oracle
+    * replays the identical LSH (same hashes, same bands), so candidate
+    * generation itself is verified, not just the final filter. */
+  private val q43 = QueryDef(
+    "q43_minhash_lsh_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+      Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleK = 1, numHashes = 16, bands = 4, rows = 4,
+          threshold = 0.8, maxBucketSize = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH sets AS (
+        SELECT doc_id AS id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS sset
+        FROM documents WHERE doc_id <= 300),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets WHERE len(sset) > 0),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b)
+      SELECT id_a, id_b, inter / (la + lb - inter) AS jaccard
+      FROM verified
+      WHERE inter / (la + lb - inter) >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  /** 60-bit SimHash + chunk-bucketed Hamming pairs (≤ 8). */
+  private val q44 = QueryDef(
+    "q44_simhash_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 200)
+      val sim = Dedup.simhash(docs, "doc_id", "text")
+      val sigs = sim.orderBy(col("id"))
+        .select(col("id").as("doc_id"), col("simhash"))
+      val pairs = Dedup.simhashPairs(sim, maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      // single result set: signatures + pair rows (tagged)
+      sigs.select(col("doc_id").as("id_a"), lit(-1L).as("id_b"), col("simhash").as("hamming"))
+        .unionAll(pairs)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))) AS t
+        FROM documents WHERE doc_id <= 200),
+      hashed AS (
+        SELECT id, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h FROM toks),
+      perbit AS (
+        SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+        FROM hashed, (SELECT unnest(generate_series(0, 59)) AS b)
+        GROUP BY id, b),
+      sim AS (
+        SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        FROM perbit GROUP BY id),
+      chunked AS (
+        SELECT id, simhash, c, (simhash >> (15 * c)) & 32767 AS chunk_val
+        FROM sim, (SELECT unnest(generate_series(0, 3)) AS c)),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS ha, b.simhash AS hb
+        FROM chunked a JOIN chunked b
+          ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.id < b.id)
+      SELECT id AS id_a, -1::BIGINT AS id_b, simhash AS hamming FROM sim
+      UNION ALL
+      SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+      FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+      ORDER BY id_a, id_b"""))
+
+  /** Embedding cosine near-dup pairs (brute-force verification tier). */
+  private val q45 = QueryDef(
+    "q45_embedding_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 2000)
+      Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <= 2000)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             floor((list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+                   * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      ORDER BY id_a, id_b"""))
+
+  override val entries: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
+}

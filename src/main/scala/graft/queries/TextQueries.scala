@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extension operators over the documents table: stats +
+  * quality, language ID, fingerprints, winnowing. Ratios are exact
+  * rationals (int/int) so they compare without rounding; the composite
+  * quality score is pure double arithmetic written identically in both
+  * engines and rounded half-up at 6. */
+object TextQueries extends QueryModule {
+
+  private val q60 = QueryDef(
+    "q60_text_stats_quality",
+    (s, d) => {
+      val stats = TextAnalysis.stats(Tables.documents(s, d), "doc_id", "text")
+      stats
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), Rnd.halfUp(TextAnalysis.qualityScore(col("text")), 6).as("quality")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"), col("n_chars"),
+          col("n_distinct"), Rnd.halfUp(col("ttr"), 6).as("ttr6"),
+          Rnd.halfUp(col("mean_word_len"), 6).as("mwl6"),
+          Rnd.halfUp(col("en_stopword_ratio"), 6).as("stop6"),
+          col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      st AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_sum(list_transform(toks, x -> 1 + floor((length(x) - 1) / 4)))::BIGINT AS n_bpe_tokens,
+               length(text) AS n_chars,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mwl,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) * 1.0 / len(toks) AS stopr,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 /
+                 greatest(length(text), 1) AS punct
+        FROM t)
+      SELECT doc_id, n_tokens, n_bpe_tokens, n_chars, n_distinct,
+             floor(ttr * 1000000.0 + 0.5) / 1000000.0 AS ttr6,
+             floor(mwl * 1000000.0 + 0.5) / 1000000.0 AS mwl6,
+             floor(stopr * 1000000.0 + 0.5) / 1000000.0 AS stop6,
+             floor((least(n_tokens / 50.0, 1.0) * 0.4 + ttr * 0.3 +
+                    (1.0 - least(punct * 5.0, 1.0)) * 0.2 +
+                    least(stopr * 5.0, 1.0) * 0.1) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      FROM st
+      ORDER BY doc_id"""))
+
+  private val q61 = QueryDef(
+    "q61_lang_id",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.langId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("hits"),
+          (col("lang_pred") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH lex(lang_cand, word) AS (VALUES
+        ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),
+        ('en','in'),('en','is'),('en','that'),('en','it'),('en','for'),
+        ('es','el'),('es','la'),('es','de'),('es','y'),('es','que'),
+        ('es','en'),('es','un'),('es','es'),('es','se'),('es','no'),
+        ('de','der'),('de','die'),('de','das'),('de','und'),('de','zu'),
+        ('de','den'),('de','ist'),('de','von'),('de','mit'),('de','nicht'),
+        ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','les'),
+        ('fr','des'),('fr','est'),('fr','un'),('fr','une'),('fr','que'),
+        ('zh','的'),('zh','了'),('zh','是'),('zh','我'),('zh','不'),
+        ('zh','在'),('zh','人'),('zh','有'),('zh','他'),('zh','这')),
+      toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS word
+        FROM documents),
+      hits AS (
+        SELECT doc_id, lang_cand, count(*) AS hits
+        FROM toks JOIN lex USING (word)
+        GROUP BY doc_id, lang_cand),
+      best AS (
+        SELECT doc_id, lang_cand AS lang_pred, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand ASC) AS rn
+        FROM hits)
+      SELECT d.doc_id,
+             coalesce(b.lang_pred, 'und') AS lang_pred,
+             coalesce(b.hits, 0) AS hits,
+             (coalesce(b.lang_pred, 'und') = d.lang) AS correct
+      FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  private val q62 = QueryDef(
+    "q62_fingerprint_groups",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+        .select(col("doc_id"), col("fp"), col("n_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT min(doc_id) AS doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))), ' ')) AS fp,
+             count(*) AS n_docs
+      FROM documents
+      GROUP BY 2
+      ORDER BY doc_id"""))
+
+  private val q63 = QueryDef(
+    "q63_winnowing",
+    (s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), TextAnalysis.winnow(col("text"), k = 8, w = 4).as("wn"))
+        .select(col("doc_id"),
+          size(col("wn")).as("n_fp"),
+          element_at(col("wn"), 1).as("fp_min"),
+          element_at(col("wn"), -1).as("fp_max"),
+          concat_ws(",", slice(col("wn"), 1, 8)).as("fp_head"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7),
+                 i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT::BIGINT) AS grams
+        FROM documents WHERE doc_id <= 200),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0)
+      SELECT doc_id, len(wn) AS n_fp, wn[1] AS fp_min, wn[-1] AS fp_max,
+             array_to_string(wn[1:8], ',') AS fp_head
+      FROM wnd
+      ORDER BY doc_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63)
+}

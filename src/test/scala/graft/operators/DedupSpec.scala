@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact: keeps min id per content group with dup_count") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("exactNormalized: case/whitespace variants collapse") {
+    val df = Seq((1L, "Hello  World"), (2L, " hello world "), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(df, "doc_id", "text")
+    assert(out.count() == 2)
+    assert(out.filter(col("doc_id") === 1).select("dup_count").as[Long].head() == 2)
+  }
+
+  test("minhashLsh: finds an injected near-duplicate pair, skips dissimilar") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // 9/11 jaccard
+    val far = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text",
+      shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical token sets → identical signature; hamming 0 pair found") {
+    val df = Seq((1L, "spark scala data"), (2L, "data spark scala"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhash(df, "doc_id", "text")
+    val m = sim.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val pairs = Dedup.simhashPairs(sim, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("embeddingNearDup: duplicate vector detected at threshold") {
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // scaled copy has cosine 1
+  }
+}

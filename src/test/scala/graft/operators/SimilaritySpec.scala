@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: exact values on known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(2.0, 2.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val vals = df.as[Double].collect()
+    assert(math.abs(vals(0)) < 1e-12)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: self-duplicate ranks first with cosine ~1") {
+    val emb = Tables.embeddings(spark, sf)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(dup)
+    val top = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), corpus, "vec_id", "embedding", k = 3)
+    val first = top.filter(col("rank") === 1).select("corpus_id", "cosine")
+      .as[(Long, Double)].head()
+    assert(first._1 == 100000L)
+    assert(math.abs(first._2 - 1.0) < 1e-9)
+  }
+
+  test("lshTopK: bucketed results are a subset of correct cosine ordering; recall > 0") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5, planes = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.0, s"lsh recall=$recall")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats: counts and ratios on a known document") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_distinct") == 5)
+    assert(r.getAs[Double]("en_stopword_ratio") == 2.0 / 6.0) // 'the' twice
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val scores = graft.Tables.documents(spark, sf)
+      .select(TextAnalysis.qualityScore(col("text")).as("q")).as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("langId: obvious english/spanish sentences classified; no-hit → und") {
+    val df = Seq(
+      (1L, "the quick fox is in the barn and it is fast"),
+      (2L, "el perro que corre en la casa no es un gato"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "doc_id", "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprint: invariant under word order, sensitive to content") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fps = df.as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("winnow: shared fingerprints for overlapping text, none for disjoint") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "completely unrelated content with different characters entirely present"
+    val df = Seq((1L, a), (2L, a + " extra suffix appended"), (3L, b))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.winnow(col("text")).as("wn"))
+    val m = df.as[(Long, Seq[Long])].collect().toMap
+    val overlap12 = m(1L).toSet & m(2L).toSet
+    val overlap13 = m(1L).toSet & m(3L).toSet
+    assert(overlap12.nonEmpty)
+    assert(overlap13.isEmpty)
+  }
+}
