@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing surfaced through the gate: binary payloads
+  * (documents.text re-encoded as the stand-in payload), typed metadata
+  * derivation, size-class partitioning, and frame sampling. The decode
+  * stub itself (mapPartitions) is covered by MultimodalSpec; here the
+  * oracle verifies the metadata/partition/frame arithmetic. */
+object MultimodalQueries extends QueryModule {
+
+  private val q70 = QueryDef(
+    "q70_multimodal_meta",
+    (s, d) => {
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") <= 300)
+        .select(
+          col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+          col("text").cast("binary").as("media"))
+      Multimodal.attachMeta(media, "media",
+        when(col("modality") === "image", "png")
+          .when(col("modality") === "audio", "wav")
+          .otherwise("mp4"))
+        .withColumn("size_class", Multimodal.sizeClass(col("media")))
+        .withColumn("n_frames",
+          size(Multimodal.sampleFrames(col("media"), frameBytes = 64, stride = 2)))
+        .select(col("media_id"), col("modality"),
+          col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.sha256").as("sha256"),
+          col("size_class"), col("n_frames"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+               encode(text) AS media, text
+        FROM documents WHERE doc_id <= 300)
+      SELECT media_id, modality,
+             CASE modality WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav' ELSE 'mp4' END AS format,
+             octet_length(media)::BIGINT AS n_bytes,
+             lower(sha256(text)) AS sha256,
+             floor(log2(greatest(octet_length(media), 1)))::INT AS size_class,
+             -- frames of 64 bytes, keep every 2nd (ceil(n/64) frames, indices 0,2,4,..)
+             ((ceil(octet_length(media) / 64.0)::INT + 1) // 2)::INT AS n_frames
+      FROM media
+      ORDER BY media_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q70)
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.operators.{IngestPipeline, StreamConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY §2.B streaming row + §7.1 M5).
+  *
+  * The reference's streaming fabric is Kafka + Flink StateFun with HTTP
+  * function dispatch; here a stream is `readStream → transforms →
+  * writeStream`, and the per-stream ingest chain runs inside
+  * `foreachBatch` — which also re-reads the config directory every batch,
+  * replacing the rtdl_205 cache-refresh fan-out protocol (§3.2) with
+  * plain per-batch reload.
+  *
+  * Exactly-once note (A22): the file/parquet sink path is idempotent per
+  * batch via checkpointed batch ids — the ACID-table equivalent of the
+  * reference's Kafka transactional egress; the Kafka sink (when jars are
+  * present) remains at-least-once, as documented in SURVEY §7.3.
+  */
+object StreamingOps {
+
+  /** Tumbling/sliding window aggregation with watermarked late-data drop. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      window_ : String, slide: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), window_, s)
+      case None => window(col(tsCol), window_)
+    }
+    events.withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("n"), col("total"))
+  }
+
+  /** Session windows (gap-based) per key. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("n"))
+
+  /** Stateful streaming dedup on a key with watermark-bounded state. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Custom state: per-user running counter emitted on every update
+    * (flatMapGroupsWithState) — the mapGroupsWithState surface of §2.B. */
+  def runningCountPerKey(spark: SparkSession, events: DataFrame,
+      keyCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = events.select(col(keyCol).cast("long")).as[Long]
+      .groupByKey(identity)
+    keyed.flatMapGroupsWithState[Long, (Long, Long)](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+        val prev = state.getOption.getOrElse(0L)
+        val next = prev + rows.size
+        state.update(next)
+        Iterator((key, next))
+    }.toDF("key", "running_n")
+  }
+
+  /** Streaming ingest: wraps IngestPipeline.runBatch in foreachBatch with
+    * per-batch config reload from `configDir` (replaces rtdl_205). Source
+    * is a drop directory of JSON lines (the Kafka-less A1/A6 equivalent;
+    * swap `.format("kafka")` in when the connector jar is present). */
+  def startIngest(spark: SparkSession, sourceDir: String, configDir: String,
+      destRoot: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream
+      .schema("value STRING")
+      .text(sourceDir)
+    raw.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val configs = StreamConfig.loadDir(spark, configDir) // hot reload per batch
+        if (configs.nonEmpty && !batch.isEmpty) {
+          IngestPipeline.runBatch(spark, batch, "value", configs, destRoot,
+            registerTables = false)
+        }
+        ()
+      }
+      .start()
+  }
+}

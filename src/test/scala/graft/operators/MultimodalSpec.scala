@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = Seq(
+    (1L, "image", "fake-png-payload-abcdefgh".getBytes("UTF-8")),
+    (2L, "audio", "fake-wav-payload-with-longer-content-0123456789".getBytes("UTF-8")),
+    (3L, "video", Array.tabulate(1024)(i => (i % 256).toByte)))
+    .toDF("media_id", "modality", "media")
+
+  test("attachMeta: size + sha256 derived, schema matches mediaSchema shape") {
+    val out = Multimodal.attachMeta(mediaDf, "media",
+      when(col("modality") === "image", "png").otherwise("raw"))
+    val r = out.filter(col("media_id") === 1).select("meta.*").head()
+    assert(r.getAs[String]("format") == "png")
+    assert(r.getAs[Long]("n_bytes") == 25L)
+    assert(r.getAs[String]("sha256").matches("[0-9a-f]{64}"))
+  }
+
+  test("decodeFeatures: mapPartitions batch decode is deterministic and shaped") {
+    val out = Multimodal.decodeFeatures(mediaDf, dim = 8)
+    assert(out.schema("features").dataType.simpleString == "array<float>")
+    val f1 = out.filter(col("media_id") === 3).select("features").as[Seq[Float]].head()
+    val f2 = Multimodal.decodeFeatures(mediaDf, dim = 8)
+      .filter(col("media_id") === 3).select("features").as[Seq[Float]].head()
+    assert(f1 == f2)
+    assert(f1.length == 8 && f1.exists(_ != 0.0f))
+  }
+
+  test("sizeClass: log2 buckets group comparable payloads") {
+    val classes = mediaDf.select(col("media_id"), Multimodal.sizeClass(col("media")).as("sc"))
+      .as[(Long, Int)].collect().toMap
+    assert(classes(3L) == 10) // 1024 bytes → 2^10
+    assert(classes(1L) < classes(3L))
+  }
+
+  test("sampleFrames: every stride-th fixed-size frame") {
+    val out = mediaDf.filter(col("media_id") === 3)
+      .select(Multimodal.sampleFrames(col("media"), frameBytes = 256, stride = 2).as("frames"))
+    val frames = out.as[Seq[Array[Byte]]].head()
+    assert(frames.length == 2) // frames 0 and 2 of 4
+    assert(frames.head.length == 256)
+    assert(frames.head(0) == 0.toByte && frames(1)(0) == 0.toByte) // 512 % 256 pattern
+  }
+}
