@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate-once combinator: binds `c`'s value to a lambda variable so
+    * expressions that use it many times (sliding windows, hash families)
+    * evaluate it exactly once per row. Without this, CollapseProject
+    * inlines the producing expression into every lambda occurrence —
+    * turning O(n) plans into O(n²) (observed 76s → <1s on winnowing). */
+  def once(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** 60-bit deterministic hash of a string column (hex md5 prefix). */
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
@@ -32,25 +40,31 @@ object TextFunctions {
 
   /** k-word shingles from a token array ([] when fewer than k tokens). */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - lit(k - 1)),
-        j => concat_ws(" ", slice(toks, j, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    once(toks) { t =>
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - lit(k - 1)),
+          j => concat_ws(" ", slice(t, j, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** MinHash signature: for seed i, min over shingles of h60(shingle#i).
     * Computed per-row with higher-order functions — no explode, no
     * shuffle; signature width n is a column-count-free array. */
   def minhashSignature(shingleCol: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      i => array_min(transform(shingleCol,
-        s => h60(concat(s, lit("#"), i.cast("string"))))))
+    once(shingleCol) { ss =>
+      transform(sequence(lit(0), lit(n - 1)),
+        i => array_min(transform(ss,
+          s => h60(concat(s, lit("#"), i.cast("string"))))))
+    }
 
   /** LSH band hashes for a signature: bands of `rows` values, each band
     * hashed to a bucket key. Emits array of "bandIdx:bandHash" strings. */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(":", b.cast("string"),
-        h60(concat_ws(",", slice(sig, b * lit(rows) + lit(1), lit(rows)))).cast("string")))
+    once(sig) { sg =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(":", b.cast("string"),
+          h60(concat_ws(",", slice(sg, b * lit(rows) + lit(1), lit(rows)))).cast("string")))
+    }
 
   /** A BPE-ish subword token count: whitespace words plus an extra token
     * for every 4 characters beyond the first 4 of each word (a stand-in

@@ -17,15 +17,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup by content hash: keeps the row with min `idCol` per
-    * distinct value of `contentCol`; adds `dup_count`. */
+    * distinct value of `contentCol`; adds `dup_count`. Single shuffle on
+    * the content hash (window count + rank in one exchange), no join —
+    * at 100 TB the hash is the only shuffled payload decision point. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val hashed = df.withColumn("__h", md5(col(contentCol).cast("string")))
-    val winners = hashed.groupBy(col("__h"))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-    hashed.drop(idCol, "dup_count").join(winners, Seq("__h"))
-      .filter(col(idCol).isNotNull)
-      .drop("__h")
-      .dropDuplicates(idCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    df.withColumn("__h", md5(col(contentCol).cast("string")))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(col(idCol).asc)))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
   }
 
   /** Exact dedup after canonicalization (lowercase, collapse whitespace). */
@@ -49,7 +50,10 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
 
-    val sets = df.select(
+    // repartition by id first: the source is typically a few big parquet
+    // row-groups, and signature hashing is per-row CPU work that should
+    // spread across all cores/executors
+    val sets = df.repartition(col(idCol)).select(
       col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sset"))
       .filter(size(col("sset")) > 0)
@@ -57,11 +61,14 @@ object Dedup {
       .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
       .select(col("id"), col("sset"), col("band"))
 
-    // cap pathological buckets (a bucket of b docs yields b^2 pairs)
+    // cap pathological buckets (a bucket of b docs yields b^2 pairs);
+    // cache: the bucketed signature table is read twice by the self-join —
+    // at cluster scale this is the "persist the signature index" step
     val bucketed = sigs
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
       .filter(col("bucket_n") <= maxBucketSize)
+      .cache()
 
     val a = bucketed.select(col("band"), col("id").as("id_a"), col("sset").as("set_a"))
     val b = bucketed.select(col("band"), col("id").as("id_b"), col("sset").as("set_b"))
@@ -127,12 +134,14 @@ object Dedup {
     * plain all-pairs here for exactness on verification sets. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      Similarity.unitNormalize(col(vecCol)).as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", VectorExpressions.dot(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -26,16 +26,20 @@ object Envelope {
   private def nonEmpty(c: Column): Column = when(c.isNotNull && c =!= "", c)
 
   /** A2: raw JSON documents (one per row in `jsonCol`) → envelope columns.
-    * The full original message is preserved verbatim as `payload`. */
+    * The full original message is preserved verbatim as `payload`.
+    * json_tuple extracts all four fields in ONE parse of the document
+    * (4 separate get_json_object calls parse the JSON 4×). */
   def project(raw: DataFrame, jsonCol: String = "json"): DataFrame = {
     val j = col(jsonCol)
     raw.select(
-      nonEmpty(get_json_object(j, "$.stream_id")).as("stream_id"),
-      coalesce(
-        nonEmpty(get_json_object(j, "$.projectId")),
-        nonEmpty(get_json_object(j, "$.writeKey"))).as("stream_alt_id"),
-      nonEmpty(get_json_object(j, "$.type")).as("message_type"),
-      j.as("payload"))
+        json_tuple(j, "stream_id", "projectId", "writeKey", "type")
+          .as(Seq("__sid", "__pid", "__wk", "__type")),
+        j.as("payload"))
+      .select(
+        nonEmpty(col("__sid")).as("stream_id"),
+        coalesce(nonEmpty(col("__pid")), nonEmpty(col("__wk"))).as("stream_alt_id"),
+        nonEmpty(col("__type")).as("message_type"),
+        col("payload"))
   }
 
   /** A8: resolved message type; `cfgMessageType` is the matched config's

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.TextFunctions.h60
+import graft.functions.VectorExpressions
+import graft.functions.VectorExpressions.dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -11,35 +12,56 @@ import org.apache.spark.sql.functions._
   *    (it's small); the corpus side streams — one pass, no corpus shuffle,
   *    cost O(|Q|·N·d).
   *  - sign-LSH bucketed top-k: random-hyperplane signatures partition the
-  *    corpus; each query probes only its bucket (and optionally multiprobe
-  *    neighbors). Hyperplane weights derive from h60(plane,dim) so the
-  *    index is deterministic and engine-reproducible, not RNG-dependent.
-  *    This is the IVF-style scale path: bucket key = shuffle/partition key.
+  *    corpus; each query probes only its bucket. Hyperplane weights derive
+  *    from md5(plane:dim) so the index is deterministic and reproducible,
+  *    not RNG-dependent. This is the IVF-style scale path: bucket key =
+  *    shuffle/partition key.
+  *
+  * Hot path: vectors are unit-normalized ONCE per row, so the per-pair
+  * work is a single [[graft.functions.DotProduct]] — a custom Catalyst
+  * expression with a codegen'd primitive loop (the built-in
+  * aggregate/zip_with formulation was ~30× slower on the all-pairs
+  * workload).
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (zip_with + aggregate —
-    * stays inside codegen, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double-array columns. Requires
+    * VectorExpressions.register on the session (all entry points here
+    * do it). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def asDouble(vecCol: Column): Column =
     transform(vecCol, x => x.cast("double"))
+
+  /** Project (id, vec) with the vector unit-normalized (norm computed once
+    * via a temp column, not per element). */
+  /** Unit-normalize with nested evaluate-once binding: without it,
+    * CollapseProject inlines the norm (a full dot product) into the
+    * division of every element. */
+  private[operators] def unitNormalize(vecCol: Column): Column = {
+    import graft.functions.TextFunctions.once
+    once(asDouble(vecCol)) { v =>
+      once(sqrt(dot(v, v))) { n => transform(v, x => x / n) }
+    }
+  }
+
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol).as(idAs), unitNormalize(col(vecCol)).as(vecAs))
+  }
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (desc), tie-broken by corpus id asc. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
@@ -48,20 +70,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
-  /** Deterministic sign-LSH signature: bit p = sign(v · w_p) where
-    * w_p[dim] = (h60("p:dim") mod 2001) - 1000 (a fixed pseudo-random
-    * integer hyperplane). Returns an int bucket in [0, 2^planes). */
-  def lshSignBits(vecCol: Column, planes: Int): Column = {
-    val sigBits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(asDouble(vecCol),
-          transform(sequence(lit(0), size(vecCol) - 1),
-            d => (pmod(h60(concat(lit(p.toString), lit(":"), d.cast("string"))), lit(2001)) - lit(1000)).cast("double")),
-          (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+  /** Deterministic hyperplane weights, computed once on the driver (same
+    * md5-derived family as TextFunctions.h60, so the index is stable). */
+  private[operators] def planeWeights(plane: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val hex = md.digest(s"$plane:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble
     }
-    sigBits.reduce(_ + _)
+  }
+
+  /** Sign-LSH bucket id in [0, 2^planes): bit p = sign(v · w_p). Weights
+    * are literal arrays baked into the plan — zero per-row hashing. */
+  def lshSignBits(vecCol: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val w = array(planeWeights(p, dims).map(lit(_)): _*)
+      when(dot(asDouble(vecCol), w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
   }
 
   /** Bucketed ANN: queries probe only their own LSH bucket, then exact
@@ -69,13 +96,14 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshSignBits(col("qv"), planes))
-    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshSignBits(col("cv"), planes))
+    val dims = queries.select(size(col(vecCol))).first().getInt(0)
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("bucket", lshSignBits(col("qv"), planes, dims))
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+      .withColumn("bucket", lshSignBits(col("cv"), planes, dims))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)

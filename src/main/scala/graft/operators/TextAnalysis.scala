@@ -29,35 +29,45 @@ object TextAnalysis {
     * distinct-token ratio, mean word length, punctuation ratio, English
     * stopword ratio. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.select(
+    // all token-derived fields are built inside one evaluate-once lambda,
+    // so tokenization runs once per row, not once per output column
+    val tokenStats = once(tokens(col(textCol))) { t =>
+      struct(
+        size(t).as("n_tokens"),
+        aggregate(t, lit(0),
+          (acc, x) => acc + lit(1) + floor((length(x) - lit(1)) / lit(4)).cast("int")).as("n_bpe_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+        (aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)).as("mean_word_len"),
+        (size(filter(t, x => x.isin(enStop: _*))).cast("double") / size(t)).as("en_stopword_ratio"))
+    }
+    df.withColumn("__ts", tokenStats).select(
       col(idCol),
-      size(toks).as("n_tokens"),
-      approxBpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+      col("__ts.n_tokens").as("n_tokens"),
+      col("__ts.n_bpe_tokens").as("n_bpe_tokens"),
       length(col(textCol)).as("n_chars"),
-      size(array_distinct(toks)).as("n_distinct"),
-      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
-      (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)).as("mean_word_len"),
+      col("__ts.n_distinct").as("n_distinct"),
+      col("__ts.ttr").as("ttr"),
+      col("__ts.mean_word_len").as("mean_word_len"),
       ((length(col(textCol)) - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double")
         / length(col(textCol))).as("punct_ratio"),
-      (size(filter(toks, t => t.isin(enStop: _*))).cast("double") / size(toks))
-        .as("en_stopword_ratio"))
+      col("__ts.en_stopword_ratio").as("en_stopword_ratio"))
   }
 
   /** Heuristic quality score in [0,1]: rewards moderate length, lexical
     * diversity, low punctuation density, presence of function words. */
-  def qualityScore(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    val n = size(toks).cast("double")
-    val lenScore = least(n / lit(50.0), lit(1.0))
-    val ttr = size(array_distinct(toks)).cast("double") / n
-    val punct = (length(textCol) - length(regexp_replace(textCol, "[\\p{Punct}]", ""))).cast("double") /
-      greatest(length(textCol), lit(1)).cast("double")
-    val stopRatio = size(filter(toks,
-      t => enStop.foldLeft(lit(false))((acc, s) => acc || (t === s)))).cast("double") / n
-    lenScore * lit(0.4) + ttr * lit(0.3) + (lit(1.0) - least(punct * lit(5.0), lit(1.0))) * lit(0.2) +
-      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.1)
-  }
+  def qualityScore(textCol: Column): Column =
+    once(tokens(textCol)) { toks =>
+      val n = size(toks).cast("double")
+      val lenScore = least(n / lit(50.0), lit(1.0))
+      val ttr = size(array_distinct(toks)).cast("double") / n
+      val punct = (length(textCol) - length(regexp_replace(textCol, "[\\p{Punct}]", ""))).cast("double") /
+        greatest(length(textCol), lit(1)).cast("double")
+      val stopRatio = size(filter(toks,
+        t => enStop.foldLeft(lit(false))((acc, s) => acc || (t === s)))).cast("double") / n
+      lenScore * lit(0.4) + ttr * lit(0.3) + (lit(1.0) - least(punct * lit(5.0), lit(1.0))) * lit(0.2) +
+        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.1)
+    }
 
   /** Language ID by stopword voting: explode tokens, broadcast-join the
     * (lang, word) lexicon, count hits per lang, argmax with lang-asc
@@ -92,14 +102,16 @@ object TextAnalysis {
     * hashes, distinct. Returns an array<bigint> per document. */
   def winnow(textCol: Column, k: Int = 8, w: Int = 4): Column = {
     val n = length(textCol) - lit(k - 1)
-    val grams = when(n >= 1,
+    val gramsExpr = when(n >= 1,
       transform(sequence(lit(1), n), i => h60(substr(textCol, i, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
-    val windows = when(size(grams) >= w,
-      array_distinct(transform(sequence(lit(1), size(grams) - lit(w - 1)),
-        j => array_min(slice(grams, j, lit(w))))))
-      .otherwise(when(size(grams) > 0, array(array_min(grams)))
-        .otherwise(array().cast("array<bigint>")))
-    array_sort(windows)
+    once(gramsExpr) { grams =>
+      val windows = when(size(grams) >= w,
+        array_distinct(transform(sequence(lit(1), size(grams) - lit(w - 1)),
+          j => array_min(slice(grams, j, lit(w))))))
+        .otherwise(when(size(grams) > 0, array(array_min(grams)))
+          .otherwise(array().cast("array<bigint>")))
+      array_sort(windows)
+    }
   }
 }

@@ -68,6 +68,7 @@ object DedupQueries extends QueryModule {
       import graft.functions.TextFunctions._
       Tables.documents(s, d)
         .filter(col("doc_id") <= 200)
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           array_distinct(shingles(tokens(col("text")), 3)).as("sset"))
         .filter(size(col("sset")) > 0)

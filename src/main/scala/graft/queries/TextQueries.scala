@@ -117,6 +117,7 @@ object TextQueries extends QueryModule {
     (s, d) => {
       Tables.documents(s, d)
         .filter(col("doc_id") <= 200)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), TextAnalysis.winnow(col("text"), k = 8, w = 4).as("wn"))
         .select(col("doc_id"),
           size(col("wn")).as("n_fp"),

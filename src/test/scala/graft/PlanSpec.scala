@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-quality guards: these assert the physical-plan properties that
+  * make the corpus survive a 100× scale-up — filters reaching the parquet
+  * scan, dimension joins broadcasting instead of shuffling, column
+  * pruning, whole-stage codegen on the hot paths, and the custom
+  * DotProduct expression actually participating in codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val f = formatted("q01_pricing_summary")
+    assert(f.contains("PushedFilters") &&
+      f.matches("(?s).*PushedFilters: \\[.*l_shipdate.*\\].*"), f.take(2000))
+  }
+
+  test("q01: aggregation is partial (map-side) before the shuffle") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_avg"), p.take(2000))
+  }
+
+  test("q02: every predicate family reaches PushedFilters; only needed columns read") {
+    val f = formatted("q02_filter_predicates")
+    assert(f.matches("(?s).*PushedFilters: \\[.*GreaterThanOrEqual\\(p_size.*\\].*") ||
+      f.matches("(?s).*PushedFilters: \\[.*p_size.*\\].*"), f.take(2000))
+    // projection needs 6 columns; schema must not include more
+    assert(f.matches("(?s).*ReadSchema:[^\\n]*p_partkey[^\\n]*\\n.*"))
+  }
+
+  test("q03: dimension joins broadcast; no SortMergeJoin for dims") {
+    val p = planOf("q03_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q29: scan reads only the props column (column pruning)") {
+    val f = formatted("q29_json_functions")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props") && !readSchema.contains("user_id"), readSchema)
+  }
+
+  test("q50: custom DotProduct runs inside WholeStageCodegen") {
+    val df = SparkEntry.queries("q50_ann_bruteforce_topk")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    // the '*(n)' star prefix marks a WholeStageCodegen stage; the dot-product
+    // projection must carry it (i.e. the custom expression codegens)
+    assert(p.matches("(?s).*\\*\\(\\d+\\) Project \\[[^\\n]*dotproduct.*"), p.take(3000))
+  }
+
+  test("routing join never shuffles the message side") {
+    val p = planOf("q37_config_routing")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q16_order_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+}
