@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     Relational, Windows, Scalars, IngestQueries,
-    DedupQueries, SimilarityQueries, TextQueries, MultimodalQueries)
+    CollectionQueries, DedupQueries, SimilarityQueries, TextQueries, MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

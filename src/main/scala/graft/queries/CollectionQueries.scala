@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining §2.B collection/JSON surface: collect_list / collect_set
+  * (sorted for cross-engine determinism — collection order inside a group
+  * is undefined in any distributed engine), flatten, to_json round-trip,
+  * from_json with explicit schema. */
+object CollectionQueries extends QueryModule {
+
+  private val q39 = QueryDef(
+    "q39_collect_flatten_json",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 100)
+      li.groupBy(col("l_orderkey"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("l_quantity")))).as("qtys"),
+          concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("flags"),
+          concat_ws(",", array_sort(flatten(collect_list(
+            array(col("l_quantity"), col("l_tax")))))).as("flat_vals"),
+          count(lit(1)).as("n"))
+        .withColumn("as_json",
+          to_json(struct(col("l_orderkey"), col("flags"), col("n"))))
+        .withColumn("k_back",
+          from_json(col("as_json"), StructType(Seq(
+            StructField("l_orderkey", LongType),
+            StructField("flags", StringType),
+            StructField("n", LongType)))).getField("n"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""
+      SELECT l_orderkey,
+             array_to_string(list_sort(list(l_quantity)), ',') AS qtys,
+             array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
+             array_to_string(list_sort(flatten(list([l_quantity, l_tax]))), ',') AS flat_vals,
+             count(*) AS n,
+             to_json(struct_pack(
+               l_orderkey := l_orderkey,
+               flags := array_to_string(list_sort(list(DISTINCT l_returnflag)), ','),
+               n := count(*))) AS as_json,
+             count(*) AS k_back
+      FROM lineitem
+      WHERE l_orderkey <= 100
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey"""))
+
+  /** Typed Aggregator (UDAF): discount-weighted mean price per flag —
+    * custom mergeable-buffer aggregate, partial-aggregated map-side like
+    * any built-in. */
+  private val q71 = QueryDef(
+    "q71_weighted_mean_udaf",
+    (s, d) => {
+      val wmean = udaf(graft.functions.WeightedMean)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(Rnd.halfUp(wmean(col("l_extendedprice"), col("l_discount")), 2).as("wavg_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             floor((sum(l_extendedprice * l_discount) / sum(l_discount)) * 100.0 + 0.5) / 100.0
+               AS wavg_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  override val entries: Seq[QueryDef] = Seq(q39, q71)
+}
