@@ -70,6 +70,32 @@ object StreamingOps {
     }.toDF("key", "running_n")
   }
 
+  /** A6 — Kafka stream source (ingester/deltawriter/pii module.yaml
+    * ingresses). Resolves the `kafka` DataSource at runtime: requires
+    * spark-sql-kafka on the classpath (absent in this environment — the
+    * drop-directory source below is the jar-free equivalent; the method
+    * compiles and is the production entry point). */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topics: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** A5 — Kafka sink (at-least-once; exactly-once routes to the
+    * checkpointed table sink instead, per A22 design note). */
+  def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.selectExpr("CAST(value AS STRING) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** Streaming ingest: wraps IngestPipeline.runBatch in foreachBatch with
     * per-batch config reload from `configDir` (replaces rtdl_205). Source
     * is a drop directory of JSON lines (the Kafka-less A1/A6 equivalent;
