@@ -85,6 +85,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode: window results re-emit as late-but-in-watermark rows arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedCounts(events, "ts", "event_type",
+      "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("upd_out").start()
+    try {
+      mem.addData((ts("2026-01-01 10:00:10"), "click", 1.0))
+      q.processAllAvailable()
+      // same window, still within watermark → update mode re-emits the row
+      mem.addData((ts("2026-01-01 10:01:00"), "click", 2.0))
+      q.processAllAvailable()
+      val emitted = spark.table("upd_out").filter(col("event_type") === "click")
+        .select("n", "total").as[(Long, Double)].collect().toSet
+      assert(emitted == Set((1L, 1.0), (2L, 3.0))) // first emit, then updated emit
+    } finally q.stop()
+  }
+
   test("e2e streaming ingest: drop-dir JSON → foreachBatch pipeline → lake") {
     val src = Files.createTempDirectory("graft-stream-src").toString
     val cfgDir = Files.createTempDirectory("graft-stream-cfg").toString
