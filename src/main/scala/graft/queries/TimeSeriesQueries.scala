@@ -62,5 +62,112 @@ object TimeSeriesQueries extends QueryModule {
       GROUP BY 1
       ORDER BY skew_key"""))
 
-  override val entries: Seq[QueryDef] = Seq(q72, q73)
+  /** Bucketized interval join: purchases matched to the 1-hour promo
+    * window opened by each signup of the same user. Oracle is the naive
+    * theta join — same rows, different plan shape. */
+  private val q74 = QueryDef(
+    "q74_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          purchases, windows, "user_id", "ts", "w_start", "w_end",
+          bucketSeconds = 3600L)
+        .select(col("event_id"), col("user_id"), col("window_id"))
+        .orderBy(col("event_id"), col("window_id"))
+    },
+    Some("""
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      windows AS (
+        SELECT user_id, event_id AS window_id, ts AS w_start,
+               ts + INTERVAL 1 HOUR AS w_end
+        FROM events WHERE event_type = 'signup')
+      SELECT p.event_id, p.user_id, w.window_id
+      FROM purchases p JOIN windows w
+        ON p.user_id = w.user_id AND p.ts >= w.w_start AND p.ts < w.w_end
+      ORDER BY p.event_id, w.window_id"""))
+
+  /** Batch sessionization (gaps-and-islands): 30-minute inactivity gap
+    * splits sessions; per-session event count and duration. */
+  private val q75 = QueryDef(
+    "q75_sessionize",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts")))).as("duration_sec"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM g),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM f)
+      SELECT user_id, session_idx, count(*) AS n_events,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
+  /** Exact interpolated percentiles + fixed-width histogram. */
+  private val q76 = QueryDef(
+    "q76_percentiles_histogram",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val pct = ev.groupBy(col("event_type"))
+        .agg(
+          Rnd.halfUp(expr("percentile(value, 0.5)"), 4).as("p50"),
+          Rnd.halfUp(expr("percentile(value, 0.9)"), 4).as("p90"),
+          Rnd.halfUp(expr("percentile(value, 0.99)"), 4).as("p99"))
+      val hist = ev.groupBy(col("event_type"),
+          floor(col("value") / 100).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bins"), max(col("n")).as("max_bin_n"))
+      pct.join(hist, Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH pct AS (
+        SELECT event_type,
+               floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+               floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+               floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99
+        FROM events GROUP BY event_type),
+      hist AS (
+        SELECT event_type, count(*) AS n_bins, max(n) AS max_bin_n FROM (
+          SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS bin, count(*) AS n
+          FROM events GROUP BY 1, 2)
+        GROUP BY event_type)
+      SELECT pct.event_type, p50, p90, p99, n_bins, max_bin_n
+      FROM pct JOIN hist USING (event_type)
+      ORDER BY event_type"""))
+
+  override val entries: Seq[QueryDef] = Seq(q72, q73, q74, q75, q76)
 }

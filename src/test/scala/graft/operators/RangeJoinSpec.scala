@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val points = Seq(
+    (1L, 10L, ts("2026-01-01 10:30:00")), // inside w100
+    (2L, 10L, ts("2026-01-01 11:00:00")), // exactly at end → excluded (half-open)
+    (3L, 10L, ts("2026-01-01 10:00:00")), // exactly at start → included
+    (4L, 20L, ts("2026-01-01 10:30:00")), // other key, no window
+    (5L, 10L, ts("2026-01-03 00:00:00"))) // far outside
+    .toDF("event_id", "k", "ts")
+
+  private val intervals = Seq(
+    (100L, 10L, ts("2026-01-01 10:00:00"), ts("2026-01-01 11:00:00")),
+    (101L, 10L, ts("2026-01-01 10:45:00"), ts("2026-01-01 12:00:00"))) // overlaps w100
+    .toDF("window_id", "k", "w_start", "w_end")
+
+  test("point-in-interval semantics: half-open, multi-overlap, key-scoped") {
+    val out = RangeJoin.pointInInterval(points, intervals, "k", "ts", "w_start", "w_end")
+      .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L), (3L, 100L), (2L, 101L)))
+  }
+
+  test("bucketization does not drop matches across bucket boundaries") {
+    // interval spanning multiple small buckets; point in a middle bucket
+    val out = RangeJoin.pointInInterval(points, intervals, "k", "ts", "w_start", "w_end",
+      bucketSeconds = 60L)
+      .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L), (3L, 100L), (2L, 101L)))
+  }
+
+  test("plan: equi hash join on (key, bucket), no nested-loop/cartesian") {
+    val p = RangeJoin.pointInInterval(points, intervals, "k", "ts", "w_start", "w_end")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+}
