@@ -66,5 +66,53 @@ object CollectionQueries extends QueryModule {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  override val entries: Seq[QueryDef] = Seq(q39, q71)
+  /** Pivot (wide aggregation): order counts + totals per priority,
+    * pivoted on status. Oracle uses FILTER-based manual pivot. */
+  private val q77 = QueryDef(
+    "q77_pivot",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Edit-distance near-dup pairs (levenshtein ≤ 3) within brand buckets —
+    * the string-similarity tier of dedup, bucketed by an equi key so the
+    * pair join is |bucket|². */
+  private val q78 = QueryDef(
+    "q78_levenshtein_pairs",
+    (s, d) => {
+      val p = Tables.part(s, d).filter(col("p_partkey") <= 2000)
+      val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("n_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("n_b"))
+      a.join(b, Seq("p_brand")).filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("n_a"), col("n_b")))
+        .filter(col("lev") <= 3 && col("lev") > 0)
+        .select(col("p_brand"), col("id_a"), col("id_b"), col("lev"))
+        .orderBy(col("p_brand"), col("id_a"), col("id_b"))
+    },
+    Some("""
+      SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+             levenshtein(a.p_name, b.p_name) AS lev
+      FROM (SELECT * FROM part WHERE p_partkey <= 2000) a
+      JOIN (SELECT * FROM part WHERE p_partkey <= 2000) b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+      ORDER BY a.p_brand, id_a, id_b"""))
+
+  override val entries: Seq[QueryDef] = Seq(q39, q71, q77, q78)
 }
