@@ -47,8 +47,22 @@ object IngestPipeline {
       registerTables: Boolean = true): Seq[BatchResult] = {
 
     val env = Envelope.project(rawJson, jsonCol)
-    val routed = Router.activeOnly(
-      Envelope.filterControl(Router.route(spark, env, configs)))
+    val allRouted = Envelope.filterControl(Router.route(spark, env, configs))
+
+    // DLQ (improvement over the reference, which logs-and-drops —
+    // ingester.go:1592-1597): unroutable messages (no config match —
+    // including malformed JSON, whose envelope fields are all null — or
+    // an inactive stream) land in a quarantine table with a reason.
+    val quarantined = allRouted
+      .filter(col("cfg_stream_id").isNull || col("cfg_active") =!= true)
+      .select(col("payload"),
+        when(col("cfg_stream_id").isNull, "no_matching_config")
+          .otherwise("stream_inactive").as("reason"))
+    if (!quarantined.isEmpty) {
+      quarantined.write.mode(SaveMode.Append).parquet(s"$destRoot/_quarantine")
+    }
+
+    val routed = Router.activeOnly(allRouted)
       .cache() // reused once per config; unpersisted below
 
     try {
@@ -97,14 +111,24 @@ object IngestPipeline {
       val parsed = SchemaPolicy.parseColumn(spark, sub, "payload", "__p")
       val flat = parsed.select(col("__p.*"))
       val path = s"$destRoot/_delta/$dbName/$mt"
-      flat.write.mode(SaveMode.Append).parquet(path)
-      val table = s"${LakeWriter.sanitizeIdent(database)}.delta_${dbName}_${LakeWriter.sanitizeIdent(mt)}"
-      if (registerTables) LakeWriter.registerTable(spark, table, path)
+      // transaction-logged append (TxLogTable): atomic versioned commits,
+      // snapshot isolation, time travel — the ACID semantics the reference
+      // gets from Delta (delta_writer.py:94), without delta jars
+      TxLogTable.append(spark, flat, path)
+      // txlog tables are read through TxLogTable.read (snapshot resolution);
+      // a plain parquet-location catalog entry can't express the log, so
+      // registration is via a temp view over the committed snapshot
+      val table = s"delta_${dbName}_${LakeWriter.sanitizeIdent(mt)}"
+      if (registerTables) TxLogTable.read(spark, path).createOrReplaceTempView(table)
       (table, path)
     }
   }
 
-  /** A24 — read-back of an append table with schema drift merged. */
+  /** A24 — read-back of an append table with schema drift merged;
+    * transaction-logged tables resolve the committed snapshot. */
   def readTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", true).parquet(path)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_log")))
+      TxLogTable.read(spark, path)
+    else
+      spark.read.option("mergeSchema", true).parquet(path)
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal transaction-logged append table ("graft-log") — restores the
+  * ACID properties the reference gets from Delta Lake (delta_writer.py:
+  * 88-94) in an environment without delta jars:
+  *
+  *  - every commit writes parquet files into the table dir, then
+  *    atomically publishes a version file `_log/<v>.json` listing them
+  *    (write-temp + ATOMIC_MOVE rename = the commit point)
+  *  - readers resolve the current snapshot from the log, so half-written
+  *    commits are invisible (no dirty reads) and time travel is
+  *    `readVersion(v)`
+  *  - concurrent committers race on the rename; the loser retries with
+  *    the next version — optimistic concurrency, serialized appends
+  *
+  * This deliberately implements the subset the reference uses (append +
+  * read-back; no UPDATE/DELETE/MERGE, matching SURVEY §2.C), with file
+  * listing kept in the log exactly like the delta protocol so readers
+  * never list directories at scale.
+  */
+object TxLogTable {
+
+  private def logDir(path: String) = Paths.get(path, "_log")
+
+  private def versions(path: String): Seq[Long] = {
+    val d = logDir(path)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  /** Append a batch as one atomic commit; returns the committed version. */
+  def append(spark: SparkSession, df: DataFrame, path: String,
+      maxRetries: Int = 20): Long = {
+    Files.createDirectories(logDir(path))
+    // stage data files under a unique subdir (never visible to readers
+    // until the log names them)
+    val stageId = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$path/data-$stageId"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    val files = new java.io.File(dataDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => s"data-$stageId/${f.getName}")
+      .sorted
+
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = versions(path).lastOption.getOrElse(-1L) + 1
+      val entry = files.map(f => "\"" + f + "\"").mkString(
+        s"""{"version":$v,"files":[""", ",", "]}")
+      val tmp = logDir(path).resolve(s".$v-$stageId.tmp")
+      Files.writeString(tmp, entry, StandardOpenOption.CREATE_NEW)
+      try {
+        // the commit point: hard-link is atomic AND fails if the version
+        // exists (POSIX rename would silently replace a racing commit)
+        Files.createLink(logDir(path).resolve(s"$v.json"), tmp)
+        Files.deleteIfExists(tmp)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1 // lost the race; retry at the next version
+      }
+    }
+    throw new IllegalStateException(s"could not commit to $path after $maxRetries attempts")
+  }
+
+  private def filesUpTo(path: String, v: Long): Seq[String] =
+    versions(path).filter(_ <= v).flatMap { ver =>
+      val txt = Files.readString(logDir(path).resolve(s"$ver.json"))
+      """"(data-[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+    }
+
+  /** Snapshot read of the latest committed version. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path, versions(path).lastOption.getOrElse(-1L))
+
+  /** Time travel: read the table as of `version`. */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = filesUpTo(path, version).map(f => s"$path/$f")
+    if (fs.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", true).parquet(fs: _*)
+  }
+
+  def currentVersion(path: String): Long = versions(path).lastOption.getOrElse(-1L)
+}

@@ -80,6 +80,25 @@ class IngestPipelineSpec extends SparkSpec {
     spark.sql("DROP DATABASE rtdl_test CASCADE")
   }
 
+  test("DLQ: unroutable and inactive-stream messages land in quarantine with reasons") {
+    val dest = tmpDir
+    val docs = Seq(
+      """{"projectId":"seg-key-1","type":"pageview","url":"/ok","ms":1}""", // routed
+      """{"stream_id":"stream-c","type":"dead","x":1}""",                   // inactive
+      """{"stream_id":"nobody-home","y":2}""",                              // unmatched
+      """not json at all {{{"""                                             // malformed
+    ).toDF("json")
+    IngestPipeline.runBatch(spark, docs, "json", Seq(cfgLake, cfgOff), dest,
+      tsCol = to_timestamp(lit("2026-08-12 10:00:00")), registerTables = false)
+    val q = spark.read.parquet(s"$dest/_quarantine")
+    val reasons = q.select("reason").as[String].collect().sorted.toSeq
+    assert(reasons == Seq("no_matching_config", "no_matching_config", "stream_inactive"))
+    // the malformed original payload is preserved verbatim for replay
+    assert(q.filter(col("payload").contains("not json")).count() == 1)
+    // the routable message still landed in the lake
+    assert(spark.read.parquet(s"$dest/webdata/pageview").count() == 1)
+  }
+
   test("schema drift across batches merges on read (mergeSchema discipline)") {
     val dest = tmpDir
     IngestPipeline.runBatch(spark,
