@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
+  * Algorithms: MinHash resemblance sketching (Broder, "On the resemblance
+  * and containment of documents", 1997) with banded LSH (Indyk-Motwani
+  * LSH applied per Mining of Massive Datasets ch.3); SimHash similarity
+  * hashing (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002) with the pigeonhole chunk-bucketing of
+  * Manku et al. (WWW 2007) for near-duplicate web crawl dedup.
+  *
   * Scale design: every variant is a pure dataflow — per-row signature
   * computation (no shuffle), then a single groupBy/join on the signature
   * or bucket key. Candidate generation is always bucketed (LSH bands /
