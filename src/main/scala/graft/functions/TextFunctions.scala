@@ -30,6 +30,17 @@ object TextFunctions {
   def h60(c: Column, salt: Int): Column =
     h60(concat(c.cast("string"), lit("#" + salt)))
 
+  /** Engine-native fast hash family (xxhash64): ~4× cheaper than the
+    * md5-derived family but not reproducible outside Spark. Use for
+    * production dedup; use `md5Family` when an external oracle must
+    * replay the signatures. */
+  val xxFamily: (Column, Column) => Column =
+    (c, salt) => xxhash64(c, salt)
+
+  /** Cross-engine-reproducible family (md5 prefix, DuckDB-replayable). */
+  val md5Family: (Column, Column) => Column =
+    (c, salt) => h60(concat(c, lit("#"), salt.cast("string")))
+
   /** Whitespace tokenization, empty tokens dropped. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
@@ -50,11 +61,11 @@ object TextFunctions {
   /** MinHash signature: for seed i, min over shingles of h60(shingle#i).
     * Computed per-row with higher-order functions — no explode, no
     * shuffle; signature width n is a column-count-free array. */
-  def minhashSignature(shingleCol: Column, n: Int): Column =
+  def minhashSignature(shingleCol: Column, n: Int,
+      family: (Column, Column) => Column = md5Family): Column =
     once(shingleCol) { ss =>
       transform(sequence(lit(0), lit(n - 1)),
-        i => array_min(transform(ss,
-          s => h60(concat(s, lit("#"), i.cast("string"))))))
+        i => array_min(transform(ss, s => family(s, i))))
     }
 
   /** LSH band hashes for a signature: bands of `rows` values, each band

@@ -54,7 +54,8 @@ object Dedup {
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 1, numHashes: Int = 16, bands: Int = 4, rows: Int = 4,
-      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      hashFamily: (Column, Column) => Column = md5Family): DataFrame = {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
 
     // repartition by id first: the source is typically a few big parquet
@@ -64,7 +65,7 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sset"))
       .filter(size(col("sset")) > 0)
-    val sigs = sets.withColumn("sig", minhashSignature(col("sset"), numHashes))
+    val sigs = sets.withColumn("sig", minhashSignature(col("sset"), numHashes, hashFamily))
       .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
       .select(col("id"), col("sset"), col("band"))
 

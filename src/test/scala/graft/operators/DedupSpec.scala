@@ -33,6 +33,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhashLsh fast family (xxhash64) finds the same injected near-dup") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text",
+      shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.7,
+      hashFamily = graft.functions.TextFunctions.xxFamily)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhash: identical token sets → identical signature; hamming 0 pair found") {
     val df = Seq((1L, "spark scala data"), (2L, "data spark scala"), (3L, "totally different words here"))
       .toDF("doc_id", "text")
