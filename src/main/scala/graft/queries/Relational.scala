@@ -125,14 +125,14 @@ object Relational extends QueryModule {
         .agg(
           count(col("o_orderkey")).as("n_orders"),
           sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_rows_no_order"),
-          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+          Rnd.halfUp(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
         .orderBy(col("c_mktsegment"))
     },
     Some("""
       SELECT c_mktsegment,
              count(o_orderkey) AS n_orders,
-             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_rows_no_order,
-             round(sum(coalesce(o_totalprice, 0.0)), 2) AS total
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_no_order,
+             floor(sum(coalesce(o_totalprice, 0.0)) * 100.0 + 0.5) / 100.0 AS total
       FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
         ON c_custkey = o_custkey
       GROUP BY c_mktsegment

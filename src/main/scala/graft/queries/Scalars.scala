@@ -86,19 +86,19 @@ object Scalars extends QueryModule {
           floor(col("l_extendedprice")).as("fl"),
           ceil(col("l_extendedprice")).as("ce"),
           abs(col("l_discount") - lit(0.5)).cast("decimal(10,4)").cast("double").as("absd"),
-          round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
-          round(log(col("l_extendedprice") + lit(1.0)), 6).as("ln_price"))
+          Rnd.halfUp(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+          Rnd.halfUp(log(col("l_extendedprice") + lit(1.0)), 6).as("ln_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
     Some("""
       SELECT l_orderkey, l_linenumber,
              floor((l_extendedprice * l_discount / 2.0 + l_tax - 0.5) * 1000.0 + 0.5) / 1000.0 AS arith,
              l_orderkey % 7 AS mod7,
-             floor(l_extendedprice) AS fl,
-             ceil(l_extendedprice) AS ce,
+             CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
              CAST(CAST(abs(l_discount - 0.5) AS DECIMAL(10,4)) AS DOUBLE) AS absd,
-             round(pow(l_quantity, 2), 2) AS qty_sq,
-             round(ln(l_extendedprice + 1.0), 6) AS ln_price
+             floor(pow(l_quantity, 2) * 100.0 + 0.5) / 100.0 AS qty_sq,
+             floor(ln(l_extendedprice + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS ln_price
       FROM lineitem
       WHERE l_orderkey <= 200
       ORDER BY l_orderkey, l_linenumber"""))

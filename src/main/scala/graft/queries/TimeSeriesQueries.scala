@@ -126,8 +126,8 @@ object TimeSeriesQueries extends QueryModule {
         FROM g),
       sess AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         FROM f)
       SELECT user_id, session_idx, count(*) AS n_events,
              max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec

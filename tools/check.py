@@ -58,6 +58,14 @@ def main():
             n_fail += 1; continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); n_fail += 1; continue
+        # driver hashes stringified values: int 1 vs float 1.0 diverge even
+        # when check_exact comparison passes (the q75 HUGEINT→float64 trap)
+        kind_bad = [c for c in a.columns if a[c].dtype.kind != b[c].dtype.kind
+                    and {a[c].dtype.kind, b[c].dtype.kind} <= {'i', 'u', 'f'}]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch " +
+                  ", ".join(f"{c}: spark={a[c].dtype} duck={b[c].dtype}" for c in kind_bad))
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
