@@ -14,16 +14,21 @@ object TextQueries extends QueryModule {
   private val q60 = QueryDef(
     "q60_text_stats_quality",
     (s, d) => {
-      val stats = TextAnalysis.stats(Tables.documents(s, d), "doc_id", "text")
+      // single scan: quality is pure arithmetic over the already-projected
+      // stats columns — no self-join, no second tokenization pass
+      val stats = TextAnalysis.stats(
+        Tables.documents(s, d).repartition(col("doc_id")), "doc_id", "text")
+      val quality =
+        least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) * lit(0.4) +
+        col("ttr") * lit(0.3) +
+        (lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0))) * lit(0.2) +
+        least(col("en_stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.1)
       stats
-        .join(Tables.documents(s, d)
-          .select(col("doc_id"), Rnd.halfUp(TextAnalysis.qualityScore(col("text")), 6).as("quality")),
-          Seq("doc_id"))
         .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"), col("n_chars"),
           col("n_distinct"), Rnd.halfUp(col("ttr"), 6).as("ttr6"),
           Rnd.halfUp(col("mean_word_len"), 6).as("mwl6"),
           Rnd.halfUp(col("en_stopword_ratio"), 6).as("stop6"),
-          col("quality"))
+          Rnd.halfUp(quality, 6).as("quality"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -56,7 +61,7 @@ object TextQueries extends QueryModule {
   private val q61 = QueryDef(
     "q61_lang_id",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).repartition(col("doc_id"))
       TextAnalysis.langId(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang_pred"), col("hits"),
@@ -97,6 +102,7 @@ object TextQueries extends QueryModule {
     "q62_fingerprint_groups",
     (s, d) => {
       Tables.documents(s, d)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
