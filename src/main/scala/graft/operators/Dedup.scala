@@ -137,18 +137,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ threshold. Brute-force
-    * within-bucket at scale (pre-bucket with Similarity.lshSignBits);
-    * plain all-pairs here for exactness on verification sets. */
+  /** Embedding near-dup: pairs with cosine ≥ threshold, found via banded
+    * sign-LSH (random-hyperplane, Charikar STOC'02) — `tables` hash
+    * tables, each an AND of `planesPerTable` sign bits, OR'd across
+    * tables, then exact cosine verification inside buckets.
+    *
+    * Scale shape: per-row signature work only, then a bucket-keyed
+    * self-join — |bucket|² pairs, never |corpus|² (no cross join in the
+    * plan; guarded by PlanSpec). Hyperplanes are the deterministic
+    * md5-derived family of [[Similarity.planeWeights]], so the candidate
+    * set is reproducible (and DuckDB-replayable, like minhashLsh).
+    * Recall < 1 by design; raise `tables` for more recall. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, planesPerTable: Int = 4, tables: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
     import graft.functions.VectorExpressions
     VectorExpressions.register(df.sparkSession)
-    val v = df.select(col(idCol).as("id"),
-      Similarity.unitNormalize(col(vecCol)).as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    // sign bits are computed on the raw (double-cast) vector — scale
+    // never flips a sign, and the oracle replays the same raw dot
+    val keyed = df.select(
+        col(idCol).as("id"),
+        Similarity.unitNormalize(col(vecCol)).as("v"),
+        explode(array((0 until tables).map { t =>
+          val bucket = (0 until planesPerTable).map { b =>
+            when(VectorExpressions.dot(
+              transform(col(vecCol), x => x.cast("double")),
+              array(Similarity.planeWeights(t * planesPerTable + b, dims).map(lit(_)): _*)) > 0,
+              lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _)
+          struct(lit(t).as("t"), bucket.as("bkt"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val capped = keyed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("bkt"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = capped.select(col("t"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("t"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("t", "bkt")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", VectorExpressions.dot(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -183,25 +183,43 @@ object DedupQueries extends QueryModule {
       FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
       ORDER BY id_a, id_b"""))
 
-  /** Embedding cosine near-dup pairs (brute-force verification tier). */
+  /** Embedding cosine near-dup pairs via banded sign-LSH (8 tables × 4
+    * hyperplanes) + exact in-bucket verification. The oracle replays the
+    * identical md5-derived hyperplane family, so candidate generation
+    * itself is verified — same scheme as q43's MinHash-LSH replay. */
   private val q45 = QueryDef(
     "q45_embedding_neardup",
     (s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 2000)
-      Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.4)
+      Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.4,
+          planesPerTable = 4, tables = 8)
         .select(col("id_a"), col("id_b"), Rnd.halfUp(col("cosine"), 4).as("cos4"))
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""
       WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <= 2000)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             floor((list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
-                   * 10000.0 + 0.5) / 10000.0 AS cos4
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <= 2000),
+      planes AS (
+        SELECT t, b, list_transform(generate_series(0, 63), d ->
+          CAST(('0x' || substr(md5((t*4+b)::VARCHAR || ':' || d::VARCHAR), 1, 15))::UBIGINT::BIGINT
+               % 2001 - 1000 AS DOUBLE)) AS w
+        FROM (SELECT unnest(generate_series(0, 7)) AS t),
+             (SELECT unnest(generate_series(0, 3)) AS b)),
+      bkt AS (
+        SELECT e.vec_id, p.t,
+               sum(CASE WHEN list_dot_product(e.v, p.w) > 0 THEN (1 << p.b) ELSE 0 END) AS bkt
+        FROM e, planes p
+        GROUP BY e.vec_id, p.t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkt a JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+               list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+      SELECT id_a, id_b, floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM scored WHERE cosine >= 0.4
       ORDER BY id_a, id_b"""))
 
   override val entries: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)

@@ -5,9 +5,9 @@ import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 /** Similarity-search extension operators: exact brute-force ANN baseline
-  * (oracle-verified) and the LSH-bucketed scale path (rows-only — bucket
-  * assignment is deterministic but replaying 8×64 hyperplane hashes in
-  * SQL buys no additional verification beyond q50's exact tier). */
+  * and the LSH-bucketed scale path — both oracle-verified; the q51 oracle
+  * replays the deterministic md5 hyperplane family, so bucket assignment
+  * and within-bucket ranking are both checked. */
 object SimilarityQueries extends QueryModule {
 
   /** Brute-force cosine top-5 for 10 query vectors over the corpus. */
@@ -41,7 +41,8 @@ object SimilarityQueries extends QueryModule {
       ORDER BY query_id, rank"""))
 
   /** LSH-bucketed ANN (sign-random-projection, 6 planes): the scale path.
-    * Rows-only check; the spec asserts recall against q50's exact tier. */
+    * The oracle replays the identical md5-derived hyperplanes over the
+    * unit-normalized vectors, verifying bucketing + in-bucket top-k. */
   private val q51 = QueryDef(
     "q51_ann_lsh_topk",
     (s, d) => {
@@ -52,7 +53,35 @@ object SimilarityQueries extends QueryModule {
           Rnd.halfUp(col("cosine"), 4).as("cos4"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      planes AS (
+        SELECT p, list_transform(generate_series(0, 63), d ->
+          CAST(('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::UBIGINT::BIGINT
+               % 2001 - 1000 AS DOUBLE)) AS w
+        FROM (SELECT unnest(generate_series(0, 5)) AS p)),
+      bkt AS (
+        SELECT n.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(n.nv, p.w) > 0 THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM n, planes p GROUP BY n.vec_id),
+      nb AS (SELECT n.vec_id, n.nv, b.bucket FROM n JOIN bkt b ON n.vec_id = b.vec_id),
+      scored AS (
+        SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS corpus_id,
+               list_dot_product(q.nv, c.nv) AS cosine
+        FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10),
+      ranked AS (
+        SELECT query_id, bucket, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, bucket, rank, corpus_id,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
 
   override val entries: Seq[QueryDef] = Seq(q50, q51)
 }

@@ -59,6 +59,12 @@ class PlanSpec extends SparkSpec {
     assert(p.matches("(?s).*\\*\\(\\d+\\) Project \\[[^\\n]*dotproduct.*"), p.take(3000))
   }
 
+  test("q45: embedding near-dup is bucket-joined, never a cartesian product") {
+    val p = planOf("q45_embedding_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("routing join never shuffles the message side") {
     val p = planOf("q37_config_routing")
     assert(p.contains("BroadcastHashJoin"))
