@@ -58,9 +58,9 @@ object IngestPipeline {
       .select(col("payload"),
         when(col("cfg_stream_id").isNull, "no_matching_config")
           .otherwise("stream_inactive").as("reason"))
-    if (!quarantined.isEmpty) {
-      quarantined.write.mode(SaveMode.Append).parquet(s"$destRoot/_quarantine")
-    }
+    // written unconditionally: one job, vs isEmpty (a full scan when the
+    // quarantine is empty — the common case) plus the write job
+    quarantined.write.mode(SaveMode.Append).parquet(s"$destRoot/_quarantine")
 
     val routed = Router.activeOnly(allRouted)
       .cache() // reused once per config; unpersisted below

@@ -26,15 +26,28 @@ object TxLogTable {
 
   private def logDir(path: String) = Paths.get(path, "_log")
 
-  private def versions(path: String): Seq[Long] = {
+  /** Every `CheckpointInterval` commits, the full cumulative file list is
+    * rolled into `<v>.checkpoint.json`, so a snapshot read opens one
+    * checkpoint + at most CheckpointInterval-1 incremental entries — O(1)
+    * in table age, like the delta protocol's checkpoint parquet. */
+  val CheckpointInterval = 10
+
+  private def listLog(path: String, suffix: String): Seq[Long] = {
     val d = logDir(path)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(suffix) &&
+          (suffix != ".json" || !n.endsWith(".checkpoint.json")))
+        .map(_.stripSuffix(suffix).toLong)
+        .toSeq.sorted
+      finally s.close()
+    }
   }
+
+  private def versions(path: String): Seq[Long] = listLog(path, ".json")
 
   /** Append a batch as one atomic commit; returns the committed version. */
   def append(spark: SparkSession, df: DataFrame, path: String,
@@ -62,6 +75,7 @@ object TxLogTable {
         // exists (POSIX rename would silently replace a racing commit)
         Files.createLink(logDir(path).resolve(s"$v.json"), tmp)
         Files.deleteIfExists(tmp)
+        maybeCheckpoint(path, v)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -73,10 +87,33 @@ object TxLogTable {
     throw new IllegalStateException(s"could not commit to $path after $maxRetries attempts")
   }
 
-  private def filesUpTo(path: String, v: Long): Seq[String] =
-    versions(path).filter(_ <= v).flatMap { ver =>
-      val txt = Files.readString(logDir(path).resolve(s"$ver.json"))
-      """"(data-[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+  private def fileList(txt: String): Seq[String] =
+    """"(data-[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+
+  private def filesUpTo(path: String, v: Long): Seq[String] = {
+    val ckpt = listLog(path, ".checkpoint.json").filter(_ <= v).lastOption
+    val base = ckpt.toSeq.flatMap { c =>
+      fileList(Files.readString(logDir(path).resolve(s"$c.checkpoint.json")))
+    }
+    val incremental = versions(path)
+      .filter(ver => ver <= v && ckpt.forall(ver > _))
+      .flatMap(ver => fileList(Files.readString(logDir(path).resolve(s"$ver.json"))))
+    base ++ incremental
+  }
+
+  /** Roll the cumulative listing into a checkpoint file. Best-effort and
+    * idempotent: a failed or racing checkpoint changes nothing for
+    * correctness (readers fall back to the incremental entries). */
+  private def maybeCheckpoint(path: String, v: Long): Unit =
+    if (v > 0 && v % CheckpointInterval == 0) {
+      try {
+        val entry = filesUpTo(path, v).map(f => "\"" + f + "\"").mkString(
+          s"""{"version":$v,"files":[""", ",", "]}")
+        val tmp = logDir(path).resolve(s".$v.ckpt.tmp")
+        Files.writeString(tmp, entry, StandardOpenOption.CREATE_NEW)
+        Files.move(tmp, logDir(path).resolve(s"$v.checkpoint.json"),
+          StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: java.io.IOException => () }
     }
 
   /** Snapshot read of the latest committed version. */

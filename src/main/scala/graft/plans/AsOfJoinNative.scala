@@ -103,24 +103,39 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lts = lTsB.eval(lRow)
-        // advance right while its (key, ts) <= (lk, lts)
-        var continue = true
-        while (continue && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head)
-          val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
-          if (c < 0) { rBuf.next(); continue = true } // behind: skip (its matches are past)
-          else if (c == 0) {
-            val rts = rTsB.eval(head)
-            if (tsOrd.compare(rts.asInstanceOf[AnyRef], lts.asInstanceOf[AnyRef]) <= 0) {
-              matchKey = rk
-              matchRow = rBuf.next().copy() // buffered rows are reused; copy
-            } else continue = false
-          } else continue = false
+        // null key/ts never match (SQL equality semantics) — emit the
+        // null-extended row without touching the right cursor. Sorted-asc
+        // nulls come first on both sides, so not advancing is safe.
+        if (lk == null || lts == null) {
+          proj(joined(lRow, nullRight))
+        } else {
+          // advance right while its (key, ts) <= (lk, lts)
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            if (rk == null) { rBuf.next() } // null-key right rows match nothing
+            else {
+              val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
+              if (c < 0) { rBuf.next() } // behind: skip (its matches are past)
+              else if (c == 0) {
+                val rts = rTsB.eval(head)
+                if (rts == null) { rBuf.next() } // null-ts rows match nothing
+                else if (tsOrd.compare(rts.asInstanceOf[AnyRef], lts.asInstanceOf[AnyRef]) <= 0) {
+                  matchRow = rBuf.next().copy() // buffered rows are reused; copy
+                  // re-evaluate the key from the COPIED row: evaluating from
+                  // the iterator's row would retain a UTF8String (or other
+                  // buffer-backed value) pointing into memory the sorter
+                  // reuses as it advances — silently mutating the kept key
+                  matchKey = rKeyB.eval(matchRow)
+                } else continue = false
+              } else continue = false
+            }
+          }
+          val useMatch = matchRow != null && matchKey != null &&
+            keyOrd.compare(matchKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
+          proj(joined(lRow, if (useMatch) matchRow else nullRight))
         }
-        val useMatch = matchRow != null && matchKey != null &&
-          keyOrd.compare(matchKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
-        proj(joined(lRow, if (useMatch) matchRow else nullRight))
       }
     }
   }

@@ -15,10 +15,14 @@ import org.apache.spark.sql.Row
   * replacing the rtdl_205 cache-refresh fan-out protocol (§3.2) with
   * plain per-batch reload.
   *
-  * Exactly-once note (A22): the file/parquet sink path is idempotent per
-  * batch via checkpointed batch ids — the ACID-table equivalent of the
-  * reference's Kafka transactional egress; the Kafka sink (when jars are
-  * present) remains at-least-once, as documented in SURVEY §7.3.
+  * Exactly-once note (A22): foreachBatch forfeits the file sink's
+  * _spark_metadata commit protocol, so the ingest path guards replays
+  * itself — a per-batch commit marker under `destRoot/_batch_commits` is
+  * written after all sinks succeed, and a replayed batch id whose marker
+  * exists is skipped. A crash INSIDE the window between the last sink
+  * write and the marker write still replays that one batch (at-least-once
+  * within the batch boundary); the Kafka sink (when jars are present)
+  * remains at-least-once, as documented in SURVEY §7.3.
   */
 object StreamingOps {
 
@@ -111,10 +115,19 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val configs = StreamConfig.loadDir(spark, configDir) // hot reload per batch
-        if (configs.nonEmpty && !batch.isEmpty) {
-          IngestPipeline.runBatch(spark, batch, "value", configs, destRoot,
-            registerTables = false)
+        // replay guard (A22): skip batch ids already committed — a restart
+        // after checkpoint-write-failure re-delivers the same batchId, and
+        // every sink below is an append (would duplicate rows)
+        val commits = java.nio.file.Paths.get(destRoot, "_batch_commits")
+        java.nio.file.Files.createDirectories(commits)
+        val marker = commits.resolve(batchId.toString)
+        if (!java.nio.file.Files.exists(marker)) {
+          val configs = StreamConfig.loadDir(spark, configDir) // hot reload per batch
+          if (configs.nonEmpty && !batch.isEmpty) {
+            IngestPipeline.runBatch(spark, batch, "value", configs, destRoot,
+              registerTables = false)
+          }
+          java.nio.file.Files.createFile(marker)
         }
         ()
       }

@@ -40,6 +40,22 @@ class TxLogTableSpec extends SparkSpec {
     assert(df.filter(col("id") === 1).select("extra").head().isNullAt(0))
   }
 
+  test("log checkpointing: rolled-up listing serves reads; time travel still exact") {
+    val path = tmp
+    (0 to 12).foreach { i =>
+      TxLogTable.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v"), path)
+    }
+    // interval 10 → a checkpoint at version 10 exists
+    assert(Files.exists(java.nio.file.Paths.get(path, "_log", "10.checkpoint.json")))
+    // snapshot read = checkpoint + incremental tail
+    assert(TxLogTable.read(spark, path).count() == 13)
+    assert(TxLogTable.read(spark, path).select(max("id")).head().getLong(0) == 12L)
+    // time travel before, at, and after the checkpoint boundary
+    assert(TxLogTable.readVersion(spark, path, 5).count() == 6)
+    assert(TxLogTable.readVersion(spark, path, 10).count() == 11)
+    assert(TxLogTable.readVersion(spark, path, 11).count() == 12)
+  }
+
   test("concurrent committers serialize via version-rename race") {
     val path = tmp
     val threads = (1 to 6).map { i =>

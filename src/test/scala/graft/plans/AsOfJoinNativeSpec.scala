@@ -30,6 +30,30 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(out(13L).isEmpty)
   }
 
+  test("native exec: string keys and null keys/timestamps (no NPE, null-extended)") {
+    val quotes = Seq(
+      (Some("aapl"), Some(ts("2026-01-01 10:00:00")), 100.0),
+      (Some("aapl"), Some(ts("2026-01-01 10:05:00")), 101.0),
+      (None: Option[String], Some(ts("2026-01-01 09:00:00")), 666.0), // null key: matches nothing
+      (Some("msft"), None: Option[Timestamp], 777.0) // null ts: matches nothing
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      (10L, Some("aapl"), Some(ts("2026-01-01 10:04:00"))),
+      (11L, Some("msft"), Some(ts("2026-01-01 10:04:00"))), // only null-ts quote → no match
+      (12L, None: Option[String], Some(ts("2026-01-01 10:04:00"))), // null key → null-extended
+      (13L, Some("aapl"), None: Option[Timestamp]) // null ts → null-extended
+    ).toDF("trade_id", "sym", "tts")
+    val out = AsOfJoinNative.asof(trades, quotes
+        .withColumnRenamed("sym", "sym2").withColumnRenamed("sym2", "sym"),
+        "sym", "tts", "qts")
+      .select(col("trade_id"), col("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(10L).contains(100.0))
+    assert(out(11L).isEmpty)
+    assert(out(12L).isEmpty)
+    assert(out(13L).isEmpty)
+  }
+
   test("native exec agrees row-for-row with the compositional as-of on events") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -134,4 +134,30 @@ class StreamingOpsSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dest/weblogs/clickstream").count() == 3)
     } finally if (q.isActive) q.stop()
   }
+
+  test("A22 replay guard: a re-delivered batch id is skipped, no duplicate rows") {
+    val src = Files.createTempDirectory("graft-replay-src").toString
+    val cfgDir = Files.createTempDirectory("graft-replay-cfg").toString
+    val dest = Files.createTempDirectory("graft-replay-dest").toString
+    val chk = Files.createTempDirectory("graft-replay-chk").toString
+
+    new ConfigService(cfgDir).create(StreamConfig("", "stream-key", active = true,
+      "clickstream", 1, "weblogs", TimePartitions.Daily, 1, Seq("ingester")))
+    Files.writeString(java.nio.file.Paths.get(src, "batch1.json"),
+      """{"projectId":"stream-key","type":"clickstream","url":"/a","ms":12}""" + "\n")
+
+    val q = StreamingOps.startIngest(spark, src, cfgDir, dest, chk)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dest/weblogs/clickstream").count() == 1)
+
+    // wipe the checkpoint: the restarted query re-reads the same file under
+    // the SAME batch id 0 — exactly the replay-after-partial-commit shape.
+    // The _batch_commits marker must make it a no-op.
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(chk)).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    val q2 = StreamingOps.startIngest(spark, src, cfgDir, dest, chk)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dest/weblogs/clickstream").count() == 1)
+  }
 }
