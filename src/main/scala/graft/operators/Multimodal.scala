@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * plumbing.
   *
   * The Spark-side shape is the deliverable: schema, partitioning, batch
-  * iteration, and operator signatures are real and tested; the actual
-  * codec calls are STUBBED behind [[MediaDecoder]] (this container has no
-  * image/audio libraries) with [[DeterministicFakeDecoder]] standing in.
-  * Swapping in a JNI/javacv decoder changes one injection point, not the
-  * dataflow.
+  * iteration, and operator signatures are real and tested. Images decode
+  * for real through [[ImageIODecoder]] (pure-JVM `javax.imageio` — PNG/
+  * BMP/GIF/JPEG dims, luminance-grid features, re-rendered resize);
+  * audio/video codecs are STUBBED behind the same [[MediaDecoder]]
+  * boundary (this container has no av libraries) with
+  * [[DeterministicFakeDecoder]] standing in. Swapping in a JNI/javacv
+  * decoder changes one injection point, not the dataflow.
   *
   * Scale notes: media rows are large (MBs); `sizeClass` gives a partition
   * key so shuffles group comparable payload sizes (avoids stragglers from
@@ -78,6 +80,73 @@ object Multimodal {
     }
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       if (payload == null) null else payload.take(math.max(1, w * h))
+  }
+
+  /** Real pure-JVM image decoder over `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * whatever the JDK's registered readers handle). Images yield a
+    * deterministic nearest-neighbor luminance grid as the feature vector
+    * and a true re-rendered resize; undecodable payloads (non-image
+    * modalities, corrupt bytes) fall back to the deterministic stub, so
+    * the operator is total either way. */
+  object ImageIODecoder extends MediaDecoder {
+    private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** (width, height) when the payload decodes as an image. */
+    def dims(payload: Array[Byte]): Option[(Int, Int)] =
+      readImage(payload).map(img => (img.getWidth, img.getHeight))
+
+    def features(modality: String, payload: Array[Byte], dim: Int): Array[Float] =
+      readImage(payload) match {
+        case Some(img) =>
+          val out = new Array[Float](dim)
+          val side = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+          var i = 0
+          while (i < dim) {
+            val gx = math.min((i % side) * img.getWidth / side, img.getWidth - 1)
+            val gy = math.min((i / side) * img.getHeight / side, img.getHeight - 1)
+            val rgb = img.getRGB(gx, gy)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(i) = lum / 255.0f
+            i += 1
+          }
+          out
+        case None => DeterministicFakeDecoder.features(modality, payload, dim)
+      }
+
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      readImage(payload) match {
+        case Some(img) =>
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          bos.toByteArray
+        case None => DeterministicFakeDecoder.resize(payload, w, h)
+      }
+  }
+
+  /** Append real decoded (width, height) for image payloads via
+    * mapPartitions (same batch shape as decodeFeatures); -1 when the
+    * payload is not a decodable image. */
+  def attachImageDims(df: DataFrame, mediaCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        val (w, h) = ImageIODecoder.dims(payload).getOrElse((-1, -1))
+        Row.fromSeq(r.toSeq ++ Seq(w, h))
+      }
+    }(enc)
   }
 
   /** Batched decode via mapPartitions: one decoder per partition, feature

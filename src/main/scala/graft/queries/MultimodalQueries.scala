@@ -21,18 +21,23 @@ object MultimodalQueries extends QueryModule {
           element_at(array(lit("image"), lit("audio"), lit("video")),
             (col("doc_id") % 3 + 1).cast("int")).as("modality"),
           col("text").cast("binary").as("media"))
-      Multimodal.attachMeta(media, "media",
+      val withMeta = Multimodal.attachMeta(media, "media",
         when(col("modality") === "image", "png")
           .when(col("modality") === "audio", "wav")
           .otherwise("mp4"))
         .withColumn("size_class", Multimodal.sizeClass(col("media")))
         .withColumn("n_frames",
           size(Multimodal.sampleFrames(col("media"), frameBytes = 64, stride = 2)))
+      // real decode attempt (ImageIODecoder): these payloads are text
+      // bytes, so dims resolve to the -1 sentinel — the decoder path runs
+      // for real in the gate; MultimodalSpec covers actual PNG decoding
+      Multimodal.attachImageDims(withMeta, "media")
         .select(col("media_id"), col("modality"),
           col("meta.format").as("format"),
           col("meta.n_bytes").as("n_bytes"),
           col("meta.sha256").as("sha256"),
-          col("size_class"), col("n_frames"))
+          col("size_class"), col("n_frames"),
+          col("width"), col("height"))
         .orderBy(col("media_id"))
     },
     Some("""
@@ -47,7 +52,9 @@ object MultimodalQueries extends QueryModule {
              lower(sha256(text)) AS sha256,
              floor(log2(greatest(octet_length(media), 1)))::INT AS size_class,
              -- frames of 64 bytes, keep every 2nd (ceil(n/64) frames, indices 0,2,4,..)
-             ((ceil(octet_length(media) / 64.0)::INT + 1) // 2)::INT AS n_frames
+             ((ceil(octet_length(media) / 64.0)::INT + 1) // 2)::INT AS n_frames,
+             -- text payloads are not decodable images → the -1 sentinel
+             -1::INT AS width, -1::INT AS height
       FROM media
       ORDER BY media_id"""))
 

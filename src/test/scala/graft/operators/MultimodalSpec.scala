@@ -31,6 +31,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length == 8 && f1.exists(_ != 0.0f))
   }
 
+  test("ImageIODecoder: real PNG decodes — dims, luminance features, true resize") {
+    // render a real 8x4 PNG in-process: left half black, right half white
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 4)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    assert(Multimodal.ImageIODecoder.dims(png).contains((8, 4)))
+    val feats = Multimodal.ImageIODecoder.features("image", png, 4)
+    assert(feats.length == 4)
+    assert(feats(0) == 0.0f && feats(1) == 1.0f) // black left, white right
+
+    val resized = Multimodal.ImageIODecoder.resize(png, 2, 2)
+    assert(Multimodal.ImageIODecoder.dims(resized).contains((2, 2)))
+
+    // end-to-end through the Spark operators: dims attach per-row; the
+    // text payload falls back to the -1 sentinel
+    val df = Seq((1L, "image", png), (2L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "media")
+    val dims = Multimodal.attachImageDims(df, "media")
+      .select("media_id", "width", "height").as[(Long, Int, Int)].collect()
+      .map { case (k, w, h) => k -> ((w, h)) }.toMap
+    assert(dims(1L) == ((8, 4)) && dims(2L) == ((-1, -1)))
+    val decoded = Multimodal.decodeFeatures(df, dim = 4, decoder = Multimodal.ImageIODecoder)
+      .filter(col("media_id") === 1).select("features").as[Seq[Float]].head()
+    assert(decoded == feats.toSeq)
+  }
+
   test("sizeClass: log2 buckets group comparable payloads") {
     val classes = mediaDf.select(col("media_id"), Multimodal.sizeClass(col("media")).as("sc"))
       .as[(Long, Int)].collect().toMap
