@@ -169,16 +169,22 @@ object Dedup {
           struct(lit(t).as("t"), bucket.as("bkt"))
         }: _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    // cache: the bucketed signature index is read by both join sides
+    // (the "persist the index" step, as in minhashLsh)
     val capped = keyed
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("bkt"))))
       .filter(col("bucket_n") <= maxBucketSize)
+      .cache()
     val a = capped.select(col("t"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("t"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
+    // verify INSIDE the bucket join projection and drop the vectors before
+    // deduplicating: the distinct then shuffles only surviving (id, id,
+    // cosine) triples, not |candidates| × two dim-wide vectors
     a.join(b, Seq("t", "bkt")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", VectorExpressions.dot(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
