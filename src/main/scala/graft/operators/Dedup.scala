@@ -92,6 +92,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join with
+    * document-frequency pruning: explode distinct word n-grams, drop
+    * grams shared by more than `maxDf` docs (stop-grams generate
+    * quadratic candidates but carry no discriminative signal), join on
+    * the gram, then exact Jaccard verification over the full gram sets.
+    *
+    * Scale shape: the gram is the shuffle key; candidates are narrow
+    * (id, id) pairs deduplicated BEFORE the gram sets are fetched back
+    * (two id-keyed joins), so no wide rows move through the distinct.
+    * Recall: a missed true pair must share ONLY >maxDf grams — near-dups
+    * at any useful threshold share many rare grams. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val sets = df.repartition(col(idCol)).select(
+        col(idCol).as("id"),
+        array_distinct(shingles(tokens(col(textCol)), n)).as("gset"))
+      .filter(size(col("gset")) > 0)
+      .cache() // read 3×: inverted index + both verification joins
+    val inv = sets.select(col("id"), explode(col("gset")).as("g"))
+    val rare = inv.withColumn("gdf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("gdf") <= maxDf)
+    val cand = rare.select(col("g"), col("id").as("id_a"))
+      .join(rare.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("gset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("gset").as("set_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 60-bit SimHash of the distinct-token set: bit b is set when more
     * tokens hash to 1 than 0 at position b (sum of ±1 > 0).
     * Explode-based (tokens × bits) so the shape is a plain shuffle-agg —

@@ -222,5 +222,49 @@ object DedupQueries extends QueryModule {
       FROM scored WHERE cosine >= 0.4
       ORDER BY id_a, id_b"""))
 
-  override val entries: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
+  /** Exact 3-gram Jaccard pairs via df-pruned inverted-index join — the
+    * exact-verification tier of n-gram dedup (MinHash approximates this).
+    * The oracle replays the identical pipeline: gram sets, document
+    * frequencies, candidate join, exact Jaccard. */
+  private val q46 = QueryDef(
+    "q46_ngram_jaccard_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w
+        FROM documents WHERE doc_id <= 300),
+      sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 3
+                 THEN list_transform(generate_series(1, len(w) - 2),
+                      j -> concat_ws(' ', w[j], w[j+1], w[j+2]))
+                 ELSE [] END) AS gset
+        FROM toks),
+      sets2 AS (SELECT id, gset FROM sets WHERE len(gset) > 0),
+      inv AS (SELECT id, unnest(gset) AS g FROM sets2),
+      rare AS (
+        SELECT id, g FROM (
+          SELECT id, g, count(*) OVER (PARTITION BY g) AS gdf FROM inv)
+        WHERE gdf <= 50),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id),
+      v AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.gset, sb.gset)) AS inter,
+               len(sa.gset) AS la, len(sb.gset) AS lb
+        FROM cand c
+        JOIN sets2 sa ON sa.id = c.id_a
+        JOIN sets2 sb ON sb.id = c.id_b)
+      SELECT id_a, id_b, inter / (la + lb - inter) AS jaccard
+      FROM v
+      WHERE inter / (la + lb - inter) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  override val entries: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }

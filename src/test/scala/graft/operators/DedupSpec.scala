@@ -56,6 +56,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("ngramJaccard: overlapping documents found, stop-gram-only pairs pruned") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the sleepy dog"), // high 3-gram overlap with 1
+      (3L, "completely different content entirely here now truly")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.3, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // with maxDf = 1 every shared gram is a "stop gram" → no candidates
+    val pruned = Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.3, maxDf = 1)
+      .count()
+    assert(pruned == 0)
+  }
+
   test("embeddingNearDup: duplicate vector detected at threshold") {
     val v = Array(1.0f, 2.0f, 3.0f)
     val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
