@@ -91,6 +91,52 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a train-free deterministic codebook — the
+    * `nCentroids` corpus vectors with the smallest md5-derived id hash
+    * act as coarse centroids (a reproducible stand-in for k-means; swap
+    * in trained centroids without changing the plan). Every corpus
+    * vector is assigned to its nearest centroid (the inverted list);
+    * each query probes its `nprobe` nearest lists and ranks exact cosine
+    * inside them.
+    *
+    * Scale shape: the codebook is bounded driver-side metadata (K×d
+    * doubles) baked into the plan as literals, so corpus assignment is a
+    * SHUFFLE-FREE projection; the only exchange is the bucket-keyed
+    * probe join. Deterministic end-to-end → DuckDB-replayable (q52). */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val cents: Seq[(Long, Array[Double])] = c
+      .withColumn("hh", h60(col("corpus_id")))
+      .orderBy(col("hh"), col("corpus_id")).limit(nCentroids)
+      .select(col("corpus_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // per-row array of (dot, -cid) structs; asc sort then reverse gives
+    // dot DESC with cid ASC on ties (the -cid flips the tie direction)
+    def scoredCentroids(v: Column): Column =
+      array_sort(array(cents.map { case (cid, w) =>
+        struct(dot(v, array(w.map(lit(_)): _*)).as("d"), lit(-cid).as("nc"))
+      }: _*))
+    val assigned = c
+      .withColumn("bucket", -element_at(scoredCentroids(col("cv")), -1).getField("nc"))
+    val probes = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("probe",
+        explode(slice(reverse(scoredCentroids(col("qv"))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), (-col("probe.nc")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Bucketed ANN: queries probe only their own LSH bucket, then exact
     * cosine top-k within the bucket. Approximate (recall < 1) by design. */
   def lshTopK(

@@ -83,5 +83,60 @@ object SimilarityQueries extends QueryModule {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
-  override val entries: Seq[QueryDef] = Seq(q50, q51)
+  /** IVF-style ANN (train-free deterministic codebook, nprobe=2): the
+    * inverted-list scale path. The oracle replays codebook selection
+    * (smallest md5-hash ids), nearest-centroid assignment, probe choice,
+    * and in-list ranking — the full index structure is verified. */
+  private val q52 = QueryDef(
+    "q52_ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 5,
+          nCentroids = 16, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      cent AS (
+        SELECT vec_id AS cid, nv AS cv
+        FROM n
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, vec_id
+        LIMIT 16),
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, cent c) t WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, cent c WHERE n.vec_id < 10) t WHERE rn <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS corpus_id,
+               list_dot_product(qn.nv, cn.nv) AS cosine
+        FROM probes p
+        JOIN assign a ON a.bucket = p.bucket
+        JOIN n qn ON qn.vec_id = p.query_id
+        JOIN n cn ON cn.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, corpus_id,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  override val entries: Seq[QueryDef] = Seq(q50, q51, q52)
 }

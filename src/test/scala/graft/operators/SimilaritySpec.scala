@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  // cosine() is the one entry point that does not self-register the
+  // DotProduct function (it has no session in scope) — register here so
+  // the suite passes in isolation, not only after another suite ran
+  graft.functions.VectorExpressions.register(spark)
+
   test("cosine: exact values on known vectors") {
     val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(2.0, 2.0)))
       .toDF("a", "b")
@@ -26,6 +31,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double)].head()
     assert(first._1 == 100000L)
     assert(math.abs(first._2 - 1.0) < 1e-9)
+  }
+
+  test("ivfTopK: deterministic codebook; self-duplicate found; recall vs brute force > 0") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf1 = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    val ivf2 = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf1 == ivf2 && ivf1.nonEmpty) // codebook is deterministic, not RNG
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val pairs = ivf1.map { case (q, _, c) => (q, c) }
+    val recall = (brute & pairs).size.toDouble / brute.size
+    assert(recall > 0.0, s"ivf recall=$recall")
   }
 
   test("lshTopK: bucketed results are a subset of correct cosine ordering; recall > 0") {
