@@ -79,6 +79,17 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
 
+  /** Injectable description for SparkSessionExtensions.injectFunction
+    * (the GraftExtensions install path). */
+  def functionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier(FnName),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[DotProduct].getName, FnName),
+    exprs => DotProduct(exprs(0), exprs(1)))
+
   /** Column-API entry point. Requires register(spark) once per session. */
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
 }

@@ -178,8 +178,12 @@ object AsOfJoinNative {
 }
 
 /** SparkSessionExtensions entry point for production sessions:
-  * SparkSession.builder().withExtensions(new GraftExtensions). */
+  * SparkSession.builder().withExtensions(new GraftExtensions) — installs
+  * the as-of join strategy and the graft_dot_product function without
+  * any per-session register() calls. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction(graft.functions.VectorExpressions.functionDescription)
+  }
 }

@@ -104,7 +104,8 @@ object Scalars extends QueryModule {
       ORDER BY l_orderkey, l_linenumber"""))
 
   /** JSON functions over the events.props payload column:
-    * get_json_object / typed extraction (core of ingest ops A2/A8/A9). */
+    * get_json_object / typed extraction (core of ingest ops A2/A8/A9);
+    * schema_of_json's inferred DDL pinned against its documented value. */
   private val q29 = QueryDef(
     "q29_json_functions",
     (s, d) => {
@@ -113,10 +114,12 @@ object Scalars extends QueryModule {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"))
+        .withColumn("props_schema", schema_of_json(lit("""{"k": 1}""")))
         .orderBy(col("k"))
     },
     Some("""
-      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n,
+             'STRUCT<k: BIGINT>' AS props_schema
       FROM events
       GROUP BY 1
       ORDER BY k"""))

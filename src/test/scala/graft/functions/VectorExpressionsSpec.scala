@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot: exact values, null propagation, SQL-text callable") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
+      (None: Option[Array[Double]], Some(Array(1.0)))
+    ).toDF("a", "b")
+    val vals = df.select(VectorExpressions.dot(col("a"), col("b")).as("d"))
+      .as[Option[Double]].collect()
+    assert(vals(0).contains(32.0))
+    assert(vals(1).isEmpty)
+    df.createOrReplaceTempView("vx")
+    val sqlVal = spark.sql("SELECT graft_dot_product(a, b) FROM vx WHERE a IS NOT NULL")
+      .as[Double].head()
+    assert(sqlVal == 32.0)
+  }
+
+  test("functionDescription (GraftExtensions inject path) builds the same expression") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val (ident, _, builder) = VectorExpressions.functionDescription
+    assert(ident.funcName == "graft_dot_product")
+    val e = builder(Seq(
+      Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Array(3.0, 4.0), ArrayType(DoubleType))))
+    assert(e.isInstanceOf[DotProduct])
+    assert(e.eval(null) == 11.0)
+  }
+}
