@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("pair-generation corpus (q43/q44/q46): every candidate join is equi-keyed") {
+    Seq("q43_minhash_lsh_pairs", "q44_simhash_pairs", "q46_ngram_jaccard_pairs")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q: ${p.take(2000)}")
+      }
+  }
+
+  test("q52: IVF probe join broadcasts the query side, no corpus-wide cartesian") {
+    val p = planOf("q52_ann_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("routing join never shuffles the message side") {
     val p = planOf("q37_config_routing")
     assert(p.contains("BroadcastHashJoin"))
