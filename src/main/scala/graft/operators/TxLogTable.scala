@@ -128,4 +128,30 @@ object TxLogTable {
   }
 
   def currentVersion(path: String): Long = versions(path).lastOption.getOrElse(-1L)
+
+  /** Vacuum: delete staging dirs never published by any commit (the
+    * garbage a crash between parquet write and log link leaves behind —
+    * appends never unreference a file, so published data is untouchable).
+    * `graceMs` protects in-flight commits: only dirs older than it go. */
+  def vacuum(path: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return Seq.empty
+    val referenced = filesUpTo(path, currentVersion(path))
+      .map(_.split('/').head).toSet // data-<stageId> dir component
+    val cutoff = System.currentTimeMillis() - graceMs
+    val s = Files.list(root)
+    val stray = try s.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("data-"))
+      .filter(p => !referenced(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toSeq
+    finally s.close()
+    stray.foreach { dir =>
+      val files = Files.walk(dir)
+      try files.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(Files.deleteIfExists(_))
+      finally files.close()
+    }
+    stray.map(_.getFileName.toString)
+  }
 }

@@ -56,6 +56,22 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.readVersion(spark, path, 11).count() == 12)
   }
 
+  test("vacuum removes unpublished staging dirs, never committed data") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    // simulate a crash between parquet write and log publish
+    val stray = s"$path/data-deadbeef"
+    Seq((99L, "junk")).toDF("id", "v").write.parquet(stray)
+    // inside the grace window: kept (could be an in-flight commit)
+    assert(TxLogTable.vacuum(path).isEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(stray)))
+    // past the grace window: removed; committed data intact
+    val removed = TxLogTable.vacuum(path, graceMs = 0L)
+    assert(removed == Seq("data-deadbeef"))
+    assert(!Files.exists(java.nio.file.Paths.get(stray)))
+    assert(TxLogTable.read(spark, path).count() == 1)
+  }
+
   test("concurrent committers serialize via version-rename race") {
     val path = tmp
     val threads = (1 to 6).map { i =>
