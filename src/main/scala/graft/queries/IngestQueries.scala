@@ -216,5 +216,54 @@ object IngestQueries extends QueryModule {
     },
     None)
 
-  override val entries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38)
+  /** KMV distinct sketch (custom mergeable Aggregator over the h60 hash
+    * family): the oracle-verifiable approximate-distinct — unlike q38's
+    * HLL, the sketch state (k minimum hashes) replays exactly in DuckDB,
+    * so the estimate hash-matches. Exact count included for accuracy. */
+  private val q47 = QueryDef(
+    "q47_kmv_distinct_sketch",
+    (s, d) => {
+      import graft.functions.TextFunctions.h60
+      val k = 64
+      val kM = 1152921504606846976.0 // h60 domain is [0, 16^15) = [0, 2^60)
+      val kmv = udaf(graft.functions.KmvSketch(k))
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), h60(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(kmv(col("h")).as("sk"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+        .withColumn("est",
+          when(col("sk._1") < k, col("sk._1").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(kM) / col("sk._2")))
+        .select(col("event_type"),
+          col("sk._1").as("n_min"), col("sk._2").as("kth_hash"),
+          Rnd.halfUp(col("est"), 2).as("est2"), col("exact_distinct"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+        FROM events),
+      r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h),
+      sk AS (
+        SELECT event_type,
+               CAST(least(count(*), 64) AS INT) AS n_min,
+               max(h) FILTER (WHERE rn <= 64) AS kth_hash
+        FROM r GROUP BY event_type),
+      ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type)
+      SELECT s.event_type, n_min, kth_hash,
+             floor((CASE WHEN n_min < 64 THEN n_min::DOUBLE
+                         ELSE 63.0 * 1152921504606846976.0 / kth_hash END)
+                   * 100.0 + 0.5) / 100.0 AS est2,
+             exact_distinct
+      FROM sk s JOIN ex USING (event_type)
+      ORDER BY event_type"""))
+
+  override val entries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q47)
 }
