@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   *    Catalyst prune every projection column and under-measures
   *    projection-heavy queries; noop forces full row production without
   *    paying sink I/O;
-  *  - each query is timed twice and the MIN is reported: single-shot
-  *    timings on a shared host carry multi-second GC/load spikes that
-  *    land on a different query every run — min-of-2 measures the
-  *    engine, not the noise;
+  *  - each query is timed in THREE full passes over the corpus
+  *    (interleaved, so one query's samples land minutes apart) and the
+  *    per-query MIN is reported: this virtualized host shows sustained
+  *    multi-minute throttling windows (hypervisor steal) plus ~5s GC/
+  *    load spikes, and back-to-back samples would all land in the same
+  *    bad window — spread samples measure the engine, not the noise;
   *  - the cache is cleared between queries, so a query's own
   *    `.cache()` cost is inside its measurement and nothing leaks
   *    across queries.
@@ -45,17 +47,19 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      names.foreach { name =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!best.contains(name) || t < best(name)) best(name) = t
       }
-      name -> times.min
     }
+    val results = names.map(n => n -> best(n))
     // ms precision keeps the line short; a compact headline line goes first
     // so a bounded tail capture still finds a parseable {"metric","value"}
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -135,7 +135,14 @@ object TimeSeriesQueries extends QueryModule {
       GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
-  /** Exact interpolated percentiles + fixed-width histogram. */
+  /** Exact interpolated percentiles + fixed-width histogram.
+    *
+    * Scale note: exact `percentile` sorts each group in memory — right
+    * for the oracle (DuckDB quantile_cont must match bit-for-bit) and
+    * fine at per-group cardinalities that fit an executor. At 100 TB
+    * swap `percentile` → `approx_percentile(value, p, accuracy)`
+    * (t-digest-backed, mergeable, bounded state); the histogram branch
+    * is already a plain two-level aggregation and needs no change. */
   private val q76 = QueryDef(
     "q76_percentiles_histogram",
     (s, d) => {
