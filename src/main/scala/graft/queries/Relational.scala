@@ -28,10 +28,10 @@ object Relational extends QueryModule {
         .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          Rnd.halfUp(sum(col("l_quantity")), 2).as("sum_qty"),
+          Rnd.halfUp(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Rnd.halfUp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          Rnd.halfUp(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
           Rnd.halfUp(avg(col("l_quantity")), 2).as("avg_qty"),
           Rnd.halfUp(avg(col("l_extendedprice")), 2).as("avg_price"),
           Rnd.halfUp(avg(col("l_discount")), 4).as("avg_disc"),
@@ -40,10 +40,10 @@ object Relational extends QueryModule {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+             floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+             floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS sum_charge,
              floor((avg(l_quantity)) * 100.0 + 0.5) / 100.0 AS avg_qty,
              floor((avg(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price,
              floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
@@ -96,13 +96,13 @@ object Relational extends QueryModule {
         .filter(col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(Rnd.halfUp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     },
     Some("""
       SELECT n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
              count(*) AS n_items
       FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -220,12 +220,12 @@ object Relational extends QueryModule {
       s1.join(s2, col("n1") === col("n2") && col("b1") < col("b2") && col("k1") =!= col("k2"))
         .groupBy(col("n1").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(max(col("b2") - col("b1")), 2).as("max_gap"))
+          Rnd.halfUp(max(col("b2") - col("b1")), 2).as("max_gap"))
         .orderBy(col("nationkey"))
     },
     Some("""
       SELECT s1.s_nationkey AS nationkey, count(*) AS n_pairs,
-             round(max(s2.s_acctbal - s1.s_acctbal), 2) AS max_gap
+             floor(max(s2.s_acctbal - s1.s_acctbal) * 100.0 + 0.5) / 100.0 AS max_gap
       FROM supplier s1 JOIN supplier s2
         ON s1.s_nationkey = s2.s_nationkey
        AND s1.s_acctbal < s2.s_acctbal
@@ -259,7 +259,7 @@ object Relational extends QueryModule {
         .agg(
           countDistinct(col("l_partkey")).as("nd_parts"),
           countDistinct(col("l_suppkey")).as("nd_supp"),
-          round(sumDistinct(col("l_quantity")), 2).as("sum_d_qty"),
+          Rnd.halfUp(sumDistinct(col("l_quantity")), 2).as("sum_d_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     },
@@ -267,7 +267,7 @@ object Relational extends QueryModule {
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS nd_parts,
              count(DISTINCT l_suppkey) AS nd_supp,
-             round(sum(DISTINCT l_quantity), 2) AS sum_d_qty,
+             floor(sum(DISTINCT l_quantity) * 100.0 + 0.5) / 100.0 AS sum_d_qty,
              count(*) AS n_rows
       FROM lineitem
       GROUP BY l_returnflag
@@ -281,8 +281,8 @@ object Relational extends QueryModule {
         .withColumn("o_year", year(col("o_orderdate")))
         .rollup(col("o_year"), col("o_orderstatus"))
         .agg(
-          round(sum(col("o_totalprice")), 2).as("total"),
-          round(stddev(col("o_totalprice")), 2).as("sd_price"),
+          Rnd.halfUp(sum(col("o_totalprice")), 2).as("total"),
+          Rnd.halfUp(stddev(col("o_totalprice")), 2).as("sd_price"),
           count(lit(1)).as("n"),
           grouping(col("o_year")).as("g_year"),
           grouping(col("o_orderstatus")).as("g_status"))
@@ -291,8 +291,8 @@ object Relational extends QueryModule {
     },
     Some("""
       SELECT year(o_orderdate) AS o_year, o_orderstatus,
-             round(sum(o_totalprice), 2) AS total,
-             round(stddev_samp(o_totalprice), 2) AS sd_price,
+             floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total,
+             floor(stddev_samp(o_totalprice) * 100.0 + 0.5) / 100.0 AS sd_price,
              count(*) AS n,
              grouping(year(o_orderdate)) AS g_year,
              grouping(o_orderstatus) AS g_status
@@ -324,14 +324,14 @@ object Relational extends QueryModule {
       Tables.registerAll(s, d)
       s.sql("""
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus))
         ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
     },
     Some("""
       SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-             round(sum(o_totalprice), 2) AS total
+             floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
       FROM orders
       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus))
       ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""))
@@ -412,15 +412,15 @@ object Relational extends QueryModule {
     (s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
+        .agg(Rnd.halfUp(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
         .filter(col("qty") > 15000)
         .orderBy(col("l_suppkey"))
     },
     Some("""
-      SELECT l_suppkey, round(sum(l_quantity), 2) AS qty, count(*) AS n
+      SELECT l_suppkey, floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS qty, count(*) AS n
       FROM lineitem
       GROUP BY l_suppkey
-      HAVING round(sum(l_quantity), 2) > 15000
+      HAVING floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 > 15000
       ORDER BY l_suppkey"""))
 
   /** Scalar + IN + correlated-EXISTS subqueries in one predicate. */

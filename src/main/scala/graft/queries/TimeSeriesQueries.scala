@@ -52,12 +52,12 @@ object TimeSeriesQueries extends QueryModule {
         .withColumn("skew_key",
           when(col("user_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
       Skew.saltedCountSum(skewed, "skew_key", "value", salt = 16)
-        .select(col("skew_key"), col("n"), round(col("total"), 2).as("total"))
+        .select(col("skew_key"), col("n"), Rnd.halfUp(col("total"), 2).as("total"))
         .orderBy(col("skew_key"))
     },
     Some("""
       SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS skew_key,
-             count(*) AS n, round(sum(value), 2) AS total
+             count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total
       FROM events
       GROUP BY 1
       ORDER BY skew_key"""))

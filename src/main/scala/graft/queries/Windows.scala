@@ -75,13 +75,13 @@ object Windows extends QueryModule {
       Tables.events(s, d)
         .filter(col("user_id") < 20)
         .select(col("user_id"), col("event_id"),
-          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_sum"),
+          Rnd.halfUp(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_sum"),
           Rnd.halfUp(avg(col("value")).over(w.rowsBetween(-2, 0)), 2).as("mov_avg3"))
         .orderBy(col("user_id"), col("event_id"))
     },
     Some("""
       SELECT user_id, event_id,
-             round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+             floor(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS running_sum,
              floor((avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS mov_avg3
       FROM events
       WHERE user_id < 20
@@ -99,13 +99,13 @@ object Windows extends QueryModule {
         .rangeBetween(-3600, 0)
       ev.select(col("user_id"), col("event_id"),
           count(lit(1)).over(w).as("n_1h"),
-          round(sum(col("value")).over(w), 2).as("sum_1h"))
+          Rnd.halfUp(sum(col("value")).over(w), 2).as("sum_1h"))
         .orderBy(col("user_id"), col("event_id"))
     },
     Some("""
       SELECT user_id, event_id,
              count(*) OVER w AS n_1h,
-             round(sum(value) OVER w, 2) AS sum_1h
+             floor(sum(value) OVER w * 100.0 + 0.5) / 100.0 AS sum_1h
       FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
       WHERE user_id < 20
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
