@@ -71,6 +71,6 @@ object AsOfJoin {
 
     val out = leftCols.map(c => col(s"__l_$c").as(c)) ++
       payload.map(p => col(s"__match.$p").as(p))
-    bounded.select(out: _*)
+    bounded.select(out.toIndexedSeq: _*)
   }
 }

@@ -199,7 +199,7 @@ object Dedup {
           val bucket = (0 until planesPerTable).map { b =>
             when(VectorExpressions.dot(
               transform(col(vecCol), x => x.cast("double")),
-              array(Similarity.planeWeights(t * planesPerTable + b, dims).map(lit(_)): _*)) > 0,
+              array(Similarity.planeWeights(t * planesPerTable + b, dims).toIndexedSeq.map(lit(_)): _*)) > 0,
               lit(1L << b)).otherwise(lit(0L))
           }.reduce(_ + _)
           struct(lit(t).as("t"), bucket.as("bkt"))

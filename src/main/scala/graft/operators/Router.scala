@@ -24,10 +24,10 @@ object Router {
 
     val byAlt = cfg.filter(col("cfg_stream_alt_id") =!= "")
       .select(col("cfg_stream_alt_id").as("alt_key"),
-        struct(cfg.columns.map(col): _*).as("cfg_alt"))
+        struct(cfg.columns.toIndexedSeq.map(col): _*).as("cfg_alt"))
     val byId = cfg.filter(col("cfg_stream_id") =!= "")
       .select(col("cfg_stream_id").as("id_key"),
-        struct(cfg.columns.map(col): _*).as("cfg_id"))
+        struct(cfg.columns.toIndexedSeq.map(col): _*).as("cfg_id"))
 
     val joined = messages
       .join(broadcast(byAlt), messages("stream_alt_id") === byAlt("alt_key"), "left")

@@ -85,7 +85,7 @@ object Similarity {
     * are literal arrays baked into the plan — zero per-row hashing. */
   def lshSignBits(vecCol: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val w = array(planeWeights(p, dims).map(lit(_)): _*)
+      val w = array(planeWeights(p, dims).toIndexedSeq.map(lit(_)): _*)
       when(dot(asDouble(vecCol), w) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -259,7 +259,7 @@ object Relational extends QueryModule {
         .agg(
           countDistinct(col("l_partkey")).as("nd_parts"),
           countDistinct(col("l_suppkey")).as("nd_supp"),
-          Rnd.halfUp(sumDistinct(col("l_quantity")), 2).as("sum_d_qty"),
+          Rnd.halfUp(sum_distinct(col("l_quantity")), 2).as("sum_d_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     },
