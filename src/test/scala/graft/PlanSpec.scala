@@ -74,6 +74,11 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q47: KMV sketch partial-aggregates map-side (true sketch contract)") {
+    val p = planOf("q47_kmv_distinct_sketch")
+    assert(p.contains("partial_kmvsketch"), p.take(3000))
+  }
+
   test("q52: IVF probe join broadcasts the query side, no corpus-wide cartesian") {
     val p = planOf("q52_ann_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
