@@ -130,22 +130,19 @@ object Dedup {
 
   /** 60-bit SimHash of the distinct-token set: bit b is set when more
     * tokens hash to 1 than 0 at position b (sum of ±1 > 0).
-    * Explode-based (tokens × bits) so the shape is a plain shuffle-agg —
-    * scales linearly with corpus size. */
+    *
+    * Computed per-row by the codegen'd [[graft.functions.SimHash60]]
+    * expression — a SHUFFLE-FREE projection. The explode formulation
+    * (tokens × 60 bit rows through two shuffled aggregations) exchanges
+    * 60× the token count at scale; this exchanges nothing. Values are
+    * identical (same h60 family), so the q44 oracle replay is unchanged. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", h60(col("t")))
-    val perBit = toks
-      .select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("contrib", expr("shiftright(h, b) & 1") * lit(2) - lit(1))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-    perBit
-      .withColumn("bitval", when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(lit(0L)))
-      .groupBy(col("id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    require(bits == 60, "the codegen'd signature is fixed at 60 bits (h60 family)")
+    graft.functions.SimHash60.register(df.sparkSession)
+    df.repartition(col(idCol)) // spread per-row md5 CPU work
+      .filter(size(tokens(col(textCol))) > 0) // explode semantics: no tokens, no row
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash60.simhash60(tokens(col(textCol))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.

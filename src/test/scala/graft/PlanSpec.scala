@@ -74,6 +74,15 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q44: simhash is a shuffle-free projection (custom SimHash60 in codegen)") {
+    val df = SparkEntry.queries("q44_simhash_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("simhash60"), p.take(3000))
+    // the signature side must NOT aggregate per (id, bit) anymore
+    assert(!p.contains("partial_sum(contrib"), p.take(3000))
+  }
+
   test("q47: KMV sketch partial-aggregates map-side (true sketch contract)") {
     val p = planOf("q47_kmv_distinct_sketch")
     assert(p.contains("partial_kmvsketch"), p.take(3000))

@@ -22,6 +22,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(sqlVal == 32.0)
   }
 
+  test("SimHash60.h60 matches the SQL h60 family (conv(substring(md5,1,15),16,10))") {
+    val samples = Seq("spark", "a", "日本語テスト", "", "Brand#12", "x" * 500)
+    val df = samples.toDF("s")
+      .select(TextFunctions.h60(col("s")).as("h")).as[Long].collect()
+    samples.zip(df).foreach { case (s, expected) =>
+      assert(SimHash60.h60(s.getBytes("UTF-8")) == expected, s"token '$s'")
+    }
+  }
+
   test("functionDescription (GraftExtensions inject path) builds the same expression") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
