@@ -56,10 +56,12 @@ object SimHash60 {
 
   /** Same value as TextFunctions.h60: first 15 hex chars of md5 parsed
     * base-16 (fits in a positive long, < 2^60). */
-  def h60(utf8Bytes: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(utf8Bytes)
-    // 15 hex chars = 7.5 bytes: bytes 0..6 fully, high nibble of byte 7
+  def h60(utf8Bytes: Array[Byte]): Long =
+    h60Digest(java.security.MessageDigest.getInstance("MD5").digest(utf8Bytes))
+
+  /** The digest→long step: 15 hex chars = bytes 0..6 fully, then the
+    * high nibble of byte 7. */
+  def h60Digest(digest: Array[Byte]): Long = {
     var acc = 0L
     var i = 0
     while (i < 7) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }

@@ -59,11 +59,15 @@ object TextFunctions {
     }
 
   /** MinHash signature: for seed i, min over shingles of h60(shingle#i).
-    * Computed per-row with higher-order functions — no explode, no
-    * shuffle; signature width n is a column-count-free array. */
+    * Per-row, no explode, no shuffle. The default md5 family routes
+    * through the codegen'd [[MinHashSig]] expression (one tight loop,
+    * byte-identical values — callers must have registered it, all
+    * operator entry points do); custom families (e.g. [[xxFamily]]) use
+    * the higher-order-function formulation. */
   def minhashSignature(shingleCol: Column, n: Int,
       family: (Column, Column) => Column = md5Family): Column =
-    once(shingleCol) { ss =>
+    if (family eq md5Family) MinHashSig.minhashSig(shingleCol, n)
+    else once(shingleCol) { ss =>
       transform(sequence(lit(0), lit(n - 1)),
         i => array_min(transform(ss, s => family(s, i))))
     }

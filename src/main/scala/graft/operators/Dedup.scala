@@ -57,6 +57,7 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
       hashFamily: (Column, Column) => Column = md5Family): DataFrame = {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
+    graft.functions.MinHashSig.register(df.sparkSession)
 
     // repartition by id first: the source is typically a few big parquet
     // row-groups, and signature hashing is per-row CPU work that should

@@ -66,6 +66,7 @@ object DedupQueries extends QueryModule {
     "q42_minhash_signature",
     (s, d) => {
       import graft.functions.TextFunctions._
+      graft.functions.MinHashSig.register(s)
       Tables.documents(s, d)
         .filter(col("doc_id") <= 200)
         .repartition(col("doc_id"))

@@ -31,6 +31,26 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig expression equals the HOF md5Family formulation exactly") {
+    MinHashSig.register(spark)
+    val df = Seq(
+      Seq("the quick", "quick brown", "brown fox"),
+      Seq("один", "два", "три"),
+      Seq.empty[String]
+    ).toDF("sset")
+    // the HOF spelling, inlined (minhashSignature now routes md5Family
+    // through the expression, so spell the reference formulation here)
+    import TextFunctions.{md5Family, once}
+    val hof = once(col("sset")) { ss =>
+      transform(sequence(lit(0), lit(7)), i => array_min(transform(ss, s => md5Family(s, i))))
+    }
+    val rows = df.select(
+        MinHashSig.minhashSig(col("sset"), 8).as("fast"), hof.as("ref"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+    assert(rows(2)._1.forall(_.isEmpty)) // empty set → all-null signature
+  }
+
   test("functionDescription (GraftExtensions inject path) builds the same expression") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
