@@ -71,7 +71,11 @@ object TextAnalysis {
 
   /** Language ID by stopword voting: explode tokens, broadcast-join the
     * (lang, word) lexicon, count hits per lang, argmax with lang-asc
-    * tie-break; docs with zero hits → "und". */
+    * tie-break; docs with zero hits → "und".
+    *
+    * The argmax is a `min_by` over (-hits, lang) — a hash aggregate with
+    * map-side partials, not a sort-based window: one exchange of ≤|langs|
+    * narrow rows per doc and no per-partition sort at 100 TB. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -81,12 +85,11 @@ object TextAnalysis {
     val hits = toks.join(broadcast(lex), Seq("word"))
       .groupBy(col(idCol), col("lang_cand"))
       .agg(count(lit(1)).as("hits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("hits").desc, col("lang_cand").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("lang_cand").as("lang_pred"), col("hits"))
+    val best = hits.groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("lang_cand"), col("hits")),
+        struct((-col("hits")).as("neg_hits"), col("lang_cand"))).as("b"))
+      .select(col(idCol), col("b.lang_cand").as("lang_pred"), col("b.hits").as("hits"))
     df.select(col(idCol)).join(best, Seq(idCol), "left")
       .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
