@@ -150,5 +150,42 @@ object TextQueries extends QueryModule {
       FROM wnd
       ORDER BY doc_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63)
+  /** Rabin-Karp rolling fingerprint (the brief's "rolling hash"): every
+    * 8-char window hashed incrementally in O(n) by the codegen'd
+    * RollingFingerprint expression. The oracle verifies the VALUES via
+    * the direct O(n·k) polynomial — only a per-row loop can express the
+    * O(n) recurrence, which is the point of the custom expression. */
+  private val q64 = QueryDef(
+    "q64_rolling_fingerprint",
+    (s, d) => {
+      graft.functions.RollingFingerprint.register(s)
+      Tables.documents(s, d)
+        .filter(col("doc_id") <= 200)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.RollingFingerprint.rollingFingerprint(col("text"), 8).as("rh"))
+        .select(col("doc_id"), size(col("rh")).as("n_h"),
+          element_at(col("rh"), 1).as("h_first"),
+          element_at(col("rh"), -1).as("h_last"),
+          array_min(col("rh")).as("h_min"),
+          array_max(col("rh")).as("h_max"),
+          concat_ws(",", slice(col("rh"), 1, 8)).as("head8"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH rh AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS h
+        FROM documents WHERE doc_id <= 200)
+      SELECT doc_id, len(h) AS n_h,
+             h[1] AS h_first, h[-1] AS h_last,
+             list_min(h) AS h_min, list_max(h) AS h_max,
+             array_to_string(h[1:8], ',') AS head8
+      FROM rh
+      ORDER BY doc_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64)
 }

@@ -51,6 +51,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows(2)._1.forall(_.isEmpty)) // empty set → all-null signature
   }
 
+  test("RollingFingerprint: recurrence equals direct polynomial; edges handled") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def direct(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - k).map { i =>
+        cps.slice(i, i + k).foldLeft(0L)((h, c) =>
+          (h * RollingFingerprint.B + c) % RollingFingerprint.M)
+      }
+    }
+    Seq(("abcdefghij", 4), ("the quick brown fox", 8), ("日本語のテキストです", 3),
+        ("aaaaaaaa", 3)).foreach { case (s, k) =>
+      val fast = RollingFingerprint.compute(UTF8String.fromString(s), k)
+        .toLongArray.toSeq
+      assert(fast == direct(s, k), s"'$s' k=$k")
+    }
+    // identical windows → identical hashes (the dedup property)
+    val rep = RollingFingerprint.compute(UTF8String.fromString("aaaaaaaa"), 3).toLongArray
+    assert(rep.distinct.length == 1)
+    // shorter than k → empty
+    assert(RollingFingerprint.compute(UTF8String.fromString("ab"), 3).numElements() == 0)
+  }
+
   test("functionDescription (GraftExtensions inject path) builds the same expression") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
