@@ -185,5 +185,28 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction(graft.functions.VectorExpressions.functionDescription)
+    // the other custom expressions self-register per session at their
+    // operator entry points; a production session built withExtensions
+    // additionally gets them at build time
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash60(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MinHashSig(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_fingerprint"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RollingFingerprint].getName, "graft_rolling_fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RollingFingerprint(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }
