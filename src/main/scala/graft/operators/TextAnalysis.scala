@@ -100,6 +100,23 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(concat_ws(" ", tokenSet(textCol)))
 
+  /** Winnowing over the Rabin-Karp rolling hash — the primitive the
+    * original paper builds on (Schleimer et al. SIGMOD'03 §2): k-gram
+    * hashes in O(n) via [[graft.functions.RollingFingerprint]], then the
+    * min of every w-hash window, distinct, sorted. Requires
+    * RollingFingerprint.register on the session. */
+  def winnowRolling(textCol: Column, k: Int = 8, w: Int = 4): Column = {
+    import graft.functions.RollingFingerprint.rollingFingerprint
+    once(rollingFingerprint(textCol, k)) { grams =>
+      val windows = when(size(grams) >= w,
+        array_distinct(transform(sequence(lit(1), size(grams) - lit(w - 1)),
+          j => array_min(slice(grams, j, lit(w))))))
+        .otherwise(when(size(grams) > 0, array(array_min(grams)))
+          .otherwise(array().cast("array<bigint>")))
+      array_sort(windows)
+    }
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash character
     * k-grams, take the min hash of every sliding window of `w` k-gram
     * hashes, distinct. Returns an array<bigint> per document. */

@@ -187,5 +187,42 @@ object TextQueries extends QueryModule {
       FROM rh
       ORDER BY doc_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64)
+  /** Winnowing over the O(n) rolling hash (the paper's own construction)
+    * — same window/dedup/sort shape as q63, cheaper hash primitive. */
+  private val q65 = QueryDef(
+    "q65_winnowing_rolling",
+    (s, d) => {
+      graft.functions.RollingFingerprint.register(s)
+      Tables.documents(s, d)
+        .filter(col("doc_id") <= 200)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), TextAnalysis.winnowRolling(col("text"), k = 8, w = 4).as("wn"))
+        .select(col("doc_id"),
+          size(col("wn")).as("n_fp"),
+          element_at(col("wn"), 1).as("fp_min"),
+          element_at(col("wn"), -1).as("fp_max"),
+          concat_ws(",", slice(col("wn"), 1, 8)).as("fp_head"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM documents WHERE doc_id <= 200),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0)
+      SELECT doc_id, len(wn) AS n_fp, wn[1] AS fp_min, wn[-1] AS fp_max,
+             array_to_string(wn[1:8], ',') AS fp_head
+      FROM wnd
+      ORDER BY doc_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
 }
