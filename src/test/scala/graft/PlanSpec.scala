@@ -104,4 +104,12 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q25: per-group top-k gets rank-limit pushdown (WindowGroupLimit)") {
+    // partial WindowGroupLimit before the exchange keeps only k rows per
+    // group per partition — the difference between sorting k rows and
+    // sorting the whole group at 100 TB
+    val p = planOf("q25_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
 }
