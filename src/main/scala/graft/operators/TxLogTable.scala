@@ -49,26 +49,39 @@ object TxLogTable {
 
   private def versions(path: String): Seq[Long] = listLog(path, ".json")
 
-  /** Append a batch as one atomic commit; returns the committed version. */
-  def append(spark: SparkSession, df: DataFrame, path: String,
-      maxRetries: Int = 20): Long = {
+  /** Stage a DataFrame's files under a unique data subdir (invisible to
+    * readers until the log names them); returns the relative file list. */
+  private def stage(df: DataFrame, path: String, prefix: String): Seq[String] = {
     Files.createDirectories(logDir(path))
-    // stage data files under a unique subdir (never visible to readers
-    // until the log names them)
-    val stageId = java.util.UUID.randomUUID().toString.take(8)
+    val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = s"$path/data-$stageId"
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    val files = new java.io.File(dataDir).listFiles()
+    new java.io.File(dataDir).listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
       .map(f => s"data-$stageId/${f.getName}")
-      .sorted
+      .sorted.toSeq
+  }
 
+  /** Publish one atomic commit. `rebase = true` marks the entry as a full
+    * replacement of the accumulated file list (compaction); rebase
+    * commits require the log to still be at `expectedVersion` — the
+    * hard-link either wins the exact next version or the rebase aborts,
+    * because retrying at a later number would silently drop whatever a
+    * concurrent append just published. */
+  private def commitEntry(path: String, files: Seq[String], rebase: Boolean,
+      expectedVersion: Option[Long], maxRetries: Int): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = versions(path).lastOption.getOrElse(-1L) + 1
+      expectedVersion.foreach { exp =>
+        if (v != exp + 1)
+          throw new java.util.ConcurrentModificationException(
+            s"table advanced to ${v - 1} during compaction (snapshot was $exp)")
+      }
+      val flag = if (rebase) """"rebase":true,""" else ""
       val entry = files.map(f => "\"" + f + "\"").mkString(
-        s"""{"version":$v,"files":[""", ",", "]}")
-      val tmp = logDir(path).resolve(s".$v-$stageId.tmp")
+        s"""{"version":$v,$flag"files":[""", ",", "]}")
+      val tmp = logDir(path).resolve(s".$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       Files.writeString(tmp, entry, StandardOpenOption.CREATE_NEW)
       try {
         // the commit point: hard-link is atomic AND fails if the version
@@ -81,24 +94,80 @@ object TxLogTable {
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.FileSystemException =>
           Files.deleteIfExists(tmp)
+          if (expectedVersion.isDefined)
+            throw new java.util.ConcurrentModificationException(
+              s"lost the commit race at version $v during compaction")
           attempt += 1 // lost the race; retry at the next version
       }
     }
     throw new IllegalStateException(s"could not commit to $path after $maxRetries attempts")
   }
 
+  /** Append a batch as one atomic commit; returns the committed version. */
+  def append(spark: SparkSession, df: DataFrame, path: String,
+      maxRetries: Int = 20): Long =
+    commitEntry(path, stage(df, path, ""), rebase = false, None, maxRetries)
+
+  /** Compact the current snapshot's many small data dirs into
+    * ~targetFileMB-sized files, published as a REBASE commit (the entry
+    * replaces the accumulated listing; `filesUpTo` resets at it). Time
+    * travel to pre-compaction versions still works — old data dirs stay
+    * on disk until `vacuumCompacted`. Aborts with
+    * ConcurrentModificationException if anything commits between the
+    * snapshot read and the rebase publish (optimistic, like append). */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Long = {
+    val v0 = currentVersion(path)
+    val snapshot = readVersion(spark, path, v0)
+    val sizeBytes = filesUpTo(path, v0)
+      .map(f => new java.io.File(s"$path/$f").length()).sum
+    val parts = math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val files = stage(snapshot.repartition(parts), path, "compact-")
+    commitEntry(path, files, rebase = true, Some(v0), maxRetries = 1)
+  }
+
+  /** Delete data dirs referenced ONLY by versions older than
+    * `sinceVersion` (post-compaction cleanup; forfeits time travel
+    * earlier than that, keeps every snapshot at-or-after it intact). */
+  def vacuumCompacted(path: String, sinceVersion: Long): Seq[String] = {
+    // the closure of every reachable snapshot >= sinceVersion
+    val live = versions(path).filter(_ >= sinceVersion)
+      .flatMap(v => filesUpTo(path, v))
+      .map(_.split('/').head).toSet
+    val root = Paths.get(path)
+    val s = Files.list(root)
+    val stale = try s.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("data-") &&
+        !live(p.getFileName.toString))
+      .toSeq
+    finally s.close()
+    stale.foreach { dir =>
+      val files = Files.walk(dir)
+      try files.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(Files.deleteIfExists(_))
+      finally files.close()
+    }
+    stale.map(_.getFileName.toString)
+  }
+
   private def fileList(txt: String): Seq[String] =
     """"(data-[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
 
+  private def isRebase(txt: String): Boolean = txt.contains(""""rebase":true""")
+
   private def filesUpTo(path: String, v: Long): Seq[String] = {
     val ckpt = listLog(path, ".checkpoint.json").filter(_ <= v).lastOption
-    val base = ckpt.toSeq.flatMap { c =>
+    var acc = ckpt.toSeq.flatMap { c =>
       fileList(Files.readString(logDir(path).resolve(s"$c.checkpoint.json")))
     }
-    val incremental = versions(path)
+    versions(path)
       .filter(ver => ver <= v && ckpt.forall(ver > _))
-      .flatMap(ver => fileList(Files.readString(logDir(path).resolve(s"$ver.json"))))
-    base ++ incremental
+      .foreach { ver =>
+        val txt = Files.readString(logDir(path).resolve(s"$ver.json"))
+        // a rebase entry (compaction) REPLACES the accumulated listing
+        if (isRebase(txt)) acc = fileList(txt)
+        else acc = acc ++ fileList(txt)
+      }
+    acc
   }
 
   /** Roll the cumulative listing into a checkpoint file. Best-effort and
@@ -136,7 +205,10 @@ object TxLogTable {
   def vacuum(path: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
-    val referenced = filesUpTo(path, currentVersion(path))
+    // referenced by ANY version (not just the head): pre-compaction dirs
+    // stay time-travelable until vacuumCompacted explicitly drops them
+    val referenced = versions(path)
+      .flatMap(v => filesUpTo(path, v))
       .map(_.split('/').head).toSet // data-<stageId> dir component
     val cutoff = System.currentTimeMillis() - graceMs
     val s = Files.list(root)

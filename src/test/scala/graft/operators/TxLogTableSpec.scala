@@ -72,6 +72,43 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 1)
   }
 
+  test("compaction: rebase commit replaces listing; time travel and appends survive") {
+    val path = tmp
+    (0 to 4).foreach { i =>
+      TxLogTable.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v"), path)
+    }
+    val dirsBefore = new java.io.File(path).listFiles().count(_.getName.startsWith("data-"))
+    assert(dirsBefore == 5)
+
+    val cv = TxLogTable.compact(spark, path)
+    assert(cv == 5)
+    // same data, one compacted dir referenced at the head
+    assert(TxLogTable.read(spark, path).count() == 5)
+    assert(TxLogTable.read(spark, path).select(max("id")).head().getLong(0) == 4L)
+    // time travel to a pre-compaction version still exact
+    assert(TxLogTable.readVersion(spark, path, 2).count() == 3)
+    // appends continue on top of the rebase
+    TxLogTable.append(spark, Seq((99L, "z")).toDF("id", "v"), path)
+    assert(TxLogTable.read(spark, path).count() == 6)
+
+    // dropping history before the compaction removes the 5 small dirs
+    // but keeps the compacted dir + the new append
+    val removed = TxLogTable.vacuumCompacted(path, sinceVersion = cv)
+    assert(removed.size == 5)
+    assert(TxLogTable.read(spark, path).count() == 6)
+    assert(TxLogTable.readVersion(spark, path, cv).count() == 5)
+  }
+
+  test("vacuum (stray cleanup) never touches pre-compaction history") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    TxLogTable.append(spark, Seq((2L, "b")).toDF("id", "v"), path)
+    TxLogTable.compact(spark, path)
+    // all dirs are referenced by SOME version → stray vacuum removes none
+    assert(TxLogTable.vacuum(path, graceMs = 0L).isEmpty)
+    assert(TxLogTable.readVersion(spark, path, 0).count() == 1)
+  }
+
   test("concurrent committers serialize via version-rename race") {
     val path = tmp
     val threads = (1 to 6).map { i =>
