@@ -39,6 +39,33 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
+  /** Read a directory of media files through Spark's `binaryFile` source
+    * into the canonical media table: modality from the file extension,
+    * media_id from the (stable) path hash, metadata attached, real image
+    * dims decoded. This is how actual image/audio/video files enter the
+    * engine; `pathGlobFilter`/`recursiveFileLookup` options of the
+    * binaryFile source apply upstream via `spark.read` options. */
+  val extensionModalities: Map[String, String] = Map(
+    "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "bmp" -> "image",
+    "gif" -> "image", "wav" -> "audio", "mp3" -> "audio", "flac" -> "audio",
+    "mp4" -> "video", "mkv" -> "video", "webm" -> "video")
+
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val modality = extensionModalities.foldLeft(lit("unknown")) {
+      case (acc, (e, m)) => when(ext === e, m).otherwise(acc)
+    }
+    val raw = spark.read.format("binaryFile").load(dir)
+      .select(
+        col("path"),
+        graft.functions.TextFunctions.h60(col("path")).as("media_id"),
+        modality.as("modality"),
+        col("content").as("media"))
+    attachImageDims(
+      attachMeta(raw, "media", ext).withColumn("size_class", sizeClass(col("media"))),
+      "media")
+  }
+
   /** Derive intrinsic metadata for a binary payload column. */
   def attachMeta(df: DataFrame, mediaCol: String, formatCol: Column): DataFrame =
     df.withColumn("meta", struct(

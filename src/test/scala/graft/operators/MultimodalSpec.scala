@@ -61,6 +61,24 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded == feats.toSeq)
   }
 
+  test("readMediaDir: real files through the binaryFile source, images decoded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$dir/pic.png"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.mp4"),
+      Array.tabulate(256)(_.toByte))
+
+    val media = Multimodal.readMediaDir(spark, dir)
+    val rows = media.select("modality", "width", "height", "meta.format")
+      .as[(String, Int, Int, String)].collect()
+      .map { case (m, w, h, f) => m -> ((w, h, f)) }.toMap
+    assert(rows("image") == ((5, 3, "png")))
+    assert(rows("video") == ((-1, -1, "mp4"))) // not a decodable image
+    // ids are the stable path hash; metadata is fully populated
+    assert(media.select("media_id").distinct().count() == 2)
+    assert(media.filter(col("meta.n_bytes") === 256L).count() == 1)
+  }
+
   test("sizeClass: log2 buckets group comparable payloads") {
     val classes = mediaDf.select(col("media_id"), Multimodal.sizeClass(col("media")).as("sc"))
       .as[(Long, Int)].collect().toMap
