@@ -79,6 +79,33 @@ class MultimodalSpec extends SparkSpec {
     assert(media.filter(col("meta.n_bytes") === 256L).count() == 1)
   }
 
+  test("e2e: media files → decoded features → embedding near-dup pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-e2e").toString
+    def write(name: String, dark: (Int, Int) => Boolean): Unit = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8)
+        img.setRGB(x, y, if (dark(x, y)) 0x202020 else 0xffffff)
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$dir/$name"))
+    }
+    write("a.png", (x, _) => x < 4) // left half dark
+    write("b.png", (x, _) => x < 4) // pixel-identical to a (different file name)
+    write("c.png", (_, y) => y < 4) // different content (top half dark)
+
+    val media = Multimodal.readMediaDir(spark, dir)
+    val feats = Multimodal.decodeFeatures(
+        media.select("media_id", "modality", "media"),
+        dim = 16, decoder = Multimodal.ImageIODecoder)
+      .select(col("media_id"), col("features").as("embedding"))
+    val pairs = Dedup.embeddingNearDup(feats, "media_id", "embedding",
+        threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    // exactly the identical-content pair, cosine ~1
+    assert(pairs.length == 1 && pairs.head._3 > 0.999)
+    val ids = media.filter(col("path").endsWith("a.png") || col("path").endsWith("b.png"))
+      .select("media_id").as[Long].collect().toSet
+    assert(Set(pairs.head._1, pairs.head._2) == ids)
+  }
+
   test("sizeClass: log2 buckets group comparable payloads") {
     val classes = mediaDf.select(col("media_id"), Multimodal.sizeClass(col("media")).as("sc"))
       .as[(Long, Int)].collect().toMap
