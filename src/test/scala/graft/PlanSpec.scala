@@ -100,6 +100,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("corpus sweep: no unintended cartesian product in ANY query plan") {
+    // intentionally product-shaped: q09 IS a cross join; q50 is the
+    // brute-force ANN baseline (broadcast-nested-loop by design)
+    val intended = Set("q09_cross_join", "q50_ann_bruteforce_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intended)
+      .flatMap { name =>
+        val p = planOf(name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unintended products in: $offenders")
+  }
+
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
