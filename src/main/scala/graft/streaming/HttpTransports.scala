@@ -62,9 +62,14 @@ object HttpTransports {
   }
 
   /** A1 — `POST /ingest` + `POST /refreshCache` writing one-line JSON
-    * into `spoolDir`, the drop-directory source of startIngest. */
+    * into `spoolDir`, the drop-directory source of startIngest. Handles
+    * requests on a small pool (ingest is the hot front door); the spool
+    * append itself is serialized so lines never interleave. */
   final class IngestServer(spoolDir: String, port: Int = 0) extends Server(port) {
     Files.createDirectories(Paths.get(spoolDir))
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
+    override def stop(): Unit = { super.stop(); pool.shutdown() }
 
     // one spool file per server instance; the text source reads new files
     // as they appear, and a single append-only file keeps arrival order

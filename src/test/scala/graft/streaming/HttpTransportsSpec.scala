@@ -74,6 +74,32 @@ class HttpTransportsSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent POSTs: every message lands as one intact spool line") {
+    val spool = Files.createTempDirectory("graft-spool-conc").toString
+    val srv = new HttpTransports.IngestServer(spool).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val threads = (0 until 4).map { t =>
+        new Thread(() => (0 until 25).foreach { i =>
+          val (status, _) = http("POST", s"$base/ingest",
+            Some(s"""{"projectId":"k$t","type":"e","seq":${t * 1000 + i}}"""))
+          assert(status == 200)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val lines = Files.list(java.nio.file.Paths.get(spool)).iterator().asScala
+        .flatMap(p => Files.readAllLines(p).asScala).toSeq
+      assert(lines.size == 100)
+      // every line parses and the full sequence set survived interleaving
+      val seqs = lines.map { l =>
+        assert(l.startsWith("{") && l.endsWith("}"), l)
+        l.split("\"seq\":")(1).stripSuffix("}").toInt
+      }.toSet
+      assert(seqs == (0 until 4).flatMap(t => (0 until 25).map(t * 1000 + _)).toSet)
+    } finally srv.stop()
+  }
+
   test("e2e: POST /ingest → spool → streaming ingest → queryable lake table") {
     val spool = Files.createTempDirectory("graft-spool").toString
     val cfgDir = Files.createTempDirectory("graft-cfg").toString
