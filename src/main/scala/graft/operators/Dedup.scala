@@ -3,6 +3,32 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Where a candidate-generation index (the bucketed signature table read
+  * by both sides of the verification self-join) lives between its two
+  * reads.
+  *
+  *  - [[IndexStore.Memory]]: `persist(level)` — right for interactive /
+  *    bench scale. Default level is MEMORY_AND_DISK (same as `.cache()`).
+  *  - [[IndexStore.Path]]: materialize the index as parquet at `dir` and
+  *    read it back — the 100 TB posture: a corpus-sized signature index
+  *    does not belong in executor memory, and a durable index is reusable
+  *    across queries and restarts (and inside foreachBatch).
+  */
+sealed trait IndexStore
+object IndexStore {
+  final case class Memory(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) extends IndexStore
+  final case class Path(dir: String) extends IndexStore
+  val default: IndexStore = Memory()
+
+  private[operators] def persist(df: DataFrame, store: IndexStore): DataFrame = store match {
+    case Memory(level) => df.persist(level)
+    case Path(dir) =>
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+  }
+}
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -55,7 +81,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 1, numHashes: Int = 16, bands: Int = 4, rows: Int = 4,
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
-      hashFamily: (Column, Column) => Column = md5Family): DataFrame = {
+      hashFamily: (Column, Column) => Column = md5Family,
+      index: IndexStore = IndexStore.default): DataFrame = {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
     graft.functions.MinHashSig.register(df.sparkSession)
 
@@ -71,13 +98,12 @@ object Dedup {
       .select(col("id"), col("sset"), col("band"))
 
     // cap pathological buckets (a bucket of b docs yields b^2 pairs);
-    // cache: the bucketed signature table is read twice by the self-join —
-    // at cluster scale this is the "persist the signature index" step
-    val bucketed = sigs
+    // the bucketed signature table is read twice by the self-join — the
+    // "persist the signature index" step, placement chosen by `index`
+    val bucketed = IndexStore.persist(sigs
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .cache()
+      .filter(col("bucket_n") <= maxBucketSize), index)
 
     val a = bucketed.select(col("band"), col("id").as("id_a"), col("sset").as("set_a"))
     val b = bucketed.select(col("band"), col("id").as("id_b"), col("sset").as("set_b"))
@@ -105,12 +131,13 @@ object Dedup {
     * Recall: a missed true pair must share ONLY >maxDf grams — near-dups
     * at any useful threshold share many rare grams. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    val sets = df.repartition(col(idCol)).select(
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100,
+      index: IndexStore = IndexStore.default): DataFrame = {
+    val sets = IndexStore.persist(df.repartition(col(idCol)).select(
         col(idCol).as("id"),
         array_distinct(shingles(tokens(col(textCol)), n)).as("gset"))
-      .filter(size(col("gset")) > 0)
-      .cache() // read 3×: inverted index + both verification joins
+      .filter(size(col("gset")) > 0),
+      index) // read 3×: inverted index + both verification joins
     val inv = sets.select(col("id"), explode(col("gset")).as("g"))
     val rare = inv.withColumn("gdf", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
@@ -184,10 +211,13 @@ object Dedup {
     * Recall < 1 by design; raise `tables` for more recall. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planesPerTable: Int = 4, tables: Int = 8,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000, dims: Int = 0,
+      index: IndexStore = IndexStore.default): DataFrame = {
     import graft.functions.VectorExpressions
     VectorExpressions.register(df.sparkSession)
-    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    // callers know their embedding width; dims=0 infers it with one tiny
+    // driver job (convenience only — pass dims to keep the plan pure)
+    val d = if (dims > 0) dims else df.select(size(col(vecCol))).first().getInt(0)
     // sign bits are computed on the raw (double-cast) vector — scale
     // never flips a sign, and the oracle replays the same raw dot
     val keyed = df.select(
@@ -197,19 +227,18 @@ object Dedup {
           val bucket = (0 until planesPerTable).map { b =>
             when(VectorExpressions.dot(
               transform(col(vecCol), x => x.cast("double")),
-              array(Similarity.planeWeights(t * planesPerTable + b, dims).toIndexedSeq.map(lit(_)): _*)) > 0,
+              array(Similarity.planeWeights(t * planesPerTable + b, d).toIndexedSeq.map(lit(_)): _*)) > 0,
               lit(1L << b)).otherwise(lit(0L))
           }.reduce(_ + _)
           struct(lit(t).as("t"), bucket.as("bkt"))
         }: _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    // cache: the bucketed signature index is read by both join sides
-    // (the "persist the index" step, as in minhashLsh)
-    val capped = keyed
+    // the bucketed signature index is read by both join sides (the
+    // "persist the index" step, as in minhashLsh; placement via `index`)
+    val capped = IndexStore.persist(keyed
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("bkt"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .cache()
+      .filter(col("bucket_n") <= maxBucketSize), index)
     val a = capped.select(col("t"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("t"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
     // verify INSIDE the bucket join projection and drop the vectors before

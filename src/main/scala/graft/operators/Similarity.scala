@@ -141,12 +141,16 @@ object Similarity {
     * cosine top-k within the bucket. Approximate (recall < 1) by design. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val dims = queries.select(size(col(vecCol))).first().getInt(0)
+      idCol: String, vecCol: String, k: Int, planes: Int = 8,
+      dims: Int = 0): DataFrame = {
+    // callers know their embedding width; dims=0 infers it with one tiny
+    // driver job (convenience only — pass dims to keep the plan pure)
+    val d = if (dims > 0) dims
+            else queries.select(size(col(vecCol))).first().getInt(0)
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
-      .withColumn("bucket", lshSignBits(col("qv"), planes, dims))
+      .withColumn("bucket", lshSignBits(col("qv"), planes, d))
     val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
-      .withColumn("bucket", lshSignBits(col("cv"), planes, dims))
+      .withColumn("bucket", lshSignBits(col("cv"), planes, d))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")))

@@ -193,7 +193,7 @@ object DedupQueries extends QueryModule {
     (s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 2000)
       Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.4,
-          planesPerTable = 4, tables = 8)
+          planesPerTable = 4, tables = 8, dims = Tables.embeddingDims)
         .select(col("id_a"), col("id_b"), Rnd.halfUp(col("cosine"), 4).as("cos4"))
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -202,19 +202,37 @@ object IngestQueries extends QueryModule {
       GROUP BY 1, 2, 3, 4, 5, 6
       ORDER BY stream_id, stream_alt_id ASC NULLS FIRST, message_type_resolved"""))
 
-  /** approx_count_distinct (HLL++): sketch values are engine-specific, so
-    * this is a rows-only entry; the spec asserts error bounds instead. */
+  /** approx_count_distinct (HLL++): sketch values are engine-specific and
+    * not cross-engine-replayable, so the oracle contract is a BOUND, not
+    * the estimate itself: Spark emits `within_5pct = 1` iff the HLL
+    * estimate lands within 5% relative error of the exact distinct count;
+    * DuckDB emits the exact count and a constant 1. A drifting sketch
+    * hash-mismatches (1 vs 0) — a real pass/fail row, not `no_oracle`.
+    * rsd=0.02 sizes the sketch so typical error is well inside the 5%
+    * contract (HLL merge is register-wise max → partition-order
+    * deterministic). The replayable-sketch counterpart is q47 (KMV). */
   private val q38 = QueryDef(
     "q38_approx_count_distinct",
     (s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          when(abs(col("approx_parts").cast("double") / col("exact_parts") - 1.0d) <= 0.05d, 1L)
+            .otherwise(0L).as("within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             CAST(1 AS BIGINT) AS within_5pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   /** KMV distinct sketch (custom mergeable Aggregator over the h60 hash
     * family): the oracle-verifiable approximate-distinct — unlike q38's

@@ -48,7 +48,8 @@ object SimilarityQueries extends QueryModule {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
-      Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 5, planes = 6)
+      Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 5, planes = 6,
+          dims = Tables.embeddingDims)
         .select(col("query_id"), col("bucket"), col("rank"), col("corpus_id"),
           Rnd.halfUp(col("cosine"), 4).as("cos4"))
         .orderBy(col("query_id"), col("rank"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.operators.{AsOfJoin, Skew}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Time-series + skew operators beyond the reference's surface: as-of
@@ -176,5 +177,48 @@ object TimeSeriesQueries extends QueryModule {
       FROM pct JOIN hist USING (event_type)
       ORDER BY event_type"""))
 
-  override val entries: Seq[QueryDef] = Seq(q72, q73, q74, q75, q76)
+  /** q76's 100 TB twin: `approx_percentile` (Greenwald–Khanna summaries —
+    * mergeable, bounded state per group, no in-memory group sort). The
+    * estimate is engine-specific, so like q38 the oracle contract is the
+    * published BOUND, verified inside the query: for each percentile p the
+    * estimate's rank interval [#(value < est), #(value <= est)] / n must
+    * come within `1/accuracy + 1/n` of p (GK guarantees rank error <=
+    * n/accuracy; the 1/n term absorbs rank discreteness). Spark emits
+    * `within_bound = 1` iff all three percentiles satisfy it; DuckDB emits
+    * the group key, n, and a constant 1 — an out-of-bound estimate
+    * hash-mismatches. The estimate's rank is computed with one broadcast
+    * join of the tiny per-group estimate row back onto events (plans:
+    * agg -> broadcast join -> agg; no window, no sort). */
+  private val q79 = QueryDef(
+    "q79_approx_percentiles",
+    (s, d) => {
+      val acc = 1000
+      val ev = Tables.events(s, d)
+      val ap = ev.groupBy(col("event_type"))
+        .agg(expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $acc)").as("ap"))
+      def ltEq(p: Int, op: (Column, Column) => Column): Column =
+        sum(when(op(col("value"), col("ap")(p)), 1L).otherwise(0L))
+      val ranked = ev.join(broadcast(ap), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          ltEq(0, _ < _).as("lt50"), ltEq(0, _ <= _).as("le50"),
+          ltEq(1, _ < _).as("lt90"), ltEq(1, _ <= _).as("le90"),
+          ltEq(2, _ < _).as("lt99"), ltEq(2, _ <= _).as("le99"))
+      val eps = lit(1.0d / acc) + lit(1.0d) / col("n")
+      def ok(lt: String, le: String, p: Double): Column =
+        (col(lt) / col("n") - lit(p) <= eps) && (lit(p) - col(le) / col("n") <= eps)
+      ranked.select(
+          col("event_type"), col("n"),
+          when(ok("lt50", "le50", 0.5) && ok("lt90", "le90", 0.9) && ok("lt99", "le99", 0.99), 1L)
+            .otherwise(0L).as("within_bound"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS within_bound
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  override val entries: Seq[QueryDef] = Seq(q72, q73, q74, q75, q76, q79)
 }
