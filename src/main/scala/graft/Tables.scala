@@ -28,6 +28,12 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
+  /** Width of the `embeddings.parquet` vector column (64 at every driver
+    * scale factor). Callers pass this to the dedup/ANN operators so no
+    * driver-side `first()` probe is needed to discover the dimension.
+    */
+  val embeddingDims: Int = 64
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
