@@ -77,7 +77,11 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.max(0.0)).sum
+    // a run with any failed query reports sentinel total -1 so the driver
+    // can never mistake a broken run (failed queries contribute no time)
+    // for a fast one
+    val total =
+      if (failed.nonEmpty) -1.0 else results.map(_._2.max(0.0)).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(",")}")
@@ -85,7 +89,7 @@ object Bench {
     // tail-parses the final JSON line (BENCH_r02 "parsed" was null with the
     // long line last, so the headline must be the terminal line and short)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"failed":${failed.size}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"failed":${failed.size}}""")
     spark.stop()
   }
 }

@@ -11,10 +11,17 @@ import org.apache.spark.storage.StorageLevel
   *
   *  - [[IndexStore.Memory]]: `persist(level)` — right for interactive /
   *    bench scale. Default level is MEMORY_AND_DISK (same as `.cache()`).
+  *    Persisted indexes are tracked; call [[IndexStore.release]] (or
+  *    `spark.catalog.clearCache()`) when the query's results have been
+  *    consumed, else the index pins executor memory for the session.
   *  - [[IndexStore.Path]]: materialize the index as parquet at `dir` and
   *    read it back — the 100 TB posture: a corpus-sized signature index
   *    does not belong in executor memory, and a durable index is reusable
-  *    across queries and restarts (and inside foreachBatch).
+  *    across queries and restarts (and inside foreachBatch). `dir` is
+  *    CALLER-OWNED and must be unique per concurrent invocation: the
+  *    index is written with mode=overwrite, so two queries sharing a dir
+  *    would clobber each other mid-read. The dir is never auto-deleted —
+  *    durability is the point; delete it to reclaim space.
   */
 sealed trait IndexStore
 object IndexStore {
@@ -22,11 +29,27 @@ object IndexStore {
   final case class Path(dir: String) extends IndexStore
   val default: IndexStore = Memory()
 
+  // Memory-store indexes persisted since the last release() — the operators
+  // return plain DataFrames, so the unpersist handle lives here instead of
+  // complicating every operator signature.
+  private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   private[operators] def persist(df: DataFrame, store: IndexStore): DataFrame = store match {
-    case Memory(level) => df.persist(level)
+    case Memory(level) =>
+      val p = df.persist(level)
+      persisted.add(p)
+      p
     case Path(dir) =>
       df.write.mode("overwrite").parquet(dir)
       df.sparkSession.read.parquet(dir)
+  }
+
+  /** Unpersist every [[Memory]]-store index persisted since the last call.
+    * Safe to call after the pair results are consumed; [[Path]] indexes
+    * are durable by design and not touched. */
+  def release(): Unit = {
+    var df = persisted.poll()
+    while (df != null) { df.unpersist(false); df = persisted.poll() }
   }
 }
 

@@ -201,7 +201,9 @@ object TimeSeriesQueries extends QueryModule {
       val ranked = ev.join(broadcast(ap), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
-          count(lit(1)).as("n"),
+          // non-null count: approx_percentile and the rank sums both ignore
+          // NULL value, so the ratio population must exclude NULLs too
+          count(col("value")).as("n"),
           ltEq(0, _ < _).as("lt50"), ltEq(0, _ <= _).as("le50"),
           ltEq(1, _ < _).as("lt90"), ltEq(1, _ <= _).as("le90"),
           ltEq(2, _ < _).as("lt99"), ltEq(2, _ <= _).as("le99"))
@@ -215,7 +217,7 @@ object TimeSeriesQueries extends QueryModule {
         .orderBy(col("event_type"))
     },
     Some("""
-      SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS within_bound
+      SELECT event_type, count(value) AS n, CAST(1 AS BIGINT) AS within_bound
       FROM events
       GROUP BY event_type
       ORDER BY event_type"""))

@@ -71,6 +71,50 @@ class DedupSpec extends SparkSpec {
     assert(pruned == 0)
   }
 
+  test("IndexStore.Path: minhashLsh pair set equals Memory variant; index is on disk") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    def run(store: IndexStore) =
+      Dedup.minhashLsh(df, "doc_id", "text",
+        shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.7,
+        index = store)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaPath = run(IndexStore.Path(dir))
+    val viaMemory = run(IndexStore.Memory())
+    assert(viaPath == viaMemory && viaPath == Set((1L, 2L)))
+    // the signature index materialized as parquet at the caller's dir
+    val files = new java.io.File(dir).listFiles()
+    assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+      s"no parquet index at $dir")
+    IndexStore.release()
+  }
+
+  test("IndexStore.Path: embeddingNearDup pair set equals Memory variant") {
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-idx").toString
+    def run(store: IndexStore) =
+      Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.99, dims = 3, index = store)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(IndexStore.Path(dir)) == run(IndexStore.Memory()))
+    IndexStore.release()
+  }
+
+  test("IndexStore.release: unpersists Memory indexes (nothing pinned after)") {
+    spark.catalog.clearCache()
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("doc_id", "text")
+    Dedup.minhashLsh(df, "doc_id", "text",
+      shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.1).collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty, "index was not persisted")
+    IndexStore.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() left a persisted index behind")
+  }
+
   test("embeddingNearDup: duplicate vector detected at threshold") {
     val v = Array(1.0f, 2.0f, 3.0f)
     val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
