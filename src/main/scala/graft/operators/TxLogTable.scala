@@ -10,7 +10,8 @@ import scala.jdk.CollectionConverters._
   *
   *  - every commit writes parquet files into the table dir, then
   *    atomically publishes a version file `_log/<v>.json` listing them
-  *    (write-temp + ATOMIC_MOVE rename = the commit point)
+  *    through a [[CommitPoint]] (hard link locally; conditional put on
+  *    object stores)
   *  - readers resolve the current snapshot from the log, so half-written
   *    commits are invisible (no dirty reads) and time travel is
   *    `readVersion(v)`
@@ -65,11 +66,11 @@ object TxLogTable {
   /** Publish one atomic commit. `rebase = true` marks the entry as a full
     * replacement of the accumulated file list (compaction); rebase
     * commits require the log to still be at `expectedVersion` — the
-    * hard-link either wins the exact next version or the rebase aborts,
-    * because retrying at a later number would silently drop whatever a
-    * concurrent append just published. */
+    * commit point either wins the exact next version or the rebase
+    * aborts, because retrying at a later number would silently drop
+    * whatever a concurrent append just published. */
   private def commitEntry(path: String, files: Seq[String], rebase: Boolean,
-      expectedVersion: Option[Long], maxRetries: Int): Long = {
+      expectedVersion: Option[Long], maxRetries: Int, cp: CommitPoint): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = versions(path).lastOption.getOrElse(-1L) + 1
@@ -81,32 +82,26 @@ object TxLogTable {
       val flag = if (rebase) """"rebase":true,""" else ""
       val entry = files.map(f => "\"" + f + "\"").mkString(
         s"""{"version":$v,$flag"files":[""", ",", "]}")
-      val tmp = logDir(path).resolve(s".$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      Files.writeString(tmp, entry, StandardOpenOption.CREATE_NEW)
-      try {
-        // the commit point: hard-link is atomic AND fails if the version
-        // exists (POSIX rename would silently replace a racing commit)
-        Files.createLink(logDir(path).resolve(s"$v.json"), tmp)
-        Files.deleteIfExists(tmp)
+      // the commit point: publish-iff-absent (hard link locally,
+      // conditional put on object stores — see CommitPoint)
+      if (cp.putIfAbsent(logDir(path), s"$v.json", entry)) {
         maybeCheckpoint(path, v)
         return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp)
-          if (expectedVersion.isDefined)
-            throw new java.util.ConcurrentModificationException(
-              s"lost the commit race at version $v during compaction")
-          attempt += 1 // lost the race; retry at the next version
       }
+      if (expectedVersion.isDefined)
+        throw new java.util.ConcurrentModificationException(
+          s"lost the commit race at version $v during compaction")
+      attempt += 1 // lost the race; retry at the next version
     }
     throw new IllegalStateException(s"could not commit to $path after $maxRetries attempts")
   }
 
-  /** Append a batch as one atomic commit; returns the committed version. */
+  /** Append a batch as one atomic commit; returns the committed version.
+    * `commit` selects the atomic-publish primitive for the table's
+    * storage (hard link locally; conditional put on object stores). */
   def append(spark: SparkSession, df: DataFrame, path: String,
-      maxRetries: Int = 20): Long =
-    commitEntry(path, stage(df, path, ""), rebase = false, None, maxRetries)
+      maxRetries: Int = 20, commit: CommitPoint = CommitPoint.HardLink): Long =
+    commitEntry(path, stage(df, path, ""), rebase = false, None, maxRetries, commit)
 
   /** Compact the current snapshot's many small data dirs into
     * ~targetFileMB-sized files, published as a REBASE commit (the entry
@@ -115,14 +110,15 @@ object TxLogTable {
     * on disk until `vacuumCompacted`. Aborts with
     * ConcurrentModificationException if anything commits between the
     * snapshot read and the rebase publish (optimistic, like append). */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Long = {
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256,
+      commit: CommitPoint = CommitPoint.HardLink): Long = {
     val v0 = currentVersion(path)
     val snapshot = readVersion(spark, path, v0)
     val sizeBytes = filesUpTo(path, v0)
       .map(f => new java.io.File(s"$path/$f").length()).sum
     val parts = math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val files = stage(snapshot.repartition(parts), path, "compact-")
-    commitEntry(path, files, rebase = true, Some(v0), maxRetries = 1)
+    commitEntry(path, files, rebase = true, Some(v0), maxRetries = 1, commit)
   }
 
   /** Delete data dirs referenced ONLY by versions older than

@@ -120,4 +120,45 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 6)
     assert(TxLogTable.currentVersion(path) == 5) // 6 serialized commits: 0..5
   }
+
+  test("object-store commit point: concurrent appends serialize through conditional put") {
+    val path = tmp
+    // one arbiter shared by all writers, as the store itself would be
+    val store = new CommitPoint.ConditionalPut()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        try TxLogTable.append(spark, Seq((i.toLong, s"t$i")).toDF("id", "v"), path,
+          commit = store)
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, failures.toString)
+    assert(TxLogTable.read(spark, path).count() == 6)
+    assert(TxLogTable.currentVersion(path) == 5)
+    // every row survived exactly once (no commit replaced another)
+    assert(TxLogTable.read(spark, path).select("id").as[Long].collect().toSet
+      == (1L to 6L).toSet)
+  }
+
+  test("object-store commit point: rebase still aborts when it loses the race") {
+    val path = tmp
+    val arbiter =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    val store = new CommitPoint.ConditionalPut(arbiter)
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path, commit = store)
+    TxLogTable.append(spark, Seq((2L, "b")).toDF("id", "v"), path, commit = store)
+    // a concurrent append that won the conditional put but whose entry
+    // isn't visible yet (the window between compact's snapshot read and
+    // its publish): claim the next version in the arbiter only
+    val v0 = TxLogTable.currentVersion(path)
+    val claimed = java.nio.file.Paths.get(path, "_log").toAbsolutePath
+    arbiter.put(s"$claimed/${v0 + 1}.json", java.lang.Boolean.TRUE)
+    intercept[java.util.ConcurrentModificationException] {
+      TxLogTable.compact(spark, path, commit = store)
+    }
+    // the table is undamaged: both committed rows still readable
+    assert(TxLogTable.readVersion(spark, path, v0).count() == 2)
+  }
 }
