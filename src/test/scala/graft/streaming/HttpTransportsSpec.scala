@@ -100,6 +100,42 @@ class HttpTransportsSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sharded spool: streams spread across files, per-stream order preserved") {
+    val spool = Files.createTempDirectory("graft-spool-shard").toString
+    val srv = new HttpTransports.IngestServer(spool, shards = 4).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // 8 streams posted concurrently, each with an in-stream sequence
+      val threads = (0 until 8).map { t =>
+        new Thread(() => (0 until 20).foreach { i =>
+          val (status, _) = http("POST", s"$base/ingest",
+            Some(s"""{"stream_id":"stream-$t","seq":$i}"""))
+          assert(status == 200)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val files = Files.list(java.nio.file.Paths.get(spool)).iterator().asScala.toSeq
+      assert(files.size > 1, "sharding produced a single spool file")
+      files.foreach { f =>
+        val byStream = Files.readAllLines(f).asScala.toSeq
+          .map { l =>
+            (l.split("\"stream_id\":\"")(1).split("\"")(0),
+              l.split("\"seq\":")(1).stripSuffix("}").toInt)
+          }.groupBy(_._1)
+        byStream.foreach { case (s, msgs) =>
+          // a stream never splits across files...
+          assert(files.count(g => Files.readAllLines(g).asScala.exists(
+            _.contains(s""""stream_id":"$s""""))) == 1, s"$s split across shards")
+          // ...and its messages appear in arrival (sequence) order
+          assert(msgs.map(_._2) == msgs.map(_._2).sorted, s"$s out of order")
+        }
+      }
+      val total = files.map(f => Files.readAllLines(f).size).sum
+      assert(total == 160)
+    } finally srv.stop()
+  }
+
   test("e2e: POST /ingest → spool → streaming ingest → queryable lake table") {
     val spool = Files.createTempDirectory("graft-spool").toString
     val cfgDir = Files.createTempDirectory("graft-cfg").toString
