@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's final stdout line as JSON. The default
+// forked-run output strategy (LoggedOutput) prefixes every program line
+// with "[info] " and sbt appends a "[success] Total time…" line — both
+// defeated the parse in every prior round (BENCH_r01-r04 "parsed": null).
+// StdoutOutput passes program stdout through raw; showSuccess drops the
+// trailing [success] line so the program's own last line is terminal.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
