@@ -66,10 +66,30 @@ object CommitPoint {
       // the conditional write: exactly one caller transitions absent→present
       if (arbiter.putIfAbsent(key, java.lang.Boolean.TRUE) != null) false
       else {
-        // the winner's upload (PUT body); CREATE_NEW guards against an
-        // entry published out-of-band by a different CommitPoint impl
-        Files.writeString(logDir.resolve(name), content, StandardOpenOption.CREATE_NEW)
-        true
+        val target = logDir.resolve(name)
+        try {
+          // an entry published out-of-band (a different CommitPoint impl
+          // writing the same log) means the version is taken: a lost race,
+          // and the claim correctly stays — the store has the entry
+          if (Files.exists(target)) return false
+          // the winner's upload (PUT body): a real S3 PUT is atomic, so the
+          // stand-in must be too — stage the body and ATOMIC_MOVE it to the
+          // final name, so a concurrent log lister never reads a half entry
+          val tmp = logDir.resolve(
+            s".$name-${java.util.UUID.randomUUID().toString.take(8)}.put")
+          try {
+            Files.writeString(tmp, content, StandardOpenOption.CREATE_NEW)
+            Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } finally Files.deleteIfExists(tmp)
+          true
+        } catch {
+          case e: Throwable =>
+            // a failed upload must not leave the version claimed but never
+            // published — that would wedge every retry of this version.
+            // Release the claim so a later attempt can win it again.
+            arbiter.remove(key)
+            throw e
+        }
       }
     }
   }

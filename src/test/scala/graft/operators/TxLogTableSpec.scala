@@ -142,6 +142,44 @@ class TxLogTableSpec extends SparkSpec {
       == (1L to 6L).toSet)
   }
 
+  test("conditional put: failed upload releases its claim, so a retry can win") {
+    val store = new CommitPoint.ConditionalPut()
+    val logDir = java.nio.file.Files.createTempDirectory("graft-cp").resolve("_log")
+    // logDir doesn't exist yet → the upload throws AFTER the arbiter claim.
+    // The old behavior kept the claim forever: every retry of this version
+    // lost the arbiter race and the table wedged permanently.
+    intercept[java.io.IOException] {
+      store.putIfAbsent(logDir, "0.json", """{"version":0,"files":[]}""")
+    }
+    java.nio.file.Files.createDirectories(logDir)
+    assert(store.putIfAbsent(logDir, "0.json", """{"version":0,"files":[]}"""),
+      "claim leaked: retry after a failed upload could not win the version")
+  }
+
+  test("conditional put: out-of-band entry is a lost race, and nothing is replaced") {
+    val store = new CommitPoint.ConditionalPut()
+    val logDir = java.nio.file.Files.createTempDirectory("graft-cp2")
+    val target = logDir.resolve("0.json")
+    java.nio.file.Files.writeString(target, """{"version":0,"files":["theirs"]}""")
+    // published by a different CommitPoint impl: lost race, not an exception
+    assert(!store.putIfAbsent(logDir, "0.json", """{"version":0,"files":["mine"]}"""))
+    assert(java.nio.file.Files.readString(target).contains("theirs"),
+      "putIfAbsent replaced an existing entry")
+    // the store is not wedged for other versions
+    assert(store.putIfAbsent(logDir, "1.json", """{"version":1,"files":[]}"""))
+  }
+
+  test("conditional put: publish is atomic — no temp debris, entry appears whole") {
+    val store = new CommitPoint.ConditionalPut()
+    val logDir = java.nio.file.Files.createTempDirectory("graft-cp3")
+    val content = """{"version":0,"files":["a","b"]}"""
+    assert(store.putIfAbsent(logDir, "0.json", content))
+    import scala.jdk.CollectionConverters._
+    val listed = java.nio.file.Files.list(logDir).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(listed == Seq("0.json"), s"unexpected log dir contents: $listed")
+    assert(java.nio.file.Files.readString(logDir.resolve("0.json")) == content)
+  }
+
   test("object-store commit point: rebase still aborts when it loses the race") {
     val path = tmp
     val arbiter =
