@@ -75,14 +75,24 @@ object HttpTransports {
     * ingest-service.go:214-236), while different streams append in
     * parallel — a single append file serializes every request through
     * one lock and caps single-node ingress. Each shard holds its channel
-    * open (no per-message open/close); a message is durable in the file
-    * when its HTTP 200 is sent. */
+    * open (no per-message open/close); when a message's HTTP 200 is sent
+    * its line is in the OS page cache (process-crash durable; pass
+    * `fsync = true` for power-crash durability at per-message syscall
+    * cost — see [[ShardedSpool]]). */
   final class IngestServer(spoolDir: String, port: Int = 0, shards: Int = 8,
-      poolThreads: Int = 8) extends Server(port) {
+      poolThreads: Int = 8, fsync: Boolean = false) extends Server(port) {
     private val pool = java.util.concurrent.Executors.newFixedThreadPool(poolThreads)
     server.setExecutor(pool)
-    private val spool = new ShardedSpool(spoolDir, shards)
-    override def stop(): Unit = { super.stop(); pool.shutdown(); spool.close() }
+    private val spool = new ShardedSpool(spoolDir, shards, fsyncOnAppend = fsync)
+    /** Orderly shutdown: let in-flight exchanges finish (stop(1) blocks up
+      * to 1s), drain the handler pool, THEN close the spool — so no
+      * handler races a closed spool (ClosedChannel / lazily-reopened fd). */
+    override def stop(): Unit = {
+      server.stop(1)
+      pool.shutdown()
+      pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+      spool.close()
+    }
 
     private def append(shardKey: String, line: String): Unit =
       spool.append(shardKey, line)

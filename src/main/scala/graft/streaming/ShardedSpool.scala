@@ -10,11 +10,19 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * serializes every writer through one lock and caps single-node ingress.
   *
   * Each shard keeps its channel open (no per-message open/close
-  * syscalls); a line is durable in the file when `append` returns. The
-  * consumer ([[StreamingOps.startIngest]]) reads the whole directory, so
-  * shard count is invisible downstream.
+  * syscalls). Durability: when `append` returns the line is in the file's
+  * OS page cache — durable against process crash, NOT against power/OS
+  * crash. Pass `fsyncOnAppend = true` to force each append to stable
+  * storage before it returns (power-crash durable, at syscall cost per
+  * message). The consumer ([[StreamingOps.startIngest]]) reads the whole
+  * directory, so shard count is invisible downstream.
+  *
+  * `close()` is final: it drains no queue (appends are synchronous) and
+  * any append after close fails with IllegalStateException instead of
+  * lazily re-opening a channel that would leak.
   */
-final class ShardedSpool(dir: String, shards: Int = 8) {
+final class ShardedSpool(dir: String, shards: Int = 8,
+    fsyncOnAppend: Boolean = false) {
   require(shards > 0, "shards must be positive")
   Files.createDirectories(Paths.get(dir))
 
@@ -23,16 +31,26 @@ final class ShardedSpool(dir: String, shards: Int = 8) {
     Paths.get(dir, s"ingest-$spoolId-s$i.jsonl"))
   private val channels = new Array[java.nio.channels.FileChannel](shards)
   private val locks = Array.fill(shards)(new Object)
+  @volatile private var closed = false
 
   def append(shardKey: String, line: String): Unit = {
     val i = math.floorMod(shardKey.hashCode, shards)
     locks(i).synchronized {
+      if (closed) throw new IllegalStateException("spool is closed")
       if (channels(i) == null)
         channels(i) = java.nio.channels.FileChannel.open(paths(i),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       channels(i).write(java.nio.ByteBuffer.wrap((line + "\n").getBytes(UTF_8)))
+      if (fsyncOnAppend) channels(i).force(false)
     }
   }
 
-  def close(): Unit = channels.foreach(c => if (c != null) c.close())
+  def close(): Unit = {
+    closed = true // appends racing for a shard lock fail the closed check
+    locks.indices.foreach { i =>
+      locks(i).synchronized {
+        if (channels(i) != null) { channels(i).close(); channels(i) = null }
+      }
+    }
+  }
 }

@@ -136,6 +136,43 @@ class HttpTransportsSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("stop() under fire: every acked message is in the spool, no post-stop appends") {
+    val spool = Files.createTempDirectory("graft-spool-stop").toString
+    val srv = new HttpTransports.IngestServer(spool).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    val acks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        var alive = true
+        var i = 0
+        while (alive) {
+          try {
+            val (status, _) = http("POST", s"$base/ingest",
+              Some(s"""{"stream_id":"s$t","seq":$i}"""))
+            if (status == 200) acks.incrementAndGet() else alive = false
+          } catch { case _: IOException => alive = false }
+          i += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    Thread.sleep(300) // let the hammer run, then stop mid-flight
+    srv.stop() // must drain in-flight handlers BEFORE closing the spool
+    threads.foreach(_.join(10000))
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(java.nio.file.Paths.get(spool)).iterator().asScala
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(acks.get() > 0, "hammer never landed a message")
+    // the ack invariant: a 200 means the line is in the file (append happens
+    // before respond, and stop() closes the spool only after the drain)
+    assert(lines.size >= acks.get(),
+      s"${acks.get()} acked but only ${lines.size} lines spooled")
+    // at most one unacked in-flight line per client thread
+    assert(lines.size - acks.get() <= threads.size,
+      s"${lines.size - acks.get()} spooled-but-unacked lines")
+    lines.foreach(l => assert(l.startsWith("{") && l.endsWith("}"), l))
+  }
+
   test("e2e: POST /ingest → spool → streaming ingest → queryable lake table") {
     val spool = Files.createTempDirectory("graft-spool").toString
     val cfgDir = Files.createTempDirectory("graft-cfg").toString
