@@ -11,9 +11,12 @@ import org.apache.spark.storage.StorageLevel
   *
   *  - [[IndexStore.Memory]]: `persist(level)` — right for interactive /
   *    bench scale. Default level is MEMORY_AND_DISK (same as `.cache()`).
-  *    Persisted indexes are tracked; call [[IndexStore.release]] (or
-  *    `spark.catalog.clearCache()`) when the query's results have been
-  *    consumed, else the index pins executor memory for the session.
+  *    Each Memory INSTANCE tracks what it persisted: call `release()` on
+  *    the instance you passed in (or `spark.catalog.clearCache()`) when
+  *    the query's results have been consumed, else the index pins
+  *    executor memory for the session. Tracking is per-instance so
+  *    releasing one query's index can never unpersist another concurrent
+  *    query's live index out from under it.
   *  - [[IndexStore.Path]]: materialize the index as parquet at `dir` and
   *    read it back — the 100 TB posture: a corpus-sized signature index
   *    does not belong in executor memory, and a durable index is reusable
@@ -23,33 +26,40 @@ import org.apache.spark.storage.StorageLevel
   *    would clobber each other mid-read. The dir is never auto-deleted —
   *    durability is the point; delete it to reclaim space.
   */
-sealed trait IndexStore
+sealed trait IndexStore {
+  /** Unpersist every [[IndexStore.Memory]] index THIS instance persisted
+    * (no-op for [[IndexStore.Path]] — durable indexes are the point).
+    * Scoped per instance: concurrent queries with their own stores can't
+    * release each other's live indexes. */
+  def release(): Unit
+}
 object IndexStore {
-  final case class Memory(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) extends IndexStore
-  final case class Path(dir: String) extends IndexStore
-  val default: IndexStore = Memory()
-
-  // Memory-store indexes persisted since the last release() — the operators
-  // return plain DataFrames, so the unpersist handle lives here instead of
-  // complicating every operator signature.
-  private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private[operators] def persist(df: DataFrame, store: IndexStore): DataFrame = store match {
-    case Memory(level) =>
+  final case class Memory(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) extends IndexStore {
+    // the operators return plain DataFrames, so the unpersist handle lives
+    // on the store instance instead of complicating operator signatures
+    private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[operators] def track(df: DataFrame): DataFrame = {
       val p = df.persist(level)
       persisted.add(p)
       p
+    }
+    def release(): Unit = {
+      var df = persisted.poll()
+      while (df != null) { df.unpersist(false); df = persisted.poll() }
+    }
+  }
+  final case class Path(dir: String) extends IndexStore {
+    def release(): Unit = ()
+  }
+  /** A fresh per-invocation Memory store (fresh so the default can never
+    * entangle two queries' release scopes). */
+  def default: IndexStore = Memory()
+
+  private[operators] def persist(df: DataFrame, store: IndexStore): DataFrame = store match {
+    case m: Memory => m.track(df)
     case Path(dir) =>
       df.write.mode("overwrite").parquet(dir)
       df.sparkSession.read.parquet(dir)
-  }
-
-  /** Unpersist every [[Memory]]-store index persisted since the last call.
-    * Safe to call after the pair results are consumed; [[Path]] indexes
-    * are durable by design and not touched. */
-  def release(): Unit = {
-    var df = persisted.poll()
-    while (df != null) { df.unpersist(false); df = persisted.poll() }
   }
 }
 

@@ -82,14 +82,15 @@ class DedupSpec extends SparkSpec {
         shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.7,
         index = store)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mem = IndexStore.Memory()
     val viaPath = run(IndexStore.Path(dir))
-    val viaMemory = run(IndexStore.Memory())
+    val viaMemory = run(mem)
     assert(viaPath == viaMemory && viaPath == Set((1L, 2L)))
     // the signature index materialized as parquet at the caller's dir
     val files = new java.io.File(dir).listFiles()
     assert(files != null && files.exists(_.getName.endsWith(".parquet")),
       s"no parquet index at $dir")
-    IndexStore.release()
+    mem.release()
   }
 
   test("IndexStore.Path: embeddingNearDup pair set equals Memory variant") {
@@ -100,17 +101,31 @@ class DedupSpec extends SparkSpec {
     def run(store: IndexStore) =
       Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.99, dims = 3, index = store)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(run(IndexStore.Path(dir)) == run(IndexStore.Memory()))
-    IndexStore.release()
+    val mem = IndexStore.Memory()
+    assert(run(IndexStore.Path(dir)) == run(mem))
+    mem.release()
   }
 
-  test("IndexStore.release: unpersists Memory indexes (nothing pinned after)") {
+  test("IndexStore release is instance-scoped: one query's release leaves another's index live") {
     spark.catalog.clearCache()
-    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("doc_id", "text")
-    Dedup.minhashLsh(df, "doc_id", "text",
-      shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.1).collect()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty, "index was not persisted")
-    IndexStore.release()
+    // two DIFFERENT corpora: Spark's CacheManager dedupes identical plans,
+    // so same-input queries would share one cache entry regardless of store
+    val dfA = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("doc_id", "text")
+    val dfB = Seq((3L, "mu nu xi omicron"), (4L, "mu nu xi pi")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, store: IndexStore): Unit =
+      Dedup.minhashLsh(df, "doc_id", "text",
+        shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.1,
+        index = store).collect()
+    val a, b = IndexStore.Memory()
+    run(dfA, a); run(dfB, b)
+    val withBoth = spark.sparkContext.getPersistentRDDs.size
+    assert(withBoth > 0, "indexes were not persisted")
+    a.release() // must NOT unpersist b's live index
+    assert(spark.sparkContext.getPersistentRDDs.size < withBoth,
+      "a.release() unpersisted nothing")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "a.release() unpersisted the OTHER query's index")
+    b.release()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "release() left a persisted index behind")
   }
