@@ -500,7 +500,37 @@ object Relational extends QueryModule {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** Bucketed co-located join: both sides materialized ONCE as bucketed
+    * tables on the join key ([[graft.operators.Bucketing]]), so the
+    * fact⋈dim equi-join itself needs no Exchange — at 100 TB this converts
+    * the per-query fact-table shuffle into a one-time write. First touch
+    * per JVM pays the bucketed write; afterwards the join is
+    * exchange-free (plan-guarded in PlanSpec). */
+  private val q80 = QueryDef(
+    "q80_bucketed_join",
+    (s, d) => {
+      import graft.operators.Bucketing
+      val tag = Bucketing.dirTag(d)
+      val o = Bucketing.ensure(s, Tables.orders(s, d),
+        s"graft_bkt_orders_$tag", "o_custkey", buckets = 8)
+      val c = Bucketing.ensure(s, Tables.customer(s, d),
+        s"graft_bkt_customer_$tag", "c_custkey", buckets = 8)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          Rnd.halfUp(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment NULLS FIRST"""))
+
   override val entries: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q80)
 }

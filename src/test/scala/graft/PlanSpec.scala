@@ -115,6 +115,32 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unintended products in: $offenders")
   }
 
+  test("bucketed join: both sides pre-bucketed on the key — the join needs zero Exchange") {
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the bucketed layout (not dim size) is what
+    // removes the shuffle — this is the fact⋈fact shape at 100 TB
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import graft.operators.Bucketing
+      val tag = Bucketing.dirTag(sf)
+      val o = Bucketing.ensure(spark, Tables.orders(spark, sf),
+        s"graft_bkt_orders_$tag", "o_custkey", buckets = 8)
+      val c = Bucketing.ensure(spark, Tables.customer(spark, sf),
+        s"graft_bkt_customer_$tag", "c_custkey", buckets = 8)
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n${p.take(3000)}")
+      // and the scans really are bucketed scans
+      val f = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(f.contains("Bucketed: true"), f.take(3000))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+  }
+
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
