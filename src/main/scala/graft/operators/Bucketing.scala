@@ -38,6 +38,17 @@ object Bucketing {
       bucketCol: String, buckets: Int, overwrite: Boolean = false): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     if (overwrite || !spark.catalog.tableExists(table)) {
+      if (!spark.catalog.tableExists(table)) {
+        // The in-memory catalog forgets tables at JVM exit but the managed
+        // location survives on disk, and managed CTAS refuses to reuse an
+        // existing location (LOCATION_ALREADY_EXISTS). The bucketed copy is
+        // a rebuildable cache of `df`, so clear the orphaned location.
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          table.toLowerCase(java.util.Locale.ROOT))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       df.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketCol)
         .sortBy(bucketCol)

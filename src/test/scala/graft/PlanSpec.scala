@@ -129,7 +129,8 @@ class PlanSpec extends SparkSpec {
       val c = Bucketing.ensure(spark, Tables.customer(spark, sf),
         s"graft_bkt_customer_$tag", "c_custkey", buckets = 8)
       val joined = o.join(c, o("o_custkey") === c("c_custkey"))
-      assert(joined.count() > 0)
+      // collect() so THIS df's adaptive plan executes and finalizes
+      assert(joined.collect().nonEmpty)
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), p.take(3000))
       assert(!p.contains("Exchange"),
@@ -138,6 +139,16 @@ class PlanSpec extends SparkSpec {
       val f = joined.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(f.contains("Bucketed: true"), f.take(3000))
+      // aggregation on the bucket key is exchange-free too: the scan's
+      // HashPartitioning(o_custkey) already satisfies the agg's
+      // distribution, so there is no partial/final split to shuffle
+      val agg = o.groupBy(o("o_custkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      assert(agg.collect().nonEmpty)
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"),
+        s"bucketed aggregation still shuffles:\n${ap.take(3000)}")
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
   }
 
