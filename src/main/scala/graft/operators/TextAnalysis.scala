@@ -69,30 +69,29 @@ object TextAnalysis {
         least(stopRatio * lit(5.0), lit(1.0)) * lit(0.1)
     }
 
-  /** Language ID by stopword voting: explode tokens, broadcast-join the
-    * (lang, word) lexicon, count hits per lang, argmax with lang-asc
-    * tie-break; docs with zero hits → "und".
+  /** Language ID by stopword voting: per-language occurrence counts over
+    * the token array, argmax with lang-asc tie-break; docs with zero hits
+    * → "und".
     *
-    * The argmax is a `min_by` over (-hits, lang) — a hash aggregate with
-    * map-side partials, not a sort-based window: one exchange of ≤|langs|
-    * narrow rows per doc and no per-partition sort at 100 TB. */
+    * Shuffle-FREE: the lexicon is a tiny literal, so each language's count
+    * is a `filter` over the tokens and the argmax is an `array_min` over
+    * (-hits, lang) structs — a pure per-row projection. The previous shape
+    * (explode → broadcast-join lexicon → two hash aggregates) shuffled the
+    * token stream twice; at 100 TB that's the whole corpus through the
+    * wire, for a vote each row can cast locally. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val lex = stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
-      .toDF("lang_cand", "word")
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
-    val hits = toks.join(broadcast(lex), Seq("word"))
-      .groupBy(col(idCol), col("lang_cand"))
-      .agg(count(lit(1)).as("hits"))
-    val best = hits.groupBy(col(idCol))
-      .agg(min_by(
-        struct(col("lang_cand"), col("hits")),
-        struct((-col("hits")).as("neg_hits"), col("lang_cand"))).as("b"))
-      .select(col(idCol), col("b.lang_cand").as("lang_pred"), col("b.hits").as("hits"))
-    df.select(col(idCol)).join(best, Seq(idCol), "left")
-      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+    val langs = stopwords.keys.toSeq.sorted
+    val best = once(tokens(col(textCol))) { ts =>
+      array_min(array(langs.map { l =>
+        val h = size(filter(ts, t => t.isin(stopwords(l): _*)))
+        struct((-h).as("neg_hits"), lit(l).as("lang_cand"), h.cast("long").as("hits"))
+      }: _*))
+    }
+    df.select(col(idCol), best.as("__b"))
+      .select(col(idCol),
+        when(col("__b.hits") > 0, col("__b.lang_cand")).otherwise(lit("und"))
+          .as("lang_pred"),
+        when(col("__b.hits") > 0, col("__b.hits")).otherwise(lit(0L)).as("hits"))
   }
 
   /** Bag-of-words content fingerprint: md5 of the sorted distinct token
