@@ -53,6 +53,109 @@ final case class KmvSketch(k: Int)
     Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
 }
 
+/** Misra-Gries heavy-hitters summary (Misra & Gries 1982; mergeable per
+  * Agarwal et al., "Mergeable Summaries", PODS 2012): at most `k` counters;
+  * an untracked item with full counters decrements every counter instead of
+  * inserting. Guarantees after any sequence of reduces and merges over n
+  * items: est ≤ true, true − est ≤ n/k, and therefore every item with
+  * true count > n/k is present in the summary.
+  *
+  * True sketch contract: O(k) state regardless of group size, map-side
+  * partial aggregation, associative merge (sum counters, then subtract the
+  * (k+1)-th largest count and drop non-positive). The summary SET is
+  * order-dependent, so the gate query (q81) checks the deterministic
+  * guarantees, not the set — the q38/q79 bound-verification pattern.
+  *
+  * Buffer is a pair of parallel arrays sorted by token: in-place count
+  * bumps on hit, one compaction pass per decrement — no per-row map
+  * allocation. */
+final case class MisraGries(k: Int)
+    extends Aggregator[String, (Array[String], Array[Long]), Map[String, Long]] {
+  require(k > 0, "k must be positive")
+  override def zero: (Array[String], Array[Long]) =
+    (Array.empty[String], Array.empty[Long])
+
+  override def reduce(buf: (Array[String], Array[Long]), tok: String):
+      (Array[String], Array[Long]) = {
+    val (ks, cs) = buf
+    val i = java.util.Arrays.binarySearch(ks.asInstanceOf[Array[AnyRef]], tok)
+    if (i >= 0) { cs(i) += 1L; buf }
+    else if (ks.length < k) {
+      val ins = -(i + 1)
+      val nk = new Array[String](ks.length + 1)
+      val nc = new Array[Long](ks.length + 1)
+      System.arraycopy(ks, 0, nk, 0, ins); System.arraycopy(cs, 0, nc, 0, ins)
+      nk(ins) = tok; nc(ins) = 1L
+      System.arraycopy(ks, ins, nk, ins + 1, ks.length - ins)
+      System.arraycopy(cs, ins, nc, ins + 1, ks.length - ins)
+      (nk, nc)
+    } else {
+      // counters full: the classic decrement — the new item's single
+      // occurrence cancels against one unit of every tracked counter
+      var z = 0
+      var j = 0
+      while (j < cs.length) { cs(j) -= 1L; if (cs(j) <= 0L) z += 1; j += 1 }
+      if (z == 0) buf
+      else {
+        val nk = new Array[String](ks.length - z)
+        val nc = new Array[Long](ks.length - z)
+        var src = 0; var dst = 0
+        while (src < ks.length) {
+          if (cs(src) > 0L) { nk(dst) = ks(src); nc(dst) = cs(src); dst += 1 }
+          src += 1
+        }
+        (nk, nc)
+      }
+    }
+  }
+
+  override def merge(a: (Array[String], Array[Long]), b: (Array[String], Array[Long])):
+      (Array[String], Array[Long]) = {
+    if (a._1.isEmpty) return b
+    if (b._1.isEmpty) return a
+    // merge-join the sorted arrays, summing counts
+    val (ak, ac) = a; val (bk, bc) = b
+    val mk = new Array[String](ak.length + bk.length)
+    val mc = new Array[Long](ak.length + bk.length)
+    var i = 0; var j = 0; var d = 0
+    while (i < ak.length || j < bk.length) {
+      val cmp =
+        if (i >= ak.length) 1
+        else if (j >= bk.length) -1
+        else ak(i).compareTo(bk(j))
+      if (cmp < 0) { mk(d) = ak(i); mc(d) = ac(i); i += 1 }
+      else if (cmp > 0) { mk(d) = bk(j); mc(d) = bc(j); j += 1 }
+      else { mk(d) = ak(i); mc(d) = ac(i) + bc(j); i += 1; j += 1 }
+      d += 1
+    }
+    if (d <= k) (java.util.Arrays.copyOf(mk, d), java.util.Arrays.copyOf(mc, d))
+    else {
+      // subtract the (k+1)-th largest count from all, keep positives
+      val sorted = java.util.Arrays.copyOfRange(mc, 0, d)
+      java.util.Arrays.sort(sorted)
+      val cut = sorted(d - k - 1) // (k+1)-th largest
+      var keep = 0
+      var x = 0
+      while (x < d) { if (mc(x) - cut > 0L) keep += 1; x += 1 }
+      val nk = new Array[String](keep)
+      val nc = new Array[Long](keep)
+      var src = 0; var dst = 0
+      while (src < d) {
+        if (mc(src) - cut > 0L) { nk(dst) = mk(src); nc(dst) = mc(src) - cut; dst += 1 }
+        src += 1
+      }
+      (nk, nc)
+    }
+  }
+
+  override def finish(buf: (Array[String], Array[Long])): Map[String, Long] =
+    buf._1.iterator.zip(buf._2.iterator).toMap
+  override def bufferEncoder: Encoder[(Array[String], Array[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[String], Array[Long])]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
 object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
   override def zero: (Double, Double) = (0.0, 0.0)
   override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =

@@ -224,5 +224,74 @@ object TextQueries extends QueryModule {
       FROM wnd
       ORDER BY doc_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
+  /** Misra-Gries heavy-hitter tokens per language — the frequent-items
+    * member of the sketch family (HLL q38, KMV q47, GK q79). The summary
+    * SET is processing-order-dependent, so the query verifies the sketch's
+    * deterministic GUARANTEES in-query (the q38/q79 pattern): every
+    * summary estimate obeys est ≤ true ∧ true − est ≤ n/k, and every
+    * token with true count > n/k is present. The oracle recomputes the
+    * exact side and expects the guarantee flags.
+    *
+    * Scale shape: the per-partition MG summaries are O(k) state feeding
+    * map-side partial aggregation — only ≤k-entry summaries cross the
+    * exchange, never token counts. The exact-count half is the
+    * verification harness (like q38's exact distinct), not the operator. */
+  private val q81 = QueryDef(
+    "q81_freq_items_sketch",
+    (s, d) => {
+      val k = 64
+      import graft.functions.TextFunctions.tokens
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      val mg = udaf(graft.functions.MisraGries(k))
+      val summary = toks.groupBy(col("lang")).agg(mg(col("tok")).as("summary"))
+        .select(col("lang"), explode(col("summary")).as(Seq("tok", "est")))
+      val exact = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val n = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+      val thresh = col("n_tokens").cast("double") / lit(k)
+      // every summary entry within the MG bound for its group
+      val bound = summary.join(exact, Seq("lang", "tok"))
+        .join(broadcast(n), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("est") <= col("c") &&
+          (col("c") - col("est")).cast("double") <= thresh, 0L)
+          .otherwise(1L)).as("violations"))
+      // every true-heavy token (count > n/k) must be in the summary
+      val heavies = exact.join(broadcast(n), Seq("lang"))
+        .filter(col("c").cast("double") > thresh)
+      val nHeavy = heavies.groupBy(col("lang")).agg(count(lit(1)).as("n_heavy"))
+      val nFound = heavies
+        .join(summary.select(col("lang"), col("tok")), Seq("lang", "tok"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("heavy_found"))
+      n.join(nHeavy, Seq("lang"), "left")
+        .join(nFound, Seq("lang"), "left")
+        .join(bound, Seq("lang"), "left")
+        .select(col("lang"), col("n_tokens"),
+          coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+          coalesce(col("heavy_found"), lit(0L)).as("heavy_found"),
+          when(coalesce(col("violations"), lit(0L)) === 0, 1L).otherwise(0L)
+            .as("within_bound"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tok
+        FROM documents),
+      n AS (SELECT lang, count(*) AS n_tokens FROM toks GROUP BY lang),
+      exact AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+      heavy AS (
+        SELECT e.lang, count(*) AS n_heavy
+        FROM exact e JOIN n USING (lang)
+        WHERE e.c > CAST(n.n_tokens AS DOUBLE) / 64
+        GROUP BY e.lang)
+      SELECT n.lang, n.n_tokens,
+             coalesce(h.n_heavy, 0) AS n_heavy,
+             coalesce(h.n_heavy, 0) AS heavy_found,
+             CAST(1 AS BIGINT) AS within_bound
+      FROM n LEFT JOIN heavy h USING (lang)
+      ORDER BY n.lang NULLS FIRST"""))
+
+  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q81)
 }

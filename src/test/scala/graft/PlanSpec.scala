@@ -152,6 +152,14 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
   }
 
+  test("langId is a pure projection: no shuffle, no explode of the token stream") {
+    val df = graft.operators.TextAnalysis.langId(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"langId shuffles:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"langId explodes:\n${p.take(2000)}")
+  }
+
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
