@@ -12,10 +12,14 @@ import org.apache.spark.sql.types._
   * iteration, and operator signatures are real and tested. Images decode
   * for real through [[ImageIODecoder]] (pure-JVM `javax.imageio` — PNG/
   * BMP/GIF/JPEG dims, luminance-grid features, re-rendered resize);
-  * audio/video codecs are STUBBED behind the same [[MediaDecoder]]
-  * boundary (this container has no av libraries) with
-  * [[DeterministicFakeDecoder]] standing in. Swapping in a JNI/javacv
-  * decoder changes one injection point, not the dataflow.
+  * uncompressed audio decodes for real through [[AudioDecoder]]
+  * (pure-JVM `javax.sound.sampled` — WAV/AIFF/AU sample rate, channels,
+  * duration, RMS-envelope features). Compressed audio (mp3/flac) and
+  * video codecs are STUBBED behind the same [[MediaDecoder]] boundary
+  * (this container has no av libraries) with [[DeterministicFakeDecoder]]
+  * standing in; [[JvmDecoder]] dispatches each modality to the most
+  * capable decoder. Swapping in a JNI/javacv decoder changes one
+  * injection point, not the dataflow.
   *
   * Scale notes: media rows are large (MBs); `sizeClass` gives a partition
   * key so shuffles group comparable payload sizes (avoids stragglers from
@@ -61,8 +65,10 @@ object Multimodal {
         graft.functions.TextFunctions.h60(col("path")).as("media_id"),
         modality.as("modality"),
         col("content").as("media"))
-    attachImageDims(
-      attachMeta(raw, "media", ext).withColumn("size_class", sizeClass(col("media"))),
+    attachAudioMeta(
+      attachImageDims(
+        attachMeta(raw, "media", ext).withColumn("size_class", sizeClass(col("media"))),
+        "media"),
       "media")
   }
 
@@ -156,6 +162,117 @@ object Multimodal {
           bos.toByteArray
         case None => DeterministicFakeDecoder.resize(payload, w, h)
       }
+  }
+
+  /** Real pure-JVM audio decoder over `javax.sound.sampled` (WAV/AIFF/AU —
+    * the JDK's registered readers; compressed codecs like mp3/flac still
+    * need external libs and fall back to the stub). Features are a
+    * deterministic per-bin RMS energy envelope over the PCM samples —
+    * the audio analog of the image luminance grid. */
+  object AudioDecoder extends MediaDecoder {
+    private def stream(payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+      if (payload == null) None
+      else try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => None
+      }
+
+    /** (sample_rate_hz, channels, duration_ms) when the payload decodes. */
+    def info(payload: Array[Byte]): Option[(Float, Int, Long)] =
+      stream(payload).map { s =>
+        try {
+          val f = s.getFormat
+          val ms =
+            if (f.getFrameRate > 0 && s.getFrameLength >= 0)
+              (s.getFrameLength * 1000.0 / f.getFrameRate).toLong
+            else -1L
+          (f.getSampleRate, f.getChannels, ms)
+        } finally s.close()
+      }
+
+    def features(modality: String, payload: Array[Byte], dim: Int): Array[Float] =
+      stream(payload) match {
+        case Some(s) =>
+          try {
+            val f = s.getFormat
+            // normalize to 16-bit signed little-endian PCM
+            val pcmFmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+              f.getSampleRate, false)
+            val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, s)
+            val bytes = try pcm.readAllBytes() finally pcm.close()
+            val n = bytes.length / 2
+            val out = new Array[Float](dim)
+            if (n == 0) out
+            else {
+              val counts = new Array[Int](dim)
+              var i = 0
+              while (i < n) {
+                val lo = bytes(2 * i) & 0xff
+                val hi = bytes(2 * i + 1).toInt
+                val sample = ((hi << 8) | lo) / 32768.0f
+                val bin = (i.toLong * dim / n).toInt
+                out(bin) += sample * sample
+                counts(bin) += 1
+                i += 1
+              }
+              var b = 0
+              while (b < dim) {
+                out(b) = if (counts(b) == 0) 0.0f
+                  else math.sqrt(out(b) / counts(b)).toFloat
+                b += 1
+              }
+              out
+            }
+          } catch {
+            case _: Exception =>
+              DeterministicFakeDecoder.features(modality, payload, dim)
+          }
+        case None => DeterministicFakeDecoder.features(modality, payload, dim)
+      }
+
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      DeterministicFakeDecoder.resize(payload, w, h) // no meaning for audio
+  }
+
+  /** Modality-dispatching pure-JVM decoder: images through [[ImageIODecoder]],
+    * audio through [[AudioDecoder]], everything else (video; compressed
+    * audio the JDK can't read) through the deterministic stub — the most
+    * capable decoder this environment supports, total on any input. */
+  object JvmDecoder extends MediaDecoder {
+    def features(modality: String, payload: Array[Byte], dim: Int): Array[Float] =
+      modality match {
+        case "image" => ImageIODecoder.features(modality, payload, dim)
+        case "audio" => AudioDecoder.features(modality, payload, dim)
+        case _ => DeterministicFakeDecoder.features(modality, payload, dim)
+      }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      ImageIODecoder.resize(payload, w, h)
+  }
+
+  /** Append real decoded audio metadata (sample_rate_hz, channels,
+    * duration_ms) via mapPartitions (same batch shape as decodeFeatures);
+    * -1s when the payload is not JDK-decodable audio. */
+  def attachAudioMeta(df: DataFrame, mediaCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate_hz", FloatType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        val (sr, ch, ms) = AudioDecoder.info(payload).getOrElse((-1.0f, -1, -1L))
+        // Seq[Any], NOT Seq(...): weak numeric conformance would unify the
+        // mixed Float/Int/Long elements to Seq[Float], boxing all three as
+        // java.lang.Float and breaking the encoder's INT/BIGINT fields
+        Row.fromSeq(r.toSeq ++ Seq[Any](sr, ch, ms))
+      }
+    }(enc)
   }
 
   /** Append real decoded (width, height) for image payloads via

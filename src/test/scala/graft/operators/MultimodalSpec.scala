@@ -61,6 +61,61 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded == feats.toSeq)
   }
 
+  private def sineWav(sampleRate: Float = 8000f, sineMs: Int = 200,
+      silenceMs: Int = 200): Array[Byte] = {
+    // 16-bit mono PCM: a loud sine then silence — rendered through the
+    // JDK's own WAVE writer so the fixture is a genuine .wav container
+    val nSine = (sampleRate * sineMs / 1000).toInt
+    val nSilence = (sampleRate * silenceMs / 1000).toInt
+    val pcm = new Array[Byte](2 * (nSine + nSilence))
+    for (i <- 0 until nSine) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sampleRate) * 20000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSine + nSilence)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioDecoder: real WAV decodes — rate/channels/duration, RMS envelope") {
+    val wav = sineWav()
+    val Some((rate, channels, ms)) = Multimodal.AudioDecoder.info(wav)
+    assert(rate == 8000f && channels == 1)
+    assert(math.abs(ms - 400L) <= 1L, s"duration $ms")
+    // envelope: first half (sine) loud, second half (silence) quiet
+    val env = Multimodal.AudioDecoder.features("audio", wav, 4)
+    assert(env.length == 4)
+    assert(env(0) > 0.3f && env(1) > 0.3f, env.toSeq.toString)
+    assert(env(2) == 0.0f && env(3) == 0.0f, env.toSeq.toString)
+    // the dispatching decoder routes audio here
+    assert(Multimodal.JvmDecoder.features("audio", wav, 4).toSeq == env.toSeq)
+    // non-audio bytes fall back to the stub (total operator)
+    val junk = "not audio".getBytes("UTF-8")
+    assert(Multimodal.AudioDecoder.info(junk).isEmpty)
+    assert(Multimodal.AudioDecoder.features("audio", junk, 4).toSeq ==
+      Multimodal.DeterministicFakeDecoder.features("audio", junk, 4).toSeq)
+  }
+
+  test("readMediaDir: real WAV gets audio metadata; non-audio rows get sentinels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-wav").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/tone.wav"), sineWav())
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$dir/pic.png"))
+
+    val rows = Multimodal.readMediaDir(spark, dir)
+      .select("modality", "sample_rate_hz", "channels", "duration_ms")
+      .as[(String, Float, Int, Long)].collect()
+      .map { case (m, sr, ch, ms) => m -> ((sr, ch, ms)) }.toMap
+    assert(rows("audio")._1 == 8000f && rows("audio")._2 == 1)
+    assert(math.abs(rows("audio")._3 - 400L) <= 1L)
+    assert(rows("image") == ((-1.0f, -1, -1L)))
+  }
+
   test("readMediaDir: real files through the binaryFile source, images decoded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
