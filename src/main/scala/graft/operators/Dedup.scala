@@ -52,7 +52,14 @@ object IndexStore {
     def release(): Unit = ()
   }
   /** A fresh per-invocation Memory store (fresh so the default can never
-    * entangle two queries' release scopes). */
+    * entangle two queries' release scopes). NOTE the trade-off: the
+    * instance is unreachable from the caller, so an index persisted
+    * through the default has no `release()` handle — it stays pinned
+    * until `spark.catalog.clearCache()` or session end. Callers that
+    * need eager release must construct and pass their own
+    * [[IndexStore.Memory]] (and call `release()` on it after consuming
+    * results), or use [[IndexStore.Path]] which keeps nothing in
+    * executor memory. */
   def default: IndexStore = Memory()
 
   private[operators] def persist(df: DataFrame, store: IndexStore): DataFrame = store match {

@@ -90,7 +90,16 @@ object HttpTransports {
     override def stop(): Unit = {
       server.stop(1)
       pool.shutdown()
-      pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+      val drained = pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+      if (!drained) {
+        // A handler outlived the drain window; closing the spool under it
+        // would fail its request silently. Surface the condition and cut
+        // the stragglers off before the spool goes away.
+        System.err.println(
+          "[graft] IngestServer.stop: handler pool did not drain in 5s; " +
+            "forcing shutdown — in-flight requests at this point are dropped")
+        pool.shutdownNow()
+      }
       spool.close()
     }
 

@@ -31,6 +31,10 @@ object StreamingSketch {
     import spark.implicits._
     val mg = MisraGries(k)
     tokens
+      // null tokens would NPE inside the Misra-Gries fold (binarySearch on
+      // the summary keys); they carry no frequency information, so drop
+      // them at the source rather than failing the streaming query
+      .filter(col(tokenCol).isNotNull)
       .select(col(keyCol).cast("string"), col(tokenCol).cast("string"))
       .as[(String, String)]
       .groupByKey(_._1)

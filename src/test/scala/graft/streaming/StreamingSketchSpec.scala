@@ -48,4 +48,24 @@ class StreamingSketchSpec extends SparkSpec {
       assert(summary.contains("alpha") && summary.contains("beta"))
     } finally q.stop()
   }
+
+  test("null tokens are dropped at the source instead of failing the query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingSketch.heavyHittersStream(
+      spark, mem.toDF().toDF("key", "tok"), "key", "tok", k = 8)
+    val q = out.writeStream.format("memory").queryName("hh_nulls")
+      .outputMode("update").start()
+    try {
+      mem.addData(("g", "a"), ("g", null), ("g", "a"), ("g", null), ("g", "b"))
+      q.processAllAvailable()
+      val (nSeen, summary) = spark.table("hh_nulls").filter($"key" === "g")
+        .orderBy($"n_tokens".desc).limit(1)
+        .as[(String, Long, Map[String, Long])].head() match {
+        case (_, n, s) => (n, s)
+      }
+      assert(nSeen == 3, s"null tokens must not count, got n=$nSeen")
+      assert(summary == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
 }
