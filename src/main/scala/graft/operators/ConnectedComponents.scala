@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the cluster-
+  * formation step of a training-data dedup pipeline: LSH emits PAIRS
+  * (q43/q44/q45/q46), but the keep/drop decision needs per-document
+  * CLUSTER ids (transitive closure), because near-duplication chains:
+  * A~B and B~C must collapse to one kept document even when A~C was
+  * never emitted as a pair.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every node takes the min label over itself and its
+  * neighbors (one join + one partial-aggregating groupBy on the edge
+  * key), then compresses paths by re-resolving each label through the
+  * label table itself (`label'(v) = label(label(v))`) — the classic
+  * pointer-jumping step, which turns O(diameter) convergence into
+  * O(log diameter) (cf. Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC 2014 — same propagate/contract idea,
+  * dataflow-shaped). Dedup components are near-cliques (diameter 2-4)
+  * so 2-3 rounds typically suffice; a 100-chain converges in ~7.
+  *
+  * Scale posture: state per round is ONE narrow (id, label) table and
+  * the (src, dst) edge list — both shuffled on their join keys only,
+  * never any document payload. Each round ends in `localCheckpoint`,
+  * truncating lineage so the plan does not grow with iterations (at
+  * cluster scale swap for reliable `checkpoint` against the checkpoint
+  * dir — same call shape, driver-restart-safe). Convergence detection
+  * is free: labels only ever decrease, so `sum(label)` is strictly
+  * monotone until the fixpoint — one scalar aggregate per round, no
+  * change-join.
+  *
+  * The reference has no dedup at all (rtdl is ingestion-only); this is
+  * part of the LLM-pipeline extension surface.
+  */
+object ConnectedComponents {
+
+  /** Cluster ids for every node appearing in `pairs` (an undirected edge
+    * list; direction and duplication are normalized away). Returns
+    * `(id: long, cluster_id: long)` where `cluster_id` is the MINIMUM
+    * node id of the component — a deterministic canonical representative,
+    * which is exactly the "keep the smallest doc_id" dedup convention of
+    * [[Dedup.exact]]. */
+  def clusters(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val half = pairs.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val edges = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prevSum = checksum(labels)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      // 1. neighbor-min: v takes min(label(v), min label over neighbors)
+      val viaEdges = edges.withColumnRenamed("src", "id")
+        .join(labels, Seq("id"))
+        .select(col("dst").as("id"), col("label"))
+      val folded = labels.select(col("id"), col("label"))
+        .unionAll(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+      // 2. pointer jump: label'(v) = label(label(v)) — compress chains
+      val jump = folded.toDF("jkey", "jlabel")
+      val next = folded.withColumnRenamed("label", "jkey")
+        .join(jump, Seq("jkey"), "left")
+        .select(col("id"),
+          coalesce(col("jlabel"), col("jkey")).as("label"))
+        .localCheckpoint()
+      val s = checksum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Monotone fixpoint witness: labels only decrease, so equal sums
+    * between rounds ⟺ no label changed. */
+  private def checksum(labels: DataFrame): Long =
+    labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+
+  /** Full dedup decision for a document table given its near-dup pairs:
+    * every row of `df` gets `cluster_id` (its own id when unpaired — a
+    * singleton cluster), `cluster_size`, and `keep` = 1 on the cluster's
+    * canonical (min-id) row. Narrow left join on the id — document
+    * payloads never enter the component computation. */
+  def dedupAssign(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val cc = clusters(pairs, srcCol, dstCol, maxIter)
+      .toDF("__cc_id", "cluster_id")
+    val idL: Column = col(idCol).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    df.withColumn("__cc_id", idL)
+      .join(cc, Seq("__cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), idL))
+      .drop("__cc_id")
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", (idL === col("cluster_id")).cast("int"))
+  }
+}

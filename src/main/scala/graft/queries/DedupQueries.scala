@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.operators.Dedup
+import graft.operators.{ConnectedComponents, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Deduplication extension operators surfaced through the correctness
@@ -267,5 +267,73 @@ object DedupQueries extends QueryModule {
       WHERE inter / (la + lb - inter) >= 0.5
       ORDER BY id_a, id_b"""))
 
-  override val entries: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  /** Cluster formation over the q43 near-dup pairs: distributed
+    * connected components (min-label propagation + pointer jumping,
+    * ConnectedComponents.scala) assign every document a transitive-
+    * closure cluster id, size, and the canonical keep/drop decision —
+    * the step that turns pairwise LSH output into an actual dedup of
+    * the corpus. The oracle replays the same LSH pair generation
+    * (q43's SQL) and closes it transitively with a recursive CTE, so
+    * the component structure itself is verified, not just row counts. */
+  private val q82 = QueryDef(
+    "q82_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 1, numHashes = 16, bands = 4, rows = 4,
+        threshold = 0.8, maxBucketSize = Int.MaxValue)
+      ConnectedComponents.dedupAssign(
+          docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE sets AS (
+        SELECT doc_id AS id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS sset
+        FROM documents WHERE doc_id <= 300),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets WHERE len(sset) > 0),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b),
+      pairs AS (
+        SELECT id_a, id_b FROM verified
+        WHERE inter / (la + lb - inter) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+      SELECT d.doc_id,
+             coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+             count(*) OVER (PARTITION BY coalesce(cc.cluster_id, d.doc_id)) AS cluster_size,
+             CASE WHEN coalesce(cc.cluster_id, d.doc_id) = d.doc_id
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+      WHERE d.doc_id <= 300
+      ORDER BY d.doc_id"""))
+
+  override val entries: Seq[QueryDef] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q82)
 }
