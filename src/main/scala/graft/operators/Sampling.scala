@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deterministic sampling for training-data pipelines: Bernoulli
+  * subsampling, train/val/test splits, and per-source mixture weighting,
+  * all driven by one 60-bit hash coordinate per row.
+  *
+  * Why hash-based instead of `df.sample()`: at 100 TB a sample must be
+  *  - REPRODUCIBLE: membership is a pure function of (salt, id) — the
+  *    same rows are selected on every run, any cluster size, any
+  *    partitioning, any engine (the md5 coordinate replays in SQL — q83
+  *    hash-verifies per-row membership against DuckDB);
+  *  - SHUFFLE-FREE: a filter/projection, so it composes with column
+  *    pruning and predicate pushdown and costs one map pass;
+  *  - CONSISTENT ACROSS TABLES: sampling two tables by the same key and
+  *    salt keeps them join-compatible (the classic "sample the users,
+  *    not the events" problem);
+  *  - STRATIFIABLE: per-stratum rates (deduplication-aware source
+  *    weighting à la training-mixture recipes) are a literal when-chain
+  *    over a bounded config map — no join, nothing broadcast.
+  *
+  * Rows are kept when `h60(salt|id) < rate·2^60`; thresholds are
+  * computed once, driver-side, as long literals, so the per-row test is
+  * a single integer compare with no floating-point row-side arithmetic.
+  *
+  * The reference has no sampling (rtdl ingests everything); extension
+  * surface per the LLM-pipeline mandate.
+  */
+object Sampling {
+
+  private val Two60: Long = 1L << 60
+
+  /** The row's sampling coordinate: uniform in [0, 2^60). Distinct
+    * `salt`s give independent coordinates (split vs subsample decisions
+    * must not correlate). */
+  def coord(id: Column, salt: String): Column =
+    TextFunctions.h60(concat_ws("|", lit(salt), id.cast("string")))
+
+  /** `rate·2^60` as the integer keep-threshold (rate 1.0 keeps all). */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) Two60 else (rate * Two60.toDouble).toLong
+  }
+
+  /** Deterministic Bernoulli sample at `rate`. */
+  def sample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(coord(col(idCol), salt) < lit(threshold(rate)))
+
+  /** Deterministic split assignment (train/val/test and the like): adds
+    * `asCol` with the first name whose cumulative fraction bucket holds
+    * the row's coordinate. `fractions` must sum to 1 (±1e-9); every row
+    * gets exactly one split, rows never migrate between splits when
+    * OTHER fractions change only downstream of their bucket. */
+  def split(df: DataFrame, idCol: String, fractions: Seq[(String, Double)],
+      salt: String = "graft", asCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val c = coord(col(idCol), salt)
+    // cumulative thresholds, left fold in declaration order — the oracle
+    // must accumulate in the same order for bit-identical boundaries
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail.map(threshold)
+    val assigned = fractions.zip(cuts).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((nameCut, cut), els) =>
+        when(c < lit(cut), lit(nameCut._1)).otherwise(els)
+      }
+    df.withColumn(asCol, assigned)
+  }
+
+  /** Mixture weighting: keep each row with its stratum's rate (strata
+    * absent from `rates` fall back to `defaultRate`). The bounded rates
+    * map folds into a literal when-chain — per-row cost is one string
+    * compare chain plus one integer compare; no join, no shuffle. */
+  def mixture(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft-mix", keepCol: String = ""): DataFrame = {
+    val c = coord(col(idCol), salt)
+    val thr = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(threshold(defaultRate)): Column) { case (els, (s, r)) =>
+        when(col(strataCol) === lit(s), lit(threshold(r))).otherwise(els)
+      }
+    if (keepCol.isEmpty) df.filter(c < thr)
+    else df.withColumn(keepCol, (c < thr).cast("int"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split / mixture-weighting surface (see
+  * operators/Sampling.scala). Membership is a pure function of
+  * (salt, id) via the md5-derived 60-bit coordinate, so the oracle
+  * replays EXACT per-row membership — both engines agree on every kept
+  * and dropped row, not just on aggregate rates. Thresholds are long
+  * literals computed driver-side with the same IEEE accumulation order
+  * spelled out in the SQL. */
+object SamplingQueries extends QueryModule {
+
+  /** Train/val/test split (0.8/0.1/0.1) + per-language mixture rates
+    * over the full documents table: the two decisions use independent
+    * salts so split and keep don't correlate. Shuffle-free: one scan,
+    * filter/projection only (the final orderBy is presentation). */
+  private val q83 = QueryDef(
+    "q83_sample_split_mixture",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val withSplit = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Sampling.mixture(withSplit, "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.75, "zh" -> 1.0),
+          defaultRate = 0.1, keepCol = "kept")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h,
+          ('0x' || substr(md5('graft-mix|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS hm
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN h < 922337203685477632 THEN 'train'
+             WHEN h < 1037629354146162304 THEN 'val'
+             ELSE 'test' END AS split,
+        CASE WHEN hm < (CASE lang
+              WHEN 'en' THEN 576460752303423488
+              WHEN 'es' THEN 288230376151711744
+              WHEN 'fr' THEN 864691128455135232
+              WHEN 'zh' THEN 1152921504606846976
+              ELSE 115292150460684704 END)
+             THEN 1 ELSE 0 END AS kept
+      FROM c
+      ORDER BY doc_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q83)
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("sample rate is honored within binomial tolerance, and is exact-reproducible") {
+    val n = 20000
+    val kept = Sampling.sample(ids(n), "id", 0.3).as[Long].collect().toSet
+    // 4σ tolerance for Binomial(20000, .3)
+    val sigma = math.sqrt(n * 0.3 * 0.7)
+    assert(math.abs(kept.size - n * 0.3) < 4 * sigma,
+      s"kept ${kept.size} of $n at rate 0.3")
+    val again = Sampling.sample(ids(n), "id", 0.3).as[Long].collect().toSet
+    assert(again == kept, "same salt+rate must select identical rows")
+  }
+
+  test("membership is partitioning-independent and monotone in rate") {
+    val df = ids(5000)
+    val base = Sampling.sample(df, "id", 0.2).as[Long].collect().toSet
+    val shuffled = Sampling.sample(df.repartition(17, col("id")), "id", 0.2)
+      .as[Long].collect().toSet
+    assert(shuffled == base, "partitioning must not change membership")
+    val wider = Sampling.sample(df, "id", 0.5).as[Long].collect().toSet
+    assert(base.subsetOf(wider),
+      "raising the rate must only ADD rows (nested samples)")
+  }
+
+  test("same key+salt samples two tables join-consistently") {
+    val users = ids(3000).withColumnRenamed("id", "user_id")
+    val events = ids(3000).withColumnRenamed("id", "user_id")
+      .withColumn("payload", col("user_id") * 2)
+    val u = Sampling.sample(users, "user_id", 0.25, salt = "u")
+      .as[Long].collect().toSet
+    val e = Sampling.sample(events, "user_id", 0.25, salt = "u")
+      .select($"user_id").as[Long].collect().toSet
+    assert(u == e, "sampling by the same key+salt must keep the same keys")
+  }
+
+  test("split: exhaustive, exclusive, close to requested fractions") {
+    val n = 20000
+    val out = Sampling.split(ids(n), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.sum == n, "every row lands in exactly one split")
+    assert(math.abs(out("train") - n * 0.8) < 4 * math.sqrt(n * 0.8 * 0.2))
+    assert(math.abs(out("val") - n * 0.1) < 4 * math.sqrt(n * 0.1 * 0.9))
+  }
+
+  test("mixture: per-stratum rates, default applies to unlisted strata") {
+    val n = 6000
+    val df = ids(n).withColumn("src",
+      concat(lit("s"), (col("id") % 3).cast("string")))
+    val out = Sampling.mixture(df, "id", "src",
+        Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out.getOrElse("s0", 0L) == n / 3, "rate 1.0 keeps every row")
+    assert(!out.contains("s1"), "rate 0.0 keeps none")
+    val s2 = out.getOrElse("s2", 0L).toDouble
+    assert(math.abs(s2 - n / 3 * 0.5) < 4 * math.sqrt(n / 3 * 0.25))
+  }
+
+  test("sampling plan is a pure scan+filter: no shuffle introduced") {
+    val plan = Sampling.sample(ids(100), "id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+  }
+}
