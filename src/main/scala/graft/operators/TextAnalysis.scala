@@ -116,6 +116,45 @@ object TextAnalysis {
     }
   }
 
+  /** TF-IDF top-`topK` terms per document (classic idf = ln(N/df)).
+    *
+    * Dataflow at 100 TB: explode to narrow (doc, term) rows — document
+    * text never travels further; tf = one groupBy(doc, term) shuffle;
+    * document frequency = one groupBy(term) over the ALREADY per-doc-
+    * distinct tf table (partial aggs map-side both times); N arrives as
+    * a broadcast 1-row cross join (no driver-side collect); the final
+    * top-k is a per-doc window over ≤|vocab ∩ doc| rows. Skewed terms
+    * (stopwords) only ever aggregate — they never join-explode.
+    *
+    * Ranking ties: scores are ranked on their HALF-UP-6 rounding with
+    * `term` as tiebreak, so mathematically-equal scores reached by
+    * different (tf, df) arithmetic (e.g. 2·ln4 vs 4·ln2) order
+    * identically in any engine regardless of last-ulp ln differences —
+    * the property the q84 oracle hash-compare rests on. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val halfUp6: Column => Column =
+      c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score6").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score6", halfUp6(
+        col("tf") * log(col("n_docs").cast("double") / col("dfreq").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("dfreq"),
+        col("score6"), col("rn"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash character
     * k-grams, take the min hash of every sliding window of `w` k-gram
     * hashes, distinct. Returns an array<bigint> per document. */

@@ -293,5 +293,42 @@ object TextQueries extends QueryModule {
       FROM n LEFT JOIN heavy h USING (lang)
       ORDER BY n.lang NULLS FIRST"""))
 
-  override val entries: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q81)
+  /** TF-IDF top-3 terms per document over the whole corpus. Both
+    * engines rank on the half-up-6 rounded score with term tiebreak, so
+    * the comparison is immune to last-ulp ln() differences (see
+    * TextAnalysis.tfidf). */
+  private val q84 = QueryDef(
+    "q84_tfidf_top_terms",
+    (s, d) => {
+      graft.operators.TextAnalysis
+        .tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> length(x) > 0)) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      dfreq AS (
+        SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.dfreq,
+               floor(t.tf * ln(nd.n_docs::DOUBLE / d.dfreq::DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS score6
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd),
+      ranked AS (
+        SELECT doc_id, term, tf, dfreq, score6,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score6 DESC, term ASC) AS rn
+        FROM scored)
+      SELECT doc_id, term, tf, dfreq, score6, rn
+      FROM ranked WHERE rn <= 3
+      ORDER BY doc_id, rn"""))
+
+  override val entries: Seq[QueryDef] =
+    Seq(q60, q61, q62, q63, q64, q65, q81, q84)
 }

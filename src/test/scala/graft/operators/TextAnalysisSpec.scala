@@ -55,4 +55,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlap12.nonEmpty)
     assert(overlap13.isEmpty)
   }
+
+  test("tfidf: corpus-wide terms score zero, rare terms rank top, k respected") {
+    // 'common' is in all 4 docs (idf=ln(1)=0); each doc has one unique term
+    val docs = Seq(
+      (1L, "common alpha alpha shared"),
+      (2L, "common beta shared shared"),
+      (3L, "common gamma gamma gamma"),
+      (4L, "common delta")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", topK = 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 2), "topK must cap per-doc rows")
+    // rank-1 per doc; doc 2 is the engineered tie: beta = 1·ln4 equals
+    // shared = 2·ln2 exactly, so the rounded-score + term-asc rule must
+    // pick 'beta' deterministically
+    val top1 = out.filter(_._6 == 1).map(r => r._1 -> r._2).toMap
+    assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma", 4L -> "delta"))
+    // 'common' appears in every doc → idf 0 → score6 exactly 0.0
+    assert(out.filter(_._2 == "common").forall(_._5 == 0.0))
+  }
 }
