@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/test contamination detection (decontamination): find evaluation
+  * documents whose content overlaps training documents — the check every
+  * LLM training pipeline runs before a split ships, and the reason
+  * winnowing fingerprints ([[TextAnalysis.winnow]], Schleimer et al.
+  * SIGMOD'03) exist in this engine: matching fingerprint sets detect
+  * shared passages, not just whole-document duplicates.
+  *
+  * Dataflow at 100 TB: documents collapse to narrow (fingerprint,
+  * doc_id, split) rows the moment winnowing runs (text never shuffles);
+  * boilerplate fingerprints are df-pruned (a fingerprint present in
+  * > `maxDf` documents — headers, licenses — generates |df|² candidate
+  * pairs and no signal, the same pruning as n-gram Jaccard dedup); the
+  * test↔train match is an inverted-index equi-join on the fingerprint,
+  * so candidate pairs are |posting list|², never |test|·|train|; pair
+  * aggregation and the per-test-doc rollup shuffle only (id, id, count)
+  * rows.
+  */
+object Contamination {
+
+  /** Per-test-document contamination summary.
+    *
+    * `df` must carry `splitCol` (e.g. from [[Sampling.split]]). Returns
+    * one row per test document sharing ≥ `minShared` winnowing
+    * fingerprints with ≥ 1 train document: (test_id, n_train_docs,
+    * max_shared, sum_shared). A clean split returns zero rows.
+    */
+  def detect(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainName: String = "train", testName: String = "test",
+      minShared: Int = 2, maxDf: Int = 50, k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = df
+      .repartition(col(idCol))
+      .select(col(idCol).cast("long").as("doc_id"), col(splitCol).as("split"),
+        explode(TextAnalysis.winnow(col(textCol), k, w)).as("f"))
+    val pruned = fps.groupBy(col("f")).agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf)
+      .select(col("f"))
+    val indexed = fps.join(pruned, Seq("f"))
+    val test = indexed.filter(col("split") === lit(testName))
+      .select(col("f"), col("doc_id").as("test_id"))
+    val train = indexed.filter(col("split") === lit(trainName))
+      .select(col("f"), col("doc_id").as("train_id"))
+    test.join(train, Seq("f"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("sum_shared"))
+  }
+}

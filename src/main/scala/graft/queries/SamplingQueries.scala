@@ -48,5 +48,59 @@ object SamplingQueries extends QueryModule {
       FROM c
       ORDER BY doc_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q83)
+  /** Decontamination: test-split documents sharing ≥2 winnowing
+    * fingerprints with train-split documents, per-test-doc rollup.
+    * Composes the deterministic split (q83's thresholds) with passage
+    * fingerprints (q63's winnowing) — both replayed identically in the
+    * oracle, so the contamination REPORT itself is verified: every
+    * (test doc, #train contacts, max/sum shared) row hash-matches. */
+  private val q85 = QueryDef(
+    "q85_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withSplit = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      graft.operators.Contamination
+        .detect(withSplit, "doc_id", "text", "split",
+          minShared = 2, maxDf = 50, k = 8, w = 4)
+        .orderBy(col("test_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7),
+                 i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT::BIGINT) AS grams
+        FROM documents),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 922337203685477632 THEN 'train'
+                    WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 1037629354146162304 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+      pruned AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 50),
+      fps AS (
+        SELECT fp.doc_id, fp.f, sp.split
+        FROM fp JOIN sp USING (doc_id) JOIN pruned USING (f)),
+      pairs AS (
+        SELECT te.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS shared
+        FROM fps te JOIN fps tr ON te.f = tr.f
+        WHERE te.split = 'test' AND tr.split = 'train'
+        GROUP BY te.doc_id, tr.doc_id
+        HAVING count(*) >= 2)
+      SELECT test_id, count(*) AS n_train_docs,
+             max(shared) AS max_shared, sum(shared)::BIGINT AS sum_shared
+      FROM pairs GROUP BY test_id
+      ORDER BY test_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q83, q85)
 }
