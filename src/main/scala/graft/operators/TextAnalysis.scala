@@ -116,6 +116,41 @@ object TextAnalysis {
     }
   }
 
+  /** Token-window chunking: split each document into fixed-size token
+    * chunks of `chunkSize` with `stride` (overlap = chunkSize−stride) —
+    * the sequence-construction step before packing training context
+    * windows, and the unit of passage-level retrieval indexes.
+    *
+    * Chunk starts are 0, stride, 2·stride, …; the last chunk may be
+    * shorter but every token is covered and no chunk is empty. Entirely
+    * per-row codegen'd expression work (tokenize once via `once`, then
+    * one `transform` + `explode`): no shuffle, no UDF; at 100 TB chunking
+    * is a map pass whose output is (doc_id, chunk_id, tokens) rows ready
+    * for downstream embed/pack stages. Returns (doc_id, chunk_id,
+    * n_tokens, chunk_hash) with the md5 content hash standing in for the
+    * chunk payload so verification never ships token arrays. */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(once(tokens(col(textCol))) { t =>
+          val n = size(t)
+          val lastIdx = floor(
+            (greatest(n - lit(chunkSize), lit(0)) + lit(stride - 1)) /
+              lit(stride.toDouble)).cast("int")
+          when(n > lit(0),
+            transform(sequence(lit(0), lastIdx), i =>
+              struct(i.as("chunk_id"),
+                slice(t, i * lit(stride) + lit(1), lit(chunkSize)).as("toks"))))
+            .otherwise(array().cast("array<struct<chunk_id:int,toks:array<string>>>"))
+        }).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(col("c.toks")).as("n_tokens"),
+        md5(concat_ws(" ", col("c.toks"))).as("chunk_hash"))
+  }
+
   /** TF-IDF top-`topK` terms per document (classic idf = ln(N/df)).
     *
     * Dataflow at 100 TB: explode to narrow (doc, term) rows — document

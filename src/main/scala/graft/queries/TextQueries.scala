@@ -329,6 +329,34 @@ object TextQueries extends QueryModule {
       FROM ranked WHERE rn <= 3
       ORDER BY doc_id, rn"""))
 
+  /** Token-window chunking (64-token windows, stride 48) over the whole
+    * corpus; the md5 content hash verifies every chunk's exact token
+    * payload without shipping token arrays through the gate. */
+  private val q86 = QueryDef(
+    "q86_token_chunks",
+    (s, d) => {
+      graft.operators.TextAnalysis
+        .chunks(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents),
+      ch AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0,
+                 ((CASE WHEN len(t) > 64 THEN len(t) - 64 ELSE 0 END) + 47) // 48)) AS chunk_id
+        FROM toks WHERE len(t) > 0)
+      SELECT doc_id, chunk_id,
+             len(t[chunk_id*48+1 : chunk_id*48+64]) AS n_tokens,
+             md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_hash
+      FROM ch
+      ORDER BY doc_id, chunk_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q81, q84)
+    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86)
 }

@@ -75,4 +75,29 @@ class TextAnalysisSpec extends SparkSpec {
     // 'common' appears in every doc → idf 0 → score6 exactly 0.0
     assert(out.filter(_._2 == "common").forall(_._5 == 0.0))
   }
+
+  test("chunks: coverage, overlap, short tails, and degenerate docs") {
+    val text150 = (1 to 150).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text150),            // 150 tokens → chunks at 0,48,96 → sizes 64,64,54
+      (2L, "just five little tokens here"), // single short chunk
+      (3L, ""),                 // no tokens → no chunks
+      (4L, (1 to 64).map(i => s"t$i").mkString(" "))) // exactly one full chunk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunks(docs, "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .as[(Long, Int, Int, String)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._3).toSeq == Seq(64, 64, 54))
+    assert(byDoc(2L).map(_._3).toSeq == Seq(5))
+    assert(!byDoc.contains(3L), "empty docs produce no chunks")
+    assert(byDoc(4L).map(_._3).toSeq == Seq(64), "exact fit → exactly one chunk")
+    // chunk ids are dense from 0
+    assert(byDoc(1L).map(_._2).toSeq == Seq(0, 1, 2))
+    // overlap: chunk 1 of doc 1 starts at token 49 (stride 48)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest((49 to 112).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byDoc(1L)(1)._4 == h, "chunk 1 content must be tokens 49..112")
+  }
 }
