@@ -168,3 +168,32 @@ object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Doubl
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Element-wise vector mean — the aggregation kernel of k-means centroid
+  * updates and cluster summaries over embedding columns. Mergeable
+  * (sum[d], count) buffer: map-side partial aggregation reduces each
+  * partition's vectors locally, so the exchange carries O(groups·d)
+  * state, never the vectors (at 100 TB the shuffle is K centroids wide,
+  * not corpus wide). Empty groups finish as an empty array. */
+final case class VecMean(dims: Int)
+    extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+  override def zero: (Array[Double], Long) = (new Array[Double](dims), 0L)
+  override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+    require(v.length == dims, s"expected $dims dims, got ${v.length}")
+    var i = 0
+    while (i < dims) { b._1(i) += v(i); i += 1 }
+    (b._1, b._2 + 1L)
+  }
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    var i = 0
+    while (i < dims) { a._1(i) += b._1(i); i += 1 }
+    (a._1, a._2 + b._2)
+  }
+  override def finish(b: (Array[Double], Long)): Seq[Double] =
+    if (b._2 == 0L) Seq.empty
+    else { val n = b._2.toDouble; b._1.iterator.map(_ / n).toSeq }
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -103,28 +103,53 @@ object Similarity {
     * doubles) baked into the plan as literals, so corpus assignment is a
     * SHUFFLE-FREE projection; the only exchange is the bucket-keyed
     * probe join. Deterministic end-to-end → DuckDB-replayable (q52). */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+  /** The deterministic IVF codebook: the `nCentroids` corpus vectors
+    * with the smallest md5-derived id hash (bounded driver-side
+    * metadata, K×d doubles). */
+  private def codebook(normalizedCorpus: DataFrame,
+      nCentroids: Int): Seq[(Long, Array[Double])] = {
     import graft.functions.TextFunctions.h60
-    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
-    val cents: Seq[(Long, Array[Double])] = c
+    normalizedCorpus
       .withColumn("hh", h60(col("corpus_id")))
       .orderBy(col("hh"), col("corpus_id")).limit(nCentroids)
       .select(col("corpus_id"), col("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    // per-row array of (dot, -cid) structs; asc sort then reverse gives
-    // dot DESC with cid ASC on ties (the -cid flips the tie direction)
-    def scoredCentroids(v: Column): Column =
-      array_sort(array(cents.map { case (cid, w) =>
-        struct(dot(v, array(w.map(lit(_)): _*)).as("d"), lit(-cid).as("nc"))
-      }: _*))
+  }
+
+  // per-row array of (dot, -cid) structs; asc sort then reverse gives
+  // dot DESC with cid ASC on ties (the -cid flips the tie direction)
+  private def scoredCentroids(cents: Seq[(Long, Array[Double])],
+      v: Column): Column =
+    array_sort(array(cents.map { case (cid, w) =>
+      struct(dot(v, array(w.map(lit(_)): _*)).as("d"), lit(-cid).as("nc"))
+    }: _*))
+
+  /** Shuffle-free IVF cell assignment: every corpus vector mapped to its
+    * nearest deterministic-codebook centroid as a pure projection
+    * (codebook baked as plan literals). Returns (corpus_id, cv, bucket)
+    * with `cv` unit-normalized — the inverted-list build step of
+    * [[ivfTopK]], exposed for cell-level analytics (centroid summaries
+    * q87, cluster balance checks). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val cents = codebook(c, nCentroids)
+    c.withColumn("bucket",
+      -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))
+  }
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val cents = codebook(c, nCentroids)
     val assigned = c
-      .withColumn("bucket", -element_at(scoredCentroids(col("cv")), -1).getField("nc"))
+      .withColumn("bucket",
+        -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))
     val probes = normalized(queries, idCol, vecCol, "query_id", "qv")
       .withColumn("probe",
-        explode(slice(reverse(scoredCentroids(col("qv"))), 1, nprobe)))
+        explode(slice(reverse(scoredCentroids(cents, col("qv"))), 1, nprobe)))
       .select(col("query_id"), col("qv"), (-col("probe.nc")).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

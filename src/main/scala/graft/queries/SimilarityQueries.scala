@@ -139,5 +139,58 @@ object SimilarityQueries extends QueryModule {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
-  override val entries: Seq[QueryDef] = Seq(q50, q51, q52)
+  /** Per-IVF-cell centroid summaries: cell population + element-wise
+    * mean vector via the mergeable VecMean Aggregator (map-side partial
+    * sums; the exchange carries K×d state, never vectors) over the
+    * shuffle-free ivfAssign projection — the k-means-update /
+    * cluster-summary kernel. Centroid elements are emitted as
+    * half-up-6 scaled integers joined into a string, so cross-engine
+    * comparison never depends on float formatting; DuckDB replays the
+    * codebook, the assignment, and the element-wise means. */
+  private val q87 = QueryDef(
+    "q87_ivf_cell_centroids",
+    (s, d) => {
+      val vm = udaf(graft.functions.VecMean(Tables.embeddingDims))
+      Similarity.ivfAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCentroids = 16)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), vm(col("cv")).as("c"))
+        .select(col("bucket"), col("n"),
+          concat_ws(",", transform(col("c"),
+            x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+            .as("centroid_fp"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      cent AS (
+        SELECT vec_id AS cid, nv AS cv
+        FROM n
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, vec_id
+        LIMIT 16),
+      assign AS (
+        SELECT vec_id, bucket, nv FROM (
+          SELECT n.vec_id, c.cid AS bucket, n.nv,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, cent c) t WHERE rn = 1),
+      ux AS (
+        SELECT bucket, generate_subscripts(nv, 1) AS i, unnest(nv) AS x
+        FROM assign),
+      m AS (
+        SELECT bucket, i,
+               floor(sum(x) / count(*) * 1000000.0 + 0.5)::BIGINT AS e6
+        FROM ux GROUP BY bucket, i),
+      agg AS (
+        SELECT bucket, array_to_string(list(e6 ORDER BY i), ',') AS centroid_fp
+        FROM m GROUP BY bucket),
+      cnt AS (SELECT bucket, count(*) AS n FROM assign GROUP BY bucket)
+      SELECT c.bucket, c.n, a.centroid_fp
+      FROM cnt c JOIN agg a USING (bucket)
+      ORDER BY c.bucket"""))
+
+  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87)
 }
