@@ -14,7 +14,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, Windows, Scalars, IngestQueries,
     CollectionQueries, DedupQueries, SimilarityQueries, TextQueries,
-    MultimodalQueries, TimeSeriesQueries, SamplingQueries)
+    MultimodalQueries, TimeSeriesQueries, SamplingQueries, ProfileQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.Profile
+import org.apache.spark.sql.functions._
+
+/** Table-profiling surface (operators/Profile.scala): ANALYZE-style
+  * per-column statistics, fully deterministic (string-form values,
+  * count ties broken by value asc) so every statistic — including the
+  * modal value — hash-matches the DuckDB replay. */
+object ProfileQueries extends QueryModule {
+
+  /** Profile six lineitem columns (3 low-cardinality strings, 3 key
+    * ints) in one melted scan. */
+  private val q88 = QueryDef(
+    "q88_table_profile",
+    (s, d) => {
+      Profile.columns(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus", "l_partkey",
+            "l_linenumber", "l_suppkey", "l_orderkey"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT 'l_returnflag' AS col_name, l_returnflag::VARCHAR AS value FROM lineitem
+        UNION ALL SELECT 'l_linestatus', l_linestatus::VARCHAR FROM lineitem
+        UNION ALL SELECT 'l_partkey', l_partkey::VARCHAR FROM lineitem
+        UNION ALL SELECT 'l_linenumber', l_linenumber::VARCHAR FROM lineitem
+        UNION ALL SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
+        UNION ALL SELECT 'l_orderkey', l_orderkey::VARCHAR FROM lineitem),
+      stats AS (
+        SELECT col_name, count(*) AS n_rows,
+               count(*) - count(value) AS n_null,
+               count(DISTINCT value) AS n_distinct,
+               min(value) AS min_value, max(value) AS max_value
+        FROM m GROUP BY col_name),
+      top AS (
+        SELECT col_name, value AS top_value, cnt AS top_count FROM (
+          SELECT col_name, value, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY col_name
+                   ORDER BY count(*) DESC, value ASC) AS rn
+          FROM m WHERE value IS NOT NULL
+          GROUP BY col_name, value) t
+        WHERE rn = 1)
+      SELECT s.col_name, s.n_rows, s.n_null, s.n_distinct,
+             s.min_value, s.max_value, t.top_value, t.top_count
+      FROM stats s LEFT JOIN top t USING (col_name)
+      ORDER BY s.col_name"""))
+
+  override val entries: Seq[QueryDef] = Seq(q88)
+}
