@@ -10,42 +10,73 @@ import org.apache.spark.sql.functions._
   * profile before you plan).
   *
   * Shape: columns MELT into narrow (col_name, value) rows via one
-  * explode — a single scan regardless of column count — then two
-  * aggregations: per-column stats (one shuffle keyed by column name,
-  * partial aggs map-side) and the per-column mode (shuffle keyed by
-  * (column, value) — the wide key carries the skew, which is the point:
-  * a hot value aggregates map-side before it travels). Values profile
-  * as strings so one plan serves every column type; numeric-specific
-  * profiling (quantiles) belongs to q76/q79's percentile operators.
+  * explode — a single scan regardless of column count — then ONE
+  * shuffle keyed by (column, value) builds the distinct-value table
+  * (a hot value aggregates map-side before it travels), and every
+  * statistic derives from that table by pure hash aggregation:
+  * n_rows = sum(cnt), n_null = cnt of the null group, n_distinct =
+  * row count (exact distinct as a by-product — no count_distinct
+  * Expand), min/max over the values, and the mode as a two-phase
+  * aggregate (per-column max(cnt), broadcast join back, min(value)
+  * tie-break). There is NO per-column window sort, so a near-key
+  * column (distinct count ~ row count) never funnels into a single
+  * task. Values profile as strings so one plan serves every column
+  * type; numeric-specific profiling (quantiles) belongs to q76/q79's
+  * percentile operators.
   */
 object Profile {
 
   /** Profile `cols` of `df`: one output row per column —
     * (col_name, n_rows, n_null, n_distinct, min_value, max_value,
     * top_value, top_count). `n_distinct` and min/max are over the
-    * string form; the modal value breaks count ties by value asc. */
-  def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * string form; the modal value breaks count ties by value asc.
+    *
+    * `approxDistinct = true` swaps the exact `count_distinct` for
+    * `approx_count_distinct` (HLL++, default rsd) computed straight
+    * off the melted stream — the 100 TB posture when the (col, value)
+    * distinct table itself is too wide to materialize and callers can
+    * also live without an exact mode (the mode still computes here,
+    * from the same counts table as the exact path). Exact remains the
+    * default and the oracle contract (q88). */
+  def columns(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     val melted = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
         .as("kv"))
       .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
-    val stats = melted.groupBy(col("col_name")).agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
-      count_distinct(col("value")).as("n_distinct"),
-      min(col("value")).as("min_value"),
-      max(col("value")).as("max_value"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("col_name"))
-      .orderBy(col("cnt").desc, col("value").asc)
-    val top = melted.filter(col("value").isNotNull)
+    // one wide-key shuffle builds the distinct-value table (nulls kept
+    // as their own group); both the stats and the mode derive from it,
+    // so the exchange is planned once and reused
+    val counts = melted
       .groupBy(col("col_name"), col("value")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("col_name"), col("value").as("top_value"),
-        col("cnt").as("top_count"))
+    val stats =
+      if (approxDistinct)
+        melted.groupBy(col("col_name")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+          approx_count_distinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+      else
+        counts.groupBy(col("col_name")).agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+          // rows of the counts table with a non-null value ARE the
+          // distinct values — exact distinct with no Expand
+          count(col("value")).as("n_distinct"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    // Two-phase mode: per-column max count (tiny: one row per profiled
+    // column, broadcast) → equi-join keeps only the tied winners →
+    // min(value) resolves the tie deterministically. Same result as a
+    // (cnt desc, value asc) window without its single-task sort.
+    val nn = counts.filter(col("value").isNotNull)
+    val maxCnt = nn.groupBy(col("col_name")).agg(max(col("cnt")).as("cnt"))
+    val top = nn.join(broadcast(maxCnt), Seq("col_name", "cnt"))
+      .groupBy(col("col_name"))
+      .agg(min(col("value")).as("top_value"), max(col("cnt")).as("top_count"))
     stats.join(top, Seq("col_name"), "left")
   }
 }

@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"langId explodes:\n${p.take(2000)}")
   }
 
+  test("q88: profiler's modal value is aggregate-only — no Window in the plan") {
+    // a row_number window partitioned by col_name would funnel every
+    // distinct value of a near-key column into ONE task; the two-phase
+    // aggregate mode must keep the plan window-free
+    val p = planOf("q88_table_profile")
+    assert(!p.contains("Window"), s"q88 still plans a window:\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p.take(3000))
+  }
+
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

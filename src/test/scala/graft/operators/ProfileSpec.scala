@@ -20,6 +20,18 @@ class ProfileSpec extends SparkSpec {
     assert(v == (("v", 5L, 0L, 3L, "10", "30", "10", 2L)))
   }
 
+  test("profile: approxDistinct swaps in the HLL sketch, other stats unchanged") {
+    val df = (1 to 1000).map(i => (i, s"v${i % 97}")).toDF("id", "s")
+    val exact = Profile.columns(df, Seq("s")).collect().head
+    val approx = Profile.columns(df, Seq("s"), approxDistinct = true)
+      .collect().head
+    assert(exact.getLong(3) == 97L)
+    // HLL++ default rsd is 5%; 97 distincts should land well inside it
+    assert(math.abs(approx.getLong(3) - 97L) <= 10L, approx.getLong(3))
+    // every non-sketch statistic must be identical between the modes
+    assert(Seq(0, 1, 2, 4, 5, 6, 7).forall(i => exact.get(i) == approx.get(i)))
+  }
+
   test("profile: an all-null column keeps its stats row, mode is null") {
     val df = Seq((1, Option.empty[String]), (2, None)).toDF("id", "s")
     val rows = Profile.columns(df, Seq("s")).collect()
