@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * shared passages, not just whole-document duplicates.
   *
   * Dataflow at 100 TB: documents collapse to narrow (fingerprint,
-  * doc_id, split) rows the moment winnowing runs (text never shuffles);
+  * doc_id, split) rows the moment winnowing runs — text never shuffles
+  * (input splits parallelize the winnowing pass; `minParallelism`
+  * ([[Spread]]) is the local few-files escape hatch);
   * boilerplate fingerprints are df-pruned (a fingerprint present in
   * > `maxDf` documents — headers, licenses — generates |df|² candidate
   * pairs and no signal, the same pruning as n-gram Jaccard dedup); the
@@ -32,14 +34,14 @@ object Contamination {
   def detect(df: DataFrame, idCol: String, textCol: String,
       splitCol: String, trainName: String = "train", testName: String = "test",
       minShared: Int = 2, maxDf: Int = 50, k: Int = 8, w: Int = 4,
-      index: IndexStore = IndexStore.default): DataFrame = {
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0): DataFrame = {
     // the fingerprint index feeds three consumers (df-count, test side,
     // train side); without persistence the O(n·w) winnowing pass runs
     // three times — measured 7.2s → 2.5s at sf0.1 with the index stored.
     // IndexStore.Path is the 100 TB posture (corpus-sized index on disk,
     // reusable across splits), Memory the interactive default.
-    val fps = IndexStore.persist(df
-      .repartition(col(idCol))
+    val fps = IndexStore.persist(Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol).cast("long").as("doc_id"), col(splitCol).as("split"),
         explode(TextAnalysis.winnow(col(textCol), k, w)).as("f")), index)
     val pruned = fps.groupBy(col("f")).agg(count(lit(1)).as("df_count"))

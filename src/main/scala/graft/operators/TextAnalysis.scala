@@ -126,14 +126,17 @@ object TextAnalysis {
     * per-row codegen'd expression work (tokenize once via `once`, then
     * one `transform` + `explode`): no shuffle, no UDF; at 100 TB chunking
     * is a map pass whose output is (doc_id, chunk_id, tokens) rows ready
-    * for downstream embed/pack stages. Returns (doc_id, chunk_id,
-    * n_tokens, chunk_hash) with the md5 content hash standing in for the
-    * chunk payload so verification never ships token arrays. */
+    * for downstream embed/pack stages — input splits provide the
+    * parallelism, `minParallelism` ([[Spread]]) exists only for the
+    * local few-files case. Returns (doc_id, chunk_id, n_tokens,
+    * chunk_hash) with the md5 content hash standing in for the chunk
+    * payload so verification never ships token arrays. */
   def chunks(df: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+      chunkSize: Int = 64, stride: Int = 48,
+      minParallelism: Int = 0): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
-    df.repartition(col(idCol))
+    Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol).as("doc_id"),
         explode(once(tokens(col(textCol))) { t =>
           val n = size(t)
@@ -154,7 +157,9 @@ object TextAnalysis {
   /** TF-IDF top-`topK` terms per document (classic idf = ln(N/df)).
     *
     * Dataflow at 100 TB: explode to narrow (doc, term) rows — document
-    * text never travels further; tf = one groupBy(doc, term) shuffle;
+    * text never travels (the scan's input splits parallelize the
+    * tokenize pass; `minParallelism` ([[Spread]]) is the local
+    * few-files escape hatch); tf = one groupBy(doc, term) shuffle;
     * document frequency = one groupBy(term) over the ALREADY per-doc-
     * distinct tf table (partial aggs map-side both times); N arrives as
     * a broadcast 1-row cross join (no driver-side collect); the final
@@ -167,10 +172,10 @@ object TextAnalysis {
     * identically in any engine regardless of last-ulp ln differences —
     * the property the q84 oracle hash-compare rests on. */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
-      topK: Int = 3): DataFrame = {
+      topK: Int = 3, minParallelism: Int = 0): DataFrame = {
     val halfUp6: Column => Column =
       c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    val toks = df.repartition(col(idCol))
+    val toks = Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol).as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))

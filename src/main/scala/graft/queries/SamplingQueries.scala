@@ -62,7 +62,8 @@ object SamplingQueries extends QueryModule {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       graft.operators.Contamination
         .detect(withSplit, "doc_id", "text", "split",
-          minShared = 2, maxDf = 50, k = 8, w = 4)
+          minShared = 2, maxDf = 50, k = 8, w = 4,
+          minParallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("test_id"))
     },
     Some("""

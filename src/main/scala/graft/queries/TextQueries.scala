@@ -301,7 +301,8 @@ object TextQueries extends QueryModule {
     "q84_tfidf_top_terms",
     (s, d) => {
       graft.operators.TextAnalysis
-        .tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3)
+        .tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3,
+          minParallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("doc_id"), col("rn"))
     },
     Some("""
@@ -337,7 +338,8 @@ object TextQueries extends QueryModule {
     (s, d) => {
       graft.operators.TextAnalysis
         .chunks(Tables.documents(s, d), "doc_id", "text",
-          chunkSize = 64, stride = 48)
+          chunkSize = 64, stride = 48,
+          minParallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("doc_id"), col("chunk_id"))
     },
     Some("""

@@ -163,6 +163,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"langId explodes:\n${p.take(2000)}")
   }
 
+  test("chunking/tfidf/contamination: raw text does not shuffle by default") {
+    // minParallelism defaults to 0 = never repartition: on a cluster the
+    // scan's input splits parallelize the per-row pass, and an exchange
+    // would ship the full document payload for nothing. chunks is a pure
+    // map pass (zero Exchange anywhere); tfidf/contamination shuffle only
+    // AFTER text collapses to narrow rows, so their first (deepest)
+    // exchange input must not carry the text column.
+    val docs = Tables.documents(spark, sf)
+    val chunked = graft.operators.TextAnalysis.chunks(docs, "doc_id", "text")
+    val cp = chunked.queryExecution.executedPlan.toString
+    assert(!cp.contains("Exchange"), s"chunks shuffles:\n${cp.take(2000)}")
+    val tfidf = graft.operators.TextAnalysis.tfidf(docs, "doc_id", "text")
+    val root = tfidf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // AQE wraps the plan in a leaf; unwrap to traverse
+      case p => p
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.child.schema.fieldNames.contains("text")),
+      "tfidf shuffles raw text")
+  }
+
   test("q88: profiler's modal value is aggregate-only — no Window in the plan") {
     // a row_number window partitioned by col_name would funnel every
     // distinct value of a near-key column into ONE task; the two-phase
