@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: state per round is ONE narrow (id, label) table and
   * the (src, dst) edge list — both shuffled on their join keys only,
-  * never any document payload. Each round ends in `localCheckpoint`,
-  * truncating lineage so the plan does not grow with iterations (at
-  * cluster scale swap for reliable `checkpoint` against the checkpoint
-  * dir — same call shape, driver-restart-safe). Convergence detection
-  * is free: labels only ever decrease, so `sum(label)` is strictly
-  * monotone until the fixpoint — one scalar aggregate per round, no
-  * change-join.
+  * never any document payload. Each round ends in a checkpoint,
+  * truncating lineage so the plan does not grow with iterations:
+  * `localCheckpoint` by default (fast, executor-local blocks), or the
+  * reliable `checkpoint` against the session checkpoint dir when
+  * `reliable = true` — the cluster posture, where losing an executor
+  * (or the driver) must not lose round state. Convergence detection is
+  * free: labels only ever decrease, so `sum(label)` is strictly
+  * monotone until the fixpoint — one scalar aggregate per round over
+  * decimal(38,0), so the witness cannot overflow even at full-range
+  * 64-bit ids times billions of nodes.
   *
   * The reference has no dedup at all (rtdl is ingestion-only); this is
   * part of the LLM-pipeline extension surface.
@@ -41,21 +44,28 @@ object ConnectedComponents {
     * `(id: long, cluster_id: long)` where `cluster_id` is the MINIMUM
     * node id of the component — a deterministic canonical representative,
     * which is exactly the "keep the smallest doc_id" dedup convention of
-    * [[Dedup.exact]]. */
+    * [[Dedup.exact]].
+    *
+    * `reliable = true` swaps every per-round `localCheckpoint` for a
+    * reliable `checkpoint` to the session checkpoint dir
+    * (`sparkContext.setCheckpointDir` must have been called) — survives
+    * executor AND driver loss mid-iteration, the posture for multi-hour
+    * corpus-scale runs. */
   def clusters(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
+    if (reliable) require(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs sparkContext.setCheckpointDir(...) first")
     val half = pairs.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val edges = half
+    val edges = truncate(half
       .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), reliable)
 
-    var labels = edges.select(col("src").as("id"))
+    var labels = truncate(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .withColumn("label", col("id")), reliable)
     var prevSum = checksum(labels)
     var iter = 0
     var converged = edges.isEmpty
@@ -70,13 +80,12 @@ object ConnectedComponents {
         .agg(min(col("label")).as("label"))
       // 2. pointer jump: label'(v) = label(label(v)) — compress chains
       val jump = folded.toDF("jkey", "jlabel")
-      val next = folded.withColumnRenamed("label", "jkey")
+      val next = truncate(folded.withColumnRenamed("label", "jkey")
         .join(jump, Seq("jkey"), "left")
         .select(col("id"),
-          coalesce(col("jlabel"), col("jkey")).as("label"))
-        .localCheckpoint()
+          coalesce(col("jlabel"), col("jkey")).as("label")), reliable)
       val s = checksum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
@@ -84,10 +93,18 @@ object ConnectedComponents {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Per-round lineage truncation: executor-local blocks by default,
+    * reliable checkpoint-dir files for cluster runs. */
+  private def truncate(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
   /** Monotone fixpoint witness: labels only decrease, so equal sums
-    * between rounds ⟺ no label changed. */
-  private def checksum(labels: DataFrame): Long =
-    labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    * between rounds ⟺ no label changed. Summed as decimal(38,0) — a
+    * Long sum could in principle wrap to a colliding value at extreme
+    * id ranges × node counts. */
+  private def checksum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
 
   /** Full dedup decision for a document table given its near-dup pairs:
     * every row of `df` gets `cluster_id` (its own id when unpaired — a
@@ -95,8 +112,9 @@ object ConnectedComponents {
     * canonical (min-id) row. Narrow left join on the id — document
     * payloads never enter the component computation. */
   def dedupAssign(df: DataFrame, idCol: String, pairs: DataFrame,
-      srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
-    val cc = clusters(pairs, srcCol, dstCol, maxIter)
+      srcCol: String, dstCol: String, maxIter: Int = 25,
+      reliable: Boolean = false): DataFrame = {
+    val cc = clusters(pairs, srcCol, dstCol, maxIter, reliable)
       .toDF("__cc_id", "cluster_id")
     val idL: Column = col(idCol).cast("long")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))

@@ -59,6 +59,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "cluster_id") && out.isEmpty)
   }
 
+  test("reliable=true without a checkpoint dir fails fast, not mid-round") {
+    // registered BEFORE the checkpoint-dir test: a session's checkpoint
+    // dir cannot be unset once set
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val ex = intercept[IllegalArgumentException] {
+        ConnectedComponents.clusters(
+          Seq((1L, 2L)).toDF("a", "b"), "a", "b", reliable = true)
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+    }
+  }
+
+  test("reliable=true: checkpoint-dir session yields identical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val saved = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val rnd = new Random(7)
+      val pairs = Seq.fill(150)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      val fast = run(pairs)
+      val durable = ConnectedComponents
+        .clusters(pairs.toDF("a", "b"), "a", "b", maxIter = 25, reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(durable == fast && durable == ufClusters(pairs))
+      // the reliable run actually wrote round state to the checkpoint dir
+      val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile)
+        .count()
+      assert(wrote > 0, "reliable=true never touched the checkpoint dir")
+    } finally {
+      saved.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("dedupAssign: singletons kept, one keeper per cluster, sizes right") {
     val docs = (1L to 8L).toDF("doc_id")
     val pairs = Seq((3L, 1L), (1L, 7L), (5L, 6L)).toDF("a", "b")
