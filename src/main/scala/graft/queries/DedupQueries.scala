@@ -334,6 +334,84 @@ object DedupQueries extends QueryModule {
       WHERE d.doc_id <= 300
       ORDER BY d.doc_id"""))
 
+  /** The COMPLETE dedup pipeline a training run executes, end to end:
+    * MinHash-LSH pairs (q43) → connected-component clusters (q82) →
+    * keep/drop → the duplicates are ACTUALLY DROPPED and a downstream
+    * per-source aggregate runs over the deduped corpus. Scale shape:
+    * the keep decision is computed over narrow (id) rows only —
+    * document payloads meet the decision in ONE equi-join at the end,
+    * then aggregate. The oracle replays every stage (LSH, recursive-CTE
+    * closure, drop, aggregate), so the numbers a user would train on
+    * are what is verified. */
+  private val q89 = QueryDef(
+    "q89_dedup_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 1, numHashes = 16, bands = 4, rows = 4,
+        threshold = 0.8, maxBucketSize = Int.MaxValue)
+      val decision = ConnectedComponents.dedupAssign(
+          docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("keep"))
+      docs.join(decision, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_raw"),
+          sum(col("keep")).as("n_docs_kept"),
+          sum(when(col("keep") === 1, length(col("text"))).otherwise(0L))
+            .as("n_chars_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH RECURSIVE sets AS (
+        SELECT doc_id AS id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS sset
+        FROM documents WHERE doc_id <= 300),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets WHERE len(sset) > 0),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b),
+      pairs AS (
+        SELECT id_a, id_b FROM verified
+        WHERE inter / (la + lb - inter) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      decided AS (
+        SELECT d.source, d.text,
+               CASE WHEN coalesce(cc.cluster_id, d.doc_id) = d.doc_id
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+        WHERE d.doc_id <= 300)
+      SELECT source,
+             count(*) AS n_docs_raw,
+             sum(keep)::BIGINT AS n_docs_kept,
+             sum(CASE WHEN keep = 1 THEN length(text) ELSE 0 END)::BIGINT AS n_chars_kept
+      FROM decided
+      GROUP BY source
+      ORDER BY source NULLS FIRST"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q82)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89)
 }
