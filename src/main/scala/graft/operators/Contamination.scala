@@ -39,8 +39,10 @@ object Contamination {
     // the fingerprint index feeds three consumers (df-count, test side,
     // train side); without persistence the O(n·w) winnowing pass runs
     // three times — measured 7.2s → 2.5s at sf0.1 with the index stored.
-    // IndexStore.Path is the 100 TB posture (corpus-sized index on disk,
-    // reusable across splits), Memory the interactive default.
+    // The default (SessionTemp) materializes it to scratch parquet —
+    // nothing pinned in executor memory; pass IndexStore.Path to keep a
+    // durable index reusable across splits/restarts, or Memory (+ your
+    // own release()) for the in-memory fast path.
     val fps = IndexStore.persist(Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol).cast("long").as("doc_id"), col(splitCol).as("split"),
         explode(TextAnalysis.winnow(col(textCol), k, w)).as("f")), index)

@@ -25,6 +25,12 @@ import org.apache.spark.storage.StorageLevel
   *    index is written with mode=overwrite, so two queries sharing a dir
   *    would clobber each other mid-read. The dir is never auto-deleted —
   *    durability is the point; delete it to reclaim space.
+  *  - [[IndexStore.SessionTemp]] (the default): Path semantics under a
+  *    per-JVM scratch root with a fresh subdir per persist call — no
+  *    executor memory pinned, nothing for the caller to release, no
+  *    clobber risk, best-effort deletion of the root at JVM exit. The
+  *    right default precisely because the caller never sees the store
+  *    instance.
   */
 sealed trait IndexStore {
   /** Unpersist every [[IndexStore.Memory]] index THIS instance persisted
@@ -51,20 +57,42 @@ object IndexStore {
   final case class Path(dir: String) extends IndexStore {
     def release(): Unit = ()
   }
-  /** A fresh per-invocation Memory store (fresh so the default can never
-    * entangle two queries' release scopes). NOTE the trade-off: the
-    * instance is unreachable from the caller, so an index persisted
-    * through the default has no `release()` handle — it stays pinned
-    * until `spark.catalog.clearCache()` or session end. Callers that
-    * need eager release must construct and pass their own
-    * [[IndexStore.Memory]] (and call `release()` on it after consuming
-    * results), or use [[IndexStore.Path]] which keeps nothing in
-    * executor memory. */
-  def default: IndexStore = Memory()
+  /** Path-style store under a per-JVM scratch root; every persist call
+    * gets a fresh subdir, so concurrent default-store queries can never
+    * clobber each other. Nothing is pinned in executor memory and there
+    * is nothing to release — the root is deleted best-effort at JVM
+    * exit. The path is schemeless, so on a real cluster it resolves
+    * against fs.defaultFS (shared scratch), exactly like Path. */
+  case object SessionTemp extends IndexStore {
+    def release(): Unit = ()
+    private lazy val root: String = {
+      val r = s"/tmp/graft-idx-${java.util.UUID.randomUUID().toString.take(8)}"
+      sys.addShutdownHook {
+        try {
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+      r
+    }
+    private[operators] def freshDir(): String =
+      s"$root/${java.util.UUID.randomUUID().toString.take(12)}"
+  }
+  /** The no-handle-needed store: indexes persisted through the default
+    * go to session-temp parquet, not executor memory, so a caller that
+    * never sees the store instance leaks nothing. Pass your own
+    * [[Memory]] when you want the in-memory fast path AND will call
+    * `release()`, or [[Path]] for a durable, reusable index. */
+  def default: IndexStore = SessionTemp
 
   private[operators] def persist(df: DataFrame, store: IndexStore): DataFrame = store match {
     case m: Memory => m.track(df)
     case Path(dir) =>
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    case SessionTemp =>
+      val dir = SessionTemp.freshDir()
       df.write.mode("overwrite").parquet(dir)
       df.sparkSession.read.parquet(dir)
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.operators.{ConnectedComponents, Dedup}
+import graft.operators.{ConnectedComponents, Dedup, IndexStore}
 import org.apache.spark.sql.functions._
 
 /** Deduplication extension operators surfaced through the correctness
@@ -109,7 +109,8 @@ object DedupQueries extends QueryModule {
       val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
       Dedup.minhashLsh(docs, "doc_id", "text",
           shingleK = 1, numHashes = 16, bands = 4, rows = 4,
-          threshold = 0.8, maxBucketSize = Int.MaxValue)
+          threshold = 0.8, maxBucketSize = Int.MaxValue,
+          index = IndexStore.Memory())
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""
@@ -193,7 +194,8 @@ object DedupQueries extends QueryModule {
     (s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 2000)
       Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.4,
-          planesPerTable = 4, tables = 8, dims = Tables.embeddingDims)
+          planesPerTable = 4, tables = 8, dims = Tables.embeddingDims,
+          index = IndexStore.Memory())
         .select(col("id_a"), col("id_b"), Rnd.halfUp(col("cosine"), 4).as("cos4"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -281,7 +283,8 @@ object DedupQueries extends QueryModule {
       val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
-        threshold = 0.8, maxBucketSize = Int.MaxValue)
+        threshold = 0.8, maxBucketSize = Int.MaxValue,
+        index = IndexStore.Memory())
       ConnectedComponents.dedupAssign(
           docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -349,7 +352,8 @@ object DedupQueries extends QueryModule {
       val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
-        threshold = 0.8, maxBucketSize = Int.MaxValue)
+        threshold = 0.8, maxBucketSize = Int.MaxValue,
+        index = IndexStore.Memory())
       val decision = ConnectedComponents.dedupAssign(
           docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
         .select(col("doc_id"), col("keep"))

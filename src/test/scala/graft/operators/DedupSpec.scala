@@ -130,6 +130,19 @@ class DedupSpec extends SparkSpec {
       "release() left a persisted index behind")
   }
 
+  test("default store leaks nothing: no cached RDDs survive a default-store query") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    Dedup.minhashLsh(df, "doc_id", "text",
+      shingleK = 1, numHashes = 16, bands = 8, rows = 2, threshold = 0.1)
+      .collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"default-store query left cached RDDs pinned: $leaked")
+  }
+
   test("embeddingNearDup: duplicate vector detected at threshold") {
     val v = Array(1.0f, 2.0f, 3.0f)
     val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
