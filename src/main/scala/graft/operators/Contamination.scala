@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Train/test contamination detection (decontamination): find evaluation
@@ -55,6 +55,67 @@ object Contamination {
     val train = indexed.filter(col("split") === lit(trainName))
       .select(col("f"), col("doc_id").as("train_id"))
     test.join(train, Seq("f"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("sum_shared"))
+  }
+
+  /** Build a durable winnowing-fingerprint index of a (training) corpus
+    * at `dir`: narrow (f, train_id) parquet rows, df-pruned at build
+    * time (a fingerprint in > `maxDf` training documents — headers,
+    * licenses — is boilerplate, not signal, and its posting list would
+    * dominate every lookup). Build once, then [[checkAgainstIndex]] any
+    * number of batches — including from inside `foreachBatch`
+    * ([[graft.streaming.StreamingContamination]]) — without re-reading
+    * the training corpus. Returns the index read back from `dir`.
+    *
+    * The raw fingerprint table feeds two consumers (the df-count and the
+    * pruning join), so it is staged through `index` (default: session-
+    * temp parquet) rather than winnowing the corpus twice.
+    */
+  def buildIndex(train: DataFrame, idCol: String, textCol: String,
+      dir: String, maxDf: Int = 50, k: Int = 8, w: Int = 4,
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0): DataFrame = {
+    val fps = IndexStore.persist(Spread.byKey(train, idCol, minParallelism)
+      .select(col(idCol).cast("long").as("train_id"),
+        explode(TextAnalysis.winnow(col(textCol), k, w)).as("f")), index)
+    val pruned = fps.groupBy(col("f")).agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf)
+      .select(col("f"))
+    fps.join(pruned, Seq("f")).select(col("f"), col("train_id"))
+      .write.mode("overwrite").parquet(dir)
+    loadIndex(train.sparkSession, dir)
+  }
+
+  /** Read back an index written by [[buildIndex]]. */
+  def loadIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Check a batch of documents against a prebuilt fingerprint index
+    * ([[buildIndex]]): same output contract as [[detect]] — one row per
+    * checked document sharing ≥ `minShared` fingerprints with ≥ 1
+    * indexed document: (test_id, n_train_docs, max_shared, sum_shared).
+    * `k`/`w` MUST match the values the index was built with (different
+    * winnowing parameters fingerprint different passages — a mismatch
+    * silently detects nothing).
+    *
+    * Scale shape: the batch collapses to (f, test_id) in one map pass,
+    * the match is an equi-join on the fingerprint against the index's
+    * pruned posting lists, and the rollup shuffles only (id, id, count)
+    * rows — the arriving batch never joins the training corpus itself.
+    */
+  def checkAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, minShared: Int = 2, k: Int = 8, w: Int = 4,
+      minParallelism: Int = 0): DataFrame = {
+    val fps = Spread.byKey(docs, idCol, minParallelism)
+      .select(col(idCol).cast("long").as("test_id"),
+        explode(TextAnalysis.winnow(col(textCol), k, w)).as("f"))
+    fps.join(index, Seq("f"))
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
