@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, Windows, Scalars, IngestQueries,
     CollectionQueries, DedupQueries, SimilarityQueries, TextQueries,
-    MultimodalQueries, TimeSeriesQueries, SamplingQueries, ProfileQueries)
+    MultimodalQueries, TimeSeriesQueries, SamplingQueries, ProfileQueries,
+    PackingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

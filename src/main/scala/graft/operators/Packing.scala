@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: lay the corpus's token stream end-to-end
+  * in document order and cut it into fixed-`capacity` context windows —
+  * the concatenate-then-split packing used to build pretraining batches
+  * (every token is used, no padding; a document may straddle a window
+  * boundary). Output is one narrow row per document telling the
+  * downstream batch-builder exactly where its tokens land:
+  * (doc_id, n_tokens, tok_offset, seq_id, seq_offset, seq_last).
+  *
+  * The global token offset is a prefix sum over a total order — the
+  * textbook "needs a single sorted partition" trap. Here it is a
+  * DISTRIBUTED two-phase prefix sum:
+  *   1. rows are range-bucketed by a monotone function of the id
+  *      (`floor(id / width)` — monotone for any positive width, so
+  *      bucket order == id order; skewed ids cost balance, never
+  *      correctness);
+  *   2. per-bucket token totals aggregate map-side (one groupBy over
+  *      #buckets rows);
+  *   3. bucket START offsets are a running sum over the bucket totals —
+  *      a single-partition window over #buckets rows (metadata-scale,
+  *      thousands), never over the corpus;
+  *   4. each row's offset = its bucket's start + a within-bucket running
+  *      sum (window partitioned by bucket — every partition bounded by
+  *      corpus/width, all partitions sort in parallel).
+  * The bucket-offset table joins back via broadcast, so the corpus
+  * itself is touched by exactly one shuffle (the within-bucket sort);
+  * at 100 TB no single task ever sees more than one bucket.
+  *
+  * The reference has no packing (rtdl stops at the lake); extension
+  * surface per the LLM-pipeline mandate.
+  */
+object Packing {
+
+  /** Assign every document its place in the packed token stream.
+    *
+    * `idCol` must be a unique integer key (the total order); `nTokensCol`
+    * a non-negative per-document token count (zero-token documents keep
+    * a well-defined `seq_last = seq_id`). `bucketWidth = 0` derives a
+    * width targeting 8 buckets per core from the id span (one bounded
+    * min/max aggregate, driver-side metadata like the IVF codebook);
+    * pass it explicitly to skip that pass.
+    *
+    * Returns (doc_id, n_tokens, tok_offset, seq_id, seq_offset,
+    * seq_last): tokens `[tok_offset, tok_offset + n_tokens)` of the
+    * packed stream, i.e. training sequence `seq_id` starting at
+    * in-sequence position `seq_offset`, spilling into sequences up to
+    * `seq_last`. Integer arithmetic throughout (`div`/`%`), so the
+    * assignment replays bit-identically in any engine.
+    */
+  def assign(df: DataFrame, idCol: String, nTokensCol: String,
+      capacity: Long, bucketWidth: Long = 0L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    val width = if (bucketWidth > 0) bucketWidth else {
+      val mm = df.agg(min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi")).head()
+      if (mm.isNullAt(0)) 1L
+      else {
+        val span = mm.getLong(1) - mm.getLong(0) + 1L
+        val target = math.max(1, spark.sparkContext.defaultParallelism * 8)
+        math.max(1L, span / target)
+      }
+    }
+    val bucketed = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(nTokensCol).cast("long").as("n_tokens"),
+      expr(s"CAST(${idCol} AS BIGINT) div ${width}").as("bkt"))
+    val bucketOffsets = bucketed
+      .groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_offset", coalesce(
+        sum(col("bkt_tokens")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bkt_offset"))
+    val within = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(bucketOffsets), Seq("bkt"))
+      .withColumn("tok_offset",
+        col("bkt_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div ${capacity}").as("seq_id"),
+        (col("tok_offset") % lit(capacity)).as("seq_offset"),
+        expr(s"(tok_offset + greatest(n_tokens, 1L) - 1L) div ${capacity}")
+          .as("seq_last"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packing: offsets, straddling docs, zero-token docs") {
+    // capacity 10: doc 1 (4 toks) [0,4), doc 2 (0 toks) at 4, doc 3
+    // (8 toks) [4,12) straddles seqs 0->1, doc 5 (9 toks) [12,21)
+    val df = Seq((1L, 4L), (2L, 0L), (3L, 8L), (5L, 9L)).toDF("id", "n")
+    val out = Packing.assign(df, "id", "n", capacity = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "tok_offset", "seq_id", "seq_offset", "seq_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, 0L, 0L, 0L),
+      (2L, 0L, 4L, 0L, 4L, 0L),  // zero-token doc: seq_last == seq_id
+      (3L, 8L, 4L, 0L, 4L, 1L),  // straddles the seq 0 / seq 1 boundary
+      (5L, 9L, 12L, 1L, 2L, 2L)))
+  }
+
+  test("two-phase prefix sum is exact: any bucket width matches the global cumsum") {
+    val rnd = new scala.util.Random(7)
+    // sparse, shuffled ids; skewed counts
+    val rows = rnd.shuffle((0 until 500).map(i => (i * 7L + (i % 3), rnd.nextInt(400).toLong)).toList)
+    val df = rows.toDF("id", "n")
+    val sorted = rows.sortBy(_._1)
+    val expected = sorted.map(_._1)
+      .zip(sorted.map(_._2).scanLeft(0L)(_ + _).init)
+    for (width <- Seq(1L, 13L, 1000L, 0L)) { // 0 = auto-derived
+      val got = Packing.assign(df, "id", "n", capacity = 777L, bucketWidth = width)
+        .select("doc_id", "tok_offset").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == expected, s"width=$width")
+    }
+  }
+
+  test("corpus-side window is bucket-partitioned and the offset join broadcasts") {
+    val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "n")
+    val plan = Packing.assign(df, "id", "n", capacity = 50L, bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    // the within-bucket running sum must be partitioned by bkt (the only
+    // unpartitioned window runs over the 10 bucket-total rows), and the
+    // bucket-offset table must come back via broadcast, not shuffle
+    assert(plan.contains("windowspecdefinition(bkt"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
