@@ -54,6 +54,64 @@ object TextAnalysis {
       col("__ts.en_stopword_ratio").as("en_stopword_ratio"))
   }
 
+  /** Fraction of `grams` occurrences taken by the single most frequent
+    * gram (0.0 for an empty array). Per-row and shuffle-free: the mode
+    * count of an array is the longest equal-run of its sorted form,
+    * computed by one `aggregate` fold — no explode, no groupBy, so at
+    * 100 TB the repetition pass is a pure map over the scan. */
+  private def topGramFrac(grams: Column): Column = once(grams) { g =>
+    val best = aggregate(
+      array_sort(g),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(g) > 0, best.cast("double") / size(g).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, "Scaling
+    * Language Models" appendix; the C4/MassiveText lineage of repetition
+    * heuristics): documents dominated by repeated fragments carry little
+    * training signal and skew loss statistics, so pipelines score and
+    * drop them before packing. Per document:
+    *   - `dup_token_frac`: 1 − distinct/total tokens (token-level mass
+    *     of repetition);
+    *   - `top_2gram_frac` / `top_3gram_frac`: fraction of n-gram
+    *     occurrences taken by the most frequent n-gram;
+    *   - `flagged`: 1 when any ratio exceeds its threshold.
+    * Everything is per-row expression work over one tokenization
+    * ([[topGramFrac]] folds, no explode/groupBy/window) — the operator
+    * adds zero shuffles to a scan and composes with predicate pushdown:
+    * `.filter(col("flagged") === 0)` prunes at the scan boundary.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+      maxDupTokenFrac: Double = 0.4, maxTop2Frac: Double = 0.20,
+      maxTop3Frac: Double = 0.18): DataFrame = {
+    val reps = once(tokens(col(textCol))) { t =>
+      struct(
+        size(t).as("n_tokens"),
+        when(size(t) > 0,
+          lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
+          .otherwise(lit(0.0)).as("dup_token_frac"),
+        topGramFrac(shingles(t, 2)).as("top_2gram_frac"),
+        topGramFrac(shingles(t, 3)).as("top_3gram_frac"))
+    }
+    df.withColumn("__rep", reps).select(
+      col(idCol),
+      col("__rep.n_tokens").as("n_tokens"),
+      col("__rep.dup_token_frac").as("dup_token_frac"),
+      col("__rep.top_2gram_frac").as("top_2gram_frac"),
+      col("__rep.top_3gram_frac").as("top_3gram_frac"),
+      (col("__rep.dup_token_frac") > lit(maxDupTokenFrac) ||
+        col("__rep.top_2gram_frac") > lit(maxTop2Frac) ||
+        col("__rep.top_3gram_frac") > lit(maxTop3Frac)).cast("int").as("flagged"))
+  }
+
   /** Heuristic quality score in [0,1]: rewards moderate length, lexical
     * diversity, low punctuation density, presence of function words. */
   def qualityScore(textCol: Column): Column =

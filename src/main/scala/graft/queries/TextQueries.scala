@@ -359,6 +359,61 @@ object TextQueries extends QueryModule {
       FROM ch
       ORDER BY doc_id, chunk_id"""))
 
+  /** Gopher-style repetition ratios per document. The Spark side is a
+    * pure per-row fold (mode count = longest equal-run of the sorted
+    * gram array — no explode, no shuffle); the oracle takes the
+    * opposite, relational route (unnest + group + max) and must land on
+    * the same doubles: numerators/denominators are exact integers, both
+    * engines do one IEEE division, and the flag comparisons replay. */
+  private val q91 = QueryDef(
+    "q91_repetition",
+    (s, d) => {
+      graft.operators.TextAnalysis
+        .repetition(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, t
+        FROM toks),
+      g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM base WHERE len(t) >= 2),
+      c2 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM base WHERE len(t) >= 3),
+      c3 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      r AS (
+        SELECT base.doc_id, base.n_tokens,
+          CASE WHEN base.n_tokens > 0
+               THEN 1.0 - base.n_distinct::DOUBLE / base.n_tokens::DOUBLE
+               ELSE 0.0 END AS dup_token_frac,
+          COALESCE(c2.m::DOUBLE / c2.tot::DOUBLE, 0.0) AS top_2gram_frac,
+          COALESCE(c3.m::DOUBLE / c3.tot::DOUBLE, 0.0) AS top_3gram_frac
+        FROM base LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id))
+      SELECT doc_id, n_tokens, dup_token_frac, top_2gram_frac, top_3gram_frac,
+        CASE WHEN dup_token_frac > 0.4 OR top_2gram_frac > 0.2
+                  OR top_3gram_frac > 0.18 THEN 1 ELSE 0 END AS flagged
+      FROM r
+      ORDER BY doc_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86)
+    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91)
 }

@@ -100,4 +100,30 @@ class TextAnalysisSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(byDoc(1L)(1)._4 == h, "chunk 1 content must be tokens 49..112")
   }
+
+  test("repetition: engineered ratios, degenerate docs, flag thresholds") {
+    val df = Seq(
+      (1L, "a a a a"),                    // pure repetition
+      (2L, "q r s t u v w x y z"),        // all distinct
+      (3L, "spam ham spam ham spam ham"), // dominant 2-gram
+      (4L, "solo"),                       // no 2/3-grams
+      (5L, "")                            // empty
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_token_frac", "top_2gram_frac",
+        "top_3gram_frac", "flagged")
+      .as[(Long, Int, Double, Double, Double, Int)].collect()
+
+    // doc 1: 4 tokens, 1 distinct -> dup 0.75; "a a" is all 3 bigrams
+    assert(r(0) == ((1L, 4, 0.75, 1.0, 1.0, 1)))
+    // doc 2: no repetition; 9 distinct bigrams -> top frac 1/9, unflagged
+    assert(r(1)._3 == 0.0 && math.abs(r(1)._4 - 1.0 / 9) < 1e-15 && r(1)._6 == 0)
+    // doc 3: "spam ham" appears 3 of 5 bigrams -> 0.6 > 0.2 -> flagged
+    assert(r(2)._4 == 0.6 && r(2)._6 == 1)
+    // doc 4: single token -> gram fracs are 0, not NaN
+    assert(r(3) == ((4L, 1, 0.0, 0.0, 0.0, 0)))
+    // doc 5: empty -> all zeros, no division blowup
+    assert(r(4) == ((5L, 0, 0.0, 0.0, 0.0, 0)))
+  }
 }
