@@ -71,6 +71,60 @@ object Sampling {
     df.withColumn(asCol, assigned)
   }
 
+  /** Exact-n deterministic stratified sample: the `n` rows with the
+    * smallest coordinates per stratum (ties broken by id), selected
+    * WITHOUT sorting any stratum in a single task.
+    *
+    * The naive shape — `row_number() over (partition by stratum order by
+    * coord)` — puts a whole stratum in one task: for strata like
+    * language at 100 TB that is a billion-row sort on one core (the
+    * q88-mode-window class of scale bug). Instead, oversample-verify-
+    * escalate:
+    *   1. count rows per stratum (one hash aggregate — map-side partial);
+    *   2. keep rows with `coord < oversample·n/cnt · 2^60` — a pure
+    *      filter that leaves ~oversample·n CANDIDATES per stratum;
+    *   3. rank only the candidates (window over ≤ O(n) rows per stratum
+    *      — bounded by the parameter, not the corpus) and keep rank ≤ n;
+    *   4. verify: a stratum with ≥ n rows total must yield ≥ n selected;
+    *      if the uniform-hash tail bound ever fails (probability ~e^-n
+    *      at oversample 4), double the oversample and repeat. The loop
+    *      is driver-side over per-stratum counts (bounded metadata, like
+    *      the IVF codebook) and terminates at rate 1.
+    * Selection is identical to the naive shape — the filter only removes
+    * rows that could never rank ≤ n — so an engine replaying the plain
+    * window (the oracle) agrees row-for-row.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCol: String, n: Int,
+      salt: String = "graft-strat", oversample: Double = 4.0): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(oversample > 1.0, s"oversample must exceed 1, got $oversample")
+    import org.apache.spark.sql.expressions.Window
+    val c = coord(col(idCol), salt)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap // bounded: one row per stratum
+    var over = oversample
+    var result: DataFrame = null
+    var done = false
+    while (!done) {
+      val thr = counts.toSeq.sortBy(_._1.toString)
+        .foldLeft(lit(0L): Column) { case (els, (s, cnt)) =>
+          when(col(strataCol) === lit(s),
+            lit(threshold(math.min(1.0, over * n / cnt.toDouble)))).otherwise(els)
+        }
+      val candidates = df.filter(c < thr)
+      val ranked = candidates.withColumn("__rk",
+        row_number().over(Window.partitionBy(col(strataCol))
+          .orderBy(c.asc, col(idCol).asc)))
+      result = ranked.filter(col("__rk") <= n).drop("__rk")
+      val got = result.groupBy(col(strataCol)).agg(count(lit(1)).as("__got"))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      done = counts.forall { case (s, cnt) =>
+        got.getOrElse(s, 0L) >= math.min(cnt, n.toLong) }
+      if (!done) over = over * 2
+    }
+    result
+  }
+
   /** Mixture weighting: keep each row with its stratum's rate (strata
     * absent from `rates` fall back to `defaultRate`). The bounded rates
     * map folds into a literal when-chain — per-row cost is one string

@@ -109,5 +109,30 @@ object SamplingQueries extends QueryModule {
       FROM pairs GROUP BY test_id
       ORDER BY test_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q83, q85)
+  /** Exact-n stratified sample: 50 documents per language, smallest
+    * hash coordinates first. The Spark side never sorts a stratum in a
+    * single task (oversample-filter, then rank only the O(n) candidates);
+    * the oracle replays the NAIVE full-stratum window — selection must
+    * be row-identical, which proves the candidate filter only dropped
+    * rows that could never rank ≤ n. */
+  private val q92 = QueryDef(
+    "q92_stratified_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      Sampling.stratified(docs, "doc_id", "lang", n = 50)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5('graft-strat|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        FROM c)
+      SELECT doc_id, lang FROM r WHERE rk <= 50
+      ORDER BY doc_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q83, q85, q92)
 }

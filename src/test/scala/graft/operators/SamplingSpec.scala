@@ -70,4 +70,33 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
   }
+
+  test("stratified: exact n per stratum, matches the naive full-stratum ranking") {
+    val n = 2000
+    val df = ids(n).withColumn("lang",
+      concat(lit("l"), (col("id") % 4).cast("string")))
+    val out = Sampling.stratified(df, "id", "lang", n = 30)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    // brute-force reference: same coordinate, full sort per stratum
+    val coords = ids(n).withColumn("lang",
+        concat(lit("l"), (col("id") % 4).cast("string")))
+      .withColumn("h", Sampling.coord(col("id"), "graft-strat"))
+      .select("id", "lang", "h").as[(Long, String, Long)].collect()
+    val expected = coords.groupBy(_._2).values.flatMap(
+      _.sortBy(r => (r._3, r._1)).take(30).map(r => (r._1, r._2))).toSet
+    assert(out == expected)
+    assert(out.groupBy(_._2).values.forall(_.size == 30))
+  }
+
+  test("stratified: strata smaller than n are kept whole; escalation converges") {
+    val df = ids(100).withColumn("lang",
+      when(col("id") < 10, "tiny").otherwise("big"))
+    // oversample barely above 1 forces the verify-escalate path to prove
+    // itself on whatever strata undershoot at the first threshold
+    val out = Sampling.stratified(df, "id", "lang", n = 40, oversample = 1.05)
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("tiny") == 10, "a stratum below n is kept in full")
+    assert(byLang("big") == 40)
+  }
 }
