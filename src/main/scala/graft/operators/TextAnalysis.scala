@@ -253,6 +253,60 @@ object TextAnalysis {
         col("score6"), col("rn"))
   }
 
+  /** BM25 keyword retrieval (Robertson-Spärck Jones probabilistic
+    * relevance; the Okapi/Lucene formulation with the +1 idf floor):
+    * score every document against a bounded query-term set and return
+    * the global top-`topK`.
+    *
+    * Scale shape: the per-row token filter drops every non-query token
+    * BEFORE the explode, so only (doc_id, dl, term) rows for matched
+    * occurrences leave the scan — the shuffle is proportional to query
+    * hits, not corpus tokens. `dfreq` is bounded by |query| and
+    * broadcast; N and avgdl are a broadcast 1-row aggregate (no
+    * collect); the final top-K is orderBy+limit → TakeOrderedAndProject
+    * (per-partition heaps, never a global sort).
+    *
+    * Determinism across engines: defaults k1=1.25, b=0.75 are chosen
+    * binary-exact (so k1+1, 1−b introduce no constant-folding drift);
+    * each term contribution is rounded half-up to 6 decimals (absorbing
+    * sub-ulp `ln` differences, the q84 contract) and the per-doc sum is
+    * an ORDERED fold over terms — float addition doesn't commute, so an
+    * unordered SQL SUM would be nondeterministic in its last bit.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.25, b: Double = 0.75,
+      topK: Int = 20, minParallelism: Int = 0): DataFrame = {
+    require(query.nonEmpty, "query terms required")
+    val halfUp6: Column => Column =
+      c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val toks = Spread.byKey(df, idCol, minParallelism)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("t"))
+    val hits = toks.select(col("doc_id"), size(col("t")).as("dl"),
+      explode(filter(col("t"), x => x.isin(query: _*))).as("term"))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("t"))).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", halfUp6(
+        log(lit(1.0) + (col("n_docs").cast("double") - col("dfreq").cast("double") + lit(0.5))
+            / (col("dfreq").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("term"), col("contrib")))).as("__cs"))
+      .withColumn("score6", halfUp6(aggregate(
+        transform(col("__cs"), s => s.getField("contrib")),
+        lit(0.0), (a, x) => a + x)))
+      .select(col("doc_id"), col("n_terms"), col("score6"))
+      .orderBy(col("score6").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash character
     * k-grams, take the min hash of every sliding window of `w` k-gram
     * hashes, distinct. Returns an array<bigint> per document. */

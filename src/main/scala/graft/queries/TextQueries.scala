@@ -414,6 +414,55 @@ object TextQueries extends QueryModule {
       FROM r
       ORDER BY doc_id"""))
 
+  /** BM25 top-20 retrieval for a 3-term query over the corpus. The
+    * oracle replays idf, length normalization, the 6-decimal contribution
+    * rounding, AND the ordered per-doc fold (list(contrib ORDER BY term)
+    * + list_reduce, seeded 0.0 like Spark's aggregate) — an unordered
+    * SUM() would be last-bit nondeterministic. k1=1.25 / b=0.75 are
+    * binary-exact so constant folding can't drift. */
+  private val q93 = QueryDef(
+    "q93_bm25_retrieval",
+    (s, d) => {
+      graft.operators.TextAnalysis
+        .bm25(Tables.documents(s, d), "doc_id", "text",
+          query = Seq("spark", "hash", "window"), topK = 20,
+          minParallelism = s.sparkContext.defaultParallelism)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS t
+        FROM documents),
+      hits AS (
+        SELECT doc_id, len(t) AS dl,
+               unnest(list_filter(t, x -> x IN ('spark', 'hash', 'window'))) AS term
+        FROM toks),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hits GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               sum(len(t))::DOUBLE / count(*)::DOUBLE AS avgdl
+        FROM toks),
+      scored AS (
+        SELECT doc_id, term,
+          floor(ln(1.0::DOUBLE + (stats.n_docs::DOUBLE - dfreq.dfreq::DOUBLE + 0.5::DOUBLE)
+                   / (dfreq.dfreq::DOUBLE + 0.5::DOUBLE))
+              * (tf.tf::DOUBLE * 2.25::DOUBLE)
+              / (tf.tf::DOUBLE + 1.25::DOUBLE
+                 * (0.25::DOUBLE + 0.75::DOUBLE * (tf.dl::DOUBLE / stats.avgdl)))
+            * 1000000.0 + 0.5) / 1000000.0 AS contrib
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+      agg AS (
+        SELECT doc_id, count(*) AS n_terms,
+          floor(list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY term)),
+                            (a, b) -> a + b) * 1000000.0 + 0.5) / 1000000.0 AS score6
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_terms, score6
+      FROM agg
+      ORDER BY score6 DESC, doc_id ASC
+      LIMIT 20"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91)
+    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93)
 }

@@ -101,6 +101,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(1L)(1)._4 == h, "chunk 1 content must be tokens 49..112")
   }
 
+  test("bm25: rare terms outweigh common, length normalization, topK") {
+    val filler = (1 to 40).map(i => s"f$i").mkString(" ")
+    val df = Seq(
+      (1L, s"needle $filler"),          // rare term, long doc
+      (2L, "needle common"),            // rare term, short doc
+      (3L, s"common common common $filler"), // common term repeated
+      (4L, "common here"),
+      (5L, "common there"),
+      (6L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, "doc_id", "text",
+        query = Seq("needle", "common"), topK = 3)
+      .select("doc_id", "n_terms", "score6")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 3, "topK respected")
+    // doc 2 matches the rare term in a 2-token doc -> best score
+    assert(out.head._1 == 2L)
+    assert(out.head._2 == 2L, "doc 2 matches both terms")
+    // every returned doc matched at least one query term; scores ranked
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+    assert(!out.map(_._1).contains(6L))
+  }
+
   test("repetition: engineered ratios, degenerate docs, flag thresholds") {
     val df = Seq(
       (1L, "a a a a"),                    // pure repetition
