@@ -106,6 +106,49 @@ object Similarity {
   /** The deterministic IVF codebook: the `nCentroids` corpus vectors
     * with the smallest md5-derived id hash (bounded driver-side
     * metadata, K×d doubles). */
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * compression step before an embedding corpus ships to an ANN index
+    * or a GPU cache. Per vector: `scale = max|v| / 127`,
+    * `q_i = floor(v_i/scale + 0.5)` clamped by construction to
+    * [−127, 127] (the floor(+0.5) form rounds identically in any
+    * engine; banker's-vs-away rounding of `round()` does not).
+    *
+    * Entirely per-row projection work — no shuffle, no UDF — so at
+    * 100 TB quantization composes with the scan like any map pass.
+    * Returns (id, dim, scale6, qhash, err6): the 6-decimal scale, an
+    * md5 fingerprint of the exact quantized vector (verifiable without
+    * shipping the array), and the reconstruction squared error folded
+    * IN ARRAY ORDER (float addition doesn't commute; an unordered sum
+    * would be last-bit nondeterministic).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.TextFunctions.once
+    val halfUp6: Column => Column =
+      c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val qstruct = once(asDouble(col(vecCol))) { v =>
+      once(array_max(transform(v, x => abs(x))) / lit(127.0)) { scale =>
+        // bind q once; all-zero vectors (scale 0) quantize to zeros
+        once(when(scale > lit(0.0),
+            transform(v, x => floor(x / scale + lit(0.5)).cast("int")))
+          .otherwise(transform(v, _ => lit(0)))) { q =>
+          struct(
+            size(v).as("dim"),
+            halfUp6(scale).as("scale6"),
+            md5(concat_ws(",", transform(q, qi => qi.cast("string")))).as("qhash"),
+            halfUp6(aggregate(
+              zip_with(v, q, (x, qi) => {
+                val d = x - qi.cast("double") * scale
+                d * d
+              }),
+              lit(0.0), (a, x) => a + x)).as("err6"))
+        }
+      }
+    }
+    df.withColumn("__q", qstruct).select(
+      col(idCol), col("__q.dim").as("dim"), col("__q.scale6").as("scale6"),
+      col("__q.qhash").as("qhash"), col("__q.err6").as("err6"))
+  }
+
   private def codebook(normalizedCorpus: DataFrame,
       nCentroids: Int): Seq[(Long, Array[Double])] = {
     import graft.functions.TextFunctions.h60

@@ -192,5 +192,39 @@ object SimilarityQueries extends QueryModule {
       FROM cnt c JOIN agg a USING (bucket)
       ORDER BY c.bucket"""))
 
-  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87)
+  /** Int8 quantization of the whole embeddings table. The oracle
+    * replays scale, every quantized component (via the md5 vector
+    * fingerprint — exact int equality without shipping arrays), and
+    * the reconstruction error folded in array order. */
+  private val q94 = QueryDef(
+    "q94_int8_quantization",
+    (s, d) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e),
+      q AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale > 0.0
+                 THEN list_transform(v, x -> floor(x / scale + 0.5)::INT)
+                 ELSE list_transform(v, x -> 0) END AS qv
+        FROM sc)
+      SELECT vec_id, len(v) AS dim,
+        floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale6,
+        md5(array_to_string(qv, ',')) AS qhash,
+        floor(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(generate_series(1, len(v)),
+              i -> (v[i] - qv[i]::DOUBLE * scale) * (v[i] - qv[i]::DOUBLE * scale))),
+          (a, b) -> a + b) * 1000000.0 + 0.5) / 1000000.0 AS err6
+      FROM q
+      ORDER BY vec_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87, q94)
 }

@@ -59,4 +59,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall > 0.0, s"lsh recall=$recall")
   }
+
+  test("quantizeInt8: exact components on engineered vectors, zero-vector guard, no shuffle") {
+    val df = Seq(
+      (1L, Array(127.0f, -127.0f, 0.0f, 63.5f)), // scale exactly 1.0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))        // all-zero: scale 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .select("vec_id", "dim", "scale6", "qhash", "err6")
+      .as[(Long, Int, Double, String, Double)].collect()
+
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // scale 1.0: q = [127, -127, 0, floor(63.5 + 0.5) = 64]
+    assert(out(0) == ((1L, 4, 1.0, h("127,-127,0,64"), 0.25)))
+    // zero vector quantizes to zeros with zero error, no division blowup
+    assert(out(1) == ((2L, 4, 0.0, h("0,0,0,0"), 0.0)))
+
+    val plan = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
 }
