@@ -103,10 +103,11 @@ class PlanSpec extends SparkSpec {
   test("corpus sweep: no unintended cartesian product in ANY query plan") {
     // intentionally product-shaped: q09 IS a cross join; q50 is the
     // brute-force ANN baseline (broadcast-nested-loop by design); q84
-    // cross-joins a BROADCAST 1-ROW aggregate (corpus size N for idf) —
-    // the scalar-subquery shape, constant-size broadcast side
+    // and q93 cross-join a BROADCAST 1-ROW aggregate (corpus size N for
+    // idf; N + avgdl for bm25) — the scalar-subquery shape,
+    // constant-size broadcast side
     val intended = Set("q09_cross_join", "q50_ann_bruteforce_topk",
-      "q84_tfidf_top_terms")
+      "q84_tfidf_top_terms", "q93_bm25_retrieval")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>
