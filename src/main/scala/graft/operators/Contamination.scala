@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  /** The winnowing pass, hash-selectable: `rollingHash = false` hashes
+    * every k-gram with the md5-derived h60 (collision-negligible, the
+    * q63 contract); `true` routes through the codegen'd O(n) Rabin-Karp
+    * recurrence ([[graft.functions.RollingFingerprint]]) — one
+    * multiply-add per character instead of one md5 per position, ~4×
+    * cheaper on corpus-scale text, still engine-replayable (the q64/q65
+    * polynomial), at the cost of a 10^9 hash space whose rare collisions
+    * only add noise fingerprints (winnowing tolerates them by design).
+    */
+  private def winnowed(spark: org.apache.spark.sql.SparkSession,
+      textCol: org.apache.spark.sql.Column, k: Int, w: Int,
+      rollingHash: Boolean): org.apache.spark.sql.Column =
+    if (rollingHash) {
+      graft.functions.RollingFingerprint.register(spark)
+      TextAnalysis.winnowRolling(textCol, k, w)
+    } else TextAnalysis.winnow(textCol, k, w)
+
   /** Per-test-document contamination summary.
     *
     * `df` must carry `splitCol` (e.g. from [[Sampling.split]]). Returns
@@ -35,7 +52,7 @@ object Contamination {
       splitCol: String, trainName: String = "train", testName: String = "test",
       minShared: Int = 2, maxDf: Int = 50, k: Int = 8, w: Int = 4,
       index: IndexStore = IndexStore.default,
-      minParallelism: Int = 0): DataFrame = {
+      minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
     // the fingerprint index feeds three consumers (df-count, test side,
     // train side); without persistence the O(n·w) winnowing pass runs
     // three times — measured 7.2s → 2.5s at sf0.1 with the index stored.
@@ -45,7 +62,8 @@ object Contamination {
     // own release()) for the in-memory fast path.
     val fps = IndexStore.persist(Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol).cast("long").as("doc_id"), col(splitCol).as("split"),
-        explode(TextAnalysis.winnow(col(textCol), k, w)).as("f")), index)
+        explode(winnowed(df.sparkSession, col(textCol), k, w, rollingHash)).as("f")),
+      index)
     val pruned = fps.groupBy(col("f")).agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)
       .select(col("f"))
@@ -80,10 +98,11 @@ object Contamination {
   def buildIndex(train: DataFrame, idCol: String, textCol: String,
       dir: String, maxDf: Int = 50, k: Int = 8, w: Int = 4,
       index: IndexStore = IndexStore.default,
-      minParallelism: Int = 0): DataFrame = {
+      minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
     val fps = IndexStore.persist(Spread.byKey(train, idCol, minParallelism)
       .select(col(idCol).cast("long").as("train_id"),
-        explode(TextAnalysis.winnow(col(textCol), k, w)).as("f")), index)
+        explode(winnowed(train.sparkSession, col(textCol), k, w, rollingHash)).as("f")),
+      index)
     val pruned = fps.groupBy(col("f")).agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)
       .select(col("f"))
@@ -100,9 +119,9 @@ object Contamination {
     * ([[buildIndex]]): same output contract as [[detect]] — one row per
     * checked document sharing ≥ `minShared` fingerprints with ≥ 1
     * indexed document: (test_id, n_train_docs, max_shared, sum_shared).
-    * `k`/`w` MUST match the values the index was built with (different
-    * winnowing parameters fingerprint different passages — a mismatch
-    * silently detects nothing).
+    * `k`/`w`/`rollingHash` MUST match the values the index was built
+    * with (different winnowing parameters or hash families fingerprint
+    * different passages — a mismatch silently detects nothing).
     *
     * Scale shape: the batch collapses to (f, test_id) in one map pass,
     * the match is an equi-join on the fingerprint against the index's
@@ -111,10 +130,10 @@ object Contamination {
     */
   def checkAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, minShared: Int = 2, k: Int = 8, w: Int = 4,
-      minParallelism: Int = 0): DataFrame = {
+      minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
     val fps = Spread.byKey(docs, idCol, minParallelism)
       .select(col(idCol).cast("long").as("test_id"),
-        explode(TextAnalysis.winnow(col(textCol), k, w)).as("f"))
+        explode(winnowed(docs.sparkSession, col(textCol), k, w, rollingHash)).as("f"))
     fps.join(index, Seq("f"))
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))

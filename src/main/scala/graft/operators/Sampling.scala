@@ -125,6 +125,45 @@ object Sampling {
     result
   }
 
+  /** Deterministic global shuffle order for training export: assign every
+    * row its position in the hash-shuffled ordering of the corpus —
+    * `shuffle_pos` = rank by (coordinate, id). Training pipelines read
+    * the export in this order; because it is a pure function of
+    * (salt, id), the order is identical on every run, cluster size, or
+    * engine, and resumable mid-epoch (position p is always the same row).
+    *
+    * The global rank avoids the single-partition `row_number()` window
+    * the same way [[Packing.assign]] avoids it for prefix sums: the top
+    * bits of the 60-bit coordinate range-bucket the rows (the coordinate
+    * is uniform, so buckets are balanced BY CONSTRUCTION — no sampling
+    * step needed), per-bucket counts prefix-sum over a metadata-scale
+    * window, offsets broadcast back, and each bucket ranks its own rows
+    * in parallel. One shuffle of narrow rows; no task sees more than one
+    * bucket.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String = "graft-shuf",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val width = Two60 / buckets
+    val c = coord(col(idCol), salt)
+    val bucketed = df.withColumn("__h", c)
+      .withColumn("__bkt", expr(s"__h div ${width}L")) // integer div: exact at 2^60
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    bucketed
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("shuffle_pos", col("__off") - lit(1L) +
+        row_number().over(Window.partitionBy(col("__bkt"))
+          .orderBy(col("__h").asc, col(idCol).asc)))
+      .drop("__h", "__bkt", "__off")
+  }
+
   /** Mixture weighting: keep each row with its stratum's rate (strata
     * absent from `rates` fall back to `defaultRate`). The bounded rates
     * map folds into a literal when-chain — per-row cost is one string

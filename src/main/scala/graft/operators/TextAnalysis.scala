@@ -159,10 +159,21 @@ object TextAnalysis {
 
   /** Winnowing over the Rabin-Karp rolling hash — the primitive the
     * original paper builds on (Schleimer et al. SIGMOD'03 §2): k-gram
-    * hashes in O(n) via [[graft.functions.RollingFingerprint]], then the
-    * min of every w-hash window, distinct, sorted. Requires
-    * RollingFingerprint.register on the session. */
-  def winnowRolling(textCol: Column, k: Int = 8, w: Int = 4): Column = {
+    * hashes in O(n), then the min of every w-hash window, distinct,
+    * sorted. Routes through the codegen'd
+    * [[graft.functions.WinnowRolling]] expression — one tight loop with
+    * a monotonic deque, no per-window slice allocation (the HOF
+    * formulation's allocation storm was the measured bottleneck of
+    * corpus-scale winnowing). Requires RollingFingerprint.register on
+    * the session. [[winnowRollingHof]] keeps the composed formulation as
+    * the differential-test witness. */
+  def winnowRolling(textCol: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.RollingFingerprint.winnowRollingNative(textCol, k, w)
+
+  /** The higher-order-function spelling of [[winnowRolling]] — same
+    * values, allocation-heavy; kept (test-only) as the independent
+    * construction the native expression is differential-tested against. */
+  private[graft] def winnowRollingHof(textCol: Column, k: Int = 8, w: Int = 4): Column = {
     import graft.functions.RollingFingerprint.rollingFingerprint
     once(rollingFingerprint(textCol, k)) { grams =>
       val windows = when(size(grams) >= w,

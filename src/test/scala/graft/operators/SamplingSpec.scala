@@ -88,6 +88,19 @@ class SamplingSpec extends SparkSpec {
     assert(out.groupBy(_._2).values.forall(_.size == 30))
   }
 
+  test("shuffleOrder: bijection onto [0,N), matches the naive global ranking") {
+    val n = 3000
+    val out = Sampling.shuffleOrder(ids(n), "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq, "bijection onto [0,N)")
+    val naive = ids(n)
+      .withColumn("h", Sampling.coord(col("id"), "graft-shuf"))
+      .select("id", "h").as[(Long, Long)].collect()
+      .sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), pos) => (id, pos.toLong) }.toMap
+    assert(out.forall { case (id, pos) => naive(id) == pos })
+  }
+
   test("stratified: strata smaller than n are kept whole; escalation converges") {
     val df = ids(100).withColumn("lang",
       when(col("id") < 10, "tiny").otherwise("big"))
