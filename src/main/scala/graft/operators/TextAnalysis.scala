@@ -101,15 +101,17 @@ object TextAnalysis {
         topGramFrac(shingles(t, 2)).as("top_2gram_frac"),
         topGramFrac(shingles(t, 3)).as("top_3gram_frac"))
     }
+    // passthrough: every input column survives (so the metrics compose
+    // as a filter stage — keep/drop predicates see lang, source, etc.)
     df.withColumn("__rep", reps).select(
-      col(idCol),
-      col("__rep.n_tokens").as("n_tokens"),
-      col("__rep.dup_token_frac").as("dup_token_frac"),
-      col("__rep.top_2gram_frac").as("top_2gram_frac"),
-      col("__rep.top_3gram_frac").as("top_3gram_frac"),
-      (col("__rep.dup_token_frac") > lit(maxDupTokenFrac) ||
-        col("__rep.top_2gram_frac") > lit(maxTop2Frac) ||
-        col("__rep.top_3gram_frac") > lit(maxTop3Frac)).cast("int").as("flagged"))
+      df.columns.map(col) ++ Seq(
+        col("__rep.n_tokens").as("n_tokens"),
+        col("__rep.dup_token_frac").as("dup_token_frac"),
+        col("__rep.top_2gram_frac").as("top_2gram_frac"),
+        col("__rep.top_3gram_frac").as("top_3gram_frac"),
+        (col("__rep.dup_token_frac") > lit(maxDupTokenFrac) ||
+          col("__rep.top_2gram_frac") > lit(maxTop2Frac) ||
+          col("__rep.top_3gram_frac") > lit(maxTop3Frac)).cast("int").as("flagged")): _*)
   }
 
   /** Heuristic quality score in [0,1]: rewards moderate length, lexical

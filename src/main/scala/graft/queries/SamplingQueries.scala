@@ -164,5 +164,42 @@ object SamplingQueries extends QueryModule {
       FROM c
       ORDER BY doc_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q83, q85, q92, q95)
+  /** Leakage-safe entity-level split: customers are split by their OWN
+    * key, orders inherit the split through the join — every row of an
+    * entity lands in the same split by construction (the "split the
+    * users, not the events" rule; splitting orders directly would leak
+    * a customer's behavior across train and test). Money sums in exact
+    * integer cents, so the rollup is hash-stable. */
+  private val q97 = QueryDef(
+    "q97_group_split",
+    (s, d) => {
+      val cust = Sampling.split(
+        Tables.customer(s, d).select(col("c_custkey")), "c_custkey",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val orders = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      cust.join(orders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("split"))
+        .agg(count_distinct(col("c_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("revenue_cents"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey,
+          CASE WHEN h < 922337203685477632 THEN 'train'
+               WHEN h < 1037629354146162304 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT c_custkey,
+                ('0x' || substr(md5('graft|' || c_custkey::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+              FROM customer))
+      SELECT split, count(DISTINCT c_custkey) AS n_customers,
+             count(*) AS n_orders,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS revenue_cents
+      FROM c JOIN orders ON c_custkey = o_custkey
+      GROUP BY split
+      ORDER BY split"""))
+
+  override val entries: Seq[QueryDef] = Seq(q83, q85, q92, q95, q97)
 }

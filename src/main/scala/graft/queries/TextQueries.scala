@@ -371,6 +371,8 @@ object TextQueries extends QueryModule {
       graft.operators.TextAnalysis
         .repetition(Tables.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+          col("top_2gram_frac"), col("top_3gram_frac"), col("flagged"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -463,6 +465,73 @@ object TextQueries extends QueryModule {
       ORDER BY score6 DESC, doc_id ASC
       LIMIT 20"""))
 
+  /** Quality-filter funnel per language: the C4/Gopher-style keep/drop
+    * gate (min length + repetition flags) applied to the corpus, rolled
+    * up per language — the "how much survives filtering, where" report
+    * every curation run produces. All output columns are exact integers;
+    * the flag thresholds' double comparisons replay per q91's contract.
+    * Shape: one per-row metrics pass (no shuffle) + one hash aggregate. */
+  private val q96 = QueryDef(
+    "q96_quality_funnel",
+    (s, d) => {
+      val r = graft.operators.TextAnalysis.repetition(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text")
+      val keep = col("n_tokens") >= 20 && col("flagged") === 0
+      r.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, lang, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, t
+        FROM toks),
+      g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM base WHERE len(t) >= 2),
+      c2 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM base WHERE len(t) >= 3),
+      c3 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      r AS (
+        SELECT base.doc_id, base.lang, base.n_tokens,
+          CASE WHEN base.n_tokens > 0
+               THEN 1.0 - base.n_distinct::DOUBLE / base.n_tokens::DOUBLE
+               ELSE 0.0 END AS dup_token_frac,
+          COALESCE(c2.m::DOUBLE / c2.tot::DOUBLE, 0.0) AS top_2gram_frac,
+          COALESCE(c3.m::DOUBLE / c3.tot::DOUBLE, 0.0) AS top_3gram_frac
+        FROM base LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)),
+      k AS (
+        SELECT lang, n_tokens,
+          CASE WHEN n_tokens >= 20
+                AND NOT (dup_token_frac > 0.4 OR top_2gram_frac > 0.2
+                         OR top_3gram_frac > 0.18)
+               THEN 1 ELSE 0 END AS keep
+        FROM r)
+      SELECT lang, count(*) AS n_total,
+             sum(CASE WHEN keep = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+      FROM k GROUP BY lang
+      ORDER BY lang"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93)
+    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96)
 }
