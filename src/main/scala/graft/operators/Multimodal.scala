@@ -131,6 +131,31 @@ object Multimodal {
     def dims(payload: Array[Byte]): Option[(Int, Int)] =
       readImage(payload).map(img => (img.getWidth, img.getHeight))
 
+    /** 64-bit average-hash (aHash) perceptual fingerprint: sample an 8×8
+      * luminance grid (nearest-neighbor at grid cells, same sampling as
+      * `features`), threshold each cell against the grid mean, pack the
+      * 64 bits row-major. Visually-identical images (recompression,
+      * minor noise, small rescale) land within a few bits of Hamming
+      * distance; undecodable payloads yield None. */
+    def aHash(payload: Array[Byte]): Option[Long] =
+      readImage(payload).map { img =>
+        val lum = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          val gx = math.min((i % 8) * img.getWidth / 8, img.getWidth - 1)
+          val gy = math.min((i / 8) * img.getHeight / 8, img.getHeight - 1)
+          val rgb = img.getRGB(gx, gy)
+          lum(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          i += 1
+        }
+        val mean = lum.sum / 64
+        var h = 0L
+        i = 0
+        while (i < 64) { if (lum(i) > mean) h |= (1L << i); i += 1 }
+        h
+      }
+
     def features(modality: String, payload: Array[Byte], dim: Int): Array[Float] =
       readImage(payload) match {
         case Some(img) =>
@@ -311,6 +336,41 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)
+  }
+
+  /** Per-image perceptual hash column: (input columns…, ahash bigint).
+    * Undecodable payloads are DROPPED (an image-dedup pass has nothing
+    * to say about non-images — route those by modality first). Decoding
+    * runs once per row inside mapPartitions, the decoder boundary every
+    * multimodal op here uses. */
+  def imagePerceptualHash(df: DataFrame, mediaCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("ahash", LongType, nullable = false))
+    val enc = Encoders.row(schema)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        ImageIODecoder.aHash(payload).map(h => Row.fromSeq(r.toSeq :+ h))
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by perceptual hash: aHash per image,
+    * then EXACTLY the SimHash pigeonhole pairing ([[Dedup.simhashPairs]]
+    * — 15-bit chunk buckets, in-bucket verification, exact
+    * `bit_count(xor)` ≤ maxHamming). The pigeonhole guarantee covers the
+    * full 64 bits: ≤3 differing bits can touch at most 3 of the 4
+    * low-60 chunks, so every qualifying pair shares a bucket whether the
+    * diffs fall in chunk bits or the top nibble. At 100 TB this is one
+    * decode map pass + the bucketed join — no all-pairs shape, same as
+    * text simhash. Returns (id_a, id_b, hamming). */
+  def imageNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = imagePerceptualHash(
+      df.select(col(idCol), col(mediaCol)), mediaCol)
+      .select(col(idCol).as("id"), col("ahash").as("simhash"))
+    Dedup.simhashPairs(hashed, maxHamming)
   }
 
   /** Frame sampling for chunked payloads: split the binary into fixed-size

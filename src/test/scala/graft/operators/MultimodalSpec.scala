@@ -161,6 +161,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Set(pairs.head._1, pairs.head._2) == ids)
   }
 
+  test("imageNearDupPairs: recompressed/noised twins pair up, distinct images don't") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a gradient, its pixel-identical re-render, a lightly-noised copy
+    // (one corner pixel flipped), and a structurally different image
+    val grad = (x: Int, y: Int) => { val v = x * 16 & 0xff; (v << 16) | (v << 8) | v }
+    val noised = (x: Int, y: Int) =>
+      if (x == 0 && y == 0) 0xffffff else grad(x, y)
+    val stripes = (x: Int, y: Int) => if (y % 2 == 0) 0xffffff else 0
+    val media = Seq(
+      (1L, png(16, 16)(grad)),
+      (2L, png(16, 16)(grad)),     // identical content
+      (3L, png(16, 16)(noised)),   // near-identical
+      (4L, png(16, 16)(stripes)),  // different
+      (5L, "not an image at all".getBytes("UTF-8")) // undecodable: dropped
+    ).toDF("media_id", "media")
+    val pairs = Multimodal.imageNearDupPairs(media, "media_id", "media", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical images must pair at hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "a one-pixel change stays within the hamming budget")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "structurally different images must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "undecodable payloads are dropped, not hashed")
+
+    // hash determinism: same bytes, same hash, across the decode boundary
+    val h = Multimodal.imagePerceptualHash(media.filter(col("media_id") <= 2), "media")
+      .select("ahash").as[Long].collect()
+    assert(h.length == 2 && h(0) == h(1))
+  }
+
   test("sizeClass: log2 buckets group comparable payloads") {
     val classes = mediaDf.select(col("media_id"), Multimodal.sizeClass(col("media")).as("sc"))
       .as[(Long, Int)].collect().toMap
