@@ -55,11 +55,12 @@ object TextAnalysis {
   }
 
   /** Fraction of `grams` occurrences taken by the single most frequent
-    * gram (0.0 for an empty array). Per-row and shuffle-free: the mode
-    * count of an array is the longest equal-run of its sorted form,
-    * computed by one `aggregate` fold — no explode, no groupBy, so at
-    * 100 TB the repetition pass is a pure map over the scan. */
-  private def topGramFrac(grams: Column): Column = once(grams) { g =>
+    * gram (0.0 for an empty array) — the HOF spelling: mode count of an
+    * array is the longest equal-run of its sorted form, computed by one
+    * `aggregate` fold. Kept (test-only) as the independent construction
+    * [[graft.functions.TopGramFrac]] is differential-tested against;
+    * [[repetition]] routes through the codegen'd expression. */
+  private[graft] def topGramFracHof(grams: Column): Column = once(grams) { g =>
     val best = aggregate(
       array_sort(g),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -92,14 +93,15 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String,
       maxDupTokenFrac: Double = 0.4, maxTop2Frac: Double = 0.20,
       maxTop3Frac: Double = 0.18): DataFrame = {
+    graft.functions.TopGramFrac.register(df.sparkSession)
     val reps = once(tokens(col(textCol))) { t =>
       struct(
         size(t).as("n_tokens"),
         when(size(t) > 0,
           lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
           .otherwise(lit(0.0)).as("dup_token_frac"),
-        topGramFrac(shingles(t, 2)).as("top_2gram_frac"),
-        topGramFrac(shingles(t, 3)).as("top_3gram_frac"))
+        graft.functions.TopGramFrac.topGramFrac(t, 2).as("top_2gram_frac"),
+        graft.functions.TopGramFrac.topGramFrac(t, 3).as("top_3gram_frac"))
     }
     // passthrough: every input column survives (so the metrics compose
     // as a filter stage — keep/drop predicates see lang, source, etc.)
