@@ -164,6 +164,27 @@ object Sampling {
       .drop("__h", "__bkt", "__off")
   }
 
+  /** Shard assignment for training export: rows in deterministic
+    * shuffle order ([[shuffleOrder]]), cut into `nShards` contiguous,
+    * balanced shards — `shard = pos·nShards div N`, sizes differing by
+    * at most one. The shard id is what a writer partitions on
+    * (`partitionBy("shard")` / `repartitionByRange`), giving N equal
+    * training files whose contents and order are a pure function of
+    * (salt, ids) — re-runnable and resumable. N rides a broadcast 1-row
+    * aggregate; the assignment itself is integer arithmetic on the
+    * already-computed position (replayable in any engine).
+    */
+  def exportShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "graft-shuf", buckets: Int = 1024): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val ordered = shuffleOrder(df, idCol, salt, buckets)
+    val n = ordered.agg(count(lit(1)).as("__n"))
+    ordered.crossJoin(broadcast(n))
+      .withColumn("shard",
+        expr(s"CAST(shuffle_pos * ${nShards}L div __n AS INT)"))
+      .drop("__n")
+  }
+
   /** Mixture weighting: keep each row with its stratum's rate (strata
     * absent from `rates` fall back to `defaultRate`). The bounded rates
     * map folds into a literal when-chain — per-row cost is one string

@@ -201,5 +201,37 @@ object SamplingQueries extends QueryModule {
       GROUP BY split
       ORDER BY split"""))
 
-  override val entries: Seq[QueryDef] = Seq(q83, q85, q92, q95, q97)
+  /** Export sharding: the documents table in deterministic shuffle
+    * order, cut into 16 balanced shards; per-shard rollup (sizes differ
+    * by ≤1, positions contiguous). Integer-only output. */
+  private val q98 = QueryDef(
+    "q98_export_shards",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      Sampling.exportShards(docs, "doc_id", nShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("shuffle_pos")).as("min_pos"),
+          max(col("shuffle_pos")).as("max_pos"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('graft-shuf|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY h, doc_id) - 1 AS pos,
+               count(*) OVER () AS n
+        FROM c)
+      SELECT CAST(pos * 16 // n AS INT) AS shard,
+             count(*) AS n_rows,
+             min(pos) AS min_pos,
+             max(pos) AS max_pos
+      FROM p
+      GROUP BY 1
+      ORDER BY shard"""))
+
+  override val entries: Seq[QueryDef] = Seq(q83, q85, q92, q95, q97, q98)
 }

@@ -101,6 +101,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall { case (id, pos) => naive(id) == pos })
   }
 
+  test("exportShards: balanced contiguous shards covering every row exactly once") {
+    val n = 1000
+    val out = Sampling.exportShards(ids(n), "id", nShards = 7)
+      .select("shard", "shuffle_pos").as[(Int, Long)].collect()
+    assert(out.length == n)
+    val byShard = out.groupBy(_._1)
+    assert(byShard.keySet == (0 until 7).toSet)
+    val sizes = byShard.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+    // contiguity: shard s's positions form one dense range, ordered s asc
+    val ranges = byShard.toSeq.sortBy(_._1).map { case (_, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps.last - ps.head + 1 == ps.length, "positions not contiguous")
+      (ps.head, ps.last)
+    }
+    assert(ranges.head._1 == 0L && ranges.last._2 == n - 1)
+    ranges.sliding(2).foreach { case Seq((_, aEnd), (bStart, _)) =>
+      assert(bStart == aEnd + 1)
+    case _ => ()
+    }
+  }
+
   test("stratified: strata smaller than n are kept whole; escalation converges") {
     val df = ids(100).withColumn("lang",
       when(col("id") < 10, "tiny").otherwise("big"))
