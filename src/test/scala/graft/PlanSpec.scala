@@ -102,12 +102,12 @@ class PlanSpec extends SparkSpec {
 
   test("corpus sweep: no unintended cartesian product in ANY query plan") {
     // intentionally product-shaped: q09 IS a cross join; q50 is the
-    // brute-force ANN baseline (broadcast-nested-loop by design); q84
-    // and q93 cross-join a BROADCAST 1-ROW aggregate (corpus size N for
-    // idf; N + avgdl for bm25) — the scalar-subquery shape,
-    // constant-size broadcast side
+    // brute-force ANN baseline (broadcast-nested-loop by design); q84,
+    // q93 and q98 cross-join a BROADCAST 1-ROW aggregate (corpus size N
+    // for idf; N + avgdl for bm25; row count N for shard math) — the
+    // scalar-subquery shape, constant-size broadcast side
     val intended = Set("q09_cross_join", "q50_ann_bruteforce_topk",
-      "q84_tfidf_top_terms", "q93_bm25_retrieval")
+      "q84_tfidf_top_terms", "q93_bm25_retrieval", "q98_export_shards")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>
