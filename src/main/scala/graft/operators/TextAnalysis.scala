@@ -248,11 +248,19 @@ object TextAnalysis {
       topK: Int = 3, minParallelism: Int = 0): DataFrame = {
     val halfUp6: Column => Column =
       c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    val toks = Spread.byKey(df, idCol, minParallelism)
+    // per-row term counting ([[graft.functions.TokenCounts]]): the
+    // (doc, term, tf) triples are born inside the row, so the
+    // groupBy(doc, term) — a full exchange of near-token-volume rows,
+    // formerly this query's largest shuffle — is gone from the plan;
+    // everything downstream aggregates per TERM (vocabulary-bounded,
+    // map-side combinable)
+    graft.functions.TokenCounts.register(df.sparkSession)
+    val tf = Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol).as("doc_id"),
-        explode(tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+        explode(graft.functions.TokenCounts.tokenCounts(
+          tokens(lower(col(textCol))))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.cnt").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
