@@ -224,6 +224,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Sub-document (chunk/paragraph) exact dedup — the C4/RefinedWeb step
+    * that whole-document dedup misses: boilerplate spans duplicated
+    * ACROSS distinct documents (headers, licenses, navigation). Tokens
+    * chunk into NON-overlapping `chunkSize` windows
+    * ([[TextAnalysis.chunks]] with stride = chunkSize, so every token
+    * belongs to exactly one chunk); the first occurrence of each chunk
+    * content — min (doc_id, chunk_id), a plain aggregate, no window —
+    * is the keeper. Returns the chunk table with a `keep` flag; callers
+    * drop `keep = 0` spans before packing.
+    *
+    * Scale shape: one map pass (chunk + hash), one groupBy on the chunk
+    * hash (narrow rows: hash + two ids), one equi-join back. A
+    * boilerplate chunk in millions of documents costs a single min()
+    * cell in the aggregate, never a blown bucket. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, minParallelism: Int = 0): DataFrame = {
+    val ch = TextAnalysis.chunks(df, idCol, textCol,
+      chunkSize = chunkSize, stride = chunkSize, minParallelism = minParallelism)
+    val winners = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__w"))
+    ch.join(winners, Seq("chunk_hash"))
+      .withColumn("keep",
+        (col("doc_id") === col("__w.doc_id") &&
+          col("chunk_id") === col("__w.chunk_id")).cast("int"))
+      .drop("__w")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_hash"), col("keep"))
+  }
+
   /** 60-bit SimHash of the distinct-token set: bit b is set when more
     * tokens hash to 1 than 0 at position b (sum of ±1 > 0).
     *

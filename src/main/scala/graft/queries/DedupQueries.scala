@@ -416,6 +416,52 @@ object DedupQueries extends QueryModule {
       GROUP BY source
       ORDER BY source NULLS FIRST"""))
 
+  /** Sub-document dedup: 8-token non-overlapping chunks, first
+    * occurrence (min doc_id, chunk_id) kept, per-doc rollup of dropped
+    * duplicate spans. The oracle replays chunking (q86's formula at
+    * stride = size), content hashing, and the keeper rule via the naive
+    * per-hash window — the Spark side's aggregate-only min(struct) must
+    * select identical keepers. */
+  private val q99 = QueryDef(
+    "q99_chunk_dedup",
+    (s, d) => {
+      graft.operators.Dedup.chunkDedup(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkSize = 8,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_dup"))
+        .filter(col("n_dup") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents),
+      ch AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0,
+                 ((CASE WHEN len(t) > 8 THEN len(t) - 8 ELSE 0 END) + 7) // 8)) AS chunk_id
+        FROM toks WHERE len(t) > 0),
+      h AS (
+        SELECT doc_id, chunk_id,
+               md5(array_to_string(t[chunk_id*8+1 : chunk_id*8+8], ' ')) AS ch
+        FROM ch),
+      k AS (
+        SELECT doc_id, chunk_id,
+               CASE WHEN row_number() OVER (PARTITION BY ch
+                 ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END AS keep
+        FROM h)
+      SELECT doc_id, count(*) AS n_chunks,
+             sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      FROM k
+      GROUP BY doc_id
+      HAVING sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) > 0
+      ORDER BY doc_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99)
 }

@@ -143,6 +143,25 @@ class DedupSpec extends SparkSpec {
       s"default-store query left cached RDDs pinned: $leaked")
   }
 
+  test("chunkDedup: first occurrence kept, cross-doc duplicate spans dropped") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
+    val df = Seq(
+      (1L, s"$span unique tail one two three four five"), // chunk 0 = span (first)
+      (2L, s"$span other ending here for this doc yes"),  // chunk 0 duplicates doc 1's
+      (3L, "entirely different words in this document body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkSize = 8)
+      .select("doc_id", "chunk_id", "keep").as[(Long, Long, Int)].collect()
+    val drops = out.filter(_._3 == 0)
+    assert(drops.toSeq == Seq((2L, 0L, 0)), s"exactly doc 2's first chunk drops: ${out.toSeq}")
+    // every chunk hash retains exactly one keeper
+    assert(out.count(_._3 == 1) == out.length - 1)
+    // aggregate-only plan: winner selection must not use a window
+    val plan = Dedup.chunkDedup(df, "doc_id", "text", chunkSize = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"chunkDedup plans a window:\n${plan.take(2000)}")
+  }
+
   test("embeddingNearDup: duplicate vector detected at threshold") {
     val v = Array(1.0f, 2.0f, 3.0f)
     val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
