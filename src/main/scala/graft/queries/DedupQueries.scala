@@ -462,6 +462,85 @@ object DedupQueries extends QueryModule {
       HAVING sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id"""))
 
+  /** The full curation pipeline as one verified chain — what a training
+    * run actually executes end-to-end: quality gate (q96 criteria) →
+    * exact dedup (q40 keeper rule) → deterministic shuffle (q95) →
+    * balanced export shards (q98) → per-shard rollup. Every stage is a
+    * proven oracle fragment; composing them verifies the HANDOFFS (the
+    * filter feeds the dedup's hash groups, the keepers feed the rank,
+    * the rank feeds the shard math) rather than any stage alone. */
+  private val q100 = QueryDef(
+    "q100_curation_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val rep = graft.operators.TextAnalysis.repetition(docs, "doc_id", "text")
+      val kept = rep.filter(col("n_tokens") >= 20 && col("flagged") === 0)
+      val deduped = graft.operators.Dedup.exact(kept, "doc_id", "text")
+      graft.operators.Sampling
+        .exportShards(deduped.select(col("doc_id"), col("n_tokens")),
+          "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, t
+        FROM toks),
+      g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM base WHERE len(t) >= 2),
+      c2 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM base WHERE len(t) >= 3),
+      c3 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      r AS (
+        SELECT base.doc_id, base.n_tokens,
+          CASE WHEN base.n_tokens > 0
+               THEN 1.0 - base.n_distinct::DOUBLE / base.n_tokens::DOUBLE
+               ELSE 0.0 END AS dup_token_frac,
+          COALESCE(c2.m::DOUBLE / c2.tot::DOUBLE, 0.0) AS top_2gram_frac,
+          COALESCE(c3.m::DOUBLE / c3.tot::DOUBLE, 0.0) AS top_3gram_frac
+        FROM base LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)),
+      kd AS (
+        SELECT r.doc_id, r.n_tokens, d.text
+        FROM r JOIN documents d USING (doc_id)
+        WHERE r.n_tokens >= 20
+          AND NOT (r.dup_token_frac > 0.4 OR r.top_2gram_frac > 0.2
+                   OR r.top_3gram_frac > 0.18)),
+      keepers AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY md5(text)),
+      kk AS (SELECT kd.doc_id, kd.n_tokens FROM kd JOIN keepers USING (doc_id)),
+      p AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY h, doc_id) - 1 AS pos,
+               count(*) OVER () AS n
+        FROM (SELECT doc_id, n_tokens,
+                ('0x' || substr(md5('graft-shuf|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+              FROM kk))
+      SELECT CAST(pos * 8 // n AS INT) AS shard,
+             count(*) AS n_docs,
+             sum(n_tokens)::BIGINT AS sum_tokens
+      FROM p
+      GROUP BY 1
+      ORDER BY shard"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100)
 }

@@ -107,7 +107,8 @@ class PlanSpec extends SparkSpec {
     // for idf; N + avgdl for bm25; row count N for shard math) — the
     // scalar-subquery shape, constant-size broadcast side
     val intended = Set("q09_cross_join", "q50_ann_bruteforce_topk",
-      "q84_tfidf_top_terms", "q93_bm25_retrieval", "q98_export_shards")
+      "q84_tfidf_top_terms", "q93_bm25_retrieval", "q98_export_shards",
+      "q100_curation_pipeline") // q100 composes q98's shard math
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>
