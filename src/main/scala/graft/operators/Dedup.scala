@@ -79,6 +79,16 @@ object IndexStore {
     private[operators] def freshDir(): String =
       s"$root/${java.util.UUID.randomUUID().toString.take(12)}"
   }
+  /** Identity store: no materialization at all — every consumer
+    * recomputes the index subtree. The right choice when the index is
+    * CHEAP TO RECOMPUTE relative to a round-trip (e.g. winnowing after
+    * [[graft.functions.WinnowRolling]] made the pass a tight O(n) loop:
+    * re-running it twice can beat serializing millions of exploded rows
+    * once). Nothing pinned, nothing written, nothing to release. */
+  case object NoStore extends IndexStore {
+    def release(): Unit = ()
+  }
+
   /** The no-handle-needed store: indexes persisted through the default
     * go to session-temp parquet, not executor memory, so a caller that
     * never sees the store instance leaks nothing. Pass your own
@@ -87,6 +97,7 @@ object IndexStore {
   def default: IndexStore = SessionTemp
 
   private[operators] def persist(df: DataFrame, store: IndexStore): DataFrame = store match {
+    case NoStore => df
     case m: Memory => m.track(df)
     case Path(dir) =>
       df.write.mode("overwrite").parquet(dir)

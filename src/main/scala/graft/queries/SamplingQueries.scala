@@ -60,20 +60,18 @@ object SamplingQueries extends QueryModule {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withSplit = Sampling.split(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      // explicit Memory store: the ~30M-row fingerprint index is read by
-      // three consumers, and at bench scale the in-memory fast path beats
-      // the leak-free SessionTemp parquet roundtrip ~2.5x (2.0s vs 5.0s
-      // at sf0.1). The harness (Bench/Verify) clearCache()s between
-      // queries, which is exactly the release contract Memory documents.
-      // rollingHash: the winnow pass is the query's dominant cost at
-      // scale (one hash per character position); Rabin-Karp's codegen'd
-      // recurrence replaces per-position md5 — measured 11.8s → materially
-      // less at sf1-equivalent, same detection semantics, still replayed
-      // exactly by the oracle's polynomial CTE (the q64/q65 contract).
+      // NoStore + rollingHash: once WinnowRolling made the fingerprint
+      // pass a tight O(n) loop, recomputing it per consumer beats any
+      // materialization — measured at sf1-equivalent: 11.8 s (md5 HOF +
+      // Memory persist) → 3.06 s (native winnow + Memory) → 1.84 s
+      // (native winnow recomputed, nothing persisted). The detection
+      // semantics are unchanged and the oracle replays the polynomial
+      // exactly (the q64/q65 contract). Memory/Path remain the right
+      // stores when the index feeds MANY queries, not three subtrees.
       graft.operators.Contamination
         .detect(withSplit, "doc_id", "text", "split",
           minShared = 2, maxDf = 50, k = 8, w = 4,
-          index = graft.operators.IndexStore.Memory(),
+          index = graft.operators.IndexStore.NoStore,
           minParallelism = s.sparkContext.defaultParallelism,
           rollingHash = true)
         .orderBy(col("test_id"))
