@@ -161,14 +161,15 @@ object Dedup {
       shingleK: Int = 1, numHashes: Int = 16, bands: Int = 4, rows: Int = 4,
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
       hashFamily: (Column, Column) => Column = md5Family,
-      index: IndexStore = IndexStore.default): DataFrame = {
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0): DataFrame = {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
     graft.functions.MinHashSig.register(df.sparkSession)
 
-    // repartition by id first: the source is typically a few big parquet
-    // row-groups, and signature hashing is per-row CPU work that should
-    // spread across all cores/executors
-    val sets = df.repartition(col(idCol)).select(
+    // signature hashing is per-row CPU work; on a real cluster the scan's
+    // input splits already spread it, so the raw-text exchange is opt-in
+    // (Spread.byKey, default 0 = never repartition)
+    val sets = Spread.byKey(df, idCol, minParallelism).select(
       col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sset"))
       .filter(size(col("sset")) > 0)
@@ -211,8 +212,9 @@ object Dedup {
     * at any useful threshold share many rare grams. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100,
-      index: IndexStore = IndexStore.default): DataFrame = {
-    val sets = IndexStore.persist(df.repartition(col(idCol)).select(
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0): DataFrame = {
+    val sets = IndexStore.persist(Spread.byKey(df, idCol, minParallelism).select(
         col(idCol).as("id"),
         array_distinct(shingles(tokens(col(textCol)), n)).as("gset"))
       .filter(size(col("gset")) > 0),
@@ -272,10 +274,11 @@ object Dedup {
     * (tokens × 60 bit rows through two shuffled aggregations) exchanges
     * 60× the token count at scale; this exchanges nothing. Values are
     * identical (same h60 family), so the q44 oracle replay is unchanged. */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60,
+      minParallelism: Int = 0): DataFrame = {
     require(bits == 60, "the codegen'd signature is fixed at 60 bits (h60 family)")
     graft.functions.SimHash60.register(df.sparkSession)
-    df.repartition(col(idCol)) // spread per-row md5 CPU work
+    Spread.byKey(df, idCol, minParallelism) // raw-text exchange is opt-in
       .filter(size(tokens(col(textCol))) > 0) // explode semantics: no tokens, no row
       .select(col(idCol).as("id"),
         graft.functions.SimHash60.simhash60(tokens(col(textCol))).as("simhash"))

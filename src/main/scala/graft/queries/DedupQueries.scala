@@ -110,7 +110,8 @@ object DedupQueries extends QueryModule {
       Dedup.minhashLsh(docs, "doc_id", "text",
           shingleK = 1, numHashes = 16, bands = 4, rows = 4,
           threshold = 0.8, maxBucketSize = Int.MaxValue,
-          index = IndexStore.Memory())
+          index = IndexStore.Memory(),
+          minParallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""
@@ -149,7 +150,8 @@ object DedupQueries extends QueryModule {
     "q44_simhash_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") <= 200)
-      val sim = Dedup.simhash(docs, "doc_id", "text")
+      val sim = Dedup.simhash(docs, "doc_id", "text",
+        minParallelism = s.sparkContext.defaultParallelism)
       val sigs = sim.orderBy(col("id"))
         .select(col("id").as("doc_id"), col("simhash"))
       val pairs = Dedup.simhashPairs(sim, maxHamming = 8)
@@ -233,7 +235,8 @@ object DedupQueries extends QueryModule {
     "q46_ngram_jaccard_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
-      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 50)
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 50,
+          minParallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""
@@ -284,7 +287,8 @@ object DedupQueries extends QueryModule {
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
-        index = IndexStore.Memory())
+        index = IndexStore.Memory(),
+        minParallelism = s.sparkContext.defaultParallelism)
       ConnectedComponents.dedupAssign(
           docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -353,7 +357,8 @@ object DedupQueries extends QueryModule {
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
-        index = IndexStore.Memory())
+        index = IndexStore.Memory(),
+        minParallelism = s.sparkContext.defaultParallelism)
       val decision = ConnectedComponents.dedupAssign(
           docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
         .select(col("doc_id"), col("keep"))

@@ -190,6 +190,36 @@ class PlanSpec extends SparkSpec {
       "tfidf shuffles raw text")
   }
 
+  test("dedup trio: raw text does not shuffle by default (minhashLsh/ngramJaccard/simhash)") {
+    // round-7 finding: these three opened with an unconditional
+    // repartition(id) on the raw document table. Now routed through
+    // Spread.byKey with the same default-0 contract as chunks/tfidf:
+    // simhash is a pure projection (zero Exchange), and the LSH/Jaccard
+    // pipelines may shuffle only AFTER text collapses to signature rows
+    // — no exchange input may carry the text column.
+    val docs = Tables.documents(spark, sf)
+    def textExchanges(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      root.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.schema.fieldNames.contains("text") => e.toString.take(200)
+      }
+    }
+    val sim = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+    val sp = sim.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"), s"simhash shuffles by default:\n${sp.take(2000)}")
+    val mh = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      index = graft.operators.IndexStore.NoStore)
+    assert(textExchanges(mh).isEmpty, "minhashLsh shuffles raw text by default")
+    val ng = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text",
+      index = graft.operators.IndexStore.NoStore)
+    assert(textExchanges(ng).isEmpty, "ngramJaccard shuffles raw text by default")
+  }
+
   test("q88: profiler's modal value is aggregate-only — no Window in the plan") {
     // a row_number window partitioned by col_name would funnel every
     // distinct value of a near-key column into ONE task; the two-phase
