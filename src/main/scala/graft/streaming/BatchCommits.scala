@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Per-batch commit plumbing shared by the foreachBatch gates
+  * ([[StreamingDedupGate]], [[StreamingContamination]],
+  * [[StreamingOps.startIngest]]).
+  *
+  * Two pieces:
+  *
+  *  - '''Markers''' — replay guards keyed by batch id, resolved through
+  *    Hadoop's FileSystem API so they live NEXT TO the checkpoint on
+  *    whatever filesystem backs it (hdfs://, s3a://, file:). A
+  *    java.nio.Paths marker on an `hdfs://` checkpoint string would
+  *    land on the driver's local disk and silently vanish on driver
+  *    relocation — the replay protection must share the checkpoint's
+  *    durability.
+  *
+  *  - '''Idempotent publish''' — `publishBatch` makes a per-batch
+  *    parquet append REPLAYABLE: the batch's rows are staged under a
+  *    dot-prefixed dir (invisible to Spark readers of `dir`), any files
+  *    a previous attempt of the SAME batch published are deleted, and
+  *    the staged files are renamed into place with batch-scoped names
+  *    (`part-<scope>-b<batchId>-<i>`). A replayed batch therefore
+  *    replaces its own earlier (possibly partial) output instead of
+  *    appending a second copy — the crash window between a plain append
+  *    and its commit marker is gone. The target layout stays a flat
+  *    parquet dir (or hive-partitioned via `partitionBy`), so the read
+  *    contract is unchanged.
+  *
+  *    `scope` must be STABLE across restarts of one run and DISTINCT
+  *    across runs sharing the output dir: batch ids are only unique
+  *    within a checkpoint, so run 2's batch 0 must never replace run
+  *    1's. [[scopeFor]] derives it from the checkpoint path — the same
+  *    identity that scopes the batch ids themselves.
+  */
+private[streaming] object BatchCommits {
+
+  /** Stable per-checkpoint publish scope (reusing a DELETED checkpoint
+    * path for a new run against the same output dir would collide —
+    * fresh runs should use fresh checkpoint dirs, as Structured
+    * Streaming itself expects). */
+  def scopeFor(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  def fileSystem(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def marker(spark: SparkSession, base: String, name: String,
+      batchId: Long): (FileSystem, Path) = {
+    val (fs, b) = fileSystem(spark, base)
+    (fs, new Path(new Path(b, name), batchId.toString))
+  }
+
+  def markerExists(spark: SparkSession, base: String, name: String,
+      batchId: Long): Boolean = {
+    val (fs, m) = marker(spark, base, name, batchId)
+    fs.exists(m)
+  }
+
+  def createMarker(spark: SparkSession, base: String, name: String,
+      batchId: Long): Unit = {
+    val (fs, m) = marker(spark, base, name, batchId)
+    fs.mkdirs(m.getParent)
+    fs.create(m, true).close()
+  }
+
+  /** Hive-partition-aware relative path of `file`'s parent under `root`
+    * ("" when the file sits directly in `root`). */
+  private def relativeDir(root: Path, file: Path): String = {
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    file.getParent.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+  }
+
+  /** All files a given (scope, batch) has published into `dir`
+    * (recursive, so partitioned layouts are covered). Empty when `dir`
+    * doesn't exist. */
+  def publishedFiles(spark: SparkSession, dir: String, scope: String,
+      batchId: Long): Seq[Path] = {
+    val (fs, target) = fileSystem(spark, dir)
+    if (!fs.exists(target)) return Seq.empty
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(target, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith(s"part-$scope-b$batchId-")) out += f
+    }
+    out.result()
+  }
+
+  /** Idempotently publish one batch's rows into `dir` (optionally
+    * hive-partitioned by `partitionCols`). Safe to re-run for the same
+    * (scope, batch): earlier files of THIS batch are replaced, other
+    * batches' (and other runs') files are untouched. */
+  def publishBatch(df: DataFrame, dir: String, scope: String, batchId: Long,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val (fs, target) = fileSystem(spark, dir)
+    val staging = new Path(target, s".staging-$scope-b$batchId")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
+    publishedFiles(spark, dir, scope, batchId).foreach(f => fs.delete(f, false))
+    var i = 0
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-")) {
+        val rel = relativeDir(staging, f)
+        val destDir = if (rel.isEmpty) target else new Path(target, rel)
+        fs.mkdirs(destDir)
+        fs.rename(f, new Path(destDir, s"part-$scope-b$batchId-$i.parquet"))
+        i += 1
+      }
+    }
+    fs.delete(staging, true)
+  }
+}

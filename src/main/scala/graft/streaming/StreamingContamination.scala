@@ -32,6 +32,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    checkpoint, and several runs (each with its own checkpoint) may
   *    legitimately append to one hits dir — a marker scoped to the hits
   *    dir would make run 2's batch 0 look like a replay of run 1's.
+  *    Markers resolve through Hadoop's FileSystem API so they live on
+  *    the checkpoint's own filesystem, and the hits append itself is a
+  *    [[BatchCommits.publishBatch]] — a replay REPLACES the crashed
+  *    batch's partial hit files instead of appending a second copy, so
+  *    the crash window between the append and the marker duplicates
+  *    nothing.
   */
 object StreamingContamination {
 
@@ -53,15 +59,15 @@ object StreamingContamination {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val commits = java.nio.file.Paths.get(checkpoint, "graft_batch_commits")
-        java.nio.file.Files.createDirectories(commits)
-        val marker = commits.resolve(batchId.toString)
-        if (!java.nio.file.Files.exists(marker)) {
-          Contamination.checkAgainstIndex(batch, idCol, textCol, index,
-              minShared, k, w)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(hitsDir)
-          java.nio.file.Files.createFile(marker)
+        if (!BatchCommits.markerExists(spark, checkpoint,
+            "graft_batch_commits", batchId)) {
+          BatchCommits.publishBatch(
+            Contamination.checkAgainstIndex(batch, idCol, textCol, index,
+                minShared, k, w)
+              .withColumn("batch_id", lit(batchId)),
+            hitsDir, BatchCommits.scopeFor(checkpoint), batchId)
+          BatchCommits.createMarker(spark, checkpoint,
+            "graft_batch_commits", batchId)
         }
         ()
       }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Ingest-time exact dedup gate: every arriving micro-batch is checked
   * against a durable content-hash index of everything already admitted,
@@ -13,70 +14,182 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch.
   *
   * State design: NO Spark streaming state. The cross-batch memory is
-  * the hash index parquet — narrow (h) rows, readable by any engine,
-  * compactable offline, and shared by restarts. Per batch the work is
-  * one anti-join of the batch's hashes against the index (at 100 TB of
-  * history the index join is the cost — partition the index dir by a
-  * hash prefix and this becomes a pruned join; the gate itself never
-  * rescans admitted DOCUMENTS, only hashes).
+  * the hash index parquet — narrow (h) rows partitioned by the first
+  * `prefixLen` hex chars of the hash (`hp=xx/` hive layout), readable by
+  * any engine and shared by restarts. Per batch the work is one
+  * anti-join of the batch's hashes against the index, and the index
+  * scan is PRUNED to the partitions matching the batch's own hash
+  * prefixes (one metadata-scale collect of ≤ 16^prefixLen strings) — at
+  * years-of-ingest scale a small batch touches a fraction of the index
+  * files instead of rescanning all of them. The gate never rescans
+  * admitted DOCUMENTS, only hashes. One file per batch per touched
+  * prefix accrues; [[compactIndex]] is the offline entry point that
+  * rewrites each prefix to a single file while preserving every
+  * admission decision (run it while the gate is stopped).
   *
-  * Exactly-once: batch ids are committed via checkpoint-scoped markers
-  * AFTER both appends succeed (the [[StreamingContamination]] rule:
-  * batch ids are only unique within a checkpoint). A crash between the
-  * two appends can leave a hash indexed whose document was not written
-  * — the replay then drops that document. The gate therefore appends
-  * the OUTPUT FIRST, index second: the crash window instead leaves an
-  * admitted document whose hash lands on replay (duplicate-admission
-  * impossible, single-loss impossible; the replayed batch re-checks
-  * against the index which does not yet contain the crashed hashes).
+  * Exactly-once, precisely: each batch commits through TWO
+  * checkpoint-scoped markers (Hadoop FS, so they share the checkpoint's
+  * durability — see [[BatchCommits]]) and idempotent per-batch
+  * publishes:
+  *
+  *  1. admitted rows   → `outDir`   via [[BatchCommits.publishBatch]]
+  *  2. marker `graft_out_commits/<batchId>`
+  *  3. admitted hashes → `indexDir` via [[BatchCommits.publishBatch]]
+  *  4. marker `graft_batch_commits/<batchId>`
+  *
+  * A replay before (2) recomputes the same admitted set (the index has
+  * no trace of the batch yet) and `publishBatch` REPLACES the earlier
+  * partial output instead of appending a second copy. A replay between
+  * (2) and (4) must NOT recompute the anti-join — a partial index
+  * publish would shrink the admitted set and replace the output with a
+  * subset — so it takes the recovery path: read the batch's own
+  * published output files back, re-derive their hashes, republish the
+  * index slice, and commit. Duplicate admission and row loss are both
+  * impossible in every crash window.
   */
 object StreamingDedupGate {
+
+  private val OutCommits = "graft_out_commits"
+  private val BatchCommitsDir = "graft_batch_commits"
+
+  private val indexSchema: StructType =
+    StructType(Seq(StructField("h", StringType), StructField("hp", StringType)))
+
+  /** The index read the per-batch anti-join uses: explicit schema (no
+    * partition-type inference — hp values like "0a" and "42" must both
+    * stay strings), explicit existence check (an unreadable index fails
+    * loudly instead of masquerading as empty), and partition pruning to
+    * the batch's own prefixes. */
+  private[streaming] def prunedIndex(spark: SparkSession, indexDir: String,
+      prefixes: Seq[String]): DataFrame = {
+    val (fs, p) = BatchCommits.fileSystem(spark, indexDir)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+    else
+      spark.read.schema(indexSchema).parquet(indexDir)
+        .filter(col("hp").isin(prefixes: _*))
+  }
+
+  /** One batch through the gate — the foreachBatch body, factored out so
+    * specs can drive individual crash windows. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, outDir: String,
+      checkpoint: String, prefixLen: Int): Unit = {
+    val spark = batch.sparkSession
+    val scope = BatchCommits.scopeFor(checkpoint)
+    if (BatchCommits.markerExists(spark, checkpoint, BatchCommitsDir, batchId))
+      return
+    if (BatchCommits.markerExists(spark, checkpoint, OutCommits, batchId)) {
+      // recovery: output is committed, the index publish may be partial.
+      // Re-derive the hashes from the batch's OWN published files (never
+      // the anti-join — a partial index would shrink it) and republish.
+      val files = BatchCommits.publishedFiles(spark, outDir, scope, batchId)
+      if (files.nonEmpty) {
+        val hashes = spark.read.parquet(files.map(_.toString): _*)
+          .select(md5(col(textCol).cast("string")).as("h"))
+          .withColumn("hp", substring(col("h"), 1, prefixLen))
+        BatchCommits.publishBatch(hashes, indexDir, scope, batchId, Seq("hp"))
+      }
+      BatchCommits.createMarker(spark, checkpoint, BatchCommitsDir, batchId)
+      return
+    }
+    val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
+    // in-batch keeper: min id per hash (aggregate, no window)
+    val keepers = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    val inBatch = hashed.join(keepers,
+        hashed("__h") === keepers("__h") && col(idCol) === col("__keep_id"))
+      .drop(keepers("__h")).drop("__keep_id")
+      .withColumn("hp", substring(col("__h"), 1, prefixLen))
+      .cache()
+    try {
+      // prune the index scan to the prefixes this batch can touch
+      val prefixes = inBatch.select(col("hp")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val seen = prunedIndex(spark, indexDir, prefixes)
+      val admitted = inBatch.join(seen, inBatch("__h") === seen("h"),
+        "left_anti").cache()
+      try {
+        BatchCommits.publishBatch(admitted.drop("__h", "hp"), outDir, scope, batchId)
+        BatchCommits.createMarker(spark, checkpoint, OutCommits, batchId)
+        BatchCommits.publishBatch(
+          admitted.select(col("__h").as("h"), col("hp")),
+          indexDir, scope, batchId, Seq("hp"))
+        BatchCommits.createMarker(spark, checkpoint, BatchCommitsDir, batchId)
+      } finally admitted.unpersist()
+    } finally inBatch.unpersist()
+  }
 
   /** Start the gate: arriving `docs` (streaming, `idCol` + `textCol`)
     * are exact-deduped against `indexDir` and within the batch (min
     * `idCol` keeper); admitted rows append to `outDir` as parquet,
-    * their hashes to `indexDir`. */
+    * their hashes to `indexDir` (hive-partitioned by `hp`, the first
+    * `prefixLen` hash chars). */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val spark = docs.sparkSession
+      trigger: Trigger = Trigger.AvailableNow(),
+      prefixLen: Int = 2): StreamingQuery = {
+    require(prefixLen >= 1 && prefixLen <= 8, "prefixLen in [1, 8]")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val commits = java.nio.file.Paths.get(checkpoint, "graft_batch_commits")
-        java.nio.file.Files.createDirectories(commits)
-        val marker = commits.resolve(batchId.toString)
-        if (!java.nio.file.Files.exists(marker)) {
-          val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
-          // in-batch keeper: min id per hash (aggregate, no window)
-          val keepers = hashed.groupBy(col("__h"))
-            .agg(min(col(idCol)).as("__keep_id"))
-          val inBatch = hashed.join(keepers,
-              hashed("__h") === keepers("__h") &&
-                col(idCol) === col("__keep_id"))
-            .drop(keepers("__h")).drop("__keep_id")
-          // cross-batch: anti-join against the durable hash index
-          val seen =
-            try spark.read.parquet(indexDir)
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("h",
-                    org.apache.spark.sql.types.StringType)))) }
-          val admitted = inBatch.join(seen, inBatch("__h") === seen("h"),
-            "left_anti").cache()
-          // output first, hashes second — see the scaladoc crash analysis
-          admitted.drop("__h").write.mode(SaveMode.Append).parquet(outDir)
-          admitted.select(col("__h").as("h"))
-            .write.mode(SaveMode.Append).parquet(indexDir)
-          admitted.unpersist()
-          java.nio.file.Files.createFile(marker)
-        }
-        ()
+        processBatch(batch, batchId, idCol, textCol, indexDir, outDir,
+          checkpoint, prefixLen)
       }
       .start()
+  }
+
+  /** Offline compaction for the one-file-per-batch-per-prefix accrual:
+    * rewrites the index so each `hp=` partition holds a single file,
+    * preserving the exact hash set (every admission decision). Run while
+    * the gate is stopped — the swap is not coordinated with a live
+    * writer. */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val (fs, target) = BatchCommits.fileSystem(spark, indexDir)
+    if (!fs.exists(target)) return
+    // capture the current file set BEFORE staging so the swap deletes
+    // exactly what was compacted, never the staged replacement
+    val old = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(target, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.startsWith("part-")) out += f
+      }
+      out.result()
+    }
+    if (old.isEmpty) return
+    val staging = new org.apache.hadoop.fs.Path(target, ".compact")
+    // distinct() also cleans any hash duplicated by a previous crashed
+    // compaction (a duplicate is harmless to the existence anti-join,
+    // but there's no reason to carry it forward)
+    spark.read.schema(indexSchema).parquet(indexDir).distinct()
+      .repartition(col("hp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("hp").parquet(staging.toString)
+    // rename the compacted files IN before deleting the old ones: a
+    // crash mid-swap can then only leave a hash present twice — never
+    // absent — so no admission decision is ever lost
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var i = 0
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-")) {
+        val rel = f.getParent.toUri.getPath
+          .stripPrefix(staging.toUri.getPath).stripPrefix("/")
+        val destDir =
+          if (rel.isEmpty) target else new org.apache.hadoop.fs.Path(target, rel)
+        fs.mkdirs(destDir)
+        fs.rename(f,
+          new org.apache.hadoop.fs.Path(destDir, s"part-compact-$runId-$i.parquet"))
+        i += 1
+      }
+    }
+    fs.delete(staging, true)
+    old.foreach(f => fs.delete(f, false))
   }
 }

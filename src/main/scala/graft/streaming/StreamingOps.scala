@@ -117,17 +117,19 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // replay guard (A22): skip batch ids already committed — a restart
         // after checkpoint-write-failure re-delivers the same batchId, and
-        // every sink below is an append (would duplicate rows)
-        val commits = java.nio.file.Paths.get(destRoot, "_batch_commits")
-        java.nio.file.Files.createDirectories(commits)
-        val marker = commits.resolve(batchId.toString)
-        if (!java.nio.file.Files.exists(marker)) {
+        // every sink below is an append (would duplicate rows). Markers
+        // resolve via Hadoop FS so a non-local destRoot keeps its replay
+        // protection (BatchCommits). The window between the appends and
+        // the marker is at-least-once: runBatch fans out to per-stream
+        // sinks, so a replayed crash re-appends — documented, bounded to
+        // one batch.
+        if (!BatchCommits.markerExists(spark, destRoot, "_batch_commits", batchId)) {
           val configs = StreamConfig.loadDir(spark, configDir) // hot reload per batch
           if (configs.nonEmpty && !batch.isEmpty) {
             IngestPipeline.runBatch(spark, batch, "value", configs, destRoot,
               registerTables = false)
           }
-          java.nio.file.Files.createFile(marker)
+          BatchCommits.createMarker(spark, destRoot, "_batch_commits", batchId)
         }
         ()
       }

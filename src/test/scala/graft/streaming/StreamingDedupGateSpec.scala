@@ -48,4 +48,109 @@ class StreamingDedupGateSpec extends SparkSpec {
       assert(spark.read.parquet(idx).count() == 4, "index holds one hash per admitted doc")
     } finally q2.stop()
   }
+
+  test("index is hash-prefix partitioned and the per-batch read prunes to the batch's prefixes") {
+    val idx = Files.createTempDirectory("graft-gate-pidx").toString
+    val out = Files.createTempDirectory("graft-gate-pout").toString
+    val ckpt = Files.createTempDirectory("graft-gate-pckpt").toString
+    val batch = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    StreamingDedupGate.processBatch(batch, 0L, "doc_id", "text", idx, out, ckpt, 2)
+
+    // layout: hive hp= partition dirs
+    val hpDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("hp="))
+    assert(hpDirs.nonEmpty, "index not hive-partitioned by hash prefix")
+
+    // the pruned read carries a partition filter on hp, so the scan
+    // touches only the arriving prefixes' files
+    val onePrefix = hpDirs.head.getName.stripPrefix("hp=")
+    val pruned = StreamingDedupGate.prunedIndex(spark, idx, Seq(onePrefix))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("hp")),
+      s"no partition filter on hp:\n${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"pruning did not reduce to one partition: ${scan.selectedPartitions.partitionCount}")
+    assert(pruned.count() >= 1)
+  }
+
+  test("crash windows: replay never duplicates output or loses index entries") {
+    val idx = Files.createTempDirectory("graft-gate-cidx").toString
+    val out = Files.createTempDirectory("graft-gate-cout").toString
+    val ckpt = Files.createTempDirectory("graft-gate-cckpt").toString
+    val batch = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+
+    // window 1: crash AFTER a (partial) output publish, BEFORE the out
+    // marker — replay recomputes the same admitted set and REPLACES the
+    // earlier files instead of appending a second copy
+    BatchCommits.publishBatch(batch, out, BatchCommits.scopeFor(ckpt), 0L) // the crashed attempt's files
+    StreamingDedupGate.processBatch(batch, 0L, "doc_id", "text", idx, out, ckpt, 2)
+    assert(spark.read.parquet(out).count() == 2, "replay duplicated the output")
+    assert(spark.read.parquet(idx).count() == 2, "index incomplete after replay")
+
+    // window 2: crash AFTER the out marker, BEFORE the index publish —
+    // replay must re-derive hashes from the PUBLISHED output (not the
+    // anti-join) and complete the index
+    val batch2 = Seq((3L, "brand new"), (4L, "also new")).toDF("doc_id", "text")
+    BatchCommits.publishBatch(batch2, out, BatchCommits.scopeFor(ckpt), 1L)
+    BatchCommits.createMarker(spark, ckpt, "graft_out_commits", 1L)
+    StreamingDedupGate.processBatch(batch2, 1L, "doc_id", "text", idx, out, ckpt, 2)
+    assert(spark.read.parquet(out).count() == 4, "recovery altered the published output")
+    assert(spark.read.parquet(idx).count() == 4, "recovery did not complete the index")
+
+    // window 3: fully committed batch replays as a no-op
+    StreamingDedupGate.processBatch(batch2, 1L, "doc_id", "text", idx, out, ckpt, 2)
+    assert(spark.read.parquet(out).count() == 4)
+    assert(spark.read.parquet(idx).count() == 4)
+  }
+
+  test("compactIndex: one file per prefix, every admission decision preserved") {
+    val idx = Files.createTempDirectory("graft-gate-kidx").toString
+    val out = Files.createTempDirectory("graft-gate-kout").toString
+    val ckpt = Files.createTempDirectory("graft-gate-kckpt").toString
+    // three batches → up to three files per touched prefix
+    StreamingDedupGate.processBatch(
+      Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, out, ckpt, 2)
+    StreamingDedupGate.processBatch(
+      Seq((3L, "cc"), (4L, "aa")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", idx, out, ckpt, 2)
+    StreamingDedupGate.processBatch(
+      Seq((5L, "dd")).toDF("doc_id", "text"),
+      2L, "doc_id", "text", idx, out, ckpt, 2)
+    val before = spark.read.parquet(idx).orderBy("h").collect().toSeq
+    StreamingDedupGate.compactIndex(spark, idx)
+    val after = spark.read.parquet(idx).orderBy("h").collect().toSeq
+    assert(after == before, "compaction changed the hash set")
+    val perPrefix = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("hp="))
+      .map(d => d.listFiles().count(_.getName.startsWith("part-")))
+    assert(perPrefix.forall(_ == 1), s"not compacted to one file per prefix: ${perPrefix.toSeq}")
+
+    // admission memory survives compaction across a restart: a dup of
+    // doc 1 is still dropped, a new doc admitted
+    StreamingDedupGate.processBatch(
+      Seq((6L, "aa"), (7L, "zz")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, out,
+      Files.createTempDirectory("graft-gate-kckpt2").toString, 2)
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 5L, 7L), s"post-compaction admissions wrong: $ids")
+  }
+
+  test("publishBatch is idempotent per batch and isolated across batches") {
+    val dir = Files.createTempDirectory("graft-publish").toString
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    BatchCommits.publishBatch(a, dir, "run1", 7L)
+    BatchCommits.publishBatch(a, dir, "run1", 7L) // replay: replaces, not appends
+    assert(spark.read.parquet(dir).count() == 2)
+    BatchCommits.publishBatch(Seq((3L, "z")).toDF("id", "v"), dir, "run1", 8L)
+    assert(spark.read.parquet(dir).count() == 3, "second batch must append")
+    // replaying batch 7 after batch 8 landed touches only batch 7's files
+    BatchCommits.publishBatch(a, dir, "run1", 7L)
+    assert(spark.read.parquet(dir).count() == 3)
+    // a DIFFERENT run's batch 7 is isolated from run1's batch 7
+    BatchCommits.publishBatch(Seq((9L, "w")).toDF("id", "v"), dir, "run2", 7L)
+    assert(spark.read.parquet(dir).count() == 4, "cross-run batch ids must not collide")
+  }
 }
