@@ -52,14 +52,17 @@ object TokenCounts {
 
   def tokenCounts(toks: Column): Column = call_function(FnName, toks)
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code. NULL array
+    * elements are skipped, not counted — the registered SQL function is
+    * reachable with any array<string>, not just tokens() output. */
   def compute(toks: ArrayData): ArrayData = {
     val m = toks.numElements()
     val counts = new java.util.TreeMap[String, Integer]() // sorted by term
     var i = 0
     while (i < m) {
-      counts.merge(toks.getUTF8String(i).toString, Integer.valueOf(1),
-        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (!toks.isNullAt(i))
+        counts.merge(toks.getUTF8String(i).toString, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
       i += 1
     }
     val out = new Array[Any](counts.size)

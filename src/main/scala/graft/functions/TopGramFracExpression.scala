@@ -52,10 +52,23 @@ object TopGramFrac {
   def topGramFrac(toks: Column, n: Int): Column =
     call_function(FnName, toks, lit(n))
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code. NULL array
+    * elements are dropped before gram formation (grams never span a
+    * null) — the registered SQL function is reachable with any
+    * array<string>, not just tokens() output. */
   def compute(toks: ArrayData, n: Int): Double = {
     val m = toks.numElements()
-    val total = m - n + 1
+    var nonNull = 0
+    var k = 0
+    while (k < m) { if (!toks.isNullAt(k)) nonNull += 1; k += 1 }
+    val words = new Array[String](nonNull)
+    k = 0
+    var w = 0
+    while (k < m) {
+      if (!toks.isNullAt(k)) { words(w) = toks.getUTF8String(k).toString; w += 1 }
+      k += 1
+    }
+    val total = nonNull - n + 1
     if (total <= 0) return 0.0
     val counts = new java.util.HashMap[String, Integer](total * 2)
     val sb = new java.lang.StringBuilder()
@@ -66,7 +79,7 @@ object TopGramFrac {
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        sb.append(words(i + j))
         j += 1
       }
       val c = counts.merge(sb.toString, Integer.valueOf(1),

@@ -93,32 +93,43 @@ object Sampling {
     * Selection is identical to the naive shape — the filter only removes
     * rows that could never rank ≤ n — so an engine replaying the plain
     * window (the oracle) agrees row-for-row.
+    *
+    * Rows with a NULL stratum are dropped up front: null is not a
+    * stratum (`=== null` never matches, so a null "stratum" could never
+    * fill its quota and would escalate forever); callers who want nulls
+    * sampled should coalesce them to a sentinel first.
     */
   def stratified(df: DataFrame, idCol: String, strataCol: String, n: Int,
       salt: String = "graft-strat", oversample: Double = 4.0): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(oversample > 1.0, s"oversample must exceed 1, got $oversample")
     import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(strataCol).isNotNull)
     val c = coord(col(idCol), salt)
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+    val counts = rows.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap // bounded: one row per stratum
     var over = oversample
     var result: DataFrame = null
-    var done = false
+    var done = counts.isEmpty
+    if (done) result = rows.limit(0)
     while (!done) {
+      // termination witness: once every stratum's threshold saturates at
+      // 1.0 the filter is the identity and the ranked selection IS the
+      // naive window — the verify step cannot fail, so the loop ends
+      val saturated = counts.values.forall(cnt => over * n / cnt.toDouble >= 1.0)
       val thr = counts.toSeq.sortBy(_._1.toString)
         .foldLeft(lit(0L): Column) { case (els, (s, cnt)) =>
           when(col(strataCol) === lit(s),
             lit(threshold(math.min(1.0, over * n / cnt.toDouble)))).otherwise(els)
         }
-      val candidates = df.filter(c < thr)
+      val candidates = rows.filter(c < thr)
       val ranked = candidates.withColumn("__rk",
         row_number().over(Window.partitionBy(col(strataCol))
           .orderBy(c.asc, col(idCol).asc)))
       result = ranked.filter(col("__rk") <= n).drop("__rk")
       val got = result.groupBy(col(strataCol)).agg(count(lit(1)).as("__got"))
         .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-      done = counts.forall { case (s, cnt) =>
+      done = saturated || counts.forall { case (s, cnt) =>
         got.getOrElse(s, 0L) >= math.min(cnt, n.toLong) }
       if (!done) over = over * 2
     }

@@ -38,4 +38,18 @@ class TokenCountsSpec extends SparkSpec {
       .select(size(TokenCounts.tokenCounts(tokens(col("text"))))).as[Int].head()
     assert(empty == 0)
   }
+
+  test("null array elements are skipped — the SQL surface accepts any array<string>") {
+    TokenCounts.register(spark)
+    // array() with a null literal: containsNull=true, not tokens() output
+    val r = spark.sql(
+      "SELECT graft_token_counts(array('a', CAST(NULL AS STRING), 'a', 'b')) AS tc")
+      .selectExpr("transform(tc, x -> x.term) AS terms", "transform(tc, x -> x.cnt) AS cnts")
+      .as[(Seq[String], Seq[Int])].head()
+    assert(r._1 == Seq("a", "b") && r._2 == Seq(2, 1))
+    val allNull = spark.sql(
+      "SELECT size(graft_token_counts(array(CAST(NULL AS STRING)))) AS n")
+      .as[Int].head()
+    assert(allNull == 0)
+  }
 }

@@ -32,4 +32,17 @@ class TopGramFracSpec extends SparkSpec {
       assert(bad.isEmpty, s"n=$n mismatches: ${bad.take(3).mkString(", ")}")
     }
   }
+
+  test("null array elements are dropped before gram formation — no NPE via the SQL surface") {
+    TopGramFrac.register(spark)
+    // equals the same doc with nulls removed: grams never span a null
+    val r = spark.sql(
+      """SELECT graft_top_gram_frac(array('a','b', CAST(NULL AS STRING), 'a','b'), 2) AS withNull,
+               graft_top_gram_frac(array('a','b','a','b'), 2) AS without""")
+      .as[(Double, Double)].head()
+    assert(r._1 == r._2)
+    val allNull = spark.sql(
+      "SELECT graft_top_gram_frac(array(CAST(NULL AS STRING)), 2) AS f").as[Double].head()
+    assert(allNull == 0.0)
+  }
 }

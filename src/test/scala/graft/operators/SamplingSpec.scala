@@ -134,4 +134,20 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("tiny") == 10, "a stratum below n is kept in full")
     assert(byLang("big") == 40)
   }
+
+  test("stratified: null strata are dropped up front, never hang the escalation loop") {
+    val df = ids(100).withColumn("lang",
+      when(col("id") < 10, lit(null).cast("string"))
+        .when(col("id") < 55, "a").otherwise("b"))
+    val out = Sampling.stratified(df, "id", "lang", n = 20)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(out.forall(_._2 != null), "null stratum rows must be dropped")
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("a" -> 20, "b" -> 20))
+    // all-null strata → empty result, same schema, still terminates
+    val allNull = ids(10).withColumn("lang", lit(null).cast("string"))
+    val empty = Sampling.stratified(allNull, "id", "lang", n = 5)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "lang"))
+  }
 }
