@@ -76,9 +76,12 @@ object TimeSeriesQueries extends QueryModule {
         .select(col("user_id"), col("event_id").as("window_id"),
           col("ts").as("w_start"),
           (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      // bucketSeconds = 0: width derived from the data (median interval
+      // length) so the fan-out stays near one bucket per interval at
+      // every scale — the fixed 3600 was the round-7 superlinear knob
       graft.operators.RangeJoin.pointInInterval(
           purchases, windows, "user_id", "ts", "w_start", "w_end",
-          bucketSeconds = 3600L)
+          bucketSeconds = 0L)
         .select(col("event_id"), col("user_id"), col("window_id"))
         .orderBy(col("event_id"), col("window_id"))
     },

@@ -41,4 +41,29 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("derived bucket width: median interval length, robust to skewed length mixes") {
+    // 9 one-minute intervals + 1 one-day interval: mean would be ~2.4h
+    // (day-length buckets, terrible point selectivity); median stays 60s
+    val base = ts("2026-01-01 00:00:00").getTime
+    val skewed = ((1 to 9).map { i =>
+      (i.toLong, 10L, new Timestamp(base + i * 100000L),
+        new Timestamp(base + i * 100000L + 60000L))
+    } :+ ((10L, 10L, new Timestamp(base), new Timestamp(base + 86400000L))))
+      .toDF("window_id", "k", "w_start", "w_end")
+    assert(RangeJoin.medianIntervalSeconds(skewed, "w_start", "w_end") == 60L)
+
+    // derived width produces the same rows as any explicit width
+    val explicit = RangeJoin.pointInInterval(points, intervals,
+        "k", "ts", "w_start", "w_end", bucketSeconds = 60L)
+      .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+    val derived = RangeJoin.pointInInterval(points, intervals,
+        "k", "ts", "w_start", "w_end")
+      .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+    assert(derived == explicit)
+
+    // empty interval side: fall back, don't NPE
+    val empty = skewed.limit(0)
+    assert(RangeJoin.medianIntervalSeconds(empty, "w_start", "w_end") == 3600L)
+  }
 }
