@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Delta-protocol mirror of a [[TxLogTable]] log — the external-reader
+  * interop the reference gets by writing real Delta tables
+  * (delta_writer.py:88-94). Every graft commit also publishes a
+  * conformant `_delta_log/<v 0-padded>.json` of newline-delimited JSON
+  * actions (protocol / metaData / add / remove per the public Delta
+  * PROTOCOL.md), plus a single-file parquet checkpoint and
+  * `_last_checkpoint` hint every [[TxLogTable.CheckpointInterval]]
+  * commits — so an external engine with a Delta reader (Spark+delta,
+  * Trino, DuckDB delta extension, delta-rs) can consume graft tables
+  * without graft. No delta jar is needed to WRITE the protocol's JSON;
+  * none exists in this environment (README round notes), which is
+  * exactly why the mirror is hand-rolled and spec-verified against the
+  * protocol's replay rules rather than a reader jar.
+  *
+  * The native `_log` stays the source of truth: the mirror is written
+  * AFTER the native commit wins its version, through the same
+  * [[CommitPoint]] primitive (the name is unique once the native race
+  * is decided, so the put never loses). A crash between the two leaves
+  * the mirror one version behind — [[sync]] is the idempotent backfill
+  * that re-derives any missing mirror entries from the native log.
+  */
+object DeltaInterop {
+
+  private def deltaDir(path: String): Path = Paths.get(path, "_delta_log")
+  private def pad(v: Long): String = f"$v%020d"
+
+  /** Stable table GUID: Delta's metaData.id identifies the table across
+    * versions, so it must not change per commit — derived from the
+    * table path. */
+  private def tableId(path: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      Paths.get(path).toAbsolutePath.toString.getBytes("UTF-8")).toString
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }
+
+  private def protocolAction: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaDataAction(path: String, schemaJson: String, ts: Long): String =
+    s"""{"metaData":{"id":"${tableId(path)}","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(schemaJson)}","partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":$ts}}"""
+
+  private def addAction(path: String, file: String, ts: Long): String = {
+    val f = new java.io.File(s"$path/$file")
+    s"""{"add":{"path":"${esc(file)}","partitionValues":{},"size":${f.length()},""" +
+      s""""modificationTime":$ts,"dataChange":true}}"""
+  }
+
+  private def removeAction(file: String, ts: Long): String =
+    s"""{"remove":{"path":"${esc(file)}","deletionTimestamp":$ts,"dataChange":true}}"""
+
+  /** Publish the Delta mirror entry for native version `v`. Called by
+    * [[TxLogTable.append]]/[[TxLogTable.compact]] after the native
+    * commit; idempotent (putIfAbsent on the padded name). */
+  private[operators] def mirror(spark: SparkSession, path: String, v: Long,
+      added: Seq[String], removed: Seq[String], schemaJson: String,
+      cp: CommitPoint): Unit = {
+    Files.createDirectories(deltaDir(path))
+    val ts = System.currentTimeMillis()
+    val op = if (removed.nonEmpty) "COMPACT" else "WRITE"
+    val actions = Seq.newBuilder[String]
+    actions += s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","engineInfo":"graft"}}"""
+    if (v == 0) actions += protocolAction
+    // one metaData per commit keeps the latest schema authoritative
+    // (legal per the protocol: at most one metaData action per version)
+    actions += metaDataAction(path, schemaJson, ts)
+    removed.foreach(f => actions += removeAction(f, ts))
+    added.foreach(f => actions += addAction(path, f, ts))
+    cp.putIfAbsent(deltaDir(path), s"${pad(v)}.json", actions.result().mkString("\n"))
+    if (v > 0 && v % TxLogTable.CheckpointInterval == 0)
+      try writeCheckpoint(spark, path, v, schemaJson)
+      catch { case _: java.io.IOException => () } // hint only; readers replay JSON
+  }
+
+  /** Idempotent backfill: publish a mirror entry for every native
+    * version that lacks one (e.g. after a crash between the native
+    * commit and its mirror write, or to retrofit a pre-mirror table). */
+  def sync(spark: SparkSession, path: String,
+      cp: CommitPoint = CommitPoint.HardLink): Seq[Long] = {
+    val d = deltaDir(path)
+    val present: Set[Long] =
+      if (!Files.exists(d)) Set.empty
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".json") && !n.startsWith("_") &&
+            !n.endsWith(".checkpoint.json"))
+          .map(_.stripSuffix(".json").toLong).toSet
+        finally s.close()
+      }
+    val missing = TxLogTable.allVersions(path).filterNot(present)
+    missing.foreach { v =>
+      val (added, removed) =
+        if (TxLogTable.versionIsRebase(path, v))
+          (TxLogTable.versionFiles(path, v),
+            TxLogTable.filesAt(path, v - 1))
+        else (TxLogTable.versionFiles(path, v), Seq.empty[String])
+      val schemaJson = TxLogTable.readVersion(spark, path, v).schema.json
+      mirror(spark, path, v, added, removed, schemaJson, cp)
+    }
+    missing
+  }
+
+  // ---- checkpoint parquet (single file + _last_checkpoint hint) ----
+
+  private val checkpointSchema = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))))
+
+  private def writeCheckpoint(spark: SparkSession, path: String, v: Long,
+      schemaJson: String): Unit = {
+    val ts = System.currentTimeMillis()
+    val files = TxLogTable.filesAt(path, v)
+    val rows: Seq[Row] =
+      Row(null, null, null, null, Row(1, 2)) +:
+      Row(null, null, null,
+        Row(tableId(path), Row("parquet", Map.empty[String, String]),
+          schemaJson, Seq.empty[String], Map.empty[String, String], ts),
+        null) +:
+      files.map { f =>
+        Row(null,
+          Row(f, Map.empty[String, String],
+            new java.io.File(s"$path/$f").length(), ts, true),
+          null, null, null)
+      }
+    val df = spark.createDataFrame(rows.asJava, checkpointSchema).coalesce(1)
+    // Spark writes a directory; the protocol names a single FILE —
+    // stage, then move the lone part file to <v>.checkpoint.parquet
+    val tmp = Files.createTempDirectory("graft-delta-ckpt")
+    val stagedDir = tmp.resolve("out")
+    df.write.parquet(stagedDir.toString)
+    val part = Files.list(stagedDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException("no checkpoint part file"))
+    val target = deltaDir(path).resolve(s"${pad(v)}.checkpoint.parquet")
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    val walk = Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    // the hint is overwrite-in-place by protocol (it's advisory)
+    Files.writeString(deltaDir(path).resolve("_last_checkpoint"),
+      s"""{"version":$v,"size":${rows.length}}""",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+}

@@ -98,10 +98,17 @@ object TxLogTable {
 
   /** Append a batch as one atomic commit; returns the committed version.
     * `commit` selects the atomic-publish primitive for the table's
-    * storage (hard link locally; conditional put on object stores). */
+    * storage (hard link locally; conditional put on object stores).
+    * Each commit also mirrors a Delta-protocol `_delta_log` entry for
+    * external readers ([[DeltaInterop]]); the native `_log` remains the
+    * source of truth. */
   def append(spark: SparkSession, df: DataFrame, path: String,
-      maxRetries: Int = 20, commit: CommitPoint = CommitPoint.HardLink): Long =
-    commitEntry(path, stage(df, path, ""), rebase = false, None, maxRetries, commit)
+      maxRetries: Int = 20, commit: CommitPoint = CommitPoint.HardLink): Long = {
+    val files = stage(df, path, "")
+    val v = commitEntry(path, files, rebase = false, None, maxRetries, commit)
+    DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json, commit)
+    v
+  }
 
   /** Compact the current snapshot's many small data dirs into
     * ~targetFileMB-sized files, published as a REBASE commit (the entry
@@ -118,7 +125,11 @@ object TxLogTable {
       .map(f => new java.io.File(s"$path/$f").length()).sum
     val parts = math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val files = stage(snapshot.repartition(parts), path, "compact-")
-    commitEntry(path, files, rebase = true, Some(v0), maxRetries = 1, commit)
+    val v = commitEntry(path, files, rebase = true, Some(v0), maxRetries = 1, commit)
+    // the rebase is a remove-all + add-all in Delta terms
+    DeltaInterop.mirror(spark, path, v, files, filesUpTo(path, v0),
+      snapshot.schema.json, commit)
+    v
   }
 
   /** Delete data dirs referenced ONLY by versions older than
@@ -193,6 +204,14 @@ object TxLogTable {
   }
 
   def currentVersion(path: String): Long = versions(path).lastOption.getOrElse(-1L)
+
+  // ---- log introspection for the Delta mirror backfill (DeltaInterop.sync) ----
+  private[operators] def allVersions(path: String): Seq[Long] = versions(path)
+  private[operators] def versionIsRebase(path: String, v: Long): Boolean =
+    isRebase(Files.readString(logDir(path).resolve(s"$v.json")))
+  private[operators] def versionFiles(path: String, v: Long): Seq[String] =
+    fileList(Files.readString(logDir(path).resolve(s"$v.json")))
+  private[operators] def filesAt(path: String, v: Long): Seq[String] = filesUpTo(path, v)
 
   /** Vacuum: delete staging dirs never published by any commit (the
     * garbage a crash between parquet write and log link leaves behind —
