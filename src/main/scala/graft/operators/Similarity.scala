@@ -181,12 +181,86 @@ object Similarity {
       -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))
   }
 
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Lloyd-trained IVF codebook (spherical k-means over the
+    * unit-normalized corpus): seeds are the train-free md5 codebook
+    * reindexed to cluster ids 0..K-1, then `iters` rounds of
+    *  - assign: nearest-centroid as a SHUFFLE-FREE projection (current
+    *    centroids baked as plan literals, argmax dot, ties to lower id);
+    *  - update: per-cell element-wise mean via the mergeable [[graft
+    *    .functions.VecMean]] (map-side partials; the exchange carries
+    *    K×d state, never vectors), collected driver-side (bounded
+    *    metadata, exactly like the codebook), unit-renormalized, and
+    *    rounded half-up-6 component-wise. The rounding makes every
+    *    intermediate centroid ENGINE-EXACT: float sums differ across
+    *    aggregation orders in the last ulps, and an unrounded centroid
+    *    would make iteration-2 assignments unreplayable — with it, an
+    *    oracle unrolls the same iterations and lands on identical
+    *    doubles. Empty cells keep their previous centroid.
+    *
+    * Driver loop cost: `iters` jobs of one groupBy over narrow (bucket,
+    * cv) rows — iteration count is a parameter, not data-dependent. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iters: Int = 2): Seq[(Long, Array[Double])] = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    trainOnNormalized(c, nCentroids, iters)
+  }
+
+  private def trainOnNormalized(c: DataFrame, nCentroids: Int,
+      iters: Int): Seq[(Long, Array[Double])] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dims = c.select(size(col("cv"))).first().getInt(0)
+    val vm = udaf(graft.functions.VecMean(dims))
+    // reindex the md5-ordered seeds to cluster ids 0..K-1 (stable ids a
+    // replaying engine can reproduce with a row_number)
+    var cents: Seq[(Long, Array[Double])] =
+      codebook(c, nCentroids).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 0 until iters) {
+      val means = c
+        .withColumn("bucket",
+          -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))
+        .groupBy(col("bucket")).agg(vm(col("cv")).as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.map { case (cid, old) =>
+        means.get(cid).filter(_.nonEmpty) match {
+          case Some(m) =>
+            val r = m.map(round6)
+            val n = math.sqrt(r.map(x => x * x).sum)
+            (cid, if (n > 0.0) r.map(x => round6(x / n)) else old)
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF ANN over a Lloyd-trained codebook — [[ivfTopK]] with
+    * [[trainCentroids]] centroids instead of the train-free stand-in.
+    * Same plan shape (literal codebook, shuffle-free assignment,
+    * bucket-keyed probe join); recall improves because cells now follow
+    * the data's cluster structure instead of arbitrary corpus vectors. */
+  def ivfTopKTrained(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    ivfTopKWith(trainOnNormalized(c, nCentroids, iters), c, queries,
+      idCol, vecCol, k, nprobe)
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
-    val cents = codebook(c, nCentroids)
+    ivfTopKWith(codebook(c, nCentroids), c, queries, idCol, vecCol, k, nprobe)
+  }
+
+  private def ivfTopKWith(cents: Seq[(Long, Array[Double])],
+      c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val assigned = c
       .withColumn("bucket",
         -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))

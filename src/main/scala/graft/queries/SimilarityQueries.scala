@@ -147,6 +147,106 @@ object SimilarityQueries extends QueryModule {
     * half-up-6 scaled integers joined into a string, so cross-engine
     * comparison never depends on float formatting; DuckDB replays the
     * codebook, the assignment, and the element-wise means. */
+  /** IVF over a Lloyd-TRAINED codebook (2 spherical-k-means iterations,
+    * K=8): the trained upgrade of q52. The oracle unrolls the exact
+    * training — md5-ordered seeds reindexed 0..K-1, per-iteration
+    * nearest-centroid assignment, per-cell means rounded half-up-6,
+    * unit-renormalization rounded again — then replays probe choice and
+    * in-list ranking over the TRAINED centroids. Intermediate rounding
+    * is what makes the centroids engine-exact (float sums differ in the
+    * last ulps across aggregation orders); without it iteration 2 would
+    * be unreplayable. */
+  private val q101 = QueryDef(
+    "q101_ann_ivf_trained",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 5,
+          nCentroids = 8, nprobe = 2, iters = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      seed0 AS (
+        SELECT vec_id, nv FROM n
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, vec_id
+        LIMIT 8),
+      seed AS (
+        SELECT row_number() OVER (
+            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, vec_id
+          ) - 1 AS cid, nv AS cv
+        FROM seed0),
+      a1 AS (
+        SELECT vec_id, nv, cid FROM (
+          SELECT n.vec_id, n.nv, s.cid,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, s.cv) DESC, s.cid ASC) AS rn
+          FROM n, seed s) t WHERE rn = 1),
+      m1 AS (
+        SELECT cid, i, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS r
+        FROM (SELECT cid, generate_subscripts(nv, 1) AS i, unnest(nv) AS x FROM a1)
+        GROUP BY cid, i),
+      l1 AS (SELECT cid, list(r ORDER BY i) AS rv FROM m1 GROUP BY cid),
+      c1 AS (
+        SELECT s.cid,
+               CASE WHEN l.rv IS NULL THEN s.cv
+                    ELSE list_transform(l.rv, x ->
+                      floor(x / sqrt(list_dot_product(l.rv, l.rv)) * 1000000.0 + 0.5) / 1000000.0)
+               END AS cv
+        FROM seed s LEFT JOIN l1 l USING (cid)),
+      a2 AS (
+        SELECT vec_id, nv, cid FROM (
+          SELECT n.vec_id, n.nv, c.cid,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c1 c) t WHERE rn = 1),
+      m2 AS (
+        SELECT cid, i, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS r
+        FROM (SELECT cid, generate_subscripts(nv, 1) AS i, unnest(nv) AS x FROM a2)
+        GROUP BY cid, i),
+      l2 AS (SELECT cid, list(r ORDER BY i) AS rv FROM m2 GROUP BY cid),
+      c2 AS (
+        SELECT c.cid,
+               CASE WHEN l.rv IS NULL THEN c.cv
+                    ELSE list_transform(l.rv, x ->
+                      floor(x / sqrt(list_dot_product(l.rv, l.rv)) * 1000000.0 + 0.5) / 1000000.0)
+               END AS cv
+        FROM c1 c LEFT JOIN l2 l USING (cid)),
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c WHERE n.vec_id < 10) t WHERE rn <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS corpus_id,
+               list_dot_product(qn.nv, cn.nv) AS cosine
+        FROM probes p
+        JOIN assign a ON a.bucket = p.bucket
+        JOIN n qn ON qn.vec_id = p.query_id
+        JOIN n cn ON cn.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, corpus_id,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   private val q87 = QueryDef(
     "q87_ivf_cell_centroids",
     (s, d) => {
@@ -226,5 +326,5 @@ object SimilarityQueries extends QueryModule {
       FROM q
       ORDER BY vec_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87, q94)
+  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87, q94, q101)
 }

@@ -81,4 +81,41 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
   }
+
+  test("trainCentroids: deterministic, and trained IVF recall >= train-free on clustered data") {
+    // 4 tight, well-separated clusters in 8 dims — adversarial for the
+    // train-free codebook (its md5-chosen "centroids" can all land in
+    // one cluster), natural for Lloyd (cells converge to the clusters)
+    val rnd = new scala.util.Random(42)
+    val dirs = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 0, 0), Array(0, 0, 0, 1.0, 0, 0, 0, 0))
+    val corpus = (0 until 200).map { i =>
+      val d = dirs(i % 4)
+      (i.toLong, d.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+
+    val c1 = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nCentroids = 4, iters = 3)
+    val c2 = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nCentroids = 4, iters = 3)
+    assert(c1.map(_._1) == c2.map(_._1) &&
+      c1.map(_._2.toSeq) == c2.map(_._2.toSeq),
+      "training must be deterministic run-to-run")
+
+    def recallOf(df: org.apache.spark.sql.DataFrame, brute: Set[(Long, Long)]) = {
+      val got = df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val trainFree = recallOf(Similarity.ivfTopK(queries, corpus,
+      "vec_id", "embedding", k = 10, nCentroids = 4, nprobe = 1), brute)
+    val trained = recallOf(Similarity.ivfTopKTrained(queries, corpus,
+      "vec_id", "embedding", k = 10, nCentroids = 4, nprobe = 1, iters = 3), brute)
+    assert(trained >= trainFree,
+      s"trained recall $trained < train-free $trainFree")
+    assert(trained > 0.9, s"trained recall $trained should be near-exact on separated clusters")
+  }
 }
