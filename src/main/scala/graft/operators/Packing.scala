@@ -51,10 +51,17 @@ object Packing {
     * in-sequence position `seq_offset`, spilling into sequences up to
     * `seq_last`. Integer arithmetic throughout (`div`/`%`), so the
     * assignment replays bit-identically in any engine.
+    *
+    * `startOffset` shifts the whole packed stream: position 0 of this
+    * df lands at `startOffset` of the global stream — the continuation
+    * hook [[graft.streaming.StreamingPacking]] uses to pack an ingest
+    * stream batch-by-batch against a durable high-water mark.
     */
   def assign(df: DataFrame, idCol: String, nTokensCol: String,
-      capacity: Long, bucketWidth: Long = 0L): DataFrame = {
+      capacity: Long, bucketWidth: Long = 0L,
+      startOffset: Long = 0L): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
     val spark = df.sparkSession
     val width = if (bucketWidth > 0) bucketWidth else {
       val mm = df.agg(min(col(idCol).cast("long")).as("lo"),
@@ -81,7 +88,8 @@ object Packing {
     bucketed
       .join(broadcast(bucketOffsets), Seq("bkt"))
       .withColumn("tok_offset",
-        col("bkt_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+        lit(startOffset) + col("bkt_offset") +
+          coalesce(sum(col("n_tokens")).over(within), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div ${capacity}").as("seq_id"),
         (col("tok_offset") % lit(capacity)).as("seq_offset"),
