@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * tie-break). There is NO per-column window sort, so a near-key
   * column (distinct count ~ row count) never funnels into a single
   * task. Values profile as strings so one plan serves every column
-  * type; numeric-specific profiling (quantiles) belongs to q76/q79's
-  * percentile operators.
+  * type; [[numericColumns]] is the typed second branch (numeric
+  * min/max/mean and a bound-verified GK quantile hook) for columns
+  * where string ordering lies.
   */
 object Profile {
 
@@ -78,5 +79,66 @@ object Profile {
       .groupBy(col("col_name"))
       .agg(min(col("value")).as("top_value"), max(col("cnt")).as("top_count"))
     stats.join(top, Seq("col_name"), "left")
+  }
+
+  /** Typed numeric profile — the second branch of the melted scan that
+    * [[columns]]' string profile can't serve: per numeric column
+    * (col_name, n_rows, n_null, min_value, max_value, mean, qs,
+    * within_bound) with true numeric ordering (strings put "9" > "10"),
+    * an exact mean, and the GK quantile sketch of q79's
+    * `approx_percentile` hooked in (`qs` = one approx value per
+    * requested percentile).
+    *
+    * Shape: the same melt-to-narrow-rows trick — one scan for any
+    * column count — and then a SINGLE hash aggregate computes every
+    * moment AND the GK sketch together (both are mergeable, map-side
+    * partial). `within_bound` re-ranks each sketch value against the
+    * data (one broadcast join back, the q79 bound: rank error ≤
+    * 1/accuracy + 1/n) so the sketch is VERIFIED, not trusted — at
+    * 100 TB that check is how a profile survives skew nobody predicted.
+    * Mean is emitted raw; callers wanting cross-engine hashes round it
+    * (float sums differ in the last ulps across aggregation orders). */
+  def numericColumns(df: DataFrame, cols: Seq[String],
+      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 1000): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p < 1),
+      "percentiles must lie in (0, 1)")
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("x"))): _*))
+        .as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.x").as("x"))
+    val pArr = percentiles.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val stats = melted.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_null"),
+      min(col("x")).as("min_value"),
+      max(col("x")).as("max_value"),
+      avg(col("x")).as("mean"),
+      expr(s"approx_percentile(x, $pArr, $accuracy)").as("qs"))
+    // verify the sketch against the data: for percentile p and sketch
+    // value v, rank(< v)/n - p and p - rank(<= v)/n must both be within
+    // the GK guarantee
+    val ranked = melted.join(broadcast(stats.select(col("col_name"), col("qs"))),
+        Seq("col_name"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(col("x")).as("n"),
+        array(percentiles.indices.map(i =>
+          struct(
+            sum(when(col("x") < col("qs")(i), 1L).otherwise(0L)).as("lt"),
+            sum(when(col("x") <= col("qs")(i), 1L).otherwise(0L)).as("le"))): _*)
+          .as("ranks"))
+    val eps = lit(1.0 / accuracy) + lit(1.0) / col("n")
+    val ok = percentiles.zipWithIndex.map { case (p, i) =>
+      (col("ranks")(i).getField("lt") / col("n") - lit(p) <= eps) &&
+        (lit(p) - col("ranks")(i).getField("le") / col("n") <= eps)
+    }.reduce(_ && _)
+    stats.join(
+      ranked.select(col("col_name"),
+        when(col("n") === 0, 1L).otherwise(when(ok, 1L).otherwise(0L))
+          .as("within_bound")),
+      Seq("col_name"), "left")
   }
 }

@@ -47,5 +47,36 @@ object ProfileQueries extends QueryModule {
       FROM stats s LEFT JOIN top t USING (col_name)
       ORDER BY s.col_name"""))
 
-  override val entries: Seq[QueryDef] = Seq(q88)
+  /** Typed numeric profile of four lineitem measure columns: exact
+    * moments (count/null/min/max and the half-up-6 mean) hash-compared;
+    * the GK quantile sketch is BOUND-verified (the q79 pattern —
+    * within_bound recomputes each sketch value's rank against the data
+    * and checks the 1/accuracy + 1/n guarantee, which the oracle then
+    * asserts as a literal 1). */
+  private val q102 = QueryDef(
+    "q102_numeric_profile",
+    (s, d) => {
+      Profile.numericColumns(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          percentiles = Seq(0.5, 0.9, 0.99), accuracy = 1000)
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("min_value"), col("max_value"),
+          Rnd.halfUp(col("mean"), 6).as("mean6"), col("within_bound"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE AS x FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax::DOUBLE FROM lineitem)
+      SELECT col_name, count(*) AS n_rows,
+             count(*) - count(x) AS n_null,
+             min(x) AS min_value, max(x) AS max_value,
+             floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mean6,
+             CAST(1 AS BIGINT) AS within_bound
+      FROM m GROUP BY col_name
+      ORDER BY col_name"""))
+
+  override val entries: Seq[QueryDef] = Seq(q88, q102)
 }

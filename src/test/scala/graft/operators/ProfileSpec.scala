@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, when}
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -39,5 +40,45 @@ class ProfileSpec extends SparkSpec {
     val r = rows.head
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
     assert(r.isNullAt(6) && r.isNullAt(7), "no non-null values -> no mode")
+  }
+
+  test("numeric profile: true numeric ordering, exact moments, verified quantile sketch") {
+    // "9" > "10" lexicographically — the string profile would report
+    // max=9; the typed branch must not
+    val df = ((1 to 9) ++ Seq(10, 100)).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x")
+      .withColumn("y", when(col("id") <= 2, col("x") * 10).otherwise(lit(null)))
+    val out = Profile.numericColumns(df, Seq("x", "y"),
+        percentiles = Seq(0.5, 0.9), accuracy = 1000)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val x = out("x")
+    assert(x.getLong(1) == 11L && x.getLong(2) == 0L)
+    assert(x.getDouble(3) == 1.0 && x.getDouble(4) == 100.0,
+      "numeric max must be 100, not the lexicographic 9")
+    assert(math.abs(x.getDouble(5) - (45 + 110).toDouble / 11) < 1e-9)
+    assert(x.getLong(7) == 1L, "sketch must verify within the GK bound")
+    assert(x.getSeq[Double](6).length == 2, "one sketch value per percentile")
+
+    val y = out("y")
+    assert(y.getLong(1) == 11L && y.getLong(2) == 9L, "nulls counted, not profiled")
+    assert(y.getDouble(3) == 10.0 && y.getDouble(4) == 20.0)
+    assert(y.getLong(7) == 1L)
+
+    // all-null column: vacuous bound holds, moments are null
+    val z = Profile.numericColumns(
+      df.withColumn("z", lit(null).cast("double")), Seq("z")).collect().head
+    assert(z.getLong(2) == 11L && z.isNullAt(3) && z.isNullAt(4))
+    assert(z.getLong(7) == 1L, "empty sketch is vacuously within bound")
+
+    // the melt count is fixed by the plan shape (moments branch, rank
+    // branch, and the broadcast sketch inside it), NOT by the column
+    // count — profiling 2 or 50 columns melts the same number of times
+    val generates = (d: org.apache.spark.sql.DataFrame) =>
+      "Generate explode".r.findAllIn(d.queryExecution.optimizedPlan.toString).length
+    val two = generates(Profile.numericColumns(df, Seq("x", "y")))
+    val one = generates(Profile.numericColumns(df, Seq("x")))
+    assert(two == one, s"melt count grew with column count: $one -> $two")
+    assert(two <= 3, s"unexpected plan shape: $two explodes")
   }
 }
