@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions.col
 private[graft] object Spread {
 
   def byKey(df: DataFrame, key: String, minParallelism: Int): DataFrame =
-    if (minParallelism > 0 && df.rdd.getNumPartitions < minParallelism)
+    // toRdd, not .rdd: the partition count is the same, but .rdd plans an
+    // extra row-deserializer stage per call — measurable at bench scale
+    if (minParallelism > 0 &&
+        df.queryExecution.toRdd.getNumPartitions < minParallelism)
       df.repartition(col(key))
     else df
 }
