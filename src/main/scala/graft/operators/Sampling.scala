@@ -211,4 +211,40 @@ object Sampling {
     if (keepCol.isEmpty) df.filter(c < thr)
     else df.withColumn(keepCol, (c < thr).cast("int"))
   }
+
+  /** Temperature-reweighted mixture: per-group sampling rates derived
+    * FROM THE DATA as `min(1, baseRate · (n_g / n_max)^(α−1))` — the
+    * multinomial temperature reweighting pretraining mixtures use
+    * (α < 1 flattens the source distribution: rare sources keep up to
+    * everything, the largest source keeps `baseRate`; α = 1 is uniform
+    * Bernoulli at `baseRate`). Unlike [[mixture]], no hand-written rate
+    * map: one metadata aggregate (one row per group) computes the
+    * counts, rates are rounded half-up-6 (pow differs in the last ulp
+    * across libm implementations; the rounding makes thresholds
+    * engine-exact) and become literal integer thresholds in the plan —
+    * the per-row test stays a single compare, shuffle-free.
+    *
+    * Rows with a NULL group are marked `kept = 0` (null is not a
+    * source; coalesce to a sentinel first to sample them). */
+  def temperature(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, baseRate: Double,
+      salt: String = "graft-temp", keepCol: String = "kept"): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    require(baseRate > 0.0 && baseRate <= 1.0,
+      s"baseRate must be in (0,1], got $baseRate")
+    require(keepCol.nonEmpty, "keepCol required")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)) // bounded: one row per group
+    val c = coord(col(idCol), salt)
+    if (counts.isEmpty) return df.withColumn(keepCol, lit(0))
+    val nMax = counts.map(_._2).max.toDouble
+    val round6: Double => Double = x => math.floor(x * 1e6 + 0.5) / 1e6
+    val thr = counts.sortBy(_._1.toString)
+      .foldLeft(lit(0L): Column) { case (els, (g, n)) =>
+        val rate = round6(math.min(1.0, baseRate * math.pow(n / nMax, alpha - 1.0)))
+        when(col(groupCol) === lit(g), lit(threshold(rate))).otherwise(els)
+      }
+    df.withColumn(keepCol, (c < thr).cast("int"))
+  }
 }

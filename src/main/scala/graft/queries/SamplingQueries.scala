@@ -231,5 +231,37 @@ object SamplingQueries extends QueryModule {
       GROUP BY 1
       ORDER BY shard"""))
 
-  override val entries: Seq[QueryDef] = Seq(q83, q85, q92, q95, q97, q98)
+  /** Temperature-reweighted source mixture (α = 0.5, base 0.5): rates
+    * are derived from per-source counts — min(1, 0.5·(n/n_max)^-0.5),
+    * rounded half-up-6 so libm pow ulps can't flip a threshold — and
+    * the oracle recomputes counts, rates, and the integer thresholds
+    * itself (floor(), matching Scala's toLong truncation), then replays
+    * per-row membership. The DATA-DERIVED rate path is verified, not a
+    * hand-copied rate map. */
+  private val q103 = QueryDef(
+    "q103_temperature_mixture",
+    (s, d) => {
+      Sampling.temperature(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", alpha = 0.5, baseRate = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, count(*) AS n FROM documents
+        WHERE source IS NOT NULL GROUP BY source),
+      mx AS (SELECT max(n) AS nmax FROM cnt),
+      th AS (
+        SELECT source,
+               CAST(floor(
+                 (floor(least(1.0, 0.5 * pow(n / nmax, -0.5)) * 1000000.0 + 0.5)
+                   / 1000000.0) * 1152921504606846976.0) AS BIGINT) AS thr
+        FROM cnt, mx)
+      SELECT d.doc_id, d.source,
+             CASE WHEN t.thr IS NOT NULL AND
+                  ('0x' || substr(md5('graft-temp|' || d.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < t.thr
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN th t USING (source)
+      ORDER BY d.doc_id"""))
+
+  override val entries: Seq[QueryDef] = Seq(q83, q85, q92, q95, q97, q98, q103)
 }

@@ -135,6 +135,34 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("big") == 40)
   }
 
+  test("temperature: rare sources keep more, alpha=1 is uniform, null group dropped") {
+    // 900 docs of "big", 90 of "mid", 10 of "rare" (+5 null)
+    val df = ids(1005).withColumn("source",
+      when(col("id") < 900, "big")
+        .when(col("id") < 990, "mid")
+        .when(col("id") < 1000, "rare")
+        .otherwise(lit(null).cast("string")))
+    val out = Sampling.temperature(df, "id", "source", alpha = 0.5, baseRate = 0.5)
+      .select("id", "source", "kept").as[(Long, String, Int)].collect()
+    assert(out.length == 1005, "keep-flag mode must preserve every row")
+    assert(out.filter(_._2 == null).forall(_._3 == 0), "null source is never kept")
+    val fracs = out.filter(_._2 != null).groupBy(_._2).view
+      .mapValues(r => r.count(_._3 == 1).toDouble / r.length).toMap
+    // expected rates: big 0.5, mid 0.5*sqrt(10)=1.0 (capped), rare 1.0 (capped)
+    assert(fracs("rare") == 1.0 && fracs("mid") == 1.0,
+      s"alpha=0.5 must cap rare sources at keep-everything: $fracs")
+    assert(math.abs(fracs("big") - 0.5) < 0.1, s"largest source ~baseRate: $fracs")
+
+    // alpha = 1: every group at baseRate — identical to plain sample()
+    val uni = Sampling.temperature(df, "id", "source", alpha = 1.0,
+        baseRate = 0.3, salt = "s1")
+      .filter(col("kept") === 1).select("id").as[Long].collect().toSet
+    val plain = Sampling.sample(df.filter(col("source").isNotNull), "id",
+        0.3, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(uni == plain, "alpha=1 must reduce to uniform Bernoulli")
+  }
+
   test("stratified: null strata are dropped up front, never hang the escalation loop") {
     val df = ids(100).withColumn("lang",
       when(col("id") < 10, lit(null).cast("string"))
