@@ -96,4 +96,38 @@ object Packing {
         expr(s"(tok_offset + greatest(n_tokens, 1L) - 1L) div ${capacity}")
           .as("seq_last"))
   }
+
+  /** The inverse view of [[assign]] — the per-SEQUENCE slice map a batch
+    * builder consumes: for every (sequence, document) incidence, which
+    * token range of the document lands at which position of the
+    * sequence. One row per non-empty slice:
+    * (seq_id, doc_id, doc_start, doc_end, seq_pos, n) with
+    * `[doc_start, doc_end)` in document token coordinates and `seq_pos`
+    * the in-sequence start. A straddling document yields one row per
+    * sequence it touches; zero-token documents yield none.
+    *
+    * Pure per-row projection over `assign`'s output (explode of
+    * `sequence(seq_id, seq_last)` + integer clamps — a document touches
+    * ⌈n/capacity⌉+1 sequences, so the fan-out is the token volume over
+    * capacity, never quadratic). Invariants (spec-pinned): every
+    * sequence except the last sums to exactly `capacity` tokens with
+    * contiguous slices; every document's slices partition
+    * [0, n_tokens). */
+  def slices(assigned: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    assigned
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        explode(sequence(col("seq_id"), col("seq_last"))).as("seq_id"))
+      .withColumn("__seq_start", col("seq_id") * lit(capacity))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        greatest(lit(0L), col("__seq_start") - col("tok_offset")).as("doc_start"),
+        least(col("n_tokens"),
+          col("__seq_start") + lit(capacity) - col("tok_offset")).as("doc_end"),
+        greatest(lit(0L), col("tok_offset") - col("__seq_start")).as("seq_pos"))
+      .withColumn("n", col("doc_end") - col("doc_start"))
+      .filter(col("n") > 0)
+  }
 }

@@ -145,6 +145,23 @@ class DeltaInteropSpec extends SparkSpec {
       "checkpoint + tail replay diverges from full JSON replay")
   }
 
+  test("concurrent appenders: one mirror entry per serialized version, replay == read") {
+    val path = dir()
+    val threads = (1 to 5).map { i =>
+      new Thread(() => {
+        TxLogTable.append(spark, Seq((i.toLong, s"t$i")).toDF("id", "v"), path)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val names = logFiles(path).map(_.getFileName.toString)
+    assert(names == (0 until 5).map(v => f"$v%020d.json"),
+      s"mirror must hold exactly the serialized versions: $names")
+    val (active, _, sawProtocol) = replay(logFiles(path))
+    assert(sawProtocol)
+    val external = spark.read.parquet(active.map(f => s"$path/$f").toSeq: _*)
+    assert(rowsOf(external) == rowsOf(TxLogTable.read(spark, path)))
+  }
+
   test("sync backfills missing mirror entries (crash between native commit and mirror)") {
     val path = dir()
     TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)

@@ -36,6 +36,40 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("slices: sequences fill to capacity, docs partition exactly, straddles split correctly") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 300).map(i => (i.toLong, rnd.nextInt(200).toLong)).toList
+    val df = docs.toDF("id", "n")
+    val cap = 128L
+    val out = Packing.slices(
+        Packing.assign(df, "id", "n", capacity = cap), cap)
+      .select("seq_id", "doc_id", "doc_start", "doc_end", "seq_pos", "n")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+
+    val total = docs.map(_._2).sum
+    // every sequence except the last holds exactly `cap` tokens,
+    // contiguously (sorted slices chain seq_pos -> seq_pos + n)
+    val bySeq = out.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sid, rows) =>
+      val sorted = rows.sortBy(_._5)
+      sorted.foldLeft(0L) { case (pos, r) =>
+        assert(r._5 == pos, s"seq $sid gap at ${r._5}, expected $pos"); pos + r._6
+      }
+      val filled = sorted.map(_._6).sum
+      if (sid < lastSeq) assert(filled == cap, s"seq $sid holds $filled")
+      else assert(filled == total - lastSeq * cap)
+    }
+    // every non-empty document's slices partition [0, n) in order
+    out.groupBy(_._2).foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.foldLeft(0L) { case (pos, r) =>
+        assert(r._3 == pos, s"doc $doc slice gap"); r._4
+      } match { case end => assert(end == docs.find(_._1 == doc).get._2) }
+    }
+    assert(out.map(_._6).sum == total, "slices must cover every token exactly once")
+  }
+
   test("corpus-side window is bucket-partitioned and the offset join broadcasts") {
     val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "n")
     val plan = Packing.assign(df, "id", "n", capacity = 50L, bucketWidth = 10L)
