@@ -546,6 +546,73 @@ object DedupQueries extends QueryModule {
       GROUP BY 1
       ORDER BY shard"""))
 
-  override val entries: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100)
+  // def, not val: q105 is declared below this line, and a val would
+  // capture it before initialization (null entry)
+  override def entries: Seq[QueryDef] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105)
+
+  /** The embedding-path dedup pipeline, end to end — q89's analogue over
+    * vectors: sign-LSH near-dup pairs (q45) → connected-component
+    * keep/drop (q82's closure) → duplicates ACTUALLY DROPPED → per-label
+    * rollup of the surviving corpus. The oracle replays every stage
+    * (hyperplanes, buckets, cosine verify, recursive-CTE closure, drop,
+    * aggregate), so the embedding-dedup numbers a user would index/train
+    * on are what is verified. */
+  private val q105 = QueryDef(
+    "q105_embedding_dedup_pipeline",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 2000)
+      val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        threshold = 0.4, planesPerTable = 4, tables = 8,
+        dims = Tables.embeddingDims, index = IndexStore.Memory())
+      val decision = ConnectedComponents.dedupAssign(
+          emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+        .select(col("vec_id"), col("keep"))
+      emb.join(decision, Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep").cast("long")).as("n_kept"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings WHERE vec_id <= 2000),
+      planes AS (
+        SELECT t, b, list_transform(generate_series(0, 63), d ->
+          CAST(('0x' || substr(md5((t*4+b)::VARCHAR || ':' || d::VARCHAR), 1, 15))::UBIGINT::BIGINT
+               % 2001 - 1000 AS DOUBLE)) AS w
+        FROM (SELECT unnest(generate_series(0, 7)) AS t),
+             (SELECT unnest(generate_series(0, 3)) AS b)),
+      bkt AS (
+        SELECT e.vec_id, p.t,
+               sum(CASE WHEN list_dot_product(e.v, p.w) > 0 THEN (1 << p.b) ELSE 0 END) AS bkt
+        FROM e, planes p
+        GROUP BY e.vec_id, p.t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkt a JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+        WHERE list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+              >= 0.4),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      decided AS (
+        SELECT e.vec_id, e.label,
+               CASE WHEN coalesce(cc.cluster_id, e.vec_id) = e.vec_id
+                    THEN 1 ELSE 0 END AS keep
+        FROM e LEFT JOIN cc ON cc.id = e.vec_id)
+      SELECT label, count(*) AS n_total, sum(keep)::BIGINT AS n_kept
+      FROM decided
+      GROUP BY label
+      ORDER BY label"""))
 }
