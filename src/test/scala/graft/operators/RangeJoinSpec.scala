@@ -42,6 +42,39 @@ class RangeJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("property: bucketized join equals the naive theta join on random interval mixes") {
+    val rnd = new scala.util.Random(23)
+    val base = ts("2026-03-01 00:00:00").getTime
+    for (trial <- 1 to 4) {
+      val pts = (1 to 300).map { i =>
+        (i.toLong, (rnd.nextInt(8) + 1).toLong,
+          new Timestamp(base + rnd.nextInt(500000) * 1000L))
+      }
+      // mixed lengths: seconds to days, some zero-length (empty by half-open)
+      val ivs = (1 to 120).map { i =>
+        val start = base + rnd.nextInt(500000) * 1000L
+        val len = rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => rnd.nextInt(120) * 1000L
+          case 2 => rnd.nextInt(7200) * 1000L
+          case _ => rnd.nextInt(200000) * 1000L
+        }
+        (i.toLong, (rnd.nextInt(8) + 1).toLong,
+          new Timestamp(start), new Timestamp(start + len))
+      }
+      val p = pts.toDF("event_id", "k", "ts")
+      val iv = ivs.toDF("window_id", "k", "w_start", "w_end")
+      val naive = p.join(iv, p("k") === iv("k") &&
+          p("ts") >= iv("w_start") && p("ts") < iv("w_end"))
+        .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+      for (width <- Seq(0L, 1L, 60L, 86400L)) { // 0 = derived
+        val got = RangeJoin.pointInInterval(p, iv, "k", "ts", "w_start", "w_end", width)
+          .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+        assert(got == naive, s"trial $trial width $width diverges from theta join")
+      }
+    }
+  }
+
   test("derived bucket width: median interval length, robust to skewed length mixes") {
     // 9 one-minute intervals + 1 one-day interval: mean would be ~2.4h
     // (day-length buckets, terrible point selectivity); median stays 60s
