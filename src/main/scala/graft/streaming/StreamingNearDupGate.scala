@@ -1,0 +1,156 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, IndexStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+/** Ingest-time NEAR-duplicate gate: the MinHash-LSH analogue of
+  * [[StreamingDedupGate]]. Every arriving micro-batch is checked against
+  * a durable BAND INDEX of everything already admitted — a document that
+  * near-duplicates (exact shingle-set Jaccard ≥ threshold, LSH-bucketed
+  * candidates, the [[Dedup.minhashLsh]] contract) any admitted document
+  * is dropped, within a batch or years later. Where
+  * [[StreamingDedup.minhashLshStream]] DETECTS pairs with capped
+  * in-memory state, this gate ADMITS/DROPS against durable parquet —
+  * restart-proof with zero Spark streaming state.
+  *
+  * Dedup semantics, precisely: PAIRWISE-GREEDY by id, not transitive
+  * closure. In-batch, a document is dropped iff it pairs with a
+  * SMALLER id in the same batch (id_a < id_b ⇒ id_b drops); cross-batch,
+  * iff it pairs with any already-admitted document. A near-dup CHAIN
+  * (A~B, B~C, A≁C) can therefore keep both endpoints — closure over
+  * arrivals would need the whole pair graph, which is the batch
+  * [[graft.operators.ConnectedComponents]] job, not an ingest gate.
+  *
+  * Index/scale design (the [[StreamingDedupGate]] pattern):
+  *  - rows are (band, id, sset), hive-partitioned by `bp` = the first
+  *    two hex chars of md5(band); the per-batch candidate join PRUNES
+  *    the index scan to the arriving bands' prefixes;
+  *  - the index stores shingle SETS because admission verifies EXACT
+  *    Jaccard (same row the batch operator's signature index carries);
+  *    `maxBucketSize` caps pathological stop-shingle bands on both
+  *    sides of the candidate join;
+  *  - commits are the two-marker exactly-once protocol with idempotent
+  *    scoped publishes; a replay after the output marker re-derives the
+  *    index slice from the batch's own published documents.
+  */
+object StreamingNearDupGate {
+
+  private val OutCommits = "graft_out_commits"
+  private val Commits = "graft_batch_commits"
+
+  private val indexSchema: StructType = StructType(Seq(
+    StructField("band", StringType),
+    StructField("id", LongType),
+    StructField("sset", ArrayType(StringType, containsNull = false)),
+    StructField("bp", StringType)))
+
+  /** (id, sset, band, bp) rows for a document batch — the same shingle /
+    * signature / banding expressions as [[Dedup.minhashLsh]]. */
+  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int, rows: Int): DataFrame = {
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    docs.select(
+        col(idCol).cast("long").as("id"),
+        array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sset"))
+      .filter(size(col("sset")) > 0)
+      .withColumn("sig", minhashSignature(col("sset"), numHashes))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
+      .withColumn("bp", substring(md5(col("band")), 1, 2))
+      .select(col("band"), col("id"), col("sset"), col("bp"))
+  }
+
+  private[streaming] def prunedIndex(spark: SparkSession, indexDir: String,
+      prefixes: Seq[String]): DataFrame = {
+    val (fs, p) = BatchCommits.fileSystem(spark, indexDir)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+    else
+      spark.read.schema(indexSchema).parquet(indexDir)
+        .filter(col("bp").isin(prefixes: _*))
+  }
+
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, outDir: String,
+      checkpoint: String, shingleK: Int, numHashes: Int, bands: Int,
+      rows: Int, threshold: Double, maxBucketSize: Int): Unit = {
+    val spark = batch.sparkSession
+    val scope = BatchCommits.scopeFor(checkpoint)
+    if (BatchCommits.markerExists(spark, checkpoint, Commits, batchId)) return
+    if (BatchCommits.markerExists(spark, checkpoint, OutCommits, batchId)) {
+      // recovery: output committed, index publish may be partial —
+      // re-derive the band rows from the PUBLISHED documents
+      val files = BatchCommits.publishedFiles(spark, outDir, scope, batchId)
+      if (files.nonEmpty) {
+        val republished = bandRows(
+          spark.read.parquet(files.map(_.toString): _*),
+          idCol, textCol, shingleK, numHashes, bands, rows)
+        BatchCommits.publishBatch(republished, indexDir, scope, batchId, Seq("bp"))
+      }
+      BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
+      return
+    }
+    // in-batch pairwise-greedy: id_b of every verified pair drops
+    // (id_a < id_b by the minhashLsh contract)
+    val inPairs = Dedup.minhashLsh(batch, idCol, textCol,
+      shingleK = shingleK, numHashes = numHashes, bands = bands, rows = rows,
+      threshold = threshold, maxBucketSize = maxBucketSize,
+      index = IndexStore.NoStore)
+    val inBatchKept = batch.join(
+      inPairs.select(col("id_b").as("__drop")).distinct(),
+      col(idCol).cast("long") === col("__drop"), "left_anti")
+    // cross-batch: candidates from shared bands in the pruned index,
+    // verified with exact Jaccard against the admitted residents
+    val arriving = bandRows(inBatchKept, idCol, textCol,
+      shingleK, numHashes, bands, rows).cache()
+    try {
+      val prefixes = arriving.select(col("bp")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val seen = prunedIndex(spark, indexDir, prefixes)
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+        .filter(col("bucket_n") <= maxBucketSize)
+        .select(col("band"), col("id").as("seen_id"), col("sset").as("seen_sset"))
+      val dupIds = arriving.join(seen, Seq("band"))
+        .withColumn("inter", size(array_intersect(col("sset"), col("seen_sset"))))
+        .filter(col("inter") / (size(col("sset")) + size(col("seen_sset")) - col("inter"))
+          >= threshold)
+        .select(col("id")).distinct()
+      val admitted = inBatchKept.join(dupIds,
+        col(idCol).cast("long") === dupIds("id"), "left_anti").cache()
+      try {
+        BatchCommits.publishBatch(admitted, outDir, scope, batchId)
+        BatchCommits.createMarker(spark, checkpoint, OutCommits, batchId)
+        BatchCommits.publishBatch(
+          arriving.join(admitted.select(col(idCol).cast("long").as("__a")),
+            col("id") === col("__a")).drop("__a"),
+          indexDir, scope, batchId, Seq("bp"))
+        BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
+      } finally admitted.unpersist()
+    } finally arriving.unpersist()
+  }
+
+  /** Start the gate: admitted documents append to `outDir`, their band
+    * rows to `indexDir` (hive-partitioned by band-hash prefix). */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpoint: String,
+      shingleK: Int = 1, numHashes: Int = 16, bands: Int = 4, rows: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(bands * rows == numHashes, "bands*rows must equal numHashes")
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, indexDir, outDir,
+          checkpoint, shingleK, numHashes, bands, rows, threshold,
+          maxBucketSize)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingNearDupGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog tonight"
+  private val near2 = "the quick brown fox jumps over the lazy dog today" // ~0.83 Jaccard
+  private val other = "completely different content about spark streaming gates"
+  private val third = "yet another unrelated document concerning parquet indexes"
+
+  test("near-dup gate: in-batch pairwise-greedy, cross-batch drop via the durable index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = Files.createTempDirectory("graft-ngate-idx").toString
+    val out = Files.createTempDirectory("graft-ngate-out").toString
+    val ckpt = Files.createTempDirectory("graft-ngate-ckpt").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingNearDupGate.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idx, out, ckpt, threshold = 0.7, trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: a near-dup pair (greedy: larger id drops) + one distinct
+      mem.addData((1L, near1), (2L, near2), (3L, other))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(b1 == Set(1L, 3L), s"in-batch near-dup must drop the larger id: $b1")
+
+      // batch 2: near-dup of an ADMITTED doc drops; novel doc admitted
+      mem.addData((4L, near2), (5L, third))
+      q.processAllAvailable()
+      val b2 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(b2 == Set(1L, 3L, 5L), s"cross-batch near-dup must drop: $b2")
+    } finally q.stop()
+
+    // restart with a FRESH checkpoint: the index alone carries the memory
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingNearDupGate.start(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idx, out, Files.createTempDirectory("graft-ngate-ckpt2").toString,
+      threshold = 0.7, trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((6L, near1), (7L, "entirely novel text about nothing else"))
+      q2.processAllAvailable()
+      val b3 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(b3 == Set(1L, 3L, 5L, 7L), s"restart-era near-dup must drop via the index: $b3")
+    } finally q2.stop()
+
+    // index layout: band-prefix partitions, only ADMITTED docs resident
+    val bpDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("bp="))
+    assert(bpDirs.nonEmpty, "index must be hive-partitioned by band prefix")
+    val residents = spark.read.parquet(idx).select("id").as[Long].collect().toSet
+    assert(residents == Set(1L, 3L, 5L, 7L), s"index must hold admitted docs only: $residents")
+  }
+
+  test("crash window: replay after the output marker re-derives the index from published docs") {
+    val idx = Files.createTempDirectory("graft-ngate-cidx").toString
+    val out = Files.createTempDirectory("graft-ngate-cout").toString
+    val ckpt = Files.createTempDirectory("graft-ngate-cckpt").toString
+    val scope = BatchCommits.scopeFor(ckpt)
+    val batch = Seq((1L, near1), (2L, other)).toDF("doc_id", "text")
+
+    // simulate: output published + out marker, index publish crashed
+    BatchCommits.publishBatch(batch, out, scope, 0L)
+    BatchCommits.createMarker(spark, ckpt, "graft_out_commits", 0L)
+    StreamingNearDupGate.processBatch(batch, 0L, "doc_id", "text",
+      idx, out, ckpt, 1, 16, 4, 4, 0.7, 1000)
+    assert(spark.read.parquet(out).count() == 2, "recovery must not touch the output")
+    val ids = spark.read.parquet(idx).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"recovery must complete the index: $ids")
+
+    // a near-dup of doc 1 in the next batch is dropped against that index
+    StreamingNearDupGate.processBatch(
+      Seq((9L, near2)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, out, ckpt, 1, 16, 4, 4, 0.7, 1000)
+    assert(spark.read.parquet(out).count() == 2, "recovered index must gate the next batch")
+  }
+}
