@@ -93,6 +93,50 @@ private[streaming] object BatchCommits {
     out.result()
   }
 
+  /** Offline compaction for a hive-partitioned per-batch-published index:
+    * rewrites the dir so each partition holds one file, preserving the
+    * exact row set (duplicates from a previous crashed compaction are
+    * dropped). Swap order is rename-in BEFORE delete-old, so a crash
+    * mid-swap can only leave a row present twice — never absent — and
+    * the gates' existence/anti-join semantics are unaffected. Run while
+    * the owning gate is stopped. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCol: String): Unit = {
+    val (fs, target) = fileSystem(spark, dir)
+    if (!fs.exists(target)) return
+    val old = {
+      val out = Seq.newBuilder[Path]
+      val it = fs.listFiles(target, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.startsWith("part-")) out += f
+      }
+      out.result()
+    }
+    if (old.isEmpty) return
+    val staging = new Path(target, ".compact")
+    spark.read.schema(schema).parquet(dir).distinct()
+      .repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(staging.toString)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var i = 0
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-")) {
+        val rel = relativeDir(staging, f)
+        val destDir = if (rel.isEmpty) target else new Path(target, rel)
+        fs.mkdirs(destDir)
+        fs.rename(f, new Path(destDir, s"part-compact-$runId-$i.parquet"))
+        i += 1
+      }
+    }
+    fs.delete(staging, true)
+    old.foreach(f => fs.delete(f, false))
+  }
+
   /** Idempotently publish one batch's rows into `dir` (optionally
     * hive-partitioned by `partitionCols`). Safe to re-run for the same
     * (scope, batch): earlier files of THIS batch are replaced, other

@@ -147,49 +147,6 @@ object StreamingDedupGate {
     * preserving the exact hash set (every admission decision). Run while
     * the gate is stopped — the swap is not coordinated with a live
     * writer. */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    val (fs, target) = BatchCommits.fileSystem(spark, indexDir)
-    if (!fs.exists(target)) return
-    // capture the current file set BEFORE staging so the swap deletes
-    // exactly what was compacted, never the staged replacement
-    val old = {
-      val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
-      val it = fs.listFiles(target, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.startsWith("part-")) out += f
-      }
-      out.result()
-    }
-    if (old.isEmpty) return
-    val staging = new org.apache.hadoop.fs.Path(target, ".compact")
-    // distinct() also cleans any hash duplicated by a previous crashed
-    // compaction (a duplicate is harmless to the existence anti-join,
-    // but there's no reason to carry it forward)
-    spark.read.schema(indexSchema).parquet(indexDir).distinct()
-      .repartition(col("hp"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("hp").parquet(staging.toString)
-    // rename the compacted files IN before deleting the old ones: a
-    // crash mid-swap can then only leave a hash present twice — never
-    // absent — so no admission decision is ever lost
-    val runId = java.util.UUID.randomUUID().toString.take(8)
-    var i = 0
-    val it = fs.listFiles(staging, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.startsWith("part-")) {
-        val rel = f.getParent.toUri.getPath
-          .stripPrefix(staging.toUri.getPath).stripPrefix("/")
-        val destDir =
-          if (rel.isEmpty) target else new org.apache.hadoop.fs.Path(target, rel)
-        fs.mkdirs(destDir)
-        fs.rename(f,
-          new org.apache.hadoop.fs.Path(destDir, s"part-compact-$runId-$i.parquet"))
-        i += 1
-      }
-    }
-    fs.delete(staging, true)
-    old.foreach(f => fs.delete(f, false))
-  }
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    BatchCommits.compactPartitioned(spark, indexDir, indexSchema, "hp")
 }

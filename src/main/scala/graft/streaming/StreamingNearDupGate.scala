@@ -134,6 +134,12 @@ object StreamingNearDupGate {
     } finally arriving.unpersist()
   }
 
+  /** Offline compaction for the band index's per-batch file accrual —
+    * one file per `bp=` partition afterwards, row set preserved. Run
+    * while the gate is stopped. */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    BatchCommits.compactPartitioned(spark, indexDir, indexSchema, "bp")
+
   /** Start the gate: admitted documents append to `outDir`, their band
     * rows to `indexDir` (hive-partitioned by band-hash prefix). */
   def start(docs: DataFrame, idCol: String, textCol: String,
