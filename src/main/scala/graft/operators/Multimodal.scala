@@ -217,46 +217,66 @@ object Multimodal {
         } finally s.close()
       }
 
-    def features(modality: String, payload: Array[Byte], dim: Int): Array[Float] =
-      stream(payload) match {
-        case Some(s) =>
-          try {
-            val f = s.getFormat
-            // normalize to 16-bit signed little-endian PCM
-            val pcmFmt = new javax.sound.sampled.AudioFormat(
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-              f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
-              f.getSampleRate, false)
-            val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, s)
-            val bytes = try pcm.readAllBytes() finally pcm.close()
-            val n = bytes.length / 2
-            val out = new Array[Float](dim)
-            if (n == 0) out
-            else {
-              val counts = new Array[Int](dim)
-              var i = 0
-              while (i < n) {
-                val lo = bytes(2 * i) & 0xff
-                val hi = bytes(2 * i + 1).toInt
-                val sample = ((hi << 8) | lo) / 32768.0f
-                val bin = (i.toLong * dim / n).toInt
-                out(bin) += sample * sample
-                counts(bin) += 1
-                i += 1
-              }
-              var b = 0
-              while (b < dim) {
-                out(b) = if (counts(b) == 0) 0.0f
-                  else math.sqrt(out(b) / counts(b)).toFloat
-                b += 1
-              }
-              out
+    /** Per-bin RMS envelope over the normalized PCM; None when the
+      * payload isn't JDK-decodable audio. */
+    private[operators] def envelope(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      stream(payload).flatMap { s =>
+        try {
+          val f = s.getFormat
+          // normalize to 16-bit signed little-endian PCM
+          val pcmFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+            f.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, s)
+          val bytes = try pcm.readAllBytes() finally pcm.close()
+          val n = bytes.length / 2
+          val out = new Array[Float](dim)
+          if (n > 0) {
+            val counts = new Array[Int](dim)
+            var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1).toInt
+              val sample = ((hi << 8) | lo) / 32768.0f
+              val bin = (i.toLong * dim / n).toInt
+              out(bin) += sample * sample
+              counts(bin) += 1
+              i += 1
             }
-          } catch {
-            case _: Exception =>
-              DeterministicFakeDecoder.features(modality, payload, dim)
+            var b = 0
+            while (b < dim) {
+              out(b) = if (counts(b) == 0) 0.0f
+                else math.sqrt(out(b) / counts(b)).toFloat
+              b += 1
+            }
           }
-        case None => DeterministicFakeDecoder.features(modality, payload, dim)
+          Some(out)
+        } catch { case _: Exception => None }
+      }
+
+    def features(modality: String, payload: Array[Byte], dim: Int): Array[Float] =
+      envelope(payload, dim)
+        .getOrElse(DeterministicFakeDecoder.features(modality, payload, dim))
+
+    /** 64-bit energy-envelope fingerprint — the audio analog of the
+      * image aHash: RMS per 64 time bins, bit b set when bin b exceeds
+      * the mean bin energy. Robust to gain-preserving noise and small
+      * edits (they perturb a few bins past the mean), not to time
+      * shifts. None when the payload isn't JDK-decodable audio. */
+    def eHash(payload: Array[Byte]): Option[Long] =
+      envelope(payload, 64).map { env =>
+        var mean = 0.0
+        var i = 0
+        while (i < 64) { mean += env(i); i += 1 }
+        mean /= 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) {
+          if (env(i) > mean) h |= (1L << i)
+          i += 1
+        }
+        h
       }
 
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -370,6 +390,34 @@ object Multimodal {
     val hashed = imagePerceptualHash(
       df.select(col(idCol), col(mediaCol)), mediaCol)
       .select(col(idCol).as("id"), col("ahash").as("simhash"))
+    Dedup.simhashPairs(hashed, maxHamming)
+  }
+
+  /** Per-audio perceptual hash column: (input columns…, ehash bigint).
+    * Non-audio / undecodable payloads are DROPPED, the
+    * [[imagePerceptualHash]] contract. */
+  def audioPerceptualHash(df: DataFrame, mediaCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("ehash", LongType, nullable = false))
+    val enc = Encoders.row(schema)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        AudioDecoder.eHash(payload).map(h => Row.fromSeq(r.toSeq :+ h))
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate audio pairs by energy-envelope hash: eHash per clip,
+    * then the SimHash pigeonhole pairing ([[Dedup.simhashPairs]]) — one
+    * decode map pass + a bucketed join, the [[imageNearDupPairs]] shape.
+    * Returns (id_a, id_b, hamming). */
+  def audioNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = audioPerceptualHash(
+      df.select(col(idCol), col(mediaCol)), mediaCol)
+      .select(col(idCol).as("id"), col("ehash").as("simhash"))
     Dedup.simhashPairs(hashed, maxHamming)
   }
 

@@ -199,6 +199,62 @@ class MultimodalSpec extends SparkSpec {
     assert(h.length == 2 && h(0) == h(1))
   }
 
+  test("audioNearDupPairs: noised twin pairs, different envelope doesn't, non-audio dropped") {
+    // twin = the same sine+silence with tiny per-sample noise (gain-
+    // preserving — bins move but rarely cross the mean threshold);
+    // different = silence-then-sine (envelope flipped in time)
+    def noised(base: Array[Byte]): Array[Byte] = {
+      // decode → perturb PCM samples by ±1 LSB deterministically → re-encode
+      val s = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(base))
+      val pcm = s.readAllBytes(); s.close()
+      val out = pcm.clone()
+      var i = 0
+      while (i < out.length - 1) {
+        if (i % 6 == 0 && out(i) != Byte.MaxValue) out(i) = (out(i) + 1).toByte
+        i += 2
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), fmt, out.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def silenceThenSine(): Array[Byte] = {
+      val n = (8000 * 200 / 1000) * 2
+      val pcm = new Array[Byte](2 * n)
+      for (i <- n / 2 until n) {
+        val v = (math.sin(2 * math.Pi * 440 * i / 8000.0) * 20000).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = sineWav()
+    val clips = Seq(
+      (1L, base), (2L, base.clone()), (3L, noised(base)),
+      (4L, silenceThenSine()),
+      (5L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("clip_id", "media")
+    val pairs = Multimodal.audioNearDupPairs(clips, "clip_id", "media", maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical clips must pair at hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"LSB noise stays within the hamming budget: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "a time-flipped envelope must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "non-audio payloads are dropped, not hashed")
+  }
+
   test("sizeClass: log2 buckets group comparable payloads") {
     val classes = mediaDf.select(col("media_id"), Multimodal.sizeClass(col("media")).as("sc"))
       .as[(Long, Int)].collect().toMap
