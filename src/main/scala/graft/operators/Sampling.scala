@@ -212,6 +212,77 @@ object Sampling {
     else df.withColumn(keepCol, (c < thr).cast("int"))
   }
 
+  /** Exact top-`n` rows per group by an arbitrary SCORE column (desc,
+    * ties by `idCol` asc) — the "keep the best N documents per domain"
+    * curation primitive — selected without sorting any group in a
+    * single task. [[stratified]]'s oversample-verify-escalate shape,
+    * generalized from uniform coordinates to arbitrary scores:
+    *   1. ONE aggregate computes per-group counts AND a GK percentile
+    *      sketch over a fixed grid (step 1/1000, the q79 operator);
+    *   2. per group, a driver-side pick of a grid threshold safely
+    *      below the n-th score (margin grid steps under 1 − n/cnt)
+    *      turns the selection into a pure `score >= thr` filter —
+    *      candidates are a small multiple of n, never the group;
+    *   3. only candidates are ranked (window over O(n)-ish rows per
+    *      group, bounded by the grid resolution, not the corpus);
+    *   4. verify: a group with cnt rows must yield min(cnt, n) —
+    *      candidates ⊇ the true top-n iff thr ≤ the n-th score, which
+    *      the count check detects exactly; on failure the margin
+    *      doubles, saturating at thr = −∞ (the filter becomes the
+    *      identity and the ranked selection IS the naive window, so
+    *      termination is provable).
+    * Selection equals the naive `row_number() over (partition by group
+    * order by score desc, id)` row-for-row — the sketch only chooses
+    * how few rows get ranked — so an oracle replays the plain window.
+    * Rows with a NULL score or NULL group are dropped (null never
+    * ranks). */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, n: Int, margin: Int = 2): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(margin >= 1, s"margin must be >= 1, got $margin")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+    val grid = (0 to 1000).map(_ / 1000.0)
+    val gridSql = grid.map(q => s"${q}D").mkString("array(", ", ", ")")
+    val stats = rows.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__cnt"),
+        expr(s"approx_percentile(`$scoreCol`, $gridSql, 10000)").as("__qs"))
+      .collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getSeq[Any](2)))
+    if (stats.isEmpty) return rows.limit(0)
+    var m = margin
+    var result: DataFrame = null
+    var done = false
+    while (!done) {
+      // per-group threshold: grid point `m` steps below 1 - n/cnt;
+      // idx < 0 ⇒ no filter for that group (saturated)
+      val thrs = stats.map { case (g, (cnt, qs)) =>
+        val idx = math.floor((1.0 - n.toDouble / cnt) * 1000).toInt - m
+        (g, cnt, if (cnt <= n || idx < 0) None else Some(qs(idx)))
+      }
+      val saturated = thrs.forall(_._3.isEmpty)
+      val keep = thrs.sortBy(_._1.toString)
+        .foldLeft(lit(false)) { case (els, (g, _, thr)) =>
+          val cond = thr match {
+            case Some(t) => col(groupCol) === lit(g) &&
+              col(scoreCol) >= lit(t)
+            case None => col(groupCol) === lit(g)
+          }
+          when(cond, lit(true)).otherwise(els)
+        }
+      val ranked = rows.filter(keep).withColumn("__rk",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      result = ranked.filter(col("__rk") <= n).drop("__rk")
+      val got = result.groupBy(col(groupCol)).agg(count(lit(1)).as("__got"))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      done = saturated || thrs.forall { case (g, cnt, _) =>
+        got.getOrElse(g, 0L) >= math.min(cnt, n.toLong) }
+      if (!done) m = m * 2
+    }
+    result
+  }
+
   /** Temperature-reweighted mixture: per-group sampling rates derived
     * FROM THE DATA as `min(1, baseRate · (n_g / n_max)^(α−1))` — the
     * multinomial temperature reweighting pretraining mixtures use

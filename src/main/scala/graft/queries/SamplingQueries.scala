@@ -263,5 +263,29 @@ object SamplingQueries extends QueryModule {
       FROM documents d LEFT JOIN th t USING (source)
       ORDER BY d.doc_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q83, q85, q92, q95, q97, q98, q103)
+  /** Score-ranked per-group cap ("best N per domain"): top-10 orders
+    * per order priority by total price, selected by the GK-threshold
+    * oversample-verify-escalate — never a full-group single-task sort.
+    * Selection is provably identical to the naive window, which is what
+    * the oracle replays. */
+  private val q106 = QueryDef(
+    "q106_topk_per_group_score",
+    (s, d) => {
+      Sampling.topKPerGroup(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+          "o_orderpriority", "o_totalprice", "o_orderkey", n = 10)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders) t
+      WHERE rk <= 10
+      ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""))
+
+  override val entries: Seq[QueryDef] =
+    Seq(q83, q85, q92, q95, q97, q98, q103, q106)
 }

@@ -135,6 +135,30 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("big") == 40)
   }
 
+  test("topKPerGroup: equals the naive window on skewed groups, ties, and tiny groups") {
+    val rnd = new scala.util.Random(31)
+    // one huge group, one medium, one below n; duplicate scores force
+    // the id tiebreak through the threshold region
+    val data = (1L to 3000L).map(i => (i, "big", (rnd.nextInt(50) / 10.0))) ++
+      (3001L to 3200L).map(i => (i, "mid", rnd.nextGaussian())) ++
+      (3201L to 3205L).map(i => (i, "tiny", rnd.nextDouble())) ++
+      Seq((9001L, null.asInstanceOf[String], 99.0), (9002L, "big", Double.NaN))
+    val df = data.toDF("id", "grp", "score")
+      .withColumn("score", when(isnan(col("score")), lit(null)).otherwise(col("score")))
+    val out = Sampling.topKPerGroup(df, "grp", "score", "id", n = 25)
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    val naive = data.filter(r => r._2 != null && !r._3.isNaN)
+      .groupBy(_._2).values.flatMap(
+        _.sortBy(r => (-r._3, r._1)).take(25).map(r => (r._1, r._2))).toSet
+    assert(out == naive, s"diff: ${(out -- naive) ++ (naive -- out)}")
+    assert(out.count(_._2 == "tiny") == 5, "groups below n are kept whole")
+
+    // tight margin exercises the escalate path; result unchanged
+    val escalated = Sampling.topKPerGroup(df, "grp", "score", "id", n = 25, margin = 1)
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(escalated == naive)
+  }
+
   test("temperature: rare sources keep more, alpha=1 is uniform, null group dropped") {
     // 900 docs of "big", 90 of "mid", 10 of "rare" (+5 null)
     val df = ids(1005).withColumn("source",
