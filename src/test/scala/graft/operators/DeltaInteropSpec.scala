@@ -145,6 +145,16 @@ class DeltaInteropSpec extends SparkSpec {
       "checkpoint + tail replay diverges from full JSON replay")
   }
 
+  test("schema evolution: the replayed metaData carries the LATEST schema") {
+    val path = dir()
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    TxLogTable.append(spark, Seq((2L, "b", 7.5)).toDF("id", "v", "extra"), path)
+    val (_, schemaString, _) = replay(logFiles(path))
+    val parsed = DataType.fromJson(schemaString).asInstanceOf[StructType]
+    assert(parsed.fieldNames.toSeq == Seq("id", "v", "extra"),
+      s"replay must surface the widened schema: ${parsed.fieldNames.toSeq}")
+  }
+
   test("concurrent appenders: one mirror entry per serialized version, replay == read") {
     val path = dir()
     val threads = (1 to 5).map { i =>

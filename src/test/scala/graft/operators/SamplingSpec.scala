@@ -187,6 +187,24 @@ class SamplingSpec extends SparkSpec {
     assert(uni == plain, "alpha=1 must reduce to uniform Bernoulli")
   }
 
+  test("plans: temperature output is shuffle-free; topKPerGroup ranks only candidates") {
+    val df = ids(500).withColumn("grp", (col("id") % 3).cast("string"))
+      .withColumn("score", col("id").cast("double"))
+    // temperature: once the counts are collected, the keep flag is a
+    // literal when-chain — the RESULT plan must not exchange at all
+    val tp = Sampling.temperature(df, "id", "grp", alpha = 0.5, baseRate = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!tp.contains("Exchange"), s"temperature result shuffles:\n${tp.take(1500)}")
+    // topKPerGroup: the window in the result plan is partitioned by the
+    // group (parallel across groups), fed by a candidate FILTER — the
+    // naive full-group sort shape would have no score filter under it
+    val top = Sampling.topKPerGroup(df, "grp", "score", "id", n = 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(grp"), s"window not group-partitioned:\n${plan.take(1500)}")
+    assert(plan.contains("Filter") && plan.contains("score"),
+      s"candidates not pre-filtered by score threshold:\n${plan.take(1500)}")
+  }
+
   test("stratified: null strata are dropped up front, never hang the escalation loop") {
     val df = ids(100).withColumn("lang",
       when(col("id") < 10, lit(null).cast("string"))
