@@ -393,6 +393,25 @@ object Multimodal {
     Dedup.simhashPairs(hashed, maxHamming)
   }
 
+  /** Batch image resize: replaces `mediaCol` with the payload re-rendered
+    * at (w, h) — the normalize-before-training step. Decodable images
+    * resize for real ([[ImageIODecoder]] re-render); undecodable payloads
+    * pass through the decoder's total fallback, so the operator never
+    * drops rows. mapPartitions at the codec boundary, one decode per
+    * row, the standard shape here. */
+  def resizeImages(df: DataFrame, mediaCol: String, w: Int, h: Int,
+      decoder: MediaDecoder = ImageIODecoder): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val enc = Encoders.row(df.schema)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        Row.fromSeq(r.toSeq.updated(mIdx, decoder.resize(payload, w, h)))
+      }
+    }(enc)
+  }
+
   /** Per-audio perceptual hash column: (input columns…, ehash bigint).
     * Non-audio / undecodable payloads are DROPPED, the
     * [[imagePerceptualHash]] contract. */

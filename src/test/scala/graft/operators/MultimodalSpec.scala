@@ -255,6 +255,28 @@ class MultimodalSpec extends SparkSpec {
       "non-audio payloads are dropped, not hashed")
   }
 
+  test("resizeImages: real images re-render at the target dims, non-images pass through") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(16, 8)), (2L, png(4, 4)),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val out = Multimodal.resizeImages(media, "media", 8, 8)
+      .select("media_id", "media").as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out.size == 3, "resize must never drop rows")
+    assert(Multimodal.ImageIODecoder.dims(out(1L)).contains((8, 8)))
+    assert(Multimodal.ImageIODecoder.dims(out(2L)).contains((8, 8)))
+    assert(out(3L).nonEmpty, "non-image passes through the total fallback")
+  }
+
   test("sizeClass: log2 buckets group comparable payloads") {
     val classes = mediaDf.select(col("media_id"), Multimodal.sizeClass(col("media")).as("sc"))
       .as[(Long, Int)].collect().toMap
