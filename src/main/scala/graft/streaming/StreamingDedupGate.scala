@@ -66,9 +66,55 @@ object StreamingDedupGate {
     if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
-    else
+    else {
+      // a pre-partitioning index (flat part files at the root) would read
+      // with hp = null and the prefix filter would HIDE every admitted
+      // hash — duplicate admissions, silently. Fail loudly instead.
+      val flat = fs.listStatus(p).exists(s =>
+        s.isFile && s.getPath.getName.startsWith("part-"))
+      if (flat) throw new IllegalStateException(
+        s"$indexDir holds an unpartitioned hash index (flat part files); " +
+          "run StreamingDedupGate.migrateIndex to the hp= layout first")
       spark.read.schema(indexSchema).parquet(indexDir)
         .filter(col("hp").isin(prefixes: _*))
+    }
+  }
+
+  /** One-time migration of a flat (pre-partitioning) hash index to the
+    * `hp=` hive layout, preserving the exact hash set. Run while the
+    * gate is stopped. */
+  def migrateIndex(spark: SparkSession, indexDir: String, prefixLen: Int = 2): Unit = {
+    val (fs, p) = BatchCommits.fileSystem(spark, indexDir)
+    if (!fs.exists(p)) return
+    val flatFiles = fs.listStatus(p).filter(s =>
+      s.isFile && s.getPath.getName.startsWith("part-")).map(_.getPath)
+    if (flatFiles.isEmpty) return
+    val staging = new org.apache.hadoop.fs.Path(p, ".migrate")
+    spark.read.schema(StructType(Seq(StructField("h", StringType))))
+      .parquet(flatFiles.map(_.toString): _*)
+      .withColumn("hp", substring(col("h"), 1, prefixLen))
+      .repartition(col("hp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("hp").parquet(staging.toString)
+    // rename-in before delete-old: a crash can only duplicate a hash
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var i = 0
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-")) {
+        val rel = f.getParent.toUri.getPath
+          .stripPrefix(staging.toUri.getPath).stripPrefix("/")
+        val destDir =
+          if (rel.isEmpty) p else new org.apache.hadoop.fs.Path(p, rel)
+        fs.mkdirs(destDir)
+        fs.rename(f,
+          new org.apache.hadoop.fs.Path(destDir, s"part-migrate-$runId-$i.parquet"))
+        i += 1
+      }
+    }
+    fs.delete(staging, true)
+    flatFiles.foreach(f => fs.delete(f, false))
   }
 
   /** One batch through the gate — the foreachBatch body, factored out so

@@ -138,6 +138,32 @@ class StreamingDedupGateSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L, 5L, 7L), s"post-compaction admissions wrong: $ids")
   }
 
+  test("flat legacy index fails loudly and migrateIndex restores admission memory") {
+    val idx = Files.createTempDirectory("graft-gate-midx").toString
+    val out = Files.createTempDirectory("graft-gate-mout").toString
+    val ckpt = Files.createTempDirectory("graft-gate-mckpt").toString
+    // a pre-partitioning index: flat part files of bare hashes
+    Seq("0cc175b9c0f1b6a831c399e269772661", "92eb5ffee6ae2fec3ad71c777531578f")
+      .map(Tuple1(_)).toDF("h")
+      .write.mode("overwrite").parquet(idx) // flat layout, as the round-7 gate wrote it
+    val batch = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      StreamingDedupGate.processBatch(batch, 0L, "doc_id", "text", idx, out, ckpt, 2)
+    }
+    assert(e.getMessage.contains("migrateIndex"), e.getMessage)
+
+    StreamingDedupGate.migrateIndex(spark, idx)
+    val hpDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("hp="))
+    assert(hpDirs.nonEmpty, "migration must produce the hp= layout")
+    assert(spark.read.parquet(idx).select("h").as[String].collect().toSet ==
+      Set("0cc175b9c0f1b6a831c399e269772661", "92eb5ffee6ae2fec3ad71c777531578f"))
+    // the migrated hashes gate admissions: md5("alpha beta") is novel,
+    // so it admits; a doc hashing to a migrated value would not
+    StreamingDedupGate.processBatch(batch, 0L, "doc_id", "text", idx, out, ckpt, 2)
+    assert(spark.read.parquet(out).count() == 1)
+    assert(StreamingDedupGate.migrateIndex(spark, idx) == (), "re-run is a no-op")
+  }
+
   test("publishBatch is idempotent per batch and isolated across batches") {
     val dir = Files.createTempDirectory("graft-publish").toString
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
