@@ -67,8 +67,23 @@ object DeltaInterop {
 
   /** Publish the Delta mirror entry for native version `v`. Called by
     * [[TxLogTable.append]]/[[TxLogTable.compact]] after the native
-    * commit; idempotent (putIfAbsent on the padded name). */
+    * commit; idempotent (putIfAbsent on the padded name) and
+    * BEST-EFFORT: the native commit has already succeeded, so a mirror
+    * failure must not fail the append — a thrown append would make the
+    * caller retry a commit that landed, duplicating data. A missed
+    * mirror entry is exactly the [[sync]] backfill case. */
   private[operators] def mirror(spark: SparkSession, path: String, v: Long,
+      added: Seq[String], removed: Seq[String], schemaJson: String,
+      cp: CommitPoint): Unit =
+    try mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] delta mirror for $path v$v failed (native commit is " +
+            s"intact; run DeltaInterop.sync to backfill): $e")
+    }
+
+  private def mirrorOrThrow(spark: SparkSession, path: String, v: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
       cp: CommitPoint): Unit = {
     Files.createDirectories(deltaDir(path))
@@ -112,7 +127,9 @@ object DeltaInterop {
             TxLogTable.filesAt(path, v - 1))
         else (TxLogTable.versionFiles(path, v), Seq.empty[String])
       val schemaJson = TxLogTable.readVersion(spark, path, v).schema.json
-      mirror(spark, path, v, added, removed, schemaJson, cp)
+      // the throwing variant: a backfill is explicitly asked for, so a
+      // failure must surface, unlike the best-effort per-commit mirror
+      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
     }
     missing
   }

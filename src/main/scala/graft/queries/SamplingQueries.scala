@@ -286,6 +286,65 @@ object SamplingQueries extends QueryModule {
       WHERE rk <= 10
       ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""))
 
+  /** Mixture-curation capstone: temperature-reweighted source keep
+    * (q103) → best-30 per source by length (q106's primitive, n_chars
+    * as the score) → sequence packing of the survivors (q90) — three
+    * data-derived stages whose HANDOFFS are verified in one DuckDB
+    * chain, the q100 pattern for the sampling surface. */
+  private val q107 = QueryDef(
+    "q107_mixture_curation",
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val kept = Sampling.temperature(docs, "doc_id", "source",
+        alpha = 0.5, baseRate = 0.8).filter(col("kept") === 1)
+      val best = Sampling.topKPerGroup(kept, "source", "n_chars", "doc_id", n = 30)
+      val toks = best.select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Packing.assign(toks, "doc_id", "n_toks", capacity = 512L)
+        .join(toks.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tok_offset"), col("seq_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, count(*) AS n FROM documents
+        WHERE source IS NOT NULL GROUP BY source),
+      mx AS (SELECT max(n) AS nmax FROM cnt),
+      th AS (
+        SELECT source,
+               CAST(floor(
+                 (floor(least(1.0, 0.8 * pow(n / nmax, -0.5)) * 1000000.0 + 0.5)
+                   / 1000000.0) * 1152921504606846976.0) AS BIGINT) AS thr
+        FROM cnt, mx),
+      kept AS (
+        SELECT d.doc_id, d.source, d.text, d.n_chars
+        FROM documents d JOIN th t USING (source)
+        WHERE ('0x' || substr(md5('graft-temp|' || d.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < t.thr),
+      best AS (
+        SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM kept) t WHERE rk <= 30),
+      tok AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\s+'),
+                   x -> length(x) > 0))::BIGINT AS n_tokens
+        FROM best),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS tok_offset
+        FROM tok)
+      SELECT doc_id, source, n_tokens, tok_offset,
+             tok_offset // 512 AS seq_id
+      FROM c
+      ORDER BY doc_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q83, q85, q92, q95, q97, q98, q103, q106)
+    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107)
 }
