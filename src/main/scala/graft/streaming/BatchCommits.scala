@@ -137,6 +137,37 @@ private[streaming] object BatchCommits {
     old.foreach(f => fs.delete(f, false))
   }
 
+  /** Flat-layout sibling of [[compactPartitioned]]: rewrite a
+    * per-batch-published unpartitioned table to a single file, exact row
+    * set preserved (every row is kept — per-batch marks must survive so
+    * a replayed batch can still exclude its OWN row). Same rename-in
+    * before delete-old crash ordering. Run while the owner is stopped. */
+  def compactFlat(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, target) = fileSystem(spark, dir)
+    if (!fs.exists(target)) return
+    val old = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+    if (old.length <= 1) return
+    val staging = new Path(target, ".compact")
+    spark.read.schema(schema).parquet(old.map(_.toString): _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var i = 0
+    val it = fs.listFiles(staging, false)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-")) {
+        fs.rename(f, new Path(target, s"part-compact-$runId-$i.parquet"))
+        i += 1
+      }
+    }
+    fs.delete(staging, true)
+    old.foreach(f => fs.delete(f, false))
+  }
+
   /** Idempotently publish one batch's rows into `dir` (optionally
     * hive-partitioned by `partitionCols`). Safe to re-run for the same
     * (scope, batch): earlier files of THIS batch are replaced, other

@@ -78,6 +78,13 @@ object StreamingPacking {
     } finally packed.unpersist()
   }
 
+  /** Offline compaction of the one-file-per-batch mark accrual —
+    * rewrites `hwmDir` to a single file, every (scope, batch_id) row
+    * preserved (a replayed batch must still be able to exclude its own
+    * mark). Run while the packer is stopped. */
+  def compactMarks(spark: SparkSession, hwmDir: String): Unit =
+    BatchCommits.compactFlat(spark, hwmDir, hwmSchema)
+
   /** Start the packer over a streaming `docs` (carrying `idCol` +
     * `nTokensCol`): packed assignment rows append to `outDir`, the
     * high-water mark to `hwmDir`. */

@@ -71,5 +71,16 @@ class StreamingPackingSpec extends SparkSpec {
     // fully committed batch replays as a no-op
     StreamingPacking.processBatch(b1, 1L, "doc_id", "n_tokens", 128, out, hwm, ckpt)
     assert(rows(out).size == 8)
+
+    // mark compaction: one file afterwards, continuation unchanged
+    StreamingPacking.compactMarks(spark, hwm)
+    val files = new java.io.File(hwm).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(files == 1, s"marks not compacted to one file: $files")
+    assert(StreamingPacking.highWaterMark(spark, hwm, scope, 2L) == 800L,
+      "compaction must preserve the continuation point")
+    val b2 = (9L to 10L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
+    StreamingPacking.processBatch(b2, 2L, "doc_id", "n_tokens", 128, out, hwm, ckpt)
+    assert(rows(out).toSeq.sortBy(_._1).map(_._3) == (0L until 1000L by 100L).toSeq)
   }
 }
