@@ -97,6 +97,57 @@ object Packing {
           .as("seq_last"))
   }
 
+  /** Per-GROUP packing: an independent packed token stream per value of
+    * `groupCol` (per-language / per-source training streams — each
+    * group's sequences are self-contained, `tok_offset`/`seq_id` count
+    * within the group). Same distributed two-phase prefix sum as
+    * [[assign]] with composite keys: per-(group, bucket) totals, bucket
+    * start offsets via a window PARTITIONED BY GROUP over the
+    * metadata-scale bucket totals (groups run in parallel — no global
+    * single-partition window appears even with millions of groups), and
+    * the within-bucket running sum keyed by (group, bucket). Rows with a
+    * NULL group are dropped (null is not a stream). */
+  def assignPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      nTokensCol: String, capacity: Long, bucketWidth: Long = 0L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    val rows = df.filter(col(groupCol).isNotNull)
+    val width = if (bucketWidth > 0) bucketWidth else {
+      val mm = rows.agg(min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi")).head()
+      if (mm.isNullAt(0)) 1L
+      else {
+        val span = mm.getLong(1) - mm.getLong(0) + 1L
+        val target = math.max(1, spark.sparkContext.defaultParallelism * 8)
+        math.max(1L, span / target)
+      }
+    }
+    val bucketed = rows.select(
+      col(groupCol).as("grp"),
+      col(idCol).cast("long").as("doc_id"),
+      col(nTokensCol).cast("long").as("n_tokens"),
+      expr(s"CAST(${idCol} AS BIGINT) div ${width}").as("bkt"))
+    val bucketOffsets = bucketed
+      .groupBy(col("grp"), col("bkt")).agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_offset", coalesce(
+        sum(col("bkt_tokens")).over(Window.partitionBy(col("grp"))
+          .orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grp"), col("bkt"), col("bkt_offset"))
+    val within = Window.partitionBy(col("grp"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(bucketOffsets), Seq("grp", "bkt"))
+      .withColumn("tok_offset",
+        col("bkt_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .select(col("grp").as(groupCol), col("doc_id"), col("n_tokens"),
+        col("tok_offset"),
+        expr(s"tok_offset div ${capacity}").as("seq_id"),
+        (col("tok_offset") % lit(capacity)).as("seq_offset"),
+        expr(s"(tok_offset + greatest(n_tokens, 1L) - 1L) div ${capacity}")
+          .as("seq_last"))
+  }
+
   /** The inverse view of [[assign]] — the per-SEQUENCE slice map a batch
     * builder consumes: for every (sequence, document) incidence, which
     * token range of the document lands at which position of the

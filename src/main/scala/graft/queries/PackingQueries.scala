@@ -93,5 +93,37 @@ object PackingQueries extends QueryModule {
       WHERE doc_end - doc_start > 0
       ORDER BY seq_id, doc_id"""))
 
-  def entries: Seq[QueryDef] = Seq(q90, q104)
+  /** Per-language packed streams: each lang's documents pack into their
+    * own independent sequence stream. Oracle: the same prefix sum
+    * PARTITIONED BY lang. */
+  private val q108 = QueryDef(
+    "q108_grouped_packing",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).as("n_toks"))
+      Packing.assignPerGroup(docs, "lang", "doc_id", "n_toks", capacity = 1024L)
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0))::BIGINT AS n_tokens
+        FROM documents
+        WHERE lang IS NOT NULL),
+      c AS (
+        SELECT lang, doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS tok_offset
+        FROM t)
+      SELECT lang, doc_id, n_tokens, tok_offset,
+        tok_offset // 1024 AS seq_id,
+        tok_offset % 1024 AS seq_offset,
+        (tok_offset + greatest(n_tokens, 1) - 1) // 1024 AS seq_last
+      FROM c
+      ORDER BY lang, doc_id"""))
+
+  def entries: Seq[QueryDef] = Seq(q90, q104, q108)
 }

@@ -70,6 +70,31 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_._6).sum == total, "slices must cover every token exactly once")
   }
 
+  test("assignPerGroup: per-group streams equal independent assigns; null groups dropped") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 400).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else s"g${i % 3}",
+        rnd.nextInt(300).toLong)
+    }
+    val df = docs.toDF("id", "grp", "n")
+    val out = Packing.assignPerGroup(df, "grp", "id", "n", capacity = 256L,
+        bucketWidth = 13L)
+      .select("grp", "doc_id", "n_tokens", "tok_offset", "seq_id", "seq_offset", "seq_last")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.forall(_._1 != null), "null groups must be dropped")
+    // each group must match assign() run on that group alone
+    for (g <- Seq("g0", "g1", "g2")) {
+      val alone = Packing.assign(
+          df.filter(col("grp") === g), "id", "n", capacity = 256L, bucketWidth = 13L)
+        .select("doc_id", "n_tokens", "tok_offset", "seq_id", "seq_offset", "seq_last")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val grouped = out.filter(_._1 == g)
+        .map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+      assert(grouped == alone, s"group $g diverges from the solo assign")
+    }
+  }
+
   test("corpus-side window is bucket-partitioned and the offset join broadcasts") {
     val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "n")
     val plan = Packing.assign(df, "id", "n", capacity = 50L, bucketWidth = 10L)
