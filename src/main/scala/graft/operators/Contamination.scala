@@ -52,6 +52,23 @@ object Contamination {
       splitCol: String, trainName: String = "train", testName: String = "test",
       minShared: Int = 2, maxDf: Int = 50, k: Int = 8, w: Int = 4,
       index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame =
+    pairs(df, idCol, textCol, splitCol, trainName, testName, minShared,
+      maxDf, k, w, index, minParallelism, rollingHash)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("sum_shared"))
+
+  /** Contaminated (test, train) pairs — the edge-level view [[detect]]
+    * rolls up, and what the decontamination ACTION consumes: the
+    * distinct `train_id`s are exactly the training documents to drop
+    * before export (q109). One row per pair sharing ≥ `minShared`
+    * pruned winnowing fingerprints: (test_id, train_id, shared). */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainName: String = "train", testName: String = "test",
+      minShared: Int = 2, maxDf: Int = 50, k: Int = 8, w: Int = 4,
+      index: IndexStore = IndexStore.default,
       minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
     // the fingerprint index feeds three consumers (df-count, test side,
     // train side); without persistence the O(n·w) winnowing pass runs
@@ -76,10 +93,6 @@ object Contamination {
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .groupBy(col("test_id"))
-      .agg(count(lit(1)).as("n_train_docs"),
-        max(col("shared")).as("max_shared"),
-        sum(col("shared")).as("sum_shared"))
   }
 
   /** Build a durable winnowing-fingerprint index of a (training) corpus

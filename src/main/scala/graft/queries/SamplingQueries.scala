@@ -345,6 +345,77 @@ object SamplingQueries extends QueryModule {
       FROM c
       ORDER BY doc_id"""))
 
+  /** The decontamination ACTION (q85 reports, this one removes): split →
+    * contaminated (test, train) pairs → the offending train docs are
+    * ACTUALLY DROPPED → per-language rollup of the training set that
+    * would ship. Every stage — the split thresholds, the rolling-hash
+    * winnowing, the pair join, the anti-join, the rollup — replays in
+    * one DuckDB chain. */
+  private val q109 = QueryDef(
+    "q109_decontaminated_train_set",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val withSplit = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val bad = graft.operators.Contamination
+        .pairs(withSplit, "doc_id", "text", "split",
+          // this synthetic corpus is heavily self-similar: at minShared=2
+          // EVERY train doc contaminates (q85 flags ~all test docs too);
+          // 20 shared fingerprints marks the heavy overlaps (50/406)
+          minShared = 20, maxDf = 50, k = 8, w = 4,
+          index = graft.operators.IndexStore.NoStore,
+          minParallelism = s.sparkContext.defaultParallelism,
+          rollingHash = true)
+        .select(col("train_id")).distinct()
+      withSplit.filter(col("split") === "train")
+        .join(bad, col("doc_id") === col("train_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM documents),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 922337203685477632 THEN 'train'
+                    WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 1037629354146162304 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+      pruned AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 50),
+      fps AS (
+        SELECT fp.doc_id, fp.f, sp.split
+        FROM fp JOIN sp USING (doc_id) JOIN pruned USING (f)),
+      bad AS (
+        SELECT DISTINCT tr.doc_id AS train_id
+        FROM fps te JOIN fps tr ON te.f = tr.f
+        WHERE te.split = 'test' AND tr.split = 'train'
+        GROUP BY te.doc_id, tr.doc_id
+        HAVING count(*) >= 20)
+      SELECT d.lang, count(*) AS n_docs, sum(d.n_chars)::BIGINT AS sum_chars
+      FROM documents d
+      JOIN sp ON sp.doc_id = d.doc_id
+      LEFT JOIN bad b ON b.train_id = d.doc_id
+      WHERE sp.split = 'train' AND b.train_id IS NULL
+      GROUP BY d.lang
+      ORDER BY d.lang"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107)
+    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109)
 }
