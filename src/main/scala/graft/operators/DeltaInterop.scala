@@ -75,8 +75,14 @@ object DeltaInterop {
   private[operators] def mirror(spark: SparkSession, path: String, v: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
       cp: CommitPoint): Unit =
-    try mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
-    catch {
+    try {
+      // Delta readers require CONTIGUOUS versions: if an earlier mirror
+      // write crashed, the hole would block replay past it forever —
+      // heal any missing predecessors before publishing v
+      if (v > 0 && !Files.exists(deltaDir(path).resolve(s"${pad(v - 1)}.json")))
+        sync(spark, path, cp, upTo = v - 1)
+      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
+    } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[graft] delta mirror for $path v$v failed (native commit is " +
@@ -99,15 +105,18 @@ object DeltaInterop {
     added.foreach(f => actions += addAction(path, f, ts))
     cp.putIfAbsent(deltaDir(path), s"${pad(v)}.json", actions.result().mkString("\n"))
     if (v > 0 && v % TxLogTable.CheckpointInterval == 0)
+      // hint only; readers replay JSON — and write failures surface as
+      // SparkException, not just IOException, so catch NonFatal
       try writeCheckpoint(spark, path, v, schemaJson)
-      catch { case _: java.io.IOException => () } // hint only; readers replay JSON
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Idempotent backfill: publish a mirror entry for every native
     * version that lacks one (e.g. after a crash between the native
     * commit and its mirror write, or to retrofit a pre-mirror table). */
   def sync(spark: SparkSession, path: String,
-      cp: CommitPoint = CommitPoint.HardLink): Seq[Long] = {
+      cp: CommitPoint = CommitPoint.HardLink,
+      upTo: Long = Long.MaxValue): Seq[Long] = {
     val d = deltaDir(path)
     val present: Set[Long] =
       if (!Files.exists(d)) Set.empty
@@ -119,7 +128,8 @@ object DeltaInterop {
           .map(_.stripSuffix(".json").toLong).toSet
         finally s.close()
       }
-    val missing = TxLogTable.allVersions(path).filterNot(present)
+    val missing = TxLogTable.allVersions(path)
+      .filter(_ <= upTo).filterNot(present)
     missing.foreach { v =>
       val (added, removed) =
         if (TxLogTable.versionIsRebase(path, v))

@@ -102,10 +102,13 @@ object Packing {
     * group's sequences are self-contained, `tok_offset`/`seq_id` count
     * within the group). Same distributed two-phase prefix sum as
     * [[assign]] with composite keys: per-(group, bucket) totals, bucket
-    * start offsets via a window PARTITIONED BY GROUP over the
-    * metadata-scale bucket totals (groups run in parallel — no global
-    * single-partition window appears even with millions of groups), and
-    * the within-bucket running sum keyed by (group, bucket). Rows with a
+    * start offsets via a window PARTITIONED BY GROUP over the bucket
+    * totals (groups run in parallel — no global single-partition window
+    * at any group count), and the within-bucket running sum keyed by
+    * (group, bucket). The offset table has one row per (group, bucket)
+    * PAIR — no broadcast hint here, unlike [[assign]]: at high group
+    * counts it outgrows the driver, and Spark's auto-broadcast
+    * threshold picks the join side correctly either way. Rows with a
     * NULL group are dropped (null is not a stream). */
   def assignPerGroup(df: DataFrame, groupCol: String, idCol: String,
       nTokensCol: String, capacity: Long, bucketWidth: Long = 0L): DataFrame = {
@@ -137,7 +140,7 @@ object Packing {
     val within = Window.partitionBy(col("grp"), col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
-      .join(broadcast(bucketOffsets), Seq("grp", "bkt"))
+      .join(bucketOffsets, Seq("grp", "bkt"))
       .withColumn("tok_offset",
         col("bkt_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
       .select(col("grp").as(groupCol), col("doc_id"), col("n_tokens"),

@@ -235,9 +235,19 @@ object Sampling {
     * order by score desc, id)` row-for-row — the sketch only chooses
     * how few rows get ranked — so an oracle replays the plain window.
     * Rows with a NULL score or NULL group are dropped (null never
-    * ranks). */
+    * ranks).
+    *
+    * Group-cardinality domain: the per-group sketches collect to the
+    * driver (~8 KB each) and the thresholds become a literal when-chain,
+    * so this operator is for METADATA-SCALE group counts (languages,
+    * sources, shards — up to tens of thousands; `maxGroups` fails fast
+    * past that instead of melting the driver/codegen). For per-group
+    * caps over millions of groups (web domains), use [[stratified]]
+    * (uniform coordinates need no sketch) or pre-aggregate the domain
+    * key to a coarser group. */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
-      idCol: String, n: Int, margin: Int = 2): DataFrame = {
+      idCol: String, n: Int, margin: Int = 2,
+      maxGroups: Int = 65536): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(margin >= 1, s"margin must be >= 1, got $margin")
     import org.apache.spark.sql.expressions.Window
@@ -250,6 +260,9 @@ object Sampling {
       .collect()
       .map(r => r.get(0) -> (r.getLong(1), r.getSeq[Any](2)))
     if (stats.isEmpty) return rows.limit(0)
+    require(stats.length <= maxGroups,
+      s"topKPerGroup saw ${stats.length} groups (maxGroups=$maxGroups) — " +
+        "this operator is for metadata-scale group counts; see scaladoc")
     var m = margin
     var result: DataFrame = null
     var done = false

@@ -55,6 +55,30 @@ object StreamingDedupGate {
   private val indexSchema: StructType =
     StructType(Seq(StructField("h", StringType), StructField("hp", StringType)))
 
+  /** Record/verify the prefix length the index was built with: a gate
+    * restarted with a different prefixLen would compute prefixes that
+    * match NO stored hp partition — prunedIndex would return empty and
+    * every duplicate would be silently re-admitted. The first publish
+    * writes `_graft_prefix_len`; every later batch checks it. */
+  private def checkPrefixLen(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, prefixLen: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(indexDir, "_graft_prefix_len")
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val stored = try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      if (stored != prefixLen)
+        throw new IllegalStateException(
+          s"$indexDir was built with prefixLen=$stored, gate started with " +
+            s"$prefixLen — prefixes would match no partition and every " +
+            "duplicate would be re-admitted; restart with the stored value")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(indexDir))
+      val out = fs.create(meta, false)
+      try out.write(prefixLen.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The index read the per-batch anti-join uses: explicit schema (no
     * partition-type inference — hp values like "0a" and "42" must both
     * stay strings), explicit existence check (an unreadable index fails
@@ -140,6 +164,8 @@ object StreamingDedupGate {
       BatchCommits.createMarker(spark, checkpoint, BatchCommitsDir, batchId)
       return
     }
+    val (idxFs, _) = BatchCommits.fileSystem(spark, indexDir)
+    checkPrefixLen(idxFs, indexDir, prefixLen)
     val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
     // in-batch keeper: min id per hash (aggregate, no window)
     val keepers = hashed.groupBy(col("__h"))

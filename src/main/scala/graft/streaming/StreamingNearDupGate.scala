@@ -17,13 +17,18 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   * in-memory state, this gate ADMITS/DROPS against durable parquet —
   * restart-proof with zero Spark streaming state.
   *
-  * Dedup semantics, precisely: PAIRWISE-GREEDY by id, not transitive
-  * closure. In-batch, a document is dropped iff it pairs with a
-  * SMALLER id in the same batch (id_a < id_b ⇒ id_b drops); cross-batch,
-  * iff it pairs with any already-admitted document. A near-dup CHAIN
-  * (A~B, B~C, A≁C) can therefore keep both endpoints — closure over
-  * arrivals would need the whole pair graph, which is the batch
-  * [[graft.operators.ConnectedComponents]] job, not an ingest gate.
+  * Dedup semantics, precisely: a document is dropped iff it
+  * near-duplicates ANY earlier-id document — admitted or dropped —
+  * "earlier" meaning a smaller id in the same batch or any id from a
+  * previous batch (ids must arrive monotonically across batches, the
+  * [[StreamingPacking]] contract). Because the index holds every SEEN
+  * document, the decision for a given corpus is INDEPENDENT of how
+  * micro-batch boundaries fall — the same documents split differently
+  * admit identically. This is pairwise against history, not transitive
+  * closure over the final pair graph (closure needs the whole graph —
+  * the batch [[graft.operators.ConnectedComponents]] job, not a gate):
+  * for the chain A~B, B~C, A≁C with ids in that order, A is admitted
+  * and both B and C drop (each pairs an earlier doc).
   *
   * Index/scale design (the [[StreamingDedupGate]] pattern):
   *  - rows are (band, id, sset), hive-partitioned by `bp` = the first
@@ -34,8 +39,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   *    `maxBucketSize` caps pathological stop-shingle bands on both
   *    sides of the candidate join;
   *  - commits are the two-marker exactly-once protocol with idempotent
-  *    scoped publishes; a replay after the output marker re-derives the
-  *    index slice from the batch's own published documents.
+  *    scoped publishes. The index slice is a pure function of the BATCH
+  *    (all seen docs, not just admitted ones), so the recovery path
+  *    after the output marker simply republishes it from the replayed
+  *    batch — no read-back, no dependence on partial index state.
   */
 object StreamingNearDupGate {
 
@@ -82,20 +89,17 @@ object StreamingNearDupGate {
     val scope = BatchCommits.scopeFor(checkpoint)
     if (BatchCommits.markerExists(spark, checkpoint, Commits, batchId)) return
     if (BatchCommits.markerExists(spark, checkpoint, OutCommits, batchId)) {
-      // recovery: output committed, index publish may be partial —
-      // re-derive the band rows from the PUBLISHED documents
-      val files = BatchCommits.publishedFiles(spark, outDir, scope, batchId)
-      if (files.nonEmpty) {
-        val republished = bandRows(
-          spark.read.parquet(files.map(_.toString): _*),
-          idCol, textCol, shingleK, numHashes, bands, rows)
-        BatchCommits.publishBatch(republished, indexDir, scope, batchId, Seq("bp"))
-      }
+      // recovery: output committed, index publish may be partial. The
+      // index slice is a pure function of the replayed batch (ALL seen
+      // docs), so just republish it — idempotent, state-independent.
+      BatchCommits.publishBatch(
+        bandRows(batch, idCol, textCol, shingleK, numHashes, bands, rows),
+        indexDir, scope, batchId, Seq("bp"))
       BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
       return
     }
-    // in-batch pairwise-greedy: id_b of every verified pair drops
-    // (id_a < id_b by the minhashLsh contract)
+    // in-batch: id_b of every verified pair drops (id_a < id_b by the
+    // minhashLsh contract — "pairs an earlier doc", admitted or not)
     val inPairs = Dedup.minhashLsh(batch, idCol, textCol,
       shingleK = shingleK, numHashes = numHashes, bands = bands, rows = rows,
       threshold = threshold, maxBucketSize = maxBucketSize,
@@ -103,35 +107,33 @@ object StreamingNearDupGate {
     val inBatchKept = batch.join(
       inPairs.select(col("id_b").as("__drop")).distinct(),
       col(idCol).cast("long") === col("__drop"), "left_anti")
-    // cross-batch: candidates from shared bands in the pruned index,
-    // verified with exact Jaccard against the admitted residents
-    val arriving = bandRows(inBatchKept, idCol, textCol,
+    // cross-batch: candidates from shared bands in the pruned index of
+    // every previously SEEN doc, verified with exact Jaccard. Indexing
+    // all seen docs (not just admitted) is what makes the admission set
+    // independent of micro-batch boundaries: an in-batch drop against a
+    // dropped doc and a cross-batch drop against the same doc agree.
+    val arrivingAll = bandRows(batch, idCol, textCol,
       shingleK, numHashes, bands, rows).cache()
     try {
-      val prefixes = arriving.select(col("bp")).distinct()
+      val prefixes = arrivingAll.select(col("bp")).distinct()
         .collect().map(_.getString(0)).toSeq
       val seen = prunedIndex(spark, indexDir, prefixes)
         .withColumn("bucket_n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
         .filter(col("bucket_n") <= maxBucketSize)
         .select(col("band"), col("id").as("seen_id"), col("sset").as("seen_sset"))
-      val dupIds = arriving.join(seen, Seq("band"))
+      val dupIds = arrivingAll.join(seen, Seq("band"))
         .withColumn("inter", size(array_intersect(col("sset"), col("seen_sset"))))
         .filter(col("inter") / (size(col("sset")) + size(col("seen_sset")) - col("inter"))
           >= threshold)
         .select(col("id")).distinct()
       val admitted = inBatchKept.join(dupIds,
-        col(idCol).cast("long") === dupIds("id"), "left_anti").cache()
-      try {
-        BatchCommits.publishBatch(admitted, outDir, scope, batchId)
-        BatchCommits.createMarker(spark, checkpoint, OutCommits, batchId)
-        BatchCommits.publishBatch(
-          arriving.join(admitted.select(col(idCol).cast("long").as("__a")),
-            col("id") === col("__a")).drop("__a"),
-          indexDir, scope, batchId, Seq("bp"))
-        BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
-      } finally admitted.unpersist()
-    } finally arriving.unpersist()
+        col(idCol).cast("long") === dupIds("id"), "left_anti")
+      BatchCommits.publishBatch(admitted, outDir, scope, batchId)
+      BatchCommits.createMarker(spark, checkpoint, OutCommits, batchId)
+      BatchCommits.publishBatch(arrivingAll, indexDir, scope, batchId, Seq("bp"))
+      BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
+    } finally arrivingAll.unpersist()
   }
 
   /** Offline compaction for the band index's per-batch file accrual —

@@ -172,6 +172,21 @@ class DeltaInteropSpec extends SparkSpec {
     assert(rowsOf(external) == rowsOf(TxLogTable.read(spark, path)))
   }
 
+  test("a mirror gap heals automatically on the next commit (contiguous versions)") {
+    val path = dir()
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    TxLogTable.append(spark, Seq((2L, "b")).toDF("id", "v"), path)
+    // simulate the crash window: v1's mirror never landed
+    Files.delete(logFiles(path).last)
+    TxLogTable.append(spark, Seq((3L, "c")).toDF("id", "v"), path)
+    val names = logFiles(path).map(_.getFileName.toString)
+    assert(names == (0 until 3).map(v => f"$v%020d.json"),
+      s"the gap at v1 must be healed before v2 publishes: $names")
+    val (active, _, _) = replay(logFiles(path))
+    val external = spark.read.parquet(active.map(f => s"$path/$f").toSeq: _*)
+    assert(rowsOf(external) == rowsOf(TxLogTable.read(spark, path)))
+  }
+
   test("sync backfills missing mirror entries (crash between native commit and mirror)") {
     val path = dir()
     TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)

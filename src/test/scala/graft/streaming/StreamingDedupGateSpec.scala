@@ -164,6 +164,25 @@ class StreamingDedupGateSpec extends SparkSpec {
     assert(StreamingDedupGate.migrateIndex(spark, idx) == (), "re-run is a no-op")
   }
 
+  test("prefixLen mismatch across restarts fails loudly instead of re-admitting") {
+    val idx = Files.createTempDirectory("graft-gate-plidx").toString
+    val out = Files.createTempDirectory("graft-gate-plout").toString
+    val ckpt = Files.createTempDirectory("graft-gate-plckpt").toString
+    val batch = Seq((1L, "alpha")).toDF("doc_id", "text")
+    StreamingDedupGate.processBatch(batch, 0L, "doc_id", "text", idx, out, ckpt, 2)
+    val e = intercept[IllegalStateException] {
+      StreamingDedupGate.processBatch(
+        Seq((2L, "beta")).toDF("doc_id", "text"), 1L, "doc_id", "text",
+        idx, out, ckpt, 3) // different prefixLen against the same index
+    }
+    assert(e.getMessage.contains("prefixLen"), e.getMessage)
+    // the stored value still works
+    StreamingDedupGate.processBatch(
+      Seq((2L, "beta")).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, out, ckpt, 2)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("publishBatch is idempotent per batch and isolated across batches") {
     val dir = Files.createTempDirectory("graft-publish").toString
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")

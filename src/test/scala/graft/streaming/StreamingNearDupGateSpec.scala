@@ -51,11 +51,40 @@ class StreamingNearDupGateSpec extends SparkSpec {
       assert(b3 == Set(1L, 3L, 5L, 7L), s"restart-era near-dup must drop via the index: $b3")
     } finally q2.stop()
 
-    // index layout: band-prefix partitions, only ADMITTED docs resident
+    // index layout: band-prefix partitions, EVERY seen doc resident
+    // (admitted and dropped — that's what makes admissions independent
+    // of batch boundaries)
     val bpDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("bp="))
     assert(bpDirs.nonEmpty, "index must be hive-partitioned by band prefix")
     val residents = spark.read.parquet(idx).select("id").as[Long].collect().toSet
-    assert(residents == Set(1L, 3L, 5L, 7L), s"index must hold admitted docs only: $residents")
+    assert(residents == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      s"index must hold every seen doc: $residents")
+  }
+
+  test("admissions are independent of micro-batch boundaries (chain A~B~C)") {
+    // A~B and B~C but A and C distant: with ids in order, B drops
+    // against A and C drops against B (seen, though dropped) — the SAME
+    // decision whether the three arrive together or C arrives alone
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta eta iota"    // ~A
+    val cTxt = "kappa beta gamma delta epsilon zeta eta iota" // ~B, not ~A at 0.7
+    def run(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val out = Files.createTempDirectory("graft-ngate-bout").toString
+      val idx = Files.createTempDirectory("graft-ngate-bidx").toString
+      val ckpt = Files.createTempDirectory("graft-ngate-bckpt").toString
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        // 8 bands x 2 rows: recall ~0.999 at J=0.78, so the chain's
+        // pairs are found deterministically
+        StreamingNearDupGate.processBatch(rows.toDF("doc_id", "text"),
+          i.toLong, "doc_id", "text", idx, out, ckpt, 1, 16, 8, 2, 0.7, 1000)
+      }
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    }
+    val together = run(Seq(Seq((1L, a), (2L, b), (3L, cTxt))))
+    val split = run(Seq(Seq((1L, a), (2L, b)), Seq((3L, cTxt))))
+    assert(together == split,
+      s"batch boundaries changed the corpus: $together vs $split")
+    assert(together == Set(1L), s"chain must keep only the head: $together")
   }
 
   test("crash window: replay after the output marker re-derives the index from published docs") {
