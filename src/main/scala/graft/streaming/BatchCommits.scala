@@ -51,6 +51,16 @@ private[streaming] object BatchCommits {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Hadoop `rename` reports most failures (missing source, existing
+    * destination, cross-FS move) as `false` WITHOUT throwing. A publish
+    * or compaction swap that silently skips a rename would delete the
+    * staged file afterwards and still commit its marker — committed
+    * data loss. Every swap in this file must go through here so a
+    * failed move aborts the batch (the replay re-runs it) instead. */
+  private[streaming] def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   private def marker(spark: SparkSession, base: String, name: String,
       batchId: Long): (FileSystem, Path) = {
     val (fs, b) = fileSystem(spark, base)
@@ -129,7 +139,7 @@ private[streaming] object BatchCommits {
         val rel = relativeDir(staging, f)
         val destDir = if (rel.isEmpty) target else new Path(target, rel)
         fs.mkdirs(destDir)
-        fs.rename(f, new Path(destDir, s"part-compact-$runId-$i.parquet"))
+        renameOrThrow(fs, f, new Path(destDir, s"part-compact-$runId-$i.parquet"))
         i += 1
       }
     }
@@ -160,7 +170,7 @@ private[streaming] object BatchCommits {
     while (it.hasNext) {
       val f = it.next().getPath
       if (f.getName.startsWith("part-")) {
-        fs.rename(f, new Path(target, s"part-compact-$runId-$i.parquet"))
+        renameOrThrow(fs, f, new Path(target, s"part-compact-$runId-$i.parquet"))
         i += 1
       }
     }
@@ -189,7 +199,7 @@ private[streaming] object BatchCommits {
         val rel = relativeDir(staging, f)
         val destDir = if (rel.isEmpty) target else new Path(target, rel)
         fs.mkdirs(destDir)
-        fs.rename(f, new Path(destDir, s"part-$scope-b$batchId-$i.parquet"))
+        renameOrThrow(fs, f, new Path(destDir, s"part-$scope-b$batchId-$i.parquet"))
         i += 1
       }
     }

@@ -113,6 +113,12 @@ object StreamingDedupGate {
     val flatFiles = fs.listStatus(p).filter(s =>
       s.isFile && s.getPath.getName.startsWith("part-")).map(_.getPath)
     if (flatFiles.isEmpty) return
+    // Stamp (or verify) _graft_prefix_len BEFORE rewriting: a migrated
+    // index without the meta file would let a later gate start with any
+    // prefixLen, record it as authoritative, and prune to zero matching
+    // partitions — silently re-admitting every duplicate. A conflicting
+    // existing meta refuses the migration outright.
+    checkPrefixLen(fs, indexDir, prefixLen)
     val staging = new org.apache.hadoop.fs.Path(p, ".migrate")
     spark.read.schema(StructType(Seq(StructField("h", StringType))))
       .parquet(flatFiles.map(_.toString): _*)
@@ -132,7 +138,7 @@ object StreamingDedupGate {
         val destDir =
           if (rel.isEmpty) p else new org.apache.hadoop.fs.Path(p, rel)
         fs.mkdirs(destDir)
-        fs.rename(f,
+        BatchCommits.renameOrThrow(fs, f,
           new org.apache.hadoop.fs.Path(destDir, s"part-migrate-$runId-$i.parquet"))
         i += 1
       }
@@ -154,6 +160,11 @@ object StreamingDedupGate {
       // recovery: output is committed, the index publish may be partial.
       // Re-derive the hashes from the batch's OWN published files (never
       // the anti-join — a partial index would shrink it) and republish.
+      // The prefixLen check applies here too: a restart with a changed
+      // prefixLen whose first batch takes this path would otherwise
+      // publish mixed-width hp partitions that pruned reads never match.
+      val (recFs, _) = BatchCommits.fileSystem(spark, indexDir)
+      checkPrefixLen(recFs, indexDir, prefixLen)
       val files = BatchCommits.publishedFiles(spark, outDir, scope, batchId)
       if (files.nonEmpty) {
         val hashes = spark.read.parquet(files.map(_.toString): _*)

@@ -126,9 +126,13 @@ object StreamingNearDupGate {
         .withColumn("inter", size(array_intersect(col("sset"), col("seen_sset"))))
         .filter(col("inter") / (size(col("sset")) + size(col("seen_sset")) - col("inter"))
           >= threshold)
-        .select(col("id")).distinct()
+        .select(col("id").as("__dup_id")).distinct()
+      // reserved name (the __drop pattern above): an unqualified
+      // col(idCol) against dupIds("id") is ambiguous at analysis when
+      // the caller's id column is itself named "id" (dupIds is
+      // lineage-derived from the same batch)
       val admitted = inBatchKept.join(dupIds,
-        col(idCol).cast("long") === dupIds("id"), "left_anti")
+        col(idCol).cast("long") === col("__dup_id"), "left_anti")
       BatchCommits.publishBatch(admitted, outDir, scope, batchId)
       BatchCommits.createMarker(spark, checkpoint, OutCommits, batchId)
       BatchCommits.publishBatch(arrivingAll, indexDir, scope, batchId, Seq("bp"))

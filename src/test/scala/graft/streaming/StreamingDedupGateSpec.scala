@@ -164,6 +164,59 @@ class StreamingDedupGateSpec extends SparkSpec {
     assert(StreamingDedupGate.migrateIndex(spark, idx) == (), "re-run is a no-op")
   }
 
+  test("migrateIndex stamps _graft_prefix_len so a later mismatched gate fails loudly") {
+    val idx = Files.createTempDirectory("graft-gate-mlidx").toString
+    val out = Files.createTempDirectory("graft-gate-mlout").toString
+    Seq("0cc175b9c0f1b6a831c399e269772661").map(Tuple1(_)).toDF("h")
+      .write.mode("overwrite").parquet(idx)
+    StreamingDedupGate.migrateIndex(spark, idx, prefixLen = 3)
+    assert(new java.io.File(idx, "_graft_prefix_len").exists(),
+      "migration must record its prefixLen as authoritative")
+    // a gate started with a DIFFERENT prefixLen must refuse — without the
+    // meta it would prune to zero matching partitions and re-admit every
+    // duplicate silently
+    val e = intercept[IllegalStateException] {
+      StreamingDedupGate.processBatch(
+        Seq((1L, "alpha")).toDF("doc_id", "text"), 0L, "doc_id", "text",
+        idx, out, Files.createTempDirectory("graft-gate-mlckpt").toString, 2)
+    }
+    assert(e.getMessage.contains("prefixLen"), e.getMessage)
+    // and a migration against a CONFLICTING existing meta refuses too
+    val idx2 = Files.createTempDirectory("graft-gate-mlidx2").toString
+    StreamingDedupGate.processBatch(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      idx2, Files.createTempDirectory("graft-gate-mlout2").toString,
+      Files.createTempDirectory("graft-gate-mlckpt2").toString, 2)
+    Seq("92eb5ffee6ae2fec3ad71c777531578f").map(Tuple1(_)).toDF("h")
+      .write.mode("append").parquet(idx2) // stray flat files beside hp=
+    val e2 = intercept[IllegalStateException] {
+      StreamingDedupGate.migrateIndex(spark, idx2, prefixLen = 4)
+    }
+    assert(e2.getMessage.contains("prefixLen"), e2.getMessage)
+  }
+
+  test("out-marker recovery path checks prefixLen before republishing the index slice") {
+    val idx = Files.createTempDirectory("graft-gate-rpidx").toString
+    val out = Files.createTempDirectory("graft-gate-rpout").toString
+    val ckpt = Files.createTempDirectory("graft-gate-rpckpt").toString
+    val batch = Seq((1L, "alpha")).toDF("doc_id", "text")
+    StreamingDedupGate.processBatch(batch, 0L, "doc_id", "text", idx, out, ckpt, 2)
+    // simulate a crash after batch 1's out marker, then a restart with a
+    // CHANGED prefixLen whose first batch takes the recovery path — it
+    // must refuse rather than publish mixed-width hp partitions that
+    // pruned reads never match
+    val batch2 = Seq((2L, "beta")).toDF("doc_id", "text")
+    BatchCommits.publishBatch(batch2, out, BatchCommits.scopeFor(ckpt), 1L)
+    BatchCommits.createMarker(spark, ckpt, "graft_out_commits", 1L)
+    val e = intercept[IllegalStateException] {
+      StreamingDedupGate.processBatch(batch2, 1L, "doc_id", "text", idx, out, ckpt, 3)
+    }
+    assert(e.getMessage.contains("prefixLen"), e.getMessage)
+    // with the stored width the recovery completes normally
+    StreamingDedupGate.processBatch(batch2, 1L, "doc_id", "text", idx, out, ckpt, 2)
+    assert(spark.read.parquet(idx).count() == 2)
+  }
+
   test("prefixLen mismatch across restarts fails loudly instead of re-admitting") {
     val idx = Files.createTempDirectory("graft-gate-plidx").toString
     val out = Files.createTempDirectory("graft-gate-plout").toString
@@ -181,6 +234,19 @@ class StreamingDedupGateSpec extends SparkSpec {
       Seq((2L, "beta")).toDF("doc_id", "text"), 1L, "doc_id", "text",
       idx, out, ckpt, 2)
     assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("a failed rename aborts the publish instead of silently dropping the file") {
+    // Hadoop rename reports most failures as `false` without throwing; a
+    // swallowed false would delete the staged file and still commit the
+    // marker — committed data loss
+    val dir = Files.createTempDirectory("graft-rename").toString
+    val (fs, p) = BatchCommits.fileSystem(spark, dir)
+    intercept[java.io.IOException] {
+      BatchCommits.renameOrThrow(fs,
+        new org.apache.hadoop.fs.Path(p, "does-not-exist"),
+        new org.apache.hadoop.fs.Path(p, "dest"))
+    }
   }
 
   test("publishBatch is idempotent per batch and isolated across batches") {

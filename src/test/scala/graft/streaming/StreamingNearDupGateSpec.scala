@@ -87,6 +87,23 @@ class StreamingNearDupGateSpec extends SparkSpec {
     assert(together == Set(1L), s"chain must keep only the head: $together")
   }
 
+  test("id column literally named \"id\" does not collide with the dup-id lineage") {
+    // dupIds is lineage-derived from the same batch, so an unqualified
+    // col("id") in the anti-join condition would be ambiguous at
+    // analysis — the reserved __dup_id rename must keep this working
+    val idx = Files.createTempDirectory("graft-ngate-ididx").toString
+    val out = Files.createTempDirectory("graft-ngate-idout").toString
+    val ckpt = Files.createTempDirectory("graft-ngate-idckpt").toString
+    StreamingNearDupGate.processBatch(
+      Seq((1L, near1), (2L, near2), (3L, other)).toDF("id", "text"),
+      0L, "id", "text", idx, out, ckpt, 1, 16, 4, 4, 0.7, 1000)
+    StreamingNearDupGate.processBatch(
+      Seq((4L, near2), (5L, third)).toDF("id", "text"),
+      1L, "id", "text", idx, out, ckpt, 1, 16, 4, 4, 0.7, 1000)
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 5L), s"admissions wrong with idCol=\"id\": $ids")
+  }
+
   test("crash window: replay after the output marker re-derives the index from published docs") {
     val idx = Files.createTempDirectory("graft-ngate-cidx").toString
     val out = Files.createTempDirectory("graft-ngate-cout").toString
