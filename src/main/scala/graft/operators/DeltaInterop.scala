@@ -1,8 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** Delta-protocol mirror of a [[TxLogTable]] log — the external-reader
@@ -19,6 +19,11 @@ import scala.jdk.CollectionConverters._
   * exactly why the mirror is hand-rolled and spec-verified against the
   * protocol's replay rules rather than a reader jar.
   *
+  * Like the native log, ALL mirror I/O resolves through Hadoop's
+  * FileSystem API — the `_delta_log` lives on whatever store backs the
+  * table (`file:`, `hdfs://`, `s3a://`), which is precisely where an
+  * external engine would look for it.
+  *
   * The native `_log` stays the source of truth: the mirror is written
   * AFTER the native commit wins its version, through the same
   * [[CommitPoint]] primitive (the name is unique once the native race
@@ -28,15 +33,15 @@ import scala.jdk.CollectionConverters._
   */
 object DeltaInterop {
 
-  private def deltaDir(path: String): Path = Paths.get(path, "_delta_log")
+  private def deltaDir(root: HPath): HPath = new HPath(root, "_delta_log")
   private def pad(v: Long): String = f"$v%020d"
 
   /** Stable table GUID: Delta's metaData.id identifies the table across
     * versions, so it must not change per commit — derived from the
-    * table path. */
-  private def tableId(path: String): String =
+    * fully-qualified table path. */
+  private def tableId(fs: FileSystem, root: HPath): String =
     java.util.UUID.nameUUIDFromBytes(
-      Paths.get(path).toAbsolutePath.toString.getBytes("UTF-8")).toString
+      fs.makeQualified(root).toString.getBytes("UTF-8")).toString
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -51,16 +56,23 @@ object DeltaInterop {
   private def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def metaDataAction(path: String, schemaJson: String, ts: Long): String =
-    s"""{"metaData":{"id":"${tableId(path)}","format":{"provider":"parquet","options":{}},""" +
+  private def metaDataAction(fs: FileSystem, root: HPath, schemaJson: String,
+      ts: Long): String =
+    s"""{"metaData":{"id":"${tableId(fs, root)}","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":"${esc(schemaJson)}","partitionColumns":[],""" +
       s""""configuration":{},"createdTime":$ts}}"""
 
-  private def addAction(path: String, file: String, ts: Long): String = {
-    val f = new java.io.File(s"$path/$file")
-    s"""{"add":{"path":"${esc(file)}","partitionValues":{},"size":${f.length()},""" +
+  /** Physical size of a data file, None when it no longer exists (a
+    * sync backfill of a version whose files were compacted/vacuumed
+    * away) — a fabricated size of 0 would make strict readers reject
+    * the add, so the caller skips and flags instead. */
+  private def sizeOf(fs: FileSystem, root: HPath, file: String): Option[Long] =
+    try Some(fs.getFileStatus(new HPath(root, file)).getLen)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  private def addAction(file: String, size: Long, ts: Long): String =
+    s"""{"add":{"path":"${esc(file)}","partitionValues":{},"size":$size,""" +
       s""""modificationTime":$ts,"dataChange":true}}"""
-  }
 
   private def removeAction(file: String, ts: Long): String =
     s"""{"remove":{"path":"${esc(file)}","deletionTimestamp":$ts,"dataChange":true}}"""
@@ -76,10 +88,11 @@ object DeltaInterop {
       added: Seq[String], removed: Seq[String], schemaJson: String,
       cp: CommitPoint): Unit =
     try {
+      val (fs, root) = TxLogTable.fsFor(path)
       // Delta readers require CONTIGUOUS versions: if an earlier mirror
       // write crashed, the hole would block replay past it forever —
       // heal any missing predecessors before publishing v
-      if (v > 0 && !Files.exists(deltaDir(path).resolve(s"${pad(v - 1)}.json")))
+      if (v > 0 && !fs.exists(new HPath(deltaDir(root), s"${pad(v - 1)}.json")))
         sync(spark, path, cp, upTo = v - 1)
       mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
     } catch {
@@ -92,7 +105,8 @@ object DeltaInterop {
   private def mirrorOrThrow(spark: SparkSession, path: String, v: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
       cp: CommitPoint): Unit = {
-    Files.createDirectories(deltaDir(path))
+    val (fs, root) = TxLogTable.fsFor(path)
+    fs.mkdirs(deltaDir(root))
     val ts = System.currentTimeMillis()
     val op = if (removed.nonEmpty) "COMPACT" else "WRITE"
     val actions = Seq.newBuilder[String]
@@ -100,10 +114,23 @@ object DeltaInterop {
     if (v == 0) actions += protocolAction
     // one metaData per commit keeps the latest schema authoritative
     // (legal per the protocol: at most one metaData action per version)
-    actions += metaDataAction(path, schemaJson, ts)
+    actions += metaDataAction(fs, root, schemaJson, ts)
     removed.foreach(f => actions += removeAction(f, ts))
-    added.foreach(f => actions += addAction(path, f, ts))
-    cp.putIfAbsent(deltaDir(path), s"${pad(v)}.json", actions.result().mkString("\n"))
+    added.foreach { f =>
+      sizeOf(fs, root, f) match {
+        case Some(size) => actions += addAction(f, size, ts)
+        case None =>
+          // backfilling a version whose file was compacted/vacuumed away:
+          // the add would declare a size readers can't trust — skip it
+          // (the file is unreadable regardless; final-state replay is
+          // unchanged because the rebase removed it) and say so
+          System.err.println(
+            s"[graft] delta mirror for $path v$v: data file $f no longer " +
+              "exists (compacted/vacuumed); its add action is omitted")
+      }
+    }
+    cp.putIfAbsent(fs, deltaDir(root), s"${pad(v)}.json",
+      actions.result().mkString("\n"))
     if (v > 0 && v % TxLogTable.CheckpointInterval == 0)
       // hint only; readers replay JSON — and write failures surface as
       // SparkException, not just IOException, so catch NonFatal
@@ -115,19 +142,16 @@ object DeltaInterop {
     * version that lacks one (e.g. after a crash between the native
     * commit and its mirror write, or to retrofit a pre-mirror table). */
   def sync(spark: SparkSession, path: String,
-      cp: CommitPoint = CommitPoint.HardLink,
+      cp: CommitPoint = CommitPoint.Auto,
       upTo: Long = Long.MaxValue): Seq[Long] = {
-    val d = deltaDir(path)
+    val (fs, root) = TxLogTable.fsFor(path)
+    val d = deltaDir(root)
     val present: Set[Long] =
-      if (!Files.exists(d)) Set.empty
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.endsWith(".json") && !n.startsWith("_") &&
-            !n.endsWith(".checkpoint.json"))
-          .map(_.stripSuffix(".json").toLong).toSet
-        finally s.close()
-      }
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).iterator.map(_.getPath.getName)
+        .filter(n => n.endsWith(".json") && !n.startsWith("_") &&
+          !n.startsWith(".") && !n.endsWith(".checkpoint.json"))
+        .map(_.stripSuffix(".json").toLong).toSet
     val missing = TxLogTable.allVersions(path)
       .filter(_ <= upTo).filterNot(present)
     missing.foreach { v =>
@@ -136,7 +160,14 @@ object DeltaInterop {
           (TxLogTable.versionFiles(path, v),
             TxLogTable.filesAt(path, v - 1))
         else (TxLogTable.versionFiles(path, v), Seq.empty[String])
-      val schemaJson = TxLogTable.readVersion(spark, path, v).schema.json
+      val schemaJson =
+        try TxLogTable.readVersion(spark, path, v).schema.json
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            // the version's files were vacuumed — its exact schema went
+            // with them; use the current snapshot's (where readers land)
+            TxLogTable.read(spark, path).schema.json
+        }
       // the throwing variant: a backfill is explicitly asked for, so a
       // failure must surface, unlike the best-effort per-commit mirror
       mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
@@ -175,39 +206,39 @@ object DeltaInterop {
 
   private def writeCheckpoint(spark: SparkSession, path: String, v: Long,
       schemaJson: String): Unit = {
+    val (fs, root) = TxLogTable.fsFor(path)
     val ts = System.currentTimeMillis()
     val files = TxLogTable.filesAt(path, v)
     val rows: Seq[Row] =
       Row(null, null, null, null, Row(1, 2)) +:
       Row(null, null, null,
-        Row(tableId(path), Row("parquet", Map.empty[String, String]),
+        Row(tableId(fs, root), Row("parquet", Map.empty[String, String]),
           schemaJson, Seq.empty[String], Map.empty[String, String], ts),
         null) +:
-      files.map { f =>
-        Row(null,
-          Row(f, Map.empty[String, String],
-            new java.io.File(s"$path/$f").length(), ts, true),
-          null, null, null)
+      files.flatMap { f =>
+        sizeOf(fs, root, f).map { size =>
+          Row(null, Row(f, Map.empty[String, String], size, ts, true),
+            null, null, null)
+        }
       }
     val df = spark.createDataFrame(rows.asJava, checkpointSchema).coalesce(1)
     // Spark writes a directory; the protocol names a single FILE —
     // stage, then move the lone part file to <v>.checkpoint.parquet
-    val tmp = Files.createTempDirectory("graft-delta-ckpt")
-    val stagedDir = tmp.resolve("out")
-    df.write.parquet(stagedDir.toString)
-    val part = Files.list(stagedDir).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new java.io.IOException("no checkpoint part file"))
-    val target = deltaDir(path).resolve(s"${pad(v)}.checkpoint.parquet")
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    val walk = Files.walk(tmp)
-    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-      .foreach(Files.deleteIfExists(_))
-    finally walk.close()
+    val staging = new HPath(deltaDir(root),
+      s".ckpt-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(staging.toString)
+    try {
+      val part = fs.listStatus(staging).iterator
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new java.io.IOException("no checkpoint part file"))
+      val target = new HPath(deltaDir(root), s"${pad(v)}.checkpoint.parquet")
+      if (fs.exists(target)) fs.delete(target, false) // advisory; last writer wins
+      if (!fs.rename(part, target))
+        throw new java.io.IOException(s"checkpoint rename failed: $part -> $target")
+    } finally fs.delete(staging, true)
     // the hint is overwrite-in-place by protocol (it's advisory)
-    Files.writeString(deltaDir(path).resolve("_last_checkpoint"),
-      s"""{"version":$v,"size":${rows.length}}""",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
+    val out = fs.create(new HPath(deltaDir(root), "_last_checkpoint"), true)
+    try out.write(s"""{"version":$v,"size":${rows.length}}""".getBytes("UTF-8"))
+    finally out.close()
   }
 }

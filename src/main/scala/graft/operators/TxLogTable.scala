@@ -1,8 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
-import scala.jdk.CollectionConverters._
 
 /** Minimal transaction-logged append table ("graft-log") — restores the
   * ACID properties the reference gets from Delta Lake (delta_writer.py:
@@ -10,13 +10,20 @@ import scala.jdk.CollectionConverters._
   *
   *  - every commit writes parquet files into the table dir, then
   *    atomically publishes a version file `_log/<v>.json` listing them
-  *    through a [[CommitPoint]] (hard link locally; conditional put on
-  *    object stores)
+  *    through a [[CommitPoint]] (hard link locally; no-replace rename on
+  *    HDFS; conditional put on object stores)
   *  - readers resolve the current snapshot from the log, so half-written
   *    commits are invisible (no dirty reads) and time travel is
   *    `readVersion(v)`
-  *  - concurrent committers race on the rename; the loser retries with
+  *  - concurrent committers race on the publish; the loser retries with
   *    the next version — optimistic concurrency, serialized appends
+  *
+  * ALL log and data-dir I/O resolves through Hadoop's FileSystem API
+  * (`path.getFileSystem(hadoopConf)`, the [[graft.streaming.BatchCommits]]
+  * pattern), so the table — data AND its commit log — lives on whatever
+  * store backs the path: `file:`, `hdfs://`, `s3a://`, … A java.nio log
+  * on an `hdfs://` table would strand the ACID story on the driver's
+  * local disk while executors write data to the cluster store.
   *
   * This deliberately implements the subset the reference uses (append +
   * read-back; no UPDATE/DELETE/MERGE, matching SURVEY §2.C), with file
@@ -25,42 +32,61 @@ import scala.jdk.CollectionConverters._
   */
 object TxLogTable {
 
-  private def logDir(path: String) = Paths.get(path, "_log")
-
   /** Every `CheckpointInterval` commits, the full cumulative file list is
     * rolled into `<v>.checkpoint.json`, so a snapshot read opens one
     * checkpoint + at most CheckpointInterval-1 incremental entries — O(1)
     * in table age, like the delta protocol's checkpoint parquet. */
   val CheckpointInterval = 10
 
-  private def listLog(path: String, suffix: String): Seq[Long] = {
-    val d = logDir(path)
-    if (!Files.exists(d)) Seq.empty
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(suffix) &&
-          (suffix != ".json" || !n.endsWith(".checkpoint.json")))
-        .map(_.stripSuffix(suffix).toLong)
-        .toSeq.sorted
-      finally s.close()
-    }
+  private[operators] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private[operators] def fsFor(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(hadoopConf()), p)
   }
 
-  private def versions(path: String): Seq[Long] = listLog(path, ".json")
+  private def logDir(root: HPath) = new HPath(root, "_log")
+
+  private def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def writeString(fs: FileSystem, p: HPath, s: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def listLog(fs: FileSystem, root: HPath, suffix: String): Seq[Long] = {
+    val d = logDir(root)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(suffix) && !n.startsWith(".") &&
+        (suffix != ".json" || !n.endsWith(".checkpoint.json")))
+      .map(_.stripSuffix(suffix).toLong)
+      .toSeq.sorted
+  }
+
+  private def versions(fs: FileSystem, root: HPath): Seq[Long] =
+    listLog(fs, root, ".json")
 
   /** Stage a DataFrame's files under a unique data subdir (invisible to
     * readers until the log names them); returns the relative file list. */
-  private def stage(df: DataFrame, path: String, prefix: String): Seq[String] = {
-    Files.createDirectories(logDir(path))
+  private def stage(df: DataFrame, fs: FileSystem, root: HPath,
+      prefix: String): Seq[String] = {
+    fs.mkdirs(logDir(root))
     val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
-    val dataDir = s"$path/data-$stageId"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    new java.io.File(dataDir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => s"data-$stageId/${f.getName}")
-      .sorted.toSeq
+    val dataDir = new HPath(root, s"data-$stageId")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    fs.listStatus(dataDir).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data-$stageId/${s.getPath.getName}")
+      .toSeq.sorted
   }
 
   /** Publish one atomic commit. `rebase = true` marks the entry as a full
@@ -69,11 +95,12 @@ object TxLogTable {
     * commit point either wins the exact next version or the rebase
     * aborts, because retrying at a later number would silently drop
     * whatever a concurrent append just published. */
-  private def commitEntry(path: String, files: Seq[String], rebase: Boolean,
-      expectedVersion: Option[Long], maxRetries: Int, cp: CommitPoint): Long = {
+  private def commitEntry(fs: FileSystem, root: HPath, files: Seq[String],
+      rebase: Boolean, expectedVersion: Option[Long], maxRetries: Int,
+      cp: CommitPoint): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val v = versions(path).lastOption.getOrElse(-1L) + 1
+      val v = versions(fs, root).lastOption.getOrElse(-1L) + 1
       expectedVersion.foreach { exp =>
         if (v != exp + 1)
           throw new java.util.ConcurrentModificationException(
@@ -83,29 +110,39 @@ object TxLogTable {
       val entry = files.map(f => "\"" + f + "\"").mkString(
         s"""{"version":$v,$flag"files":[""", ",", "]}")
       // the commit point: publish-iff-absent (hard link locally,
-      // conditional put on object stores — see CommitPoint)
-      if (cp.putIfAbsent(logDir(path), s"$v.json", entry)) {
-        maybeCheckpoint(path, v)
+      // no-replace rename on HDFS, conditional put on object stores)
+      if (cp.putIfAbsent(fs, logDir(root), s"$v.json", entry)) {
+        maybeCheckpoint(fs, root, v)
         return v
       }
       if (expectedVersion.isDefined)
         throw new java.util.ConcurrentModificationException(
           s"lost the commit race at version $v during compaction")
       attempt += 1 // lost the race; retry at the next version
+      // wait for the winner's entry to become visible before re-listing:
+      // on a slow store the winner's upload may still be in flight, and
+      // spinning without waiting burns every retry against the same
+      // version (bounded — a winner whose upload failed releases its
+      // claim and never publishes, so the retry must eventually proceed)
+      val taken = new HPath(logDir(root), s"$v.json")
+      val deadline = System.currentTimeMillis() + 10000
+      while (!fs.exists(taken) && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
     }
-    throw new IllegalStateException(s"could not commit to $path after $maxRetries attempts")
+    throw new IllegalStateException(s"could not commit to $root after $maxRetries attempts")
   }
 
   /** Append a batch as one atomic commit; returns the committed version.
     * `commit` selects the atomic-publish primitive for the table's
-    * storage (hard link locally; conditional put on object stores).
-    * Each commit also mirrors a Delta-protocol `_delta_log` entry for
-    * external readers ([[DeltaInterop]]); the native `_log` remains the
-    * source of truth. */
+    * storage ([[CommitPoint.Auto]]: hard link locally, no-replace rename
+    * elsewhere). Each commit also mirrors a Delta-protocol `_delta_log`
+    * entry for external readers ([[DeltaInterop]]); the native `_log`
+    * remains the source of truth. */
   def append(spark: SparkSession, df: DataFrame, path: String,
-      maxRetries: Int = 20, commit: CommitPoint = CommitPoint.HardLink): Long = {
-    val files = stage(df, path, "")
-    val v = commitEntry(path, files, rebase = false, None, maxRetries, commit)
+      maxRetries: Int = 20, commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    val files = stage(df, fs, root, "")
+    val v = commitEntry(fs, root, files, rebase = false, None, maxRetries, commit)
     DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json, commit)
     v
   }
@@ -118,16 +155,18 @@ object TxLogTable {
     * ConcurrentModificationException if anything commits between the
     * snapshot read and the rebase publish (optimistic, like append). */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256,
-      commit: CommitPoint = CommitPoint.HardLink): Long = {
-    val v0 = currentVersion(path)
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val snapshot = readVersion(spark, path, v0)
-    val sizeBytes = filesUpTo(path, v0)
-      .map(f => new java.io.File(s"$path/$f").length()).sum
+    val sizeBytes = filesUpTo(fs, root, v0)
+      .map(f => fs.getFileStatus(new HPath(root, f)).getLen).sum
     val parts = math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
-    val files = stage(snapshot.repartition(parts), path, "compact-")
-    val v = commitEntry(path, files, rebase = true, Some(v0), maxRetries = 1, commit)
+    val files = stage(snapshot.repartition(parts), fs, root, "compact-")
+    val v = commitEntry(fs, root, files, rebase = true, Some(v0),
+      maxRetries = 1, commit)
     // the rebase is a remove-all + add-all in Delta terms
-    DeltaInterop.mirror(spark, path, v, files, filesUpTo(path, v0),
+    DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
       snapshot.schema.json, commit)
     v
   }
@@ -136,24 +175,17 @@ object TxLogTable {
     * `sinceVersion` (post-compaction cleanup; forfeits time travel
     * earlier than that, keeps every snapshot at-or-after it intact). */
   def vacuumCompacted(path: String, sinceVersion: Long): Seq[String] = {
+    val (fs, root) = fsFor(path)
     // the closure of every reachable snapshot >= sinceVersion
-    val live = versions(path).filter(_ >= sinceVersion)
-      .flatMap(v => filesUpTo(path, v))
+    val live = versions(fs, root).filter(_ >= sinceVersion)
+      .flatMap(v => filesUpTo(fs, root, v))
       .map(_.split('/').head).toSet
-    val root = Paths.get(path)
-    val s = Files.list(root)
-    val stale = try s.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("data-") &&
-        !live(p.getFileName.toString))
-      .toSeq
-    finally s.close()
-    stale.foreach { dir =>
-      val files = Files.walk(dir)
-      try files.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(Files.deleteIfExists(_))
-      finally files.close()
-    }
-    stale.map(_.getFileName.toString)
+    val stale = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-") &&
+        !live(s.getPath.getName))
+      .map(_.getPath).toSeq
+    stale.foreach(d => fs.delete(d, true))
+    stale.map(_.getName)
   }
 
   private def fileList(txt: String): Seq[String] =
@@ -161,15 +193,15 @@ object TxLogTable {
 
   private def isRebase(txt: String): Boolean = txt.contains(""""rebase":true""")
 
-  private def filesUpTo(path: String, v: Long): Seq[String] = {
-    val ckpt = listLog(path, ".checkpoint.json").filter(_ <= v).lastOption
+  private def filesUpTo(fs: FileSystem, root: HPath, v: Long): Seq[String] = {
+    val ckpt = listLog(fs, root, ".checkpoint.json").filter(_ <= v).lastOption
     var acc = ckpt.toSeq.flatMap { c =>
-      fileList(Files.readString(logDir(path).resolve(s"$c.checkpoint.json")))
+      fileList(readString(fs, new HPath(logDir(root), s"$c.checkpoint.json")))
     }
-    versions(path)
+    versions(fs, root)
       .filter(ver => ver <= v && ckpt.forall(ver > _))
       .foreach { ver =>
-        val txt = Files.readString(logDir(path).resolve(s"$ver.json"))
+        val txt = readString(fs, new HPath(logDir(root), s"$ver.json"))
         // a rebase entry (compaction) REPLACES the accumulated listing
         if (isRebase(txt)) acc = fileList(txt)
         else acc = acc ++ fileList(txt)
@@ -180,65 +212,72 @@ object TxLogTable {
   /** Roll the cumulative listing into a checkpoint file. Best-effort and
     * idempotent: a failed or racing checkpoint changes nothing for
     * correctness (readers fall back to the incremental entries). */
-  private def maybeCheckpoint(path: String, v: Long): Unit =
+  private def maybeCheckpoint(fs: FileSystem, root: HPath, v: Long): Unit =
     if (v > 0 && v % CheckpointInterval == 0) {
       try {
-        val entry = filesUpTo(path, v).map(f => "\"" + f + "\"").mkString(
+        val entry = filesUpTo(fs, root, v).map(f => "\"" + f + "\"").mkString(
           s"""{"version":$v,"files":[""", ",", "]}")
-        val tmp = logDir(path).resolve(s".$v.ckpt.tmp")
-        Files.writeString(tmp, entry, StandardOpenOption.CREATE_NEW)
-        Files.move(tmp, logDir(path).resolve(s"$v.checkpoint.json"),
-          StandardCopyOption.ATOMIC_MOVE)
-      } catch { case _: java.io.IOException => () }
+        val tmp = new HPath(logDir(root), s".$v.ckpt.tmp")
+        writeString(fs, tmp, entry, overwrite = true)
+        if (!fs.rename(tmp, new HPath(logDir(root), s"$v.checkpoint.json")))
+          fs.delete(tmp, false) // racing checkpoint won; advisory anyway
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Snapshot read of the latest committed version. */
   def read(spark: SparkSession, path: String): DataFrame =
-    readVersion(spark, path, versions(path).lastOption.getOrElse(-1L))
+    readVersion(spark, path, currentVersion(path))
 
   /** Time travel: read the table as of `version`. */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val fs = filesUpTo(path, version).map(f => s"$path/$f")
-    if (fs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", true).parquet(fs: _*)
+    val (fs, root) = fsFor(path)
+    val files = filesUpTo(fs, root, version).map(f => s"$path/$f")
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", true).parquet(files: _*)
   }
 
-  def currentVersion(path: String): Long = versions(path).lastOption.getOrElse(-1L)
+  def currentVersion(path: String): Long = {
+    val (fs, root) = fsFor(path)
+    versions(fs, root).lastOption.getOrElse(-1L)
+  }
 
   // ---- log introspection for the Delta mirror backfill (DeltaInterop.sync) ----
-  private[operators] def allVersions(path: String): Seq[Long] = versions(path)
-  private[operators] def versionIsRebase(path: String, v: Long): Boolean =
-    isRebase(Files.readString(logDir(path).resolve(s"$v.json")))
-  private[operators] def versionFiles(path: String, v: Long): Seq[String] =
-    fileList(Files.readString(logDir(path).resolve(s"$v.json")))
-  private[operators] def filesAt(path: String, v: Long): Seq[String] = filesUpTo(path, v)
+  private[operators] def allVersions(path: String): Seq[Long] = {
+    val (fs, root) = fsFor(path)
+    versions(fs, root)
+  }
+  private[operators] def versionIsRebase(path: String, v: Long): Boolean = {
+    val (fs, root) = fsFor(path)
+    isRebase(readString(fs, new HPath(logDir(root), s"$v.json")))
+  }
+  private[operators] def versionFiles(path: String, v: Long): Seq[String] = {
+    val (fs, root) = fsFor(path)
+    fileList(readString(fs, new HPath(logDir(root), s"$v.json")))
+  }
+  private[operators] def filesAt(path: String, v: Long): Seq[String] = {
+    val (fs, root) = fsFor(path)
+    filesUpTo(fs, root, v)
+  }
 
   /** Vacuum: delete staging dirs never published by any commit (the
     * garbage a crash between parquet write and log link leaves behind —
     * appends never unreference a file, so published data is untouchable).
     * `graceMs` protects in-flight commits: only dirs older than it go. */
   def vacuum(path: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
-    val root = Paths.get(path)
-    if (!Files.exists(root)) return Seq.empty
+    val (fs, root) = fsFor(path)
+    if (!fs.exists(root)) return Seq.empty
     // referenced by ANY version (not just the head): pre-compaction dirs
     // stay time-travelable until vacuumCompacted explicitly drops them
-    val referenced = versions(path)
-      .flatMap(v => filesUpTo(path, v))
+    val referenced = versions(fs, root)
+      .flatMap(v => filesUpTo(fs, root, v))
       .map(_.split('/').head).toSet // data-<stageId> dir component
     val cutoff = System.currentTimeMillis() - graceMs
-    val s = Files.list(root)
-    val stray = try s.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("data-"))
-      .filter(p => !referenced(p.getFileName.toString))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .toSeq
-    finally s.close()
-    stray.foreach { dir =>
-      val files = Files.walk(dir)
-      try files.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(Files.deleteIfExists(_))
-      finally files.close()
-    }
-    stray.map(_.getFileName.toString)
+    val stray = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .filter(s => !referenced(s.getPath.getName))
+      .filter(s => s.getModificationTime < cutoff)
+      .map(_.getPath).toSeq
+    stray.foreach(d => fs.delete(d, true))
+    stray.map(_.getName)
   }
 }

@@ -205,4 +205,32 @@ class DeltaInteropSpec extends SparkSpec {
     assert(rowsOf(external) == rowsOf(TxLogTable.read(spark, path)))
     assert(DeltaInterop.sync(spark, path).isEmpty, "sync must be idempotent")
   }
+
+  test("sync backfill of a vacuumed version omits adds for missing files (never size 0)") {
+    val path = dir()
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    TxLogTable.append(spark, Seq((2L, "b")).toDF("id", "v"), path)
+    val cv = TxLogTable.compact(spark, path)
+    TxLogTable.vacuumCompacted(path, sinceVersion = cv) // v0/v1 data dirs gone
+    // simulate a pre-mirror table: the vacuumed versions' entries missing
+    val files = logFiles(path)
+    Files.delete(files(0))
+    Files.delete(files(1))
+    val restored = DeltaInterop.sync(spark, path)
+    assert(restored == Seq(0L, 1L), s"backfilled: $restored")
+    // the backfilled entries must not fabricate add actions with size 0
+    // for files that no longer exist — strict readers reject those
+    Seq(0, 1).foreach { i =>
+      val txt = Files.readString(logFiles(path)(i))
+      assert(!txt.contains("\"add\""),
+        s"v$i: vacuumed files must have their adds omitted, got: $txt")
+      assert(txt.contains("\"metaData\""), s"v$i must still carry metaData")
+    }
+    // final-state replay is unaffected: the rebase's removes of the
+    // never-added paths are no-ops, and the compacted files stand
+    val (active, _, sawProtocol) = replay(logFiles(path))
+    assert(sawProtocol, "v0 must still carry the protocol action")
+    val external = spark.read.parquet(active.map(f => s"$path/$f").toSeq: _*)
+    assert(rowsOf(external) == rowsOf(TxLogTable.read(spark, path)))
+  }
 }

@@ -142,42 +142,55 @@ class TxLogTableSpec extends SparkSpec {
       == (1L to 6L).toSet)
   }
 
+  private def localFs(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   test("conditional put: failed upload releases its claim, so a retry can win") {
     val store = new CommitPoint.ConditionalPut()
-    val logDir = java.nio.file.Files.createTempDirectory("graft-cp").resolve("_log")
-    // logDir doesn't exist yet → the upload throws AFTER the arbiter claim.
-    // The old behavior kept the claim forever: every retry of this version
-    // lost the arbiter race and the table wedged permanently.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val logDir = new org.apache.hadoop.fs.Path(dir)
+    // an upload failure AFTER the arbiter claim. The old behavior kept
+    // the claim forever: every retry of this version lost the arbiter
+    // race and the table wedged permanently.
+    val failing = new FailingCreateFs
+    failing.initialize(java.net.URI.create("file:///"),
+      spark.sessionState.newHadoopConf())
     intercept[java.io.IOException] {
-      store.putIfAbsent(logDir, "0.json", """{"version":0,"files":[]}""")
+      store.putIfAbsent(failing, logDir, "0.json", """{"version":0,"files":[]}""")
     }
-    java.nio.file.Files.createDirectories(logDir)
-    assert(store.putIfAbsent(logDir, "0.json", """{"version":0,"files":[]}"""),
+    val (fs, _) = localFs(dir)
+    assert(store.putIfAbsent(fs, logDir, "0.json", """{"version":0,"files":[]}"""),
       "claim leaked: retry after a failed upload could not win the version")
   }
 
   test("conditional put: out-of-band entry is a lost race, and nothing is replaced") {
     val store = new CommitPoint.ConditionalPut()
-    val logDir = java.nio.file.Files.createTempDirectory("graft-cp2")
-    val target = logDir.resolve("0.json")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp2")
+    val target = dir.resolve("0.json")
     java.nio.file.Files.writeString(target, """{"version":0,"files":["theirs"]}""")
+    val (fs, logDir) = localFs(dir.toString)
     // published by a different CommitPoint impl: lost race, not an exception
-    assert(!store.putIfAbsent(logDir, "0.json", """{"version":0,"files":["mine"]}"""))
+    assert(!store.putIfAbsent(fs, logDir, "0.json", """{"version":0,"files":["mine"]}"""))
     assert(java.nio.file.Files.readString(target).contains("theirs"),
       "putIfAbsent replaced an existing entry")
     // the store is not wedged for other versions
-    assert(store.putIfAbsent(logDir, "1.json", """{"version":1,"files":[]}"""))
+    assert(store.putIfAbsent(fs, logDir, "1.json", """{"version":1,"files":[]}"""))
   }
 
   test("conditional put: publish is atomic — no temp debris, entry appears whole") {
     val store = new CommitPoint.ConditionalPut()
-    val logDir = java.nio.file.Files.createTempDirectory("graft-cp3")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp3")
+    val (fs, logDir) = localFs(dir.toString)
     val content = """{"version":0,"files":["a","b"]}"""
-    assert(store.putIfAbsent(logDir, "0.json", content))
+    assert(store.putIfAbsent(fs, logDir, "0.json", content))
     import scala.jdk.CollectionConverters._
-    val listed = java.nio.file.Files.list(logDir).iterator().asScala.map(_.getFileName.toString).toSeq
-    assert(listed == Seq("0.json"), s"unexpected log dir contents: $listed")
-    assert(java.nio.file.Files.readString(logDir.resolve("0.json")) == content)
+    val listed = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_ == ".crc").toSeq
+    assert(listed.filterNot(_.endsWith(".crc")) == Seq("0.json"),
+      s"unexpected log dir contents: $listed")
+    assert(java.nio.file.Files.readString(dir.resolve("0.json")) == content)
   }
 
   test("object-store commit point: rebase still aborts when it loses the race") {
@@ -191,7 +204,8 @@ class TxLogTableSpec extends SparkSpec {
     // isn't visible yet (the window between compact's snapshot read and
     // its publish): claim the next version in the arbiter only
     val v0 = TxLogTable.currentVersion(path)
-    val claimed = java.nio.file.Paths.get(path, "_log").toAbsolutePath
+    val (fs, _) = localFs(path)
+    val claimed = fs.makeQualified(new org.apache.hadoop.fs.Path(path, "_log"))
     arbiter.put(s"$claimed/${v0 + 1}.json", java.lang.Boolean.TRUE)
     intercept[java.util.ConcurrentModificationException] {
       TxLogTable.compact(spark, path, commit = store)
