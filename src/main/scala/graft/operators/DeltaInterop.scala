@@ -86,7 +86,7 @@ object DeltaInterop {
     * mirror entry is exactly the [[sync]] backfill case. */
   private[operators] def mirror(spark: SparkSession, path: String, v: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
-      cp: CommitPoint): Unit =
+      cp: CommitPoint, txn: Option[(String, Long)] = None): Unit =
     try {
       val (fs, root) = TxLogTable.fsFor(path)
       // Delta readers require CONTIGUOUS versions: if an earlier mirror
@@ -94,7 +94,7 @@ object DeltaInterop {
       // heal any missing predecessors before publishing v
       if (v > 0 && !fs.exists(new HPath(deltaDir(root), s"${pad(v - 1)}.json")))
         sync(spark, path, cp, upTo = v - 1)
-      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
+      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp, txn)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(
@@ -104,7 +104,7 @@ object DeltaInterop {
 
   private def mirrorOrThrow(spark: SparkSession, path: String, v: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
-      cp: CommitPoint): Unit = {
+      cp: CommitPoint, txn: Option[(String, Long)] = None): Unit = {
     val (fs, root) = TxLogTable.fsFor(path)
     fs.mkdirs(deltaDir(root))
     val ts = System.currentTimeMillis()
@@ -112,6 +112,11 @@ object DeltaInterop {
     val actions = Seq.newBuilder[String]
     actions += s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","engineInfo":"graft"}}"""
     if (v == 0) actions += protocolAction
+    // the idempotent-append identifier, as the protocol's SetTransaction —
+    // external delta writers resuming this appId see the same watermark
+    txn.foreach { case (app, tv) =>
+      actions += s"""{"txn":{"appId":"${esc(app)}","version":$tv}}"""
+    }
     // one metaData per commit keeps the latest schema authoritative
     // (legal per the protocol: at most one metaData action per version)
     actions += metaDataAction(fs, root, schemaJson, ts)
@@ -170,7 +175,8 @@ object DeltaInterop {
         }
       // the throwing variant: a backfill is explicitly asked for, so a
       // failure must surface, unlike the best-effort per-commit mirror
-      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp)
+      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp,
+        TxLogTable.versionTxn(path, v))
     }
     missing
   }
@@ -209,18 +215,25 @@ object DeltaInterop {
     val (fs, root) = TxLogTable.fsFor(path)
     val ts = System.currentTimeMillis()
     val files = TxLogTable.filesAt(path, v)
+    // latest SetTransaction watermark per appId survives checkpointing,
+    // exactly as the protocol requires (a reader starting from the
+    // checkpoint must still see every writer's progress)
+    val txnRows: Seq[Row] = TxLogTable.txnsAt(path, v).toSeq.sorted.map {
+      case (app, tv) => Row(Row(app, tv), null, null, null, null)
+    }
     val rows: Seq[Row] =
       Row(null, null, null, null, Row(1, 2)) +:
       Row(null, null, null,
         Row(tableId(fs, root), Row("parquet", Map.empty[String, String]),
           schemaJson, Seq.empty[String], Map.empty[String, String], ts),
         null) +:
+      (txnRows ++
       files.flatMap { f =>
         sizeOf(fs, root, f).map { size =>
           Row(null, Row(f, Map.empty[String, String], size, ts, true),
             null, null, null)
         }
-      }
+      })
     val df = spark.createDataFrame(rows.asJava, checkpointSchema).coalesce(1)
     // Spark writes a directory; the protocol names a single FILE —
     // stage, then move the lone part file to <v>.checkpoint.parquet

@@ -35,7 +35,16 @@ object IngestPipeline {
       tables: Seq[(String, String)],
       chain: Seq[String])
 
-  /** Run one batch of raw JSON documents through the full pipeline. */
+  /** Run one batch of raw JSON documents through the full pipeline.
+    *
+    * `batchScope = Some((scope, batchId))` makes EVERY sink in the fan-out
+    * idempotent for that (scope, batch) — quarantine and lake files
+    * publish with batch-scoped names that a replay replaces
+    * ([[graft.streaming.BatchCommits.publishBatch]]), and the
+    * transaction-logged delta appends carry a SetTransaction-style
+    * `(appId, batchId)` identifier [[TxLogTable.append]] skips on replay.
+    * This is what upgrades streaming ingest's sink→marker window from
+    * at-least-once to exactly-once (A22). */
   def runBatch(
       spark: SparkSession,
       rawJson: DataFrame,
@@ -44,7 +53,8 @@ object IngestPipeline {
       destRoot: String,
       tsCol: Column = current_timestamp(),
       database: String = "rtdl",
-      registerTables: Boolean = true): Seq[BatchResult] = {
+      registerTables: Boolean = true,
+      batchScope: Option[(String, Long)] = None): Seq[BatchResult] = {
 
     val env = Envelope.project(rawJson, jsonCol)
     val allRouted = Envelope.filterControl(Router.route(spark, env, configs))
@@ -60,7 +70,13 @@ object IngestPipeline {
           .otherwise("stream_inactive").as("reason"))
     // written unconditionally: one job, vs isEmpty (a full scan when the
     // quarantine is empty — the common case) plus the write job
-    quarantined.write.mode(SaveMode.Append).parquet(s"$destRoot/_quarantine")
+    batchScope match {
+      case Some((scope, batchId)) =>
+        graft.streaming.BatchCommits.publishBatch(
+          quarantined, s"$destRoot/_quarantine", scope, batchId)
+      case None =>
+        quarantined.write.mode(SaveMode.Append).parquet(s"$destRoot/_quarantine")
+    }
 
     val routed = Router.activeOnly(allRouted)
       .cache() // reused once per config; unpersisted below
@@ -80,9 +96,11 @@ object IngestPipeline {
             df = PiiMask.maskColumn(df, "payload")
           case "ingester" =>
             written ++= LakeWriter.writeStreamTable(
-              spark, df, cfg, destRoot, tsCol, database, registerTables)
+              spark, df, cfg, destRoot, tsCol, database, registerTables,
+              batchScope = batchScope)
           case "deltawriter" =>
-            written ++= appendDeltaStyle(spark, df, cfg, destRoot, database, registerTables)
+            written ++= appendDeltaStyle(spark, df, cfg, destRoot, database,
+              registerTables, batchScope)
           case other =>
             throw new IllegalArgumentException(s"unknown chain function '$other'")
         }
@@ -101,7 +119,8 @@ object IngestPipeline {
       cfg: StreamConfig,
       destRoot: String,
       database: String,
-      registerTables: Boolean): Seq[(String, String)] = {
+      registerTables: Boolean,
+      batchScope: Option[(String, Long)] = None): Seq[(String, String)] = {
     val dbName = LakeWriter.sanitizeIdent(
       if (cfg.streamAltId.nonEmpty) cfg.streamAltId else cfg.streamId)
     val types = messages.select(col("message_type_resolved")).distinct()
@@ -113,8 +132,12 @@ object IngestPipeline {
       val path = s"$destRoot/_delta/$dbName/$mt"
       // transaction-logged append (TxLogTable): atomic versioned commits,
       // snapshot isolation, time travel — the ACID semantics the reference
-      // gets from Delta (delta_writer.py:94), without delta jars
-      TxLogTable.append(spark, flat, path)
+      // gets from Delta (delta_writer.py:94), without delta jars. The txn
+      // identifier scopes idempotency per streaming (checkpoint, batch):
+      // a replayed batch's append is a no-op (SetTransaction contract).
+      TxLogTable.append(spark, flat, path,
+        txn = batchScope.map { case (s, b) =>
+          (s"$s:${LakeWriter.sanitizeIdent(dbName)}/${LakeWriter.sanitizeIdent(mt)}", b) })
       // txlog tables are read through TxLogTable.read (snapshot resolution);
       // a plain parquet-location catalog entry can't express the log, so
       // registration is via a temp view over the committed snapshot
@@ -125,10 +148,13 @@ object IngestPipeline {
   }
 
   /** A24 — read-back of an append table with schema drift merged;
-    * transaction-logged tables resolve the committed snapshot. */
-  def readTable(spark: SparkSession, path: String): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_log")))
-      TxLogTable.read(spark, path)
-    else
-      spark.read.option("mergeSchema", true).parquet(path)
+    * transaction-logged tables resolve the committed snapshot. Log
+    * detection goes through Hadoop FS so a table on `hdfs://`/`s3a://`
+    * resolves its snapshot, not the driver's local disk. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_log")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) TxLogTable.read(spark, path)
+    else spark.read.option("mergeSchema", true).parquet(path)
+  }
 }

@@ -27,7 +27,14 @@ object LakeWriter {
   /** Write one batch of routed messages for one config. `messages` must
     * carry `payload` (JSON string), `message_type_resolved`, and the
     * timestamp column `tsCol` used for bucketing.
-    * Returns (tableName, path) per message type written. */
+    * Returns (tableName, path) per message type written.
+    *
+    * `batchScope = Some((scope, batchId))` makes the write IDEMPOTENT
+    * for that (scope, batch): files publish through
+    * [[graft.streaming.BatchCommits.publishBatch]] with batch-scoped
+    * names, so a streaming replay of the same batch REPLACES its own
+    * earlier output instead of appending a second copy (A22 exactly-once
+    * egress). `None` is the plain append for one-shot batch use. */
   def writeStreamTable(
       spark: SparkSession,
       messages: DataFrame,
@@ -36,7 +43,8 @@ object LakeWriter {
       tsCol: Column,
       database: String = "rtdl",
       registerTables: Boolean = true,
-      maxRecordsPerFile: Long = 5000000L): Seq[(String, String)] = {
+      maxRecordsPerFile: Long = 5000000L,
+      batchScope: Option[(String, Long)] = None): Seq[(String, String)] = {
 
     val folder = if (cfg.folderName.nonEmpty) cfg.folderName
       else sanitizeIdent(if (cfg.streamAltId.nonEmpty) cfg.streamAltId else cfg.streamId)
@@ -57,12 +65,20 @@ object LakeWriter {
       val flat = parsed.select(col("__p.*"), col("part"))
       val path = s"$destRoot/$folder/$mt"
 
-      flat.write
-        .mode(SaveMode.Append)
-        .partitionBy("part")
-        .option("compression", cfg.codec)
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .parquet(path)
+      val writeOpts = Map(
+        "compression" -> cfg.codec,
+        "maxRecordsPerFile" -> maxRecordsPerFile.toString)
+      batchScope match {
+        case Some((scope, batchId)) =>
+          graft.streaming.BatchCommits.publishBatch(
+            flat, path, scope, batchId, Seq("part"), writeOpts)
+        case None =>
+          flat.write
+            .mode(SaveMode.Append)
+            .partitionBy("part")
+            .options(writeOpts)
+            .parquet(path)
+      }
 
       val table = s"${sanitizeIdent(database)}.${sanitizeIdent(folder)}_${sanitizeIdent(mt)}"
       if (registerTables) registerTable(spark, table, path)

@@ -94,10 +94,13 @@ object TxLogTable {
     * commits require the log to still be at `expectedVersion` — the
     * commit point either wins the exact next version or the rebase
     * aborts, because retrying at a later number would silently drop
-    * whatever a concurrent append just published. */
+    * whatever a concurrent append just published. `txn` stamps the entry
+    * with an (appId, txnVersion) transaction identifier (the delta
+    * protocol's SetTransaction), the hook idempotent streaming writers
+    * key their replay checks on. */
   private def commitEntry(fs: FileSystem, root: HPath, files: Seq[String],
       rebase: Boolean, expectedVersion: Option[Long], maxRetries: Int,
-      cp: CommitPoint): Long = {
+      cp: CommitPoint, txn: Option[(String, Long)] = None): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = versions(fs, root).lastOption.getOrElse(-1L) + 1
@@ -107,8 +110,10 @@ object TxLogTable {
             s"table advanced to ${v - 1} during compaction (snapshot was $exp)")
       }
       val flag = if (rebase) """"rebase":true,""" else ""
+      val txnField = txn.map { case (app, tv) =>
+        s""""txn":["$app",$tv],""" }.getOrElse("")
       val entry = files.map(f => "\"" + f + "\"").mkString(
-        s"""{"version":$v,$flag"files":[""", ",", "]}")
+        s"""{"version":$v,$flag$txnField"files":[""", ",", "]}")
       // the commit point: publish-iff-absent (hard link locally,
       // no-replace rename on HDFS, conditional put on object stores)
       if (cp.putIfAbsent(fs, logDir(root), s"$v.json", entry)) {
@@ -137,13 +142,31 @@ object TxLogTable {
     * storage ([[CommitPoint.Auto]]: hard link locally, no-replace rename
     * elsewhere). Each commit also mirrors a Delta-protocol `_delta_log`
     * entry for external readers ([[DeltaInterop]]); the native `_log`
-    * remains the source of truth. */
+    * remains the source of truth.
+    *
+    * `txn = Some((appId, txnVersion))` makes the append IDEMPOTENT per
+    * (appId, txnVersion) — the delta protocol's SetTransaction contract:
+    * if the log already records a transaction for `appId` at or past
+    * `txnVersion`, the append is a no-op returning the current version.
+    * A streaming writer that keys this on its (checkpoint scope, batch
+    * id) can replay a crashed batch without double-appending — this is
+    * what closes the sink→marker at-least-once window in
+    * [[graft.streaming.StreamingOps.startIngest]]. */
   def append(spark: SparkSession, df: DataFrame, path: String,
-      maxRetries: Int = 20, commit: CommitPoint = CommitPoint.Auto): Long = {
+      maxRetries: Int = 20, commit: CommitPoint = CommitPoint.Auto,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = fsFor(path)
+    txn.foreach { case (app, tv) =>
+      require(app.matches("[A-Za-z0-9_:/.@=-]+"),
+        s"txn appId must be JSON-literal-safe, got '$app'")
+      if (lastTxnVersion(fs, root, app).exists(_ >= tv))
+        return versions(fs, root).lastOption.getOrElse(-1L)
+    }
     val files = stage(df, fs, root, "")
-    val v = commitEntry(fs, root, files, rebase = false, None, maxRetries, commit)
-    DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json, commit)
+    val v = commitEntry(fs, root, files, rebase = false, None, maxRetries,
+      commit, txn)
+    DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json,
+      commit, txn)
     v
   }
 
@@ -193,6 +216,49 @@ object TxLogTable {
 
   private def isRebase(txt: String): Boolean = txt.contains(""""rebase":true""")
 
+  private val TxnRe = """"txn":\["([^"]*)",(-?\d+)\]""".r
+  private val TxnsMapRe = """"txns":\{([^}]*)\}""".r
+  private val TxnsPairRe = """"([^"]*)":(-?\d+)""".r
+
+  private def txnOf(txt: String): Option[(String, Long)] =
+    TxnRe.findFirstMatchIn(txt).map(m => (m.group(1), m.group(2).toLong))
+
+  /** Latest transaction version per appId as of `v` (checkpoint rollup +
+    * incremental entries — same resolution shape as [[filesUpTo]]).
+    * Rebase entries do NOT reset transactions: compaction rewrites the
+    * file listing, not writer history (delta keeps SetTransaction across
+    * checkpoints the same way). */
+  private def txnsUpTo(fs: FileSystem, root: HPath, v: Long): Map[String, Long] = {
+    val ckpt = listLog(fs, root, ".checkpoint.json").filter(_ <= v).lastOption
+    var acc: Map[String, Long] = ckpt.map { c =>
+      val txt = readString(fs, new HPath(logDir(root), s"$c.checkpoint.json"))
+      TxnsMapRe.findFirstMatchIn(txt).map { m =>
+        TxnsPairRe.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toLong).toMap
+      }.getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
+    versions(fs, root)
+      .filter(ver => ver <= v && ckpt.forall(ver > _))
+      .foreach { ver =>
+        txnOf(readString(fs, new HPath(logDir(root), s"$ver.json"))).foreach {
+          case (app, tv) => acc += app -> math.max(tv, acc.getOrElse(app, Long.MinValue))
+        }
+      }
+    acc
+  }
+
+  private def lastTxnVersion(fs: FileSystem, root: HPath,
+      appId: String): Option[Long] =
+    versions(fs, root).lastOption.flatMap(v => txnsUpTo(fs, root, v).get(appId))
+
+  /** Public probe: the last committed transaction version for `appId`
+    * (None if the app never committed) — the reader half of the
+    * idempotent-append contract. */
+  def lastTransaction(path: String, appId: String): Option[Long] = {
+    val (fs, root) = fsFor(path)
+    lastTxnVersion(fs, root, appId)
+  }
+
   private def filesUpTo(fs: FileSystem, root: HPath, v: Long): Seq[String] = {
     val ckpt = listLog(fs, root, ".checkpoint.json").filter(_ <= v).lastOption
     var acc = ckpt.toSeq.flatMap { c =>
@@ -215,8 +281,13 @@ object TxLogTable {
   private def maybeCheckpoint(fs: FileSystem, root: HPath, v: Long): Unit =
     if (v > 0 && v % CheckpointInterval == 0) {
       try {
+        val txns = txnsUpTo(fs, root, v)
+        val txnsField =
+          if (txns.isEmpty) ""
+          else txns.toSeq.sorted.map { case (a, tv) => s""""$a":$tv""" }
+            .mkString(""""txns":{""", ",", "},")
         val entry = filesUpTo(fs, root, v).map(f => "\"" + f + "\"").mkString(
-          s"""{"version":$v,"files":[""", ",", "]}")
+          s"""{"version":$v,$txnsField"files":[""", ",", "]}")
         val tmp = new HPath(logDir(root), s".$v.ckpt.tmp")
         writeString(fs, tmp, entry, overwrite = true)
         if (!fs.rename(tmp, new HPath(logDir(root), s"$v.checkpoint.json")))
@@ -257,6 +328,14 @@ object TxLogTable {
   private[operators] def filesAt(path: String, v: Long): Seq[String] = {
     val (fs, root) = fsFor(path)
     filesUpTo(fs, root, v)
+  }
+  private[operators] def versionTxn(path: String, v: Long): Option[(String, Long)] = {
+    val (fs, root) = fsFor(path)
+    txnOf(readString(fs, new HPath(logDir(root), s"$v.json")))
+  }
+  private[operators] def txnsAt(path: String, v: Long): Map[String, Long] = {
+    val (fs, root) = fsFor(path)
+    txnsUpTo(fs, root, v)
   }
 
   /** Vacuum: delete staging dirs never published by any commit (the

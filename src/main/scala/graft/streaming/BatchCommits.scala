@@ -35,7 +35,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    1's. [[scopeFor]] derives it from the checkpoint path — the same
   *    identity that scopes the batch ids themselves.
   */
-private[streaming] object BatchCommits {
+private[graft] object BatchCommits {
 
   /** Stable per-checkpoint publish scope (reusing a DELETED checkpoint
     * path for a new run against the same output dir would collide —
@@ -183,11 +183,12 @@ private[streaming] object BatchCommits {
     * (scope, batch): earlier files of THIS batch are replaced, other
     * batches' (and other runs') files are untouched. */
   def publishBatch(df: DataFrame, dir: String, scope: String, batchId: Long,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val (fs, target) = fileSystem(spark, dir)
     val staging = new Path(target, s".staging-$scope-b$batchId")
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite).options(options)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging.toString)
     publishedFiles(spark, dir, scope, batchId).foreach(f => fs.delete(f, false))

@@ -17,12 +17,22 @@ import org.apache.spark.sql.Row
   *
   * Exactly-once note (A22): foreachBatch forfeits the file sink's
   * _spark_metadata commit protocol, so the ingest path guards replays
-  * itself — a per-batch commit marker under `destRoot/_batch_commits` is
-  * written after all sinks succeed, and a replayed batch id whose marker
-  * exists is skipped. A crash INSIDE the window between the last sink
-  * write and the marker write still replays that one batch (at-least-once
-  * within the batch boundary); the Kafka sink (when jars are present)
-  * remains at-least-once, as documented in SURVEY §7.3.
+  * itself, end to end. Two layers:
+  *
+  *  - every sink in the per-config fan-out is IDEMPOTENT per
+  *    (checkpoint scope, batch id): lake + quarantine files publish with
+  *    batch-scoped names a replay replaces ([[BatchCommits.publishBatch]]),
+  *    and the transaction-logged delta appends carry a SetTransaction
+  *    identifier [[graft.operators.TxLogTable.append]] skips on replay —
+  *    so a crash ANYWHERE inside the batch (including the former
+  *    sink→marker window) replays to the same bytes, not duplicates;
+  *  - a per-batch commit marker under `destRoot/_batch_commits` is
+  *    written after all sinks succeed — with idempotent sinks it is a
+  *    work-skip (don't recompute a committed batch), no longer the only
+  *    thing standing between a replay and duplicated rows.
+  *
+  * The Kafka sink (when jars are present) remains at-least-once, as
+  * documented in SURVEY §7.3.
   */
 object StreamingOps {
 
@@ -110,24 +120,25 @@ object StreamingOps {
     val raw = spark.readStream
       .schema("value STRING")
       .text(sourceDir)
+    val scope = BatchCommits.scopeFor(checkpoint)
     raw.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // replay guard (A22): skip batch ids already committed — a restart
-        // after checkpoint-write-failure re-delivers the same batchId, and
-        // every sink below is an append (would duplicate rows). Markers
-        // resolve via Hadoop FS so a non-local destRoot keeps its replay
-        // protection (BatchCommits). The window between the appends and
-        // the marker is at-least-once: runBatch fans out to per-stream
-        // sinks, so a replayed crash re-appends — documented, bounded to
-        // one batch.
+        // after checkpoint-write-failure re-delivers the same batchId.
+        // Markers resolve via Hadoop FS so a non-local destRoot keeps its
+        // replay protection (BatchCommits). The marker is a work-skip;
+        // correctness no longer depends on it: batchScope makes every
+        // sink in the fan-out idempotent per (scope, batch), so a crash
+        // BETWEEN the sinks and the marker replays to the same bytes
+        // (real exactly-once, not at-least-once-within-one-batch).
         if (!BatchCommits.markerExists(spark, destRoot, "_batch_commits", batchId)) {
           val configs = StreamConfig.loadDir(spark, configDir) // hot reload per batch
           if (configs.nonEmpty && !batch.isEmpty) {
             IngestPipeline.runBatch(spark, batch, "value", configs, destRoot,
-              registerTables = false)
+              registerTables = false, batchScope = Some((scope, batchId)))
           }
           BatchCommits.createMarker(spark, destRoot, "_batch_commits", batchId)
         }

@@ -213,4 +213,45 @@ class TxLogTableSpec extends SparkSpec {
     // the table is undamaged: both committed rows still readable
     assert(TxLogTable.readVersion(spark, path, v0).count() == 2)
   }
+
+  test("txn: append is idempotent per (appId, version) — a replay is a no-op") {
+    val path = tmp
+    val v0 = TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path,
+      txn = Some(("writer-1", 0L)))
+    assert(v0 == 0)
+    // replay of the same (appId, txnVersion): no new version, no new rows
+    val vr = TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path,
+      txn = Some(("writer-1", 0L)))
+    assert(vr == v0)
+    assert(TxLogTable.currentVersion(path) == v0)
+    assert(TxLogTable.read(spark, path).count() == 1)
+    // an EARLIER txn version is also rejected (watermark, not equality)
+    TxLogTable.append(spark, Seq((2L, "b")).toDF("id", "v"), path,
+      txn = Some(("writer-1", 1L)))
+    val vOld = TxLogTable.append(spark, Seq((9L, "x")).toDF("id", "v"), path,
+      txn = Some(("writer-1", 0L)))
+    assert(vOld == 1 && TxLogTable.read(spark, path).count() == 2)
+    assert(TxLogTable.lastTransaction(path, "writer-1") == Some(1L))
+    // a different appId is independent
+    TxLogTable.append(spark, Seq((3L, "c")).toDF("id", "v"), path,
+      txn = Some(("writer-2", 0L)))
+    assert(TxLogTable.read(spark, path).count() == 3)
+    assert(TxLogTable.lastTransaction(path, "writer-2") == Some(0L))
+    assert(TxLogTable.lastTransaction(path, "nobody") == None)
+  }
+
+  test("txn watermarks survive the checkpoint rollup") {
+    val path = tmp
+    (0 to 11).foreach { i =>
+      TxLogTable.append(spark, Seq((i.toLong, s"r$i")).toDF("id", "v"), path,
+        txn = Some(("w", i.toLong)))
+    }
+    // interval 10 → the checkpoint at version 10 must carry the txn map
+    assert(Files.exists(java.nio.file.Paths.get(path, "_log", "10.checkpoint.json")))
+    assert(TxLogTable.lastTransaction(path, "w") == Some(11L))
+    // a replay from before the checkpoint is still a no-op
+    val v = TxLogTable.append(spark, Seq((99L, "z")).toDF("id", "v"), path,
+      txn = Some(("w", 5L)))
+    assert(v == 11 && TxLogTable.read(spark, path).count() == 12)
+  }
 }

@@ -160,4 +160,51 @@ class StreamingOpsSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(s"$dest/weblogs/clickstream").count() == 1)
   }
+
+  test("A22 exactly-once: crash in the sink→marker window replays without duplicates") {
+    val src = Files.createTempDirectory("graft-eo-src").toString
+    val cfgDir = Files.createTempDirectory("graft-eo-cfg").toString
+    val dest = Files.createTempDirectory("graft-eo-dest").toString
+    val chk = Files.createTempDirectory("graft-eo-chk").toString
+
+    // both sink kinds in one chain (lake append + transaction-logged
+    // delta append), plus an unroutable row for the quarantine sink
+    new ConfigService(cfgDir).create(StreamConfig("", "stream-key", active = true,
+      "clickstream", 1, "weblogs", TimePartitions.Daily, 1,
+      Seq("ingester", "deltawriter")))
+    Files.writeString(java.nio.file.Paths.get(src, "batch1.json"),
+      """{"projectId":"stream-key","type":"clickstream","url":"/a","ms":12}
+        |{"projectId":"stream-key","type":"clickstream","url":"/b","ms":34}
+        |{"projectId":"nobody-home","type":"clickstream","url":"/x","ms":1}
+        |""".stripMargin)
+
+    val q = StreamingOps.startIngest(spark, src, cfgDir, dest, chk)
+    q.processAllAvailable(); q.stop()
+    val deltaPath = s"$dest/_delta/stream_key/clickstream"
+    assert(spark.read.parquet(s"$dest/weblogs/clickstream").count() == 2)
+    assert(graft.operators.TxLogTable.read(spark, deltaPath).count() == 2)
+    val v0 = graft.operators.TxLogTable.currentVersion(deltaPath)
+    assert(spark.read.parquet(s"$dest/_quarantine").count() == 1)
+
+    // crash INSIDE the sink→marker window: all sinks landed, the marker
+    // didn't. Simulate by deleting the markers; wiping the checkpoint
+    // re-delivers the same file as batch id 0 — the replay re-runs every
+    // sink over output that is already there.
+    import scala.jdk.CollectionConverters._
+    def wipe(dir: String): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    wipe(s"$dest/_batch_commits")
+    wipe(chk)
+
+    val q2 = StreamingOps.startIngest(spark, src, cfgDir, dest, chk)
+    q2.processAllAvailable(); q2.stop()
+    // idempotent publish: lake + quarantine replaced their own files
+    assert(spark.read.parquet(s"$dest/weblogs/clickstream").count() == 2)
+    assert(spark.read.parquet(s"$dest/_quarantine").count() == 1)
+    // SetTransaction idempotency: the replayed append did not commit a
+    // second version, let alone duplicate rows
+    assert(graft.operators.TxLogTable.read(spark, deltaPath).count() == 2)
+    assert(graft.operators.TxLogTable.currentVersion(deltaPath) == v0)
+  }
 }
