@@ -20,7 +20,10 @@ import graft.functions.TextFunctions
   *    not the events" problem);
   *  - STRATIFIABLE: per-stratum rates (deduplication-aware source
   *    weighting à la training-mixture recipes) are a literal when-chain
-  *    over a bounded config map — no join, nothing broadcast.
+  *    over a bounded config map — no join, nothing broadcast — or,
+  *    past [[Sampling.BranchCutoff]] strata, a broadcast-joined
+  *    (stratum, threshold) lookup (a thousand-branch CASE tree is the
+  *    wrong plan; a broadcast hash probe is not).
   *
   * Rows are kept when `h60(salt|id) < rate·2^60`; thresholds are
   * computed once, driver-side, as long literals, so the per-row test is
@@ -32,6 +35,46 @@ import graft.functions.TextFunctions
 object Sampling {
 
   private val Two60: Long = 1L << 60
+
+  /** Above this many groups, per-group literal when-chains become a
+    * broadcast-joined (group, threshold) lookup. A CASE tree with
+    * thousands of branches at best falls out of whole-stage codegen and
+    * at worst blows up analysis, while a broadcast hash join against a
+    * metadata-scale lookup costs one hashed probe per row — same
+    * thresholds, same rows kept, same determinism. Below the cutoff the
+    * literal chain wins (no build side, constant-folded), so it stays
+    * the default for the metadata-scale group counts these operators
+    * document. */
+  val BranchCutoff = 64
+
+  /** Per-group integer threshold as (augmented df, threshold column,
+    * temp cols to drop): a literal when-chain at or below `cutoff`
+    * groups, a broadcast-joined lookup above. `keyType` is the lookup
+    * key's Spark type (pass the group column's own type when entries
+    * came from the data; StringType when they come from a caller map
+    * keyed by strings — matching the `=== lit(key)` cast semantics of
+    * the chain). Rows whose group misses the lookup get `defaultThr`
+    * (left join + coalesce ≡ the chain's otherwise-branch). */
+  private def groupThreshold(df: DataFrame, groupCol: String,
+      entries: Seq[(Any, Long)], defaultThr: Long,
+      keyType: org.apache.spark.sql.types.DataType,
+      cutoff: Int): (DataFrame, Column, Seq[String]) =
+    if (entries.size <= cutoff) {
+      val chain = entries.sortBy(_._1.toString)
+        .foldLeft(lit(defaultThr): Column) { case (els, (g, t)) =>
+          when(col(groupCol) === lit(g), lit(t)).otherwise(els)
+        }
+      (df, chain, Nil)
+    } else {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import org.apache.spark.sql.Row
+      val lookup = df.sparkSession.createDataFrame(
+        entries.map { case (g, t) => Row(g, t) }.asJava,
+        StructType(Seq(StructField("__g", keyType), StructField("__thr", LongType))))
+      val joined = df.join(broadcast(lookup), col(groupCol) === col("__g"), "left")
+      (joined, coalesce(col("__thr"), lit(defaultThr)), Seq("__g", "__thr"))
+    }
 
   /** The row's sampling coordinate: uniform in [0, 2^60). Distinct
     * `salt`s give independent coordinates (split vs subsample decisions
@@ -100,7 +143,8 @@ object Sampling {
     * sampled should coalesce them to a sentinel first.
     */
   def stratified(df: DataFrame, idCol: String, strataCol: String, n: Int,
-      salt: String = "graft-strat", oversample: Double = 4.0): DataFrame = {
+      salt: String = "graft-strat", oversample: Double = 4.0,
+      branchCutoff: Int = BranchCutoff): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(oversample > 1.0, s"oversample must exceed 1, got $oversample")
     import org.apache.spark.sql.expressions.Window
@@ -117,12 +161,11 @@ object Sampling {
       // 1.0 the filter is the identity and the ranked selection IS the
       // naive window — the verify step cannot fail, so the loop ends
       val saturated = counts.values.forall(cnt => over * n / cnt.toDouble >= 1.0)
-      val thr = counts.toSeq.sortBy(_._1.toString)
-        .foldLeft(lit(0L): Column) { case (els, (s, cnt)) =>
-          when(col(strataCol) === lit(s),
-            lit(threshold(math.min(1.0, over * n / cnt.toDouble)))).otherwise(els)
-        }
-      val candidates = rows.filter(c < thr)
+      val entries = counts.toSeq.map { case (s, cnt) =>
+        (s, threshold(math.min(1.0, over * n / cnt.toDouble))) }
+      val (withThr, thr, tmpCols) = groupThreshold(rows, strataCol, entries,
+        0L, df.schema(strataCol).dataType, branchCutoff)
+      val candidates = withThr.filter(c < thr).drop(tmpCols: _*)
       val ranked = candidates.withColumn("__rk",
         row_number().over(Window.partitionBy(col(strataCol))
           .orderBy(c.asc, col(idCol).asc)))
@@ -197,19 +240,24 @@ object Sampling {
   }
 
   /** Mixture weighting: keep each row with its stratum's rate (strata
-    * absent from `rates` fall back to `defaultRate`). The bounded rates
-    * map folds into a literal when-chain — per-row cost is one string
-    * compare chain plus one integer compare; no join, no shuffle. */
+    * absent from `rates` fall back to `defaultRate`). Below
+    * `branchCutoff` rates the map folds into a literal when-chain —
+    * per-row cost is one string compare chain plus one integer compare,
+    * no join, no shuffle; above it the rates broadcast-join as a
+    * (stratum, threshold) lookup (same rows kept — see
+    * [[groupThreshold]]). */
   def mixture(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
-      salt: String = "graft-mix", keepCol: String = ""): DataFrame = {
+      salt: String = "graft-mix", keepCol: String = "",
+      branchCutoff: Int = BranchCutoff): DataFrame = {
     val c = coord(col(idCol), salt)
-    val thr = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit(threshold(defaultRate)): Column) { case (els, (s, r)) =>
-        when(col(strataCol) === lit(s), lit(threshold(r))).otherwise(els)
-      }
-    if (keepCol.isEmpty) df.filter(c < thr)
-    else df.withColumn(keepCol, (c < thr).cast("int"))
+    val entries = rates.toSeq.map { case (s, r) => (s: Any, threshold(r)) }
+    val (withThr, thr, tmpCols) = groupThreshold(df, strataCol, entries,
+      threshold(defaultRate), org.apache.spark.sql.types.StringType, branchCutoff)
+    val out =
+      if (keepCol.isEmpty) withThr.filter(c < thr)
+      else withThr.withColumn(keepCol, (c < thr).cast("int"))
+    out.drop(tmpCols: _*)
   }
 
   /** Exact top-`n` rows per group by an arbitrary SCORE column (desc,
@@ -238,16 +286,17 @@ object Sampling {
     * ranks).
     *
     * Group-cardinality domain: the per-group sketches collect to the
-    * driver (~8 KB each) and the thresholds become a literal when-chain,
+    * driver (~8 KB each) and the thresholds become a literal when-chain
+    * (≤ `branchCutoff` groups) or a broadcast-joined lookup above it,
     * so this operator is for METADATA-SCALE group counts (languages,
     * sources, shards — up to tens of thousands; `maxGroups` fails fast
-    * past that instead of melting the driver/codegen). For per-group
+    * past that instead of melting the driver). For per-group
     * caps over millions of groups (web domains), use [[stratified]]
     * (uniform coordinates need no sketch) or pre-aggregate the domain
     * key to a coarser group. */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, n: Int, margin: Int = 2,
-      maxGroups: Int = 65536): DataFrame = {
+      maxGroups: Int = 65536, branchCutoff: Int = BranchCutoff): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(margin >= 1, s"margin must be >= 1, got $margin")
     import org.apache.spark.sql.expressions.Window
@@ -274,16 +323,36 @@ object Sampling {
         (g, cnt, if (cnt <= n || idx < 0) None else Some(qs(idx)))
       }
       val saturated = thrs.forall(_._3.isEmpty)
-      val keep = thrs.sortBy(_._1.toString)
-        .foldLeft(lit(false)) { case (els, (g, _, thr)) =>
-          val cond = thr match {
-            case Some(t) => col(groupCol) === lit(g) &&
-              col(scoreCol) >= lit(t)
-            case None => col(groupCol) === lit(g)
-          }
-          when(cond, lit(true)).otherwise(els)
+      // every non-null group appears in `stats` (it came from a groupBy
+      // over `rows`), so the chain's fall-through-to-false and the inner
+      // join keep exactly the same rows; a null threshold means the
+      // group is saturated (keep all its rows)
+      val candidates =
+        if (thrs.length <= branchCutoff) {
+          val keep = thrs.sortBy(_._1.toString)
+            .foldLeft(lit(false)) { case (els, (g, _, thr)) =>
+              val cond = thr match {
+                case Some(t) => col(groupCol) === lit(g) &&
+                  col(scoreCol) >= lit(t)
+                case None => col(groupCol) === lit(g)
+              }
+              when(cond, lit(true)).otherwise(els)
+            }
+          rows.filter(keep)
+        } else {
+          import scala.jdk.CollectionConverters._
+          import org.apache.spark.sql.types.{StructField, StructType}
+          import org.apache.spark.sql.Row
+          val lookup = rows.sparkSession.createDataFrame(
+            thrs.toSeq.map { case (g, _, t) => Row(g, t.orNull) }.asJava,
+            StructType(Seq(
+              StructField("__g", df.schema(groupCol).dataType),
+              StructField("__thr", df.schema(scoreCol).dataType))))
+          rows.join(broadcast(lookup), col(groupCol) === col("__g"))
+            .filter(col("__thr").isNull || col(scoreCol) >= col("__thr"))
+            .drop("__g", "__thr")
         }
-      val ranked = rows.filter(keep).withColumn("__rk",
+      val ranked = candidates.withColumn("__rk",
         row_number().over(Window.partitionBy(col(groupCol))
           .orderBy(col(scoreCol).desc, col(idCol).asc)))
       result = ranked.filter(col("__rk") <= n).drop("__rk")
@@ -312,7 +381,9 @@ object Sampling {
     * source; coalesce to a sentinel first to sample them). */
   def temperature(df: DataFrame, idCol: String, groupCol: String,
       alpha: Double, baseRate: Double,
-      salt: String = "graft-temp", keepCol: String = "kept"): DataFrame = {
+      salt: String = "graft-temp", keepCol: String = "kept",
+      branchCutoff: Int = BranchCutoff,
+      maxGroups: Int = 1 << 20): DataFrame = {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
     require(baseRate > 0.0 && baseRate <= 1.0,
       s"baseRate must be in (0,1], got $baseRate")
@@ -320,15 +391,20 @@ object Sampling {
     val counts = df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0) -> r.getLong(1)) // bounded: one row per group
+    // loud guard (the topKPerGroup pattern): the per-group counts collect
+    // to the driver, so the group key must be metadata-scale — past the
+    // cap the collect itself is the scale bug, broadcast or not
+    require(counts.length <= maxGroups,
+      s"temperature saw ${counts.length} groups (maxGroups=$maxGroups) — " +
+        "group must be metadata-scale (source/language), not a document key")
     val c = coord(col(idCol), salt)
     if (counts.isEmpty) return df.withColumn(keepCol, lit(0))
     val nMax = counts.map(_._2).max.toDouble
     val round6: Double => Double = x => math.floor(x * 1e6 + 0.5) / 1e6
-    val thr = counts.sortBy(_._1.toString)
-      .foldLeft(lit(0L): Column) { case (els, (g, n)) =>
-        val rate = round6(math.min(1.0, baseRate * math.pow(n / nMax, alpha - 1.0)))
-        when(col(groupCol) === lit(g), lit(threshold(rate))).otherwise(els)
-      }
-    df.withColumn(keepCol, (c < thr).cast("int"))
+    val entries = counts.toSeq.map { case (g, n) =>
+      g -> threshold(round6(math.min(1.0, baseRate * math.pow(n / nMax, alpha - 1.0)))) }
+    val (withThr, thr, tmpCols) = groupThreshold(df, groupCol, entries,
+      0L, df.schema(groupCol).dataType, branchCutoff)
+    withThr.withColumn(keepCol, (c < thr).cast("int")).drop(tmpCols: _*)
   }
 }

@@ -220,4 +220,61 @@ class SamplingSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("id", "lang"))
   }
+
+  test("broadcast fallback: past the branch cutoff every operator keeps the same rows as the literal chain") {
+    val nGroups = 200 // above the default cutoff of 64
+    val df = (0 until 20000).map(i =>
+      (i.toLong, s"g${i % nGroups}", (i % 997).toDouble))
+      .toDF("id", "grp", "score")
+
+    // temperature: chain (cutoff ∞) vs broadcast (cutoff 10), same keeps
+    val tChain = Sampling.temperature(df, "id", "grp", 0.5, 0.6,
+        branchCutoff = Int.MaxValue)
+      .select("id", "kept").as[(Long, Int)].collect().toSet
+    val tJoin = Sampling.temperature(df, "id", "grp", 0.5, 0.6,
+      branchCutoff = 10)
+    assert(tJoin.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "above the cutoff, temperature must broadcast-join its thresholds")
+    assert(tJoin.select("id", "kept").as[(Long, Int)].collect().toSet == tChain)
+
+    // mixture: 200-entry rate map, filter mode
+    val rates = (0 until nGroups).map(i =>
+      s"g$i" -> (if (i % 2 == 0) 0.8 else 0.1)).toMap
+    val mChain = Sampling.mixture(df, "id", "grp", rates,
+      branchCutoff = Int.MaxValue).select("id").as[Long].collect().toSet
+    val mJoin = Sampling.mixture(df, "id", "grp", rates, branchCutoff = 10)
+    assert(mJoin.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(mJoin.select("id").as[Long].collect().toSet == mChain)
+    assert(mJoin.columns.toSeq == df.columns.toSeq,
+      "lookup temp columns must not leak into the result")
+
+    // stratified: exact-n selection identical through both paths
+    val sChain = Sampling.stratified(df, "id", "grp", n = 5,
+      branchCutoff = Int.MaxValue).select("id").as[Long].collect().toSet
+    val sJoin = Sampling.stratified(df, "id", "grp", n = 5, branchCutoff = 10)
+    assert(sJoin.select("id").as[Long].collect().toSet == sChain)
+
+    // topKPerGroup: identical top-k through both paths
+    val kChain = Sampling.topKPerGroup(df, "grp", "score", "id", n = 7,
+      branchCutoff = Int.MaxValue).select("id").as[Long].collect().toSet
+    val kJoin = Sampling.topKPerGroup(df, "grp", "score", "id", n = 7,
+      branchCutoff = 10)
+    assert(kJoin.select("id").as[Long].collect().toSet == kChain)
+  }
+
+  test("10k-group temperature completes via broadcast join, and the group-count guard is loud") {
+    val df = (0 until 30000).map(i => (i.toLong, s"src${i % 10000}"))
+      .toDF("id", "grp")
+    val out = Sampling.temperature(df, "id", "grp", alpha = 0.7, baseRate = 0.9)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "10k groups must take the broadcast path, not a 10k-branch CASE tree")
+    assert(out.count() == 30000)
+    assert(out.filter(col("kept") === 1).count() > 0)
+    // the guard: a group key past maxGroups fails fast instead of
+    // collecting an unbounded count table to the driver
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperature(df, "id", "grp", 0.7, 0.9, maxGroups = 100)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
 }
