@@ -1,0 +1,218 @@
+package graft.streaming
+
+import graft.operators.{Contamination, Dedup, IndexStore, Packing}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The streaming gates composed into ONE ingest-time function chain —
+  * the A20 fold applied to curation, and the streaming twin of the
+  * batch capstones' verified handoffs (q100/q107):
+  *
+  *   arriving docs → exact dedup (durable hash index)
+  *                 → near-dup drop (durable band index)
+  *                 → decontamination drop (prebuilt eval fingerprint
+  *                   index — the q109 ACTION semantics: offending
+  *                   arrivals are dropped, not just recorded)
+  *                 → sequence packing (durable high-water mark)
+  *
+  * all inside a single `foreachBatch`, batch-commit-scoped END TO END:
+  * one output publish, one pair of exactly-once markers for the whole
+  * chain — not four independently-committing gates whose crash windows
+  * could interleave.
+  *
+  * Exactly-once across the chain (the [[StreamingDedupGate]] two-marker
+  * protocol, generalized):
+  *
+  *  1. packed survivors → `outDir`  via [[BatchCommits.publishBatch]]
+  *  2. marker `graft_out_commits/<batchId>`
+  *  3. index slices → `exactIndexDir` + `bandIndexDir`, high-water
+  *     mark → `hwmDir` (all idempotent scoped publishes)
+  *  4. marker `graft_batch_commits/<batchId>`
+  *
+  * The index slices are PURE FUNCTIONS OF THE BATCH — every arriving
+  * doc's hash and band rows, not just the admitted ones — so the
+  * recovery path between (2) and (4) simply republishes them from the
+  * replayed batch, with no read-back and no dependence on partial index
+  * state. Indexing dropped docs does not change any admission decision:
+  * an exact duplicate shares its keeper's hash and shingle set, so any
+  * later doc it would match, the keeper already matches (this is also
+  * what makes admissions independent of where micro-batch boundaries
+  * fall, the [[StreamingNearDupGate]] argument). A replay before (2)
+  * recomputes the same survivors — neither index has any trace of the
+  * batch, because slices publish only after (2) — and `publishBatch`
+  * replaces partial output. The high-water-mark read is replay-immune
+  * by construction (predecessor batches only, the [[StreamingPacking]]
+  * design); its recovery value re-derives from the batch's own
+  * committed output files.
+  *
+  * Contract: monotone ingest ids across batches (the near-dup +
+  * packing contract) — batch N's ids all precede batch N+1's. The
+  * contamination index is built once from the fixed eval side
+  * ([[Contamination.buildIndex]]) and read-only here.
+  */
+object StreamingCurationChain {
+
+  private val OutCommits = "graft_out_commits"
+  private val Commits = "graft_batch_commits"
+
+  /** Chain knobs: exact-index prefix length; the [[Dedup.minhashLsh]]
+    * near-dup family; the [[Contamination]] winnowing family. */
+  final case class Params(
+      prefixLen: Int = 2,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      rows: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+      minShared: Int = 2,
+      k: Int = 8,
+      w: Int = 4) {
+    require(bands * rows == numHashes, "bands*rows must equal numHashes")
+    require(prefixLen >= 1 && prefixLen <= 8, "prefixLen in [1, 8]")
+  }
+
+  /** The batch's exact-index slice: every arriving doc's content hash,
+    * distinct, prefix-partitioned — a pure function of the batch. */
+  private[streaming] def exactSlice(batch: DataFrame, textCol: String,
+      prefixLen: Int): DataFrame =
+    batch.select(md5(col(textCol).cast("string")).as("h")).distinct()
+      .withColumn("hp", substring(col("h"), 1, prefixLen))
+
+  /** The batch's band-index slice: every arriving doc's band rows — a
+    * pure function of the batch. */
+  private[streaming] def bandSlice(batch: DataFrame, idCol: String,
+      textCol: String, p: Params): DataFrame =
+    StreamingNearDupGate.bandRows(batch, idCol, textCol,
+      p.shingleK, p.numHashes, p.bands, p.rows)
+
+  private def publishMark(spark: SparkSession, hwmDir: String, scope: String,
+      batchId: Long, endOffset: Long): Unit =
+    BatchCommits.publishBatch(
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(scope, batchId, endOffset)),
+        StreamingPacking.hwmSchema),
+      hwmDir, scope, batchId)
+
+  /** One batch through the whole chain — the foreachBatch body, factored
+    * out so specs can drive individual crash windows. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, nTokensCol: String, capacity: Long,
+      exactIndexDir: String, bandIndexDir: String, contamIndex: DataFrame,
+      outDir: String, hwmDir: String, checkpoint: String, p: Params): Unit = {
+    val spark = batch.sparkSession
+    val scope = BatchCommits.scopeFor(checkpoint)
+    if (BatchCommits.markerExists(spark, checkpoint, Commits, batchId)) return
+    val (exactFs, _) = BatchCommits.fileSystem(spark, exactIndexDir)
+    StreamingDedupGate.checkPrefixLen(exactFs, exactIndexDir, p.prefixLen)
+    if (BatchCommits.markerExists(spark, checkpoint, OutCommits, batchId)) {
+      // recovery: output committed, index/mark publishes may be partial.
+      // Slices are pure functions of the replayed batch — republish;
+      // the mark's end offset re-derives from the committed output.
+      BatchCommits.publishBatch(exactSlice(batch, textCol, p.prefixLen),
+        exactIndexDir, scope, batchId, Seq("hp"))
+      BatchCommits.publishBatch(bandSlice(batch, idCol, textCol, p),
+        bandIndexDir, scope, batchId, Seq("bp"))
+      val files = BatchCommits.publishedFiles(spark, outDir, scope, batchId)
+      val total =
+        if (files.isEmpty) 0L
+        else {
+          val r = spark.read.parquet(files.map(_.toString): _*)
+            .agg(sum(col("n_tokens"))).first()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+      val start = StreamingPacking.highWaterMark(spark, hwmDir, scope, batchId)
+      publishMark(spark, hwmDir, scope, batchId, start + total)
+      BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
+      return
+    }
+
+    // ---- stage 1: exact dedup (the StreamingDedupGate anti-join) ----
+    val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
+    val keepers = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    val inBatchExact = hashed.join(keepers,
+        hashed("__h") === keepers("__h") && col(idCol) === col("__keep_id"))
+      .drop(keepers("__h")).drop("__keep_id")
+      .withColumn("hp", substring(col("__h"), 1, p.prefixLen))
+    val s1 = {
+      val prefixes = inBatchExact.select(col("hp")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val seen = StreamingDedupGate.prunedIndex(spark, exactIndexDir, prefixes)
+      inBatchExact.join(seen, inBatchExact("__h") === seen("h"), "left_anti")
+        .drop("__h", "hp")
+    }.cache()
+    try {
+      // ---- stage 2: near-dup drop (the StreamingNearDupGate shapes) ----
+      val inPairs = Dedup.minhashLsh(s1, idCol, textCol,
+        shingleK = p.shingleK, numHashes = p.numHashes, bands = p.bands,
+        rows = p.rows, threshold = p.threshold,
+        maxBucketSize = p.maxBucketSize, index = IndexStore.NoStore)
+      val s1k = s1.join(inPairs.select(col("id_b").as("__drop")).distinct(),
+        col(idCol).cast("long") === col("__drop"), "left_anti")
+      val arr = StreamingNearDupGate.bandRows(s1k, idCol, textCol,
+        p.shingleK, p.numHashes, p.bands, p.rows).cache()
+      try {
+        val dupIds = StreamingNearDupGate.crossBatchDupIds(spark, arr,
+          bandIndexDir, p.threshold, p.maxBucketSize)
+        val s2 = s1k.join(dupIds,
+          col(idCol).cast("long") === col("__dup_id"), "left_anti")
+
+        // ---- stage 3: decontamination ACTION (drop offending docs) ----
+        val contamIds = Contamination.checkAgainstIndex(s2, idCol, textCol,
+            contamIndex, p.minShared, p.k, p.w)
+          .select(col("test_id").as("__contam_id"))
+        val s3 = s2.join(contamIds,
+          col(idCol).cast("long") === col("__contam_id"), "left_anti")
+
+        // ---- stage 4: sequence packing off the durable high-water mark ----
+        val start = StreamingPacking.highWaterMark(spark, hwmDir, scope, batchId)
+        val packed = Packing.assign(s3, idCol, nTokensCol, capacity,
+          startOffset = start).cache()
+        try {
+          val total = {
+            val r = packed.agg(sum(col("n_tokens"))).first()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+          BatchCommits.publishBatch(packed, outDir, scope, batchId)
+          BatchCommits.createMarker(spark, checkpoint, OutCommits, batchId)
+          BatchCommits.publishBatch(exactSlice(batch, textCol, p.prefixLen),
+            exactIndexDir, scope, batchId, Seq("hp"))
+          BatchCommits.publishBatch(bandSlice(batch, idCol, textCol, p),
+            bandIndexDir, scope, batchId, Seq("bp"))
+          publishMark(spark, hwmDir, scope, batchId, start + total)
+          BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
+        } finally packed.unpersist()
+      } finally arr.unpersist()
+    } finally s1.unpersist()
+  }
+
+  /** Start the chained gate over streaming `docs` (carrying `idCol`,
+    * `textCol`, `nTokensCol`): packed surviving assignments append to
+    * `outDir`; the exact-hash and band indexes and the packing
+    * high-water mark advance in the same batch commit. `contamIndexDir`
+    * is a prebuilt [[Contamination.buildIndex]] directory (`k`/`w` in
+    * `params` must match the build). */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+      nTokensCol: String, capacity: Long,
+      exactIndexDir: String, bandIndexDir: String, contamIndexDir: String,
+      outDir: String, hwmDir: String, checkpoint: String,
+      params: Params = Params(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    // resolved once; each micro-batch re-scans the (immutable) parquet
+    val contamIndex = Contamination.loadIndex(spark, contamIndexDir)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, nTokensCol, capacity,
+          exactIndexDir, bandIndexDir, contamIndex, outDir, hwmDir,
+          checkpoint, params)
+      }
+      .start()
+  }
+}

@@ -60,7 +60,7 @@ object StreamingDedupGate {
     * match NO stored hp partition — prunedIndex would return empty and
     * every duplicate would be silently re-admitted. The first publish
     * writes `_graft_prefix_len`; every later batch checks it. */
-  private def checkPrefixLen(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def checkPrefixLen(fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String, prefixLen: Int): Unit = {
     val meta = new org.apache.hadoop.fs.Path(indexDir, "_graft_prefix_len")
     if (fs.exists(meta)) {

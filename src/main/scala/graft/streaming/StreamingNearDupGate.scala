@@ -56,8 +56,9 @@ object StreamingNearDupGate {
     StructField("bp", StringType)))
 
   /** (id, sset, band, bp) rows for a document batch — the same shingle /
-    * signature / banding expressions as [[Dedup.minhashLsh]]. */
-  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+    * signature / banding expressions as [[Dedup.minhashLsh]]. Shared
+    * with [[StreamingCurationChain]]'s near-dup stage. */
+  private[streaming] def bandRows(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int, rows: Int): DataFrame = {
     graft.functions.MinHashSig.register(docs.sparkSession)
     docs.select(
@@ -79,6 +80,28 @@ object StreamingNearDupGate {
     else
       spark.read.schema(indexSchema).parquet(indexDir)
         .filter(col("bp").isin(prefixes: _*))
+  }
+
+  /** Ids among `arrivingBands` that near-duplicate any previously SEEN
+    * document: candidates from shared bands in the pruned index,
+    * verified with exact Jaccard, bucket-capped on the index side.
+    * Returns one `__dup_id` column (reserved name — see the join-site
+    * comments). Shared with [[StreamingCurationChain]]. */
+  private[streaming] def crossBatchDupIds(spark: SparkSession,
+      arrivingBands: DataFrame, indexDir: String, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val prefixes = arrivingBands.select(col("bp")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val seen = prunedIndex(spark, indexDir, prefixes)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("id").as("seen_id"), col("sset").as("seen_sset"))
+    arrivingBands.join(seen, Seq("band"))
+      .withColumn("inter", size(array_intersect(col("sset"), col("seen_sset"))))
+      .filter(col("inter") / (size(col("sset")) + size(col("seen_sset")) - col("inter"))
+        >= threshold)
+      .select(col("id").as("__dup_id")).distinct()
   }
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
@@ -115,18 +138,8 @@ object StreamingNearDupGate {
     val arrivingAll = bandRows(batch, idCol, textCol,
       shingleK, numHashes, bands, rows).cache()
     try {
-      val prefixes = arrivingAll.select(col("bp")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val seen = prunedIndex(spark, indexDir, prefixes)
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
-        .filter(col("bucket_n") <= maxBucketSize)
-        .select(col("band"), col("id").as("seen_id"), col("sset").as("seen_sset"))
-      val dupIds = arrivingAll.join(seen, Seq("band"))
-        .withColumn("inter", size(array_intersect(col("sset"), col("seen_sset"))))
-        .filter(col("inter") / (size(col("sset")) + size(col("seen_sset")) - col("inter"))
-          >= threshold)
-        .select(col("id").as("__dup_id")).distinct()
+      val dupIds = crossBatchDupIds(spark, arrivingAll, indexDir,
+        threshold, maxBucketSize)
       // reserved name (the __drop pattern above): an unqualified
       // col(idCol) against dupIds("id") is ambiguous at analysis when
       // the caller's id column is itself named "id" (dupIds is

@@ -34,7 +34,7 @@ object StreamingPacking {
 
   private val Commits = "graft_batch_commits"
 
-  private val hwmSchema = StructType(Seq(
+  private[streaming] val hwmSchema = StructType(Seq(
     StructField("scope", StringType),
     StructField("batch_id", LongType),
     StructField("end_offset", LongType)))

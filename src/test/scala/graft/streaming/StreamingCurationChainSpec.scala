@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{Contamination, Dedup, IndexStore, Packing}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The chained gate (exact dedup → near-dup → decontamination → packing
+  * in ONE foreachBatch) must equal the composed BATCH pipeline over the
+  * union of its batches, and every crash window at a stage boundary
+  * must replay to the same bytes. */
+class StreamingCurationChainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic-recall LSH recipe (the StreamingNearDupGateSpec one):
+  // 8 bands x 2 rows at threshold 0.7 — recall ~0.999 at J≈0.8, and the
+  // minhash functions are fixed, so found-or-not is stable run to run
+  private val P = StreamingCurationChain.Params(
+    numHashes = 16, bands = 8, rows = 2, threshold = 0.7)
+  private val Cap = 50L
+
+  private val evalText =
+    "which roman emperor built the colosseum in the heart of ancient rome for gladiator games"
+
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val nearA = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // ~A, J=9/11
+  private val nearA2 = "alpha beta gamma delta epsilon zeta eta theta iota mu"    // ~A and ~nearA
+  private val textB = "totally unrelated prose regarding distributed query engines and storage"
+  private val nearB = "totally unrelated prose regarding distributed query engines and medium" // ~B, J=8/10
+  private val contam =
+    s"students asked $evalText yesterday" // long shared winnowed run with the eval doc
+  private val textC = "another clean document mentioning completely disjoint vocabulary items"
+  private val textD = "fresh novel content unseen before in any earlier micro batch"
+  private val textE = "independent sentences about machine learning evaluation strategy design"
+
+  // ids monotone across batches (the near-dup + packing contract)
+  private val batch0 = Seq(
+    (1L, textA, 10L), (2L, textA, 20L), (3L, nearA, 30L),
+    (4L, textB, 40L), (5L, contam, 50L), (6L, textC, 60L))
+  private val batch1 = Seq(
+    (7L, textA, 70L), (8L, nearB, 80L), (9L, textD, 90L),
+    (10L, nearA2, 15L), (11L, textE, 25L), (12L, textD, 35L))
+
+  private def df(rows: Seq[(Long, String, Long)]): DataFrame =
+    rows.toDF("doc_id", "text", "n_tokens")
+
+  private case class Dirs(exact: String, band: String, contam: String,
+      out: String, hwm: String, ckpt: String)
+  private def mkDirs(tag: String): Dirs = {
+    def t(s: String) = Files.createTempDirectory(s"graft-chain-$tag-$s").toString
+    val d = Dirs(t("exact"), t("band"), t("contam"), t("out"), t("hwm"), t("ckpt"))
+    Contamination.buildIndex(Seq((100L, evalText)).toDF("id", "text"),
+      "id", "text", d.contam, k = P.k, w = P.w)
+    d
+  }
+
+  private def run(d: Dirs, batches: Seq[Seq[(Long, String, Long)]]): Unit =
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      StreamingCurationChain.processBatch(df(rows), i.toLong,
+        "doc_id", "text", "n_tokens", Cap, d.exact, d.band,
+        Contamination.loadIndex(spark, d.contam), d.out, d.hwm, d.ckpt, P)
+    }
+
+  private def packedRows(out: String): Set[(Long, Long, Long, Long, Long, Long)] =
+    spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "tok_offset", "seq_id", "seq_offset", "seq_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+  /** The composed batch pipeline over one corpus — q100-style handoffs
+    * with the exact operator semantics the chain's stages claim. */
+  private def batchPipeline(rows: Seq[(Long, String, Long)], contamDir: String)
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    val corpus = df(rows)
+    // exact: min-id keeper per content hash
+    val hashed = corpus.withColumn("__h", md5(col("text")))
+    val keepers = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("__k"))
+    val s1 = hashed.join(keepers,
+        hashed("__h") === keepers("__h") && col("doc_id") === col("__k"))
+      .drop(keepers("__h")).drop("__h", "__k")
+    // near-dup: pairwise-against-history — id_b of any verified pair drops
+    val pairs = Dedup.minhashLsh(s1, "doc_id", "text",
+      shingleK = P.shingleK, numHashes = P.numHashes, bands = P.bands,
+      rows = P.rows, threshold = P.threshold,
+      maxBucketSize = P.maxBucketSize, index = IndexStore.NoStore)
+    val s2 = s1.join(pairs.select(col("id_b").as("__d")).distinct(),
+      col("doc_id") === col("__d"), "left_anti")
+    // decontamination ACTION: offending docs drop
+    val hits = Contamination.checkAgainstIndex(s2, "doc_id", "text",
+        Contamination.loadIndex(spark, contamDir), P.minShared, P.k, P.w)
+      .select(col("test_id").as("__c"))
+    val s3 = s2.join(hits, col("doc_id") === col("__c"), "left_anti")
+    Packing.assign(s3, "doc_id", "n_tokens", Cap, startOffset = 0L)
+      .select("doc_id", "n_tokens", "tok_offset", "seq_id", "seq_offset", "seq_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("two batches through the chain == the composed batch pipeline over the union") {
+    val d = mkDirs("equiv")
+    run(d, Seq(batch0, batch1))
+    val streamed = packedRows(d.out)
+    val batch = batchPipeline(batch0 ++ batch1, d.contam)
+    assert(streamed == batch,
+      s"chain != batch union:\n stream=$streamed\n batch=$batch")
+    // semantics sanity: exact dups (2,7,12), near-dups (3,8,10 — 10
+    // against the DROPPED 3, pairwise-against-history), contamination
+    // (5) all gone; survivors packed contiguously in id order
+    assert(streamed.map(_._1) == Set(1L, 4L, 6L, 9L, 11L))
+    val byId = streamed.toSeq.sortBy(_._1)
+    assert(byId.map(_._3) == byId.map(_._2).scanLeft(0L)(_ + _).dropRight(1),
+      "token offsets must be the running prefix sum in id order")
+    // both indexes hold EVERY seen doc's slice (pure function of batch)
+    assert(spark.read.parquet(d.exact).select("h").distinct().count() ==
+      (batch0 ++ batch1).map(_._2).distinct.size)
+    val bandIds = spark.read.parquet(d.band).select("id").as[Long].collect().toSet
+    assert(bandIds == (batch0 ++ batch1).map(_._1).toSet,
+      s"band index must hold every seen doc: $bandIds")
+  }
+
+  test("crash windows at every stage boundary replay to the same bytes") {
+    // reference: a clean two-batch run
+    val ref = mkDirs("ref")
+    run(ref, Seq(batch0, batch1))
+    val expected = packedRows(ref.out)
+    val expectedHwm = spark.read.parquet(ref.hwm)
+      .select("batch_id", "end_offset").as[(Long, Long)].collect().toSet
+
+    // window 1 — crash mid-output-publish (before the out marker):
+    // partial batch-1 files exist, no markers, no index slices
+    val w1 = mkDirs("w1")
+    run(w1, Seq(batch0))
+    val scope1 = BatchCommits.scopeFor(w1.ckpt)
+    BatchCommits.publishBatch(
+      df(batch1.take(2)).withColumn("tok_offset", lit(999L))
+        .withColumn("seq_id", lit(999L)).withColumn("seq_offset", lit(999L))
+        .withColumn("seq_last", lit(999L)).drop("text"),
+      w1.out, scope1, 1L)
+    run(w1, Seq(batch0, batch1)) // batch0 skips via marker; batch1 replays
+    assert(packedRows(w1.out) == expected,
+      "a replay must REPLACE the crashed batch's partial output")
+
+    // window 2 — crash after the out marker with PARTIAL index/mark
+    // publishes: band slice and high-water mark lost, exact slice kept
+    val w2 = mkDirs("w2")
+    run(w2, Seq(batch0, batch1))
+    val scope2 = BatchCommits.scopeFor(w2.ckpt)
+    val (fs, _) = BatchCommits.fileSystem(spark, w2.ckpt)
+    fs.delete(new org.apache.hadoop.fs.Path(w2.ckpt, "graft_batch_commits/1"), false)
+    BatchCommits.publishedFiles(spark, w2.band, scope2, 1L)
+      .foreach(f => fs.delete(f, false))
+    BatchCommits.publishedFiles(spark, w2.hwm, scope2, 1L)
+      .foreach(f => fs.delete(f, false))
+    run(w2, Seq(batch0, batch1)) // recovery path: republish slices + mark
+    assert(packedRows(w2.out) == expected, "recovery must not touch committed output")
+    val bandIds2 = spark.read.parquet(w2.band).select("id").as[Long].collect().toSet
+    assert(bandIds2 == (batch0 ++ batch1).map(_._1).toSet,
+      s"recovery must restore the full band slice: $bandIds2")
+    assert(spark.read.parquet(w2.hwm).select("batch_id", "end_offset")
+      .as[(Long, Long)].collect().toSet == expectedHwm,
+      "recovery must restore the high-water mark from committed output")
+
+    // window 3 — replay after the final marker is a pure no-op
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(w2.out))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    run(w2, Seq(batch0, batch1))
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(w2.out))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    assert(after == before, "a committed batch must not be reprocessed")
+
+    // and the recovered indexes keep gating: batch 2 sees exact dups,
+    // near-dups of DROPPED docs, and fresh contamination — offsets
+    // continue from the recovered high-water mark
+    val batch2 = Seq((13L, textD, 11L), (14L, nearA2, 12L), (15L, contam, 13L),
+      (16L, "wholly new closing words never used previously anywhere", 14L))
+    StreamingCurationChain.processBatch(df(batch2), 2L,
+      "doc_id", "text", "n_tokens", Cap, w2.exact, w2.band,
+      Contamination.loadIndex(spark, w2.contam), w2.out, w2.hwm, w2.ckpt, P)
+    val all = packedRows(w2.out)
+    assert(all.map(_._1) == expected.map(_._1) + 16L,
+      s"post-recovery gating failed: ${all.map(_._1)}")
+    val t16 = all.find(_._1 == 16L).get._3
+    val prevTotal = expected.toSeq.map(_._2).sum
+    assert(t16 == prevTotal,
+      s"batch-2 offsets must continue the recovered stream: $t16 != $prevTotal")
+  }
+}
