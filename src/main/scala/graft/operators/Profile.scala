@@ -141,4 +141,30 @@ object Profile {
           .as("within_bound")),
       Seq("col_name"), "left")
   }
+
+  /** Typed temporal profile — the third branch of the melted scan, for
+    * DATE/TIMESTAMP columns where both the string branch (lexicographic
+    * "9" > "10" pathologies are gone but so is calendar arithmetic) and
+    * the numeric branch (doubles) are the wrong shape: per column
+    * (col_name, n_rows, n_null, min_value, max_value, span_days).
+    * DATE columns cast to timestamp (midnight), so both temporal types
+    * melt through one branch and one plan. Same scale contract as the
+    * siblings: one scan for any column count, ONE mergeable hash
+    * aggregate, no window — the plan shape is fixed by the column list,
+    * not the data. */
+  def temporalColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("timestamp").as("t"))): _*))
+        .as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.t").as("t"))
+    melted.groupBy(col("col_name")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("t").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("t")).as("min_value"),
+        max(col("t")).as("max_value"))
+      .withColumn("span_days",
+        datediff(to_date(col("max_value")), to_date(col("min_value"))).cast("long"))
+  }
 }

@@ -78,5 +78,28 @@ object ProfileQueries extends QueryModule {
       FROM m GROUP BY col_name
       ORDER BY col_name"""))
 
-  override val entries: Seq[QueryDef] = Seq(q88, q102)
+  /** Typed temporal profile across two tables' event-time columns —
+    * true calendar min/max/span (the string branch would order dates
+    * lexicographically only by accident of ISO formatting; the numeric
+    * branch can't express them at all). Exact, so fully hash-compared. */
+  private val q110 = QueryDef(
+    "q110_temporal_profile",
+    (s, d) => {
+      Profile.temporalColumns(Tables.lineitem(s, d), Seq("l_shipdate"))
+        .unionByName(
+          Profile.temporalColumns(Tables.orders(s, d), Seq("o_orderdate")))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT 'l_shipdate' AS col_name, CAST(l_shipdate AS TIMESTAMP) AS t FROM lineitem
+        UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS TIMESTAMP) FROM orders)
+      SELECT col_name, count(*) AS n_rows,
+             count(*) - count(t) AS n_null,
+             min(t) AS min_value, max(t) AS max_value,
+             date_diff('day', CAST(min(t) AS DATE), CAST(max(t) AS DATE)) AS span_days
+      FROM m GROUP BY col_name
+      ORDER BY col_name"""))
+
+  override val entries: Seq[QueryDef] = Seq(q88, q102, q110)
 }

@@ -81,4 +81,35 @@ class ProfileSpec extends SparkSpec {
     assert(two == one, s"melt count grew with column count: $one -> $two")
     assert(two <= 3, s"unexpected plan shape: $two explodes")
   }
+
+  test("temporal profile: DATE and TIMESTAMP melt together, calendar min/max/span, nulls counted") {
+    import java.sql.{Date, Timestamp}
+    val df = Seq(
+        (Date.valueOf("2024-01-10"), Timestamp.valueOf("2024-03-01 08:30:00")),
+        (Date.valueOf("2023-11-02"), Timestamp.valueOf("2024-03-05 23:59:59")),
+        (Date.valueOf("2024-02-29"), null.asInstanceOf[Timestamp]))
+      .toDF("d", "ts")
+    val out = Profile.temporalColumns(df, Seq("d", "ts"))
+      .orderBy(col("col_name")).collect()
+    val d = out(0); val ts = out(1)
+    assert(d.getString(0) == "d" && ts.getString(0) == "ts")
+    assert(d.getLong(1) == 3 && d.getLong(2) == 0)
+    // dates cast to midnight timestamps; calendar ordering, not string
+    assert(d.getTimestamp(3) == Timestamp.valueOf("2023-11-02 00:00:00"))
+    assert(d.getTimestamp(4) == Timestamp.valueOf("2024-02-29 00:00:00"))
+    assert(d.getLong(5) == 119L, s"2023-11-02 .. 2024-02-29 spans 119 days (leap)")
+    assert(ts.getLong(1) == 3 && ts.getLong(2) == 1, "null timestamp counted")
+    assert(ts.getTimestamp(3) == Timestamp.valueOf("2024-03-01 08:30:00"))
+    assert(ts.getTimestamp(4) == Timestamp.valueOf("2024-03-05 23:59:59"))
+    assert(ts.getLong(5) == 4L)
+    // same fixed-plan-shape contract as the sibling branches
+    val gen = (x: org.apache.spark.sql.DataFrame) =>
+      "Generate explode".r.findAllIn(x.queryExecution.optimizedPlan.toString).length
+    assert(gen(Profile.temporalColumns(df, Seq("d", "ts"))) ==
+      gen(Profile.temporalColumns(df, Seq("d"))))
+    // an all-null temporal column keeps its row with null min/max
+    val z = Profile.temporalColumns(
+      df.withColumn("z", lit(null).cast("timestamp")), Seq("z")).collect().head
+    assert(z.getLong(2) == 3L && z.isNullAt(3) && z.isNullAt(4) && z.isNullAt(5))
+  }
 }
