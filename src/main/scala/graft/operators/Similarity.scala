@@ -181,6 +181,21 @@ object Similarity {
       -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))
   }
 
+  /** [[ivfAssign]] against a Lloyd-trained codebook ([[trainCentroids]])
+    * — cells follow the data's cluster structure, so the buckets are
+    * SEMANTIC groups (topic-ish cells over document embeddings), usable
+    * as the group key for cluster-balanced curation (q111: temperature
+    * reweighting per semantic cell). Assignment itself stays a
+    * shuffle-free projection with the trained codebook as plan
+    * literals. */
+  def ivfAssignTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val cents = trainOnNormalized(c, nCentroids, iters)
+    c.withColumn("bucket",
+      -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))
+  }
+
   private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   /** Lloyd-trained IVF codebook (spherical k-means over the

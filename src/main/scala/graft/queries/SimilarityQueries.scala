@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.operators.Similarity
+import graft.operators.{Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search extension operators: exact brute-force ANN baseline
@@ -156,19 +156,11 @@ object SimilarityQueries extends QueryModule {
     * is what makes the centroids engine-exact (float sums differ in the
     * last ulps across aggregation orders); without it iteration 2 would
     * be unreplayable. */
-  private val q101 = QueryDef(
-    "q101_ann_ivf_trained",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 10)
-      Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 5,
-          nCentroids = 8, nprobe = 2, iters = 2)
-        .select(col("query_id"), col("rank"), col("corpus_id"),
-          Rnd.halfUp(col("cosine"), 4).as("cos4"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The q101/q111 shared oracle prefix: two unrolled Lloyd iterations
+    * (K=8) ending at the trained centroid table `c2` — byte-identical
+    * SQL in both, so the training replay is verified once and the two
+    * queries diverge only in what they DO with the trained cells. */
+  private val lloydK8I2Ctes = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       n AS (
         SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
         FROM e),
@@ -216,7 +208,21 @@ object SimilarityQueries extends QueryModule {
                     ELSE list_transform(l.rv, x ->
                       floor(x / sqrt(list_dot_product(l.rv, l.rv)) * 1000000.0 + 0.5) / 1000000.0)
                END AS cv
-        FROM c1 c LEFT JOIN l2 l USING (cid)),
+        FROM c1 c LEFT JOIN l2 l USING (cid))"""
+
+  private val q101 = QueryDef(
+    "q101_ann_ivf_trained",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopKTrained(queries, emb, "vec_id", "embedding", k = 5,
+          nCentroids = 8, nprobe = 2, iters = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
       assign AS (
         SELECT vec_id, bucket FROM (
           SELECT n.vec_id, c.cid AS bucket,
@@ -246,6 +252,49 @@ object SimilarityQueries extends QueryModule {
              floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
+
+  /** Semantic cluster-balanced sampling — the embedding-space capstone
+    * of the mixture family: assign every vector to its Lloyd-trained
+    * cell ([[Similarity.ivfAssignTrained]] — cells are SEMANTIC groups,
+    * not hand-labeled sources), then temperature-reweight per cell
+    * (q103's operator with the cell as the group). Balances a corpus by
+    * what documents ARE ABOUT rather than where they came from — the
+    * cluster-balanced curation recipe pretraining mixtures use when
+    * source labels are missing or too coarse. The oracle replays the
+    * SAME trained centroids as q101 (shared CTE prefix), the
+    * assignment, the count-derived half-up-6 rates, and the per-row
+    * 60-bit coordinate compare. */
+  private val q111 = QueryDef(
+    "q111_cluster_balanced_sampling",
+    (s, d) => {
+      val assigned = Similarity.ivfAssignTrained(Tables.embeddings(s, d),
+          "vec_id", "embedding", nCentroids = 8, iters = 2)
+        .select(col("corpus_id").as("vec_id"), col("bucket"))
+      Sampling.temperature(assigned, "vec_id", "bucket",
+          alpha = 0.5, baseRate = 0.5)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      cnt AS (SELECT bucket, count(*) AS n FROM assign GROUP BY bucket),
+      mx AS (SELECT max(n) AS nmax FROM cnt),
+      th AS (
+        SELECT bucket,
+               CAST(floor(
+                 (floor(least(1.0, 0.5 * pow(n / nmax, -0.5)) * 1000000.0 + 0.5)
+                   / 1000000.0) * 1152921504606846976.0) AS BIGINT) AS thr
+        FROM cnt, mx)
+      SELECT a.vec_id, a.bucket,
+             CASE WHEN ('0x' || substr(md5('graft-temp|' || a.vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < t.thr
+                  THEN 1 ELSE 0 END AS kept
+      FROM assign a JOIN th t USING (bucket)
+      ORDER BY a.vec_id"""))
 
   private val q87 = QueryDef(
     "q87_ivf_cell_centroids",
@@ -326,5 +375,5 @@ object SimilarityQueries extends QueryModule {
       FROM q
       ORDER BY vec_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87, q94, q101)
+  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87, q94, q101, q111)
 }
