@@ -67,8 +67,15 @@ object CommitPoint {
         java.nio.file.Files.createLink(dir.resolve(name), tmp)
         true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.nio.file.FileSystemException =>
+          // createLink throws FileSystemException for more than a taken
+          // name (EPERM/EOPNOTSUPP on link-less mounts): only an existing
+          // target is a lost race — anything else must surface, or the
+          // retry loop would wait out its winner-visibility window and
+          // re-fail 20 times against a store that can never link (the
+          // same exists-recheck [[Fs]] does after a refused rename)
+          if (java.nio.file.Files.exists(dir.resolve(name))) false else throw e
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }

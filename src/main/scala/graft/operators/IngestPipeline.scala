@@ -88,6 +88,20 @@ object IngestPipeline {
           (lit(cfg.streamAltId) =!= "" && col("cfg_stream_alt_id") === cfg.streamAltId))
         val chain = StreamConfig.dedupChain(
           if (cfg.functions.nonEmpty) cfg.functions else Seq(Router.DefaultFunction))
+        // the idempotency scope must be unique PER CONFIG, not just per
+        // (checkpoint, batch): two configs can resolve to the same output
+        // path (shared folderName, or streamIds that sanitize to the same
+        // ident), and a shared scope would make each config's publishBatch
+        // delete-and-replace the other's files within the batch — silent
+        // data loss the old plain Append never had. Hash the full routing
+        // identity into the scope (stable across restarts, distinct
+        // across configs).
+        val cfgScope = batchScope.map { case (s, b) =>
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${cfg.streamId}|${cfg.streamAltId}".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(8)
+          (s"$s-$tag", b)
+        }
 
         var df = mine
         val written = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -97,10 +111,10 @@ object IngestPipeline {
           case "ingester" =>
             written ++= LakeWriter.writeStreamTable(
               spark, df, cfg, destRoot, tsCol, database, registerTables,
-              batchScope = batchScope)
+              batchScope = cfgScope)
           case "deltawriter" =>
             written ++= appendDeltaStyle(spark, df, cfg, destRoot, database,
-              registerTables, batchScope)
+              registerTables, cfgScope)
           case other =>
             throw new IllegalArgumentException(s"unknown chain function '$other'")
         }

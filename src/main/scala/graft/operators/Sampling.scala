@@ -303,14 +303,16 @@ object Sampling {
     val rows = df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
     val grid = (0 to 1000).map(_ / 1000.0)
     val gridSql = grid.map(q => s"${q}D").mkString("array(", ", ", ")")
+    // bounded fetch (maxGroups+1 rows, ~8 KB sketch each) so the guard
+    // protects the driver instead of firing after the unbounded collect
     val stats = rows.groupBy(col(groupCol)).agg(
         count(lit(1)).as("__cnt"),
         expr(s"approx_percentile(`$scoreCol`, $gridSql, 10000)").as("__qs"))
-      .collect()
+      .head(maxGroups + 1)
       .map(r => r.get(0) -> (r.getLong(1), r.getSeq[Any](2)))
     if (stats.isEmpty) return rows.limit(0)
     require(stats.length <= maxGroups,
-      s"topKPerGroup saw ${stats.length} groups (maxGroups=$maxGroups) — " +
+      s"topKPerGroup saw more than maxGroups=$maxGroups groups — " +
         "this operator is for metadata-scale group counts; see scaladoc")
     var m = margin
     var result: DataFrame = null
@@ -388,14 +390,16 @@ object Sampling {
     require(baseRate > 0.0 && baseRate <= 1.0,
       s"baseRate must be in (0,1], got $baseRate")
     require(keepCol.nonEmpty, "keepCol required")
+    // loud guard (the topKPerGroup pattern), and a PROTECTIVE one: the
+    // fetch is bounded to maxGroups+1 rows, so a document-key group
+    // column fails fast instead of melting the driver with the very
+    // collect the guard exists to prevent (head(n) returns all rows
+    // when there are fewer, so the passing path is unchanged)
     val counts = df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0) -> r.getLong(1)) // bounded: one row per group
-    // loud guard (the topKPerGroup pattern): the per-group counts collect
-    // to the driver, so the group key must be metadata-scale — past the
-    // cap the collect itself is the scale bug, broadcast or not
+      .head(maxGroups + 1).map(r => r.get(0) -> r.getLong(1))
     require(counts.length <= maxGroups,
-      s"temperature saw ${counts.length} groups (maxGroups=$maxGroups) — " +
+      s"temperature saw more than maxGroups=$maxGroups groups — " +
         "group must be metadata-scale (source/language), not a document key")
     val c = coord(col(idCol), salt)
     if (counts.isEmpty) return df.withColumn(keepCol, lit(0))

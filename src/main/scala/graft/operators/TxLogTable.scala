@@ -109,6 +109,18 @@ object TxLogTable {
           throw new java.util.ConcurrentModificationException(
             s"table advanced to ${v - 1} during compaction (snapshot was $exp)")
       }
+      // SetTransaction re-check ON EVERY ATTEMPT, after the version
+      // listing (the delta conflict-detection shape): append's pre-stage
+      // check is only check-then-act — two replaying drivers can both
+      // pass it, and the loser of the putIfAbsent race would otherwise
+      // retry at the next version and commit the same transaction twice.
+      // Any same-app commit at or before v-1 is visible to this read; one
+      // landing after it makes this put LOSE (the name is taken), and the
+      // retry re-checks.
+      txn.foreach { case (app, tv) =>
+        if (lastTxnVersion(fs, root, app).exists(_ >= tv))
+          return v - 1
+      }
       val flag = if (rebase) """"rebase":true,""" else ""
       val txnField = txn.map { case (app, tv) =>
         s""""txn":["$app",$tv],""" }.getOrElse("")
@@ -159,6 +171,13 @@ object TxLogTable {
     txn.foreach { case (app, tv) =>
       require(app.matches("[A-Za-z0-9_:/.@=-]+"),
         s"txn appId must be JSON-literal-safe, got '$app'")
+      // the log parser extracts file names by their data- prefix from the
+      // whole entry; an appId that looks like one would be read back as a
+      // phantom data file and break every snapshot of the table
+      require(!app.startsWith("data-"),
+        s"txn appId must not start with 'data-', got '$app'")
+      // fast path: don't stage files for a batch that already committed
+      // (re-checked race-safely inside the commit loop)
       if (lastTxnVersion(fs, root, app).exists(_ >= tv))
         return versions(fs, root).lastOption.getOrElse(-1L)
     }

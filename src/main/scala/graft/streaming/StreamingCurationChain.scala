@@ -130,31 +130,41 @@ object StreamingCurationChain {
     }
 
     // ---- stage 1: exact dedup (the StreamingDedupGate anti-join) ----
+    // `hashed` is cached: it feeds both the admission chain and the
+    // exact-index slice publish, and md5-over-text is a real per-batch
+    // cost — one computation, two consumers
     val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
-    val keepers = hashed.groupBy(col("__h"))
-      .agg(min(col(idCol)).as("__keep_id"))
-    val inBatchExact = hashed.join(keepers,
-        hashed("__h") === keepers("__h") && col(idCol) === col("__keep_id"))
-      .drop(keepers("__h")).drop("__keep_id")
-      .withColumn("hp", substring(col("__h"), 1, p.prefixLen))
-    val s1 = {
-      val prefixes = inBatchExact.select(col("hp")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val seen = StreamingDedupGate.prunedIndex(spark, exactIndexDir, prefixes)
-      inBatchExact.join(seen, inBatchExact("__h") === seen("h"), "left_anti")
-        .drop("__h", "hp")
-    }.cache()
+      .cache()
+    // the batch's full band rows likewise feed both the candidate join
+    // (survivors' subset) and the band-index slice publish — minhash
+    // signatures are the dominant per-batch CPU cost, computed ONCE here
+    val allBands = bandSlice(batch, idCol, textCol, p).cache()
     try {
-      // ---- stage 2: near-dup drop (the StreamingNearDupGate shapes) ----
-      val inPairs = Dedup.minhashLsh(s1, idCol, textCol,
-        shingleK = p.shingleK, numHashes = p.numHashes, bands = p.bands,
-        rows = p.rows, threshold = p.threshold,
-        maxBucketSize = p.maxBucketSize, index = IndexStore.NoStore)
-      val s1k = s1.join(inPairs.select(col("id_b").as("__drop")).distinct(),
-        col(idCol).cast("long") === col("__drop"), "left_anti")
-      val arr = StreamingNearDupGate.bandRows(s1k, idCol, textCol,
-        p.shingleK, p.numHashes, p.bands, p.rows).cache()
+      val keepers = hashed.groupBy(col("__h"))
+        .agg(min(col(idCol)).as("__keep_id"))
+      val inBatchExact = hashed.join(keepers,
+          hashed("__h") === keepers("__h") && col(idCol) === col("__keep_id"))
+        .drop(keepers("__h")).drop("__keep_id")
+        .withColumn("hp", substring(col("__h"), 1, p.prefixLen))
+      val s1 = {
+        val prefixes = inBatchExact.select(col("hp")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val seen = StreamingDedupGate.prunedIndex(spark, exactIndexDir, prefixes)
+        inBatchExact.join(seen, inBatchExact("__h") === seen("h"), "left_anti")
+          .drop("__h", "hp")
+      }.cache()
       try {
+        // ---- stage 2: near-dup drop (the StreamingNearDupGate shapes) ----
+        val inPairs = Dedup.minhashLsh(s1, idCol, textCol,
+          shingleK = p.shingleK, numHashes = p.numHashes, bands = p.bands,
+          rows = p.rows, threshold = p.threshold,
+          maxBucketSize = p.maxBucketSize, index = IndexStore.NoStore)
+        val s1k = s1.join(inPairs.select(col("id_b").as("__drop")).distinct(),
+          col(idCol).cast("long") === col("__drop"), "left_anti")
+        // survivors' band rows = semi-join into the cached full set (no
+        // second shingle/signature pass)
+        val arr = allBands.join(
+          s1k.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
         val dupIds = StreamingNearDupGate.crossBatchDupIds(spark, arr,
           bandIndexDir, p.threshold, p.maxBucketSize)
         val s2 = s1k.join(dupIds,
@@ -178,15 +188,19 @@ object StreamingCurationChain {
           }
           BatchCommits.publishBatch(packed, outDir, scope, batchId)
           BatchCommits.createMarker(spark, checkpoint, OutCommits, batchId)
-          BatchCommits.publishBatch(exactSlice(batch, textCol, p.prefixLen),
+          // index slices from the CACHED intermediates (the recovery path
+          // re-derives the same slices from scratch — pure functions of
+          // the batch either way)
+          BatchCommits.publishBatch(
+            hashed.select(col("__h").as("h")).distinct()
+              .withColumn("hp", substring(col("h"), 1, p.prefixLen)),
             exactIndexDir, scope, batchId, Seq("hp"))
-          BatchCommits.publishBatch(bandSlice(batch, idCol, textCol, p),
-            bandIndexDir, scope, batchId, Seq("bp"))
+          BatchCommits.publishBatch(allBands, bandIndexDir, scope, batchId, Seq("bp"))
           publishMark(spark, hwmDir, scope, batchId, start + total)
           BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
         } finally packed.unpersist()
-      } finally arr.unpersist()
-    } finally s1.unpersist()
+      } finally s1.unpersist()
+    } finally { allBands.unpersist(); hashed.unpersist() }
   }
 
   /** Start the chained gate over streaming `docs` (carrying `idCol`,

@@ -111,4 +111,38 @@ class IngestPipelineSpec extends SparkSpec {
     assert(merged.columns.contains("new_field"))
     assert(merged.count() == 2)
   }
+
+  test("batchScope: configs sharing an output path don't replace each other's files") {
+    // two ACTIVE configs with the same folderName and message type —
+    // both route distinct messages to the SAME lake dir and delta table.
+    // The per-batch idempotency scope must be per-config: a shared scope
+    // would make the second config's publishBatch delete-and-replace the
+    // first's files (and its delta append silently no-op on the shared
+    // txn watermark) — silent data loss plain Append never had.
+    val dest = tmpDir
+    val cfgA = StreamConfig("stream-x", "", active = true,
+      "pageview", 1, "shared", TimePartitions.Daily, 1, Seq("ingester", "deltawriter"))
+    val cfgB = StreamConfig("stream-y", "", active = true,
+      "pageview", 1, "shared", TimePartitions.Daily, 1, Seq("ingester", "deltawriter"))
+    val docs = Seq(
+      """{"stream_id":"stream-x","type":"pageview","url":"/from-x"}""",
+      """{"stream_id":"stream-y","type":"pageview","url":"/from-y"}""").toDF("json")
+    IngestPipeline.runBatch(spark, docs, "json", Seq(cfgA, cfgB), dest,
+      tsCol = to_timestamp(lit("2026-08-13 10:00:00")), registerTables = false,
+      batchScope = Some(("scope0", 0L)))
+    val lake = spark.read.parquet(s"$dest/shared/pageview")
+      .select("url").as[String].collect().toSet
+    assert(lake == Set("/from-x", "/from-y"),
+      s"both configs' rows must land in the shared lake dir: $lake")
+    // delta tables key on streamId (distinct dirs here), but the txn
+    // appIds must also be distinct — replay the batch and check both
+    // tables are still exactly-once (no-op replays, no lost rows)
+    IngestPipeline.runBatch(spark, docs, "json", Seq(cfgA, cfgB), dest,
+      tsCol = to_timestamp(lit("2026-08-13 10:00:00")), registerTables = false,
+      batchScope = Some(("scope0", 0L)))
+    assert(spark.read.parquet(s"$dest/shared/pageview").count() == 2,
+      "a replayed batch must replace per-config files, not drop or duplicate them")
+    assert(IngestPipeline.readTable(spark, s"$dest/_delta/stream_x/pageview").count() == 1)
+    assert(IngestPipeline.readTable(spark, s"$dest/_delta/stream_y/pageview").count() == 1)
+  }
 }

@@ -240,6 +240,35 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.lastTransaction(path, "nobody") == None)
   }
 
+  test("txn: concurrent replays of the same (appId, version) commit exactly once") {
+    // the zombie-driver shape: two (here four) drivers replay the same
+    // batch concurrently. The pre-stage watermark check is check-then-act
+    // — all four can pass it — so the commit loop re-checks after every
+    // lost race; exactly one transaction may land.
+    val path = tmp
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future(TxLogTable.append(spark,
+        Seq((i.toLong, s"w$i")).toDF("id", "v"), path,
+        txn = Some(("replayer", 0L))))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(TxLogTable.currentVersion(path) == 0L,
+      "only one of the concurrent same-txn appends may commit")
+    assert(TxLogTable.read(spark, path).count() == 1)
+    assert(TxLogTable.lastTransaction(path, "replayer") == Some(0L))
+  }
+
+  test("txn: appIds that could be parsed as data files are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), tmp,
+        txn = Some(("data-loader", 0L)))
+    }
+    assert(e.getMessage.contains("data-"))
+  }
+
   test("txn watermarks survive the checkpoint rollup") {
     val path = tmp
     (0 to 11).foreach { i =>
