@@ -112,6 +112,20 @@ object Contamination {
       dir: String, maxDf: Int = 50, k: Int = 8, w: Int = 4,
       index: IndexStore = IndexStore.default,
       minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
+    fingerprints(train, idCol, textCol, maxDf, k, w, index,
+        minParallelism, rollingHash)
+      .write.mode("overwrite").parquet(dir)
+    loadIndex(train.sparkSession, dir)
+  }
+
+  /** The pruned (f, train_id) fingerprint table [[buildIndex]] persists,
+    * as an in-plan DataFrame — for composing the decontamination check
+    * inside a larger chain (q112) without a directory round-trip.
+    * Feeds [[checkAgainstIndex]] directly. */
+  def fingerprints(train: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 50, k: Int = 8, w: Int = 4,
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
     val fps = IndexStore.persist(Spread.byKey(train, idCol, minParallelism)
       .select(col(idCol).cast("long").as("train_id"),
         explode(winnowed(train.sparkSession, col(textCol), k, w, rollingHash)).as("f")),
@@ -120,8 +134,6 @@ object Contamination {
       .filter(col("df_count") <= maxDf)
       .select(col("f"))
     fps.join(pruned, Seq("f")).select(col("f"), col("train_id"))
-      .write.mode("overwrite").parquet(dir)
-    loadIndex(train.sparkSession, dir)
   }
 
   /** Read back an index written by [[buildIndex]]. */

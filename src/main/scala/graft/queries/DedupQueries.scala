@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.operators.{ConnectedComponents, Dedup, IndexStore}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, IndexStore, Packing, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Deduplication extension operators surfaced through the correctness
@@ -546,10 +546,10 @@ object DedupQueries extends QueryModule {
       GROUP BY 1
       ORDER BY shard"""))
 
-  // def, not val: q105 is declared below this line, and a val would
-  // capture it before initialization (null entry)
+  // def, not val: q105/q112 are declared below this line, and a val
+  // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component
@@ -615,4 +615,145 @@ object DedupQueries extends QueryModule {
       FROM decided
       GROUP BY label
       ORDER BY label"""))
+
+  /** The BATCH twin of the streaming curation chain
+    * ([[graft.streaming.StreamingCurationChain]]), as one DuckDB-verified
+    * query: deterministic train/eval split → exact dedup (min-id keeper)
+    * → near-dup PAIRWISE drop (id_b of any verified LSH pair — the
+    * gate's drop-against-history semantics, not CC closure) →
+    * decontamination against the eval slice's df-pruned winnowing index
+    * (offending train docs DROPPED, q109 action semantics) → sequence
+    * packing of the survivors. Every stage is a proven oracle fragment
+    * (q83 split, q40 keeper, q42/q43 LSH, q85 winnowing, q90 prefix
+    * sum); composing them verifies the HANDOFFS — and gives the
+    * streaming chain's spec-verified semantics a hash-verified batch
+    * reference. Output: every surviving doc's packed assignment,
+    * row-exact. */
+  private val q112 = QueryDef(
+    "q112_curation_chain",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val split = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      val train = split.filter(col("split") === "train").drop("split")
+      val evalDocs = split.filter(col("split") === "eval").drop("split")
+      // stage 1: exact dedup, min-id keeper per content hash
+      val hashed = train.withColumn("__h", md5(col("text")))
+      val keep1 = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("__k"))
+      val s1 = hashed.join(keep1,
+          hashed("__h") === keep1("__h") && col("doc_id") === col("__k"))
+        .drop(keep1("__h")).drop("__h", "__k")
+      // stage 2: near-dup pairwise drop
+      val prs = Dedup.minhashLsh(s1, "doc_id", "text",
+        shingleK = 1, numHashes = 16, bands = 4, rows = 4,
+        threshold = 0.8, maxBucketSize = Int.MaxValue,
+        index = IndexStore.NoStore,
+        minParallelism = s.sparkContext.defaultParallelism)
+      val s2 = s1.join(prs.select(col("id_b").as("__d")).distinct(),
+        col("doc_id") === col("__d"), "left_anti")
+      // stage 3: decontamination action vs the eval fingerprint index
+      val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
+        maxDf = 50, k = 8, w = 4, index = IndexStore.NoStore,
+        minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
+      val contam = Contamination.checkAgainstIndex(s2, "doc_id", "text", idx,
+          minShared = 20, k = 8, w = 4, // corpus is heavily self-similar (q109's tuning note)
+          minParallelism = s.sparkContext.defaultParallelism,
+          rollingHash = true)
+        .select(col("test_id").as("__c"))
+      val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
+      // stage 4: pack the survivors
+      val sized = s3.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
+      Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sp AS (
+        SELECT doc_id, text,
+               CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 1037629354146162304 THEN 'train' ELSE 'eval' END AS split
+        FROM documents),
+      tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+      s1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM tr) WHERE rn = 1),
+      sets AS (
+        SELECT doc_id AS id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS sset
+        FROM s1),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets WHERE len(sset) > 0),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b),
+      drop2 AS (
+        SELECT DISTINCT id_b FROM verified
+        WHERE inter / (la + lb - inter) >= 0.8),
+      s2 AS (
+        SELECT doc_id, text FROM s1
+        WHERE doc_id NOT IN (SELECT id_b FROM drop2)),
+      g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM sp),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      evalfp AS (
+        SELECT fp.doc_id, fp.f FROM fp
+        JOIN sp USING (doc_id) WHERE sp.split = 'eval'),
+      pruned AS (SELECT f FROM evalfp GROUP BY f HAVING count(*) <= 50),
+      eidx AS (SELECT doc_id AS train_id, f FROM evalfp JOIN pruned USING (f)),
+      hits AS (
+        SELECT s2fp.doc_id
+        FROM (SELECT fp.doc_id, fp.f FROM fp JOIN s2 USING (doc_id)) s2fp
+        JOIN eidx ON s2fp.f = eidx.f
+        GROUP BY s2fp.doc_id, eidx.train_id
+        HAVING count(*) >= 20),
+      s3 AS (
+        SELECT doc_id, text FROM s2
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)),
+      t AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0))::BIGINT AS n_toks
+        FROM s3),
+      c AS (
+        SELECT doc_id, n_toks,
+          COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS tok_offset
+        FROM t)
+      SELECT doc_id, n_toks AS n_tokens, tok_offset,
+        tok_offset // 1024 AS seq_id,
+        tok_offset % 1024 AS seq_offset,
+        (tok_offset + greatest(n_toks, 1) - 1) // 1024 AS seq_last
+      FROM c
+      ORDER BY doc_id"""))
 }
