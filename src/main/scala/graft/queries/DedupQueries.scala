@@ -632,7 +632,12 @@ object DedupQueries extends QueryModule {
   private val q112 = QueryDef(
     "q112_curation_chain",
     (s, d) => {
+      // doc_id <= 300: the q43/q89 LSH-corpus cap — shingleK=1 with an
+      // uncapped bucket join is quadratic in stop-shingle buckets (the
+      // capped/pruned variants are the scale path; this query verifies
+      // the chain's HANDOFFS)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") <= 300)
       val split = Sampling.split(docs, "doc_id",
         Seq("train" -> 0.9, "eval" -> 0.1))
       val train = split.filter(col("split") === "train").drop("split")
@@ -672,7 +677,7 @@ object DedupQueries extends QueryModule {
         SELECT doc_id, text,
                CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
                          < 1037629354146162304 THEN 'train' ELSE 'eval' END AS split
-        FROM documents),
+        FROM documents WHERE doc_id <= 300),
       tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
       s1 AS (
         SELECT doc_id, text FROM (
