@@ -642,12 +642,8 @@ object DedupQueries extends QueryModule {
         Seq("train" -> 0.9, "eval" -> 0.1))
       val train = split.filter(col("split") === "train").drop("split")
       val evalDocs = split.filter(col("split") === "eval").drop("split")
-      // stage 1: exact dedup, min-id keeper per content hash
-      val hashed = train.withColumn("__h", md5(col("text")))
-      val keep1 = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("__k"))
-      val s1 = hashed.join(keep1,
-          hashed("__h") === keep1("__h") && col("doc_id") === col("__k"))
-        .drop(keep1("__h")).drop("__h", "__k")
+      // stage 1: exact dedup, min-id keeper per content hash (q40 operator)
+      val s1 = Dedup.exact(train, "doc_id", "text").select(col("doc_id"), col("text"))
       // stage 2: near-dup pairwise drop
       val prs = Dedup.minhashLsh(s1, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
@@ -666,10 +662,17 @@ object DedupQueries extends QueryModule {
           rollingHash = true)
         .select(col("test_id").as("__c"))
       val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
-      // stage 4: pack the survivors
+      // stage 4: pack the survivors. The capped corpus bounds `sized` to
+      // <=301 rows with the whole chain as lineage: persist it so the
+      // packing plan's two reads (offset aggregate + join side) execute
+      // the chain once, and pass bucketWidth explicitly to skip
+      // assign's derive-width min/max action (a third execution).
+      // Width does not affect the assignment, only the plan.
       val sized = s3.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
-      Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L)
+        .persist()
+      Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
+          bucketWidth = 8L)
         .orderBy(col("doc_id"))
     },
     Some("""
