@@ -57,7 +57,11 @@ object StreamingCurationChain {
   private val Commits = "graft_batch_commits"
 
   /** Chain knobs: exact-index prefix length; the [[Dedup.minhashLsh]]
-    * near-dup family; the [[Contamination]] winnowing family. */
+    * near-dup family; the [[Contamination]] winnowing family.
+    * `minShared`/`k`/`w`/`rollingHash` must ALL match the
+    * [[Contamination.buildIndex]] call that produced `contamIndexDir` —
+    * a hash-family mismatch (rollingHash here vs the build) would share
+    * zero fingerprints and silently admit every contaminated doc. */
   final case class Params(
       prefixLen: Int = 2,
       shingleK: Int = 1,
@@ -68,7 +72,8 @@ object StreamingCurationChain {
       maxBucketSize: Int = 1000,
       minShared: Int = 2,
       k: Int = 8,
-      w: Int = 4) {
+      w: Int = 4,
+      rollingHash: Boolean = false) {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
     require(prefixLen >= 1 && prefixLen <= 8, "prefixLen in [1, 8]")
   }
@@ -172,7 +177,7 @@ object StreamingCurationChain {
 
         // ---- stage 3: decontamination ACTION (drop offending docs) ----
         val contamIds = Contamination.checkAgainstIndex(s2, idCol, textCol,
-            contamIndex, p.minShared, p.k, p.w)
+            contamIndex, p.minShared, p.k, p.w, rollingHash = p.rollingHash)
           .select(col("test_id").as("__contam_id"))
         val s3 = s2.join(contamIds,
           col(idCol).cast("long") === col("__contam_id"), "left_anti")

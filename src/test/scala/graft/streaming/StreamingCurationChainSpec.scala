@@ -118,6 +118,21 @@ class StreamingCurationChainSpec extends SparkSpec {
       s"band index must hold every seen doc: $bandIds")
   }
 
+  test("rollingHash chain knob matches a rolling-hash-built contamination index") {
+    // same hash family on BOTH sides — a mismatch shares zero
+    // fingerprints and would silently admit the contaminated doc
+    val d = mkDirs("roll")
+    Contamination.buildIndex(Seq((100L, evalText)).toDF("id", "text"),
+      "id", "text", d.contam, k = P.k, w = P.w, rollingHash = true)
+    val pRoll = P.copy(rollingHash = true)
+    StreamingCurationChain.processBatch(df(batch0), 0L,
+      "doc_id", "text", "n_tokens", Cap, d.exact, d.band,
+      Contamination.loadIndex(spark, d.contam), d.out, d.hwm, d.ckpt, pRoll)
+    val ids = packedRows(d.out).map(_._1)
+    assert(!ids.contains(5L), s"contaminated doc must drop under rollingHash: $ids")
+    assert(ids.contains(6L), s"clean doc must survive: $ids")
+  }
+
   test("crash windows at every stage boundary replay to the same bytes") {
     // reference: a clean two-batch run
     val ref = mkDirs("ref")
