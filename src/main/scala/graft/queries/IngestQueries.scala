@@ -283,5 +283,58 @@ object IngestQueries extends QueryModule {
       FROM sk s JOIN ex USING (event_type)
       ORDER BY event_type"""))
 
-  override val entries: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q47)
+  /** Z-order clustered layout ([[Layout]]): bucketize (doc_id, n_chars)
+    * to 8 bits each by data-derived min-max bounds, interleave into the
+    * 16-bit Morton code, and roll up the curve's 16 top-level shards —
+    * count, per-dimension bounding box, and the exact per-row z-value
+    * sum (every row's interleave arithmetic is hash-verified through
+    * `z_sum`). The shard bounding boxes ARE the data-skipping story:
+    * each curve segment covers a tight box in BOTH dimensions at once,
+    * which is what parquet footer min/max pruning keys on. */
+  private val q113 = QueryDef(
+    "q113_zorder_layout",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      docs
+        .withColumn("zv", Layout.zColumn(docs, Seq("doc_id", "n_chars"), bits = 8))
+        .withColumn("shard", shiftright(col("zv"), 12))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
+          min(col("n_chars")).as("nc_min"), max(col("n_chars")).as("nc_max"),
+          sum(col("zv")).as("z_sum"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT min(doc_id)::DOUBLE AS idlo, max(doc_id)::DOUBLE AS idhi,
+               min(n_chars)::DOUBLE AS nclo, max(n_chars)::DOUBLE AS nchi
+        FROM documents),
+      bkt AS (
+        SELECT doc_id, n_chars,
+          CASE WHEN idhi <= idlo THEN 0
+               ELSE least(255, greatest(0,
+                 floor(((doc_id::DOUBLE - idlo) / (idhi - idlo)) * 256.0)))::BIGINT
+          END AS bx,
+          CASE WHEN nchi <= nclo THEN 0
+               ELSE least(255, greatest(0,
+                 floor(((n_chars::DOUBLE - nclo) / (nchi - nclo)) * 256.0)))::BIGINT
+          END AS bn
+        FROM documents CROSS JOIN bounds),
+      z AS (
+        SELECT doc_id, n_chars,
+          list_sum(list_transform(generate_series(0, 7),
+            b -> (((bx >> b) & 1) << (2 * b)) +
+                 (((bn >> b) & 1) << (2 * b + 1))))::BIGINT AS zv
+        FROM bkt)
+      SELECT zv >> 12 AS shard, count(*) AS n_docs,
+             min(doc_id) AS id_min, max(doc_id) AS id_max,
+             min(n_chars) AS nc_min, max(n_chars) AS nc_max,
+             sum(zv)::BIGINT AS z_sum
+      FROM z
+      GROUP BY 1
+      ORDER BY shard"""))
+
+  override val entries: Seq[QueryDef] =
+    Seq(q33, q34, q35, q36, q37, q38, q47, q113)
 }
