@@ -294,6 +294,146 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  // ---- product quantization (Jégou/Douze/Schmid, TPAMI 2011) ----
+  //
+  // The memory scale path for 100 TB embedding corpora: a d-dim float
+  // vector (d*4 bytes) compresses to m byte-ish codes — here 64 dims ×
+  // 4 B = 256 B down to m=4 codes — and asymmetric distance computation
+  // (ADC) scores query-vs-code with m table lookups + adds instead of d
+  // multiplies. Composes with IVF (probe cells, then ADC inside them);
+  // the codebooks are m*ksub*(d/m) doubles of driver-side metadata,
+  // baked into plans as literals exactly like the IVF codebook.
+  //
+  // Same determinism discipline as [[trainCentroids]]: md5-ordered
+  // seeds, per-iteration means rounded half-up-6 (NOT renormalized —
+  // PQ centroids are subspace means, not directions), assignment
+  // tie-broken to the lower code id. Every intermediate is
+  // engine-exact, so the DuckDB oracle (q114) unrolls the training,
+  // the encoding, and the ADC ranking and lands on identical doubles.
+
+  /** One subspace of a vector column: dims [sub*dsub, (sub+1)*dsub). */
+  private def subvec(v: Column, sub: Int, dsub: Int): Column =
+    slice(v, sub * dsub + 1, dsub)
+
+  /** Argmax over literal (cid, centroid) pairs of `x·c - |c|²/2` (the
+    * L2-nearest centroid), ties to the LOWER cid — the [[scoredCentroids]]
+    * trick with the half-norm folded in as a driver-computed literal. */
+  private def nearestCode(v: Column, book: Seq[(Long, Array[Double])]): Column =
+    -element_at(array_sort(array(book.map { case (cid, w) =>
+      val halfNormSq = w.map(x => x * x).sum / 2.0
+      struct((dot(v, array(w.map(lit(_)).toIndexedSeq: _*)) - lit(halfNormSq)).as("d"),
+        lit(-cid).as("nc"))
+    }: _*)), -1).getField("nc")
+
+  /** Train the m per-subspace codebooks: plain L2 k-means (`iters`
+    * rounds) over the subvectors of the unit-normalized corpus, ksub
+    * centroids each. Seeds are the md5-ordered corpus rows' subvectors
+    * (the [[trainCentroids]] seeding, sliced per subspace). Each
+    * iteration runs ONE job: the m per-subspace assignments are
+    * computed side by side in a single projection (current books as
+    * plan literals), exploded to (sub, code, subvec) rows, and reduced
+    * by the mergeable [[graft.functions.VecMean]] — the exchange
+    * carries m*ksub*dsub partial state, never vectors. Returns
+    * ((sub, cid) -> centroid), empty cells keep their seed. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2): Seq[(Int, Long, Array[Double])] = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    trainPqOnNormalized(c, m, ksub, iters)
+  }
+
+  private def trainPqOnNormalized(c: DataFrame, m: Int, ksub: Int,
+      iters: Int): Seq[(Int, Long, Array[Double])] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dims = c.select(size(col("cv"))).first().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val vm = udaf(graft.functions.VecMean(dsub))
+    var books: Map[Int, Seq[(Long, Array[Double])]] =
+      (0 until m).map { s =>
+        s -> codebook(c, ksub).zipWithIndex.map { case ((_, v), i) =>
+          (i.toLong, v.slice(s * dsub, (s + 1) * dsub))
+        }
+      }.toMap
+    for (_ <- 0 until iters) {
+      val assignedRows = c.select(explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          nearestCode(subvec(col("cv"), s, dsub), books(s)).as("cid"),
+          subvec(col("cv"), s, dsub).as("sv"))
+      }: _*)).as("a"))
+        .select(col("a.sub"), col("a.cid"), col("a.sv"))
+      val means = assignedRows.groupBy(col("sub"), col("cid"))
+        .agg(vm(col("sv")).as("mv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = books.map { case (s, book) =>
+        s -> book.map { case (cid, old) =>
+          means.get((s, cid)).filter(_.nonEmpty) match {
+            case Some(mv) => (cid, mv.map(round6))
+            case None => (cid, old)
+          }
+        }
+      }
+    }
+    (0 until m).flatMap(s => books(s).map { case (cid, w) => (s, cid, w) })
+  }
+
+  /** PQ-encode the corpus: (corpus_id, codes) with `codes(s)` the
+    * L2-nearest subspace-`s` centroid id. Pure shuffle-free projection —
+    * the codebooks are plan literals, so at scale this composes with
+    * the scan like any map pass; the encoded table is the m-byte-per-row
+    * representation an ANN serving tier actually holds in memory. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Seq[(Int, Long, Array[Double])]): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val dsub = books.head._3.length
+    val bySub = books.groupBy(_._1).view.mapValues(_.map(b => (b._2, b._3))).toMap
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    c.select(col("corpus_id"), array((0 until m).map { s =>
+      nearestCode(subvec(col("cv"), s, dsub), bySub(s))
+    }: _*).as("codes"))
+  }
+
+  /** ADC top-k: approximate inner product of query q against an encoded
+    * corpus row = Σ_s q_sub(s) · centroid(s, codes(s)) — m table
+    * lookups per pair. Each (small, broadcast) query row carries its
+    * m×ksub distance table as an array-of-arrays computed once per
+    * query; the corpus side streams its codes. Folded in subspace
+    * order (left fold from 0.0) so the score is engine-exact. Returns
+    * (query_id, rank, corpus_id, score): rank by ADC score desc,
+    * corpus id asc on ties. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val books = trainPqOnNormalized(c, m, ksub, iters)
+    val bySub = books.groupBy(_._1).view.mapValues(_.map(b => (b._2, b._3))).toMap
+    val dsub = books.head._3.length
+    val encoded = c.select(col("corpus_id"), array((0 until m).map { s =>
+      nearestCode(subvec(col("cv"), s, dsub), bySub(s))
+    }: _*).as("codes"))
+    // per-query ADC table: tbl(s)(cid) = q_sub(s) · centroid(s, cid)
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("tbl", array((0 until m).map { s =>
+        array(bySub(s).sortBy(_._1).map { case (_, w) =>
+          dot(subvec(col("qv"), s, dsub), array(w.map(lit(_)).toIndexedSeq: _*))
+        }: _*)
+      }: _*))
+      .select(col("query_id"), col("tbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", aggregate(
+        zip_with(col("tbl"), col("codes"),
+          (row, code) => element_at(row, code.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** Bucketed ANN: queries probe only their own LSH bucket, then exact
     * cosine top-k within the bucket. Approximate (recall < 1) by design. */
   def lshTopK(

@@ -375,5 +375,106 @@ object SimilarityQueries extends QueryModule {
       FROM q
       ORDER BY vec_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q50, q51, q52, q87, q94, q101, q111)
+  /** Product-quantization ANN ([[Similarity.pqTopK]], Jégou TPAMI'11):
+    * 4 subspaces × 16 dims, 8 codes each — the 64× compression + ADC
+    * scale path for embedding corpora that outgrow exact scoring. The
+    * oracle replays EVERYTHING: per-subspace seeding, two L2 k-means
+    * iterations (half-up-6 means, ties to the lower code), corpus
+    * encoding, the per-query ADC tables, and the subspace-ordered
+    * left-fold score — every rank is integer-exact, every score
+    * engine-exact to the rounded 4th decimal. */
+  private val q114 = QueryDef(
+    "q114_ann_pq_adc",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.pqTopK(queries, emb, "vec_id", "embedding", k = 5,
+          m = 4, ksub = 8, iters = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("score"), 4).as("ip4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      sv AS (
+        SELECT vec_id, sub, nv[sub * 16 + 1:(sub + 1) * 16] AS v
+        FROM n CROSS JOIN subs),
+      seedrows AS (
+        SELECT row_number() OVER (
+            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, vec_id
+          ) - 1 AS cid, nv
+        FROM (SELECT vec_id, nv FROM n
+              ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, vec_id
+              LIMIT 8)),
+      b0 AS (
+        SELECT s.sub, r.cid, r.nv[s.sub * 16 + 1:(s.sub + 1) * 16] AS cv
+        FROM seedrows r CROSS JOIN subs s),
+      a1 AS (
+        SELECT vec_id, sub, v, cid FROM (
+          SELECT sv.vec_id, sv.sub, sv.v, b.cid,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY list_dot_product(sv.v, b.cv)
+                            - list_dot_product(b.cv, b.cv) / 2.0 DESC,
+                          b.cid ASC) AS rn
+          FROM sv JOIN b0 b ON b.sub = sv.sub) t WHERE rn = 1),
+      m1 AS (
+        SELECT sub, cid, i, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS r
+        FROM (SELECT sub, cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a1)
+        GROUP BY sub, cid, i),
+      l1 AS (SELECT sub, cid, list(r ORDER BY i) AS rv FROM m1 GROUP BY sub, cid),
+      b1 AS (
+        SELECT b.sub, b.cid, COALESCE(l.rv, b.cv) AS cv
+        FROM b0 b LEFT JOIN l1 l ON l.sub = b.sub AND l.cid = b.cid),
+      a2 AS (
+        SELECT vec_id, sub, v, cid FROM (
+          SELECT sv.vec_id, sv.sub, sv.v, b.cid,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY list_dot_product(sv.v, b.cv)
+                            - list_dot_product(b.cv, b.cv) / 2.0 DESC,
+                          b.cid ASC) AS rn
+          FROM sv JOIN b1 b ON b.sub = sv.sub) t WHERE rn = 1),
+      m2 AS (
+        SELECT sub, cid, i, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS r
+        FROM (SELECT sub, cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a2)
+        GROUP BY sub, cid, i),
+      l2 AS (SELECT sub, cid, list(r ORDER BY i) AS rv FROM m2 GROUP BY sub, cid),
+      b2 AS (
+        SELECT b.sub, b.cid, COALESCE(l.rv, b.cv) AS cv
+        FROM b1 b LEFT JOIN l2 l ON l.sub = b.sub AND l.cid = b.cid),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT sv.vec_id, sv.sub, b.cid,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY list_dot_product(sv.v, b.cv)
+                            - list_dot_product(b.cv, b.cv) / 2.0 DESC,
+                          b.cid ASC) AS rn
+          FROM sv JOIN b2 b ON b.sub = sv.sub) t WHERE rn = 1),
+      parts AS (
+        SELECT qs.vec_id AS query_id, cd.vec_id AS corpus_id, cd.sub,
+               list_dot_product(qs.v, b.cv) AS t
+        FROM codes cd
+        JOIN b2 b ON b.sub = cd.sub AND b.cid = cd.cid
+        JOIN sv qs ON qs.sub = cd.sub
+        WHERE qs.vec_id < 10 AND cd.vec_id <> qs.vec_id),
+      sc AS (
+        SELECT query_id, corpus_id, list(t ORDER BY sub) AS tt
+        FROM parts GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, corpus_id,
+               ((tt[1] + tt[2]) + tt[3]) + tt[4] AS ip,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY ((tt[1] + tt[2]) + tt[3]) + tt[4] DESC NULLS LAST,
+                          corpus_id ASC) AS rank
+        FROM sc)
+      SELECT query_id, rank, corpus_id,
+             floor(ip * 10000.0 + 0.5) / 10000.0 AS ip4
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  override val entries: Seq[QueryDef] =
+    Seq(q50, q51, q52, q87, q94, q101, q111, q114)
 }

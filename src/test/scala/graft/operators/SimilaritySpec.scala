@@ -167,4 +167,63 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls(1)._2 > recalls.head._2,
       s"nprobe=2 must recover cross-cell neighbors: ${recalls.take(2)}")
   }
+
+  test("PQ: deterministic training, valid codes, shuffle-free encode, measured ADC recall") {
+    // same clustered-corpus recipe as the nprobe sweep: PQ should hold
+    // high recall when the data has real structure
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val dirs = (0 until 8).map { c =>
+      Array.tabulate(dims)(d => if (d == c * 2) 1.0 else 0.0)
+    }
+    val corpus = (0 until 400).map { i =>
+      val d = dirs(i % 8)
+      (i.toLong, d.map(x => (x + rnd.nextGaussian() * 0.08).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 12)
+
+    val b1 = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    val b2 = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    assert(b1.map(t => (t._1, t._2, t._3.toSeq)) ==
+      b2.map(t => (t._1, t._2, t._3.toSeq)),
+      "PQ training must be deterministic run-to-run")
+    assert(b1.map(_._1).toSet == Set(0, 1, 2, 3) &&
+      b1.count(_._1 == 0) == 8 && b1.head._3.length == 4,
+      s"4 books x 8 codes x 4 dims, got ${b1.size} entries")
+
+    val encoded = Similarity.pqEncode(corpus, "vec_id", "embedding", b1)
+    val codes = encoded.select("codes").as[Seq[Long]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)),
+      "every code must be a valid subspace centroid id")
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PQ encoding must be a shuffle-free projection:\n$plan")
+
+    // ADC recall vs exact cosine, measured at two compression points —
+    // m is the fidelity/compression knob (the nprobe-sweep pattern):
+    // 3 bits/subspace is very coarse, so exact-neighbor recall is
+    // partial by design; doubling m must recover it, and the CLUSTER is
+    // recovered essentially always (what PQ is for — candidate
+    // generation; exact rerank of a shortlist restores ordering)
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def adcTop(m: Int): Set[(Long, Long)] =
+      Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+          k = 10, m = m, ksub = 8, iters = 2)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val (adc4, adc8) = (adcTop(4), adcTop(8))
+    val r4 = (brute & adc4).size.toDouble / brute.size
+    val r8 = (brute & adc8).size.toDouble / brute.size
+    info(f"PQ ADC recall@10: m=4 -> $r4%.3f, m=8 -> $r8%.3f")
+    assert(r4 >= 0.3, s"ADC recall collapsed at m=4: $r4")
+    assert(r8 > r4, s"finer subspaces must raise recall: m=4 $r4 vs m=8 $r8")
+    // cluster recall: every query's ADC neighbors come from its own
+    // gaussian cluster (vec_id % 8 is the true cluster label)
+    val clusterHit = adc4.count { case (q, c) => q % 8 == c % 8 }.toDouble / adc4.size
+    info(f"PQ ADC same-cluster fraction (m=4): $clusterHit%.3f")
+    assert(clusterHit >= 0.9,
+      s"ADC neighbors should stay in the query's cluster: $clusterHit")
+  }
 }
