@@ -434,6 +434,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** The full PQ serving recipe: ADC candidate generation + exact
+    * rerank. [[pqTopK]] over-fetches `k * overscan` candidates from the
+    * compressed representation (cheap — table lookups), then ONLY the
+    * shortlist pays for exact cosine against the full vectors, and the
+    * final top-k ranks by the exact score. This is how PQ indexes are
+    * actually served: compression recall gaps close because the true
+    * neighbors almost always sit inside a modest overscan shortlist.
+    *
+    * Scale shape: the shortlist is |Q|·k·overscan rows — broadcast it
+    * into the corpus join, so the full-vector side never shuffles and
+    * only shortlisted vectors are ever scored exactly. */
+  def pqTopKReranked(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, overscan: Int = 4,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
+    require(overscan >= 1, s"overscan must be >= 1, got $overscan")
+    val shortlist = pqTopK(queries, corpus, idCol, vecCol, k * overscan,
+      m, ksub, iters).select(col("query_id"), col("corpus_id"))
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Bucketed ANN: queries probe only their own LSH bucket, then exact
     * cosine top-k within the bucket. Approximate (recall < 1) by design. */
   def lshTopK(

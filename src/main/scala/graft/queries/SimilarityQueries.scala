@@ -383,19 +383,13 @@ object SimilarityQueries extends QueryModule {
     * encoding, the per-query ADC tables, and the subspace-ordered
     * left-fold score — every rank is integer-exact, every score
     * engine-exact to the rounded 4th decimal. */
-  private val q114 = QueryDef(
-    "q114_ann_pq_adc",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 10)
-      Similarity.pqTopK(queries, emb, "vec_id", "embedding", k = 5,
-          m = 4, ksub = 8, iters = 2)
-        .select(col("query_id"), col("rank"), col("corpus_id"),
-          Rnd.halfUp(col("score"), 4).as("ip4"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The q114/q115 shared oracle prefix: per-subspace PQ training (two
+    * unrolled L2 k-means iterations over m=4 × 16-dim subspaces, ksub=8),
+    * corpus encoding, and the per-pair ADC contribution list `sc`
+    * (query_id, corpus_id, tt ordered by subspace) — byte-identical SQL
+    * in both queries, so the compressed-domain pipeline is verified once
+    * and the two diverge only in how they rank. */
+  private val pqM4K8I2Ctes = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       n AS (
         SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
         FROM e),
@@ -462,7 +456,21 @@ object SimilarityQueries extends QueryModule {
         WHERE qs.vec_id < 10 AND cd.vec_id <> qs.vec_id),
       sc AS (
         SELECT query_id, corpus_id, list(t ORDER BY sub) AS tt
-        FROM parts GROUP BY 1, 2),
+        FROM parts GROUP BY 1, 2)"""
+
+  private val q114 = QueryDef(
+    "q114_ann_pq_adc",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.pqTopK(queries, emb, "vec_id", "embedding", k = 5,
+          m = 4, ksub = 8, iters = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("score"), 4).as("ip4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $pqM4K8I2Ctes,
       ranked AS (
         SELECT query_id, corpus_id,
                ((tt[1] + tt[2]) + tt[3]) + tt[4] AS ip,
@@ -475,6 +483,48 @@ object SimilarityQueries extends QueryModule {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** ADC shortlist + exact rerank ([[Similarity.pqTopKReranked]]) —
+    * how a PQ index is actually served: the compressed domain
+    * over-fetches k×overscan candidates, only the shortlist pays for
+    * full-vector cosine, and the final ranking is EXACT. The oracle
+    * replays the whole q114 compressed pipeline (shared CTE prefix),
+    * cuts the rank-20 shortlist, and reranks it with exact dots. */
+  private val q115 = QueryDef(
+    "q115_ann_pq_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.pqTopKReranked(queries, emb, "vec_id", "embedding",
+          k = 5, overscan = 4, m = 4, ksub = 8, iters = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $pqM4K8I2Ctes,
+      adcranked AS (
+        SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY ((tt[1] + tt[2]) + tt[3]) + tt[4] DESC NULLS LAST,
+                          corpus_id ASC) AS rn
+        FROM sc),
+      shortlist AS (SELECT query_id, corpus_id FROM adcranked WHERE rn <= 20),
+      exact AS (
+        SELECT sl.query_id, sl.corpus_id,
+               list_dot_product(qn.nv, cn.nv) AS cosine
+        FROM shortlist sl
+        JOIN n qn ON qn.vec_id = sl.query_id
+        JOIN n cn ON cn.vec_id = sl.corpus_id),
+      rr AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM exact)
+      SELECT query_id, rank, corpus_id,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q50, q51, q52, q87, q94, q101, q111, q114)
+    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115)
 }

@@ -225,5 +225,23 @@ class SimilaritySpec extends SparkSpec {
     info(f"PQ ADC same-cluster fraction (m=4): $clusterHit%.3f")
     assert(clusterHit >= 0.9,
       s"ADC neighbors should stay in the query's cluster: $clusterHit")
+
+    // the serving recipe: overscan shortlist + exact rerank closes the
+    // compression recall gap — and its scores ARE the exact cosines
+    val rr = Similarity.pqTopKReranked(queries, corpus, "vec_id", "embedding",
+        k = 10, overscan = 4, m = 4, ksub = 8, iters = 2)
+    val rrSet = rr.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rrRecall = (brute & rrSet).size.toDouble / brute.size
+    info(f"PQ rerank recall@10 (m=4, overscan=4): $rrRecall%.3f")
+    assert(rrRecall > r4, s"rerank must beat raw ADC: $rrRecall vs $r4")
+    assert(rrRecall >= 0.8, s"overscan-4 rerank should recover most neighbors: $rrRecall")
+    val bruteCos = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    rr.select("query_id", "corpus_id", "cosine").as[(Long, Long, Double)]
+      .collect().foreach { case (q, c, cos) =>
+        bruteCos.get((q, c)).foreach(exact =>
+          assert(cos == exact, s"reranked cosine must be EXACT for ($q,$c)"))
+      }
   }
 }
