@@ -464,6 +464,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** IVF-PQ: the two scale paths composed the way a 100 TB ANN index
+    * actually runs — the Lloyd-trained coarse quantizer prunes the
+    * corpus to `nprobe` cells (the IVF join key), ADC scores only the
+    * probed cells' byte codes, and the exact rerank touches only the
+    * overscan shortlist. Cost per query ≈ (corpus/nCentroids)·nprobe
+    * table lookups + k·overscan exact dots, vs N·d multiplies for
+    * brute force; all codebooks (coarse K×d + fine m×ksub×dsub) stay
+    * driver-side metadata baked into plans as literals. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      overscan: Int = 4): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val coarse = trainOnNormalized(c, nCentroids, iters)
+    val books = trainPqOnNormalized(c, m, ksub, iters)
+    val bySub = books.groupBy(_._1).view.mapValues(_.map(b => (b._2, b._3))).toMap
+    val dsub = books.head._3.length
+    val encoded = c.select(col("corpus_id"),
+      (-element_at(scoredCentroids(coarse, col("cv")), -1).getField("nc")).as("bucket"),
+      array((0 until m).map { s =>
+        nearestCode(subvec(col("cv"), s, dsub), bySub(s))
+      }: _*).as("codes"))
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("probe",
+        explode(slice(reverse(scoredCentroids(coarse, col("qv"))), 1, nprobe)))
+      .withColumn("tbl", array((0 until m).map { s =>
+        array(bySub(s).sortBy(_._1).map { case (_, w) =>
+          dot(subvec(col("qv"), s, dsub), array(w.map(lit(_)).toIndexedSeq: _*))
+        }: _*)
+      }: _*))
+      .select(col("query_id"), (-col("probe.nc")).as("bucket"), col("tbl"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    val shortlist = encoded.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", aggregate(
+        zip_with(col("tbl"), col("codes"),
+          (row, code) => element_at(row, code.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(wAdc))
+      .filter(col("rank") <= k * overscan)
+      .select(col("query_id"), col("corpus_id"))
+    val qv = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Bucketed ANN: queries probe only their own LSH bucket, then exact
     * cosine top-k within the bucket. Approximate (recall < 1) by design. */
   def lshTopK(

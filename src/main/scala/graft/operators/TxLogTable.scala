@@ -195,16 +195,38 @@ object TxLogTable {
     * travel to pre-compaction versions still works — old data dirs stay
     * on disk until `vacuumCompacted`. Aborts with
     * ConcurrentModificationException if anything commits between the
-    * snapshot read and the rebase publish (optimistic, like append). */
+    * snapshot read and the rebase publish (optimistic, like append).
+    *
+    * `zorderBy` makes the rewrite Z-order-CLUSTERED (the OPTIMIZE
+    * ZORDER of the delta world, via [[Layout]]): instead of a blind
+    * repartition, rows range-partition + sort on the Morton interleave
+    * of the named columns, so every compacted file covers a tight
+    * bounding box in ALL of them and post-compaction scans skip
+    * files/row-groups on any of those predicates. Append order is NOT
+    * part of the table contract (readers resolve the log's file list),
+    * so re-clustering is semantics-preserving by construction.
+    * `targetFiles` overrides the size-derived file count when the
+    * caller wants explicit layout granularity. */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256,
-      commit: CommitPoint = CommitPoint.Auto): Long = {
+      commit: CommitPoint = CommitPoint.Auto,
+      zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 8,
+      targetFiles: Int = 0): Long = {
     val (fs, root) = fsFor(path)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val snapshot = readVersion(spark, path, v0)
     val sizeBytes = filesUpTo(fs, root, v0)
       .map(f => fs.getFileStatus(new HPath(root, f)).getLen).sum
-    val parts = math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
-    val files = stage(snapshot.repartition(parts), fs, root, "compact-")
+    val parts =
+      if (targetFiles > 0) targetFiles
+      else math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val rewritten =
+      if (zorderBy.isEmpty) snapshot.repartition(parts)
+      else snapshot
+        .withColumn("__z", Layout.zColumn(snapshot, zorderBy, zorderBits))
+        .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+        .drop("__z")
+    val files = stage(rewritten, fs, root, "compact-")
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
       maxRetries = 1, commit)
     // the rebase is a remove-all + add-all in Delta terms

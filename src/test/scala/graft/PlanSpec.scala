@@ -108,7 +108,11 @@ class PlanSpec extends SparkSpec {
     // scalar-subquery shape, constant-size broadcast side
     val intended = Set("q09_cross_join", "q50_ann_bruteforce_topk",
       "q84_tfidf_top_terms", "q93_bm25_retrieval", "q98_export_shards",
-      "q100_curation_pipeline") // q100 composes q98's shard math
+      "q100_curation_pipeline", // q100 composes q98's shard math
+      // PQ/ADC scores EVERY corpus row's codes against the broadcast
+      // query set by design (q50's shape, in the compressed domain);
+      // the pruned alternative is ivfPqTopK (cell-keyed equi-join)
+      "q114_ann_pq_adc", "q115_ann_pq_rerank")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>

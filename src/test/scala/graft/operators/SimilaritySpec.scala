@@ -244,4 +244,31 @@ class SimilaritySpec extends SparkSpec {
           assert(cos == exact, s"reranked cosine must be EXACT for ($q,$c)"))
       }
   }
+
+  test("IVF-PQ: coarse pruning + ADC + rerank — recall holds while most of the corpus is never scored") {
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val dirs = (0 until 8).map { c =>
+      Array.tabulate(dims)(d => if (d == c * 2) 1.0 else 0.0)
+    }
+    val corpus = (0 until 400).map { i =>
+      val d = dirs(i % 8)
+      (i.toLong, d.map(x => (x + rnd.nextGaussian() * 0.08).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 12)
+
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+        k = 10, nCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 3,
+        overscan = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"IVF-PQ recall@10 (nprobe=2/8, m=4, overscan=4): $recall%.3f")
+    // nprobe=2 of 8 balanced cells: ~3/4 of the corpus is pruned before
+    // ADC ever sees it, and the shortlist rerank still recovers the
+    // in-cluster neighbors (cluster members query their own cell)
+    assert(recall >= 0.8,
+      s"composed IVF-PQ recall collapsed: $recall")
+  }
 }

@@ -99,6 +99,38 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.readVersion(spark, path, cv).count() == 5)
   }
 
+  test("z-order compaction: same rows, tighter per-file boxes, history intact") {
+    val path = tmp
+    // append in x-striped batches — the WORST layout for y predicates:
+    // every appended file spans the full y range
+    (0 until 4).foreach { stripe =>
+      val rows = for (x <- stripe * 16 until (stripe + 1) * 16; y <- 0 until 64)
+        yield (x.toLong, y.toLong)
+      TxLogTable.append(spark, rows.toDF("x", "y"), path)
+    }
+    val before = TxLogTable.read(spark, path)
+      .as[(Long, Long)].collect().toSet
+
+    val cv = TxLogTable.compact(spark, path,
+      zorderBy = Seq("x", "y"), zorderBits = 6, targetFiles = 16)
+    val after = TxLogTable.read(spark, path)
+    assert(after.as[(Long, Long)].collect().toSet == before,
+      "re-clustering must preserve the exact row set")
+    // history: the pre-compaction snapshot still time-travels
+    assert(TxLogTable.readVersion(spark, path, 1).count() == 2 * 16 * 64)
+
+    // the payoff: a selective y-band now has files to skip
+    val hit = after
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+      .filter(col("lo") <= 15 && col("hi") >= 8)
+      .count()
+    val files = after.select(input_file_name()).distinct().count()
+    assert(files >= 8, s"compaction should have produced multiple files, got $files")
+    assert(hit * 2 <= files,
+      s"y-band should overlap at most half the z-ordered files: $hit of $files")
+  }
+
   test("vacuum (stray cleanup) never touches pre-compaction history") {
     val path = tmp
     TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
