@@ -91,6 +91,47 @@ object Layout {
     }, bits)
   }
 
+  /** Equi-depth cut points per column: the 2^bits − 1 interior
+    * percentile-grid edges from ONE `approx_percentile` aggregate (the
+    * GK sketch — bounded error, mergeable, metadata-sized result).
+    * This is the skew fix the min-max path documents: a zipf column
+    * collapses value-space buckets onto its head, while rank-space
+    * edges put ~equal row mass in every bucket regardless of the value
+    * distribution. */
+  def rankBounds(df: DataFrame, cols: Seq[String], bits: Int,
+      accuracy: Int = 10000): Map[String, Array[Double]] = {
+    require(bits >= 1 && bits <= 10, s"rank-space bits in [1,10], got $bits")
+    val n = 1 << bits
+    val grid = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val aggs = cols.map(c =>
+      approx_percentile(col(c).cast("double"), grid, lit(accuracy)).as(s"__e_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).first()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (r.isNullAt(i)) Array.empty[Double]
+            else r.getSeq[Double](i).toArray)
+    }.toMap
+  }
+
+  /** Rank-space bucket: how many edges lie at or below the value — a
+    * codegen'd fold over the literal edge array (2^bits − 1 compares
+    * per row; bits ≤ 10 keeps the term count sane). NULLs and rows
+    * below every edge land in bucket 0. */
+  def rankBucket(c: Column, edges: Array[Double]): Column =
+    if (edges.isEmpty) lit(0L)
+    else aggregate(
+      array(edges.map(lit(_)).toIndexedSeq: _*), lit(0L),
+      (acc, e) => acc + when(c.cast("double") >= e, lit(1L)).otherwise(lit(0L)))
+
+  /** [[zColumn]] in rank space: equi-depth buckets from the percentile
+    * grid, then the same Morton interleave. The curve spends its
+    * resolution on row mass, not value range — the right choice for
+    * skewed keys (ids, counts, power-law scores). */
+  def zColumnRank(df: DataFrame, zcols: Seq[String], bits: Int = 6,
+      accuracy: Int = 10000): Column = {
+    val edges = rankBounds(df, zcols, bits, accuracy)
+    zValue(zcols.map(c => rankBucket(col(c), edges(c))), bits)
+  }
+
   /** Z-order-clustered write: range-partition on the z-value into
     * `targetFiles` output files, sort within each partition by it, and
     * write parquet WITHOUT the helper column. Each file then covers a
@@ -101,10 +142,12 @@ object Layout {
   def zorderWrite(df: DataFrame, path: String, zcols: Seq[String],
       bits: Int = 8, targetFiles: Int = 0,
       bounds: Map[String, (Double, Double)] = Map.empty,
-      codec: String = "zstd"): Unit = {
+      codec: String = "zstd", rankSpace: Boolean = false): Unit = {
     val parts = if (targetFiles > 0) targetFiles
       else df.sparkSession.sparkContext.defaultParallelism
-    df.withColumn("__z", zColumn(df, zcols, bits, bounds))
+    val z = if (rankSpace) zColumnRank(df, zcols, bits)
+            else zColumn(df, zcols, bits, bounds)
+    df.withColumn("__z", z)
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -46,6 +46,40 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"bounds must not global-window:\n$plan")
   }
 
+  test("rank-space z-order keeps skipping power on skewed keys where value-space collapses") {
+    // power-law x (heavy head of small values, rare huge outliers) ×
+    // uniform y — the layout killer for min-max bucketization: nearly
+    // every row lands in value bucket 0, so the curve degenerates to a
+    // y-sort and an x-band overlaps every file
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 4096).map { i =>
+      val u = math.max(rnd.nextDouble(), 1e-5)
+      (math.min(100000L, (1.0 / u).toLong), (i % 64).toLong)
+    }
+    val df = rows.toDF("x", "y")
+    val valDir = Files.createTempDirectory("graft-layout-val").toString
+    val rankDir = Files.createTempDirectory("graft-layout-rank").toString
+    Layout.zorderWrite(df, valDir, Seq("x", "y"), bits = 6, targetFiles = 16)
+    Layout.zorderWrite(df, rankDir, Seq("x", "y"), bits = 6, targetFiles = 16,
+      rankSpace = true)
+
+    def xBandHits(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .filter(col("lo") <= 6 && col("hi") >= 3) // x IN [3, 6] — mid-mass band
+        .count()
+
+    val (valHit, rankHit) = (xBandHits(valDir), xBandHits(rankDir))
+    info(s"x-band file hits: value-space $valHit/16, rank-space $rankHit/16")
+    assert(valHit >= 14,
+      s"value-space buckets should collapse on the skewed head: $valHit")
+    assert(rankHit < valHit && rankHit <= 10,
+      s"rank-space should keep discriminating the head: $rankHit vs $valHit")
+    // same rows either way
+    assert(spark.read.parquet(rankDir).count() == 4096)
+  }
+
   test("z-order layout skips files a linear sort cannot") {
     // 64x64 grid; query: a selective band on Y ONLY (the dimension the
     // linear-by-x layout does NOT cluster)
