@@ -487,14 +487,16 @@ object Similarity {
       array((0 until m).map { s =>
         nearestCode(subvec(col("cv"), s, dsub), bySub(s))
       }: _*).as("codes"))
+    // tbl BEFORE the probe explode: one m×ksub table per query, not
+    // one per probed cell
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
-      .withColumn("probe",
-        explode(slice(reverse(scoredCentroids(coarse, col("qv"))), 1, nprobe)))
       .withColumn("tbl", array((0 until m).map { s =>
         array(bySub(s).sortBy(_._1).map { case (_, w) =>
           dot(subvec(col("qv"), s, dsub), array(w.map(lit(_)).toIndexedSeq: _*))
         }: _*)
       }: _*))
+      .withColumn("probe",
+        explode(slice(reverse(scoredCentroids(coarse, col("qv"))), 1, nprobe)))
       .select(col("query_id"), (-col("probe.nc")).as("bucket"), col("tbl"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
