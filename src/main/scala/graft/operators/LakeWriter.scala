@@ -95,21 +95,55 @@ object LakeWriter {
     catch { case _: Throwable => () } // unpartitioned tables have nothing to repair
   }
 
+  /** Collect table + column statistics into the catalog so the
+    * cost-based optimizer has real numbers for join planning (broadcast
+    * thresholds, join reorder, skew estimates). At 100 TB the CBO's
+    * difference between a broadcast and a sort-merge join is the
+    * difference between minutes and hours; stats collection is one
+    * metadata-output scan a pipeline runs after each large write. */
+  def analyzeTable(spark: SparkSession, table: String,
+      columns: Seq[String] = Seq.empty): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
   /** Compaction (M6 hardening — fixes the reference's small-files model
     * for data ingested before batching, and re-buckets partition counts).
-    * Rewrites a table directory to ~targetFileMB-sized files. */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    * Rewrites a table directory to ~targetFileMB-sized files; sizes
+    * resolve through the Hadoop FileSystem of the path (never the
+    * driver's local disk), so compaction works on `hdfs://`/`s3a://`
+    * tables like every other durable artifact.
+    *
+    * `zorderBy` re-clusters the rewrite on the [[Layout]] Morton curve
+    * (range-partition + in-partition sort within each Hive partition's
+    * writer) instead of a blind repartition — the same OPTIMIZE-ZORDER
+    * semantics [[TxLogTable.compact]] gives the ACID table. */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256,
+      zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 8,
+      targetFiles: Int = 0): Unit = {
     val df = spark.read.option("mergeSchema", true).parquet(path)
-    val sizeBytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length()).sum
-    val parts = math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sizeBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val parts =
+      if (targetFiles > 0) targetFiles
+      else math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val tmp = path + "_compacting"
     val hasPart = df.columns.contains("part")
-    val w = df.repartition(parts).write.mode(SaveMode.Overwrite)
+    val rewritten =
+      if (zorderBy.isEmpty) df.repartition(parts)
+      else df.withColumn("__z", Layout.zColumn(df, zorderBy, zorderBits))
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    val w = rewritten.write.mode(SaveMode.Overwrite)
     (if (hasPart) w.partitionBy("part") else w).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(s"compaction publish rename failed: $tmp -> $path")
   }
 }

@@ -58,4 +58,49 @@ class LakeWriterSpec extends SparkSpec {
     assert(after.inputFiles.length < filesBefore)
     assert(after.columns.contains("part"))
   }
+
+  test("compact with zorderBy re-clusters: same rows, y-band skips files") {
+    val dir = Files.createTempDirectory("graft-lake-zorder").toString
+    // x-striped appends: the worst layout for y predicates
+    (0 until 4).foreach { stripe =>
+      val rows = for (x <- stripe * 16 until (stripe + 1) * 16; y <- 0 until 64)
+        yield (x.toLong, y.toLong)
+      rows.toDF("x", "y").write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    LakeWriter.compact(spark, dir, zorderBy = Seq("x", "y"), zorderBits = 6,
+      targetFiles = 16)
+    val after = spark.read.parquet(dir)
+    assert(after.as[(Long, Long)].collect().toSet == before)
+    val hit = after.groupBy(input_file_name().as("f"))
+      .agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+      .filter(col("lo") <= 15 && col("hi") >= 8)
+      .count()
+    val files = after.select(input_file_name()).distinct().count()
+    assert(files >= 8, s"expected multiple output files, got $files")
+    assert(hit * 2 <= files, s"y-band should skip half the files: $hit of $files")
+  }
+
+  test("analyzeTable: catalog stats feed the CBO (row count + column stats visible)") {
+    val dir = Files.createTempDirectory("graft-lake-stats").toString
+    spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k"))
+      .write.mode("overwrite").parquet(dir)
+    val table = "rtdl_stats_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    LakeWriter.registerTable(spark, table, dir)
+    LakeWriter.analyzeTable(spark, table, columns = Seq("id", "k"))
+    // the optimizer only CONSUMES catalog stats under CBO
+    val saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table(table).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1000)),
+        s"row count must reach the optimizer: ${stats.rowCount}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", saved)
+    val described = spark.sql(s"DESCRIBE EXTENDED $table k").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(described.get("distinct_count").exists(_.toLong >= 6),
+      s"column NDV must be collected: $described")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
