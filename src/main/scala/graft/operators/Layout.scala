@@ -23,12 +23,12 @@ import org.apache.spark.sql.functions._
   * double (exact for integral inputs below 2^53), interleaving is
   * integer bit surgery.
   *
-  * Skew caveat (documented, not hidden): min-max bucketization is
-  * value-space, not rank-space — a heavily skewed column wastes curve
-  * resolution around its outliers. The `bounds` override lets a caller
-  * clamp to known-good ranges; a rank-space variant would reuse the
-  * GK-percentile-grid machinery ([[Sampling.topKPerGroup]]) to derive
-  * equi-depth bucket edges.
+  * Skew: min-max bucketization is value-space — a heavily skewed
+  * column wastes curve resolution around its outliers. The `bounds`
+  * override clamps to known-good ranges, and [[zColumnRank]] /
+  * `zorderWrite(rankSpace = true)` switches to equi-depth buckets from
+  * a GK percentile grid (the [[Sampling.topKPerGroup]] machinery) so
+  * the curve spends resolution on row mass instead.
   */
 object Layout {
 
