@@ -17,12 +17,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects at the
-      // type level; read nanos as long and truncate to a micros timestamp
-      // (same truncation DuckDB applies when it converts ns → its µs type).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark 4 rejects at the type level — read nanos as long, truncate
+      // to micros) and plain TIMESTAMP(MICROS) (which Spark reads as
+      // TIMESTAMP_NTZ). Normalize BOTH to a session-TZ TimestampType
+      // micros column: the session TZ is UTC (Sessions.scala), so the
+      // NTZ→LTZ cast is value-identity and downstream code sees one type
+      // regardless of which generator wrote the file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val ts = raw.schema("ts").dataType match {
+        case LongType => expr("timestamp_micros(ts div 1000)")
+        case _        => col("ts").cast(TimestampType)
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

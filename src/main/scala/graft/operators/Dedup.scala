@@ -266,6 +266,67 @@ object Dedup {
         col("chunk_hash"), col("keep"))
   }
 
+  /** Exact duplicated-span excision — ExactSubstr dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022) re-expressed relationally: instead of a suffix array over
+    * the concatenated corpus, every overlapping `n`-token span is
+    * fingerprinted and grouped, an occurrence whose span appears
+    * anywhere else in the corpus is excised UNLESS it is the canonical
+    * (minimum (id, pos)) occurrence, and the surviving tokens re-join
+    * into the cleaned text. Whole-document dedup ([[exact]]) keeps one
+    * copy of an identical document; [[chunkDedup]] catches ALIGNED
+    * boilerplate; span excision catches duplicated passages at any
+    * offset inside otherwise-distinct documents — the case both miss.
+    *
+    * Returns (idCol, n_tokens, removed_tokens, clean_text), one row per
+    * input row; `clean_text` re-joins surviving tokens with single
+    * spaces (tokenization is whitespace-normalizing by construction).
+    *
+    * Scale shape: raw spans never shuffle — each occurrence is reduced
+    * to (md5, id, pos) BEFORE the exchange, and the global count +
+    * canonical occurrence come from one window over the span hash (the
+    * [[exact]] single-exchange shape, ~L narrow rows per L-token doc —
+    * the same order the shingle exchange [[minhashLsh]] already pays).
+    * Covered positions then aggregate per doc (an integer-position
+    * shuffle keyed by id) and join back; the rebuild is a per-row
+    * higher-order filter, O(L·|covered|) worst case per row — per-doc
+    * CPU, no exchange. Raw-text repartition stays opt-in via
+    * `minParallelism` ([[Spread.byKey]]). */
+  def spanExcision(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 16, minParallelism: Int = 0): DataFrame = {
+    require(n >= 2, s"span width must be >= 2, got $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val toks = Spread.byKey(df, idCol, minParallelism)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val occ = toks
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - lit(n - 1)),
+          p => struct(p.as("pos"),
+            md5(concat_ws(" ", slice(col("__t"), p, lit(n)))).as("h"))))
+          .as("__o"))
+      .select(col(idCol), col("__o.pos").as("__pos"), col("__o.h").as("__h"))
+    val dup = occ
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__canon", min(struct(col(idCol), col("__pos"))).over(w))
+      .filter(col("__c") >= 2 && !(col(idCol) === col(s"__canon.$idCol") &&
+        col("__pos") === col("__canon.__pos")))
+      .select(col(idCol), col("__pos"))
+    val covered = dup
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tp"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__tp")).as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .withColumn("__cov",
+        coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__t")).as("n_tokens"),
+        size(col("__cov")).as("removed_tokens"),
+        concat_ws(" ", filter(col("__t"),
+          (t, i) => !array_contains(col("__cov"), i + lit(1)))).as("clean_text"))
+  }
+
   /** 60-bit SimHash of the distinct-token set: bit b is set when more
     * tokens hash to 1 than 0 at position b (sum of ±1 > 0).
     *

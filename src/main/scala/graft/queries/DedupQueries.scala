@@ -467,6 +467,60 @@ object DedupQueries extends QueryModule {
       HAVING sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id"""))
 
+  /** Exact duplicated-span excision (ExactSubstr, Lee et al. ACL 2022):
+    * every 16-token span occurring more than once in the corpus is cut
+    * out of every document except its first (min doc_id, pos)
+    * occurrence, and the text is rebuilt from the surviving tokens. The
+    * oracle replays the whole thing — span fingerprints, the canonical
+    * keeper rule, interval union, and the token-level rebuild — so
+    * `clean_text` is hash-compared byte-for-byte. */
+  private val q116 = QueryDef(
+    "q116_span_excision",
+    (s, d) => {
+      graft.operators.Dedup.spanExcision(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 16,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents),
+      occ AS (
+        SELECT doc_id, unnest(generate_series(1, len(t) - 15)) AS pos, t
+        FROM toks WHERE len(t) >= 16),
+      g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(t[pos : pos + 15], ' ')) AS h
+        FROM occ),
+      m AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY h) AS c,
+               min(doc_id * 1000000 + pos) OVER (PARTITION BY h) AS canon
+        FROM g),
+      dup AS (
+        SELECT doc_id, pos FROM m
+        WHERE c >= 2 AND doc_id * 1000000 + pos <> canon),
+      cov AS (
+        SELECT doc_id, list(DISTINCT tp) AS cps
+        FROM (SELECT doc_id,
+                     unnest(generate_series(pos, pos + 15)) AS tp
+              FROM dup)
+        GROUP BY doc_id)
+      SELECT t.doc_id,
+             len(t.t) AS n_tokens,
+             coalesce(len(c.cps), 0) AS removed_tokens,
+             coalesce(array_to_string(
+               list_transform(
+                 list_filter(generate_series(1, len(t.t)),
+                             i -> c.cps IS NULL OR NOT list_contains(c.cps, i)),
+                 i -> t.t[i]), ' '), '') AS clean_text
+      FROM toks t LEFT JOIN cov c USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   /** The full curation pipeline as one verified chain — what a training
     * run actually executes end-to-end: quality gate (q96 criteria) →
     * exact dedup (q40 keeper rule) → deterministic shuffle (q95) →
@@ -549,7 +603,8 @@ object DedupQueries extends QueryModule {
   // def, not val: q105/q112 are declared below this line, and a val
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
+      q116)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component

@@ -162,6 +162,40 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"chunkDedup plans a window:\n${plan.take(2000)}")
   }
 
+  test("spanExcision: cross-doc span cut from non-canonical doc only") {
+    val df = Seq(
+      (1L, "a b c d e"),       // canonical occurrence of "a b c"
+      (2L, "x y a b c z"),     // duplicate at pos 3 → excised
+      (6L, "zz"))              // shorter than n → untouched
+      .toDF("doc_id", "text")
+    val m = Dedup.spanExcision(df, "doc_id", "text", n = 3)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(1L) == ((5, 0, "a b c d e")))
+    assert(m(2L) == ((6, 3, "x y z")))
+    assert(m(6L) == ((1, 0, "zz")))
+  }
+
+  test("spanExcision: within-doc repeat excised after first occurrence") {
+    val df = Seq((3L, "p q r s p q r")).toDF("doc_id", "text")
+    val m = Dedup.spanExcision(df, "doc_id", "text", n = 3)
+      .select("doc_id", "removed_tokens", "clean_text")
+      .as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(3L) == ((3, "p q r s")))
+  }
+
+  test("spanExcision: full duplicate excises entire non-canonical doc") {
+    val df = Seq((4L, "m n o"), (5L, "m n o")).toDF("doc_id", "text")
+    val m = Dedup.spanExcision(df, "doc_id", "text", n = 3)
+      .select("doc_id", "removed_tokens", "clean_text")
+      .as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(4L) == ((0, "m n o")))
+    assert(m(5L) == ((3, "")))
+  }
+
   test("embeddingNearDup: duplicate vector detected at threshold") {
     val v = Array(1.0f, 2.0f, 3.0f)
     val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
