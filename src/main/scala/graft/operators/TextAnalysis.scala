@@ -330,6 +330,84 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Corpus-LM perplexity scoring + head/middle/tail bucketing — the
+    * CCNet quality signal (Wenzek et al., LREC 2020: documents are
+    * ranked by the perplexity of a language model and split into
+    * head/middle/tail bands; Gopher and LLaMA both filter on the same
+    * signal). The reference LM is a Laplace-smoothed BIGRAM model
+    * trained on the corpus itself — self-contained, no external model
+    * artifact, and every count is engine-replayable:
+    * P(w2|w1) = (c(w1 w2) + alpha) / (ctx(w1) + alpha·V), nll per
+    * bigram type rounded half-up-6, per-doc sum an ORDERED fold over
+    * bigram strings (float addition doesn't commute — the q93
+    * contract), ppl = exp(nll / n_bigrams) rounded half-up-6.
+    *
+    * Returns (idCol, n_bigrams, nll6, ppl6, bucket): bucket is `head`
+    * (ppl6 <= headPpl), `middle`, `tail` (> tailPpl), or `unscored`
+    * for docs with < 2 tokens (ppl6 null).
+    *
+    * Scale shape: per-doc bigram COUNTS are born inside the row
+    * ([[graft.functions.TokenCounts]] over 2-shingles) so the only
+    * token-scale exchanges are the model aggregates — corpus bigram
+    * counts (map-side combinable, distinct-bigram-bounded), context
+    * counts (vocabulary-bounded), and one distinct-unigram count
+    * (1-row broadcast). The per-(doc,bigram) scoring join shuffles on
+    * the bigram key — the same order the [[Dedup.minhashLsh]] shingle
+    * exchange pays — and the final fold is an id-keyed aggregate. No
+    * window, no driver-side data. Raw-text repartition stays opt-in
+    * via `minParallelism` ([[Spread.byKey]]). */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, headPpl: Double = 30.0, tailPpl: Double = 60.0,
+      minParallelism: Int = 0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    require(headPpl <= tailPpl, "headPpl must be <= tailPpl")
+    val halfUp6: Column => Column =
+      c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    graft.functions.TokenCounts.register(df.sparkSession)
+    val toks = Spread.byKey(df, idCol, minParallelism)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("t"))
+    // (doc, bigram, tf) born per-row: no occurrence-level exchange
+    val tf = toks
+      .select(col("doc_id"),
+        explode(graft.functions.TokenCounts.tokenCounts(
+          shingles(col("t"), 2))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("bigram"),
+        col("tc.cnt").cast("long").as("tf"))
+    val bc = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cb"))
+    val cc = tf.groupBy(split(col("bigram"), " ", 2).getItem(0).as("w1"))
+      .agg(sum(col("tf")).as("cw"))
+    val vocab = toks.select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab"))
+    val model = bc
+      .join(cc, split(bc("bigram"), " ", 2).getItem(0) === cc("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"), halfUp6(-log(
+        (col("cb").cast("double") + lit(alpha)) /
+          (col("cw").cast("double") + lit(alpha) * col("vocab").cast("double"))))
+        .as("u"))
+    val scored = tf.join(model, Seq("bigram"))
+      .select(col("doc_id"), col("bigram"), col("tf"),
+        (col("tf").cast("double") * col("u")).as("contrib"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        array_sort(collect_list(struct(col("bigram"), col("contrib")))).as("__cs"))
+      .withColumn("nll6", halfUp6(aggregate(
+        transform(col("__cs"), s => s.getField("contrib")),
+        lit(0.0), (a, x) => a + x)))
+      .withColumn("ppl6",
+        halfUp6(exp(col("nll6") / col("n_bigrams").cast("double"))))
+      .select(col("doc_id"), col("n_bigrams"), col("nll6"), col("ppl6"))
+    toks.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll6"), lit(0.0)).as("nll6"),
+        col("ppl6"),
+        when(col("ppl6").isNull, lit("unscored"))
+          .when(col("ppl6") <= lit(headPpl), lit("head"))
+          .when(col("ppl6") <= lit(tailPpl), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash character
     * k-grams, take the min hash of every sliding window of `w` k-gram
     * hashes, distinct. Returns an array<bigint> per document. */

@@ -532,6 +532,71 @@ object TextQueries extends QueryModule {
       FROM k GROUP BY lang
       ORDER BY lang"""))
 
+  /** CCNet-style corpus-LM perplexity bucketing (Wenzek et al., LREC
+    * 2020): a Laplace-smoothed bigram LM is trained on the corpus
+    * itself, every document is scored by mean bigram NLL, and the
+    * corpus splits into head/middle/tail perplexity bands (thresholds
+    * at the sf0.01 terciles so all three bands are populated). The
+    * oracle retrains the same LM from the same counts and replays the
+    * rounding + ordered-fold contract, so nll6/ppl6 hash-compare. */
+  private val q117 = QueryDef(
+    "q117_lm_perplexity",
+    (s, d) => {
+      graft.operators.TextAnalysis.lmPerplexity(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", alpha = 1.0, headPpl = 29.2, tailPpl = 29.9,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> length(x) > 0) AS t
+        FROM documents),
+      tf AS (
+        SELECT doc_id, g AS bigram, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM toks WHERE len(t) >= 2)
+        GROUP BY 1, 2),
+      bc AS (SELECT bigram, sum(tf) AS cb FROM tf GROUP BY 1),
+      cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(tf) AS cw
+             FROM tf GROUP BY 1),
+      v AS (SELECT count(DISTINCT x) AS vocab
+            FROM (SELECT unnest(t) AS x FROM toks)),
+      model AS (
+        SELECT bigram,
+               floor((-ln((cb::DOUBLE + 1.0)
+                          / (cw::DOUBLE + 1.0 * vocab::DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS u
+        FROM bc JOIN cc ON split_part(bc.bigram, ' ', 1) = cc.w1
+        CROSS JOIN v),
+      scored AS (
+        SELECT doc_id, bigram, tf, tf::DOUBLE * u AS contrib
+        FROM tf JOIN model USING (bigram)),
+      agg AS (
+        SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+          floor(list_reduce(
+                  list_prepend(0.0::DOUBLE, list(contrib ORDER BY bigram)),
+                  (a, b) -> a + b) * 1000000.0 + 0.5) / 1000000.0 AS nll6
+        FROM scored GROUP BY doc_id),
+      p AS (
+        SELECT doc_id, n_bigrams, nll6,
+               floor(exp(nll6 / n_bigrams::DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS ppl6
+        FROM agg)
+      SELECT t.doc_id,
+             coalesce(p.n_bigrams, 0) AS n_bigrams,
+             coalesce(p.nll6, 0.0) AS nll6,
+             p.ppl6,
+             CASE WHEN p.ppl6 IS NULL THEN 'unscored'
+                  WHEN p.ppl6 <= 29.2 THEN 'head'
+                  WHEN p.ppl6 <= 29.9 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM toks t LEFT JOIN p USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96)
+    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117)
 }

@@ -149,4 +149,38 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 5: empty -> all zeros, no division blowup
     assert(r(4) == ((5L, 0, 0.0, 0.0, 0.0, 0)))
   }
+
+  test("lmPerplexity: hand-computed bigram NLL on a 3-doc corpus") {
+    // corpus bigrams: "a b" x2 (docs 1,2), "a c" x1 (doc 3)
+    // ctx(a)=3, V=3, alpha=1:
+    //   u(a b) = -ln((2+1)/(3+3)) = ln 2   = 0.693147 (half-up-6)
+    //   u(a c) = -ln((1+1)/(3+3)) = ln 3   = 1.098612
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val m = TextAnalysis.lmPerplexity(df, "doc_id", "text",
+        alpha = 1.0, headPpl = 2.5, tailPpl = 2.9)
+      .select("doc_id", "n_bigrams", "nll6", "ppl6", "bucket")
+      .as[(Long, Long, Double, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(m(1L) == ((1L, 0.693147, 2.0, "head")))
+    assert(m(2L) == m(1L))
+    assert(m(3L)._2 == 1.098612)
+    assert(m(3L)._3 == 2.999999 && m(3L)._4 == "tail") // exp(ln 3) rounds down
+  }
+
+  test("lmPerplexity: short docs are unscored; common phrasing scores lower") {
+    val df = Seq(
+      (1L, "one"), (2L, ""),
+      (3L, "x y x y x y x y"),   // every bigram corpus-frequent
+      (4L, "x q y r x s y u"))   // bigrams unique in corpus
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.lmPerplexity(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "bucket")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((0L, "unscored")))
+    assert(m(2L) == ((0L, "unscored")))
+    val ppl = TextAnalysis.lmPerplexity(df, "doc_id", "text")
+      .select("doc_id", "ppl6").as[(Long, Option[Double])].collect().toMap
+    assert(ppl(3L).get < ppl(4L).get)
+  }
 }
