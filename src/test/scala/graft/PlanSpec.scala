@@ -112,7 +112,11 @@ class PlanSpec extends SparkSpec {
       // PQ/ADC scores EVERY corpus row's codes against the broadcast
       // query set by design (q50's shape, in the compressed domain);
       // the pruned alternative is ivfPqTopK (cell-keyed equi-join)
-      "q114_ann_pq_adc", "q115_ann_pq_rerank")
+      "q114_ann_pq_adc", "q115_ann_pq_rerank",
+      // q117 cross-joins a BROADCAST 1-ROW vocab aggregate (vocab size
+      // V + total token count for add-one smoothing) — same
+      // scalar-subquery shape as q84/q93/q98
+      "q117_lm_perplexity")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>
