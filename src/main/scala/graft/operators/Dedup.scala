@@ -284,18 +284,21 @@ object Dedup {
     *
     * Scale shape: raw spans never shuffle — each occurrence is reduced
     * to (md5, id, pos) BEFORE the exchange, and the global count +
-    * canonical occurrence come from one window over the span hash (the
-    * [[exact]] single-exchange shape, ~L narrow rows per L-token doc —
-    * the same order the shingle exchange [[minhashLsh]] already pays).
-    * Covered positions then aggregate per doc (an integer-position
-    * shuffle keyed by id) and join back; the rebuild is a per-row
-    * higher-order filter, O(L·|covered|) worst case per row — per-doc
-    * CPU, no exchange. Raw-text repartition stays opt-in via
-    * `minParallelism` ([[Spread.byKey]]). */
+    * canonical occurrence come from a MERGEABLE aggregate over the span
+    * hash (the [[chunkDedup]] shape: map-side partials, one (count,
+    * min(struct)) cell per distinct span) joined back to the
+    * occurrences on the hash — never a window partition, so a hot
+    * boilerplate span occurring millions of times costs one aggregate
+    * cell, not one task; residual probe-side skew on the join is the
+    * AQE-splittable equi-join kind. Covered positions then aggregate
+    * per doc (an integer-position shuffle keyed by id) and join back;
+    * the rebuild probes the covered set via `array_except` (hash-set
+    * membership, O(L + |covered|) per row) — per-doc CPU, no exchange.
+    * Raw-text repartition stays opt-in via `minParallelism`
+    * ([[Spread.byKey]]). */
   def spanExcision(df: DataFrame, idCol: String, textCol: String,
       n: Int = 16, minParallelism: Int = 0): DataFrame = {
     require(n >= 2, s"span width must be >= 2, got $n")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val toks = Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
     val occ = toks
@@ -306,10 +309,12 @@ object Dedup {
             md5(concat_ws(" ", slice(col("__t"), p, lit(n)))).as("h"))))
           .as("__o"))
       .select(col(idCol), col("__o.pos").as("__pos"), col("__o.h").as("__h"))
-    val dup = occ
-      .withColumn("__c", count(lit(1)).over(w))
-      .withColumn("__canon", min(struct(col(idCol), col("__pos"))).over(w))
-      .filter(col("__c") >= 2 && !(col(idCol) === col(s"__canon.$idCol") &&
+    val spans = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("__pos"))).as("__canon"))
+      .filter(col("__c") >= 2)
+    val dup = occ.join(spans, Seq("__h"))
+      .filter(!(col(idCol) === col(s"__canon.$idCol") &&
         col("__pos") === col("__canon.__pos")))
       .select(col(idCol), col("__pos"))
     val covered = dup
@@ -320,11 +325,15 @@ object Dedup {
     toks.join(covered, Seq(idCol), "left")
       .withColumn("__cov",
         coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__keep",
+        when(size(col("__t")) === 0, array().cast("array<int>"))
+          .otherwise(array_except(
+            sequence(lit(1), size(col("__t"))), col("__cov"))))
       .select(col(idCol),
         size(col("__t")).as("n_tokens"),
         size(col("__cov")).as("removed_tokens"),
-        concat_ws(" ", filter(col("__t"),
-          (t, i) => !array_contains(col("__cov"), i + lit(1)))).as("clean_text"))
+        concat_ws(" ", transform(col("__keep"),
+          p => element_at(col("__t"), p))).as("clean_text"))
   }
 
   /** 60-bit SimHash of the distinct-token set: bit b is set when more

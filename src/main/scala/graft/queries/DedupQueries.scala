@@ -499,11 +499,12 @@ object DedupQueries extends QueryModule {
       m AS (
         SELECT doc_id, pos,
                count(*) OVER (PARTITION BY h) AS c,
-               min(doc_id * 1000000 + pos) OVER (PARTITION BY h) AS canon
+               row_number() OVER (PARTITION BY h
+                 ORDER BY doc_id, pos) AS rn
         FROM g),
       dup AS (
         SELECT doc_id, pos FROM m
-        WHERE c >= 2 AND doc_id * 1000000 + pos <> canon),
+        WHERE c >= 2 AND rn > 1),
       cov AS (
         SELECT doc_id, list(DISTINCT tp) AS cps
         FROM (SELECT doc_id,

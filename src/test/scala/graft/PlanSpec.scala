@@ -237,6 +237,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"), p.take(3000))
   }
 
+  test("q116: span excision is aggregate-only — no Window in the plan") {
+    // a window partitioned by span hash funnels a hot boilerplate
+    // span's entire occurrence set into ONE task; the mergeable
+    // groupBy(count, min(struct)) + join-back shape must keep the
+    // plan window-free so the hot span costs one aggregate cell
+    val p = planOf("q116_span_excision")
+    assert(!p.contains("Window"), s"q116 still plans a window:\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p.take(3000))
+  }
+
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
