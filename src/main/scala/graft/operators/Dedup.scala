@@ -129,16 +129,20 @@ object IndexStore {
 object Dedup {
 
   /** Exact dedup by content hash: keeps the row with min `idCol` per
-    * distinct value of `contentCol`; adds `dup_count`. Single shuffle on
-    * the content hash (window count + rank in one exchange), no join —
-    * at 100 TB the hash is the only shuffled payload decision point. */
+    * distinct value of `contentCol` (ids are assumed unique); adds
+    * `dup_count`. The per-hash count + keeper id come from a MERGEABLE
+    * groupBy aggregate joined back on the hash — map-side partials
+    * mean a document duplicated millions of times costs one (count,
+    * min) cell, never a single window partition holding every copy;
+    * residual probe-side skew on the join-back is the AQE-splittable
+    * equi-join kind. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    df.withColumn("__h", md5(col(contentCol).cast("string")))
-      .withColumn("dup_count", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(w.orderBy(col(idCol).asc)))
-      .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+    val hashed = df.withColumn("__h", md5(col(contentCol).cast("string")))
+    val winners = hashed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("__keep"))
+    hashed.join(winners, Seq("__h"))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
   }
 
   /** Exact dedup after canonicalization (lowercase, collapse whitespace). */

@@ -247,6 +247,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"), p.take(3000))
   }
 
+  test("q40: exact dedup is aggregate-only — no Window in the plan") {
+    // the keeper rule (min id per content hash) must be a mergeable
+    // aggregate, not a row_number window: a document duplicated
+    // millions of times is one (count, min) cell, not one task
+    val p = planOf("q40_dedup_exact")
+    assert(!p.contains("Window"), s"q40 still plans a window:\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p.take(3000))
+  }
+
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
