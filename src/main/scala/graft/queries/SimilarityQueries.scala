@@ -389,11 +389,11 @@ object SimilarityQueries extends QueryModule {
     * (query_id, corpus_id, tt ordered by subspace) — byte-identical SQL
     * in both queries, so the compressed-domain pipeline is verified once
     * and the two diverge only in how they rank. */
-  private val pqM4K8I2Ctes = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      n AS (
-        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        FROM e),
-      subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+  /** The PQ pipeline WITHOUT the e/n normalization head, with
+    * iteration CTEs prefixed `p` — composable after [[lloydK8I2Ctes]]
+    * (which supplies identical e/n and its own a1/m1/l1/a2/m2/l2) in
+    * q119's IVF-PQ oracle. */
+  private val pqM4K8I2CtesTail = """subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
       sv AS (
         SELECT vec_id, sub, nv[sub * 16 + 1:(sub + 1) * 16] AS v
         FROM n CROSS JOIN subs),
@@ -407,7 +407,7 @@ object SimilarityQueries extends QueryModule {
       b0 AS (
         SELECT s.sub, r.cid, r.nv[s.sub * 16 + 1:(s.sub + 1) * 16] AS cv
         FROM seedrows r CROSS JOIN subs s),
-      a1 AS (
+      pa1 AS (
         SELECT vec_id, sub, v, cid FROM (
           SELECT sv.vec_id, sv.sub, sv.v, b.cid,
                  row_number() OVER (PARTITION BY sv.vec_id, sv.sub
@@ -415,15 +415,15 @@ object SimilarityQueries extends QueryModule {
                             - list_dot_product(b.cv, b.cv) / 2.0 DESC,
                           b.cid ASC) AS rn
           FROM sv JOIN b0 b ON b.sub = sv.sub) t WHERE rn = 1),
-      m1 AS (
+      pm1 AS (
         SELECT sub, cid, i, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS r
-        FROM (SELECT sub, cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a1)
+        FROM (SELECT sub, cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM pa1)
         GROUP BY sub, cid, i),
-      l1 AS (SELECT sub, cid, list(r ORDER BY i) AS rv FROM m1 GROUP BY sub, cid),
+      pl1 AS (SELECT sub, cid, list(r ORDER BY i) AS rv FROM pm1 GROUP BY sub, cid),
       b1 AS (
         SELECT b.sub, b.cid, COALESCE(l.rv, b.cv) AS cv
-        FROM b0 b LEFT JOIN l1 l ON l.sub = b.sub AND l.cid = b.cid),
-      a2 AS (
+        FROM b0 b LEFT JOIN pl1 l ON l.sub = b.sub AND l.cid = b.cid),
+      pa2 AS (
         SELECT vec_id, sub, v, cid FROM (
           SELECT sv.vec_id, sv.sub, sv.v, b.cid,
                  row_number() OVER (PARTITION BY sv.vec_id, sv.sub
@@ -431,14 +431,14 @@ object SimilarityQueries extends QueryModule {
                             - list_dot_product(b.cv, b.cv) / 2.0 DESC,
                           b.cid ASC) AS rn
           FROM sv JOIN b1 b ON b.sub = sv.sub) t WHERE rn = 1),
-      m2 AS (
+      pm2 AS (
         SELECT sub, cid, i, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS r
-        FROM (SELECT sub, cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a2)
+        FROM (SELECT sub, cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM pa2)
         GROUP BY sub, cid, i),
-      l2 AS (SELECT sub, cid, list(r ORDER BY i) AS rv FROM m2 GROUP BY sub, cid),
+      pl2 AS (SELECT sub, cid, list(r ORDER BY i) AS rv FROM pm2 GROUP BY sub, cid),
       b2 AS (
         SELECT b.sub, b.cid, COALESCE(l.rv, b.cv) AS cv
-        FROM b1 b LEFT JOIN l2 l ON l.sub = b.sub AND l.cid = b.cid),
+        FROM b1 b LEFT JOIN pl2 l ON l.sub = b.sub AND l.cid = b.cid),
       codes AS (
         SELECT vec_id, sub, cid FROM (
           SELECT sv.vec_id, sv.sub, b.cid,
@@ -457,6 +457,12 @@ object SimilarityQueries extends QueryModule {
       sc AS (
         SELECT query_id, corpus_id, list(t ORDER BY sub) AS tt
         FROM parts GROUP BY 1, 2)"""
+
+  private val pqM4K8I2Ctes = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      $pqM4K8I2CtesTail"""
 
   private val q114 = QueryDef(
     "q114_ann_pq_adc",
@@ -525,6 +531,79 @@ object SimilarityQueries extends QueryModule {
       FROM rr WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** IVF-PQ end to end ([[Similarity.ivfPqTopK]]) — the index structure
+    * a 100 TB ANN deployment actually serves: the Lloyd-trained coarse
+    * quantizer (q101's codebook, shared CTE prefix) prunes the corpus
+    * to nprobe cells, ADC scores ONLY the probed cells' byte codes
+    * (q114's compressed pipeline, shared tail), and the exact rerank
+    * touches only the k×overscan shortlist (q115's serving pattern).
+    * Both halves were verified separately; this verifies the
+    * COMPOSITION — probe selection restricting the ADC candidate set,
+    * the in-cell shortlist cut, and the exact final ranking. */
+  private val q119 = QueryDef(
+    "q119_ann_ivf_pq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding", k = 5,
+          nCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2,
+          overscan = 4)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      $pqM4K8I2CtesTail,
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c WHERE n.vec_id < 10) t WHERE rn <= 2),
+      pairs AS (
+        SELECT p.query_id, a.vec_id AS corpus_id
+        FROM probes p JOIN assign a ON a.bucket = p.bucket
+        WHERE a.vec_id <> p.query_id),
+      iparts AS (
+        SELECT pr.query_id, pr.corpus_id, cd.sub,
+               list_dot_product(qs.v, b.cv) AS t
+        FROM pairs pr
+        JOIN codes cd ON cd.vec_id = pr.corpus_id
+        JOIN b2 b ON b.sub = cd.sub AND b.cid = cd.cid
+        JOIN sv qs ON qs.vec_id = pr.query_id AND qs.sub = cd.sub),
+      isc AS (
+        SELECT query_id, corpus_id, list(t ORDER BY sub) AS tt
+        FROM iparts GROUP BY 1, 2),
+      adcranked AS (
+        SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY ((tt[1] + tt[2]) + tt[3]) + tt[4] DESC NULLS LAST,
+                          corpus_id ASC) AS rn
+        FROM isc),
+      shortlist AS (SELECT query_id, corpus_id FROM adcranked WHERE rn <= 20),
+      exact AS (
+        SELECT sl.query_id, sl.corpus_id,
+               list_dot_product(qn.nv, cn.nv) AS cosine
+        FROM shortlist sl
+        JOIN n qn ON qn.vec_id = sl.query_id
+        JOIN n cn ON cn.vec_id = sl.corpus_id),
+      rr AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM exact)
+      SELECT query_id, rank, corpus_id,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115)
+    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119)
 }
