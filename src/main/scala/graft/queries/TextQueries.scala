@@ -539,16 +539,27 @@ object TextQueries extends QueryModule {
     * at the sf0.01 terciles so all three bands are populated). The
     * oracle retrains the same LM from the same counts and replays the
     * rounding + ordered-fold contract, so nll6/ppl6 hash-compare. */
+  /** q117's head/tail perplexity cutoffs — the sf0.01 corpus terciles,
+    * measured once so all three CCNet bands are populated at the gate's
+    * scale factor. Single source of truth interpolated into BOTH the
+    * engine call and the oracle SQL so the two can never drift; at a
+    * different scale factor the corpus-trained LM's ppl distribution
+    * shifts and these would need re-measuring (a deployment derives
+    * them per-corpus with approx_percentile). */
+  private val q117HeadPpl = 29.2
+  private val q117TailPpl = 29.9
+
   private val q117 = QueryDef(
     "q117_lm_perplexity",
     (s, d) => {
       graft.operators.TextAnalysis.lmPerplexity(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", "text", alpha = 1.0, headPpl = 29.2, tailPpl = 29.9,
+          "doc_id", "text", alpha = 1.0,
+          headPpl = q117HeadPpl, tailPpl = q117TailPpl,
           minParallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                                    x -> length(x) > 0) AS t
@@ -591,8 +602,8 @@ object TextQueries extends QueryModule {
              coalesce(p.nll6, 0.0) AS nll6,
              p.ppl6,
              CASE WHEN p.ppl6 IS NULL THEN 'unscored'
-                  WHEN p.ppl6 <= 29.2 THEN 'head'
-                  WHEN p.ppl6 <= 29.9 THEN 'middle'
+                  WHEN p.ppl6 <= ${q117HeadPpl} THEN 'head'
+                  WHEN p.ppl6 <= ${q117TailPpl} THEN 'middle'
                   ELSE 'tail' END AS bucket
       FROM toks t LEFT JOIN p USING (doc_id)
       ORDER BY t.doc_id"""))
