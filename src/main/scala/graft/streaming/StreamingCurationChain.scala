@@ -50,6 +50,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * packing contract) — batch N's ids all precede batch N+1's. The
   * contamination index is built once from the fixed eval side
   * ([[Contamination.buildIndex]]) and read-only here.
+  *
+  * ==Span excision is batch-only==
+  *
+  * The chain admits or drops WHOLE documents; it never rewrites
+  * admitted text. Duplicated-span excision ([[graft.operators.Dedup
+  * .spanExcision]], the q116/q118 ExactSubstr stage) therefore has no
+  * streaming stage here, and the chain's output equals the batch
+  * curation chain WITHOUT excision (q112's shape, spec-pinned) — a
+  * corpus whose documents share long spans passes through with those
+  * spans intact. A streaming approximation is constructible (a durable
+  * span-hash index; monotone ids make arrival order the canonical
+  * min-(id, pos) order), but it gives up three things the batch run
+  * keeps: (a) durable state per document grows from one hash row
+  * (exact) / `bands` rows (near-dup) to ~L overlapping span rows — two
+  * to three orders more index republished inside every exactly-once
+  * window; (b) published bytes become a function of arrival history —
+  * any resharding or backfill that moves a batch boundary rewrites
+  * text retroactively, which the append-only publish model cannot
+  * express; (c) downstream gates (near-dup shingles, decontamination
+  * fingerprints) would consume rewritten text, coupling their index
+  * contents to excision decisions. Corpora that need span-level
+  * excision run the batch chain (q118) over the landed output instead.
   */
 object StreamingCurationChain {
 

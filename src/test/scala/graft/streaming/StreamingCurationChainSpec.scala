@@ -199,4 +199,33 @@ class StreamingCurationChainSpec extends SparkSpec {
     assert(t16 == prevTotal,
       s"batch-2 offsets must continue the recovered stream: $t16 != $prevTotal")
   }
+
+  test("span excision is batch-only: duplicated spans pass through the chain intact") {
+    // two otherwise-distinct docs sharing a 16-token span: not exact
+    // dups, not near-dups (J = 16/48 < 0.7), not contaminated — the
+    // chain admits both with their text unrewritten, and its output
+    // equals the batch pipeline WITHOUT excision (the scaladoc
+    // contract, stated rather than implied)
+    val span = (1 to 16).map(i => f"shared$i%02d").mkString(" ")
+    val headA = (1 to 16).map(i => f"alpha$i%02d").mkString(" ")
+    val tailB = (1 to 16).map(i => f"omega$i%02d").mkString(" ")
+    val b0 = Seq((21L, s"$headA $span", 32L))
+    val b1 = Seq((22L, s"$span $tailB", 32L))
+    val d = mkDirs("span")
+    run(d, Seq(b0, b1))
+    val streamed = packedRows(d.out)
+    assert(streamed == batchPipeline(b0 ++ b1, d.contam),
+      "the chain must equal the batch pipeline WITHOUT a span-excision stage")
+    assert(streamed.map(r => (r._1, r._2)) == Set((21L, 32L), (22L, 32L)),
+      s"both docs must be admitted with the shared span intact: $streamed")
+    // ...and the contract is "batch-only", not "unnecessary": the batch
+    // stage (q118's 1b) WOULD cut the non-canonical occurrence here, so
+    // a chain with excision would pack different token counts
+    val ex = Dedup.spanExcision(
+        df(b0 ++ b1).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 16)
+      .select("doc_id", "removed_tokens").as[(Long, Long)].collect().toMap
+    assert(ex(21L) == 0L && ex(22L) == 16L,
+      s"batch excision must cut exactly the non-canonical occurrence: $ex")
+  }
 }
