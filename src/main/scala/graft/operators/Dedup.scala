@@ -286,38 +286,58 @@ object Dedup {
     * input row; `clean_text` re-joins surviving tokens with single
     * spaces (tokenization is whitespace-normalizing by construction).
     *
+    * Span identity is a 128-bit fingerprint: per-token xxhash64 (one
+    * pass, L hashes per L-token doc), then xxhash64 over each n-token
+    * hash slice plus a salt-prefixed variant for the second 64 bits —
+    * no per-span string is ever built and no cryptographic digest is
+    * paid. Random-collision probability at 1e12 spans is ~1e-14 — the
+    * same exactness class as a 128-bit digest (the DuckDB oracle
+    * replays with md5, also 128-bit; the two agree unless either
+    * fingerprint collides).
+    *
     * Scale shape: raw spans never shuffle — each occurrence is reduced
-    * to (md5, id, pos) BEFORE the exchange, and the global count +
-    * canonical occurrence come from a MERGEABLE aggregate over the span
-    * hash (the [[chunkDedup]] shape: map-side partials, one (count,
-    * min(struct)) cell per distinct span) joined back to the
-    * occurrences on the hash — never a window partition, so a hot
-    * boilerplate span occurring millions of times costs one aggregate
-    * cell, not one task; residual probe-side skew on the join is the
-    * AQE-splittable equi-join kind. Covered positions then aggregate
-    * per doc (an integer-position shuffle keyed by id) and join back;
-    * the rebuild probes the covered set via `array_except` (hash-set
-    * membership, O(L + |covered|) per row) — per-doc CPU, no exchange.
-    * Raw-text repartition stays opt-in via `minParallelism`
-    * ([[Spread.byKey]]). */
+    * to (h1, h2, id, pos) longs BEFORE any exchange. The duplicate
+    * filter is a codegen'd HashAggregate count over the two hash
+    * columns (narrow state, map-side partials — a hot boilerplate span
+    * occurring millions of times is one cell per map task, never one
+    * window task); only occurrences of ACTUALLY-duplicated spans reach
+    * the canonical min(struct) aggregate (a SortAggregate — keeping it
+    * off the full occurrence stream is what the count prefilter buys).
+    * Covered positions then aggregate per doc (an integer-position
+    * shuffle keyed by id) and join back; the rebuild probes the covered
+    * set via `array_except` (hash-set membership, O(L + |covered|) per
+    * row) — per-doc CPU, no exchange. Raw-text repartition stays opt-in
+    * via `minParallelism` ([[Spread.byKey]]). */
   def spanExcision(df: DataFrame, idCol: String, textCol: String,
       n: Int = 16, minParallelism: Int = 0): DataFrame = {
     require(n >= 2, s"span width must be >= 2, got $n")
     val toks = Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
+    // per-token hash once per doc; each span is fingerprinted by
+    // xxhash64 over its n-token-hash slice (array hashing is native
+    // and codegen'd) plus a salt-prefixed variant for the second 64
+    // bits — all-numeric, so the occurrence stream costs long ops,
+    // not string building
     val occ = toks
       .filter(size(col("__t")) >= n)
+      .select(col(idCol), transform(col("__t"), t => xxhash64(t)).as("__th"))
       .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("__t")) - lit(n - 1)),
+        explode(transform(sequence(lit(1), size(col("__th")) - lit(n - 1)),
           p => struct(p.as("pos"),
-            md5(concat_ws(" ", slice(col("__t"), p, lit(n)))).as("h"))))
+            xxhash64(slice(col("__th"), p, lit(n))).as("h1"),
+            xxhash64(concat(array(lit(0x9E3779B97F4A7C15L)),
+              slice(col("__th"), p, lit(n)))).as("h2"))))
           .as("__o"))
-      .select(col(idCol), col("__o.pos").as("__pos"), col("__o.h").as("__h"))
-    val spans = occ.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col(idCol), col("__pos"))).as("__canon"))
+      .select(col(idCol), col("__o.pos").as("__pos"),
+        col("__o.h1").as("__h1"), col("__o.h2").as("__h2"))
+    val dupSpans = occ.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
-    val dup = occ.join(spans, Seq("__h"))
+      .select(col("__h1"), col("__h2"))
+    val dupOcc = occ.join(dupSpans, Seq("__h1", "__h2"))
+    val canon = dupOcc.groupBy(col("__h1"), col("__h2"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__canon"))
+    val dup = dupOcc.join(canon, Seq("__h1", "__h2"))
       .filter(!(col(idCol) === col(s"__canon.$idCol") &&
         col("__pos") === col("__canon.__pos")))
       .select(col(idCol), col("__pos"))
