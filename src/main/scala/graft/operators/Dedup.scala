@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Where a candidate-generation index (the bucketed signature table read
@@ -127,6 +128,13 @@ object IndexStore {
   * `maxBucketSize` before pairing.
   */
 object Dedup {
+
+  /** 1e19 as an exact decimal literal — strictly greater than any Int
+    * span position, so id·PosPack + pos orders identically to the
+    * lexicographic (id, pos) struct for every representable pair
+    * (including negative ids: pos ∈ [0, 1e19) keeps strata disjoint). */
+  private val PosPack: Column =
+    lit(new java.math.BigDecimal("10000000000000000000"))
 
   /** Exact dedup by content hash: keeps the row with min `idCol` per
     * distinct value of `contentCol` (ids are assumed unique); adds
@@ -296,13 +304,15 @@ object Dedup {
     * fingerprint collides).
     *
     * Scale shape: raw spans never shuffle — each occurrence is reduced
-    * to (h1, h2, id, pos) longs BEFORE any exchange. The duplicate
-    * filter is a codegen'd HashAggregate count over the two hash
-    * columns (narrow state, map-side partials — a hot boilerplate span
-    * occurring millions of times is one cell per map task, never one
-    * window task); only occurrences of ACTUALLY-duplicated spans reach
-    * the canonical min(struct) aggregate (a SortAggregate — keeping it
-    * off the full occurrence stream is what the count prefilter buys).
+    * to (h1, h2, id, pos) longs BEFORE any exchange. Span count AND the
+    * canonical occurrence ride one codegen'd HashAggregate over the two
+    * hash columns (narrow fixed-width state: a long count + a
+    * decimal(38) min of the exact id·1e19+pos packing; map-side
+    * partials, so a hot boilerplate span occurring millions of times is
+    * one cell per map task, never one window task), and the surviving
+    * duplicated-span rows join back to a second pass of the occurrence
+    * stream (AQE-broadcast when small, skew-splittable equi-join
+    * otherwise).
     * Covered positions then aggregate per doc (an integer-position
     * shuffle keyed by id) and join back; the rebuild probes the covered
     * set via `array_except` (hash-set membership, O(L + |covered|) per
@@ -330,16 +340,21 @@ object Dedup {
           .as("__o"))
       .select(col(idCol), col("__o.pos").as("__pos"),
         col("__o.h1").as("__h1"), col("__o.h2").as("__h2"))
-    val dupSpans = occ.groupBy(col("__h1"), col("__h2"))
-      .agg(count(lit(1)).as("__c"))
+    // the canonical (min (id, pos)) occurrence rides the SAME aggregate
+    // as the count, as min over an exact decimal(38) packing
+    // id*1e19 + pos: 1e19 exceeds any Int position so the packing is
+    // order-isomorphic to the lexicographic struct for every
+    // representable (long, int) pair, and min(decimal) keeps the
+    // aggregate a codegen HashAggregate — min(struct) would force a
+    // SortAggregate over the full occurrence stream, and a separate
+    // canonical pass would re-explode it a third time
+    val packed = col(idCol).cast(DecimalType(38, 0)) * PosPack + col("__pos")
+    val spans = occ.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__c"), min(packed).as("__canon"))
       .filter(col("__c") >= 2)
-      .select(col("__h1"), col("__h2"))
-    val dupOcc = occ.join(dupSpans, Seq("__h1", "__h2"))
-    val canon = dupOcc.groupBy(col("__h1"), col("__h2"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__canon"))
-    val dup = dupOcc.join(canon, Seq("__h1", "__h2"))
-      .filter(!(col(idCol) === col(s"__canon.$idCol") &&
-        col("__pos") === col("__canon.__pos")))
+      .select(col("__h1"), col("__h2"), col("__canon"))
+    val dup = occ.join(spans, Seq("__h1", "__h2"))
+      .filter(packed =!= col("__canon"))
       .select(col(idCol), col("__pos"))
     val covered = dup
       .select(col(idCol),

@@ -196,6 +196,26 @@ class DedupSpec extends SparkSpec {
     assert(m(5L) == ((3, "")))
   }
 
+  test("spanExcision: empty text and span-free corpora pass through whole") {
+    // empty text exercises the zero-token rebuild guard (sequence(1, 0)
+    // would be [1, 0] in Spark, not []); an all-unique corpus exercises
+    // the empty duplicated-span set (left join misses → zero removed)
+    val df = Seq(
+      (7L, ""),                 // zero tokens
+      (8L, "only two"),         // below n
+      (9L, "each token here is globally unique"),
+      (10L, "and so is every token in this row"))
+      .toDF("doc_id", "text")
+    val m = Dedup.spanExcision(df, "doc_id", "text", n = 3)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(7L) == ((0, 0, "")))
+    assert(m(8L) == ((2, 0, "only two")))
+    assert(m(9L) == ((6, 0, "each token here is globally unique")))
+    assert(m(10L) == ((8, 0, "and so is every token in this row")))
+  }
+
   test("embeddingNearDup: duplicate vector detected at threshold") {
     val v = Array(1.0f, 2.0f, 3.0f)
     val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
