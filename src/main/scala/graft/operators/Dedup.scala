@@ -470,4 +470,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** SemDeDup — semantic dedup over document embeddings (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means-cluster the embedding space (the
+    * Lloyd-trained codebook of [[Similarity.trainCentroids]]), then look
+    * for near-duplicates ONLY inside each cluster — semantically
+    * redundant documents land in the same cell, so the pairwise work is
+    * Σ|cell|², never |corpus|². Complements [[embeddingNearDup]]: the
+    * LSH tables catch high-cosine pairs with tunable recall; SemDeDup's
+    * cells are exhaustive WITHIN a cell (recall 1 there) and double as
+    * the semantic grouping the curation literature keys on.
+    *
+    * Keep rule is this file's deterministic dedup convention: a row is
+    * dropped iff some same-cluster row with a smaller id sits at
+    * cosine ≥ `threshold` — the minimum-id representative of every
+    * near-dup neighborhood survives. Returns (corpus_id, bucket, kept),
+    * one row per input row.
+    *
+    * Scale shape: assignment is a shuffle-free projection (trained
+    * codebook baked as plan literals, K×d driver metadata); the
+    * verification self-join is equi-keyed on the cluster id.
+    * `nCentroids` IS the scale knob — size it so corpus/nCentroids rows
+    * fit one task (the paper runs k ≈ corpus/5k); `maxClusterSize` is
+    * the guard: a cell past the cap skips pairing entirely (its rows
+    * all keep) instead of detonating a quadratic join — the
+    * [[embeddingNearDup]] `maxBucketSize` posture. The assigned table
+    * is the candidate index (read by both join sides + the final keep
+    * join); placement via `index`, as everywhere in this file. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 8, iters: Int = 2,
+      maxClusterSize: Int = 100000,
+      index: IndexStore = IndexStore.default): DataFrame = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(df.sparkSession)
+    // training runs ONCE (eager driver-side collect inside); the
+    // assignment projection is then shared by the size count, both join
+    // sides, and the final keep join
+    val assigned = Similarity.ivfAssignTrained(df, idCol, vecCol,
+      nCentroids, iters)
+    val sizes = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+    val sized = IndexStore.persist(
+      assigned.join(broadcast(sizes), Seq("bucket")), index) // ≤ nCentroids rows
+    val pairable = sized.filter(col("__bn") <= maxClusterSize)
+    val lhs = pairable.select(col("bucket"), col("corpus_id").as("__ia"),
+      col("cv").as("__va"))
+    val rhs = pairable.select(col("bucket"), col("corpus_id").as("__ib"),
+      col("cv").as("__vb"))
+    // verify inside the cell join's projection; only surviving ids are
+    // distinct'd (narrow shuffle), vectors never leave the join
+    val drops = lhs.join(rhs, Seq("bucket"))
+      .filter(col("__ib") < col("__ia") &&
+        VectorExpressions.dot(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ia").as("corpus_id")).distinct()
+    sized.join(drops.withColumn("__d", lit(1)), Seq("corpus_id"), "left")
+      .select(col("corpus_id"), col("bucket"),
+        when(col("__d").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
 }

@@ -604,6 +604,42 @@ object SimilarityQueries extends QueryModule {
       FROM rr WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** SemDeDup ([[graft.operators.Dedup.semDedup]], Abbas et al. 2023):
+    * semantic dedup inside the q101/q111 Lloyd-trained cells — exhaustive
+    * near-dup search within each cell, min-id representative survives.
+    * Threshold 0.4 is this corpus's q45 operating point (the synthetic
+    * embeddings top out near cosine 0.51 pairwise; the paper's web-scale
+    * τ ≈ 0.95). The oracle replays training (shared CTE prefix with
+    * q101/q111), assignment, the within-cell pairwise search, and the
+    * min-id keep rule. */
+  private val q120 = QueryDef(
+    "q120_semantic_dedup",
+    (s, d) => {
+      import graft.operators.{Dedup, IndexStore}
+      Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, nCentroids = 8, iters = 2,
+          index = IndexStore.Memory())
+        .select(col("corpus_id").as("vec_id"), col("bucket"), col("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      an AS (SELECT a.vec_id, a.bucket, n.nv FROM assign a JOIN n USING (vec_id)),
+      drops AS (
+        SELECT DISTINCT a.vec_id
+        FROM an a JOIN an b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        WHERE list_dot_product(a.nv, b.nv) >= 0.4)
+      SELECT a.vec_id, a.bucket,
+             CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM assign a LEFT JOIN drops d USING (vec_id)
+      ORDER BY a.vec_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119)
+    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120)
 }

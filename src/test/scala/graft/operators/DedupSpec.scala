@@ -224,4 +224,36 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // scaled copy has cosine 1
   }
+
+  test("semDedup: min-id representative survives, one row per input") {
+    // 1 and 2 are scaled copies (cosine 1, same cluster necessarily);
+    // 3 is near-orthogonal to both
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, Array(-3.0f, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", threshold = 0.99,
+        nCentroids = 2, iters = 1)
+      .select("corpus_id", "kept").as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // one row per input row
+    assert(out(1L) == 1 && out(2L) == 0 && out(3L) == 1)
+  }
+
+  test("semDedup: a cluster past maxClusterSize skips pairing (all kept)") {
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2.0f)), (3L, v.map(_ * 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", threshold = 0.99,
+        nCentroids = 1, iters = 1, maxClusterSize = 2)
+      .select("corpus_id", "kept").as[(Long, Int)].collect().toMap
+    assert(out.values.forall(_ == 1)) // 3-row cluster > cap: guard, not detonate
+  }
+
+  test("semDedup: within-cell join is equi-keyed — no cartesian in the plan") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = Dedup.semDedup(df, "vec_id", "embedding", threshold = 0.9,
+      nCentroids = 2, iters = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
