@@ -408,6 +408,93 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** DSIR — data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how much more likely its
+    * hashed-n-gram bag is under a TARGET distribution (rows where
+    * `isTarget`) than under the RAW corpus distribution. Features are
+    * unigrams + bigrams hashed into `nBuckets` buckets (the paper's
+    * hashed n-gram reduction); both bag models are Laplace-smoothed
+    * bucket frequencies:
+    *
+    *   log w(x) = Σ_b c_x[b] · (ln p̂[b] − ln q̂[b]),
+    *   p̂[b] = (tc[b]+1)/(tt+B),  q̂[b] = (rc[b]+1)/(tr+B).
+    *
+    * Per-bucket log-ratios are rounded half-up-6 and fixed-pointed to
+    * LONG micro-nats, so the per-doc sum is EXACT integer arithmetic —
+    * order-independent and oracle-replayable (no float-summation-order
+    * contract needed, unlike the q93/q117 ordered folds). Buckets use
+    * the md5-derived h60 family for the same reason.
+    *
+    * Returns (idCol, n_grams, iscore) for every document with ≥ 1
+    * token; `iscore` is log w(x) in micro-nats.
+    *
+    * Scale shape: pass 1 trains the model — one explode + groupBy on
+    * the bucket id, map-side combinable to ≤ `nBuckets` rows per task,
+    * collected driver-side as B-row bounded metadata (the codebook
+    * pattern, [[Similarity.trainCentroids]]); pass 2 scores — a
+    * SHUFFLE-FREE projection with the log-ratio table baked in as an
+    * array literal. No join, no window, nothing driver-sized. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    val grams = once(tokens(col(textCol))) { t =>
+      concat(t,
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - lit(1)),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
+          .otherwise(array().cast("array<string>")))
+    }
+    val bucketed = df
+      .select(col(idCol), isTarget.as("__tgt"),
+        transform(grams, g => pmod(h60(g), lit(nBuckets.toLong))).as("__b"))
+      .filter(size(col("__b")) > 0)
+    // the model: B rows of (bucket, target count, raw count) — bounded
+    // driver metadata, same class as a K×d codebook
+    val counts = bucketed
+      .select(explode(col("__b")).as("bk"), col("__tgt"))
+      .groupBy(col("bk"))
+      .agg(sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("tc"),
+        count(lit(1)).as("rc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val tt = counts.valuesIterator.map(_._1).sum
+    val tr = counts.valuesIterator.map(_._2).sum
+    val lrInt: IndexedSeq[Long] = (0 until nBuckets).map { bk =>
+      val (tc, rc) = counts.getOrElse(bk.toLong, (0L, 0L))
+      val lr = math.log((tc + 1.0) / (tt + nBuckets.toDouble)) -
+        math.log((rc + 1.0) / (tr + nBuckets.toDouble))
+      math.floor(lr * 1e6 + 0.5).toLong
+    }
+    val lrLit = array(lrInt.map(lit(_)): _*)
+    bucketed.select(col(idCol),
+      size(col("__b")).cast("long").as("n_grams"),
+      aggregate(col("__b"), lit(0L),
+        (acc, x) => acc + element_at(lrLit, (x + lit(1L)).cast("int")))
+        .as("iscore"))
+  }
+
+  /** DSIR selection: [[dsirScore]] + the paper's Gumbel-top-k resample,
+    * derandomized with the engine's md5-uniform convention (q83/q111):
+    * u = (h60("graft-dsir|" + id) + 1) / 2^60, key = log w(x) − ln(−ln u),
+    * rounded half-up-6; take the `k` largest (ties to the smaller id).
+    * The sort is a TakeOrderedAndProject — per-partition top-k plus a
+    * k-row driver merge, never a global sort. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, nBuckets: Int = 64,
+      seed: String = "graft-dsir"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val halfUp6: Column => Column =
+      c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val u = (h60(concat(lit(seed + "|"), col(idCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(1.152921504606846976e18) // 2^60
+    dsirScore(df, idCol, textCol, isTarget, nBuckets)
+      .withColumn("key6",
+        halfUp6(col("iscore").cast("double") / lit(1000000.0) - log(-log(u))))
+      .orderBy(col("key6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash character
     * k-grams, take the min hash of every sliding window of `w` k-gram
     * hashes, distinct. Returns an array<bigint> per document. */

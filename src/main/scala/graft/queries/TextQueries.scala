@@ -608,6 +608,61 @@ object TextQueries extends QueryModule {
       FROM toks t LEFT JOIN p USING (doc_id)
       ORDER BY t.doc_id"""))
 
+  /** DSIR data selection ([[TextAnalysis.dsirSelect]], Xie et al.
+    * NeurIPS 2023): hashed unigram+bigram importance weights trained
+    * against the `lang = 'en'` rows as the target distribution, Gumbel
+    * top-125 resample. The oracle replays feature hashing (h60 % 64),
+    * both Laplace-smoothed bucket models, the fixed-point micro-nat
+    * log-ratios (exact integer doc scores — no float-order contract),
+    * and the derandomized Gumbel key. */
+  private val q121 = QueryDef(
+    "q121_dsir_selection",
+    (s, d) => {
+      TextAnalysis.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", k = 125, nBuckets = 64)
+        .select(col("doc_id"), col("n_grams"), col("iscore"), col("key6"))
+        .orderBy(col("key6").desc, col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, lang,
+               list_concat(t, CASE WHEN length(t) >= 2
+                 THEN list_transform(generate_series(1, length(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1])
+                 ELSE [] END) AS gs
+        FROM d WHERE length(t) > 0),
+      f AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(gg), 1, 15))::UBIGINT::BIGINT % 64 AS b
+        FROM (SELECT doc_id, lang, unnest(gs) AS gg FROM g)),
+      cnt AS (
+        SELECT b, count(*) FILTER (WHERE lang = 'en') AS tc, count(*) AS rc
+        FROM f GROUP BY b),
+      tot AS (SELECT sum(tc) AS tt, sum(rc) AS tr FROM cnt),
+      lr AS (
+        SELECT b, CAST(floor((ln((tc + 1.0) / (tt + 64.0))
+                              - ln((rc + 1.0) / (tr + 64.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w
+        FROM cnt, tot),
+      sc AS (
+        SELECT f.doc_id, count(*) AS n_grams, CAST(sum(lr.w) AS BIGINT) AS iscore
+        FROM f JOIN lr USING (b) GROUP BY f.doc_id),
+      key AS (
+        SELECT doc_id, n_grams, iscore,
+               floor((iscore / 1000000.0
+                      - ln(-ln((('0x' || substr(md5('graft-dsir|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT + 1)
+                               / 1152921504606846976.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS key6
+        FROM sc)
+      SELECT doc_id, n_grams, iscore, key6 FROM key
+      ORDER BY key6 DESC, doc_id ASC
+      LIMIT 125"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117)
+    Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
+      q121)
 }

@@ -183,4 +183,42 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "ppl6").as[(Long, Option[Double])].collect().toMap
     assert(ppl(3L).get < ppl(4L).get)
   }
+
+  test("dsirScore: target-like text outranks off-target; twins tie exactly") {
+    val df = Seq(
+      (1L, "alpha beta gamma", true),  // the target distribution
+      (2L, "alpha beta gamma", false), // raw twin of the target text
+      (3L, "delta epsilon zeta", false)) // shares no gram with target
+      .toDF("doc_id", "text", "tgt")
+    val m = TextAnalysis.dsirScore(df, "doc_id", "text", col("tgt"))
+      .select("doc_id", "n_grams", "iscore").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L)._1 == 5L) // 3 unigrams + 2 bigrams
+    assert(m(2L) == m(1L)) // identical text → identical exact score
+    assert(m(3L)._2 < m(1L)._2) // off-target grams have negative log-ratio
+  }
+
+  test("dsirScore: empty docs are excluded; scoring plan is shuffle-free") {
+    val df = Seq((1L, "a b", true), (2L, "  ", false), (3L, "c", false))
+      .toDF("doc_id", "text", "tgt")
+    val scored = TextAnalysis.dsirScore(df, "doc_id", "text", col("tgt"))
+    assert(scored.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // the model is baked in as literals: scoring is scan→filter→project
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("dsirSelect: k rows, descending deterministic keys, TakeOrdered plan") {
+    val df = (1L to 20L).map(i =>
+        (i, if (i <= 5) "aa bb cc" else "xx yy zz", i <= 5))
+      .toDF("doc_id", "text", "tgt")
+    val sel = TextAnalysis.dsirSelect(df, "doc_id", "text", col("tgt"), k = 7)
+    val rows = sel.select("doc_id", "key6").as[(Long, Double)].collect()
+    assert(rows.length == 7)
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(sel.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // rerun is byte-identical (derandomized Gumbel)
+    val again = TextAnalysis.dsirSelect(df, "doc_id", "text", col("tgt"), k = 7)
+      .select("doc_id", "key6").as[(Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }
