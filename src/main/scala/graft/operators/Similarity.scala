@@ -70,6 +70,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce each unit-normalized
+    * vector to `outDims` coordinates, coordinate j = nv · w_j over the
+    * deterministic md5 hyperplane family ([[planeWeights]] — the same
+    * family the q51 sign-LSH buckets use, so the projection is
+    * reproducible and oracle-replayable). JL guarantees pairwise angles
+    * survive the reduction to within ε for outDims = O(ln N / ε²) —
+    * the standard way to make a wide embedding column cheap enough to
+    * scan before an exact rerank.
+    *
+    * A pure per-row projection: outDims dot products against literal
+    * arrays, no shuffle, no state. Returns (idCol, rv). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    normalized(df, idCol, vecCol, idCol, "__nv")
+      .select(col(idCol), array((0 until outDims).map { j =>
+        dot(col("__nv"), array(planeWeights(j, dims).toIndexedSeq.map(lit(_)): _*))
+      }: _*).as("rv"))
+  }
+
+  /** JL serving recipe: [[bruteForceTopK]] over the `outDims`-wide
+    * projections over-fetches `k * overscan` candidates (outDims/dims of
+    * the full scan cost per pair), then ONLY the shortlist pays exact
+    * cosine against the full vectors — the [[pqTopKReranked]] over-fetch
+    * pattern with a projection instead of a codebook as the compressed
+    * domain. Reduced-space scan is the intentional q50 broadcast shape;
+    * the exact side never shuffles (broadcast shortlist + queries). */
+  def jlTopKReranked(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, outDims: Int = 16,
+      overscan: Int = 4, dims: Int = 0): DataFrame = {
+    require(overscan >= 1, s"overscan must be >= 1, got $overscan")
+    val d = if (dims > 0) dims else corpus.select(size(col(vecCol))).first().getInt(0)
+    val shortlist = bruteForceTopK(
+        jlProject(queries, idCol, vecCol, outDims, d),
+        jlProject(corpus, idCol, vecCol, outDims, d),
+        idCol, "rv", k * overscan)
+      .select(col("query_id"), col("corpus_id"))
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Deterministic hyperplane weights, computed once on the driver (same
     * md5-derived family as TextFunctions.h60, so the index is stable). */
   private[operators] def planeWeights(plane: Int, dims: Int): Array[Double] = {

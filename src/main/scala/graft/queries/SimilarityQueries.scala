@@ -640,6 +640,65 @@ object SimilarityQueries extends QueryModule {
       FROM assign a LEFT JOIN drops d USING (vec_id)
       ORDER BY a.vec_id"""))
 
+  /** JL-projection serving path ([[Similarity.jlTopKReranked]]): reduce
+    * 64-dim embeddings to 16 JL coordinates (md5 hyperplane family —
+    * q51's planes), over-fetch top-20 in the reduced space, exact-rerank
+    * the shortlist to top-5. The oracle replays the projection, the
+    * reduced-space ranking, and the rerank — the full serving recipe. */
+  private val q122 = QueryDef(
+    "q122_ann_jl_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.jlTopKReranked(queries, emb, "vec_id", "embedding",
+          k = 5, outDims = 16, overscan = 4, dims = Tables.embeddingDims)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      planes AS (
+        SELECT j, list_transform(generate_series(0, 63), d ->
+          CAST(('0x' || substr(md5(j::VARCHAR || ':' || d::VARCHAR), 1, 15))::UBIGINT::BIGINT
+               % 2001 - 1000 AS DOUBLE)) AS w
+        FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+      r AS (
+        SELECT n.vec_id, list(list_dot_product(n.nv, p.w) ORDER BY p.j) AS rv
+        FROM n, planes p GROUP BY n.vec_id),
+      rn AS (
+        SELECT vec_id, list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS rnv
+        FROM r),
+      sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               list_dot_product(q.rnv, c.rnv) AS rcos
+        FROM rn q JOIN rn c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10),
+      sl AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY rcos DESC NULLS LAST, corpus_id ASC) AS rr
+          FROM sc) t WHERE rr <= 20),
+      exact AS (
+        SELECT sl.query_id, sl.corpus_id,
+               list_dot_product(qn.nv, cn.nv) AS cosine
+        FROM sl
+        JOIN n qn ON qn.vec_id = sl.query_id
+        JOIN n cn ON cn.vec_id = sl.corpus_id),
+      rk AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM exact)
+      SELECT query_id, rank, corpus_id,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM rk WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120)
+    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122)
 }

@@ -116,7 +116,11 @@ class PlanSpec extends SparkSpec {
       // q117 cross-joins a BROADCAST 1-ROW vocab aggregate (vocab size
       // V + total token count for add-one smoothing) — same
       // scalar-subquery shape as q84/q93/q98
-      "q117_lm_perplexity")
+      "q117_lm_perplexity",
+      // q122's reduced-space shortlist scan is q50's brute-force shape
+      // run over 16-dim JL projections (broadcast query side); the
+      // exact rerank joins are equi-keyed
+      "q122_ann_jl_rerank")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>

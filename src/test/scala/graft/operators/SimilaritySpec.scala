@@ -271,4 +271,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8,
       s"composed IVF-PQ recall collapsed: $recall")
   }
+
+  test("jlProject: deterministic per-row projection of the right width") {
+    val df = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 2.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.jlProject(df, "vec_id", "embedding", outDims = 6, dims = 4)
+      .select("vec_id", "rv").as[(Long, Seq[Double])].collect().toMap
+    val b = Similarity.jlProject(df, "vec_id", "embedding", outDims = 6, dims = 4)
+      .select("vec_id", "rv").as[(Long, Seq[Double])].collect().toMap
+    assert(a(1L).length == 6 && a == b) // stable md5 plane family
+    // scaling the input leaves the projection unchanged (normalized first)
+    val scaled = Seq((2L, Array(0.0f, 4.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val s = Similarity.jlProject(scaled, "vec_id", "embedding", 6, 4)
+      .select("rv").as[Seq[Double]].collect().head
+    assert(s == a(2L))
+  }
+
+  test("jlTopKReranked: high recall vs brute force at 4x dim reduction") {
+    // JL preserves ANGLES to within ε ~ sqrt(ln N / outDims); recall is
+    // meaningful only when true neighbors are separated by more than ε
+    // (real embedding corpora are clustered; isotropic noise is the
+    // degenerate case where every cosine ≈ 0 and ordering is noise)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 300).map { i =>
+      val base = Array.fill(64)(0.0)
+      base(i % 6) = 1.0 // 6 well-separated direction clusters
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.08).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val byOverscan = Seq(2, 4, 12).map { os =>
+      val jl = Similarity.jlTopKReranked(queries, corpus, "vec_id", "embedding",
+          k = 5, outDims = 16, overscan = os, dims = 64)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      os -> (brute & jl).size.toDouble / brute.size
+    }
+    info("JL recall@5 (64 -> 16 dims) by overscan: " +
+      byOverscan.map { case (os, r) => f"$os -> $r%.3f" }.mkString(", "))
+    assert(byOverscan.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"overscan should not hurt recall: $byOverscan")
+    assert(byOverscan.last._2 >= 0.8,
+      s"JL rerank recall collapsed at overscan=12: ${byOverscan.last._2}")
+  }
 }
