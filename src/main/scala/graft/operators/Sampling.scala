@@ -411,4 +411,63 @@ object Sampling {
       0L, df.schema(groupCol).dataType, branchCutoff)
     withThr.withColumn(keepCol, (c < thr).cast("int")).drop(tmpCols: _*)
   }
+
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): split a token budget
+    * `budgetFrac · Σweight` across groups (languages) by serving groups
+    * in ASCENDING-weight order, each getting
+    * min(weight·epochCap, remaining / groupsLeft). Low-resource groups
+    * are served up to their epoch cap; the surplus is shared uniformly
+    * by the bigger ones — unlike [[temperature]], no group is ever
+    * oversampled past its cap and no tiny group's rate depends on a
+    * power-law fit. The allocation then becomes per-group keep rates
+    * (round6(min(1, alloc/weight))) applied with the engine's
+    * integer-threshold convention, so selection is deterministic and
+    * oracle-replayable (the allocation loop replays as a recursive CTE;
+    * every float op — budget multiply, share divide, min, subtract —
+    * runs in the same IEEE order on both sides).
+    *
+    * `weightCol` must be integral (token counts). Returns df + `keepCol`
+    * (1/0); rows in null groups or zero-weight groups keep 0.
+    *
+    * Scale shape: ONE mergeable sum aggregate down to G driver rows
+    * (loud `maxGroups` guard, the [[temperature]] posture), a driver
+    * loop over G, and a per-row flag via constant-folded when-chain or
+    * broadcast lookup past `branchCutoff`. No window, no data-sized
+    * driver state. */
+  def unimax(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, budgetFrac: Double, epochCap: Double = 1.0,
+      salt: String = "graft-unimax", keepCol: String = "kept",
+      branchCutoff: Int = BranchCutoff,
+      maxGroups: Int = 1 << 20): DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0,1], got $budgetFrac")
+    require(epochCap >= 1.0, s"epochCap must be >= 1, got $epochCap")
+    require(keepCol.nonEmpty, "keepCol required")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(sum(col(weightCol)).cast("long").as("w"))
+      .head(maxGroups + 1).map(r => r.get(0) -> r.getLong(1))
+    require(counts.length <= maxGroups,
+      s"unimax saw more than maxGroups=$maxGroups groups — " +
+        "group must be metadata-scale (language/source), not a document key")
+    if (counts.isEmpty) return df.withColumn(keepCol, lit(0))
+    // ascending-weight serve order, ties by the group's string form (the
+    // oracle orders the same way)
+    val sorted = counts.sortBy { case (g, w) => (w, String.valueOf(g)) }
+    val total = sorted.map(_._2).sum.toDouble
+    var rem = budgetFrac * total
+    val round6: Double => Double = x => math.floor(x * 1e6 + 0.5) / 1e6
+    val entries = sorted.zipWithIndex.map { case ((g, w), i) =>
+      val share = rem / (sorted.length - i)
+      val alloc = math.min(w * epochCap, share)
+      rem -= alloc
+      val rate = if (w == 0L) 0.0 else round6(math.min(1.0, alloc / w))
+      g -> threshold(rate)
+    }
+    val (withThr, thr, tmpCols) = groupThreshold(df, groupCol, entries,
+      0L, df.schema(groupCol).dataType, branchCutoff)
+    withThr.withColumn(keepCol,
+      (coord(col(idCol), salt) < thr).cast("int")).drop(tmpCols: _*)
+  }
 }

@@ -416,6 +416,61 @@ object SamplingQueries extends QueryModule {
       GROUP BY d.lang
       ORDER BY d.lang"""))
 
+  /** UniMax language-balanced budget allocation
+    * ([[graft.operators.Sampling.unimax]], Chung et al. ICLR 2023):
+    * serve languages in ascending token-count order, each getting
+    * min(its tokens · epoch cap, remaining budget / languages left) of a
+    * 70% token budget — at sf0.01 the two smallest languages are fully
+    * served (rate 1.0, the cap branch) while en is rationed to ~0.33
+    * (the shared-surplus branch). The oracle replays token counting,
+    * the allocation loop as a RECURSIVE CTE (every float op in the same
+    * IEEE order), the half-up-6 rates, and per-row 60-bit membership. */
+  private val q123 = QueryDef(
+    "q123_unimax_sampling",
+    (s, d) => {
+      Sampling.unimax(Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"),
+              size(graft.functions.TextFunctions.tokens(col("text"))).as("w")),
+          "doc_id", "lang", "w", budgetFrac = 0.7)
+        .select(col("doc_id"), col("lang"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      d AS (
+        SELECT doc_id, lang,
+               length(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0)) AS w
+        FROM documents),
+      cnt AS (
+        SELECT lang, CAST(sum(w) AS BIGINT) AS w FROM d
+        WHERE lang IS NOT NULL GROUP BY lang),
+      ord AS (
+        SELECT lang, w, row_number() OVER (ORDER BY w ASC, lang ASC) AS rn,
+               (SELECT count(*) FROM cnt) AS ng
+        FROM cnt),
+      alloc AS (
+        SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS w,
+               CAST(0.0 AS DOUBLE) AS a,
+               (SELECT CAST(0.7 AS DOUBLE) * sum(w) FROM cnt) AS rem
+        UNION ALL
+        SELECT o.rn, o.lang, o.w,
+               least(CAST(o.w AS DOUBLE), al.rem / (o.ng - o.rn + 1)),
+               al.rem - least(CAST(o.w AS DOUBLE), al.rem / (o.ng - o.rn + 1))
+        FROM alloc al JOIN ord o ON o.rn = al.rn + 1),
+      th AS (
+        SELECT lang, CAST(floor(
+                 (floor(least(1.0, CASE WHEN w = 0 THEN 0.0 ELSE a / w END)
+                    * 1000000.0 + 0.5) / 1000000.0)
+                 * 1152921504606846976.0) AS BIGINT) AS thr
+        FROM alloc WHERE rn > 0)
+      SELECT d.doc_id, d.lang,
+             CASE WHEN t.thr IS NOT NULL AND
+                  ('0x' || substr(md5('graft-unimax|' || d.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < t.thr
+                  THEN 1 ELSE 0 END AS kept
+      FROM d LEFT JOIN th t USING (lang)
+      ORDER BY d.doc_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109)
+    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123)
 }

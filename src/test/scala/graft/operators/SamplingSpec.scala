@@ -277,4 +277,37 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxGroups"))
   }
+
+  test("unimax: small groups fully served, big group rationed, null dropped") {
+    // weights: a = 10x1, b = 10x1, c = 80x1; budget 0.5·100 = 50.
+    // Ascending serve: a gets min(10, 50/3)=10 (rate 1), b min(10, 40/2)=10
+    // (rate 1), c min(80, 30/1)=30 (rate 0.375) — cap branch AND
+    // surplus branch both exercised
+    val rows = (1 to 10).map(i => (i.toLong, "a", 1)) ++
+      (11 to 20).map(i => (i.toLong, "b", 1)) ++
+      (21 to 100).map(i => (i.toLong, "c", 1)) :+ ((101L, null: String, 1))
+    val df = rows.toDF("id", "grp", "w")
+    val out = Sampling.unimax(df, "id", "grp", "w", budgetFrac = 0.5)
+      .select("id", "grp", "kept").as[(Long, String, Int)].collect()
+    val byGrp = out.filter(_._2 != null).groupBy(_._2)
+      .view.mapValues(rs => rs.count(_._3 == 1)).toMap
+    assert(byGrp("a") == 10 && byGrp("b") == 10) // rate 1.0 keeps every row
+    assert(byGrp("c") > 0 && byGrp("c") < 80) // rationed, not emptied
+    assert(out.filter(_._2 == null).forall(_._3 == 0)) // null group drops
+    // deterministic: identical rerun
+    val again = Sampling.unimax(df, "id", "grp", "w", budgetFrac = 0.5)
+      .select("id", "grp", "kept").as[(Long, String, Int)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("unimax: budgetFrac 1 with epochCap 1 keeps everything; guard fires") {
+    val df = (1L to 30L).map(i => (i, s"g${i % 3}", 2)).toDF("id", "grp", "w")
+    val all = Sampling.unimax(df, "id", "grp", "w", budgetFrac = 1.0)
+      .select("kept").as[Int].collect()
+    assert(all.forall(_ == 1)) // budget = corpus: every group fully served
+    val e = intercept[IllegalArgumentException] {
+      Sampling.unimax(df, "id", "id", "w", budgetFrac = 0.5, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
 }
