@@ -501,14 +501,30 @@ object Dedup {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCentroids: Int = 8, iters: Int = 2,
       maxClusterSize: Int = 100000,
-      index: IndexStore = IndexStore.default): DataFrame = {
-    import graft.functions.VectorExpressions
-    VectorExpressions.register(df.sparkSession)
+      index: IndexStore = IndexStore.default): DataFrame =
     // training runs ONCE (eager driver-side collect inside); the
     // assignment projection is then shared by the size count, both join
     // sides, and the final keep join
-    val assigned = Similarity.ivfAssignTrained(df, idCol, vecCol,
-      nCentroids, iters)
+    semDedupAssigned(Similarity.ivfAssignTrained(df, idCol, vecCol,
+      nCentroids, iters), df.sparkSession, threshold, maxClusterSize, index)
+
+  /** [[semDedup]] with a caller-supplied codebook
+    * ([[Similarity.ivfAssignWith]]) — cells stay FIXED regardless of the
+    * input slice, so the kept set over a corpus equals the union of
+    * per-slice decisions against a shared history index (the
+    * [[graft.streaming.StreamingSemanticGate]] equivalence contract). */
+  def semDedupWith(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Double])], threshold: Double,
+      maxClusterSize: Int = 100000,
+      index: IndexStore = IndexStore.default): DataFrame =
+    semDedupAssigned(Similarity.ivfAssignWith(df, idCol, vecCol, centroids),
+      df.sparkSession, threshold, maxClusterSize, index)
+
+  private def semDedupAssigned(assigned: DataFrame,
+      session: org.apache.spark.sql.SparkSession, threshold: Double,
+      maxClusterSize: Int, index: IndexStore): DataFrame = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(session)
     val sizes = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
     val sized = IndexStore.persist(
       assigned.join(broadcast(sizes), Seq("bucket")), index) // ≤ nCentroids rows

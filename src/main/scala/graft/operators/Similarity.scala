@@ -231,6 +231,22 @@ object Similarity {
       -element_at(scoredCentroids(cents, col("cv")), -1).getField("nc"))
   }
 
+  /** [[ivfAssign]] with a caller-supplied codebook (one trained offline
+    * via [[trainCentroids]] on a reference sample, or loaded from a
+    * previous run) — the SERVING posture for long-lived indexes and
+    * streaming gates, where cell assignment must stay STABLE across
+    * restarts and corpus growth (retraining per batch would silently
+    * reshape cells and change which documents ever get compared).
+    * Assignment is the same shuffle-free projection, codebook as plan
+    * literals. Returns (corpus_id, cv, bucket). */
+  def ivfAssignWith(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "codebook must be non-empty")
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    c.withColumn("bucket",
+      -element_at(scoredCentroids(centroids, col("cv")), -1).getField("nc"))
+  }
+
   /** [[ivfAssign]] against a Lloyd-trained codebook ([[trainCentroids]])
     * — cells follow the data's cluster structure, so the buckets are
     * SEMANTIC groups (topic-ish cells over document embeddings), usable
