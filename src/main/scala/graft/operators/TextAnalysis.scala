@@ -338,9 +338,10 @@ object TextAnalysis {
     * trained on the corpus itself — self-contained, no external model
     * artifact, and every count is engine-replayable:
     * P(w2|w1) = (c(w1 w2) + alpha) / (ctx(w1) + alpha·V), nll per
-    * bigram type rounded half-up-6, per-doc sum an ORDERED fold over
-    * bigram strings (float addition doesn't commute — the q93
-    * contract), ppl = exp(nll / n_bigrams) rounded half-up-6.
+    * bigram type rounded half-up-6 and fixed-pointed to LONG
+    * micro-nats, per-doc nll an EXACT integer sum (order-independent —
+    * no float-fold contract, no collect_list),
+    * ppl = exp(nll / n_bigrams) rounded half-up-6.
     *
     * Returns (idCol, n_bigrams, nll6, ppl6, bucket): bucket is `head`
     * (ppl6 <= headPpl), `middle`, `tail` (> tailPpl), or `unscored`
@@ -353,9 +354,10 @@ object TextAnalysis {
     * counts (vocabulary-bounded), and one distinct-unigram count
     * (1-row broadcast). The per-(doc,bigram) scoring join shuffles on
     * the bigram key — the same order the [[Dedup.minhashLsh]] shingle
-    * exchange pays — and the final fold is an id-keyed aggregate. No
-    * window, no driver-side data. Raw-text repartition stays opt-in
-    * via `minParallelism` ([[Spread.byKey]]). */
+    * exchange pays — and the final per-doc reduction is a MERGEABLE
+    * integer-sum aggregate (map-side combinable; no per-doc array
+    * materialization). No window, no driver-side data. Raw-text
+    * repartition stays opt-in via `minParallelism` ([[Spread.byKey]]). */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0, headPpl: Double = 30.0, tailPpl: Double = 60.0,
       minParallelism: Int = 0): DataFrame = {
@@ -378,22 +380,24 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("cw"))
     val vocab = toks.select(explode(col("t")).as("tok"))
       .agg(count_distinct(col("tok")).as("vocab"))
+    // per-bigram nll fixed-pointed to LONG micro-nats, so the per-doc
+    // sum is EXACT integer arithmetic — order-independent, so it rides
+    // a plain mergeable sum aggregate (no collect_list, no per-doc
+    // array sort, no float-summation-order contract). The dsirScore
+    // pattern; overflow headroom: u6i ≲ 2^25, tf·u6i sums stay far
+    // inside a long for any real document
     val model = bc
       .join(cc, split(bc("bigram"), " ", 2).getItem(0) === cc("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("bigram"), halfUp6(-log(
+      .select(col("bigram"), floor(-log(
         (col("cb").cast("double") + lit(alpha)) /
-          (col("cw").cast("double") + lit(alpha) * col("vocab").cast("double"))))
-        .as("u"))
+          (col("cw").cast("double") + lit(alpha) * col("vocab").cast("double")))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("u6i"))
     val scored = tf.join(model, Seq("bigram"))
-      .select(col("doc_id"), col("bigram"), col("tf"),
-        (col("tf").cast("double") * col("u")).as("contrib"))
+      .select(col("doc_id"), col("tf"), (col("tf") * col("u6i")).as("contrib"))
     val agg = scored.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_bigrams"),
-        array_sort(collect_list(struct(col("bigram"), col("contrib")))).as("__cs"))
-      .withColumn("nll6", halfUp6(aggregate(
-        transform(col("__cs"), s => s.getField("contrib")),
-        lit(0.0), (a, x) => a + x)))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("contrib")).as("__nlli"))
+      .withColumn("nll6", col("__nlli").cast("double") / lit(1000000.0))
       .withColumn("ppl6",
         halfUp6(exp(col("nll6") / col("n_bigrams").cast("double"))))
       .select(col("doc_id"), col("n_bigrams"), col("nll6"), col("ppl6"))
@@ -436,7 +440,8 @@ object TextAnalysis {
     * SHUFFLE-FREE projection with the log-ratio table baked in as an
     * array literal. No join, no window, nothing driver-sized. */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, nBuckets: Int = 64): DataFrame = {
+      isTarget: Column, nBuckets: Int = 64,
+      hashFn: Column => Column = h60(_)): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets must be in [2, 2^20], got $nBuckets")
     val grams = once(tokens(col(textCol))) { t =>
@@ -446,9 +451,13 @@ object TextAnalysis {
             i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
           .otherwise(array().cast("array<string>")))
     }
+    // `hashFn` defaults to the md5-derived h60 family for oracle parity;
+    // pass `xxhash64(_)` in production for ~4× cheaper bucketing (the
+    // minhashLsh hashFamily convention — bucket CONTENTS change, the
+    // model/score semantics don't)
     val bucketed = df
       .select(col(idCol), isTarget.as("__tgt"),
-        transform(grams, g => pmod(h60(g), lit(nBuckets.toLong))).as("__b"))
+        transform(grams, g => pmod(hashFn(g), lit(nBuckets.toLong))).as("__b"))
       .filter(size(col("__b")) > 0)
     // the model: B rows of (bucket, target count, raw count) — bounded
     // driver metadata, same class as a K×d codebook
@@ -482,13 +491,14 @@ object TextAnalysis {
     * k-row driver merge, never a global sort. */
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, k: Int, nBuckets: Int = 64,
-      seed: String = "graft-dsir"): DataFrame = {
+      seed: String = "graft-dsir",
+      hashFn: Column => Column = h60(_)): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val halfUp6: Column => Column =
       c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val u = (h60(concat(lit(seed + "|"), col(idCol).cast("string"))) + lit(1L))
       .cast("double") / lit(1.152921504606846976e18) // 2^60
-    dsirScore(df, idCol, textCol, isTarget, nBuckets)
+    dsirScore(df, idCol, textCol, isTarget, nBuckets, hashFn)
       .withColumn("key6",
         halfUp6(col("iscore").cast("double") / lit(1000000.0) - log(-log(u))))
       .orderBy(col("key6").desc, col(idCol))

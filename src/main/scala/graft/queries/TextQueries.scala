@@ -578,19 +578,17 @@ object TextQueries extends QueryModule {
             FROM (SELECT unnest(t) AS x FROM toks)),
       model AS (
         SELECT bigram,
-               floor((-ln((cb::DOUBLE + 1.0)
+               CAST(floor((-ln((cb::DOUBLE + 1.0)
                           / (cw::DOUBLE + 1.0 * vocab::DOUBLE)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS u
+                 * 1000000.0 + 0.5) AS BIGINT) AS u6i
         FROM bc JOIN cc ON split_part(bc.bigram, ' ', 1) = cc.w1
         CROSS JOIN v),
       scored AS (
-        SELECT doc_id, bigram, tf, tf::DOUBLE * u AS contrib
+        SELECT doc_id, tf, tf * u6i AS contrib
         FROM tf JOIN model USING (bigram)),
       agg AS (
         SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-          floor(list_reduce(
-                  list_prepend(0.0::DOUBLE, list(contrib ORDER BY bigram)),
-                  (a, b) -> a + b) * 1000000.0 + 0.5) / 1000000.0 AS nll6
+          CAST(sum(contrib) AS DOUBLE) / 1000000.0 AS nll6
         FROM scored GROUP BY doc_id),
       p AS (
         SELECT doc_id, n_bigrams, nll6,

@@ -207,6 +207,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("dsirScore: xxhash64 production family — same shape, exact twins still tie") {
+    val df = Seq((1L, "alpha beta gamma", true), (2L, "alpha beta gamma", false),
+        (3L, "delta epsilon zeta", false))
+      .toDF("doc_id", "text", "tgt")
+    val m = TextAnalysis.dsirScore(df, "doc_id", "text", col("tgt"),
+        hashFn = org.apache.spark.sql.functions.xxhash64(_))
+      .select("doc_id", "n_grams", "iscore").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L) && m(1L) == m(2L))
+    assert(m(3L)._2 < m(1L)._2)
+  }
+
   test("dsirSelect: k rows, descending deterministic keys, TakeOrdered plan") {
     val df = (1L to 20L).map(i =>
         (i, if (i <= 5) "aa bb cc" else "xx yy zz", i <= 5))
