@@ -168,4 +168,42 @@ object Contamination {
         max(col("shared")).as("max_shared"),
         sum(col("shared")).as("sum_shared"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * n-gram [[detect]]/[[pairs]] family: a training example whose
+    * embedding sits at cosine ≥ `threshold` to ANY evaluation example
+    * is flagged (paraphrased or translated leakage that shares no
+    * n-gram with the benchmark — what fingerprint decontamination
+    * structurally cannot see). Comparison runs ONLY inside the Lloyd
+    * cell both vectors land in ([[Similarity.ivfAssignWith]] over a
+    * caller-supplied codebook, the [[Dedup.semDedupWith]] posture):
+    * recall is exact within a cell, and a leaked pair straddling a cell
+    * boundary is the same nprobe-style tradeoff q52 documents.
+    *
+    * Returns (train id, bucket, kept) — kept 0 means contaminated.
+    *
+    * Scale shape: both assignments are shuffle-free projections; the
+    * train×eval comparison is an equi-join on the cell id with the
+    * EVAL side broadcast-capped per cell (eval sets are benchmark-sized
+    * — thousands, not corpus-sized; `maxCellSize` guards the
+    * degenerate case by skipping comparison, the [[Dedup.semDedup]]
+    * posture). The train corpus never self-joins. */
+  def semantic(train: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Long, Array[Double])],
+      threshold: Double, maxCellSize: Int = 100000): DataFrame = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(train.sparkSession)
+    val t = Similarity.ivfAssignWith(train, idCol, vecCol, centroids)
+    val e = Similarity.ivfAssignWith(eval, idCol, vecCol, centroids)
+    val sizes = e.groupBy(col("bucket")).agg(count(lit(1)).as("__en"))
+    val ev = e.join(broadcast(sizes), Seq("bucket"))
+      .filter(col("__en") <= maxCellSize)
+      .select(col("bucket"), col("cv").as("__ev"))
+    val hits = t.join(ev, Seq("bucket"))
+      .filter(VectorExpressions.dot(col("cv"), col("__ev")) >= threshold)
+      .select(col("corpus_id")).distinct()
+    t.join(hits.withColumn("__hit", lit(1)), Seq("corpus_id"), "left")
+      .select(col("corpus_id"), col("bucket"),
+        when(col("__hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
 }

@@ -70,6 +70,39 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive / metric training: for each
+    * query, the k nearest corpus vectors with a DIFFERENT label — the
+    * near-but-wrong examples a triplet/InfoNCE loss learns most from
+    * (the batch-mining recipe, run corpus-wide as a join). Ranking and
+    * tie-breaking follow [[bruteForceTopK]]; the label predicate runs
+    * INSIDE the scan join, so same-label neighbors never occupy
+    * shortlist slots.
+    *
+    * Scale shape: the query side broadcasts (the q50 contract — mine
+    * for a bounded query/anchor set per pass); at corpus scale compose
+    * with the IVF cells ([[ivfAssignWith]]) to prune the scan the
+    * q52/q119 way. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("q_label")), Seq("query_id"))
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+      .join(corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("n_label")), Seq("corpus_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id") &&
+        col("n_label") =!= col("q_label"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("rank"),
+        col("corpus_id"), col("n_label"), col("cosine"))
+  }
+
   /** Johnson–Lindenstrauss random projection: reduce each unit-normalized
     * vector to `outDims` coordinates, coordinate j = nv · w_j over the
     * deterministic md5 hyperplane family ([[planeWeights]] — the same

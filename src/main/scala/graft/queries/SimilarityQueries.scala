@@ -699,6 +699,88 @@ object SimilarityQueries extends QueryModule {
       FROM rk WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for 10 anchor
+    * vectors, the top-5 nearest corpus vectors with a DIFFERENT label —
+    * the near-but-wrong shortlist contrastive training mines. The
+    * oracle replays normalization, the label-exclusion predicate inside
+    * the scan join, and the ranking. */
+  private val q124 = QueryDef(
+    "q124_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.hardNegatives(queries, emb, "vec_id", "embedding",
+          "label", k = 5)
+        .select(col("query_id"), col("q_label"), col("rank"),
+          col("corpus_id"), col("n_label"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS corpus_id, c.label AS n_label,
+               list_dot_product(q.nv, c.nv) AS cosine
+        FROM n q JOIN n c
+          ON q.vec_id <> c.vec_id AND q.label <> c.label
+        WHERE q.vec_id < 10),
+      ranked AS (
+        SELECT query_id, q_label, corpus_id, n_label, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, q_label, rank, corpus_id, n_label,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Semantic decontamination
+    * ([[graft.operators.Contamination.semantic]]): training vectors
+    * within cosine 0.4 of ANY eval vector (vec_id < 50) in the same
+    * q101-trained Lloyd cell are flagged — the embedding-space sibling
+    * of the q85/q109 n-gram decontamination, catching paraphrased
+    * leakage that shares no fingerprint. The oracle replays training
+    * (shared CTE prefix), both assignments, the within-cell train×eval
+    * comparison, and the keep rule. */
+  private val q125 = QueryDef(
+    "q125_semantic_decontamination",
+    (s, d) => {
+      import graft.operators.Contamination
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2)
+      Contamination.semantic(
+          emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", cents, threshold = 0.4)
+        .select(col("corpus_id").as("vec_id"), col("bucket"), col("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      an AS (SELECT a.vec_id, a.bucket, n.nv FROM assign a JOIN n USING (vec_id)),
+      tr AS (SELECT * FROM an WHERE vec_id >= 50),
+      ev AS (SELECT * FROM an WHERE vec_id < 50),
+      drops AS (
+        SELECT DISTINCT t.vec_id
+        FROM tr t JOIN ev e ON t.bucket = e.bucket
+        WHERE list_dot_product(t.nv, e.nv) >= 0.4)
+      SELECT t.vec_id, t.bucket,
+             CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM tr t LEFT JOIN drops d USING (vec_id)
+      ORDER BY t.vec_id"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122)
+    Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
+      q124, q125)
 }

@@ -120,7 +120,10 @@ class PlanSpec extends SparkSpec {
       // q122's reduced-space shortlist scan is q50's brute-force shape
       // run over 16-dim JL projections (broadcast query side); the
       // exact rerank joins are equi-keyed
-      "q122_ann_jl_rerank")
+      "q122_ann_jl_rerank",
+      // q124 hard-negative mining is q50's broadcast-anchor scan with a
+      // label-exclusion predicate — same intentional shape
+      "q124_hard_negatives")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>

@@ -37,4 +37,27 @@ class ContaminationSpec extends SparkSpec {
     assert(out.isEmpty,
       "df-pruned boilerplate must not produce contamination hits")
   }
+
+  test("semantic: paraphrase-leaked train vec flagged, eval never self-joins train") {
+    // fixed two-cell codebook on the axes; train 101 is a near-copy of
+    // eval 1 (cos ≈ 1, same cell), train 102 is same-cell but far,
+    // train 103 lives in the other cell
+    val book = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val eval = Seq((1L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (101L, Array(1.0f, 0.06f)),
+      (102L, Array(1.0f, 0.9f)),
+      (103L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Contamination.semantic(train, eval, "vec_id", "embedding",
+        book, threshold = 0.99)
+      .select("corpus_id", "kept").as[(Long, Int)].collect().toMap
+    assert(out == Map(101L -> 0, 102L -> 1, 103L -> 1),
+      s"only the paraphrase-distance leak is contaminated: $out")
+    // an over-cap eval cell skips comparison — guard, not detonate
+    val capped = Contamination.semantic(train, eval, "vec_id", "embedding",
+        book, threshold = 0.99, maxCellSize = 0)
+      .select("corpus_id", "kept").as[(Long, Int)].collect().toMap
+    assert(capped.values.forall(_ == 1))
+  }
 }

@@ -272,6 +272,24 @@ class SimilaritySpec extends SparkSpec {
       s"composed IVF-PQ recall collapsed: $recall")
   }
 
+  test("hardNegatives: same-label neighbors never occupy shortlist slots") {
+    // 1's nearest is 2 (same label, cosine 1) — must be excluded; the
+    // top negative is 3 (different label, next-closest)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f), 7),
+      (2L, Array(2.0f, 0.0f, 0.2f), 7),  // scaled copy of 1, same label
+      (3L, Array(1.0f, 0.3f, 0.1f), 8),
+      (4L, Array(-1.0f, 0.5f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df.filter(col("vec_id") === 1),
+        df, "vec_id", "embedding", "label", k = 2)
+      .select("query_id", "rank", "corpus_id", "n_label")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == Seq(3L, 4L),
+      s"same-label twin must be excluded, negatives ranked by cosine: ${out.toSeq}")
+    assert(out.forall(_._4 != 7))
+  }
+
   test("jlProject: deterministic per-row projection of the right width") {
     val df = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
         (2L, Array(0.0f, 2.0f, 0.0f, 0.0f)))
