@@ -441,46 +441,74 @@ object TextAnalysis {
     * array literal. No join, no window, nothing driver-sized. */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int = 64,
-      hashFn: Column => Column = h60(_)): DataFrame = {
-    require(nBuckets >= 2 && nBuckets <= (1 << 20),
-      s"nBuckets must be in [2, 2^20], got $nBuckets")
-    val grams = once(tokens(col(textCol))) { t =>
+      hashFn: Column => Column = h60(_)): DataFrame =
+    dsirScoreWith(df, idCol, textCol,
+      dsirTrain(df, textCol, isTarget, nBuckets, hashFn), hashFn)
+
+  // unigrams ++ bigrams hashed into [0, nBuckets) — shared by train and
+  // score so the two passes can never disagree on the feature map.
+  // `hashFn` defaults to the md5-derived h60 family for oracle parity;
+  // pass `xxhash64(_)` in production for ~4× cheaper bucketing (the
+  // minhashLsh hashFamily convention — bucket CONTENTS change, the
+  // model/score semantics don't)
+  private def gramBuckets(textCol: Column, nBuckets: Int,
+      hashFn: Column => Column): Column = {
+    val grams = once(tokens(textCol)) { t =>
       concat(t,
         when(size(t) >= 2,
           transform(sequence(lit(1), size(t) - lit(1)),
             i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
           .otherwise(array().cast("array<string>")))
     }
-    // `hashFn` defaults to the md5-derived h60 family for oracle parity;
-    // pass `xxhash64(_)` in production for ~4× cheaper bucketing (the
-    // minhashLsh hashFamily convention — bucket CONTENTS change, the
-    // model/score semantics don't)
-    val bucketed = df
-      .select(col(idCol), isTarget.as("__tgt"),
-        transform(grams, g => pmod(hashFn(g), lit(nBuckets.toLong))).as("__b"))
-      .filter(size(col("__b")) > 0)
-    // the model: B rows of (bucket, target count, raw count) — bounded
-    // driver metadata, same class as a K×d codebook
-    val counts = bucketed
-      .select(explode(col("__b")).as("bk"), col("__tgt"))
+    transform(grams, g => pmod(hashFn(g), lit(nBuckets.toLong)))
+  }
+
+  /** Train the DSIR importance model: `nBuckets` per-bucket log-ratios
+    * in micro-nats — a bounded driver-side artifact (the codebook
+    * pattern) that [[dsirScoreWith]] applies to ANY corpus slice later:
+    * train once on a reference corpus, score arriving data forever
+    * (the serving posture; a streaming filter is just this projection
+    * inside foreachBatch). One explode + groupBy on the bucket id,
+    * map-side combinable to ≤ `nBuckets` rows per task. */
+  def dsirTrain(df: DataFrame, textCol: String, isTarget: Column,
+      nBuckets: Int = 64,
+      hashFn: Column => Column = h60(_)): IndexedSeq[Long] = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    val counts = df
+      .select(isTarget.as("__tgt"),
+        explode(gramBuckets(col(textCol), nBuckets, hashFn)).as("bk"))
       .groupBy(col("bk"))
       .agg(sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("tc"),
         count(lit(1)).as("rc"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val tt = counts.valuesIterator.map(_._1).sum
     val tr = counts.valuesIterator.map(_._2).sum
-    val lrInt: IndexedSeq[Long] = (0 until nBuckets).map { bk =>
+    (0 until nBuckets).map { bk =>
       val (tc, rc) = counts.getOrElse(bk.toLong, (0L, 0L))
       val lr = math.log((tc + 1.0) / (tt + nBuckets.toDouble)) -
         math.log((rc + 1.0) / (tr + nBuckets.toDouble))
       math.floor(lr * 1e6 + 0.5).toLong
     }
-    val lrLit = array(lrInt.map(lit(_)): _*)
-    bucketed.select(col(idCol),
-      size(col("__b")).cast("long").as("n_grams"),
-      aggregate(col("__b"), lit(0L),
-        (acc, x) => acc + element_at(lrLit, (x + lit(1L)).cast("int")))
-        .as("iscore"))
+  }
+
+  /** Score a corpus against a FROZEN [[dsirTrain]] model — a
+    * SHUFFLE-FREE projection with the log-ratio table baked in as an
+    * array literal. No join, no window, nothing driver-sized; the
+    * model's length fixes `nBuckets`. */
+  def dsirScoreWith(df: DataFrame, idCol: String, textCol: String,
+      model: IndexedSeq[Long],
+      hashFn: Column => Column = h60(_)): DataFrame = {
+    require(model.nonEmpty, "model must be non-empty (dsirTrain output)")
+    val lrLit = array(model.map(lit(_)): _*)
+    df.select(col(idCol),
+        gramBuckets(col(textCol), model.length, hashFn).as("__b"))
+      .filter(size(col("__b")) > 0)
+      .select(col(idCol),
+        size(col("__b")).cast("long").as("n_grams"),
+        aggregate(col("__b"), lit(0L),
+          (acc, x) => acc + element_at(lrLit, (x + lit(1L)).cast("int")))
+          .as("iscore"))
   }
 
   /** DSIR selection: [[dsirScore]] + the paper's Gumbel-top-k resample,

@@ -207,6 +207,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("dsirTrain/dsirScoreWith: frozen model scores unseen docs — the serving path") {
+    val ref = Seq((1L, "alpha beta gamma", true), (2L, "delta epsilon zeta", false))
+      .toDF("doc_id", "text", "tgt")
+    val model = TextAnalysis.dsirTrain(ref, "text", col("tgt"))
+    assert(model.length == 64)
+    // composed = train-then-score, must equal the one-shot operator
+    val composed = TextAnalysis.dsirScoreWith(ref, "doc_id", "text", model)
+      .select("doc_id", "iscore").as[(Long, Long)].collect().toMap
+    val oneShot = TextAnalysis.dsirScore(ref, "doc_id", "text", col("tgt"))
+      .select("doc_id", "iscore").as[(Long, Long)].collect().toMap
+    assert(composed == oneShot)
+    // an UNSEEN doc scores against the frozen artifact: target-like
+    // grams outrank off-target grams
+    val fresh = Seq((10L, "alpha beta"), (11L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.dsirScoreWith(fresh, "doc_id", "text", model)
+      .select("doc_id", "iscore").as[(Long, Long)].collect().toMap
+    assert(m(10L) > m(11L))
+  }
+
   test("dsirScore: xxhash64 production family — same shape, exact twins still tie") {
     val df = Seq((1L, "alpha beta gamma", true), (2L, "alpha beta gamma", false),
         (3L, "delta epsilon zeta", false))
