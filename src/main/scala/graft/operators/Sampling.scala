@@ -239,6 +239,48 @@ object Sampling {
       .drop("__n")
   }
 
+  /** [[exportShards]] WITHIN each group: every group gets its own
+    * deterministic shuffle order and its own `nShards` contiguous,
+    * balanced shards — the curriculum-export shape (stage training on
+    * quality/difficulty bands: band → shard → file, each band's shards
+    * independently re-runnable and resumable). `groupCol` must be
+    * metadata-scale (bands, languages — the [[temperature]] contract):
+    * the offset table is groups × `buckets` rows and broadcasts.
+    *
+    * Scale shape: same as [[shuffleOrder]] with (group, bucket) offset
+    * keys — the prefix-sum window runs over ≤ `buckets` rows PER GROUP
+    * (metadata), the per-row rank window over one (group, bucket) slice
+    * (~n_g/buckets rows), never a whole group in one task. Per-group
+    * sizes ride a broadcast G-row aggregate. */
+  def exportShardsPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      nShards: Int, salt: String = "graft-shuf",
+      buckets: Int = 1024): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val width = Two60 / buckets
+    val c = coord(col(idCol), salt)
+    val bucketed = df.withColumn("__h", c)
+      .withColumn("__bkt", expr(s"__h div ${width}L"))
+    val offsets = bucketed.groupBy(col(groupCol), col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__bkt"), col("__off"))
+    val ng = bucketed.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    bucketed
+      .join(broadcast(offsets), Seq(groupCol, "__bkt"))
+      .join(broadcast(ng), Seq(groupCol))
+      .withColumn("shuffle_pos", col("__off") - lit(1L) +
+        row_number().over(Window.partitionBy(col(groupCol), col("__bkt"))
+          .orderBy(col("__h").asc, col(idCol).asc)))
+      .withColumn("shard", expr(s"CAST(shuffle_pos * ${nShards}L div __ng AS INT)"))
+      .drop("__h", "__bkt", "__off", "__ng")
+  }
+
   /** Mixture weighting: keep each row with its stratum's rate (strata
     * absent from `rates` fall back to `defaultRate`). Below
     * `branchCutoff` rates the map folds into a literal when-chain —

@@ -549,18 +549,11 @@ object TextQueries extends QueryModule {
   private val q117HeadPpl = 29.2
   private val q117TailPpl = 29.9
 
-  private val q117 = QueryDef(
-    "q117_lm_perplexity",
-    (s, d) => {
-      graft.operators.TextAnalysis.lmPerplexity(
-          Tables.documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", "text", alpha = 1.0,
-          headPpl = q117HeadPpl, tailPpl = q117TailPpl,
-          minParallelism = s.sparkContext.defaultParallelism)
-        .orderBy(col("doc_id"))
-    },
-    Some(raw"""
-      WITH toks AS (
+  /** The corpus-LM CTE prefix (token split → bigram tf → model in LONG
+    * micro-nats → per-doc exact integer nll → ppl6/band) — shared
+    * byte-identically by q117 and the q126 curriculum export, the q101
+    * `lloydK8I2Ctes` pattern. Ends with `banded` = (doc_id, bucket). */
+  private val lmPplCtes = raw"""toks AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                                    x -> length(x) > 0) AS t
         FROM documents),
@@ -594,17 +587,76 @@ object TextQueries extends QueryModule {
         SELECT doc_id, n_bigrams, nll6,
                floor(exp(nll6 / n_bigrams::DOUBLE) * 1000000.0 + 0.5)
                  / 1000000.0 AS ppl6
-        FROM agg)
-      SELECT t.doc_id,
-             coalesce(p.n_bigrams, 0) AS n_bigrams,
-             coalesce(p.nll6, 0.0) AS nll6,
-             p.ppl6,
-             CASE WHEN p.ppl6 IS NULL THEN 'unscored'
-                  WHEN p.ppl6 <= ${q117HeadPpl} THEN 'head'
-                  WHEN p.ppl6 <= ${q117TailPpl} THEN 'middle'
-                  ELSE 'tail' END AS bucket
-      FROM toks t LEFT JOIN p USING (doc_id)
-      ORDER BY t.doc_id"""))
+        FROM agg),
+      banded AS (
+        SELECT t.doc_id,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               coalesce(p.nll6, 0.0) AS nll6,
+               p.ppl6,
+               CASE WHEN p.ppl6 IS NULL THEN 'unscored'
+                    WHEN p.ppl6 <= ${q117HeadPpl} THEN 'head'
+                    WHEN p.ppl6 <= ${q117TailPpl} THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM toks t LEFT JOIN p USING (doc_id))"""
+
+  private val q117 = QueryDef(
+    "q117_lm_perplexity",
+    (s, d) => {
+      graft.operators.TextAnalysis.lmPerplexity(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", alpha = 1.0,
+          headPpl = q117HeadPpl, tailPpl = q117TailPpl,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $lmPplCtes
+      SELECT doc_id, n_bigrams, nll6, ppl6, bucket
+      FROM banded
+      ORDER BY doc_id"""))
+
+  /** Curriculum export ([[graft.operators.Sampling.exportShardsPerGroup]]
+    * over the q117 perplexity bands): stage training data the CCNet way
+    * — band by LM perplexity, then cut EACH band into its own
+    * deterministic, balanced shards (band → shard → file; a staged
+    * training run consumes head shards first). The oracle composes the
+    * byte-identical q117 CTE prefix with per-band shuffle-rank shard
+    * math (the q98 fragment, partitioned by band). */
+  private val q126 = QueryDef(
+    "q126_curriculum_export",
+    (s, d) => {
+      import graft.operators.Sampling
+      val bands = graft.operators.TextAnalysis.lmPerplexity(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", alpha = 1.0,
+          headPpl = q117HeadPpl, tailPpl = q117TailPpl,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("bucket").as("band"))
+      Sampling.exportShardsPerGroup(bands, "doc_id", "band", nShards = 4)
+        .groupBy(col("band"), col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("shuffle_pos")).as("min_pos"),
+          max(col("shuffle_pos")).as("max_pos"))
+        .orderBy(col("band"), col("shard"))
+    },
+    Some(s"""
+      WITH $lmPplCtes,
+      c AS (
+        SELECT doc_id, bucket AS band,
+          ('0x' || substr(md5('graft-shuf|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+        FROM banded),
+      r AS (
+        SELECT doc_id, band,
+               row_number() OVER (PARTITION BY band ORDER BY h, doc_id) - 1 AS pos,
+               count(*) OVER (PARTITION BY band) AS n
+        FROM c)
+      SELECT band, CAST(pos * 4 // n AS INT) AS shard,
+             count(*) AS n_rows,
+             min(pos) AS min_pos,
+             max(pos) AS max_pos
+      FROM r
+      GROUP BY 1, 2
+      ORDER BY band, shard"""))
 
   /** DSIR data selection ([[TextAnalysis.dsirSelect]], Xie et al.
     * NeurIPS 2023): hashed unigram+bigram importance weights trained
@@ -662,5 +714,5 @@ object TextQueries extends QueryModule {
 
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121)
+      q121, q126)
 }

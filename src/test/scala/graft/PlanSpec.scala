@@ -115,8 +115,9 @@ class PlanSpec extends SparkSpec {
       "q114_ann_pq_adc", "q115_ann_pq_rerank",
       // q117 cross-joins a BROADCAST 1-ROW vocab aggregate (vocab size
       // V + total token count for add-one smoothing) — same
-      // scalar-subquery shape as q84/q93/q98
-      "q117_lm_perplexity",
+      // scalar-subquery shape as q84/q93/q98; q126 composes q117's
+      // lmPerplexity bands and inherits the identical vocab join
+      "q117_lm_perplexity", "q126_curriculum_export",
       // q122's reduced-space shortlist scan is q50's brute-force shape
       // run over 16-dim JL projections (broadcast query side); the
       // exact rerank joins are equi-keyed

@@ -278,6 +278,31 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("maxGroups"))
   }
 
+  test("exportShardsPerGroup: per-group contiguous balanced shards, single-group equals global") {
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val out = Sampling.exportShardsPerGroup(df, "id", "grp", nShards = 4)
+      .select("id", "grp", "shuffle_pos", "shard")
+      .as[(Long, String, Long, Int)].collect()
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      // positions are a dense 0..n_g-1 permutation per group
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"group $g positions not dense")
+      // shards balanced to ±1 and contiguous in position order
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"group $g shards unbalanced: $sizes")
+      assert(rows.sortBy(_._3).map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
+        s"group $g shards not contiguous in shuffle order")
+    }
+    // one group degenerates to the global operator (same salt, same order)
+    val single = (1L to 50L).map(i => (i, "only")).toDF("id", "grp")
+    val per = Sampling.exportShardsPerGroup(single, "id", "grp", nShards = 4)
+      .select("id", "shuffle_pos", "shard").as[(Long, Long, Int)].collect().toSet
+    val global = Sampling.exportShards(single.select("id"), "id", nShards = 4)
+      .select("id", "shuffle_pos", "shard").as[(Long, Long, Int)].collect().toSet
+    assert(per == global)
+  }
+
   test("unimax: small groups fully served, big group rationed, null dropped") {
     // weights: a = 10x1, b = 10x1, c = 80x1; budget 0.5·100 = 50.
     // Ascending serve: a gets min(10, 50/3)=10 (rate 1), b min(10, 40/2)=10
