@@ -156,6 +156,37 @@ object Multimodal {
         h
       }
 
+    /** 64-bit difference-hash (dHash): sample a 9×8 luminance grid, bit
+      * (r,c) set when cell (r,c) is brighter than its RIGHT neighbor —
+      * gradient signs instead of aHash's mean threshold, so the hash
+      * tracks local structure and shrugs off global exposure shifts
+      * that move every cell (and the mean) together. Same sampling
+      * discipline as [[aHash]]; undecodable payloads yield None. */
+    def dHash(payload: Array[Byte]): Option[Long] =
+      readImage(payload).map { img =>
+        val lum = new Array[Int](72) // 9 cols × 8 rows
+        var i = 0
+        while (i < 72) {
+          val gx = math.min((i % 9) * img.getWidth / 9, img.getWidth - 1)
+          val gy = math.min((i / 9) * img.getHeight / 8, img.getHeight - 1)
+          val rgb = img.getRGB(gx, gy)
+          lum(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          i += 1
+        }
+        var h = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (lum(r * 9 + c) > lum(r * 9 + c + 1)) h |= (1L << (r * 8 + c))
+            c += 1
+          }
+          r += 1
+        }
+        h
+      }
+
     def features(modality: String, payload: Array[Byte], dim: Int): Array[Float] =
       readImage(payload) match {
         case Some(img) =>
@@ -363,7 +394,14 @@ object Multimodal {
     * to say about non-images — route those by modality first). Decoding
     * runs once per row inside mapPartitions, the decoder boundary every
     * multimodal op here uses. */
-  def imagePerceptualHash(df: DataFrame, mediaCol: String): DataFrame = {
+  def imagePerceptualHash(df: DataFrame, mediaCol: String,
+      method: String = "ahash"): DataFrame = {
+    val hashOf: Array[Byte] => Option[Long] = method match {
+      case "ahash" => ImageIODecoder.aHash // mean-threshold luminance grid
+      case "dhash" => ImageIODecoder.dHash // gradient signs (exposure-robust)
+      case other => throw new IllegalArgumentException(
+        s"unknown perceptual hash method '$other' (ahash | dhash)")
+    }
     val schema = StructType(df.schema.fields :+
       StructField("ahash", LongType, nullable = false))
     val enc = Encoders.row(schema)
@@ -371,7 +409,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
-        ImageIODecoder.aHash(payload).map(h => Row.fromSeq(r.toSeq :+ h))
+        hashOf(payload).map(h => Row.fromSeq(r.toSeq :+ h))
       }
     }(enc)
   }
@@ -386,9 +424,9 @@ object Multimodal {
     * decode map pass + the bucketed join — no all-pairs shape, same as
     * text simhash. Returns (id_a, id_b, hamming). */
   def imageNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, method: String = "ahash"): DataFrame = {
     val hashed = imagePerceptualHash(
-      df.select(col(idCol), col(mediaCol)), mediaCol)
+      df.select(col(idCol), col(mediaCol)), mediaCol, method)
       .select(col(idCol).as("id"), col("ahash").as("simhash"))
     Dedup.simhashPairs(hashed, maxHamming)
   }

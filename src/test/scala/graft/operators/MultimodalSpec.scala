@@ -199,6 +199,38 @@ class MultimodalSpec extends SparkSpec {
     assert(h.length == 2 && h(0) == h(1))
   }
 
+  test("dHash: gradient-sign family — twins pair, exposure shift is ignored") {
+    import java.awt.image.BufferedImage
+    def png(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(18, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // DECREASING left-to-right so the rightward-drop bits actually set
+    // (an all-zero hash would vacuously "match" anything all-dark)
+    val grad = (x: Int, y: Int) => { val v = 200 - x * 8; (v << 16) | (v << 8) | v }
+    // +40 exposure on every channel, no clipping (lum stays 104..240)
+    val brighter = (x: Int, y: Int) => {
+      val v = 240 - x * 8; (v << 16) | (v << 8) | v
+    }
+    val stripes = (x: Int, y: Int) => if (y % 2 == 0) 0xffffff else 0
+    val media = Seq(
+      (1L, png(grad)), (2L, png(grad)),          // identical
+      (3L, png(brighter)),                       // exposure-shifted copy
+      (4L, png(stripes))).toDF("media_id", "media")
+    val pairs = Multimodal.imageNearDupPairs(media, "media_id", "media",
+        maxHamming = 0, method = "dhash")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // gradient SIGNS are untouched by a uniform shift: the shifted copy
+    // pairs at hamming 0, structure-different stripes never pair
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    intercept[IllegalArgumentException] {
+      Multimodal.imagePerceptualHash(media, "media", method = "phash")
+    }
+  }
+
   test("audioNearDupPairs: noised twin pairs, different envelope doesn't, non-audio dropped") {
     // twin = the same sine+silence with tiny per-sample noise (gain-
     // preserving — bins move but rarely cross the mean threshold);
