@@ -605,7 +605,7 @@ object DedupQueries extends QueryModule {
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
-      q116, q118)
+      q116, q118, q127)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component
@@ -883,6 +883,226 @@ object DedupQueries extends QueryModule {
                CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
                          < 1037629354146162304 THEN 'train' ELSE 'eval' END AS split
         FROM documents WHERE doc_id <= 300),
+      tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+      s1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM tr) WHERE rn = 1),
+      xt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM s1),
+      xo AS (
+        SELECT doc_id, unnest(generate_series(1, len(t) - 15)) AS pos, t
+        FROM xt WHERE len(t) >= 16),
+      xg AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(t[pos : pos + 15], ' ')) AS h
+        FROM xo),
+      xm AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY h) AS c,
+               row_number() OVER (PARTITION BY h
+                 ORDER BY doc_id, pos) AS rn
+        FROM xg),
+      xdup AS (
+        SELECT doc_id, pos FROM xm
+        WHERE c >= 2 AND rn > 1),
+      xcov AS (
+        SELECT doc_id, list(DISTINCT tp) AS cps
+        FROM (SELECT doc_id,
+                     unnest(generate_series(pos, pos + 15)) AS tp
+              FROM xdup)
+        GROUP BY doc_id),
+      s1x AS (
+        SELECT t.doc_id,
+               coalesce(array_to_string(
+                 list_transform(
+                   list_filter(generate_series(1, len(t.t)),
+                               i -> c.cps IS NULL OR NOT list_contains(c.cps, i)),
+                   i -> t.t[i]), ' '), '') AS text
+        FROM xt t LEFT JOIN xcov c USING (doc_id)),
+      sets AS (
+        SELECT doc_id AS id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS sset
+        FROM s1x),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets WHERE len(sset) > 0),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b),
+      drop2 AS (
+        SELECT DISTINCT id_b FROM verified
+        WHERE inter / (la + lb - inter) >= 0.8),
+      s2 AS (
+        SELECT doc_id, text FROM s1x
+        WHERE doc_id NOT IN (SELECT id_b FROM drop2)),
+      gsrc AS (
+        SELECT doc_id, text FROM sp WHERE split = 'eval'
+        UNION ALL
+        SELECT doc_id, text FROM s2),
+      g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM gsrc),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      evalfp AS (
+        SELECT fp.doc_id, fp.f FROM fp
+        JOIN sp USING (doc_id) WHERE sp.split = 'eval'),
+      pruned AS (SELECT f FROM evalfp GROUP BY f HAVING count(*) <= 50),
+      eidx AS (SELECT doc_id AS train_id, f FROM evalfp JOIN pruned USING (f)),
+      hits AS (
+        SELECT s2fp.doc_id
+        FROM (SELECT fp.doc_id, fp.f FROM fp JOIN s2 USING (doc_id)) s2fp
+        JOIN eidx ON s2fp.f = eidx.f
+        GROUP BY s2fp.doc_id, eidx.train_id
+        HAVING count(*) >= 20),
+      s3 AS (
+        SELECT doc_id, text FROM s2
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)),
+      t AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0))::BIGINT AS n_toks
+        FROM s3),
+      c AS (
+        SELECT doc_id, n_toks,
+          COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS tok_offset
+        FROM t)
+      SELECT doc_id, n_toks AS n_tokens, tok_offset,
+        tok_offset // 1024 AS seq_id,
+        tok_offset % 1024 AS seq_offset,
+        (tok_offset + greatest(n_toks, 1) - 1) // 1024 AS seq_last
+      FROM c
+      ORDER BY doc_id"""))
+
+  /** The COMPLETE curation recipe: the q118 chain with the q96 Gopher
+    * quality funnel as stage 0 — the C4/RefinedWeb/Gopher ordering
+    * (filter junk FIRST, then dedup what's left: repetition-flagged and
+    * too-short docs never cost a dedup comparison). Eval fingerprints
+    * come from the post-filter eval split, so a junk eval doc can't
+    * poison decontamination either. The oracle prepends the
+    * byte-identical q96 repetition CTEs to the q118 chain — six proven
+    * fragments composed in ONE DuckDB statement. */
+  private val q127 = QueryDef(
+    "q127_curation_chain_quality",
+    (s, d) => {
+      // doc_id <= 300: the q112 LSH-corpus cap (see q112's note)
+      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") <= 300)
+      // stage 0: quality funnel (q96's keep rule) — repetition metrics
+      // are per-row projections, so the filter is shuffle-free
+      val docs = graft.operators.TextAnalysis.repetition(docs0, "doc_id", "text")
+        .filter(col("n_tokens") >= 20 && col("flagged") === 0)
+        .select(col("doc_id"), col("text"))
+      val split = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      val train = split.filter(col("split") === "train").drop("split")
+      val evalDocs = split.filter(col("split") === "eval").drop("split")
+      // stages 1-4: the q118 chain verbatim
+      val s1 = Dedup.exact(train, "doc_id", "text").select(col("doc_id"), col("text"))
+      val s1x = Dedup.spanExcision(s1, "doc_id", "text", n = 16,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val prs = Dedup.minhashLsh(s1x, "doc_id", "text",
+        shingleK = 1, numHashes = 16, bands = 4, rows = 4,
+        threshold = 0.8, maxBucketSize = Int.MaxValue,
+        index = IndexStore.NoStore,
+        minParallelism = s.sparkContext.defaultParallelism)
+      val s2 = s1x.join(prs.select(col("id_b").as("__d")).distinct(),
+        col("doc_id") === col("__d"), "left_anti")
+      val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
+        maxDf = 50, k = 8, w = 4, index = IndexStore.NoStore,
+        minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
+      val contam = Contamination.checkAgainstIndex(s2, "doc_id", "text", idx,
+          minShared = 20, k = 8, w = 4,
+          minParallelism = s.sparkContext.defaultParallelism,
+          rollingHash = true)
+        .select(col("test_id").as("__c"))
+      val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
+      val sized = s3.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
+        .persist()
+      Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
+          bucketWidth = 8L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH qtoks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> length(x) > 0) AS t
+        FROM documents WHERE doc_id <= 300),
+      qbase AS (
+        SELECT doc_id, text, len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct, t
+        FROM qtoks),
+      qg2 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM qbase WHERE len(t) >= 2),
+      qc2 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM qg2 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      qg3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM qbase WHERE len(t) >= 3),
+      qc3 AS (
+        SELECT doc_id, max(c) AS m, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM qg3 GROUP BY 1, 2)
+        GROUP BY doc_id),
+      qr AS (
+        SELECT qbase.doc_id, qbase.text, qbase.n_tokens,
+          CASE WHEN qbase.n_tokens > 0
+               THEN 1.0 - qbase.n_distinct::DOUBLE / qbase.n_tokens::DOUBLE
+               ELSE 0.0 END AS dup_token_frac,
+          COALESCE(qc2.m::DOUBLE / qc2.tot::DOUBLE, 0.0) AS top_2gram_frac,
+          COALESCE(qc3.m::DOUBLE / qc3.tot::DOUBLE, 0.0) AS top_3gram_frac
+        FROM qbase LEFT JOIN qc2 USING (doc_id) LEFT JOIN qc3 USING (doc_id)),
+      docs AS (
+        SELECT doc_id, text FROM qr
+        WHERE n_tokens >= 20
+          AND NOT (dup_token_frac > 0.4 OR top_2gram_frac > 0.2
+                   OR top_3gram_frac > 0.18)),
+      sp AS (
+        SELECT doc_id, text,
+               CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 1037629354146162304 THEN 'train' ELSE 'eval' END AS split
+        FROM docs),
       tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
       s1 AS (
         SELECT doc_id, text FROM (
