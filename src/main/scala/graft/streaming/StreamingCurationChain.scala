@@ -95,10 +95,37 @@ object StreamingCurationChain {
       minShared: Int = 2,
       k: Int = 8,
       w: Int = 4,
-      rollingHash: Boolean = false) {
+      rollingHash: Boolean = false,
+      minTokens: Int = 0,
+      repetitionFilter: Boolean = false) {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
     require(prefixLen >= 1 && prefixLen <= 8, "prefixLen in [1, 8]")
+    require(minTokens >= 0, "minTokens must be >= 0")
   }
+
+  /** Stage 0 — the q96/q127 quality funnel (length floor + Gopher
+    * repetition flags), applied BEFORE any hashing or indexing: junk is
+    * neither admitted nor INDEXED, exactly like the batch recipe where
+    * a filtered doc never becomes a dedup keeper. Safe for
+    * batch-boundary independence precisely because the filter is a
+    * deterministic per-row function of the text — a doc filtered in one
+    * batching is filtered in every batching. Off by default
+    * (`minTokens = 0`, `repetitionFilter = false` passes everything
+    * through untouched, the pre-round-10 behavior). */
+  private[streaming] def qualityFiltered(batch: DataFrame, idCol: String,
+      textCol: String, p: Params): DataFrame =
+    if (p.minTokens == 0 && !p.repetitionFilter) batch
+    else {
+      // metrics on a projected (id, text) frame, then a semi-join back:
+      // the batch may itself carry an n_tokens column (the packing
+      // contract), which repetition's metric column would shadow
+      val keepIds = graft.operators.TextAnalysis
+        .repetition(batch.select(col(idCol), col(textCol)), idCol, textCol)
+        .filter(col("n_tokens") >= p.minTokens &&
+          (if (p.repetitionFilter) col("flagged") === 0 else lit(true)))
+        .select(col(idCol).as("__q_keep"))
+      batch.join(keepIds, col(idCol) === col("__q_keep"), "left_semi")
+    }
 
   /** The batch's exact-index slice: every arriving doc's content hash,
     * distinct, prefix-partitioned — a pure function of the batch. */
@@ -125,11 +152,15 @@ object StreamingCurationChain {
 
   /** One batch through the whole chain — the foreachBatch body, factored
     * out so specs can drive individual crash windows. */
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+  private[streaming] def processBatch(rawBatch: DataFrame, batchId: Long,
       idCol: String, textCol: String, nTokensCol: String, capacity: Long,
       exactIndexDir: String, bandIndexDir: String, contamIndex: DataFrame,
       outDir: String, hwmDir: String, checkpoint: String, p: Params): Unit = {
-    val spark = batch.sparkSession
+    val spark = rawBatch.sparkSession
+    // stage 0 first, on BOTH the live and the recovery path: every
+    // downstream artifact (admissions AND index slices) is a pure
+    // function of the FILTERED batch, so junk never blocks a later doc
+    val batch = qualityFiltered(rawBatch, idCol, textCol, p)
     val scope = BatchCommits.scopeFor(checkpoint)
     if (BatchCommits.markerExists(spark, checkpoint, Commits, batchId)) return
     val (exactFs, _) = BatchCommits.fileSystem(spark, exactIndexDir)

@@ -118,6 +118,38 @@ class StreamingCurationChainSpec extends SparkSpec {
       s"band index must hold every seen doc: $bandIds")
   }
 
+  test("quality stage 0: junk is neither admitted nor indexed; chain == filtered batch pipeline") {
+    val pq = P.copy(minTokens = 5, repetitionFilter = true)
+    val junkShort = "tiny doc"                                     // < 5 tokens
+    val junkSpam = Seq.fill(30)("buy now").mkString(" ")           // repetition-flagged
+    val b0 = batch0 ++ Seq((50L, junkShort, 2L), (51L, junkSpam, 60L))
+    val b1 = batch1 :+ ((52L, junkSpam, 60L)) // junk twin in a later batch
+    val d = mkDirs("quality")
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      StreamingCurationChain.processBatch(df(rows), i.toLong,
+        "doc_id", "text", "n_tokens", Cap, d.exact, d.band,
+        Contamination.loadIndex(spark, d.contam), d.out, d.hwm, d.ckpt, pq)
+    }
+    val streamed = packedRows(d.out)
+    // reference = the q127 ordering: filter first, then the batch pipeline
+    val union = b0 ++ b1
+    val kept = union.filterNot { case (_, t, _) =>
+      t == junkShort || t == junkSpam }
+    assert(streamed == batchPipeline(kept, d.contam),
+      "chain with quality stage must equal filter-then-batch-pipeline")
+    assert(!streamed.map(_._1).exists(Set(50L, 51L, 52L)),
+      s"junk must never be admitted: ${streamed.map(_._1)}")
+    // junk is not INDEXED either — the batch recipe where a filtered doc
+    // never becomes a dedup keeper (and can't block later documents)
+    val hs = spark.read.parquet(d.exact).select("h").as[String].collect().toSet
+    val junkHashes = Seq(junkShort, junkSpam).map(t =>
+      Seq(t).toDF("text").select(md5(col("text"))).as[String].head()).toSet
+    assert(hs.intersect(junkHashes).isEmpty, "junk hashes must not reach the index")
+    val bandIds = spark.read.parquet(d.band).select("id").as[Long].collect().toSet
+    assert(bandIds.intersect(Set(50L, 51L, 52L)).isEmpty,
+      "junk band rows must not reach the index")
+  }
+
   test("rollingHash chain knob matches a rolling-hash-built contamination index") {
     // same hash family on BOTH sides — a mismatch shares zero
     // fingerprints and would silently admit the contaminated doc
