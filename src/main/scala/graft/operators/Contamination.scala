@@ -190,10 +190,15 @@ object Contamination {
     * posture). The train corpus never self-joins. */
   def semantic(train: DataFrame, eval: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[(Long, Array[Double])],
-      threshold: Double, maxCellSize: Int = 100000): DataFrame = {
+      threshold: Double, maxCellSize: Int = 100000,
+      index: IndexStore = IndexStore.default): DataFrame = {
     import graft.functions.VectorExpressions
     VectorExpressions.register(train.sparkSession)
-    val t = Similarity.ivfAssignWith(train, idCol, vecCol, centroids)
+    // the assigned train table feeds BOTH the hits join and the final
+    // keep join — persist it (the semDedupAssigned posture), else the
+    // corpus is scanned and centroid-scored twice per call
+    val t = IndexStore.persist(
+      Similarity.ivfAssignWith(train, idCol, vecCol, centroids), index)
     val e = Similarity.ivfAssignWith(eval, idCol, vecCol, centroids)
     val sizes = e.groupBy(col("bucket")).agg(count(lit(1)).as("__en"))
     val ev = e.join(broadcast(sizes), Seq("bucket"))

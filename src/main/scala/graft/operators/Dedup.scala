@@ -136,8 +136,20 @@ object Dedup {
   private val PosPack: Column =
     lit(new java.math.BigDecimal("10000000000000000000"))
 
+  /** Content-hash group key that keeps NULL content as its own group:
+    * md5(null) is null, and a null join key matches nothing in the
+    * aggregate join-back — without the sentinel, every null-content row
+    * would silently vanish from [[exact]]'s output instead of deduping
+    * to one representative (the window formulation this replaced
+    * grouped nulls as one partition; groupBy also groups nulls, it's
+    * only the equality JOIN that drops them). "n" cannot collide with
+    * md5's 32-hex-char output. */
+  private[graft] def contentKey(contentCol: Column): Column =
+    when(contentCol.isNull, lit("n")).otherwise(md5(contentCol.cast("string")))
+
   /** Exact dedup by content hash: keeps the row with min `idCol` per
-    * distinct value of `contentCol` (ids are assumed unique); adds
+    * distinct value of `contentCol` (ids are assumed unique; null
+    * content dedupes as its own group, [[contentKey]]); adds
     * `dup_count`. The per-hash count + keeper id come from a MERGEABLE
     * groupBy aggregate joined back on the hash — map-side partials
     * mean a document duplicated millions of times costs one (count,
@@ -145,7 +157,7 @@ object Dedup {
     * residual probe-side skew on the join-back is the AQE-splittable
     * equi-join kind. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val hashed = df.withColumn("__h", md5(col(contentCol).cast("string")))
+    val hashed = df.withColumn("__h", contentKey(col(contentCol)))
     val winners = hashed.groupBy(col("__h"))
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("__keep"))
     hashed.join(winners, Seq("__h"))
@@ -294,14 +306,16 @@ object Dedup {
     * input row; `clean_text` re-joins surviving tokens with single
     * spaces (tokenization is whitespace-normalizing by construction).
     *
-    * Span identity is a 128-bit fingerprint: per-token xxhash64 (one
-    * pass, L hashes per L-token doc), then xxhash64 over each n-token
-    * hash slice plus a salt-prefixed variant for the second 64 bits —
-    * no per-span string is ever built and no cryptographic digest is
-    * paid. Random-collision probability at 1e12 spans is ~1e-14 — the
-    * same exactness class as a 128-bit digest (the DuckDB oracle
-    * replays with md5, also 128-bit; the two agree unless either
-    * fingerprint collides).
+    * Span identity is a 128-bit fingerprint: TWO independent per-token
+    * xxhash64 families (plain and salted — 2L hashes per L-token doc),
+    * then xxhash64 over each family's n-token-hash slice for the two
+    * 64-bit halves — no per-span string is ever built and no
+    * cryptographic digest is paid. The halves being driven by
+    * independent token families matters: a single cross-token 64-bit
+    * collision can only corrupt one half. Random-collision probability
+    * at 1e12 spans is ~1e-14 — the same exactness class as a 128-bit
+    * digest (the DuckDB oracle replays with md5, also 128-bit; the two
+    * agree unless either fingerprint collides).
     *
     * Scale shape: raw spans never shuffle — each occurrence is reduced
     * to (h1, h2, id, pos) longs BEFORE any exchange. Span count AND the
@@ -321,22 +335,35 @@ object Dedup {
   def spanExcision(df: DataFrame, idCol: String, textCol: String,
       n: Int = 16, minParallelism: Int = 0): DataFrame = {
     require(n >= 2, s"span width must be >= 2, got $n")
+    // the canonical-occurrence packing below is numeric; a non-numeric
+    // id would cast to null and silently excise NOTHING — fail loudly
+    // instead (the temperature maxGroups posture)
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"spanExcision needs an integral id column; ${df.schema(idCol).dataType} " +
+        "ids cannot ride the numeric canonical-min packing — map ids to longs first")
     val toks = Spread.byKey(df, idCol, minParallelism)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
-    // per-token hash once per doc; each span is fingerprinted by
-    // xxhash64 over its n-token-hash slice (array hashing is native
-    // and codegen'd) plus a salt-prefixed variant for the second 64
-    // bits — all-numeric, so the occurrence stream costs long ops,
-    // not string building
+    // TWO per-token hashes from INDEPENDENT xxhash64 families (the salt
+    // participates in each token's hash, not just the span's): each
+    // span is then fingerprinted by xxhash64 over each n-token-hash
+    // slice. Deriving both span halves from ONE token-hash array would
+    // let a single cross-token 64-bit collision (birthday-likely at
+    // web-scale vocabularies) collide spans in BOTH halves at once;
+    // with independent per-token families a token collision in one
+    // family leaves the other half distinguishing. All-numeric — the
+    // occurrence stream costs long ops, not string building.
     val occ = toks
       .filter(size(col("__t")) >= n)
-      .select(col(idCol), transform(col("__t"), t => xxhash64(t)).as("__th"))
+      .select(col(idCol),
+        transform(col("__t"), t => xxhash64(t)).as("__th"),
+        transform(col("__t"),
+          t => xxhash64(lit(0x9E3779B97F4A7C15L), t)).as("__th2"))
       .select(col(idCol),
         explode(transform(sequence(lit(1), size(col("__th")) - lit(n - 1)),
           p => struct(p.as("pos"),
             xxhash64(slice(col("__th"), p, lit(n))).as("h1"),
-            xxhash64(concat(array(lit(0x9E3779B97F4A7C15L)),
-              slice(col("__th"), p, lit(n)))).as("h2"))))
+            xxhash64(slice(col("__th2"), p, lit(n))).as("h2"))))
           .as("__o"))
       .select(col(idCol), col("__o.pos").as("__pos"),
         col("__o.h1").as("__h1"), col("__o.h2").as("__h2"))

@@ -389,7 +389,10 @@ object Multimodal {
     }(enc)
   }
 
-  /** Per-image perceptual hash column: (input columns…, ahash bigint).
+  /** Per-image perceptual hash column: (input columns…, <method> bigint)
+    * — the output column is NAMED AFTER the method ("ahash" / "dhash"),
+    * so hash tables built with different families can never be unioned
+    * or joined silently (the two families' bits are incomparable).
     * Undecodable payloads are DROPPED (an image-dedup pass has nothing
     * to say about non-images — route those by modality first). Decoding
     * runs once per row inside mapPartitions, the decoder boundary every
@@ -403,7 +406,7 @@ object Multimodal {
         s"unknown perceptual hash method '$other' (ahash | dhash)")
     }
     val schema = StructType(df.schema.fields :+
-      StructField("ahash", LongType, nullable = false))
+      StructField(method, LongType, nullable = false))
     val enc = Encoders.row(schema)
     val mIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
@@ -427,7 +430,7 @@ object Multimodal {
       maxHamming: Int = 3, method: String = "ahash"): DataFrame = {
     val hashed = imagePerceptualHash(
       df.select(col(idCol), col(mediaCol)), mediaCol, method)
-      .select(col(idCol).as("id"), col("ahash").as("simhash"))
+      .select(col(idCol).as("id"), col(method).as("simhash"))
     Dedup.simhashPairs(hashed, maxHamming)
   }
 

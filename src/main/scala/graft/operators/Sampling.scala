@@ -261,24 +261,33 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val width = Two60 / buckets
     val c = coord(col(idCol), salt)
+    // internal null-safe join key: the offset/size joins are equality
+    // joins, and a null groupCol would match nothing — rows silently
+    // vanishing from an EXPORT. The (isNull, value) struct has no null
+    // fields, so null-group rows shard as their own group (groupBy
+    // already counted them as one) and no sentinel can collide with a
+    // real group value.
+    val gk = struct(col(groupCol).isNull.as("n"),
+      coalesce(col(groupCol).cast("string"), lit("")).as("v"))
     val bucketed = df.withColumn("__h", c)
       .withColumn("__bkt", expr(s"__h div ${width}L"))
-    val offsets = bucketed.groupBy(col(groupCol), col("__bkt"))
+      .withColumn("__gk", gk)
+    val offsets = bucketed.groupBy(col("__gk"), col("__bkt"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
-        sum(col("__n")).over(Window.partitionBy(col(groupCol))
+        sum(col("__n")).over(Window.partitionBy(col("__gk"))
           .orderBy(col("__bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(groupCol), col("__bkt"), col("__off"))
-    val ng = bucketed.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+      .select(col("__gk"), col("__bkt"), col("__off"))
+    val ng = bucketed.groupBy(col("__gk")).agg(count(lit(1)).as("__ng"))
     bucketed
-      .join(broadcast(offsets), Seq(groupCol, "__bkt"))
-      .join(broadcast(ng), Seq(groupCol))
+      .join(broadcast(offsets), Seq("__gk", "__bkt"))
+      .join(broadcast(ng), Seq("__gk"))
       .withColumn("shuffle_pos", col("__off") - lit(1L) +
-        row_number().over(Window.partitionBy(col(groupCol), col("__bkt"))
+        row_number().over(Window.partitionBy(col("__gk"), col("__bkt"))
           .orderBy(col("__h").asc, col(idCol).asc)))
       .withColumn("shard", expr(s"CAST(shuffle_pos * ${nShards}L div __ng AS INT)"))
-      .drop("__h", "__bkt", "__off", "__ng")
+      .drop("__h", "__bkt", "__off", "__ng", "__gk")
   }
 
   /** Mixture weighting: keep each row with its stratum's rate (strata

@@ -84,12 +84,14 @@ object Similarity {
     * q52/q119 way. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
-      .join(queries.select(col(idCol).as("query_id"),
-        col(labelCol).as("q_label")), Seq("query_id"))
-    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
-      .join(corpus.select(col(idCol).as("corpus_id"),
-        col(labelCol).as("n_label")), Seq("corpus_id"))
+    VectorExpressions.register(queries.sparkSession)
+    // labels ride the SAME projection as the normalized vector — a
+    // join-back to re-attach a column the input row already has would
+    // scan the corpus twice and pay an id-keyed exchange for nothing
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), unitNormalize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("n_label"), unitNormalize(col(vecCol)).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)

@@ -750,13 +750,14 @@ object SimilarityQueries extends QueryModule {
   private val q125 = QueryDef(
     "q125_semantic_decontamination",
     (s, d) => {
-      import graft.operators.Contamination
+      import graft.operators.{Contamination, IndexStore}
       val emb = Tables.embeddings(s, d)
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
         nCentroids = 8, iters = 2)
       Contamination.semantic(
           emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
-          "vec_id", "embedding", cents, threshold = 0.4)
+          "vec_id", "embedding", cents, threshold = 0.4,
+          index = IndexStore.Memory())
         .select(col("corpus_id").as("vec_id"), col("bucket"), col("kept"))
         .orderBy(col("vec_id"))
     },

@@ -32,7 +32,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, 
   * batch rule is the same pairwise-against-smaller-ids rule over the
   * same fixed cells, the admitted set for a corpus is INDEPENDENT of
   * how micro-batch boundaries fall and equals the batch operator's
-  * kept set over the union (spec-proven).
+  * kept set over the union (spec-proven) — PROVIDED no cell exceeds
+  * `maxCellSize` across the union. The cap is a local guard, not a
+  * global invariant: the in-batch check counts the batch's rows, the
+  * cross-batch check counts index residents, so a cell crossing the cap
+  * mid-stream degrades to admitting (never to a quadratic join) and an
+  * over-cap cell's admissions MAY then depend on where boundaries fell.
+  * Size `nCentroids` at training time so cells stay far under the cap;
+  * the cap exists for the degenerate corpus, not the designed one.
   *
   * Index/scale design (the [[StreamingNearDupGate]] pattern):
   *  - rows are (id, v, cell) hive-partitioned by `cell` (the Lloyd

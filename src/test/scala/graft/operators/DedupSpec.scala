@@ -225,6 +225,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // scaled copy has cosine 1
   }
 
+  test("exact: null content dedupes to one representative, never vanishes") {
+    // md5(null) is null and a null join key matches nothing — without
+    // the contentKey sentinel both null rows would silently disappear
+    val df = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L),
+      s"null texts must keep their min-id representative: $out")
+  }
+
+  test("spanExcision: non-integral id column is refused loudly") {
+    // string ids would cast to null in the canonical-min packing and
+    // silently excise nothing
+    val df = Seq(("a", "x y z"), ("b", "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.spanExcision(df, "doc_id", "text", n = 2)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("semDedup: min-id representative survives, one row per input") {
     // 1 and 2 are scaled copies (cosine 1, same cluster necessarily);
     // 3 is near-orthogonal to both

@@ -294,6 +294,16 @@ class SamplingSpec extends SparkSpec {
       assert(rows.sortBy(_._3).map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
         s"group $g shards not contiguous in shuffle order")
     }
+    // a null group shards as its own group — an EXPORT must never
+    // silently lose rows to a null join key
+    val withNull = ((1L to 20L).map(i => (i, "g")) ++
+      (21L to 30L).map(i => (i, null: String))).toDF("id", "grp")
+    val nOut = Sampling.exportShardsPerGroup(withNull, "id", "grp", nShards = 2)
+      .select("id", "grp", "shard").as[(Long, String, Int)].collect()
+    assert(nOut.length == 30, s"rows lost: ${nOut.length}")
+    val nullRows = nOut.filter(_._2 == null)
+    assert(nullRows.length == 10 && nullRows.map(_._3).toSet == Set(0, 1))
+
     // one group degenerates to the global operator (same salt, same order)
     val single = (1L to 50L).map(i => (i, "only")).toDF("id", "grp")
     val per = Sampling.exportShardsPerGroup(single, "id", "grp", nShards = 4)
