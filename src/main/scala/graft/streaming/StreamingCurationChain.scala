@@ -131,7 +131,7 @@ object StreamingCurationChain {
     * distinct, prefix-partitioned — a pure function of the batch. */
   private[streaming] def exactSlice(batch: DataFrame, textCol: String,
       prefixLen: Int): DataFrame =
-    batch.select(md5(col(textCol).cast("string")).as("h")).distinct()
+    batch.select(Dedup.contentKey(col(textCol)).as("h")).distinct()
       .withColumn("hp", substring(col("h"), 1, prefixLen))
 
   /** The batch's band-index slice: every arriving doc's band rows — a
@@ -191,7 +191,7 @@ object StreamingCurationChain {
     // `hashed` is cached: it feeds both the admission chain and the
     // exact-index slice publish, and md5-over-text is a real per-batch
     // cost — one computation, two consumers
-    val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
+    val hashed = batch.withColumn("__h", Dedup.contentKey(col(textCol)))
       .cache()
     // the batch's full band rows likewise feed both the candidate join
     // (survivors' subset) and the band-index slice publish — minhash

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -168,7 +169,7 @@ object StreamingDedupGate {
       val files = BatchCommits.publishedFiles(spark, outDir, scope, batchId)
       if (files.nonEmpty) {
         val hashes = spark.read.parquet(files.map(_.toString): _*)
-          .select(md5(col(textCol).cast("string")).as("h"))
+          .select(Dedup.contentKey(col(textCol)).as("h"))
           .withColumn("hp", substring(col("h"), 1, prefixLen))
         BatchCommits.publishBatch(hashes, indexDir, scope, batchId, Seq("hp"))
       }
@@ -177,7 +178,7 @@ object StreamingDedupGate {
     }
     val (idxFs, _) = BatchCommits.fileSystem(spark, indexDir)
     checkPrefixLen(idxFs, indexDir, prefixLen)
-    val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
+    val hashed = batch.withColumn("__h", Dedup.contentKey(col(textCol)))
     // in-batch keeper: min id per hash (aggregate, no window)
     val keepers = hashed.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__keep_id"))
