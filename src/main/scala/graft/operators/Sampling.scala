@@ -290,6 +290,66 @@ object Sampling {
       .drop("__h", "__bkt", "__off", "__ng", "__gk")
   }
 
+  /** Deterministic weighted source interleave — the blended-dataset
+    * schedule (how mixture weights become an actual READ ORDER for
+    * training): weights are RATIONAL slot counts per period
+    * (en 4 : zh 2 : es 2 : de 1 : fr 1 ⇒ 4 of every 10 consecutive
+    * docs are en), each source's documents take their deterministic
+    * per-source shuffle order, and document k of source s lands at
+    *
+    *   global_pos = (k div c_s)·D + offset_s(k mod c_s)
+    *
+    * where D = Σ slots and offset_s is s's slot pattern inside one
+    * D-slot period. The pattern comes from EXACT integer virtual time —
+    * slot j of source s at (j+1)·(L/c_s), L = lcm of the counts, ranked
+    * with ties to the lexicographically smaller source — so there are
+    * no float comparisons anywhere and the schedule replays in any
+    * engine. global_pos is UNIQUE (within a source, distinct k; across
+    * sources, period slots are disjoint); consuming in global_pos order
+    * yields every window of D documents at the mixture's proportions
+    * until a source exhausts, after which its slots simply skip (the
+    * trainer reads the next available index, or loops the source for
+    * multi-epoch blends). Rows whose source has no slot entry are
+    * EXCLUDED (no weight ⇒ no schedule position).
+    *
+    * Scale shape: per-source rank rides the [[exportShardsPerGroup]]
+    * machinery (windows over metadata-scale slices only), then
+    * global_pos is a pure integer projection with the D-int pattern as
+    * plan literals. Returns df's columns + (shuffle_pos, global_pos). */
+  def interleave(df: DataFrame, idCol: String, sourceCol: String,
+      slots: Map[String, Int], salt: String = "graft-shuf",
+      buckets: Int = 1024): DataFrame = {
+    require(slots.nonEmpty && slots.values.forall(_ > 0),
+      "every source needs a positive slot count")
+    val period = slots.values.sum.toLong
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmAll = slots.values.map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    // one period's slot positions per source, by exact integer virtual
+    // time (the deficit-round-robin order)
+    val pattern: Map[String, IndexedSeq[Long]] = slots.toSeq
+      .flatMap { case (s, c) =>
+        (1 to c).map(j => (j.toLong * (lcmAll / c), s, j - 1)) }
+      .sortBy { case (vt, s, _) => (vt, s) }
+      .zipWithIndex
+      .groupBy { case ((_, s, _), _) => s }
+      .view.mapValues(_.sortBy { case ((_, _, j), _) => j }
+        .map { case (_, pos) => pos.toLong }.toIndexedSeq)
+      .toMap
+    val ranked = exportShardsPerGroup(
+      df.filter(col(sourceCol).isin(slots.keys.toSeq: _*)),
+      idCol, sourceCol, nShards = 1, salt, buckets).drop("shard")
+    val globalPos = slots.keys.toSeq.sorted
+      .foldLeft(lit(null).cast("long"): Column) { (els, s) =>
+        val c = slots(s)
+        val offs = array(pattern(s).map(lit(_)): _*)
+        when(col(sourceCol) === lit(s),
+          expr(s"shuffle_pos div ${c}L") * lit(period) +
+            element_at(offs, (col("shuffle_pos") % lit(c.toLong)).cast("int") + lit(1)))
+          .otherwise(els)
+      }
+    ranked.withColumn("global_pos", globalPos)
+  }
+
   /** Mixture weighting: keep each row with its stratum's rate (strata
     * absent from `rates` fall back to `defaultRate`). Below
     * `branchCutoff` rates the map folds into a literal when-chain —

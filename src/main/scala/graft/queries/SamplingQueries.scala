@@ -471,6 +471,48 @@ object SamplingQueries extends QueryModule {
       FROM d LEFT JOIN th t USING (lang)
       ORDER BY d.doc_id"""))
 
+  /** Deterministic weighted interleave ([[Sampling.interleave]]): the
+    * blended-dataset read order for a 4:2:2:1:1 language mixture —
+    * every 10 consecutive schedule slots hold 4 en, 2 zh, 2 es, 1 de,
+    * 1 fr until a source exhausts. The oracle derives the SAME period
+    * pattern from integer virtual time (slot j of source s at
+    * j·(lcm/c_s), rank with source tie-break), replays each source's
+    * md5 shuffle order, and recomputes every global position. */
+  private val q128 = QueryDef(
+    "q128_mixture_interleave",
+    (s, d) => {
+      Sampling.interleave(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("en" -> 4, "zh" -> 2, "es" -> 2, "de" -> 1, "fr" -> 1))
+        .select(col("doc_id"), col("lang"),
+          col("shuffle_pos").as("k"), col("global_pos"))
+        .orderBy(col("global_pos"))
+    },
+    Some("""
+      WITH slots AS (
+        SELECT s, c FROM (VALUES ('en', 4), ('zh', 2), ('es', 2),
+                                 ('de', 1), ('fr', 1)) t(s, c)),
+      patt AS (
+        SELECT s, j - 1 AS j,
+               row_number() OVER (ORDER BY j * (4 // c), s) - 1 AS pos
+        FROM (SELECT s, c, unnest(generate_series(1, c)) AS j FROM slots) t2),
+      r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 ('0x' || substr(md5('graft-shuf|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT,
+                 doc_id) - 1 AS k
+        FROM documents
+        WHERE lang IN (SELECT s FROM slots)),
+      g AS (
+        SELECT r.doc_id, r.lang, r.k,
+               (r.k // sl.c) * 10 + p.pos AS global_pos
+        FROM r
+        JOIN slots sl ON sl.s = r.lang
+        JOIN patt p ON p.s = r.lang AND p.j = r.k % sl.c)
+      SELECT doc_id, lang, k, global_pos
+      FROM g
+      ORDER BY global_pos"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123)
+    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123, q128)
 }

@@ -313,6 +313,34 @@ class SamplingSpec extends SparkSpec {
     assert(per == global)
   }
 
+  test("interleave: every complete window holds the mixture; positions unique; unweighted excluded") {
+    // 40 a-docs, 20 b-docs, weights 2:1 — every window of 3 slots is
+    // (2 a, 1 b) while both sources are live (b exhausts at pos 60)
+    val rows = (1L to 40L).map(i => (i, "a")) ++ (41L to 60L).map(i => (i, "b")) :+
+      ((99L, "zzz")) // no slot entry: excluded
+    val out = Sampling.interleave(rows.toDF("id", "src"), "id", "src",
+        Map("a" -> 2, "b" -> 1))
+      .select("id", "src", "shuffle_pos", "global_pos")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 60 && !out.exists(_._2 == "zzz"))
+    assert(out.map(_._4).distinct.length == 60, "global positions must be unique")
+    val byPos = out.sortBy(_._4)
+    byPos.take(60).grouped(3).foreach { w =>
+      assert(w.count(_._2 == "a") == 2 && w.count(_._2 == "b") == 1,
+        s"window off-mixture: ${w.toSeq}")
+    }
+    // per-source consumption order is the per-source shuffle order
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == (0L until rs.length).toSeq)
+    }
+    // deterministic rerun
+    val again = Sampling.interleave(rows.toDF("id", "src"), "id", "src",
+        Map("a" -> 2, "b" -> 1))
+      .select("id", "global_pos").as[(Long, Long)].collect().toSet
+    assert(again == out.map(r => (r._1, r._4)).toSet)
+  }
+
   test("unimax: small groups fully served, big group rationed, null dropped") {
     // weights: a = 10x1, b = 10x1, c = 80x1; budget 0.5·100 = 50.
     // Ascending serve: a gets min(10, 50/3)=10 (rate 1), b min(10, 40/2)=10
