@@ -513,6 +513,72 @@ object SamplingQueries extends QueryModule {
       FROM g
       ORDER BY global_pos"""))
 
+  /** Schedule-ordered packed export: the q128 interleave composed with
+    * q90's sequence packing, keyed on the GLOBAL SCHEDULE POSITION
+    * instead of the document id — tokens stream into fixed-capacity
+    * training sequences in exactly the blended read order, so every
+    * training window carries the mixture's proportions. The oracle
+    * composes the q128 schedule fragment with the prefix-sum packing
+    * fragment over global_pos order. */
+  private val q129 = QueryDef(
+    "q129_schedule_packed_export",
+    (s, d) => {
+      import graft.operators.Packing
+      val sched = Sampling.interleave(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang",
+        Map("en" -> 4, "zh" -> 2, "es" -> 2, "de" -> 1, "fr" -> 1))
+      val sized = sched.select(col("doc_id").as("orig_id"), col("lang"),
+          col("global_pos"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
+        .persist() // feeds packing AND the id join-back (the q112 lesson)
+      val packed = Packing.assign(
+        sized.select(col("global_pos"), col("n_toks")),
+        "global_pos", "n_toks", capacity = 512L, bucketWidth = 64L)
+      packed.join(sized, packed("doc_id") === sized("global_pos"))
+        .select(col("orig_id").as("doc_id"), col("lang"), col("global_pos"),
+          col("n_tokens"), col("tok_offset"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("global_pos"))
+    },
+    Some("""
+      WITH slots AS (
+        SELECT s, c FROM (VALUES ('en', 4), ('zh', 2), ('es', 2),
+                                 ('de', 1), ('fr', 1)) t(s, c)),
+      patt AS (
+        SELECT s, j - 1 AS j,
+               row_number() OVER (ORDER BY j * (4 // c), s) - 1 AS pos
+        FROM (SELECT s, c, unnest(generate_series(1, c)) AS j FROM slots) t2),
+      r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 ('0x' || substr(md5('graft-shuf|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT,
+                 doc_id) - 1 AS k
+        FROM documents
+        WHERE lang IN (SELECT s FROM slots)),
+      g AS (
+        SELECT r.doc_id, r.lang, r.k,
+               (r.k // sl.c) * 10 + p.pos AS global_pos
+        FROM r
+        JOIN slots sl ON sl.s = r.lang
+        JOIN patt p ON p.s = r.lang AND p.j = r.k % sl.c),
+      t AS (
+        SELECT g.doc_id, g.lang, g.global_pos,
+               len(list_filter(string_split_regex(d.text, '\s+'),
+                   x -> length(x) > 0))::BIGINT AS n_toks
+        FROM g JOIN documents d USING (doc_id)),
+      c AS (
+        SELECT doc_id, lang, global_pos, n_toks,
+               COALESCE(SUM(n_toks) OVER (ORDER BY global_pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS tok_offset
+        FROM t)
+      SELECT doc_id, lang, global_pos, n_toks AS n_tokens, tok_offset,
+             tok_offset // 512 AS seq_id,
+             tok_offset % 512 AS seq_offset
+      FROM c
+      ORDER BY global_pos"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123, q128)
+    Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123, q128,
+      q129)
 }
