@@ -70,6 +70,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the feature-prep step before distance-based work when dimensions
+    * carry different scales (also the whitening-lite that keeps one
+    * dominant dimension from owning every cosine). Corpus statistics
+    * come from ONE mergeable [[graft.functions.VecMean]] aggregate pass
+    * (per-dim mean and mean-of-squares — 2·d driver doubles, the
+    * codebook class), rounded half-up-6 so distributed float summation
+    * order can't flip a value, with σ = round6(√max(0, E[x²]−E[x]²));
+    * the projection is then SHUFFLE-FREE with μ/σ baked as literals.
+    * Zero-variance dimensions map to 0. Returns one row per (vector,
+    * dimension): (corpus_id, i [1-based], z) — melted, so the oracle
+    * replays every coordinate. */
+  def standardize(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    VectorExpressions.register(df.sparkSession)
+    val vm = org.apache.spark.sql.functions.udaf(graft.functions.VecMean(dims))
+    val v = df.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("v"))
+    val stats = v.agg(vm(col("v")).as("mu"),
+      vm(transform(col("v"), x => x * x)).as("m2")).head()
+    val mu = stats.getSeq[Double](0).map(round6)
+    val m2 = stats.getSeq[Double](1).map(round6)
+    val sig = mu.indices.map(i => round6(math.sqrt(math.max(0.0, m2(i) - mu(i) * mu(i)))))
+    val zExprs = (0 until dims).map { i =>
+      if (sig(i) == 0.0) lit(0.0)
+      else (element_at(col("v"), i + 1) - lit(mu(i))) / lit(sig(i))
+    }
+    v.select(col("corpus_id"), posexplode(array(zExprs: _*)))
+      .select(col("corpus_id"), (col("pos") + lit(1)).as("i"), col("col").as("z"))
+  }
+
   /** Hard-negative mining for contrastive / metric training: for each
     * query, the k nearest corpus vectors with a DIFFERENT label — the
     * near-but-wrong examples a triplet/InfoNCE loss learns most from

@@ -781,7 +781,42 @@ object SimilarityQueries extends QueryModule {
       FROM tr t LEFT JOIN drops d USING (vec_id)
       ORDER BY t.vec_id"""))
 
+  /** Per-dimension z-scoring ([[Similarity.standardize]]): corpus μ/σ
+    * per dimension from one mergeable aggregate (rounded half-up-6, the
+    * q87/q101 float-summation discipline), then a shuffle-free melted
+    * projection. The oracle recomputes every coordinate. */
+  private val q130 = QueryDef(
+    "q130_embedding_standardize",
+    (s, d) => {
+      Similarity.standardize(Tables.embeddings(s, d), "vec_id", "embedding",
+          dims = Tables.embeddingDims)
+        .select(col("corpus_id").as("vec_id"), col("i"),
+          Rnd.halfUp(col("z"), 4).as("z4"))
+        .orderBy(col("vec_id"), col("i"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      u AS (
+        SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM e),
+      st AS (
+        SELECT i,
+               floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+               floor(avg(x * x) * 1000000.0 + 0.5) / 1000000.0 AS m2
+        FROM u GROUP BY i),
+      sg AS (
+        SELECT i, mu,
+               floor(sqrt(greatest(m2 - mu * mu, 0.0)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS sig
+        FROM st)
+      SELECT u.vec_id, u.i,
+             CASE WHEN sg.sig = 0.0 THEN 0.0
+                  ELSE floor((u.x - sg.mu) / sg.sig * 10000.0 + 0.5) / 10000.0
+             END AS z4
+      FROM u JOIN sg USING (i)
+      ORDER BY u.vec_id, u.i"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125)
+      q124, q125, q130)
 }

@@ -272,6 +272,18 @@ class SimilaritySpec extends SparkSpec {
       s"composed IVF-PQ recall collapsed: $recall")
   }
 
+  test("standardize: z-scores per dimension, zero-variance dims map to 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f))) // dim2 constant
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardize(df, "vec_id", "embedding", dims = 2)
+      .select("corpus_id", "i", "z").as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // dim1: mean 2, std 1 → z = ±1; dim2: zero variance → 0
+    assert(math.abs(z((1L, 1)) + 1.0) < 1e-4 && math.abs(z((2L, 1)) - 1.0) < 1e-4)
+    assert(z((1L, 2)) == 0.0 && z((2L, 2)) == 0.0)
+  }
+
   test("hardNegatives: same-label neighbors never occupy shortlist slots") {
     // 1's nearest is 2 (same label, cosine 1) — must be excluded; the
     // top negative is 3 (different label, next-closest)
