@@ -290,6 +290,37 @@ object Sampling {
       .drop("__h", "__bkt", "__off", "__ng", "__gk")
   }
 
+  /** Weighted sampling WITHOUT replacement, derandomized — the A-ES
+    * exponential race (Efraimidis & Spirakis, IPL 2006): every row gets
+    * key = −ln(u)/w with u its md5-uniform coordinate in (0, 1], and
+    * the k SMALLEST keys win — provably equivalent to drawing k rows
+    * one by one with probability ∝ weight, without replacement. The
+    * [[sample]]/[[temperature]] family draws Bernoulli at per-group
+    * rates (expected sizes); this is the exact-k, per-row-weight
+    * member the family was missing (importance-weighted eval sets,
+    * size-proportional spot checks).
+    *
+    * Determinism discipline: u = (coord+1)/2^60 (never 0), key rounded
+    * half-up-6 before the compare, ties to the smaller id — every row's
+    * fate replays in any engine. Rows with weight ≤ 0 or null are
+    * EXCLUDED (they have no draw probability).
+    *
+    * Scale shape: one shuffle-free projection, then
+    * TakeOrderedAndProject — per-partition top-k + a k-row driver
+    * merge, never a global sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "graft-wrs"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val halfUp6: Column => Column =
+      c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val u = (coord(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18) // 2^60
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key6", halfUp6(-log(u) / col(weightCol).cast("double")))
+      .orderBy(col("key6").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic weighted source interleave — the blended-dataset
     * schedule (how mixture weights become an actual READ ORDER for
     * training): weights are RATIONAL slot counts per period

@@ -578,7 +578,38 @@ object SamplingQueries extends QueryModule {
       FROM c
       ORDER BY global_pos"""))
 
+  /** Weighted sampling without replacement ([[Sampling.weightedSample]],
+    * Efraimidis–Spirakis A-ES): exactly 100 documents drawn with
+    * probability ∝ token count. The oracle replays the md5-uniform
+    * coordinates, the exponential-race keys, the half-up-6 rounding,
+    * and the (key, id) ordering. */
+  private val q131 = QueryDef(
+    "q131_weighted_sample",
+    (s, d) => {
+      Sampling.weightedSample(Tables.documents(s, d)
+            .select(col("doc_id"),
+              size(graft.functions.TextFunctions.tokens(col("text"))).as("w")),
+          "doc_id", "w", k = 100)
+        .select(col("doc_id"), col("w"), col("key6"))
+        .orderBy(col("key6"), col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               length(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0)) AS w
+        FROM documents),
+      kd AS (
+        SELECT doc_id, w,
+               floor(-ln((('0x' || substr(md5('graft-wrs|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT + 1)
+                         / 1152921504606846976.0)
+                     / CAST(w AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS key6
+        FROM d WHERE w IS NOT NULL AND w > 0)
+      SELECT doc_id, w, key6 FROM kd
+      ORDER BY key6 ASC, doc_id ASC
+      LIMIT 100"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123, q128,
-      q129)
+      q129, q131)
 }

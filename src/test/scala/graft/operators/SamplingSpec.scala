@@ -313,6 +313,26 @@ class SamplingSpec extends SparkSpec {
     assert(per == global)
   }
 
+  test("weightedSample: exact k, weight-proportional, non-positive weights excluded") {
+    // 5 docs at weight 1e9 vs 50 at weight 1: the exponential race makes
+    // a light doc's key ~1e9 times a heavy doc's — fixed md5 coordinates
+    // make the outcome deterministic, and the heavies win every slot
+    val rows = (1L to 5L).map(i => (i, 1000000000.0)) ++
+      (6L to 55L).map(i => (i, 1.0)) ++
+      Seq((90L, 0.0), (91L, -3.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L), s"heavy docs must win: $got")
+    val ten = Sampling.weightedSample(df, "id", "w", k = 10)
+      .select("id", "key6").as[(Long, Double)].collect()
+    assert(ten.length == 10 && !ten.map(_._1).exists(Set(90L, 91L)))
+    assert(ten.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // plan: per-partition top-k, not a global sort
+    assert(Sampling.weightedSample(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("interleave: every complete window holds the mixture; positions unique; unweighted excluded") {
     // 40 a-docs, 20 b-docs, weights 2:1 — every window of 3 slots is
     // (2 a, 1 b) while both sources are live (b exhausts at pos 60)
