@@ -308,15 +308,23 @@ object Sampling {
     * Scale shape: one shuffle-free projection, then
     * TakeOrderedAndProject — per-partition top-k + a k-row driver
     * merge, never a global sort. */
+  /** The A-ES race key for one row: −ln(u)/w rounded half-up-6, u the
+    * row's md5-uniform coordinate in (0, 1]. Shared by the global
+    * [[weightedSample]] and per-group compositions (rank the SAME key
+    * inside each group for an exact-k per-group weighted draw). */
+  def wrsKey(id: Column, weight: Column,
+      salt: String = "graft-wrs"): Column = {
+    val u = (coord(id, salt) + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18) // 2^60
+    floor(-log(u) / weight.cast("double") * lit(1000000.0) + lit(0.5)) /
+      lit(1000000.0)
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "graft-wrs"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val halfUp6: Column => Column =
-      c => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    val u = (coord(col(idCol), salt) + lit(1L)).cast("double") /
-      lit(1.152921504606846976e18) // 2^60
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("key6", halfUp6(-log(u) / col(weightCol).cast("double")))
+      .withColumn("key6", wrsKey(col(idCol), col(weightCol), salt))
       .orderBy(col("key6").asc, col(idCol).asc)
       .limit(k)
   }

@@ -609,7 +609,46 @@ object SamplingQueries extends QueryModule {
       ORDER BY key6 ASC, doc_id ASC
       LIMIT 100"""))
 
+  /** Per-group weighted sampling without replacement: the q131 A-ES
+    * race key ranked INSIDE each language by the q106 GK-threshold
+    * top-k machinery (negated key: smallest race key = highest score) —
+    * exactly 10 docs per language, each drawn ∝ token count, no group
+    * ever sorted in one task. The oracle replays keys and the plain
+    * per-group window the scale path is provably identical to. */
+  private val q132 = QueryDef(
+    "q132_weighted_sample_per_group",
+    (s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w") > 0)
+        .withColumn("key6", Sampling.wrsKey(col("doc_id"), col("w")))
+        .withColumn("negkey", -col("key6"))
+      Sampling.topKPerGroup(keyed, "lang", "negkey", "doc_id", n = 10)
+        .select(col("doc_id"), col("lang"), col("w"), col("key6"))
+        .orderBy(col("lang"), col("key6"), col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               length(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0)) AS w
+        FROM documents),
+      kd AS (
+        SELECT doc_id, lang, w,
+               floor(-ln((('0x' || substr(md5('graft-wrs|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT + 1)
+                         / 1152921504606846976.0)
+                     / CAST(w AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS key6
+        FROM d WHERE w > 0),
+      r AS (
+        SELECT doc_id, lang, w, key6,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY key6 ASC, doc_id ASC) AS rn
+        FROM kd)
+      SELECT doc_id, lang, w, key6 FROM r WHERE rn <= 10
+      ORDER BY lang, key6, doc_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123, q128,
-      q129, q131)
+      q129, q131, q132)
 }
