@@ -167,4 +167,70 @@ object Profile {
       .withColumn("span_days",
         datediff(to_date(col("max_value")), to_date(col("min_value"))).cast("long"))
   }
+
+  /** Bivariate dependence profile: per-group Pearson correlation, sample
+    * covariance, and the least-squares regression line (slope, intercept,
+    * r²) of `yCol` on `xCol` — the relationship statistics a curation
+    * pipeline reads before trusting one signal as a proxy for another
+    * (does quality score track length? does price track quantity?).
+    *
+    * Cross-engine exactness: the built-in `corr`/`regr_slope` aggregates
+    * sum doubles in partition order, and the `n·Sxy − Sx·Sy` form then
+    * amplifies those last-ulp differences by catastrophic cancellation —
+    * so the moments here are EXACT integers instead: each value is
+    * fixed-pointed at 10^scale (`floor(x·f + 0.5)`, deterministic in any
+    * IEEE engine), and Sx, Sy, Sxy, Sxx, Syy accumulate as
+    * DECIMAL(38,0) — order-independent, overflow-checked, identical on
+    * any engine. The cancellation happens IN exact arithmetic
+    * (n·Sxy − Sx·Sy as a decimal), and only the final division/sqrt DAG
+    * runs in doubles on bit-identical inputs. Callers wanting
+    * hash-stable output across engines round the double stats (the q102
+    * half-up pattern) to absorb sub-ulp decimal→double conversion
+    * differences.
+    *
+    * Scale shape: one scan, ONE mergeable hash aggregate keyed by the
+    * group columns (map-side partials — a trillion rows per group cost
+    * six decimal cells each), a scalar projection after. No window, no
+    * second pass, no driver data. Rows where either value is null are
+    * excluded (pairwise-complete, the convention every SQL corr shares).
+    *
+    * Precondition: each group needs ≥ 2 pairs and nonzero variance on
+    * both sides, else the stats divide by zero (NaN), matching the
+    * undefined-correlation contract.
+    */
+  def dependence(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String], scale: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "dependence profile needs group columns")
+    require(scale >= 0 && scale <= 6, s"fixed-point scale $scale out of [0,6]")
+    val f = math.pow(10, scale)
+    val dec = "decimal(38,0)"
+    val gs = groupCols.map(col)
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(gs
+        :+ floor(col(xCol).cast("double") * lit(f) + lit(0.5)).cast(dec).as("__x")
+        :+ floor(col(yCol).cast("double") * lit(f) + lit(0.5)).cast(dec).as("__y"): _*)
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("__n").cast("double")
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val slope = num / dx
+    val corrC = num / sqrt(dx * dy)
+    m.select(gs ++ Seq(
+      col("__n").cast("long").as("n_pairs"),
+      corrC.as("corr"),
+      (num / (nD * (nD - lit(1.0)) * lit(f * f))).as("covar_samp"),
+      slope.as("slope"),
+      ((col("__sy").cast("double") - slope * col("__sx").cast("double"))
+        / (nD * lit(f))).as("intercept"),
+      (corrC * corrC).as("r2")): _*)
+  }
 }

@@ -101,5 +101,54 @@ object ProfileQueries extends QueryModule {
       FROM m GROUP BY col_name
       ORDER BY col_name"""))
 
-  override val entries: Seq[QueryDef] = Seq(q88, q102, q110)
+  /** Bivariate dependence branch: per-returnflag correlation /
+    * covariance / regression of extendedprice on quantity, moments
+    * accumulated as exact DECIMAL(38,0) fixed-point sums (HUGEINT on
+    * the DuckDB side) so both engines feed bit-identical integers into
+    * the same double DAG; the half-up-6 rounding absorbs sub-ulp
+    * int128→double conversion differences. Either-null pairs excluded
+    * (pairwise-complete). */
+  private val q133 = QueryDef(
+    "q133_dependence_profile",
+    (s, d) => {
+      Profile.dependence(Tables.lineitem(s, d),
+          "l_quantity", "l_extendedprice", Seq("l_returnflag"), scale = 2)
+        .select(col("l_returnflag"), col("n_pairs"),
+          Rnd.halfUp(col("corr"), 6).as("corr6"),
+          Rnd.halfUp(col("covar_samp"), 4).as("covar4"),
+          Rnd.halfUp(col("slope"), 6).as("slope6"),
+          Rnd.halfUp(col("intercept"), 4).as("intercept4"),
+          Rnd.halfUp(col("r2"), 6).as("r2_6"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS HUGEINT) AS x,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS HUGEINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      mo AS (
+        SELECT g, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM m GROUP BY g),
+      s AS (
+        SELECT g, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM mo)
+      SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_pairs,
+             ${Rnd.sql("num / sqrt(dx * dy)", 6)} AS corr6,
+             ${Rnd.sql("num / (nd * (nd - 1.0) * 10000.0)", 4)} AS covar4,
+             ${Rnd.sql("num / dx", 6)} AS slope6,
+             ${Rnd.sql("(syd - (num / dx) * sxd) / (nd * 100.0)", 4)} AS intercept4,
+             ${Rnd.sql("(num / sqrt(dx * dy)) * (num / sqrt(dx * dy))", 6)} AS r2_6
+      FROM s
+      ORDER BY l_returnflag"""))
+
+  override val entries: Seq[QueryDef] = Seq(q88, q102, q110, q133)
 }

@@ -112,4 +112,41 @@ class ProfileSpec extends SparkSpec {
       df.withColumn("z", lit(null).cast("timestamp")), Seq("z")).collect().head
     assert(z.getLong(2) == 3L && z.isNullAt(3) && z.isNullAt(4) && z.isNullAt(5))
   }
+
+  test("dependence: exact-moment corr/covar/regression match closed-form values") {
+    // y = 2x + 1 exactly -> corr=1, slope=2, intercept=1, r2=1
+    val lin = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0))
+      .toDF("g", "x", "y")
+    val r = Profile.dependence(lin, "x", "y", Seq("g"), scale = 2)
+      .collect().head
+    assert(r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, "corr of exact line is 1")
+    // covar_samp of x={1,2,3}, y={3,5,7}: sum((x-2)(y-5))/2 = 4/2 = 2
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-12, "slope 2")
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-12, "intercept 1")
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12, "r2 1")
+
+    // anti-correlated group alongside, null pairs dropped per-group
+    val two = Seq(
+        ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+        ("dn", 1.0, 30.0), ("dn", 2.0, 20.0), ("dn", 3.0, 10.0),
+        ("dn", 4.0, Double.NaN))
+      .toDF("g", "x", "y")
+      .withColumn("y", when(col("y").isNaN, lit(null)).otherwise(col("y")))
+    val m = Profile.dependence(two, "x", "y", Seq("g"))
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(m("up").getLong(1) == 3L && math.abs(m("up").getDouble(2) - 1.0) < 1e-12)
+    assert(m("dn").getLong(1) == 3L, "null y excluded pairwise")
+    assert(math.abs(m("dn").getDouble(2) + 1.0) < 1e-12, "perfect anti-correlation")
+    assert(math.abs(m("dn").getDouble(4) + 10.0) < 1e-12, "slope -10")
+
+    // plan contract: one mergeable hash aggregate, no Window, no sort
+    // before the agg (the profile-family scale shape)
+    val plan = Profile.dependence(lin, "x", "y", Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "dependence must not plan a Window")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "partial+final hash aggregate expected")
+  }
 }
