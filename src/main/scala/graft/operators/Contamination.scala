@@ -169,6 +169,69 @@ object Contamination {
         sum(col("shared")).as("sum_shared"))
   }
 
+  /** Decontaminate a TRAINING corpus against a (benchmark-sized)
+    * evaluation set with a broadcast Bloom prefilter in front of the
+    * exact fingerprint join. Output contract mirrors [[detect]], rolled
+    * up per TRAIN document: one row per train doc sharing ≥ `minShared`
+    * pruned winnowing fingerprints with ≥ 1 eval doc —
+    * (train_id, n_eval_docs, max_shared, sum_shared). The distinct
+    * train_ids are the drop set (q109 action semantics).
+    *
+    * Why a Bloom here: [[checkAgainstIndex]] shuffles EVERY corpus
+    * fingerprint into the equi-join — at 100 TB that is the single
+    * largest exchange in the decontamination pass, and almost all of it
+    * matches nothing, because the eval side is benchmark-sized. So the
+    * eval fingerprints fold into a Bloom filter (codegen'd
+    * [[graft.functions.BloomFunctions]] aggregate; ~1.2 MB per million
+    * distinct fingerprints at fpp 1%) that rides into the corpus scan
+    * as a literal: winnow → probe → only the ~fpp false-positive slice
+    * plus true hits ever shuffles. The exact verify join then discards
+    * the false positives, so the RESULT is bit-identical to the
+    * Bloom-less plan — a Bloom has no false negatives. The oracle
+    * replays the exact join only; the Bloom is invisible to semantics.
+    *
+    * Driver footprint: one collect of `numBits/8` bytes, guarded at
+    * 128 MB (past that the eval set is not benchmark-sized and the
+    * plain [[checkAgainstIndex]] join is the right plan).
+    */
+  def bloomPrefiltered(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 2, maxDf: Int = 50, k: Int = 8,
+      w: Int = 4, fpp: Double = 0.01,
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
+    val spark = train.sparkSession
+    graft.functions.BloomFunctions.register(spark)
+    // eval postings feed three consumers (sizing count, bloom agg,
+    // verify join) — persist once, eval is benchmark-sized
+    val efps = IndexStore.persist(
+      fingerprints(eval, idCol, textCol, maxDf, k, w, index,
+          minParallelism, rollingHash)
+        .withColumnRenamed("train_id", "eval_id"), index)
+    val nf = math.max(1L, efps.select(col("f")).distinct().count())
+    val bits = graft.functions.BloomFunctions.optimalNumBits(nf, fpp)
+    require(bits <= (1L << 30),
+      s"eval fingerprint set ($nf distinct) sizes a ${bits / 8 / (1 << 20)} MB " +
+        "Bloom — not benchmark-sized; use checkAgainstIndex's join plan instead")
+    val bloomRow = efps
+      .select(graft.functions.BloomFunctions.bloomAgg(col("f"), nf, bits).as("bf"))
+      .collect().head
+    val tfpsAll = Spread.byKey(train, idCol, minParallelism)
+      .select(col(idCol).cast("long").as("train_id"),
+        explode(winnowed(spark, col(textCol), k, w, rollingHash)).as("f"))
+    val tfps =
+      if (bloomRow.isNullAt(0)) tfpsAll.filter(lit(false)) // empty eval set
+      else tfpsAll.filter(graft.functions.BloomFunctions.mightContain(
+        lit(bloomRow.getAs[Array[Byte]]("bf")), col("f")))
+    tfps.join(efps, Seq("f"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_docs"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("sum_shared"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space sibling of the
     * n-gram [[detect]]/[[pairs]] family: a training example whose
     * embedding sits at cosine ≥ `threshold` to ANY evaluation example

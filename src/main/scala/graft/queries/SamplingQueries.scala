@@ -648,7 +648,68 @@ object SamplingQueries extends QueryModule {
       SELECT doc_id, lang, w, key6 FROM r WHERE rn <= 10
       ORDER BY lang, key6, doc_id"""))
 
+  /** Bloom-prefiltered decontamination
+    * ([[graft.operators.Contamination.bloomPrefiltered]]): the training
+    * corpus (18 sources) is checked against a benchmark-sized eval set
+    * (src0/src1) with the eval fingerprints folded into a broadcast
+    * Bloom filter that prunes corpus fingerprints BEFORE the verify
+    * join's shuffle. A Bloom has no false negatives and the verify join
+    * removes its false positives, so the oracle replays only the exact
+    * winnowing + join chain — the Bloom is pure plan, not semantics
+    * (eval-side df-pruning at 50, per-train-doc rollup at ≥ 20 shared
+    * fingerprints, the q109 self-similar-corpus tuning). */
+  private val q134 = QueryDef(
+    "q134_bloom_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val evalSet = docs.filter(col("source").isin("src0", "src1")).drop("source")
+      val train = docs.filter(!col("source").isin("src0", "src1")).drop("source")
+      graft.operators.Contamination
+        .bloomPrefiltered(train, evalSet, "doc_id", "text",
+          minShared = 20, maxDf = 50, k = 8, w = 4, fpp = 0.01,
+          index = graft.operators.IndexStore.NoStore,
+          minParallelism = s.sparkContext.defaultParallelism,
+          rollingHash = true)
+        .orderBy(col("train_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM documents),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      ev AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+      efp0 AS (
+        SELECT fp.doc_id AS eval_id, fp.f
+        FROM fp JOIN ev ON ev.doc_id = fp.doc_id),
+      pruned AS (SELECT f FROM efp0 GROUP BY f HAVING count(*) <= 50),
+      efp AS (SELECT eval_id, f FROM efp0 JOIN pruned USING (f)),
+      tfp AS (
+        SELECT fp.doc_id AS train_id, fp.f
+        FROM fp
+        WHERE fp.doc_id NOT IN (SELECT doc_id FROM ev)),
+      pairs AS (
+        SELECT train_id, eval_id, count(*) AS shared
+        FROM tfp JOIN efp USING (f)
+        GROUP BY train_id, eval_id
+        HAVING count(*) >= 20)
+      SELECT train_id, count(*) AS n_eval_docs,
+             max(shared) AS max_shared, sum(shared)::BIGINT AS sum_shared
+      FROM pairs GROUP BY train_id
+      ORDER BY train_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q83, q85, q92, q95, q97, q98, q103, q106, q107, q109, q123, q128,
-      q129, q131, q132)
+      q129, q131, q132, q134)
 }

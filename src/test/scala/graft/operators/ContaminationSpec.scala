@@ -60,4 +60,47 @@ class ContaminationSpec extends SparkSpec {
       .select("corpus_id", "kept").as[(Long, Int)].collect().toMap
     assert(capped.values.forall(_ == 1))
   }
+
+  test("bloom prefilter: result equals the exact join; probe is in the plan; empty eval is clean") {
+    val train = Seq(
+      (1L, s"training document one contains $passage inside its body text"),
+      (2L, "another training document with completely independent material here"),
+      (3L, s"third trainer also quoting $passage nearly word for word today"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (10L, s"evaluation item quoting $passage almost verbatim for the probe"),
+      (11L, "a genuinely clean evaluation document with original phrasing only"))
+      .toDF("doc_id", "text")
+
+    val bloomed = Contamination.bloomPrefiltered(train, evalSet,
+      "doc_id", "text", minShared = 5)
+    // ground truth: the same winnow + df-prune + join chain with no
+    // prefilter — detect() over a synthetic split carrying both sides,
+    // rolled up per TRAIN doc by swapping the split names
+    val both = train.withColumn("split", org.apache.spark.sql.functions.lit("test"))
+      .unionByName(evalSet.withColumn("split",
+        org.apache.spark.sql.functions.lit("train")))
+    val exact = Contamination.detect(both, "doc_id", "text", "split",
+      minShared = 5)
+    // NOTE: detect's maxDf prunes over BOTH sides while bloomPrefiltered
+    // prunes over eval only — with 5 docs both are far below maxDf=50,
+    // so the chains agree here by construction
+    val a = bloomed.orderBy("train_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    val b = exact.orderBy("test_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(a == b, s"bloom path $a must equal exact path $b")
+    assert(a.map(_._1) == List(1L, 3L), "both passage-quoting trainers flagged")
+
+    // the prefilter must actually be planned: the probe expression sits
+    // in the corpus-side filter
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      s"bloom probe missing from plan")
+
+    // empty eval set -> no contamination, no NPE from a null bloom cell
+    val none = Contamination.bloomPrefiltered(train,
+      evalSet.limit(0), "doc_id", "text", minShared = 5)
+    assert(none.isEmpty)
+  }
 }
