@@ -678,4 +678,93 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("rank"), col("corpus_id"), col("cosine"))
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * SIGIR'98): for each query, greedily select k of the `shortlist`
+    * most-relevant corpus vectors, each step maximizing
+    * `λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s)` — relevance discounted by
+    * similarity to what is already selected, so a serving layer returns
+    * k DIFFERENT neighbors instead of k copies of the nearest cluster.
+    *
+    * Scale shape — the retrieval/rerank split every ANN serving path in
+    * this engine uses: the expensive stage is the distributed exact
+    * shortlist (same plan as [[bruteForceTopK]]: broadcast queries ride
+    * the corpus scan, per-query top-`shortlist` by window rank); the
+    * greedy loop then runs on the collected shortlist — bounded serving
+    * metadata (`queries × shortlist × d` doubles, guarded ≤ 4096 per
+    * query), the centroid/codebook collect class, NOT corpus data. The
+    * O(k·shortlist²) pairwise step never touches the cluster. Swap the
+    * shortlist stage for [[ivfPqTopK]] when the corpus scan itself must
+    * be pruned.
+    *
+    * Determinism contract: selection compares raw doubles, so the
+    * cross-engine replay (q135) requires λ exactly representable in
+    * binary (0.5, 0.25, 0.75 — NOT 0.7, whose 1−λ is 0.30000000000000004
+    * on one side and a literal 0.3 on the other); pairwise sims are
+    * in-order dot products of the SAME unit-normalized vectors the
+    * shortlist stage computed. Ties break by corpus id ascending. The
+    * max-sim over an empty selection is 0, so step 1 picks pure
+    * relevance.
+    *
+    * Returns (query_id, sel_rank [1-based selection order], corpus_id,
+    * rel [cosine to query]).
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) >= 1")
+    require(shortlist <= 4096,
+      s"shortlist $shortlist is collected serving metadata; cap is 4096")
+    require(lambda >= 0 && lambda <= 1, s"lambda $lambda out of [0,1]")
+    val spark = queries.sparkSession
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    val short = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id").cast("long"), col("corpus_id").cast("long"),
+        col("cosine"), col("cv"))
+      .collect()
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val out = short.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rows) =>
+      // ascending id + strict > in the argmax = smallest id wins ties,
+      // mirroring ORDER BY score DESC, corpus_id ASC
+      val cand = rows.map(r => (r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).toArray)).sortBy(_._1)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val chosen = new Array[Boolean](cand.length)
+      (0 until math.min(k, cand.length)).foreach { _ =>
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        cand.indices.foreach { i =>
+          if (!chosen(i)) {
+            var maxSim = Double.NegativeInfinity
+            picked.foreach { j =>
+              val s = dotArr(cand(i)._3, cand(j)._3)
+              if (s > maxSim) maxSim = s
+            }
+            val ms = if (picked.isEmpty) 0.0 else maxSim
+            val score = lambda * cand(i)._2 - (1 - lambda) * ms
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+        }
+        picked += bestIdx
+        chosen(bestIdx) = true
+      }
+      picked.zipWithIndex.map { case (i, r) =>
+        (qid, (r + 1).toLong, cand(i)._1, cand(i)._2) }
+    }
+    import spark.implicits._
+    out.toDF("query_id", "sel_rank", "corpus_id", "rel")
+  }
 }

@@ -816,7 +816,77 @@ object SimilarityQueries extends QueryModule {
       FROM u JOIN sg USING (i)
       ORDER BY u.vec_id, u.i"""))
 
+  /** MMR-diversified top-k serving ([[Similarity.mmrTopK]], Carbonell &
+    * Goldstein SIGIR'98): exact cosine shortlist (the q50 plan), then
+    * the greedy λ=0.5 relevance-vs-redundancy selection. The oracle
+    * replays the ENTIRE loop as a recursive CTE — shortlist ranking,
+    * per-step argmax over score = 0.5·rel − 0.5·max-sim-to-picked, id
+    * tie-break — so the selection ORDER is verified, not just the set.
+    * λ must be binary-exact for the raw-double argmax to agree across
+    * engines (the operator's determinism contract). */
+  private val q135 = QueryDef(
+    "q135_mmr_diversified_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.mmrTopK(queries, emb, "vec_id", "embedding",
+          k = 8, shortlist = 16, lambda = 0.5)
+        .select(col("query_id"), col("sel_rank"), col("corpus_id"),
+          Rnd.halfUp(col("rel"), 4).as("rel4"))
+        .orderBy(col("query_id"), col("sel_rank"))
+    },
+    Some("""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               list_dot_product(q.qv, c.nv) AS rel, c.nv
+        FROM n c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+      cand AS (
+        SELECT query_id, corpus_id, rel, nv FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, corpus_id ASC) AS rk
+          FROM scored) WHERE rk <= 16),
+      psim AS (
+        SELECT a.query_id, a.corpus_id AS ci, b.corpus_id AS cj,
+               list_dot_product(a.nv, b.nv) AS s
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id),
+      st AS (
+        SELECT query_id, 0 AS step, CAST([] AS BIGINT[]) AS picked
+        FROM (SELECT DISTINCT query_id FROM cand)
+        UNION ALL
+        SELECT query_id, step + 1, list_append(picked, corpus_id) FROM (
+          SELECT s.query_id, s.step, s.picked, c.corpus_id,
+                 0.5 * any_value(c.rel)
+                   - 0.5 * coalesce(max(CASE WHEN list_contains(s.picked, p.cj)
+                                             THEN p.s END), 0.0) AS score
+          FROM st s
+          JOIN cand c ON c.query_id = s.query_id
+                     AND NOT list_contains(s.picked, c.corpus_id)
+          LEFT JOIN psim p ON p.query_id = s.query_id AND p.ci = c.corpus_id
+          WHERE s.step < 8
+          GROUP BY s.query_id, s.step, s.picked, c.corpus_id
+          QUALIFY row_number() OVER (PARTITION BY s.query_id, s.step
+                    ORDER BY score DESC, c.corpus_id ASC) = 1)),
+      fin AS (
+        SELECT query_id, picked FROM st
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY step DESC) = 1),
+      sel AS (
+        SELECT query_id, unnest(picked) AS corpus_id,
+               unnest(generate_series(1, len(picked))) AS sel_rank
+        FROM fin)
+      SELECT s.query_id, s.sel_rank, s.corpus_id,
+             floor(c.rel * 10000.0 + 0.5) / 10000.0 AS rel4
+      FROM sel s JOIN cand c
+        ON c.query_id = s.query_id AND c.corpus_id = s.corpus_id
+      ORDER BY s.query_id, s.sel_rank"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125, q130)
+      q124, q125, q130, q135)
 }

@@ -345,4 +345,52 @@ class SimilaritySpec extends SparkSpec {
     assert(byOverscan.last._2 >= 0.8,
       s"JL rerank recall collapsed at overscan=12: ${byOverscan.last._2}")
   }
+
+  test("mmr: redundancy penalty reorders the plain top-k; ranks and guards hold") {
+    // query along x; a=(0.8,0.6,0) rel .8; b ~ a (near-duplicate, rel
+    // marginally lower); c orthogonal-ish to a with rel .6. Plain top-2
+    // is [a, b]; MMR at lambda=0.5 must pick [a, c] — b's max-sim ~1
+    // wipes out its relevance.
+    val corpus = Seq(
+      (1L, Seq(4f, 3f, 0f)),
+      (2L, Seq(4f, 3f, 0.01f)),
+      (3L, Seq(3f, -4f, 0f)),
+      (100L, Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 100L)
+
+    val plain = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toList
+    assert(plain == List(1L, 2L), s"plain top-2 is the near-dup pair: $plain")
+
+    val mmr = Similarity.mmrTopK(queries, corpus, "vec_id", "embedding",
+        k = 2, shortlist = 3, lambda = 0.5)
+      .orderBy("sel_rank")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(mmr.map(_._3) == List(1L, 3L),
+      s"MMR must swap the near-dup for the diverse doc: $mmr")
+    assert(mmr.map(_._2) == List(1L, 2L), "selection order is 1-based rank")
+    assert(math.abs(mmr.head._4 - 0.8) < 1e-9, "rel carries the query cosine")
+
+    // k capped by available candidates (3 non-query vectors)
+    val all = Similarity.mmrTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, shortlist = 3, lambda = 0.5)
+    assert(all.count() == 3)
+
+    // lambda=1 degenerates to pure relevance = plain top-k order
+    val pure = Similarity.mmrTopK(queries, corpus, "vec_id", "embedding",
+        k = 3, shortlist = 3, lambda = 1.0)
+      .orderBy("sel_rank").select("corpus_id").as[Long].collect().toList
+    assert(pure == List(1L, 2L, 3L), s"lambda=1 is relevance order: $pure")
+
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, shortlist = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(queries, corpus, "vec_id", "embedding",
+        k = 1, shortlist = 8192)
+    }
+  }
 }
