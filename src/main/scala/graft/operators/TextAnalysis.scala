@@ -550,4 +550,63 @@ object TextAnalysis {
       array_sort(windows)
     }
   }
+
+  /** Class-based TF-IDF cluster labeling (the c-TF-IDF of BERTopic,
+    * Grootendorst 2022): given documents already carrying a cluster id
+    * (e.g. Lloyd-trained semantic cells, [[Similarity.ivfAssignTrained]]),
+    * rank each cluster's characteristic terms by
+    * `tf_{t,c} · ln(1 + A / f_t)` — the class term count damped by the
+    * term's corpus-wide frequency, with A the average token count per
+    * class — so a cluster is labeled by what distinguishes it, not by
+    * corpus-wide stopwords. Returns `topN` rows per cluster:
+    * (cluster, rank, term, tf, weight), ties by term ascending.
+    *
+    * Scale shape: one explode to narrow (cluster, term) rows, ONE
+    * mergeable aggregate keyed (cluster, term) — the class-term table
+    * tf — from which everything else derives: corpus frequency f_t is a
+    * rollup of tf by term (never a second corpus scan — tf is persisted
+    * through `index` for its two consumers), A is one 2-cell driver
+    * collect (total tokens, class count — bounded metadata), and the
+    * top-N is a rank window over (cluster, term) rows that Spark
+    * executes with WindowGroupLimit partial pushdown (each map task
+    * keeps its own top-N per cluster before the exchange, so a
+    * million-term vocabulary never sorts in one task). No document text
+    * ever shuffles.
+    *
+    * Determinism: tf and f_t are exact integers; A is one double
+    * division of two exact integers — every weight is the same fixed
+    * double DAG on identical inputs in any IEEE engine (`ln` may differ
+    * by an ulp across libms; callers hashing cross-engine round the
+    * weight, and ranking flips would need two DIFFERENT (tf, f_t) pairs
+    * within an ulp — integer-driven inputs keep them far apart).
+    */
+  def classTfidf(df: DataFrame, clusterCol: String, textCol: String,
+      topN: Int, index: IndexStore = IndexStore.default): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    import graft.functions.TextFunctions
+    val tf = IndexStore.persist(
+      df.filter(col(clusterCol).isNotNull)
+        .select(col(clusterCol).as("cluster"),
+          explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy(col("cluster"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      index)
+    val totals = tf.agg(sum(col("tf")).as("total"),
+      countDistinct(col("cluster")).as("ncl")).head()
+    val a =
+      if (totals.isNullAt(0) || totals.getLong(1) == 0L) 0.0
+      else totals.getLong(0).toDouble / totals.getLong(1).toDouble
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("ft"))
+    val weighted = tf.join(ft, Seq("term"))
+      .withColumn("weight",
+        col("tf").cast("double") *
+          log(lit(1.0) + lit(a) / col("ft").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("weight").desc, col("term").asc)
+    weighted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("cluster"), col("rank"), col("term"), col("tf"),
+        col("weight"))
+  }
 }

@@ -886,7 +886,66 @@ object SimilarityQueries extends QueryModule {
         ON c.query_id = s.query_id AND c.corpus_id = s.corpus_id
       ORDER BY s.query_id, s.sel_rank"""))
 
+  /** Cluster labeling by class-based TF-IDF
+    * ([[graft.operators.TextAnalysis.classTfidf]], the c-TF-IDF of
+    * BERTopic): Lloyd-trained semantic cells over the embeddings (the
+    * q101/q111 shared training replay, byte-identical CTE prefix),
+    * documents joined to their cell, and each cell labeled by its top-5
+    * distinguishing terms — tf·ln(1 + A/f_t), exact-integer counts, one
+    * scalar A. The oracle replays training, assignment, tokenization,
+    * both count tables, and the ranked weights. */
+  private val q136 = QueryDef(
+    "q136_cluster_labels_ctfidf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val assigned = Similarity.ivfAssignTrained(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val joined = assigned.select(col("corpus_id"), col("bucket"))
+        .join(docs, col("corpus_id") === col("doc_id"))
+      graft.operators.TextAnalysis.classTfidf(joined, "bucket", "text",
+          topN = 5)
+        .select(col("cluster"), col("rank"), col("term"), col("tf"),
+          Rnd.halfUp(col("weight"), 6).as("w6"))
+        .orderBy(col("cluster"), col("rank"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      dt AS (
+        SELECT a.bucket AS cluster, t.term
+        FROM assign a JOIN (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> length(x) > 0)) AS term
+          FROM documents) t ON t.doc_id = a.vec_id),
+      ctf AS (
+        SELECT cluster, term, count(*) AS tf FROM dt GROUP BY cluster, term),
+      tot AS (
+        SELECT CAST(sum(tf) AS DOUBLE) / CAST(count(DISTINCT cluster) AS DOUBLE) AS a
+        FROM ctf),
+      ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM ctf GROUP BY term),
+      wtd AS (
+        SELECT c.cluster, c.term, c.tf,
+               CAST(c.tf AS DOUBLE) *
+                 ln(1.0 + (SELECT a FROM tot) / CAST(f.ft AS DOUBLE)) AS weight
+        FROM ctf c JOIN ft f USING (term)),
+      ranked AS (
+        SELECT cluster, term, tf, weight,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY weight DESC, term ASC) AS rank
+        FROM wtd)
+      SELECT cluster, rank, term, tf,
+             floor(weight * 1000000.0 + 0.5) / 1000000.0 AS w6
+      FROM ranked WHERE rank <= 5
+      ORDER BY cluster, rank"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125, q130, q135)
+      q124, q125, q130, q135, q136)
 }

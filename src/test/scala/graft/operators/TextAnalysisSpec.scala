@@ -253,4 +253,45 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "key6").as[(Long, Double)].collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("classTfidf: distinguishing terms out-rank shared stopwords; exact weights") {
+    // 'the' appears in every doc of both clusters; 'spark'/'duck' are
+    // cluster-exclusive. c-TF-IDF must rank the exclusive term first.
+    val df = Seq(
+      (0L, "the spark spark engine"),
+      (0L, "the spark plan"),
+      (1L, "the duck duck oracle"),
+      (1L, "the duck sql"))
+      .toDF("cluster", "text")
+    val out = TextAnalysis.classTfidf(df, "cluster", "text", topN = 2)
+      .orderBy("cluster", "rank")
+      .as[(Long, Int, String, Long, Double)].collect().toList
+    assert(out.map(t => (t._1, t._2, t._3)) ==
+      List((0L, 1, "spark"), (0L, 2, "engine"), (1L, 1, "duck"), (1L, 2, "oracle")),
+      s"exclusive terms out-rank the shared stopword; equal-weight tie " +
+        s"('oracle' vs 'sql') breaks by term asc: $out")
+    assert(!out.exists(_._3 == "the"),
+      "the every-cluster stopword must be damped out of the top-2: " +
+        "tf=2, ft=4 gives 2*ln(1+7/4) ~ 2.02 < ln(8) ~ 2.08 of a " +
+        "cluster-exclusive hapax")
+    // closed-form: 14 tokens, 2 classes -> A = 7; spark: tf=3, ft=3
+    val wSpark = 3.0 * math.log(1.0 + 7.0 / 3.0)
+    assert(math.abs(out.head._5 - wSpark) < 1e-12, s"${out.head._5} vs $wSpark")
+    val wEngine = 1.0 * math.log(1.0 + 7.0 / 1.0)
+    assert(math.abs(out(1)._5 - wEngine) < 1e-12)
+    assert(out.head._4 == 3L && out(1)._4 == 1L, "tf carries exact counts")
+
+    // null clusters are excluded, not a label group
+    val withNull = df.union(Seq((-1L, "noise")).toDF("cluster", "text")
+      .withColumn("cluster", org.apache.spark.sql.functions.lit(null)))
+    assert(TextAnalysis.classTfidf(withNull, "cluster", "text", topN = 2)
+      .select("cluster").distinct().count() == 2)
+
+    // scale guard: the top-N window must run with group-limit pushdown,
+    // so a giant per-cluster vocabulary never sorts in one task
+    val plan = TextAnalysis.classTfidf(df, "cluster", "text", topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown in plan")
+  }
 }
