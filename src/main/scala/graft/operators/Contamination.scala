@@ -140,6 +140,26 @@ object Contamination {
   def loadIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Fold an index's fingerprint column into a serialized Bloom filter
+    * (codegen'd [[graft.functions.BloomFunctions]] aggregate), sized for
+    * its distinct count at `fpp`. One driver artifact of `numBits/8`
+    * bytes, guarded at 128 MB — past that the index is not
+    * benchmark-sized and the plain join is the right plan. Returns None
+    * for an empty index (nothing can match — callers short-circuit). */
+  def bloomOf(index: DataFrame, fCol: String = "f",
+      fpp: Double = 0.01): Option[Array[Byte]] = {
+    graft.functions.BloomFunctions.register(index.sparkSession)
+    val nf = math.max(1L, index.select(col(fCol)).distinct().count())
+    val bits = graft.functions.BloomFunctions.optimalNumBits(nf, fpp)
+    require(bits <= (1L << 30),
+      s"index fingerprint set ($nf distinct) sizes a ${bits / 8 / (1 << 20)} MB " +
+        "Bloom — not benchmark-sized; use the plain join plan instead")
+    val row = index
+      .select(graft.functions.BloomFunctions.bloomAgg(col(fCol), nf, bits).as("bf"))
+      .collect().head
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]]("bf"))
+  }
+
   /** Check a batch of documents against a prebuilt fingerprint index
     * ([[buildIndex]]): same output contract as [[detect]] — one row per
     * checked document sharing ≥ `minShared` fingerprints with ≥ 1
@@ -155,10 +175,17 @@ object Contamination {
     */
   def checkAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, minShared: Int = 2, k: Int = 8, w: Int = 4,
-      minParallelism: Int = 0, rollingHash: Boolean = false): DataFrame = {
-    val fps = Spread.byKey(docs, idCol, minParallelism)
+      minParallelism: Int = 0, rollingHash: Boolean = false,
+      bloom: Option[Array[Byte]] = None): DataFrame = {
+    bloom.foreach(_ => graft.functions.BloomFunctions.register(docs.sparkSession))
+    val raw = Spread.byKey(docs, idCol, minParallelism)
       .select(col(idCol).cast("long").as("test_id"),
         explode(winnowed(docs.sparkSession, col(textCol), k, w, rollingHash)).as("f"))
+    // optional pre-shuffle prune: a Bloom of the index's fingerprints
+    // ([[bloomOf]]) rides the batch scan as a literal — no false
+    // negatives, so the exact join below leaves results unchanged
+    val fps = bloom.fold(raw)(b =>
+      raw.filter(graft.functions.BloomFunctions.mightContain(lit(b), col("f"))))
     fps.join(index, Seq("f"))
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
@@ -207,21 +234,15 @@ object Contamination {
       fingerprints(eval, idCol, textCol, maxDf, k, w, index,
           minParallelism, rollingHash)
         .withColumnRenamed("train_id", "eval_id"), index)
-    val nf = math.max(1L, efps.select(col("f")).distinct().count())
-    val bits = graft.functions.BloomFunctions.optimalNumBits(nf, fpp)
-    require(bits <= (1L << 30),
-      s"eval fingerprint set ($nf distinct) sizes a ${bits / 8 / (1 << 20)} MB " +
-        "Bloom — not benchmark-sized; use checkAgainstIndex's join plan instead")
-    val bloomRow = efps
-      .select(graft.functions.BloomFunctions.bloomAgg(col("f"), nf, bits).as("bf"))
-      .collect().head
+    val bloom = bloomOf(efps, fpp = fpp)
     val tfpsAll = Spread.byKey(train, idCol, minParallelism)
       .select(col(idCol).cast("long").as("train_id"),
         explode(winnowed(spark, col(textCol), k, w, rollingHash)).as("f"))
-    val tfps =
-      if (bloomRow.isNullAt(0)) tfpsAll.filter(lit(false)) // empty eval set
-      else tfpsAll.filter(graft.functions.BloomFunctions.mightContain(
-        lit(bloomRow.getAs[Array[Byte]]("bf")), col("f")))
+    val tfps = bloom match {
+      case None => tfpsAll.filter(lit(false)) // empty eval set
+      case Some(b) => tfpsAll.filter(
+        graft.functions.BloomFunctions.mightContain(lit(b), col("f")))
+    }
     tfps.join(efps, Seq("f"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"))

@@ -50,10 +50,17 @@ object StreamingContamination {
   def guard(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, hitsDir: String, checkpoint: String,
       minShared: Int = 2, k: Int = 8, w: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      bloomPrefilter: Boolean = false): StreamingQuery = {
     val spark = docs.sparkSession
     // resolved once; each micro-batch re-scans the (immutable) parquet
     val index = Contamination.loadIndex(spark, indexDir)
+    // built ONCE per gate start, then a literal in every batch's plan:
+    // arriving fingerprints that cannot be in the (immutable) index are
+    // dropped before the join's exchange. No false negatives — hits are
+    // identical to the plain path; the index being fixed for the life of
+    // the query is what makes a start-time Bloom sound.
+    val bloom = if (bloomPrefilter) Contamination.bloomOf(index) else None
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -63,7 +70,7 @@ object StreamingContamination {
             "graft_batch_commits", batchId)) {
           BatchCommits.publishBatch(
             Contamination.checkAgainstIndex(batch, idCol, textCol, index,
-                minShared, k, w)
+                minShared, k, w, bloom = bloom)
               .withColumn("batch_id", lit(batchId)),
             hitsDir, BatchCommits.scopeFor(checkpoint), batchId)
           BatchCommits.createMarker(spark, checkpoint,

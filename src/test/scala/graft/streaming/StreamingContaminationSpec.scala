@@ -94,4 +94,50 @@ class StreamingContaminationSpec extends SparkSpec {
       assert(hitCount == 0)
     } finally q.stop()
   }
+
+  test("bloom prefilter: identical hits to the plain gate, probe in the batch plan") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxDir = Files.createTempDirectory("graft-bloom-idx").toString
+    val eval = Seq(
+      (1L, s"holdout item embedding $passage within longer framing text"),
+      (2L, "fully original holdout content sharing nothing with arrivals"))
+      .toDF("doc_id", "text")
+    Contamination.buildIndex(eval, "doc_id", "text", idxDir)
+
+    def run(bloom: Boolean): Set[(Long, Long, Long, Long)] = {
+      val hits = Files.createTempDirectory("graft-bloom-hits").toString
+      val ckpt = Files.createTempDirectory("graft-bloom-ckpt").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingContamination.guard(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxDir, hits, ckpt, trigger = Trigger.ProcessingTime(0),
+        bloomPrefilter = bloom)
+      try {
+        mem.addData(
+          (300L, s"contaminated arrival carrying $passage start to finish"),
+          (301L, "clean arrival about glacier melt measurement methods"))
+        q.processAllAvailable()
+        mem.addData((302L, s"second-batch contamination: $passage again"))
+        q.processAllAvailable()
+        spark.read.parquet(hits)
+          .select("test_id", "n_train_docs", "max_shared", "sum_shared")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val plain = run(bloom = false)
+    val bloomed = run(bloom = true)
+    assert(bloomed == plain,
+      s"bloom gate must emit identical hits: $bloomed vs $plain")
+    assert(plain.map(_._1) == Set(300L, 302L))
+
+    // the prefilter is really in the per-batch plan
+    val index = Contamination.loadIndex(spark, idxDir)
+    val b = Contamination.bloomOf(index)
+    assert(b.nonEmpty)
+    val batch = Seq((1L, "probe doc")).toDF("doc_id", "text")
+    val plan = Contamination.checkAgainstIndex(batch, "doc_id", "text",
+        index, bloom = b)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"))
+  }
 }
