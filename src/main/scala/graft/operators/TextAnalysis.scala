@@ -580,6 +580,67 @@ object TextAnalysis {
     * weight, and ranking flips would need two DIFFERENT (tf, f_t) pairs
     * within an ulp — integer-driven inputs keep them far apart).
     */
+  /** Corpus-level collocation extraction by pointwise mutual information
+    * (Church & Hanks, CL 1990): the bigrams whose observed frequency
+    * most exceeds what their parts predict —
+    * `PMI(x,y) = ln( (c_xy/N_b) / ((c_x/N_u)·(c_y/N_u)) )` over exact
+    * occurrence counts (c_xy bigram, c_x/c_y unigram, N_b/N_u totals),
+    * `minCount`-thresholded so hapax pairs don't top the list with
+    * degenerate PMI. Returns the global top-`topN` by PMI desc, bigram
+    * asc: (bigram, c_xy, pmi). The lexicon a tokenizer-/phrase-aware
+    * curation pass mines once per corpus.
+    *
+    * Scale shape: ONE tokenizing scan persisted through `index`, then
+    * one mergeable aggregate each for unigram and bigram counts (the
+    * bigram melt is an adjacent-token zip — a projection); totals are
+    * bounded driver scalars, with the true bigram total derived as
+    * N_u − n_docs (each L-token doc yields L−1 bigrams) so the
+    * `minCount` threshold can prune the bigram table WITHOUT biasing
+    * every PMI denominator; the PMI projection joins counts by token
+    * (narrow rows), and the global top-N is an orderBy+limit —
+    * TakeOrderedAndProject, per-partition heaps, never a global sort.
+    *
+    * Determinism: counts are exact integers; PMI is one fixed double
+    * DAG on them (`ln` ±1 ulp across libms — callers hashing
+    * cross-engine round the value; a rank flip needs two distinct count
+    * structures within an ulp).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      topN: Int, index: IndexStore = IndexStore.default): DataFrame = {
+    require(topN >= 1 && minCount >= 1, s"bad topN=$topN / minCount=$minCount")
+    import graft.functions.TextFunctions
+    val toks = IndexStore.persist(
+      df.select(TextFunctions.tokens(col(textCol)).as("t"))
+        .filter(size(col("t")) >= 1), index)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uniP = IndexStore.persist(uni, index)
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val biP = IndexStore.persist(bi, index)
+    val totals = uniP.agg(sum(col("c"))).head()
+    val nu = math.max(1L, if (totals.isNullAt(0)) 0L else totals.getLong(0))
+    val nDocs = toks.count()
+    val nb = math.max(1L, nu - nDocs)
+    val pmi = biP
+      .join(uniP.select(col("w").as("x"), col("c").as("cx")), Seq("x"))
+      .join(uniP.select(col("w").as("y"), col("c").as("cy")), Seq("y"))
+      .withColumn("pmi",
+        log((col("cxy").cast("double") / lit(nb.toDouble)) /
+          ((col("cx").cast("double") / lit(nu.toDouble)) *
+            (col("cy").cast("double") / lit(nu.toDouble)))))
+      .withColumn("bigram", concat_ws(" ", col("x"), col("y")))
+    pmi.select(col("bigram"), col("cxy"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topN)
+  }
+
   def classTfidf(df: DataFrame, clusterCol: String, textCol: String,
       topN: Int, index: IndexStore = IndexStore.default): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")

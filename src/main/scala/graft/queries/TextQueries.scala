@@ -712,7 +712,57 @@ object TextQueries extends QueryModule {
       ORDER BY key6 DESC, doc_id ASC
       LIMIT 125"""))
 
+  /** PMI collocation mining ([[TextAnalysis.collocations]], Church &
+    * Hanks CL 1990): the corpus's top-20 bigrams by pointwise mutual
+    * information over exact unigram/bigram occurrence counts, count
+    * threshold 5, with the true bigram total derived as N_u − n_docs so
+    * the threshold can't bias the denominators. The oracle replays
+    * tokenization, both count tables, the totals, and the identical
+    * PMI double DAG. */
+  private val q137 = QueryDef(
+    "q137_pmi_collocations",
+    (s, d) => {
+      TextAnalysis.collocations(
+          Tables.documents(s, d).select(col("text")),
+          "text", minCount = 5, topN = 20)
+        .select(col("bigram"), col("cxy"), Rnd.halfUp(col("pmi"), 6).as("pmi6"))
+    },
+    Some("""
+      WITH t1 AS (
+        SELECT list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0) AS t
+        FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\s+'),
+                x -> length(x) > 0)) >= 1),
+      uni AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM t1) GROUP BY w),
+      tot AS (
+        SELECT greatest(1, CAST(sum(c) AS BIGINT)) AS nu,
+               greatest(1, CAST(sum(c) AS BIGINT)
+                 - (SELECT count(*) FROM t1)) AS nb
+        FROM uni),
+      bi0 AS (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i, t
+        FROM t1 WHERE len(t) >= 2),
+      big AS (SELECT t[i] AS x, t[i + 1] AS y FROM bi0),
+      bi AS (
+        SELECT x, y, count(*) AS cxy FROM big
+        GROUP BY x, y HAVING count(*) >= 5),
+      pmi AS (
+        SELECT bi.x || ' ' || bi.y AS bigram, bi.cxy,
+               ln((CAST(bi.cxy AS DOUBLE) / CAST(tot.nb AS DOUBLE)) /
+                  ((CAST(ux.c AS DOUBLE) / CAST(tot.nu AS DOUBLE)) *
+                   (CAST(uy.c AS DOUBLE) / CAST(tot.nu AS DOUBLE)))) AS pmi
+        FROM bi JOIN uni ux ON ux.w = bi.x
+                JOIN uni uy ON uy.w = bi.y, tot)
+      SELECT bigram, cxy,
+             floor(pmi * 1000000.0 + 0.5) / 1000000.0 AS pmi6
+      FROM pmi
+      ORDER BY pmi DESC, bigram ASC
+      LIMIT 20"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126)
+      q121, q126, q137)
 }

@@ -294,4 +294,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit pushdown in plan")
   }
+
+  test("collocations: closed-form PMI, threshold pruning, unbiased bigram total") {
+    // 'alpha beta' planted 5x; doc 6 scatters the same words apart
+    val df = (Seq.fill(5)("alpha beta") :+ "gamma alpha gamma beta gamma")
+      .toDF("text")
+    val out = TextAnalysis.collocations(df, "text", minCount = 5, topN = 3)
+      .as[(String, Long, Double)].collect().toList
+    assert(out.map(t => (t._1, t._2)) == List(("alpha beta", 5L)),
+      s"only the planted pair clears minCount=5: $out")
+    // nu=15 tokens, 6 docs -> nb = 9 true bigrams (NOT the thresholded
+    // table's 5); PMI = ln((5/9) / ((6/15)*(6/15))) = ln(125/36)
+    assert(math.abs(out.head._3 - math.log(125.0 / 36.0)) < 1e-12,
+      s"${out.head._3} vs ${math.log(125.0 / 36.0)}")
+
+    // minCount=1 admits the scattered pairs; planted pair still ranks
+    // first and equal-PMI singles tie-break by bigram asc
+    val all = TextAnalysis.collocations(df, "text", minCount = 1, topN = 10)
+      .as[(String, Long, Double)].collect().toList
+    assert(all.head._1 == "alpha beta")
+    assert(all.map(_._1).distinct.size == all.size)
+    val singles = all.filter(_._2 == 1L).map(_._1)
+    assert(singles == singles.sorted ||
+      all.filter(_._2 == 1L).map(_._3).distinct.size > 1,
+      s"equal-weight singles must come out in bigram order: $all")
+
+    // global top-N must be a TakeOrderedAndProject, never a full sort
+    val plan = TextAnalysis.collocations(df, "text", 1, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-N plan shape")
+  }
 }
