@@ -580,6 +580,69 @@ object TextAnalysis {
     * weight, and ranking flips would need two DIFFERENT (tf, f_t) pairs
     * within an ulp — integer-driven inputs keep them far apart).
     */
+  /** Per-group distribution drift: the Jensen-Shannon divergence between
+    * each group's unigram distribution and the whole corpus's — the
+    * profile a curation pipeline reads to see WHICH sources (or
+    * languages, or time slices) diverge from the blend they feed
+    * (Lin, IEEE-IT 1991; the symmetric, bounded [0, ln 2] alternative
+    * to raw KL, finite even where a source misses corpus vocabulary).
+    *
+    * JS(p‖q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2 — split into
+    * a sum over the terms PRESENT in the group plus a closed-form tail
+    * for absent ones: there p = 0, m = q/2, so the q-side contributes
+    * exactly ln2 · (1 − Σ_{present} q_t). Nothing ever enumerates
+    * group × vocabulary pairs — the plan touches only observed
+    * (group, term) rows.
+    *
+    * Determinism (the q117/q121 micro-nat pattern): each present term's
+    * two contributions round to integer NANO-nats
+    * (`floor(x·10⁹ + 0.5)` of a fixed double DAG on exact counts) and
+    * sum as longs — order-independent, engine-exact; the absent-term
+    * tail is one double expression on exact integer sums; callers
+    * interpolate THEIR ln 2 literal into the replay so both engines use
+    * the bit-same constant.
+    *
+    * Scale shape: one tokenizing scan to (group, term) counts — ONE
+    * mergeable aggregate, persisted for its consumers — then the corpus
+    * table as a rollup BY TERM, per-group totals as a rollup BY GROUP,
+    * one narrow join, one final aggregate. No window, no cross join, no
+    * driver data beyond the single corpus-total scalar.
+    *
+    * Returns one row per group: (groupCol, n_tokens, n_terms, js).
+    */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String,
+      index: IndexStore = IndexStore.default): DataFrame = {
+    import graft.functions.TextFunctions
+    val st = IndexStore.persist(
+      df.filter(col(groupCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          explode(TextFunctions.tokens(col(textCol))).as("__w"))
+        .groupBy(col("__g"), col("__w"))
+        .agg(count(lit(1)).as("__cst")),
+      index)
+    val ct = st.groupBy(col("__w")).agg(sum(col("__cst")).as("__ct"))
+    val ns = st.groupBy(col("__g"))
+      .agg(sum(col("__cst")).as("__ns"), count(lit(1)).as("__nterms"))
+    val tot = ct.agg(sum(col("__ct"))).head()
+    val n = math.max(1L, if (tot.isNullAt(0)) 0L else tot.getLong(0))
+    val p = col("__cst").cast("double") / col("__ns").cast("double")
+    val q = col("__ct").cast("double") / lit(n.toDouble)
+    val m = (p + q) / lit(2.0)
+    val u1 = floor(p * log(p / m) * lit(1.0e9) + lit(0.5)).cast("long")
+    val u2 = floor(q * log(q / m) * lit(1.0e9) + lit(0.5)).cast("long")
+    val ln2 = math.log(2.0)
+    st.join(ct, Seq("__w")).join(ns, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("__ns")).as("__tns"), max(col("__nterms")).as("__tnt"),
+        sum(u1).as("__s1"), sum(u2).as("__s2"), sum(col("__ct")).as("__cov"))
+      .select(col("__g").as(groupCol),
+        col("__tns").as("n_tokens"), col("__tnt").as("n_terms"),
+        (lit(0.5) * (col("__s1").cast("double") / lit(1.0e9)) +
+          lit(0.5) * (col("__s2").cast("double") / lit(1.0e9) +
+            lit(ln2) * (lit(1.0) - col("__cov").cast("double") / lit(n.toDouble))))
+          .as("js"))
+  }
+
   /** Corpus-level collocation extraction by pointwise mutual information
     * (Church & Hanks, CL 1990): the bigrams whose observed frequency
     * most exceeds what their parts predict —

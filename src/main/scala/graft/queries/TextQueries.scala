@@ -762,7 +762,58 @@ object TextQueries extends QueryModule {
       ORDER BY pmi DESC, bigram ASC
       LIMIT 20"""))
 
+  /** Per-source distribution drift ([[TextAnalysis.sourceDivergence]]):
+    * Jensen-Shannon divergence of each source's unigram distribution
+    * against the corpus blend, nano-nat fixed-point sums (the q117
+    * micro-nat pattern, one decimal finer) plus the closed-form
+    * absent-vocabulary tail; the JVM's ln 2 is interpolated into the
+    * replay so both engines use the bit-same constant. */
+  private val q138 = QueryDef(
+    "q138_source_divergence",
+    (s, d) => {
+      TextAnalysis.sourceDivergence(
+          Tables.documents(s, d).select(col("source"), col("text")),
+          "source", "text")
+        .select(col("source"), col("n_tokens"), col("n_terms"),
+          Rnd.halfUp(col("js"), 6).as("js6"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT src, w, count(*) AS cst FROM (
+          SELECT source AS src,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents WHERE source IS NOT NULL)
+        GROUP BY src, w),
+      ct AS (SELECT w, CAST(sum(cst) AS BIGINT) AS ct FROM st GROUP BY w),
+      tot AS (SELECT greatest(1, CAST(sum(ct) AS BIGINT)) AS n FROM ct),
+      ns AS (
+        SELECT src, CAST(sum(cst) AS BIGINT) AS ns, count(*) AS nterms
+        FROM st GROUP BY src),
+      j AS (
+        SELECT st.src, ns.ns, ns.nterms, ct.ct,
+               CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE) AS p,
+               CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE) AS q,
+               (p + q) / 2.0 AS m,
+               CAST(floor(p * ln(p / m) * 1000000000.0 + 0.5) AS BIGINT) AS u1,
+               CAST(floor(q * ln(q / m) * 1000000000.0 + 0.5) AS BIGINT) AS u2
+        FROM st JOIN ct USING (w) JOIN ns USING (src), tot),
+      agg AS (
+        SELECT src, max(ns) AS n_tokens, max(nterms) AS n_terms,
+               CAST(sum(u1) AS BIGINT) AS s1, CAST(sum(u2) AS BIGINT) AS s2,
+               CAST(sum(ct) AS BIGINT) AS cov
+        FROM j GROUP BY src)
+      SELECT src AS source, n_tokens, n_terms,
+             floor((0.5 * (CAST(s1 AS DOUBLE) / 1000000000.0) +
+                    0.5 * (CAST(s2 AS DOUBLE) / 1000000000.0 +
+                           ${math.log(2.0)} * (1.0 - CAST(cov AS DOUBLE) /
+                             CAST((SELECT n FROM tot) AS DOUBLE))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS js6
+      FROM agg
+      ORDER BY source"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137)
+      q121, q126, q137, q138)
 }

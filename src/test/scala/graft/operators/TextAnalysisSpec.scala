@@ -324,4 +324,39 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), "top-N plan shape")
   }
+
+  test("sourceDivergence: closed-form JS with absent-vocabulary tail; zero for the blend itself") {
+    // A = {x:2, y:1}, B = {z:3}; corpus q = (1/3, 1/6, 1/2).
+    // Both sources work out to JS = 0.75 * ln(4/3), with B exercising
+    // the absent-term tail for {x, y} and A for {z}.
+    val df = Seq(("A", "x x y"), ("B", "z z z")).toDF("source", "text")
+    val out = TextAnalysis.sourceDivergence(df, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out.map(t => (t._1, t._2, t._3)) == List(("A", 3L, 2L), ("B", 3L, 1L)))
+    val expected = 0.75 * math.log(4.0 / 3.0)
+    out.foreach { case (s, _, _, js) =>
+      assert(math.abs(js - expected) < 1e-8,
+        s"$s: $js vs closed-form $expected (nano-nat rounding only)")
+      assert(js >= 0 && js <= math.log(2.0) + 1e-12, "JS bounded by ln 2")
+    }
+
+    // one source IS the corpus -> p = q everywhere -> JS = 0 exactly
+    // (every nano-nat term rounds from 0.0)
+    val solo = TextAnalysis.sourceDivergence(
+        Seq(("only", "a b b c")).toDF("source", "text"), "source", "text")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(solo._4 == 0.0, s"self-divergence must be exactly 0: $solo")
+
+    // null source rows are excluded from both sides
+    val withNull = df.union(Seq((null.asInstanceOf[String], "w w w"))
+      .toDF("source", "text"))
+    assert(TextAnalysis.sourceDivergence(withNull, "source", "text")
+      .count() == 2)
+
+    // plan: aggregates only — no window, no cross join
+    val plan = TextAnalysis.sourceDivergence(df, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
 }
