@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-lake analytics over the ingested stream: the queries a product
+  * team runs against the time-partitioned event tables the reference's
+  * ingester produces (`ingester.go:522-548` lays the files out by event
+  * time precisely so engines can ask these questions cheaply).
+  * Three classics: recency-weighted value, ordered funnels, cohort
+  * retention — each shaped as mergeable aggregates over (user, time)
+  * rows, never a per-user window over an unbounded event history.
+  */
+object EventAnalytics {
+
+  /** Exponentially time-decayed value per user:
+    * `Σ value · exp(−ln2 · Δt / halfLife)` with Δt measured back from
+    * the newest matching event — the "engagement score" shape where a
+    * purchase last week counts ~half of one today (half-life in
+    * seconds).
+    *
+    * Determinism: the reference instant is the exact integer micros
+    * max (one bounded driver collect); each event's contribution is a
+    * fixed double DAG on (value, Δt_micros) rounded to integer
+    * micro-units (`floor(x·10⁶ + 0.5)`, the q117/q138 pattern) and
+    * summed as longs — order-independent, engine-exact when the replay
+    * interpolates the SAME decay-rate literal. Callers divide by 10⁶
+    * for the score.
+    *
+    * Scale shape: one filtered scan, a scalar max, ONE mergeable hash
+    * aggregate keyed by user (map-side partials). Returns
+    * (user_id, n_events, decayed_micro [long]).
+    */
+  def decayedScore(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, halfLifeSeconds: Double): DataFrame = {
+    require(halfLifeSeconds > 0, s"half-life must be positive: $halfLifeSeconds")
+    val tmax = events.agg(max(unix_micros(col(tsCol)))).head()
+    if (tmax.isNullAt(0))
+      return events.sparkSession.emptyDataFrame
+        .select(lit(0L).as("user_id"), lit(0L).as("n_events"),
+          lit(0L).as("decayed_micro")).limit(0)
+    val t0 = tmax.getLong(0)
+    // decay rate in 1/sec, one literal shared with the oracle replay
+    val rate = decayRate(halfLifeSeconds)
+    val dtSec = (lit(t0) - unix_micros(col(tsCol))).cast("double") / lit(1.0e6)
+    val contrib = floor(col(valueCol).cast("double") * exp(lit(-rate) * dtSec)
+      * lit(1.0e6) + lit(0.5)).cast("long")
+    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(contrib).as("decayed_micro"))
+  }
+
+  /** The exact decay-rate constant (ln2 / halfLife) so oracles can
+    * interpolate the bit-same literal the plan uses. */
+  def decayRate(halfLifeSeconds: Double): Double =
+    math.log(2.0) / halfLifeSeconds
+
+  /** Ordered k-step funnel: per user, the first `steps.head` event, then
+    * the first `steps(1)` event STRICTLY AFTER it, and so on — the
+    * "signup → click → purchase, in that order" question, immune to the
+    * classic unordered-funnel bug where a purchase before signup counts.
+    * Returns one row per stage: (stage [1-based], event_type, n_users),
+    * n_users monotonically non-increasing.
+    *
+    * Scale shape: one pass per stage, each a filtered scan + mergeable
+    * min-aggregate keyed by user joined to the previous stage's
+    * (user, ts) table — k user-keyed exchanges of narrow rows, never a
+    * per-user event-history sort. At 100 TB the per-stage filter
+    * (event_type pushdown to the scan) does the heavy pruning.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      index: IndexStore = IndexStore.default): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).as("t"), col(typeCol).as("et"))
+    // each stage's (u, first-ts) table feeds TWO consumers — its count
+    // and the next stage's gate join — so it is persisted through
+    // `index`, or stage k would recompute stages 1..k-1
+    var prev = Option.empty[DataFrame]
+    val counts = steps.map { step =>
+      val mine = base.filter(col("et") === step)
+      val gated = prev match {
+        case None => mine
+        case Some(p) =>
+          mine.join(p.select(col("u"), col("t").as("__pt")), Seq("u"))
+            .filter(col("t") > col("__pt"))
+      }
+      val r = IndexStore.persist(
+        gated.groupBy(col("u")).agg(min(col("t")).as("t")), index)
+      prev = Some(r)
+      r.count()
+    }
+    counts.zip(steps).zipWithIndex
+      .map { case ((n, step), i) => (i + 1, step, n) }
+      .toDF("stage", "event_type", "n_users")
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their FIRST event; for each cohort and week offset k, the number
+    * of cohort users active in cohort-week + k. Returns
+    * (cohort_week [date], week_offset, n_users), offsets 0..maxWeeks.
+    *
+    * Scale shape: events collapse to distinct (user, week) rows in one
+    * aggregate (map-side dedup of arbitrarily chatty users), cohorts
+    * are a min-rollup of that table, the offset join is user-keyed, and
+    * the final count is a mergeable aggregate — no window over a user's
+    * history. UTC weeks are exact 7-day multiples, so the offset is
+    * integer arithmetic, not calendar guesswork.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      maxWeeks: Int = 8): DataFrame = {
+    require(maxWeeks >= 0, s"maxWeeks must be >= 0: $maxWeeks")
+    val uw = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).as("w"))
+      .distinct()
+    val cohorts = uw.groupBy(col("u")).agg(min(col("w")).as("cw"))
+    uw.join(cohorts, Seq("u"))
+      .withColumn("week_offset",
+        ((unix_seconds(col("w")) - unix_seconds(col("cw"))) / lit(604800L))
+          .cast("long"))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy(to_date(col("cw")).as("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, EventAnalytics, Skew}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -225,5 +225,92 @@ object TimeSeriesQueries extends QueryModule {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  override val entries: Seq[QueryDef] = Seq(q72, q73, q74, q75, q76, q79)
+  /** Recency-weighted purchase value per user
+    * ([[EventAnalytics.decayedScore]]): half-life 7 days back from the
+    * newest purchase, per-event contributions fixed-pointed to integer
+    * micro-units and summed as longs (order-independent); the oracle
+    * interpolates the SAME decay-rate literal the plan compiled in. */
+  private val q139 = QueryDef(
+    "q139_decayed_engagement",
+    (s, d) => {
+      EventAnalytics.decayedScore(
+          Tables.events(s, d).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", halfLifeSeconds = 7 * 86400.0)
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND ts IS NOT NULL AND value IS NOT NULL),
+      t0 AS (SELECT max(epoch_us(ts)) AS t0 FROM f),
+      c AS (
+        SELECT user_id,
+               CAST(floor(value * exp(${-EventAnalytics.decayRate(7 * 86400.0)}
+                 * (CAST(t0.t0 - epoch_us(ts) AS DOUBLE) / 1000000.0))
+                 * 1000000.0 + 0.5) AS BIGINT) AS u
+        FROM f, t0)
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(u) AS BIGINT) AS decayed_micro
+      FROM c GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Ordered 3-step funnel ([[EventAnalytics.funnel]]):
+    * signup → click → purchase, each step strictly after the previous
+    * one for the same user — per-stage user counts, monotone by
+    * construction. */
+  private val q140 = QueryDef(
+    "q140_ordered_funnel",
+    (s, d) => {
+      EventAnalytics.funnel(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase"))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT user_id AS u, ts AS t, event_type AS et FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      s1 AS (SELECT u, min(t) AS t FROM b WHERE et = 'signup' GROUP BY u),
+      s2 AS (
+        SELECT b.u, min(b.t) AS t FROM b JOIN s1 ON s1.u = b.u
+        WHERE b.et = 'click' AND b.t > s1.t GROUP BY b.u),
+      s3 AS (
+        SELECT b.u, min(b.t) AS t FROM b JOIN s2 ON s2.u = b.u
+        WHERE b.et = 'purchase' AND b.t > s2.t GROUP BY b.u)
+      SELECT * FROM (VALUES
+        (1, 'signup', (SELECT count(*) FROM s1)),
+        (2, 'click', (SELECT count(*) FROM s2)),
+        (3, 'purchase', (SELECT count(*) FROM s3)))
+        AS t(stage, event_type, n_users)
+      ORDER BY stage"""))
+
+  /** Weekly cohort retention ([[EventAnalytics.cohortRetention]]):
+    * first-event-week cohorts, active-user counts at integer week
+    * offsets (UTC weeks are exact 7-day multiples — the offset is
+    * arithmetic, not calendar logic). */
+  private val q141 = QueryDef(
+    "q141_cohort_retention",
+    (s, d) => {
+      EventAnalytics.cohortRetention(Tables.events(s, d), "user_id", "ts",
+          maxWeeks = 8)
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      c AS (SELECT u, min(w) AS cw FROM uw GROUP BY u)
+      SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+             CAST((epoch_us(w) - epoch_us(cw)) / 604800000000.0 AS BIGINT)
+               AS week_offset,
+             count(*) AS n_users
+      FROM uw JOIN c USING (u)
+      WHERE CAST((epoch_us(w) - epoch_us(cw)) / 604800000000.0 AS BIGINT) <= 8
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  override val entries: Seq[QueryDef] =
+    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141)
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("decayedScore: exact micro-unit halving at one half-life; nulls excluded") {
+    val hl = 7 * 86400.0
+    val events = Seq(
+      (1L, ts("2024-03-15 00:00:00"), 10.0),            // newest: weight 1
+      (1L, ts("2024-03-08 00:00:00"), 10.0),            // one half-life: 0.5
+      (2L, ts("2024-03-01 00:00:00"), 8.0),             // two half-lives: 0.25
+      (3L, null.asInstanceOf[Timestamp], 99.0))         // dropped
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.decayedScore(events, "user_id", "ts", "value", hl)
+      .orderBy("user_id")
+      .as[(Long, Long, Long)].collect().toList
+    // user 1: 10e6 + 5e6; user 2: 8 * 0.25 * 1e6 = 2e6 (exact powers of
+    // two — exp(-k ln2) is exact halving up to libm ulp, absorbed by the
+    // micro rounding)
+    assert(out == List((1L, 2L, 15000000L), (2L, 1L, 2000000L)), out.toString)
+  }
+
+  test("funnel: strict in-order matching; out-of-order steps never count") {
+    val events = Seq(
+      // A completes in order
+      ("A", "signup", "2024-01-01 10:00:00"),
+      ("A", "click", "2024-01-02 10:00:00"),
+      ("A", "purchase", "2024-01-03 10:00:00"),
+      // B clicked BEFORE signing up — stalls at stage 1
+      ("B", "click", "2024-01-01 09:00:00"),
+      ("B", "signup", "2024-01-01 11:00:00"),
+      // C skips click — the purchase after signup must NOT count
+      ("C", "signup", "2024-01-01 08:00:00"),
+      ("C", "purchase", "2024-01-02 08:00:00"),
+      // D purchased before ever signing up
+      ("D", "purchase", "2024-01-01 07:00:00"),
+      ("D", "signup", "2024-01-02 07:00:00"))
+      .map { case (u, e, t) => (u, e, ts(t)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .orderBy("stage")
+      .as[(Int, String, Long)].collect().toList
+    assert(out == List((1, "signup", 4L), (2, "click", 1L), (3, "purchase", 1L)),
+      s"only A progresses past stage 1: $out")
+  }
+
+  test("cohortRetention: first-week cohorts, integer offsets, maxWeeks cap") {
+    val events = Seq(
+      (1L, "2024-01-01 12:00:00"), (1L, "2024-01-10 12:00:00"), // w0, w1
+      (1L, "2024-01-03 09:00:00"),                              // w0 again (dedup)
+      (2L, "2024-01-02 12:00:00"),                              // w0 only
+      (3L, "2024-01-08 12:00:00"), (3L, "2024-01-22 12:00:00")) // w1, w3
+      .map { case (u, t) => (u, ts(t)) }
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toList
+    assert(out == List(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 2L, 1L)), out.toString)
+
+    val capped = EventAnalytics.cohortRetention(events, "user_id", "ts",
+        maxWeeks = 1)
+      .select("week_offset").as[Long].collect().toSet
+    assert(capped == Set(0L, 1L), s"offset 2 must be capped away: $capped")
+
+    // plan: distinct + aggregates + a user-keyed join — never a window
+    val plan = EventAnalytics.cohortRetention(events, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+}
