@@ -99,6 +99,51 @@ object EventAnalytics {
       .toDF("stage", "event_type", "n_users")
   }
 
+  /** Ingest anomaly detection: flag (event_type, day) cells whose daily
+    * event count sits ≥ `zThreshold` sample standard deviations from
+    * that type's observed-day baseline — the monitor a pipeline points
+    * at its own ingest tables to catch a collapsed source or a
+    * duplicate-storm before it poisons downstream curation. Baseline
+    * statistics are over OBSERVED days only (an absent day is a missing
+    * partition, which deserves its own alert, not a zero in the mean).
+    *
+    * Determinism (the q133 dependence machinery): daily counts are
+    * exact integers; per-type n, Σc, Σc² accumulate as DECIMAL(38,0)
+    * (counts at 100 TB overflow a long when squared), the cancellation
+    * n·Σc² − (Σc)² happens in exact arithmetic, and only the final
+    * divide/sqrt DAG runs in doubles — the z-score is engine-exact.
+    * Zero-variance types (every day identical) produce no rows rather
+    * than ±∞.
+    *
+    * Scale shape: one scan → ONE mergeable (type, day) count aggregate;
+    * the per-type moment rollup and the join back are over one-row-per-
+    * day cells, not events. No window. Returns
+    * (event_type, day [date], n_events, z) for |z| ≥ zThreshold.
+    */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold >= 0, s"zThreshold must be >= 0: $zThreshold")
+    val dec = "decimal(38,0)"
+    val daily = events.filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val mo = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("n_events").cast(dec)).as("__s"),
+      sum(col("n_events").cast(dec) * col("n_events").cast(dec)).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val varNum = (col("__n") * col("__sxx") - col("__s") * col("__s"))
+      .cast("double")
+    val std = sqrt(varNum / (nD * (nD - lit(1.0))))
+    val z = (col("n_events").cast("double") -
+      col("__s").cast("double") / nD) / std
+    daily.join(mo, Seq("event_type"))
+      .filter(col("__n").cast("long") >= 2 && varNum > lit(0.0))
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= lit(zThreshold))
+      .select(col("event_type"), col("day"), col("n_events"), col("z"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their FIRST event; for each cohort and week offset k, the number
     * of cohort users active in cohort-week + k. Returns

@@ -311,6 +311,51 @@ object TimeSeriesQueries extends QueryModule {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Ingest anomaly monitor ([[EventAnalytics.dailyAnomalies]]):
+    * (event_type, day) cells ≥ 1.5σ from the type's observed-day
+    * baseline, moments exact in DECIMAL/HUGEINT so the z-scores are
+    * engine-identical (the q133 pattern applied to the pipeline's own
+    * ingest tables). */
+  private val q142 = QueryDef(
+    "q142_ingest_anomalies",
+    (s, d) => {
+      EventAnalytics.dailyAnomalies(Tables.events(s, d), "event_type", "ts",
+          zThreshold = 1.5)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), Rnd.halfUp(col("z"), 6).as("z6"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)),
+      mo AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(n_events AS HUGEINT)) AS s,
+               sum(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS sxx
+        FROM daily GROUP BY event_type),
+      j AS (
+        SELECT d.event_type, d.day, d.n_events,
+               CAST(mo.n AS DOUBLE) AS nd,
+               CAST(mo.s AS DOUBLE) AS sd,
+               CAST(mo.n * mo.sxx - mo.s * mo.s AS DOUBLE) AS varnum
+        FROM daily d JOIN mo USING (event_type)
+        WHERE CAST(mo.n AS BIGINT) >= 2
+          AND CAST(mo.n * mo.sxx - mo.s * mo.s AS DOUBLE) > 0.0),
+      zz AS (
+        SELECT event_type, day, n_events,
+               (CAST(n_events AS DOUBLE) - sd / nd)
+                 / sqrt(varnum / (nd * (nd - 1.0))) AS z
+        FROM j)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+             floor(z * 1000000.0 + 0.5) / 1000000.0 AS z6
+      FROM zz
+      WHERE abs(z) >= 1.5
+      ORDER BY event_type, day"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141)
+    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141, q142)
 }

@@ -78,4 +78,35 @@ class EventAnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
   }
+
+  test("dailyAnomalies: closed-form z on a planted spike; degenerate types excluded") {
+    // 'click': 4 quiet days of 10 and one spike of 50
+    // mean = 18, var = (5*2900 - 90^2)/(5*4) = 320, std = sqrt(320)
+    val quiet = (1 to 4).map(i => ("click", ts(f"2024-01-0$i 10:00:00")))
+    val spike = Seq.fill(5)("2024-01-05").zipWithIndex
+      .flatMap { case (d, _) => Seq.fill(10)(("click", ts(s"$d 10:00:00"))) }
+    val clicks = quiet.flatMap { case (e, t) => Seq.fill(10)((e, t)) } ++ spike
+    // 'flat': identical every day -> zero variance -> no rows ever
+    val flat = (1 to 3).map(i => ("flat", ts(f"2024-01-0$i 10:00:00")))
+    // 'once': a single observed day -> n < 2 -> excluded
+    val once = Seq(("once", ts("2024-01-01 10:00:00")))
+    val events = (clicks ++ flat ++ once).toDF("event_type", "ts")
+
+    val z50 = (50.0 - 18.0) / math.sqrt(320.0 / 4.0 * 4.0 / 4.0)
+    // recompute carefully: std = sqrt((n*Sxx - S^2)/(n*(n-1)))
+    val stdExact = math.sqrt((5.0 * 2900.0 - 90.0 * 90.0) / (5.0 * 4.0))
+    val out = EventAnalytics.dailyAnomalies(events, "event_type", "ts",
+        zThreshold = 1.5)
+      .as[(String, java.sql.Date, Long, Double)].collect().toList
+    assert(out.map(_._1).distinct == List("click"),
+      s"flat/once types must never alert: $out")
+    assert(out.map(_._3) == List(50L), s"only the spike clears 1.5 sigma: $out")
+    assert(math.abs(out.head._4 - (50.0 - 18.0) / stdExact) < 1e-12,
+      s"${out.head._4} vs ${(50.0 - 18.0) / stdExact} (z50 sanity: $z50)")
+
+    // threshold 0 returns every observed day of types with variance
+    val all = EventAnalytics.dailyAnomalies(events, "event_type", "ts", 0.0)
+    assert(all.count() == 5 && !all.queryExecution.executedPlan.toString
+      .contains("Window"))
+  }
 }
