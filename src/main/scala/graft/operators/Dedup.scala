@@ -275,6 +275,69 @@ object Dedup {
     * hash (narrow rows: hash + two ids), one equi-join back. A
     * boilerplate chunk in millions of documents costs a single min()
     * cell in the aggregate, never a blown bucket. */
+  /** Containment dedup — the ASYMMETRIC case both near-dup families
+    * miss: document A reproduced nearly whole INSIDE a longer document
+    * B (a wire story embedded in a portal page, a README pasted into a
+    * repo dump). Jaccard ~ |A|/|B| is tiny when B is much longer, so
+    * symmetric near-dup never fires; containment(A,B) =
+    * |fp(A) ∩ fp(B)| / |fp(A)| ignores B's extra bulk. A document is
+    * flagged when ≥ `tau` of its (df-pruned) winnowing fingerprints
+    * appear in a STRICTLY LONGER document (`lenCol` ties break to the
+    * smaller id as container); per flagged doc the best container is
+    * kept — max ratio, then smallest container id. Returns
+    * (doc_id, container_id, shared, n_fp, ratio); the doc_ids are the
+    * drop set.
+    *
+    * Scale shape: winnowing collapses text to (fingerprint, id) postings
+    * in one pass ([[TextAnalysis.winnowRolling]], codegen'd O(n));
+    * boilerplate fingerprints are df-pruned by AGGREGATE (never a
+    * window on the fingerprint — the q116 lesson); candidate pairs are
+    * posting-list self-joins bounded by maxDf² per fingerprint; the
+    * per-doc fingerprint count, the ratio, and the best-container
+    * argmax are all mergeable aggregates (max over a (ratio, shared,
+    * −id) struct — no per-doc window). The ratio is one exact integer
+    * division, engine-identical.
+    */
+  def containment(df: DataFrame, idCol: String, textCol: String,
+      lenCol: String, tau: Double = 0.9, minShared: Int = 10,
+      maxDf: Int = 50, k: Int = 8, w: Int = 4,
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau $tau out of (0,1]")
+    graft.functions.RollingFingerprint.register(df.sparkSession)
+    val fsets = IndexStore.persist(
+      Spread.byKey(df, idCol, minParallelism).select(
+          col(idCol).cast("long").as("id"), col(lenCol).cast("long").as("len"),
+          TextAnalysis.winnowRolling(col(textCol), k, w).as("wn"))
+        .filter(size(col("wn")) > 0),
+      index)
+    val inv = fsets.select(col("id"), explode(col("wn")).as("f"))
+    val keepF = inv.groupBy(col("f")).agg(count(lit(1)).as("__fdf"))
+      .filter(col("__fdf") <= maxDf).select(col("f"))
+    val pruned = IndexStore.persist(inv.join(keepF, Seq("f")), index)
+    val counts = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = pruned.select(col("f"), col("id").as("a"))
+      .join(pruned.select(col("f"), col("id").as("b")), Seq("f"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val scored = pairs
+      .join(counts.select(col("id").as("a"), col("n_fp")), Seq("a"))
+      .join(fsets.select(col("id").as("a"), col("len").as("__la")), Seq("a"))
+      .join(fsets.select(col("id").as("b"), col("len").as("__lb")), Seq("b"))
+      .withColumn("ratio",
+        col("shared").cast("double") / col("n_fp").cast("double"))
+      .filter(col("ratio") >= lit(tau) &&
+        (col("__lb") > col("__la") ||
+          (col("__lb") === col("__la") && col("b") < col("a"))))
+    scored.groupBy(col("a").as("doc_id"))
+      .agg(max(struct(col("ratio"), col("shared"), (-col("b")).as("nb")))
+          .as("__w"),
+        max(col("n_fp")).as("n_fp"))
+      .select(col("doc_id"), (-col("__w.nb")).as("container_id"),
+        col("__w.shared").as("shared"), col("n_fp"), col("__w.ratio").as("ratio"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 64, minParallelism: Int = 0): DataFrame = {
     val ch = TextAnalysis.chunks(df, idCol, textCol,

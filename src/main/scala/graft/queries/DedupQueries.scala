@@ -601,11 +601,72 @@ object DedupQueries extends QueryModule {
       GROUP BY 1
       ORDER BY shard"""))
 
+  /** Containment dedup ([[graft.operators.Dedup.containment]]): docs
+    * whose df-pruned winnowing fingerprints are ≥ 90% present in a
+    * strictly longer doc — the asymmetric wire-story-inside-portal-page
+    * case symmetric Jaccard structurally misses. The oracle replays the
+    * rolling winnow (q85's CTEs), the aggregate df-prune, pair counts,
+    * the exact-integer-division ratio, the longer-doc rule, and the
+    * best-container argmax (window replay of the engine's struct-max). */
+  private val q143 = QueryDef(
+    "q143_containment_dedup",
+    (s, d) => {
+      graft.operators.Dedup.containment(
+          Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars")),
+          "doc_id", "text", "n_chars",
+          tau = 0.9, minShared = 10, maxDf = 50, k = 8, w = 4,
+          index = graft.operators.IndexStore.NoStore,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("container_id"), col("shared"),
+          col("n_fp"), Rnd.halfUp(col("ratio"), 6).as("ratio6"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM documents),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      keepf AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 50),
+      pf AS (SELECT doc_id, f FROM fp JOIN keepf USING (f)),
+      cnt AS (SELECT doc_id, count(*) AS nfp FROM pf GROUP BY doc_id),
+      pairs AS (
+        SELECT pa.doc_id AS a, pb.doc_id AS b, count(*) AS shared
+        FROM pf pa JOIN pf pb ON pa.f = pb.f AND pa.doc_id <> pb.doc_id
+        GROUP BY pa.doc_id, pb.doc_id
+        HAVING count(*) >= 10),
+      sc AS (
+        SELECT p.a, p.b, p.shared, c.nfp,
+               CAST(p.shared AS DOUBLE) / CAST(c.nfp AS DOUBLE) AS ratio
+        FROM pairs p
+        JOIN cnt c ON c.doc_id = p.a
+        JOIN documents da ON da.doc_id = p.a
+        JOIN documents db ON db.doc_id = p.b
+        WHERE CAST(p.shared AS DOUBLE) / CAST(c.nfp AS DOUBLE) >= 0.9
+          AND (db.n_chars > da.n_chars
+               OR (db.n_chars = da.n_chars AND p.b < p.a)))
+      SELECT a AS doc_id, b AS container_id, shared, nfp AS n_fp,
+             floor(ratio * 1000000.0 + 0.5) / 1000000.0 AS ratio6
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY a
+        ORDER BY ratio DESC, b ASC) = 1
+      ORDER BY doc_id"""))
+
   // def, not val: q105/q112 are declared below this line, and a val
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
-      q116, q118, q127)
+      q116, q118, q127, q143)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component

@@ -277,4 +277,40 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("containment: short doc inside a longer one is flagged; symmetric and clean docs are not") {
+    val passage = "the winnowing fingerprints of this exact passage will appear " +
+      "wholesale inside the containing document that reproduces it in full"
+    val docs = Seq(
+      (1L, passage),
+      (2L, s"a much longer portal page with navigation text first, then $passage " +
+        "and finally several closing paragraphs of unrelated editorial content " +
+        "to make the containing side clearly longer than the contained one"),
+      (3L, "completely unrelated material about tidal measurement instruments " +
+        "sharing no phrasing with either of the other two documents at all"))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.containment(docs, "doc_id", "text", "n_chars",
+        tau = 0.8, minShared = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out.map(t => (t._1, t._2)) == List((1L, 2L)),
+      s"only the short doc is contained, and only in the longer one: $out")
+    val (_, _, shared, nfp, ratio) = out.head
+    assert(ratio >= 0.8 && ratio <= 1.0 && shared <= nfp)
+
+    // identical twins (equal length): the SMALLER id is the container,
+    // so exactly the larger id is flagged — never both, never neither
+    val twins = Seq((10L, passage), (11L, passage))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val t = Dedup.containment(twins, "doc_id", "text", "n_chars",
+        tau = 0.8, minShared = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(t.map(x => (x._1, x._2, x._5)) == List((11L, 10L, 1.0)), t.toString)
+
+    // scale contract: df-prune and argmax are aggregates — no Window
+    val plan = Dedup.containment(docs, "doc_id", "text", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "containment must not plan a Window")
+  }
 }
