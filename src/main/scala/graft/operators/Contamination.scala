@@ -148,12 +148,20 @@ object Contamination {
     * for an empty index (nothing can match — callers short-circuit). */
   def bloomOf(index: DataFrame, fCol: String = "f",
       fpp: Double = 0.01): Option[Array[Byte]] = {
-    graft.functions.BloomFunctions.register(index.sparkSession)
+    val spark = index.sparkSession
+    graft.functions.BloomFunctions.register(spark)
     val nf = math.max(1L, index.select(col(fCol)).distinct().count())
     val bits = graft.functions.BloomFunctions.optimalNumBits(nf, fpp)
     require(bits <= (1L << 30),
       s"index fingerprint set ($nf distinct) sizes a ${bits / 8 / (1 << 20)} MB " +
         "Bloom — not benchmark-sized; use the plain join plan instead")
+    // BloomFilterAggregate silently CLAMPS numBits to the runtime-filter
+    // conf (default 2^26 bits = 8 MB — measured: asking for 2^27 returns
+    // an 8 MB sketch); past the default the filter would quietly run at
+    // a worse fpp than sized for, so raise the cap to what we validated
+    if (bits > 67108864L)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits.toString)
     val row = index
       .select(graft.functions.BloomFunctions.bloomAgg(col(fCol), nf, bits).as("bf"))
       .collect().head

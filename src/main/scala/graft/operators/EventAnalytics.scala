@@ -34,7 +34,12 @@ object EventAnalytics {
   def decayedScore(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, halfLifeSeconds: Double): DataFrame = {
     require(halfLifeSeconds > 0, s"half-life must be positive: $halfLifeSeconds")
-    val tmax = events.agg(max(unix_micros(col(tsCol)))).head()
+    // the reference instant comes from the SAME null-filtered rows the
+    // sum runs over — a null-value row holding the newest timestamp
+    // must not shift every other row's decay
+    val scored = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+      col(valueCol).isNotNull)
+    val tmax = scored.agg(max(unix_micros(col(tsCol)))).head()
     if (tmax.isNullAt(0))
       return events.sparkSession.emptyDataFrame
         .select(lit(0L).as("user_id"), lit(0L).as("n_events"),
@@ -45,8 +50,7 @@ object EventAnalytics {
     val dtSec = (lit(t0) - unix_micros(col(tsCol))).cast("double") / lit(1.0e6)
     val contrib = floor(col(valueCol).cast("double") * exp(lit(-rate) * dtSec)
       * lit(1.0e6) + lit(0.5)).cast("long")
-    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+    scored
       .groupBy(col(userCol).as("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(contrib).as("decayed_micro"))
   }

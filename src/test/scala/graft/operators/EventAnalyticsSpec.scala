@@ -25,6 +25,16 @@ class EventAnalyticsSpec extends SparkSpec {
     // two — exp(-k ln2) is exact halving up to libm ulp, absorbed by the
     // micro rounding)
     assert(out == List((1L, 2L, 15000000L), (2L, 1L, 2000000L)), out.toString)
+
+    // a NULL-value row holding the newest timestamp must not shift the
+    // reference instant — scores are identical with or without it
+    val poisoned = events.union(
+      Seq((9L, ts("2024-03-20 00:00:00"), Double.NaN)).toDF("user_id", "ts", "value")
+        .withColumn("value",
+          org.apache.spark.sql.functions.lit(null).cast("double")))
+    val same = EventAnalytics.decayedScore(poisoned, "user_id", "ts", "value", hl)
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toList
+    assert(same == out, s"null-value row shifted the reference: $same vs $out")
   }
 
   test("funnel: strict in-order matching; out-of-order steps never count") {
