@@ -491,4 +491,47 @@ object Multimodal {
           substr(mediaCol, i * lit(frameBytes) + lit(1), lit(frameBytes)))),
       f => f.isNotNull)
   }
+
+  /** Exact payload dedup by content hash — the first (cheapest) pass of
+    * any multimodal curation pipeline: byte-identical media stored under
+    * different ids collapse to one keeper per group before any decode or
+    * perceptual hashing spends a cycle on the copies. Returns one row
+    * per group: (groupCols…, n_media, n_distinct_payloads, dup_bytes) —
+    * dup_bytes the storage the copies waste, the number a 100 TB media
+    * lake watches weekly.
+    *
+    * Scale shape: the payload leaves the scan as (sha256, n_bytes) —
+    * 72 narrow bytes per blob, the media column itself never shuffles;
+    * ONE mergeable aggregate keyed (group, hash) builds the distinct
+    * table (a million copies of one image cost one cell), and the group
+    * rollup is a second narrow aggregate. Keeper identity (min id per
+    * hash) is in the same first aggregate for callers that want the
+    * drop list rather than the rollup — see [[payloadKeepers]].
+    */
+  def payloadDedup(df: DataFrame, idCol: String, mediaCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "payloadDedup needs group columns")
+    val gs = groupCols.map(col)
+    payloadKeepers(df, idCol, mediaCol, groupCols)
+      .groupBy(gs: _*)
+      .agg(sum(col("n_copies")).as("n_media"),
+        count(lit(1)).as("n_distinct_payloads"),
+        sum((col("n_copies") - lit(1L)) * col("n_bytes")).as("dup_bytes"))
+  }
+
+  /** The per-(group, payload) table behind [[payloadDedup]]:
+    * (groupCols…, sha256, n_bytes, n_copies, keeper_id [min id]). The
+    * ids NOT equal to their hash's keeper are the drop set. */
+  def payloadKeepers(df: DataFrame, idCol: String, mediaCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    df.filter(col(mediaCol).isNotNull)
+      .select(gs :+ col(idCol).cast("long").as("__id")
+        :+ lower(sha2(col(mediaCol), 256)).as("sha256")
+        :+ octet_length(col(mediaCol)).cast("long").as("n_bytes"): _*)
+      .groupBy(gs :+ col("sha256"): _*)
+      .agg(max(col("n_bytes")).as("n_bytes"),
+        count(lit(1)).as("n_copies"),
+        min(col("__id")).as("keeper_id"))
+  }
 }

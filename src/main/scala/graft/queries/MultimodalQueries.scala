@@ -58,5 +58,43 @@ object MultimodalQueries extends QueryModule {
       FROM media
       ORDER BY media_id"""))
 
-  override val entries: Seq[QueryDef] = Seq(q70)
+  /** Exact payload dedup by content hash
+    * ([[Multimodal.payloadDedup]]): byte-identical media collapse per
+    * modality, with the wasted-copy bytes totaled — the first pass of a
+    * media curation pipeline. Payloads are the q70 stand-in binaries
+    * (documents.text re-encoded), and this synthetic corpus genuinely
+    * contains duplicate documents, so the dedup numbers are non-trivial.
+    * The oracle replays the hashing (DuckDB sha256 over the same bytes),
+    * both aggregates, and the byte math. */
+  private val q144 = QueryDef(
+    "q144_payload_dedup",
+    (s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("media"))
+      Multimodal.payloadDedup(media, "media_id", "media", Seq("modality"))
+        .orderBy(col("modality"))
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+               encode(text) AS media, text
+        FROM documents),
+      per_hash AS (
+        SELECT modality, lower(sha256(text)) AS sha256,
+               max(octet_length(media))::BIGINT AS n_bytes,
+               count(*) AS n_copies,
+               min(media_id) AS keeper_id
+        FROM media GROUP BY modality, lower(sha256(text)))
+      SELECT modality,
+             CAST(sum(n_copies) AS BIGINT) AS n_media,
+             count(*) AS n_distinct_payloads,
+             CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS dup_bytes
+      FROM per_hash GROUP BY modality
+      ORDER BY modality"""))
+
+  override val entries: Seq[QueryDef] = Seq(q70, q144)
 }

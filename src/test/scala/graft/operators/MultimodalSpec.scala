@@ -324,4 +324,37 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.length == 256)
     assert(frames.head(0) == 0.toByte && frames(1)(0) == 0.toByte) // 512 % 256 pattern
   }
+
+  test("payloadDedup: byte-identical media collapse; keeper is min id; dup bytes exact") {
+    val payloadA = Array.fill[Byte](100)(7)
+    val payloadB = Array.fill[Byte](40)(9)
+    val media = Seq(
+      (1L, "image", payloadA),
+      (5L, "image", payloadA),             // copy of A (keeper 1)
+      (3L, "image", payloadB),
+      (9L, "audio", payloadA),             // same bytes, OTHER group — not a copy
+      (10L, "audio", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "modality", "media")
+
+    val roll = Multimodal.payloadDedup(media, "media_id", "media", Seq("modality"))
+      .orderBy("modality")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(roll == List(
+      ("audio", 1L, 1L, 0L),               // null payload excluded entirely
+      ("image", 3L, 2L, 100L)), roll.toString)
+
+    val keep = Multimodal.payloadKeepers(media, "media_id", "media", Seq("modality"))
+      .orderBy("modality", "sha256")
+      .select("modality", "n_copies", "keeper_id")
+      .as[(String, Long, Long)].collect().toList
+    assert(keep.contains(("image", 2L, 1L)), s"keeper of the A pair is id 1: $keep")
+    assert(keep.count(_._1 == "image") == 2 && keep.count(_._1 == "audio") == 1)
+
+    // scale contract: blob leaves the scan as (hash, size); two hash
+    // aggregates, no window, and the binary column itself is not in any
+    // exchange
+    val plan = Multimodal.payloadDedup(media, "media_id", "media", Seq("modality"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
