@@ -679,6 +679,68 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Margin-based bitext candidate mining (Artetxe & Schwenk, ACL 2019
+    * — the CCMatrix/LASER recipe): for each vector in corpus A, its
+    * best match in corpus B scored by the MARGIN
+    * `cos(a,b) / ((avgTopK(a) + avgTopK(b)) / 2)` — raw cosine divided
+    * by how similar each side is to its neighborhood in general, which
+    * kills the hub vectors that are everyone's nearest neighbor and is
+    * why margin beats absolute-threshold mining for parallel-corpus
+    * extraction. Returns (a_id, b_id, cos, margin) for the best-margin
+    * B match per A vector with margin ≥ `threshold` (ties: smaller
+    * b_id).
+    *
+    * Determinism: each pairwise cosine additionally fixes to an integer
+    * micro-cosine (`floor(cos·10⁶+0.5)` long), and the top-k
+    * neighborhood means are exact integer sums of those — summation
+    * order can't move them; the margin itself is then one double DAG on
+    * (cos, two exact means). Best-match selection is a mergeable
+    * struct-max, not a window.
+    *
+    * Scale shape: the all-pairs stage is [[bruteForceTopK]]'s
+    * broadcast-A corpus scan (the q50 shape — intentionally
+    * product-shaped, PlanSpec-allowlisted); both rank windows carry
+    * WindowGroupLimit pushdown. At real bitext scale swap the all-pairs
+    * stage for the LSH/IVF prefilter ([[lshTopK]]/[[ivfPqTopK]]) — the
+    * margin math downstream is unchanged.
+    */
+  def marginMining(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, threshold: Double = 1.0,
+      index: IndexStore = IndexStore.default): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val an = normalized(a, idCol, vecCol, "a_id", "av")
+    val bn = normalized(b, idCol, vecCol, "b_id", "bv")
+    val pairs = IndexStore.persist(
+      bn.crossJoin(broadcast(an))
+        .withColumn("cos", dot(col("av"), col("bv")))
+        .withColumn("c6", floor(col("cos") * lit(1.0e6) + lit(0.5)).cast("long"))
+        .select(col("a_id"), col("b_id"), col("cos"), col("c6")),
+      index)
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b_id")).orderBy(col("cos").desc, col("a_id").asc)
+    val ra = pairs.withColumn("rka", row_number().over(wa))
+      .filter(col("rka") <= k)
+    val avgA = ra.groupBy(col("a_id"))
+      .agg(sum(col("c6")).as("sa"), count(lit(1)).as("na"))
+    val avgB = pairs.withColumn("rkb", row_number().over(wb))
+      .filter(col("rkb") <= k)
+      .groupBy(col("b_id"))
+      .agg(sum(col("c6")).as("sb"), count(lit(1)).as("nb"))
+    val scored = ra.join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
+      .withColumn("margin", col("cos") /
+        ((col("sa").cast("double") / (col("na").cast("double") * lit(1.0e6)) +
+          col("sb").cast("double") / (col("nb").cast("double") * lit(1.0e6)))
+          / lit(2.0)))
+      .filter(col("margin") >= lit(threshold))
+    scored.groupBy(col("a_id"))
+      .agg(max(struct(col("margin"), col("cos").as("cos"),
+        (-col("b_id")).as("nb2"))).as("__w"))
+      .select(col("a_id"), (-col("__w.nb2")).as("b_id"),
+        col("__w.cos").as("cos"), col("__w.margin").as("margin"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
     * SIGIR'98): for each query, greedily select k of the `shortlist`
     * most-relevant corpus vectors, each step maximizing

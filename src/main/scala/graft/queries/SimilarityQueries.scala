@@ -945,7 +945,72 @@ object SimilarityQueries extends QueryModule {
       FROM ranked WHERE rank <= 5
       ORDER BY cluster, rank"""))
 
+  /** Margin-based bitext mining ([[Similarity.marginMining]], Artetxe &
+    * Schwenk ACL'19): best es-match per en-doc by margin — cosine over
+    * the mean of each side's top-4 neighborhood, the hub-suppressing
+    * score CCMatrix mines with. Neighborhood means are exact integer
+    * micro-cosine sums, so only the final margin DAG is float; the
+    * oracle replays pairs, both rank directions, the means, and the
+    * best-match argmax. */
+  private val q145 = QueryDef(
+    "q145_bitext_margin_mining",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val withLang = emb.join(langs, emb("vec_id") === langs("doc_id"))
+      val en = withLang.filter(col("lang") === "en").select(col("vec_id"), col("embedding"))
+      val es = withLang.filter(col("lang") === "es").select(col("vec_id"), col("embedding"))
+      Similarity.marginMining(en, es, "vec_id", "embedding",
+          k = 4, threshold = 1.0)
+        .select(col("a_id").as("en_id"), col("b_id").as("es_id"),
+          Rnd.halfUp(col("cos"), 4).as("cos4"),
+          Rnd.halfUp(col("margin"), 6).as("margin6"))
+        .orderBy(col("en_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e),
+      dl AS (SELECT doc_id, lang FROM documents),
+      av AS (
+        SELECT n.vec_id AS a_id, n.nv AS v
+        FROM n JOIN dl ON dl.doc_id = n.vec_id WHERE dl.lang = 'en'),
+      bv AS (
+        SELECT n.vec_id AS b_id, n.nv AS v
+        FROM n JOIN dl ON dl.doc_id = n.vec_id WHERE dl.lang = 'es'),
+      p AS (
+        SELECT a.a_id, b.b_id, list_dot_product(a.v, b.v) AS cos,
+               CAST(floor(list_dot_product(a.v, b.v) * 1000000.0 + 0.5) AS BIGINT) AS c6
+        FROM av a CROSS JOIN bv b),
+      ra AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY a_id
+            ORDER BY cos DESC, b_id ASC) AS rka FROM p) WHERE rka <= 4),
+      rb AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY b_id
+            ORDER BY cos DESC, a_id ASC) AS rkb FROM p) WHERE rkb <= 4),
+      aa AS (SELECT a_id, CAST(sum(c6) AS BIGINT) AS sa, count(*) AS na
+             FROM ra GROUP BY a_id),
+      bb AS (SELECT b_id, CAST(sum(c6) AS BIGINT) AS sb, count(*) AS nb
+             FROM rb GROUP BY b_id),
+      m AS (
+        SELECT r.a_id, r.b_id, r.cos,
+               r.cos / ((CAST(aa.sa AS DOUBLE) / (CAST(aa.na AS DOUBLE) * 1000000.0)
+                       + CAST(bb.sb AS DOUBLE) / (CAST(bb.nb AS DOUBLE) * 1000000.0))
+                       / 2.0) AS margin
+        FROM ra r JOIN aa USING (a_id) JOIN bb USING (b_id)),
+      f AS (SELECT * FROM m WHERE margin >= 1.0)
+      SELECT a_id AS en_id, b_id AS es_id,
+             floor(cos * 10000.0 + 0.5) / 10000.0 AS cos4,
+             floor(margin * 1000000.0 + 0.5) / 1000000.0 AS margin6
+      FROM f
+      QUALIFY row_number() OVER (PARTITION BY a_id
+        ORDER BY margin DESC, b_id ASC) = 1
+      ORDER BY en_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125, q130, q135, q136)
+      q124, q125, q130, q135, q136, q145)
 }

@@ -124,7 +124,11 @@ class PlanSpec extends SparkSpec {
       "q122_ann_jl_rerank",
       // q124 hard-negative mining is q50's broadcast-anchor scan with a
       // label-exclusion predicate — same intentional shape
-      "q124_hard_negatives")
+      "q124_hard_negatives",
+      // q145 bitext margin mining scores en×es all-pairs via q50's
+      // broadcast-A corpus scan by design; the documented scale path
+      // swaps in the LSH/IVF prefilter, margin math unchanged
+      "q145_bitext_margin_mining")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>

@@ -393,4 +393,38 @@ class SimilaritySpec extends SparkSpec {
         k = 1, shortlist = 8192)
     }
   }
+
+  test("marginMining: hub vector is suppressed, genuine mate wins on margin") {
+    // hub sits near EVERYTHING in A (high neighborhood mean -> margin
+    // denominator), the mate is close to a1 only
+    val a = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Seq(0.577f, 0.577f, 0.577f)),  // hub
+      (11L, Seq(0.9f, 0.1f, 0.1f)))        // a1's mate
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(a, b, "vec_id", "embedding",
+        k = 2, threshold = 1.0)
+      .orderBy("a_id")
+      .as[(Long, Long, Double, Double)].collect().toList
+    val a1 = out.find(_._1 == 1L).get
+    assert(a1._2 == 11L,
+      s"a1's best match must be the mate, not the hub: $out")
+    assert(a1._4 > 1.2, s"a planted mate clears margin comfortably: ${a1._4}")
+    // raw cosine alone would NOT separate hub matches: cos(a2, hub) is
+    // hub's best offer and margin still admits it only because a2 has
+    // no better candidate — but a threshold above its margin kills it
+    val strict = Similarity.marginMining(a, b, "vec_id", "embedding",
+        k = 2, threshold = 1.4)
+      .select("a_id").as[Long].collect().toSet
+    assert(strict == Set(1L), s"only the genuine pair survives 1.4: $strict")
+
+    // best-match selection is a mergeable struct-max — no window AFTER
+    // the rank stages (the two rank windows carry group-limit pushdown)
+    val plan = Similarity.marginMining(a, b, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank stages must push the k-limit into the window")
+  }
 }
