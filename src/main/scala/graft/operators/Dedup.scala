@@ -275,6 +275,77 @@ object Dedup {
     * hash (narrow rows: hash + two ids), one equi-join back. A
     * boilerplate chunk in millions of documents costs a single min()
     * cell in the aggregate, never a blown bucket. */
+  /** Incremental dedup: the disposition of a NEW batch against an
+    * EXISTING corpus — "dedup this crawl against what we already have",
+    * the batch posture of [[graft.streaming.StreamingDedupGate]] /
+    * [[graft.streaming.StreamingNearDupGate]] when arrivals come as a
+    * daily drop instead of a stream. One row per batch document:
+    * (id, dup_exact [1 if its content key already exists in the
+    * corpus], near_id [best corpus near-match ≥ `threshold`, else
+    * null], jaccard). The corpus is NEVER self-joined — its own
+    * internal duplicates are not this operator's question.
+    *
+    * Scale shape: both sides collapse to (content key, shingle set,
+    * banded MinHash) in one pass each; the exact check is a semi-join
+    * on the key (narrow); near-dup candidates come from a batch→corpus
+    * band equi-join with the CORPUS bucket sizes capped by AGGREGATE
+    * (a boilerplate band with a million corpus members is skipped, the
+    * [[minhashLsh]] cap, de-windowed); the best corpus match per batch
+    * doc is a mergeable struct-max. Batch-side cost scales with the
+    * batch, not the corpus.
+    */
+  def againstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 1, numHashes: Int = 16,
+      bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+      index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0): DataFrame = {
+    require(bands * rows == numHashes, "bands*rows must equal numHashes")
+    graft.functions.MinHashSig.register(batch.sparkSession)
+    val b0 = IndexStore.persist(
+      Spread.byKey(batch, idCol, minParallelism).select(
+        col(idCol).cast("long").as("id"),
+        contentKey(col(textCol)).as("__h"),
+        array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sset")),
+      index)
+    val c0 = IndexStore.persist(
+      Spread.byKey(corpus, idCol, minParallelism).select(
+        col(idCol).cast("long").as("cid"),
+        contentKey(col(textCol)).as("__h"),
+        array_distinct(shingles(tokens(col(textCol)), shingleK)).as("cset")),
+      index)
+    val exactHits = b0
+      .join(c0.select(col("__h")).distinct(), Seq("__h"), "left_semi")
+      .select(col("id")).withColumn("__ex", lit(1))
+    val bs = b0.filter(size(col("sset")) > 0)
+      .withColumn("sig", minhashSignature(col("sset"), numHashes))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
+      .select(col("id"), col("sset"), col("band"))
+    val cs0 = c0.filter(size(col("cset")) > 0)
+      .withColumn("sig", minhashSignature(col("cset"), numHashes))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
+      .select(col("cid"), col("cset"), col("band"))
+    val okBands = cs0.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize).select(col("band"))
+    val near = bs.join(cs0.join(okBands, Seq("band")), Seq("band"))
+      .select(col("id"), col("cid"), col("sset"), col("cset"))
+      .dropDuplicates("id", "cid")
+      .withColumn("inter", size(array_intersect(col("sset"), col("cset"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sset")) + size(col("cset")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(struct(col("jaccard"), (-col("cid")).as("nc"))).as("__w"))
+      .select(col("id"), (-col("__w.nc")).as("near_id"),
+        col("__w.jaccard").as("jaccard"))
+    b0.select(col("id"))
+      .join(exactHits, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__ex").isNull, lit(0)).otherwise(lit(1)).as("dup_exact"),
+        col("near_id"), col("jaccard"))
+  }
+
   /** Containment dedup — the ASYMMETRIC case both near-dup families
     * miss: document A reproduced nearly whole INSIDE a longer document
     * B (a wire story embedded in a portal page, a README pasted into a

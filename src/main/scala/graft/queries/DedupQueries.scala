@@ -662,11 +662,97 @@ object DedupQueries extends QueryModule {
         ORDER BY ratio DESC, b ASC) = 1
       ORDER BY doc_id"""))
 
+  /** Incremental batch-vs-corpus dedup ([[graft.operators.Dedup
+    * .againstCorpus]]): every tenth document arrives as "today's drop"
+    * and is dispositioned against the other nine-tenths — exact
+    * content-key membership plus best MinHash-LSH near-match, corpus
+    * never self-joined. The oracle replays the md5 content keys, the
+    * full signature/band chain on BOTH sides (q42/q43's machinery),
+    * the corpus-side bucket cap, the Jaccard verify, and the
+    * best-match argmax. */
+  private val q146 = QueryDef(
+    "q146_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.againstCorpus(batch, corpus, "doc_id", "text",
+          shingleK = 1, numHashes = 16, bands = 4, rows = 4,
+          threshold = 0.8, maxBucketSize = 1000,
+          index = IndexStore.Memory(),
+          minParallelism = s.sparkContext.defaultParallelism)
+        .select(col("id"), col("dup_exact"), col("near_id"),
+          Rnd.halfUp(col("jaccard"), 6).as("jac6"))
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH b0 AS (
+        SELECT doc_id AS id, md5(text) AS h,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0)) AS sset
+        FROM documents WHERE doc_id % 10 = 0),
+      c0 AS (
+        SELECT doc_id AS cid, md5(text) AS h,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0)) AS cset
+        FROM documents WHERE doc_id % 10 <> 0),
+      ex AS (
+        SELECT DISTINCT b0.id FROM b0
+        WHERE b0.h IN (SELECT h FROM c0)),
+      bs AS (
+        SELECT id, sset,
+               unnest(list_transform(generate_series(0, 3),
+                 b -> b::VARCHAR || ':' ||
+                   (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM (
+          SELECT id, sset,
+                 list_transform(generate_series(0, 15),
+                   i -> list_min(list_transform(sset,
+                        s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+          FROM b0 WHERE len(sset) > 0)),
+      cs AS (
+        SELECT cid, cset,
+               unnest(list_transform(generate_series(0, 3),
+                 b -> b::VARCHAR || ':' ||
+                   (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM (
+          SELECT cid, cset,
+                 list_transform(generate_series(0, 15),
+                   i -> list_min(list_transform(cset,
+                        s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+          FROM c0 WHERE len(cset) > 0)),
+      okb AS (SELECT band FROM cs GROUP BY band HAVING count(*) <= 1000),
+      cand AS (
+        SELECT DISTINCT bs.id, cs.cid
+        FROM bs JOIN cs ON bs.band = cs.band
+        JOIN okb ON okb.band = cs.band),
+      ver AS (
+        SELECT c.id, c.cid,
+               len(list_intersect(b.sset, cc.cset)) AS inter,
+               len(b.sset) AS la, len(cc.cset) AS lb
+        FROM cand c
+        JOIN b0 b ON b.id = c.id
+        JOIN c0 cc ON cc.cid = c.cid),
+      near AS (
+        SELECT id, cid AS near_id, inter / (la + lb - inter) AS jaccard
+        FROM ver
+        WHERE inter / (la + lb - inter) >= 0.8
+        QUALIFY row_number() OVER (PARTITION BY id
+          ORDER BY inter / (la + lb - inter) DESC, cid ASC) = 1)
+      SELECT b0.id,
+             CASE WHEN ex.id IS NULL THEN 0 ELSE 1 END AS dup_exact,
+             near.near_id,
+             floor(near.jaccard * 1000000.0 + 0.5) / 1000000.0 AS jac6
+      FROM b0
+      LEFT JOIN ex ON ex.id = b0.id
+      LEFT JOIN near ON near.id = b0.id
+      ORDER BY b0.id"""))
+
   // def, not val: q105/q112 are declared below this line, and a val
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
-      q116, q118, q127, q143)
+      q116, q118, q127, q143, q146)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component

@@ -313,4 +313,38 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "containment must not plan a Window")
   }
+
+  test("againstCorpus: exact / near / novel disposition; corpus never self-reported") {
+    val base = "shared tokens one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (100L, base),
+      (101L, base),                          // corpus-internal dup — NOT our question
+      (102L, "completely different corpus material about glacier physics"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                            // exact dup of 100/101
+      (2L, base.replace("ten", "eleven")),   // near dup (11/12 jaccard... ~0.85)
+      (3L, "a wholly novel arrival sharing nothing with the corpus today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.againstCorpus(batch, corpus, "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("id")
+      .as[(Long, Int, Option[Long], Option[Double])].collect().toList
+    assert(out.map(_._1) == List(1L, 2L, 3L), "every batch row dispositioned")
+    val Seq(d1, d2, d3) = out
+    assert(d1._2 == 1 && d1._3 == Some(100L) && d1._4 == Some(1.0),
+      s"exact dup, best near match is the smaller corpus id: $d1")
+    assert(d2._2 == 0 && d2._3 == Some(100L) &&
+      d2._4.exists(j => j > 0.8 && j < 1.0), s"near dup only: $d2")
+    assert(d3._2 == 0 && d3._3.isEmpty && d3._4.isEmpty, s"novel: $d3")
+    // corpus ids never appear as output rows
+    assert(out.forall(_._1 < 100L))
+
+    // a zero bucket cap suppresses every near candidate; exact unaffected
+    val capped = Dedup.againstCorpus(batch, corpus, "doc_id", "text",
+        threshold = 0.8, maxBucketSize = 0)
+      .orderBy("id")
+      .as[(Long, Int, Option[Long], Option[Double])].collect().toList
+    assert(capped.map(_._2) == List(1, 0, 0) && capped.forall(_._3.isEmpty))
+  }
 }
