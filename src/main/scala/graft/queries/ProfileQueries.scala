@@ -150,5 +150,61 @@ object ProfileQueries extends QueryModule {
       FROM s
       ORDER BY l_returnflag"""))
 
-  override val entries: Seq[QueryDef] = Seq(q88, q102, q110, q133)
+  /** Per-source data card — the release-notes table a dataset ships
+    * with: volume (docs, tokens, chars), redundancy (exact-content
+    * distinct count and the dup rate it implies), and language mix, all
+    * derived from exact integer counts so every cell hash-matches. One
+    * scan into a per-(source, content-key) aggregate, then a per-source
+    * rollup; the token count rides the same scan as a projection. */
+  private val q147 = QueryDef(
+    "q147_source_data_card",
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          graft.operators.Dedup.contentKey(col("text")).as("__h"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("__tok"))
+      val perContent = docs
+        .groupBy(col("source"), col("__h"))
+        .agg(count(lit(1)).as("__n"), sum(col("__tok")).as("__t"),
+          sum(col("n_chars")).as("__c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"))
+      perContent.groupBy(col("source"))
+        .agg(sum(col("__n")).as("n_docs"),
+          sum(col("__t")).as("n_tokens"),
+          count(lit(1)).as("n_distinct_contents"),
+          Rnd.halfUp(
+            (sum(col("__n")) - count(lit(1))).cast("double") /
+              sum(col("__n")).cast("double"), 6).as("dup_rate6"),
+          Rnd.halfUp(sum(col("__en")).cast("double") /
+            sum(col("__n")).cast("double"), 6).as("en_frac6"),
+          Rnd.halfUp(sum(col("__c")).cast("double") /
+            sum(col("__n")).cast("double"), 4).as("mean_chars4"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, lang, n_chars, md5(text) AS h,
+               len(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0))::BIGINT AS tok
+        FROM documents),
+      pc AS (
+        SELECT source, h, count(*) AS n, CAST(sum(tok) AS BIGINT) AS t,
+               CAST(sum(n_chars) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en
+        FROM docs GROUP BY source, h)
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct_contents,
+             floor((CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS dup_rate6,
+             floor((CAST(sum(en) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS en_frac6,
+             floor((CAST(sum(c) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS mean_chars4
+      FROM pc GROUP BY source
+      ORDER BY source"""))
+
+  override val entries: Seq[QueryDef] = Seq(q88, q102, q110, q133, q147)
 }
