@@ -373,6 +373,25 @@ object Dedup {
       lenCol: String, tau: Double = 0.9, minShared: Int = 10,
       maxDf: Int = 50, k: Int = 8, w: Int = 4,
       index: IndexStore = IndexStore.default,
+      minParallelism: Int = 0): DataFrame =
+    containmentPairs(df, idCol, textCol, lenCol, tau, minShared, maxDf,
+        k, w, index, minParallelism)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("ratio"), col("shared"), (-col("container_id")).as("nb")))
+          .as("__w"),
+        max(col("n_fp")).as("n_fp"))
+      .select(col("doc_id"), (-col("__w.nb")).as("container_id"),
+        col("__w.shared").as("shared"), col("n_fp"), col("__w.ratio").as("ratio"))
+
+  /** EVERY qualifying (contained, container) pair behind [[containment]]
+    * — (doc_id, container_id, shared, n_fp, ratio) — for analyses that
+    * need the full containment graph (e.g. the cross-source syndication
+    * matrix) rather than one best container per doc. Same guards, same
+    * aggregate-only shapes. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      lenCol: String, tau: Double = 0.9, minShared: Int = 10,
+      maxDf: Int = 50, k: Int = 8, w: Int = 4,
+      index: IndexStore = IndexStore.default,
       minParallelism: Int = 0): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau $tau out of (0,1]")
     graft.functions.RollingFingerprint.register(df.sparkSession)
@@ -401,12 +420,8 @@ object Dedup {
       .filter(col("ratio") >= lit(tau) &&
         (col("__lb") > col("__la") ||
           (col("__lb") === col("__la") && col("b") < col("a"))))
-    scored.groupBy(col("a").as("doc_id"))
-      .agg(max(struct(col("ratio"), col("shared"), (-col("b")).as("nb")))
-          .as("__w"),
-        max(col("n_fp")).as("n_fp"))
-      .select(col("doc_id"), (-col("__w.nb")).as("container_id"),
-        col("__w.shared").as("shared"), col("n_fp"), col("__w.ratio").as("ratio"))
+    scored.select(col("a").as("doc_id"), col("b").as("container_id"),
+      col("shared"), col("n_fp"), col("ratio"))
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,

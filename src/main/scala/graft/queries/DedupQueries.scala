@@ -926,11 +926,80 @@ object DedupQueries extends QueryModule {
       FROM c
       ORDER BY doc_id"""))
 
+  /** Cross-source syndication matrix ([[graft.operators.Dedup
+    * .containmentPairs]]): the FULL containment graph rolled up by
+    * (source of the contained doc, source of the container) — which
+    * sources republish whose content, the report that decides which
+    * feed is upstream and which is a mirror. Counts are exact; the
+    * oracle replays q143's pair chain without the best-container
+    * argmax, then the source join and rollup. */
+  private val q149 = QueryDef(
+    "q149_syndication_matrix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+      val pairs = Dedup.containmentPairs(
+          docs.select(col("doc_id"), col("text"), col("n_chars")),
+          "doc_id", "text", "n_chars",
+          tau = 0.9, minShared = 10, maxDf = 50, k = 8, w = 4,
+          index = graft.operators.IndexStore.NoStore,
+          minParallelism = s.sparkContext.defaultParallelism)
+      val srcA = docs.select(col("doc_id"), col("source").as("from_source"))
+      val srcB = docs.select(col("doc_id").as("container_id"),
+        col("source").as("to_source"))
+      pairs.join(srcA, Seq("doc_id")).join(srcB, Seq("container_id"))
+        .groupBy(col("from_source"), col("to_source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("from_source"), col("to_source"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM documents),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      keepf AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 50),
+      pf AS (SELECT doc_id, f FROM fp JOIN keepf USING (f)),
+      cnt AS (SELECT doc_id, count(*) AS nfp FROM pf GROUP BY doc_id),
+      pairs AS (
+        SELECT pa.doc_id AS a, pb.doc_id AS b, count(*) AS shared
+        FROM pf pa JOIN pf pb ON pa.f = pb.f AND pa.doc_id <> pb.doc_id
+        GROUP BY pa.doc_id, pb.doc_id
+        HAVING count(*) >= 10),
+      sc AS (
+        SELECT p.a, p.b
+        FROM pairs p
+        JOIN cnt c ON c.doc_id = p.a
+        JOIN documents da ON da.doc_id = p.a
+        JOIN documents db ON db.doc_id = p.b
+        WHERE CAST(p.shared AS DOUBLE) / CAST(c.nfp AS DOUBLE) >= 0.9
+          AND (db.n_chars > da.n_chars
+               OR (db.n_chars = da.n_chars AND p.b < p.a)))
+      SELECT da.source AS from_source, db.source AS to_source,
+             count(*) AS n_pairs,
+             count(DISTINCT sc.a) AS n_docs
+      FROM sc
+      JOIN documents da ON da.doc_id = sc.a
+      JOIN documents db ON db.doc_id = sc.b
+      GROUP BY da.source, db.source
+      ORDER BY from_source, to_source"""))
+
   // def, not val: q105/q112 are declared below this line, and a val
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
-      q116, q118, q127, q143, q146, q148)
+      q116, q118, q127, q143, q146, q148, q149)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component
