@@ -103,6 +103,40 @@ object EventAnalytics {
       .toDF("stage", "event_type", "n_users")
   }
 
+  /** First-order event-type transition matrix: for each user's
+    * time-ordered event stream, count (previous type → next type)
+    * transitions and each row's share of its predecessor's outgoing
+    * edges — the Markov view of product flows (what actually follows a
+    * signup?). Ordering ties on the timestamp break by `orderIdCol`, so
+    * the matrix is deterministic on real logs where bursts share a
+    * timestamp.
+    *
+    * Scale shape: ONE window per user partition (bounded by a user's
+    * own history — the sessionize/as-of cost class, never a global
+    * sort) for the lag, then mergeable (prev, next) count aggregates;
+    * the row-probability denominator is a rollup of the count table
+    * joined back on the narrow prev key. Returns
+    * (prev_type, next_type, n, prob [n / out-degree of prev]).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, orderIdCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(orderIdCol).asc)
+    val c = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("prev_type")).agg(sum(col("n")).as("__tot"))
+    c.join(tot, Seq("prev_type"))
+      .withColumn("prob",
+        col("n").cast("double") / col("__tot").cast("double"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("prob"))
+  }
+
   /** Ingest anomaly detection: flag (event_type, day) cells whose daily
     * event count sits ≥ `zThreshold` sample standard deviations from
     * that type's observed-day baseline — the monitor a pipeline points

@@ -125,5 +125,74 @@ object PackingQueries extends QueryModule {
       FROM c
       ORDER BY lang, doc_id"""))
 
-  def entries: Seq[QueryDef] = Seq(q90, q104, q108)
+  /** Packing capacity sweep: the straddle/efficiency report that picks
+    * the training sequence length — for each candidate capacity, how
+    * many sequences the corpus packs into, how many documents straddle
+    * a sequence boundary (the attention-mask-quality cost of contiguous
+    * packing), and the tail-sequence fill. One prefix-sum pass per
+    * capacity over the SAME sized table (narrow rows), every statistic
+    * an exact integer or an exact division. */
+  private val q150 = QueryDef(
+    "q150_packing_capacity_sweep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("n_toks"))
+        .persist()
+      val reports = Seq(512L, 1024L, 2048L).map { cap =>
+        Packing.assign(docs, "doc_id", "n_toks", capacity = cap)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            max(col("seq_last")).as("__maxseq"),
+            sum(when(col("seq_last") =!= col("seq_id"), 1L).otherwise(0L))
+              .as("n_straddling"))
+          .select(lit(cap).as("capacity"),
+            col("n_docs"), col("n_tokens"),
+            (col("__maxseq") + lit(1L)).as("n_seqs"),
+            col("n_straddling"),
+            Rnd.halfUp(col("n_straddling").cast("double") /
+              col("n_docs").cast("double"), 6).as("straddle_frac6"),
+            Rnd.halfUp(
+              (col("n_tokens") - col("__maxseq") * lit(cap)).cast("double") /
+                lit(cap.toDouble), 6).as("tail_fill6"))
+      }
+      reports.reduce(_ unionByName _).orderBy(col("capacity"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0))::BIGINT AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS tok_offset
+        FROM t),
+      caps AS (SELECT unnest([512, 1024, 2048]) AS capacity),
+      a AS (
+        SELECT caps.capacity, c.doc_id, c.n_tokens,
+               c.tok_offset // caps.capacity AS seq_id,
+               (c.tok_offset + greatest(c.n_tokens, 1) - 1) // caps.capacity
+                 AS seq_last
+        FROM c, caps)
+      SELECT capacity,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(max(seq_last) + 1 AS BIGINT) AS n_seqs,
+             CAST(sum(CASE WHEN seq_last <> seq_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling,
+             floor((CAST(sum(CASE WHEN seq_last <> seq_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+               AS straddle_frac6,
+             floor((CAST(sum(n_tokens) - max(seq_last) * capacity AS DOUBLE)
+               / CAST(capacity AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+               AS tail_fill6
+      FROM a
+      GROUP BY capacity
+      ORDER BY capacity"""))
+
+  def entries: Seq[QueryDef] = Seq(q90, q104, q108, q150)
 }

@@ -356,6 +356,41 @@ object TimeSeriesQueries extends QueryModule {
       WHERE abs(z) >= 1.5
       ORDER BY event_type, day"""))
 
+  /** First-order event-transition matrix
+    * ([[EventAnalytics.transitionMatrix]]): per-user time-ordered lag,
+    * exact (prev → next) counts, and each edge's share of its
+    * predecessor's out-degree; timestamp ties break on event_id so
+    * bursts replay identically. */
+  private val q151 = QueryDef(
+    "q151_event_transitions",
+    (s, d) => {
+      EventAnalytics.transitionMatrix(Tables.events(s, d),
+          "user_id", "ts", "event_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          Rnd.halfUp(col("prob"), 6).as("prob6"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS prev_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      c AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type),
+      t AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+        FROM c GROUP BY prev_type)
+      SELECT c.prev_type, c.next_type, c.n,
+             floor((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS prob6
+      FROM c JOIN t USING (prev_type)
+      ORDER BY c.prev_type, c.next_type"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141, q142)
+    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141, q142, q151)
 }

@@ -119,4 +119,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(all.count() == 5 && !all.queryExecution.executedPlan.toString
       .contains("Window"))
   }
+
+  test("transitionMatrix: ordered lag counts, ts ties break on event id, row probs") {
+    val events = Seq(
+      // user 1: A -> B -> A -> C, with the last two sharing a timestamp
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 1L, "B", "2024-01-01 11:00:00"),
+      (3L, 1L, "A", "2024-01-01 12:00:00"),
+      (4L, 1L, "C", "2024-01-01 12:00:00"),
+      // user 2: A -> B
+      (5L, 2L, "A", "2024-01-02 09:00:00"),
+      (6L, 2L, "B", "2024-01-02 10:00:00"))
+      .map { case (e, u, et, t) => (e, u, et, ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.transitionMatrix(events, "user_id", "ts",
+        "event_type")
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect().toList
+    assert(out.map(t => (t._1, t._2, t._3)) ==
+      List(("A", "B", 2L), ("A", "C", 1L), ("B", "A", 1L)),
+      s"tie at 12:00 must order id 3 before id 4 (A -> C, not C -> A): $out")
+    assert(math.abs(out(0)._4 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(out(1)._4 - 1.0 / 3.0) < 1e-12)
+    assert(out(2)._4 == 1.0)
+  }
 }
