@@ -168,6 +168,47 @@ object Profile {
         datediff(to_date(col("max_value")), to_date(col("min_value"))).cast("long"))
   }
 
+  /** Equi-width histogram of a numeric column: `nBuckets` buckets
+    * spanning [min, max], exact per-bucket counts — the distribution
+    * view the scalar profile ([[numericColumns]]) summarizes away, for
+    * choosing packing capacities, length cutoffs, or skew salts by eye.
+    *
+    * Determinism: bounds are one 2-cell driver collect of exact column
+    * extremes; the bucket index `min(nBuckets−1, floor((x−lo)/width))`
+    * is a fixed double DAG on them (identical in any IEEE engine —
+    * callers round the emitted bucket EDGES, which are presentation);
+    * counts are exact. A zero-width column (constant) lands wholly in
+    * bucket 0. Only non-empty buckets are emitted.
+    *
+    * Scale shape: one extremes aggregate, one scan with a shuffle-free
+    * bucket projection, ONE mergeable count aggregate keyed by bucket
+    * (at most nBuckets cells). Returns (bucket, lo, hi, n).
+    */
+  def histogram(df: DataFrame, colName: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val x = col(colName).cast("double")
+    val mm = df.filter(x.isNotNull)
+      .agg(min(x).as("lo"), max(x).as("hi")).head()
+    if (mm.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bucket"), lit(0.0).as("lo"), lit(0.0).as("hi"),
+          lit(0L).as("n")).limit(0)
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    val width = (hi - lo) / nBuckets
+    val bucket =
+      if (width == 0.0) lit(0L)
+      else least(lit((nBuckets - 1).toLong),
+        floor((x - lit(lo)) / lit(width))).cast("long")
+    df.filter(x.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket").cast("double") * lit(width)).as("lo"),
+        (lit(lo) + (col("bucket") + lit(1L)).cast("double") * lit(width)).as("hi"),
+        col("n"))
+  }
+
   /** Bivariate dependence profile: per-group Pearson correlation, sample
     * covariance, and the least-squares regression line (slope, intercept,
     * r²) of `yCol` on `xCol` — the relationship statistics a curation

@@ -206,5 +206,44 @@ object ProfileQueries extends QueryModule {
       FROM pc GROUP BY source
       ORDER BY source"""))
 
-  override val entries: Seq[QueryDef] = Seq(q88, q102, q110, q133, q147)
+  /** Token-count histogram ([[Profile.histogram]]): the corpus length
+    * distribution in 8 equi-width buckets — exact counts, bounds from
+    * one extremes collect, bucket edges rounded for the cross-engine
+    * hash (presentation only; bucket ASSIGNMENT is the shared double
+    * DAG). */
+  private val q152 = QueryDef(
+    "q152_length_histogram",
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val toks = Tables.documents(s, d)
+        .select(size(TextFunctions.tokens(col("text"))).cast("long").as("x"))
+      Profile.histogram(toks, "x", nBuckets = 8)
+        .select(col("bucket"), Rnd.halfUp(col("lo"), 6).as("lo6"),
+          Rnd.halfUp(col("hi"), 6).as("hi6"), col("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT len(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0))::BIGINT AS x
+        FROM documents),
+      mm AS (
+        SELECT CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+        FROM t WHERE x IS NOT NULL),
+      b AS (
+        SELECT CAST(least(7.0, floor((CAST(x AS DOUBLE) - mm.lo)
+                 / ((mm.hi - mm.lo) / 8.0))) AS BIGINT) AS bucket
+        FROM t, mm WHERE x IS NOT NULL)
+      SELECT bucket,
+             floor(((SELECT lo FROM mm)
+               + CAST(bucket AS DOUBLE) * ((SELECT (hi - lo) / 8.0 FROM mm)))
+               * 1000000.0 + 0.5) / 1000000.0 AS lo6,
+             floor(((SELECT lo FROM mm)
+               + CAST(bucket + 1 AS DOUBLE) * ((SELECT (hi - lo) / 8.0 FROM mm)))
+               * 1000000.0 + 0.5) / 1000000.0 AS hi6,
+             count(*) AS n
+      FROM b GROUP BY bucket
+      ORDER BY bucket"""))
+
+  override val entries: Seq[QueryDef] = Seq(q88, q102, q110, q133, q147, q152)
 }

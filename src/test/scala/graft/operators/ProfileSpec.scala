@@ -149,4 +149,29 @@ class ProfileSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       "partial+final hash aggregate expected")
   }
+
+  test("histogram: exact bucket counts, max lands in the last bucket, degenerate cases") {
+    // values 0..7 with width (8-0)/4 = 2 over [0, 8]: buckets {0,1},{2,3},{4,5},{6,7,8}
+    val df = ((0 to 7) :+ 8).map(_.toDouble).toDF("x")
+    val out = Profile.histogram(df, "x", nBuckets = 4)
+      .orderBy("bucket").as[(Long, Double, Double, Long)].collect().toList
+    assert(out.map(t => (t._1, t._4)) ==
+      List((0L, 2L), (1L, 2L), (2L, 2L), (3L, 3L)),
+      s"max value must clamp into the last bucket, not bucket nBuckets: $out")
+    assert(out.head._2 == 0.0 && out.head._3 == 2.0)
+    assert(out.last._2 == 6.0 && out.last._3 == 8.0)
+
+    // constant column: everything in bucket 0, zero-width edges
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val c = Profile.histogram(const, "x", 4).collect()
+    assert(c.length == 1 && c.head.getLong(0) == 0L && c.head.getLong(3) == 3L)
+
+    // all-null column: empty result with the right schema, no NPE
+    val nulls = Seq(Option.empty[Double], None).toDF("x")
+    assert(Profile.histogram(nulls, "x", 4).isEmpty)
+
+    // only non-empty buckets emitted
+    val sparse = Seq(0.0, 100.0).toDF("x")
+    assert(Profile.histogram(sparse, "x", 10).count() == 2)
+  }
 }
