@@ -235,6 +235,42 @@ object TxLogTable {
     v
   }
 
+  /** RESTORE the table to a historical version — the delta world's
+    * `RESTORE TABLE … TO VERSION AS OF`: published as a REBASE commit
+    * whose file list IS version `toVersion`'s snapshot listing. No data
+    * is copied or rewritten — the log re-points — and every version
+    * including the pre-restore head stays time-travelable (a restore is
+    * an ordinary commit, so "undo the restore" is just another
+    * restore). Optimistic like [[compact]]: anything committing between
+    * the snapshot read and the publish aborts this restore. Refuses to
+    * restore to a snapshot whose data dirs [[vacuumCompacted]] already
+    * dropped — the one operation that genuinely forfeits history.
+    *
+    * The Delta mirror records the DIFF (current \\ target removed,
+    * target \\ current re-added) — the mirror tracks incremental state,
+    * while the native rebase entry carries the full target listing
+    * (`filesUpTo` resets at it). */
+  def restore(spark: SparkSession, path: String, toVersion: Long,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot restore an empty table at $path")
+    require(toVersion >= 0 && toVersion <= v0,
+      s"restore target $toVersion outside [0, $v0]")
+    val target = filesUpTo(fs, root, toVersion)
+    val missing = target.filterNot(f => fs.exists(new HPath(root, f)))
+    require(missing.isEmpty,
+      s"cannot restore to $toVersion: ${missing.size} data dirs were " +
+        s"vacuumed (first: ${missing.headOption.getOrElse("")})")
+    val schemaJson = readVersion(spark, path, toVersion).schema.json
+    val current = filesUpTo(fs, root, v0)
+    val v = commitEntry(fs, root, target, rebase = true, Some(v0),
+      maxRetries = 1, commit)
+    DeltaInterop.mirror(spark, path, v,
+      target.diff(current), current.diff(target), schemaJson, commit)
+    v
+  }
+
   /** Delete data dirs referenced ONLY by versions older than
     * `sinceVersion` (post-compaction cleanup; forfeits time travel
     * earlier than that, keeps every snapshot at-or-after it intact). */

@@ -315,4 +315,43 @@ class TxLogTableSpec extends SparkSpec {
       txn = Some(("w", 5L)))
     assert(v == 11 && TxLogTable.read(spark, path).count() == 12)
   }
+
+  test("restore: log re-points to a historical snapshot; history and undo survive") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)   // v0
+    TxLogTable.append(spark, Seq((2L, "b")).toDF("id", "v"), path)   // v1
+    TxLogTable.append(spark, Seq((3L, "c")).toDF("id", "v"), path)   // v2
+
+    val rv = TxLogTable.restore(spark, path, toVersion = 0)
+    assert(rv == 3, "a restore is an ordinary commit")
+    assert(TxLogTable.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")), "head now shows version 0's data")
+    // the pre-restore head is still time-travelable
+    assert(TxLogTable.readVersion(spark, path, 2).count() == 3)
+    // appends continue on top of the restored state
+    TxLogTable.append(spark, Seq((4L, "d")).toDF("id", "v"), path)   // v4
+    assert(TxLogTable.read(spark, path).count() == 2)
+    // undo-the-restore is just another restore
+    TxLogTable.restore(spark, path, toVersion = 2)                   // v5
+    assert(TxLogTable.read(spark, path).count() == 3)
+
+    // the delta mirror stays contiguous and replayable through restores
+    val deltaDir = java.nio.file.Paths.get(path, "_delta_log")
+    val entries = java.nio.file.Files.list(deltaDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+    assert(entries.length == 6, s"one mirror entry per commit: ${entries.length}")
+
+    // guards: out-of-range target; restoring past a vacuumed snapshot
+    intercept[IllegalArgumentException] {
+      TxLogTable.restore(spark, path, toVersion = 99)
+    }
+    TxLogTable.compact(spark, path, targetFileMB = 1)                // v6
+    TxLogTable.vacuumCompacted(path, sinceVersion = 6)
+    intercept[IllegalArgumentException] {
+      TxLogTable.restore(spark, path, toVersion = 1)
+    }
+    // restoring to the still-live compacted snapshot works
+    assert(TxLogTable.restore(spark, path, toVersion = 6) == 7)
+    assert(TxLogTable.read(spark, path).count() == 3)
+  }
 }
