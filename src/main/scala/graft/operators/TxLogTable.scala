@@ -235,6 +235,39 @@ object TxLogTable {
     v
   }
 
+  /** Predicate DELETE — the delta world's `DELETE FROM … WHERE`: the
+    * current snapshot is re-staged WITHOUT the matching rows and
+    * published as a REBASE commit. Copy-on-write like every log-table
+    * engine: deleted rows vanish from the head but every prior version
+    * still reads them (GDPR-grade erasure additionally needs
+    * [[vacuumCompacted]] after, which drops the old data dirs).
+    * Optimistic like [[compact]] — a concurrent commit aborts the
+    * delete. Returns the committed version, or -1 without committing
+    * when nothing matches (no empty rewrite, no log churn).
+    *
+    * Scale note: this rewrites the WHOLE snapshot (the minimal correct
+    * form at this layer — file-level pruning of untouched files needs
+    * per-file min/max stats, which [[compact]]'s zorder path produces
+    * but the log does not yet index). Callers deleting a tiny slice of
+    * a huge table should compact first so the rewrite is
+    * target-file-sized. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot delete from an empty table at $path")
+    val snapshot = readVersion(spark, path, v0)
+    if (snapshot.filter(predicate).isEmpty) return -1L
+    val remaining = snapshot.filter(!predicate)
+    val files = stage(remaining, fs, root, "delete-")
+    val v = commitEntry(fs, root, files, rebase = true, Some(v0),
+      maxRetries = 1, commit)
+    DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
+      snapshot.schema.json, commit)
+    v
+  }
+
   /** RESTORE the table to a historical version — the delta world's
     * `RESTORE TABLE … TO VERSION AS OF`: published as a REBASE commit
     * whose file list IS version `toVersion`'s snapshot listing. No data

@@ -354,4 +354,34 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.restore(spark, path, toVersion = 6) == 7)
     assert(TxLogTable.read(spark, path).count() == 3)
   }
+
+  test("deleteWhere: copy-on-write erasure at head, history intact, no-match is a no-op") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "v"), path) // v0
+    TxLogTable.append(spark, Seq((4L, "drop")).toDF("id", "v"), path)      // v1
+
+    val v = TxLogTable.deleteWhere(spark, path, col("v") === "drop")
+    assert(v == 2, "delete is an ordinary rebase commit")
+    assert(TxLogTable.read(spark, path).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    // pre-delete versions still read the dropped rows (copy-on-write)
+    assert(TxLogTable.readVersion(spark, path, 1).count() == 4)
+    // appends continue on the deleted head
+    TxLogTable.append(spark, Seq((5L, "new")).toDF("id", "v"), path)       // v3
+    assert(TxLogTable.read(spark, path).count() == 3)
+
+    // no matching rows: no commit, no log churn, sentinel -1
+    val before = TxLogTable.currentVersion(path)
+    assert(TxLogTable.deleteWhere(spark, path, col("v") === "absent") == -1L)
+    assert(TxLogTable.currentVersion(path) == before)
+
+    // true erasure = delete + vacuum: the old data dirs disappear and
+    // the dropped rows become unreadable at ANY version
+    TxLogTable.vacuumCompacted(path, sinceVersion = 2)
+    intercept[Exception] {
+      TxLogTable.readVersion(spark, path, 1).collect()
+    }
+    assert(TxLogTable.read(spark, path).count() == 3, "head unharmed")
+  }
 }
