@@ -235,6 +235,45 @@ object TxLogTable {
     v
   }
 
+  /** Keyed UPSERT — the delta world's `MERGE … WHEN MATCHED UPDATE WHEN
+    * NOT MATCHED INSERT` for whole rows: current rows whose `keyCols`
+    * match an incoming row are REPLACED by it, unmatched incoming rows
+    * append, everything else carries over — one copy-on-write rebase
+    * commit, optimistic like [[compact]]/[[deleteWhere]]. Incoming rows
+    * must be key-unique (enforced — two updates for one key in a single
+    * batch have no defined winner). Schemas must agree on the key
+    * columns; non-key columns take the UPDATES frame's schema (the
+    * merge writes whole rows, not per-column deltas).
+    *
+    * Same scale note as [[deleteWhere]]: the whole snapshot rewrites;
+    * at real scale, file-pruned merges need the per-file stats index
+    * this log does not yet carry. */
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String],
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot upsert into an empty table at $path " +
+      "(use append for the first commit)")
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    val dupKeys = updates.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(fcount(flit(1)).as("__n")).filter(org.apache.spark.sql.functions.col("__n") > 1)
+    require(dupKeys.isEmpty,
+      s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
+    val snapshot = readVersion(spark, path, v0)
+    val carried = snapshot.join(
+      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+      keyCols, "left_anti")
+    val merged = carried.unionByName(updates, allowMissingColumns = true)
+    val files = stage(merged, fs, root, "merge-")
+    val v = commitEntry(fs, root, files, rebase = true, Some(v0),
+      maxRetries = 1, commit)
+    DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
+      merged.schema.json, commit)
+    v
+  }
+
   /** Predicate DELETE — the delta world's `DELETE FROM … WHERE`: the
     * current snapshot is re-staged WITHOUT the matching rows and
     * published as a REBASE commit. Copy-on-write like every log-table

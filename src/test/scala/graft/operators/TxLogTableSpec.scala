@@ -384,4 +384,27 @@ class TxLogTableSpec extends SparkSpec {
     }
     assert(TxLogTable.read(spark, path).count() == 3, "head unharmed")
   }
+
+  test("upsertByKey: matched rows replaced, unmatched inserted, history intact") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "old-a", 10), (2L, "old-b", 20)).toDF("id", "v", "x"), path) // v0
+    val updates = Seq((2L, "NEW-b", 99), (3L, "new-c", 30)).toDF("id", "v", "x")
+    val v = TxLogTable.upsertByKey(spark, path, updates, Seq("id"))
+    assert(v == 1)
+    val head = TxLogTable.read(spark, path)
+      .as[(Long, String, Int)].collect().toSet
+    assert(head == Set((1L, "old-a", 10), (2L, "NEW-b", 99), (3L, "new-c", 30)),
+      s"matched replaced, unmatched inserted, rest carried: $head")
+    // pre-merge snapshot intact
+    assert(TxLogTable.readVersion(spark, path, 0)
+      .filter(col("v") === "old-b").count() == 1)
+    // key-duplicate updates are rejected before any commit
+    val before = TxLogTable.currentVersion(path)
+    intercept[IllegalArgumentException] {
+      TxLogTable.upsertByKey(spark, path,
+        Seq((5L, "p", 1), (5L, "q", 2)).toDF("id", "v", "x"), Seq("id"))
+    }
+    assert(TxLogTable.currentVersion(path) == before)
+  }
 }
