@@ -155,17 +155,28 @@ object Contamination {
     require(bits <= (1L << 30),
       s"index fingerprint set ($nf distinct) sizes a ${bits / 8 / (1 << 20)} MB " +
         "Bloom — not benchmark-sized; use the plain join plan instead")
-    // BloomFilterAggregate silently CLAMPS numBits to the runtime-filter
-    // conf (default 2^26 bits = 8 MB — measured: asking for 2^27 returns
-    // an 8 MB sketch); past the default the filter would quietly run at
-    // a worse fpp than sized for, so raise the cap to what we validated
-    if (bits > 67108864L)
-      spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits.toString)
-    val row = index
-      .select(graft.functions.BloomFunctions.bloomAgg(col(fCol), nf, bits).as("bf"))
-      .collect().head
-    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]]("bf"))
+    // BloomFilterAggregate silently CLAMPS both sizing inputs to the
+    // runtime-filter confs (numBits to maxNumBits, default 2^26 = 8 MB;
+    // estimatedNumItems to maxNumItems, default 4M — a clamped item
+    // count mis-sizes the hash-function count, so the filter would
+    // quietly run at a worse fpp than sized for). Raise whichever cap
+    // the validated sizing exceeds, SCOPED to this one collect: the
+    // prior values are restored so the raised caps never leak into
+    // Spark's own InjectRuntimeFilter sizing for unrelated queries.
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val saved = Seq(bitsKey, itemsKey).map(k => k -> spark.conf.getOption(k))
+    try {
+      if (bits > 67108864L) spark.conf.set(bitsKey, bits.toString)
+      if (nf > 4000000L) spark.conf.set(itemsKey, nf.toString)
+      val row = index
+        .select(graft.functions.BloomFunctions.bloomAgg(col(fCol), nf, bits).as("bf"))
+        .collect().head
+      if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]]("bf"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Check a batch of documents against a prebuilt fingerprint index

@@ -201,13 +201,21 @@ object Dedup {
       .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
       .select(col("id"), col("sset"), col("band"))
 
-    // cap pathological buckets (a bucket of b docs yields b^2 pairs);
-    // the bucketed signature table is read twice by the self-join — the
-    // "persist the signature index" step, placement chosen by `index`
-    val bucketed = IndexStore.persist(sigs
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
-      .filter(col("bucket_n") <= maxBucketSize), index)
+    // cap pathological buckets (a bucket of b docs yields b^2 pairs).
+    // The cap itself must be skew-immune: a hot stop-shingle band is the
+    // exact pathology it guards against, so counting via
+    // Window.partitionBy(band) would funnel that band into ONE sorted
+    // window task before the filter could drop it. Instead count with a
+    // map-side-mergeable groupBy (hot band = cheap partial-agg cells)
+    // and join back only the surviving band keys — every surviving band
+    // has ≤ maxBucketSize rows, so the join-back cannot skew either.
+    // The bucketed signature table is read twice by the self-join — the
+    // "persist the signature index" step, placement chosen by `index`.
+    val keepBands = sigs.groupBy(col("band"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("band"))
+    val bucketed = IndexStore.persist(sigs.join(keepBands, Seq("band")), index)
 
     val a = bucketed.select(col("band"), col("id").as("id_a"), col("sset").as("set_a"))
     val b = bucketed.select(col("band"), col("id").as("id_b"), col("sset").as("set_b"))
@@ -244,9 +252,15 @@ object Dedup {
       .filter(size(col("gset")) > 0),
       index) // read 3×: inverted index + both verification joins
     val inv = sets.select(col("id"), explode(col("gset")).as("g"))
-    val rare = inv.withColumn("gdf", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .filter(col("gdf") <= maxDf)
+    // df-prune via mergeable groupBy + join-back (the containmentPairs
+    // shape): a stop-gram's count folds map-side instead of funneling
+    // the whole posting list into one window task, and only grams that
+    // survive the cap (≤ maxDf postings each) re-enter via the join.
+    val rareGrams = inv.groupBy(col("g"))
+      .agg(count(lit(1)).as("__gdf"))
+      .filter(col("__gdf") <= maxDf)
+      .select(col("g"))
+    val rare = inv.join(rareGrams, Seq("g"))
     val cand = rare.select(col("g"), col("id").as("id_a"))
       .join(rare.select(col("g"), col("id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
@@ -630,11 +644,15 @@ object Dedup {
         }: _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
     // the bucketed signature index is read by both join sides (the
-    // "persist the index" step, as in minhashLsh; placement via `index`)
-    val capped = IndexStore.persist(keyed
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("bkt"))))
-      .filter(col("bucket_n") <= maxBucketSize), index)
+    // "persist the index" step, as in minhashLsh; placement via `index`).
+    // Bucket cap via mergeable groupBy + join-back, never a window on
+    // the bucket key: a hot (t,bkt) bucket folds into partial-agg cells
+    // and is dropped BEFORE any task has to hold its full row set.
+    val keepBuckets = keyed.groupBy(col("t"), col("bkt"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("t"), col("bkt"))
+    val capped = IndexStore.persist(keyed.join(keepBuckets, Seq("t", "bkt")), index)
     val a = capped.select(col("t"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("t"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
     // verify INSIDE the bucket join projection and drop the vectors before

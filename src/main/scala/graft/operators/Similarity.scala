@@ -734,9 +734,14 @@ object Similarity {
           col("sb").cast("double") / (col("nb").cast("double") * lit(1.0e6)))
           / lit(2.0)))
       .filter(col("margin") >= lit(threshold))
+    // best-match tie-break is (margin DESC, b_id ASC) — matching the
+    // oracle's QUALIFY ordering exactly. cos rides third as payload
+    // only: (margin, b_id) is already unique within an a_id group, so
+    // cos never participates in the comparison and the two engines
+    // cannot diverge on an exact-margin tie with differing cos.
     scored.groupBy(col("a_id"))
-      .agg(max(struct(col("margin"), col("cos").as("cos"),
-        (-col("b_id")).as("nb2"))).as("__w"))
+      .agg(max(struct(col("margin"), (-col("b_id")).as("nb2"),
+        col("cos").as("cos"))).as("__w"))
       .select(col("a_id"), (-col("__w.nb2")).as("b_id"),
         col("__w.cos").as("cos"), col("__w.margin").as("margin"))
   }
@@ -752,10 +757,12 @@ object Similarity {
     * this engine uses: the expensive stage is the distributed exact
     * shortlist (same plan as [[bruteForceTopK]]: broadcast queries ride
     * the corpus scan, per-query top-`shortlist` by window rank); the
-    * greedy loop then runs on the collected shortlist — bounded serving
-    * metadata (`queries × shortlist × d` doubles, guarded ≤ 4096 per
-    * query), the centroid/codebook collect class, NOT corpus data. The
-    * O(k·shortlist²) pairwise step never touches the cluster. Swap the
+    * greedy loop then runs per-query on EXECUTORS (`flatMapGroups`
+    * keyed by query id) — per-group state is bounded serving metadata
+    * (≤ `shortlist × d` doubles, guarded ≤ 4096 per query), and the
+    * query batch itself never collects: a 1M-query batch is 1M
+    * independent group tasks, not a driver-side loop. The
+    * O(k·shortlist²) pairwise step stays inside its group. Swap the
     * shortlist stage for [[ivfPqTopK]] when the corpus scan itself must
     * be pruned.
     *
@@ -792,41 +799,47 @@ object Similarity {
       .filter(col("rank") <= shortlist)
       .select(col("query_id").cast("long"), col("corpus_id").cast("long"),
         col("cosine"), col("cv"))
-      .collect()
-    def dotArr(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val out = short.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rows) =>
-      // ascending id + strict > in the argmax = smallest id wins ties,
-      // mirroring ORDER BY score DESC, corpus_id ASC
-      val cand = rows.map(r => (r.getLong(1), r.getDouble(2),
-        r.getSeq[Double](3).toArray)).sortBy(_._1)
-      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val chosen = new Array[Boolean](cand.length)
-      (0 until math.min(k, cand.length)).foreach { _ =>
-        var bestIdx = -1
-        var bestScore = Double.NegativeInfinity
-        cand.indices.foreach { i =>
-          if (!chosen(i)) {
-            var maxSim = Double.NegativeInfinity
-            picked.foreach { j =>
-              val s = dotArr(cand(i)._3, cand(j)._3)
-              if (s > maxSim) maxSim = s
-            }
-            val ms = if (picked.isEmpty) 0.0 else maxSim
-            val score = lambda * cand(i)._2 - (1 - lambda) * ms
-            if (score > bestScore) { bestScore = score; bestIdx = i }
-          }
-        }
-        picked += bestIdx
-        chosen(bestIdx) = true
-      }
-      picked.zipWithIndex.map { case (i, r) =>
-        (qid, (r + 1).toLong, cand(i)._1, cand(i)._2) }
-    }
+    // the greedy is embarrassingly parallel by query: run it per-group
+    // on EXECUTORS (flatMapGroups), never collecting the shortlists to
+    // the driver — per-group state is the same ≤ shortlist × d doubles,
+    // but a 1M-query batch is now 1M independent tasks' worth of work
+    // spread over the cluster instead of one single-threaded driver loop
+    // holding the whole n_queries × shortlist × d block in driver heap.
     import spark.implicits._
-    out.toDF("query_id", "sel_rank", "corpus_id", "rel")
+    short.groupByKey(_.getLong(0))
+      .flatMapGroups { (qid: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+        // ascending id + strict > in the argmax = smallest id wins ties,
+        // mirroring ORDER BY score DESC, corpus_id ASC
+        val cand = rows.map(r => (r.getLong(1), r.getDouble(2),
+          r.getSeq[Double](3).toArray)).toArray.sortBy(_._1)
+        def dotArr(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val chosen = new Array[Boolean](cand.length)
+        (0 until math.min(k, cand.length)).foreach { _ =>
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          cand.indices.foreach { i =>
+            if (!chosen(i)) {
+              var maxSim = Double.NegativeInfinity
+              picked.foreach { j =>
+                val s = dotArr(cand(i)._3, cand(j)._3)
+                if (s > maxSim) maxSim = s
+              }
+              val ms = if (picked.isEmpty) 0.0 else maxSim
+              val score = lambda * cand(i)._2 - (1 - lambda) * ms
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+          }
+          picked += bestIdx
+          chosen(bestIdx) = true
+        }
+        picked.zipWithIndex.map { case (i, r) =>
+          (qid, (r + 1).toLong, cand(i)._1, cand(i)._2) }
+      }
+      .toDF("query_id", "sel_rank", "corpus_id", "rel")
   }
 }

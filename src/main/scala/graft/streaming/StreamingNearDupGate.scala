@@ -92,10 +92,16 @@ object StreamingNearDupGate {
       maxBucketSize: Int): DataFrame = {
     val prefixes = arrivingBands.select(col("bp")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val seen = prunedIndex(spark, indexDir, prefixes)
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
-      .filter(col("bucket_n") <= maxBucketSize)
+    // bucket cap on the index side via mergeable groupBy + join-back
+    // (same de-skewed shape as Dedup.minhashLsh): a hot band in the
+    // durable index folds into partial-agg cells instead of one sorted
+    // window task, and only bands within the cap re-enter via the join.
+    val idx = prunedIndex(spark, indexDir, prefixes)
+    val keepBands = idx.groupBy(col("band"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("band"))
+    val seen = idx.join(keepBands, Seq("band"))
       .select(col("band"), col("id").as("seen_id"), col("sset").as("seen_sset"))
     arrivingBands.join(seen, Seq("band"))
       .withColumn("inter", size(array_intersect(col("sset"), col("seen_sset"))))

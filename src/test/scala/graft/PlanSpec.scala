@@ -125,6 +125,11 @@ class PlanSpec extends SparkSpec {
       // q124 hard-negative mining is q50's broadcast-anchor scan with a
       // label-exclusion predicate — same intentional shape
       "q124_hard_negatives",
+      // q135's shortlist stage is q50's broadcast-query corpus scan;
+      // the executor-side MMR greedy (FlatMapGroups) now lives in the
+      // SAME distributed plan instead of behind a driver collect, so
+      // the intentional product shape is visible to this sweep
+      "q135_mmr_diversified_topk",
       // q145 bitext margin mining scores en×es all-pairs via q50's
       // broadcast-A corpus scan by design; the documented scale path
       // swaps in the LSH/IVF prefilter, margin math unchanged
@@ -266,6 +271,22 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q40_dedup_exact")
     assert(!p.contains("Window"), s"q40 still plans a window:\n${p.take(3000)}")
     assert(p.contains("partial_count") || p.contains("partial_min"), p.take(3000))
+  }
+
+  test("bucket caps (q43/q45/q46): skew-immune groupBy + join-back — no Window") {
+    // the bucket-size cap exists to neutralize hot bands/grams, so the
+    // cap itself must not be the skewed shape: count(1).over(
+    // Window.partitionBy(band)) would funnel the hot band into ONE
+    // sorted window task before the filter drops it. The mergeable
+    // groupBy(band).count + join-back keeps the hot key as cheap
+    // partial-agg cells, and every band surviving the cap has
+    // ≤ maxBucketSize rows so the join-back cannot skew either.
+    Seq("q43_minhash_lsh_pairs", "q45_embedding_neardup",
+        "q46_ngram_jaccard_pairs").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q still plans a window:\n${p.take(3000)}")
+      assert(p.contains("partial_count"), s"$q: ${p.take(3000)}")
+    }
   }
 
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {

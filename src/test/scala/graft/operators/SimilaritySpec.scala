@@ -394,6 +394,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmr: greedy runs on executors (FlatMapGroups in plan, no driver collect)") {
+    // the selection stage must be a per-query-group executor operator,
+    // not a driver loop over a collected shortlist: the plan itself is
+    // the evidence — a driver-side greedy would end the distributed
+    // plan at the shortlist window and show no group-map operator
+    val corpus = (1L to 40L).map(i =>
+        (i, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 3L)
+    val mmr = Similarity.mmrTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, shortlist = 10, lambda = 0.5)
+    val p = mmr.queryExecution.executedPlan.toString
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      s"mmr greedy is not an executor-side group map:\n${p.take(3000)}")
+    // and each query still yields exactly k rows with rank 1..k
+    val rows = mmr.collect()
+    assert(rows.length == 9)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(1)).sorted.toList == List(1L, 2L, 3L)))
+  }
+
   test("marginMining: hub vector is suppressed, genuine mate wins on margin") {
     // hub sits near EVERYTHING in A (high neighborhood mean -> margin
     // denominator), the mate is close to a1 only
