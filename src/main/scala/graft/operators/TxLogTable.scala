@@ -343,6 +343,66 @@ object TxLogTable {
     v
   }
 
+  /** Version-diff change feed — the delta world's Change Data Feed read
+    * (`table_changes(...)`) computed from the log's file listings, no
+    * per-row tracking columns required: rows present at `toVersion` but
+    * not at `fromVersion` surface as `insert`, rows present at
+    * `fromVersion` but gone at `toVersion` as `delete`; an upsert that
+    * replaced a row therefore yields its old image as `delete` and its
+    * new image as `insert` (whole-row semantics, matching
+    * [[upsertByKey]]'s contract). Returns the table columns plus
+    * `_change_type` ∈ {insert, delete}. Multiset-exact: k extra copies
+    * of a duplicated row appear k times.
+    *
+    * Scale shape — file-level pruning BEFORE any row moves: files the
+    * two snapshots share contribute identical rows to both sides of the
+    * diff and cancel, so only the files in the symmetric difference of
+    * the two listings are scanned at all. An append-only version range
+    * reads nothing but the appended files (the common case is a pure
+    * narrow scan + zero-row except side); only rebase commits
+    * (upsert/delete/compact) put rewritten files on both sides, and a
+    * pure compaction's rewrite diffs to the empty feed. The except is
+    * Spark's hash-partitioned `EXCEPT ALL` on the row image — mergeable,
+    * no window, no driver-side rows. */
+  def changesBetween(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (fs, root) = fsFor(path)
+    val head = versions(fs, root).lastOption.getOrElse(-1L)
+    require(fromVersion >= -1 && toVersion <= head && fromVersion <= toVersion,
+      s"change range [$fromVersion, $toVersion] outside [-1, $head]")
+    // fromVersion = -1 means "since before the table existed": every
+    // row at toVersion is an insert
+    val f1 = (if (fromVersion < 0) Seq.empty[String]
+              else filesUpTo(fs, root, fromVersion)).toSet
+    val f2 = filesUpTo(fs, root, toVersion).toSet
+    val onlyOld = (f1 -- f2).toSeq.sorted
+    val onlyNew = (f2 -- f1).toSeq.sorted
+    def scan(files: Seq[String]): DataFrame =
+      if (files.isEmpty) None.orNull
+      else spark.read.option("mergeSchema", true)
+        .parquet(files.map(f => s"$path/$f"): _*)
+    (scan(onlyNew), scan(onlyOld)) match {
+      case (null, null) =>
+        spark.emptyDataFrame.withColumn("_change_type", lit(""))
+          .filter(lit(false))
+      case (nw, null) => nw.withColumn("_change_type", lit("insert"))
+      case (null, old) => old.withColumn("_change_type", lit("delete"))
+      case (nw, old) =>
+        // align column sets (an upsert may have widened the schema);
+        // the narrower side reads the missing columns as null
+        import org.apache.spark.sql.functions.col
+        val cols = (nw.columns ++ old.columns).distinct.sorted.toSeq
+        val dtype = (old.schema ++ nw.schema).map(f => f.name -> f.dataType).toMap
+        def aligned(df: DataFrame): DataFrame = df.select(cols.map(c =>
+          if (df.columns.contains(c)) col(c) else lit(null).cast(dtype(c)).as(c)): _*)
+        val a2 = aligned(nw)
+        val a1 = aligned(old)
+        a2.exceptAll(a1).withColumn("_change_type", lit("insert"))
+          .unionByName(a1.exceptAll(a2).withColumn("_change_type", lit("delete")))
+    }
+  }
+
   /** Delete data dirs referenced ONLY by versions older than
     * `sinceVersion` (post-compaction cleanup; forfeits time travel
     * earlier than that, keeps every snapshot at-or-after it intact). */

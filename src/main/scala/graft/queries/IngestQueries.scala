@@ -335,6 +335,99 @@ object IngestQueries extends QueryModule {
       GROUP BY 1
       ORDER BY shard"""))
 
+  /** Seed a [[TxLogTable]] from the supplier table and run the full DML
+    * sequence the reference's Delta lineage supports (delta_writer.py:
+    * 88-94, extended to the MERGE/DELETE surface): v0 = seed append,
+    * v1 = keyed UPSERT (nationkey<5 rows replaced with bumped balances
+    * and '_v2' names; nationkey>=20 rows re-inserted under shifted keys),
+    * v2 = predicate DELETE of nationkey 7. Rebuilt from scratch on every
+    * call (delete-first), so the query is idempotent and deterministic —
+    * the oracle replays the same relational algebra over the raw
+    * parquet. Returns the table path. */
+  private def acidDmlTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val path = s"/tmp/graft_acid_dml_${new java.io.File(d).getName}"
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val seed = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    TxLogTable.append(s, seed, path) // v0
+    val updates = seed.filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey"), concat(col("s_name"), lit("_v2")).as("s_name"),
+        col("s_nationkey"), (col("s_acctbal") + lit(1000.0)).as("s_acctbal"))
+      .unionByName(seed.filter(col("s_nationkey") >= 20)
+        .select((col("s_suppkey") + lit(10000L)).as("s_suppkey"),
+          concat(col("s_name"), lit("_new")).as("s_name"),
+          col("s_nationkey"), col("s_acctbal")))
+    TxLogTable.upsertByKey(s, path, updates, Seq("s_suppkey")) // v1
+    TxLogTable.deleteWhere(s, path, col("s_nationkey") === 7)  // v2
+    path
+  }
+
+  /** A23 ACID DML, head snapshot: the post-UPSERT-post-DELETE state read
+    * back through the commit log — matched rows replaced, unmatched
+    * inserted, predicate-matched rows erased, everything else carried. */
+  private val q154 = QueryDef(
+    "q154_acid_dml_snapshot",
+    (s, d) => TxLogTable.read(s, acidDmlTable(s, d))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")),
+    Some("""
+      WITH upd AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20),
+      merged AS (
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+        FROM supplier s ANTI JOIN upd u ON s.s_suppkey = u.s_suppkey
+        UNION ALL
+        SELECT * FROM upd)
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM merged WHERE s_nationkey <> 7
+      ORDER BY s_suppkey"""))
+
+  /** A23 ACID time travel THROUGH the DML: version 0 read after the
+    * upsert and delete rebased the head — history must be byte-intact
+    * (copy-on-write never touches published snapshots). */
+  private val q155 = QueryDef(
+    "q155_acid_time_travel",
+    (s, d) => TxLogTable.readVersion(s, acidDmlTable(s, d), 0L)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")),
+    Some("""
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey"""))
+
+  /** A23 change feed ([[TxLogTable.changesBetween]]): the row-level diff
+    * v0 → head derived from the log's file listings — replaced rows
+    * surface as delete(old image) + insert(new image), erased rows as
+    * delete, fresh keys as insert; untouched rows cancel file-level
+    * before any row is scanned. */
+  private val q156 = QueryDef(
+    "q156_acid_change_feed",
+    (s, d) => {
+      val path = acidDmlTable(s, d)
+      TxLogTable.changesBetween(s, path, 0L, TxLogTable.currentVersion(path))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"), col("_change_type"))
+    },
+    Some("""
+      WITH ins AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal, 'insert' AS _change_type
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal,
+               'insert'
+        FROM supplier WHERE s_nationkey >= 20),
+      del AS (
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               'delete' AS _change_type
+        FROM supplier WHERE s_nationkey < 5 OR s_nationkey = 7)
+      SELECT * FROM ins UNION ALL SELECT * FROM del
+      ORDER BY _change_type, s_suppkey"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q33, q34, q35, q36, q37, q38, q47, q113)
+    Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156)
 }

@@ -385,6 +385,77 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 3, "head unharmed")
   }
 
+  test("changesBetween: append+delete+upsert yield the exact change set") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)      // v0
+    TxLogTable.append(spark, Seq((4L, "d")).toDF("id", "v"), path)      // v1
+    TxLogTable.deleteWhere(spark, path, col("id") === 2L)               // v2
+    TxLogTable.upsertByKey(spark, path,
+      Seq((3L, "C2"), (5L, "e")).toDF("id", "v"), Seq("id"))            // v3
+
+    def feed(from: Long, to: Long): Set[(Long, String, String)] =
+      TxLogTable.changesBetween(spark, path, from, to)
+        .select(col("id"), col("v"), col("_change_type"))
+        .as[(Long, String, String)].collect().toSet
+
+    // pure append window: inserts only
+    assert(feed(0, 1) == Set((4L, "d", "insert")))
+    // delete window: the erased row is the whole feed
+    assert(feed(1, 2) == Set((2L, "b", "delete")))
+    // upsert window: replaced row = delete(old) + insert(new); fresh key = insert
+    assert(feed(2, 3) == Set(
+      (3L, "c", "delete"), (3L, "C2", "insert"), (5L, "e", "insert")))
+    // full range composes: net effect of every commit
+    assert(feed(0, 3) == Set(
+      (4L, "d", "insert"), (2L, "b", "delete"),
+      (3L, "c", "delete"), (3L, "C2", "insert"), (5L, "e", "insert")))
+    // from = -1 means "since before the table": everything at head is insert
+    assert(feed(-1, 3) == Set(
+      (1L, "a", "insert"), (3L, "C2", "insert"),
+      (4L, "d", "insert"), (5L, "e", "insert")))
+    // empty range is an empty feed
+    assert(TxLogTable.changesBetween(spark, path, 3, 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      TxLogTable.changesBetween(spark, path, 2, 1)
+    }
+  }
+
+  test("changesBetween: compaction and restore preserve the feed semantics") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path) // v0
+    TxLogTable.append(spark, Seq((3L, "c")).toDF("id", "v"), path)            // v1
+    TxLogTable.compact(spark, path, targetFiles = 1)                          // v2
+    // a pure compaction rewrites files but changes no rows: empty feed
+    assert(TxLogTable.changesBetween(spark, path, 1, 2).count() == 0)
+    // and the feed ACROSS the compaction still sees only real changes
+    val across = TxLogTable.changesBetween(spark, path, 0, 2)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(across == Set((3L, "c", "insert")))
+    TxLogTable.deleteWhere(spark, path, col("id") === 1L)                     // v3
+    TxLogTable.restore(spark, path, 2L)                                       // v4
+    // restore undoes the delete: the v2→v4 feed is empty (same snapshot)
+    assert(TxLogTable.changesBetween(spark, path, 2, 4).count() == 0)
+    // and the v3→v4 feed shows the row coming back
+    val back = TxLogTable.changesBetween(spark, path, 3, 4)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "a", "insert")))
+  }
+
+  test("changesBetween: schema widening surfaces null-padded old images") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)            // v0
+    TxLogTable.upsertByKey(spark, path,
+      Seq((1L, "A2", 7)).toDF("id", "v", "x"), Seq("id"))                     // v1
+    val feed = TxLogTable.changesBetween(spark, path, 0, 1)
+      .select(col("id"), col("v"), col("x"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3))).toSet
+    assert(feed == Set((1L, "a", -1, "delete"), (1L, "A2", 7, "insert")))
+  }
+
   test("upsertByKey: matched rows replaced, unmatched inserted, history intact") {
     val path = tmp
     TxLogTable.append(spark,
