@@ -11,6 +11,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *   arriving docs → exact dedup (durable hash index)
   *                 → near-dup drop (durable band index)
+  *                 → semantic drop (OPTIONAL [[SemanticStage]]: fixed
+  *                   Lloyd codebook + durable cell index — the
+  *                   [[StreamingSemanticGate]] semantics folded into
+  *                   this chain's single commit)
   *                 → decontamination drop (prebuilt eval fingerprint
   *                   index — the q109 ACTION semantics: offending
   *                   arrivals are dropped, not just recorded)
@@ -103,6 +107,31 @@ object StreamingCurationChain {
     require(minTokens >= 0, "minTokens must be >= 0")
   }
 
+  /** Optional SEMANTIC stage ([[StreamingSemanticGate]] folded into the
+    * chain's single two-marker commit): arriving docs carrying `vecCol`
+    * are cell-assigned by the FIXED `centroids` codebook and dropped
+    * when within `threshold` cosine of any earlier-id same-cell doc —
+    * in the batch or in the durable `indexDir`. The gate's codebook
+    * fingerprint discipline applies unchanged (`_graft_codebook`
+    * stamped on first publish, verified every batch).
+    *
+    * The semantic index slice — like the exact and band slices — is a
+    * pure function of the quality-filtered batch (EVERY doc's cell row,
+    * admitted or dropped), so recovery republishes it with no read-back,
+    * and each gate's decisions stay independent of the other gates'
+    * drops and of where micro-batch boundaries fall: the chain's
+    * admitted set is the INTERSECTION of the four gates' standalone
+    * admitted sets over the union of arrivals (spec-pinned). */
+  final case class SemanticStage(
+      vecCol: String,
+      centroids: Seq[(Long, Array[Double])],
+      indexDir: String,
+      threshold: Double,
+      maxCellSize: Int = 100000) {
+    require(centroids.nonEmpty, "codebook must be non-empty")
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold out of (0,1]")
+  }
+
   /** Stage 0 — the q96/q127 quality funnel (length floor + Gopher
     * repetition flags), applied BEFORE any hashing or indexing: junk is
     * neither admitted nor INDEXED, exactly like the batch recipe where
@@ -155,7 +184,8 @@ object StreamingCurationChain {
   private[streaming] def processBatch(rawBatch: DataFrame, batchId: Long,
       idCol: String, textCol: String, nTokensCol: String, capacity: Long,
       exactIndexDir: String, bandIndexDir: String, contamIndex: DataFrame,
-      outDir: String, hwmDir: String, checkpoint: String, p: Params): Unit = {
+      outDir: String, hwmDir: String, checkpoint: String, p: Params,
+      semantic: Option[SemanticStage] = None): Unit = {
     val spark = rawBatch.sparkSession
     // stage 0 first, on BOTH the live and the recovery path: every
     // downstream artifact (admissions AND index slices) is a pure
@@ -165,6 +195,10 @@ object StreamingCurationChain {
     if (BatchCommits.markerExists(spark, checkpoint, Commits, batchId)) return
     val (exactFs, _) = BatchCommits.fileSystem(spark, exactIndexDir)
     StreamingDedupGate.checkPrefixLen(exactFs, exactIndexDir, p.prefixLen)
+    semantic.foreach { ss =>
+      val (semFs, _) = BatchCommits.fileSystem(spark, ss.indexDir)
+      StreamingSemanticGate.checkCodebook(semFs, ss.indexDir, ss.centroids)
+    }
     if (BatchCommits.markerExists(spark, checkpoint, OutCommits, batchId)) {
       // recovery: output committed, index/mark publishes may be partial.
       // Slices are pure functions of the replayed batch — republish;
@@ -173,6 +207,11 @@ object StreamingCurationChain {
         exactIndexDir, scope, batchId, Seq("hp"))
       BatchCommits.publishBatch(bandSlice(batch, idCol, textCol, p),
         bandIndexDir, scope, batchId, Seq("bp"))
+      semantic.foreach { ss =>
+        BatchCommits.publishBatch(
+          StreamingSemanticGate.cellRows(batch, idCol, ss.vecCol, ss.centroids),
+          ss.indexDir, scope, batchId, Seq("cell"))
+      }
       val files = BatchCommits.publishedFiles(spark, outDir, scope, batchId)
       val total =
         if (files.isEmpty) 0L
@@ -228,11 +267,36 @@ object StreamingCurationChain {
         val s2 = s1k.join(dupIds,
           col(idCol).cast("long") === col("__dup_id"), "left_anti")
 
+        // ---- stage 2b (optional): semantic drop against the fixed
+        // codebook — in-batch rule over the FULL filtered batch plus the
+        // durable cell index, so the semantic decision is independent of
+        // the other gates' drops and of batch boundaries (a doc the
+        // exact gate dropped still blocks its semantic twins, exactly as
+        // it blocks their shingle bands) ----
+        val semCells = semantic.map { ss =>
+          StreamingSemanticGate.cellRows(batch, idCol, ss.vecCol, ss.centroids)
+            .cache()
+        }
+        val s2s = (semantic, semCells) match {
+          case (Some(ss), Some(cells)) =>
+            val inBatchSem = Dedup.semDedupWith(batch, idCol, ss.vecCol,
+                ss.centroids, ss.threshold, maxClusterSize = ss.maxCellSize,
+                index = IndexStore.NoStore)
+              .filter(col("kept") === 0)
+              .select(col("corpus_id").cast("long").as("__sem_drop"))
+            val crossSem = StreamingSemanticGate.crossBatchDupIds(spark,
+                cells, ss.indexDir, ss.threshold, ss.maxCellSize)
+              .select(col("__dup_id").as("__sem_drop"))
+            s2.join(inBatchSem.unionByName(crossSem).distinct(),
+              col(idCol).cast("long") === col("__sem_drop"), "left_anti")
+          case _ => s2
+        }
+
         // ---- stage 3: decontamination ACTION (drop offending docs) ----
-        val contamIds = Contamination.checkAgainstIndex(s2, idCol, textCol,
+        val contamIds = Contamination.checkAgainstIndex(s2s, idCol, textCol,
             contamIndex, p.minShared, p.k, p.w, rollingHash = p.rollingHash)
           .select(col("test_id").as("__contam_id"))
-        val s3 = s2.join(contamIds,
+        val s3 = s2s.join(contamIds,
           col(idCol).cast("long") === col("__contam_id"), "left_anti")
 
         // ---- stage 4: sequence packing off the durable high-water mark ----
@@ -254,9 +318,15 @@ object StreamingCurationChain {
               .withColumn("hp", substring(col("h"), 1, p.prefixLen)),
             exactIndexDir, scope, batchId, Seq("hp"))
           BatchCommits.publishBatch(allBands, bandIndexDir, scope, batchId, Seq("bp"))
+          (semantic, semCells) match {
+            case (Some(ss), Some(cells)) =>
+              BatchCommits.publishBatch(cells, ss.indexDir, scope, batchId,
+                Seq("cell"))
+            case _ => ()
+          }
           publishMark(spark, hwmDir, scope, batchId, start + total)
           BatchCommits.createMarker(spark, checkpoint, Commits, batchId)
-        } finally packed.unpersist()
+        } finally { packed.unpersist(); semCells.foreach(_.unpersist()) }
       } finally s1.unpersist()
     } finally { allBands.unpersist(); hashed.unpersist() }
   }
@@ -272,6 +342,7 @@ object StreamingCurationChain {
       exactIndexDir: String, bandIndexDir: String, contamIndexDir: String,
       outDir: String, hwmDir: String, checkpoint: String,
       params: Params = Params(),
+      semantic: Option[SemanticStage] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
     // resolved once; each micro-batch re-scans the (immutable) parquet
@@ -283,7 +354,7 @@ object StreamingCurationChain {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, nTokensCol, capacity,
           exactIndexDir, bandIndexDir, contamIndex, outDir, hwmDir,
-          checkpoint, params)
+          checkpoint, params, semantic)
       }
       .start()
   }

@@ -96,6 +96,69 @@ class StreamingCurationChainSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
   }
 
+  test("optional semantic stage: chain == text gates ∩ batch semDedup over the union") {
+    val d = mkDirs("sem")
+    val semDir = Files.createTempDirectory("graft-chain-sem-idx").toString
+    val centroids = Seq(
+      0L -> Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      1L -> Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    // cell-0 docs lean on axis 0, cell-1 docs on axis 1; within a cell
+    // every doc rides its own distinct axis (pairwise cos 0.36) EXCEPT
+    // the two intended semantic pairs: 9~3 (3 is near-dup-DROPPED — a
+    // dropped doc must still block) and 11~6 (6 is admitted), plus 7≡1
+    // (exact text dup carries the identical embedding)
+    val emb: Map[Long, Seq[Double]] = Map(
+      1L -> Seq(0.6, 0.0, 0.8, 0.0, 0.0, 0.0),
+      2L -> Seq(0.6, 0.0, 0.0, 0.8, 0.0, 0.0),
+      3L -> Seq(0.0, 0.6, 0.8, 0.0, 0.0, 0.0),
+      4L -> Seq(0.6, 0.0, 0.0, 0.0, 0.8, 0.0),
+      5L -> Seq(0.0, 0.6, 0.0, 0.8, 0.0, 0.0),
+      6L -> Seq(0.0, 0.6, 0.0, 0.0, 0.8, 0.0),
+      7L -> Seq(0.6, 0.0, 0.8, 0.0, 0.0, 0.0),
+      8L -> Seq(0.6, 0.0, 0.0, 0.0, 0.0, 0.8),
+      9L -> Seq(0.0, 0.6, 0.7997, 0.02, 0.0, 0.0),
+      10L -> Seq(0.6, 0.0, 0.5657, 0.5657, 0.0, 0.0),
+      11L -> Seq(0.0, 0.6, 0.02, 0.0, 0.7997, 0.0),
+      12L -> Seq(0.0, 0.6, 0.0, 0.0, 0.0, 0.8))
+    def dfv(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.map { case (id, t, n) => (id, t, n, emb(id)) }
+        .toDF("doc_id", "text", "n_tokens", "emb")
+    val ss = StreamingCurationChain.SemanticStage(
+      "emb", centroids, semDir, threshold = 0.95)
+    Seq(batch0, batch1).zipWithIndex.foreach { case (rows, i) =>
+      StreamingCurationChain.processBatch(dfv(rows), i.toLong, "doc_id",
+        "text", "n_tokens", Cap, d.exact, d.band,
+        Contamination.loadIndex(spark, d.contam), d.out, d.hwm, d.ckpt, P,
+        Some(ss))
+    }
+    val streamed = packedRows(d.out).map(_._1)
+    // the contract: admitted = text-gate pipeline ∩ batch semDedupWith
+    // kept set, both over the UNION of arrivals
+    val textSurvivors = batchPipeline(batch0 ++ batch1, d.contam).map(_._1)
+    val semKept = Dedup.semDedupWith(dfv(batch0 ++ batch1), "doc_id", "emb",
+        centroids, 0.95, maxClusterSize = 100000, index = IndexStore.NoStore)
+      .filter(col("kept") === 1).select(col("corpus_id"))
+      .as[Long].collect().toSet
+    assert(streamed == (textSurvivors intersect semKept),
+      s"chain=$streamed text=$textSurvivors sem=$semKept")
+    // hand-check: 9 dropped via the near-dup-DROPPED 3, 11 via the
+    // admitted 6 — the text gates alone would have admitted both
+    assert(streamed == Set(1L, 4L, 6L))
+    // the semantic cell index holds EVERY seen doc's row (pure function
+    // of the batch, like the exact and band slices)
+    val semIds = spark.read.parquet(semDir).select("id").as[Long].collect().toSet
+    assert(semIds == (batch0 ++ batch1).map(_._1).toSet,
+      s"semantic index must hold every seen doc: $semIds")
+    // replay after the final marker is a no-op (chain-level idempotence
+    // with the semantic stage wired in)
+    val before = packedRows(d.out)
+    StreamingCurationChain.processBatch(dfv(batch1), 1L, "doc_id", "text",
+      "n_tokens", Cap, d.exact, d.band,
+      Contamination.loadIndex(spark, d.contam), d.out, d.hwm, d.ckpt, P,
+      Some(ss))
+    assert(packedRows(d.out) == before)
+  }
+
   test("two batches through the chain == the composed batch pipeline over the union") {
     val d = mkDirs("equiv")
     run(d, Seq(batch0, batch1))
