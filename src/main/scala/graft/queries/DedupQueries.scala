@@ -615,7 +615,7 @@ object DedupQueries extends QueryModule {
           Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars")),
           "doc_id", "text", "n_chars",
           tau = 0.9, minShared = 10, maxDf = 50, k = 8, w = 4,
-          index = graft.operators.IndexStore.NoStore,
+          index = graft.operators.IndexStore.default,
           minParallelism = s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("container_id"), col("shared"),
           col("n_fp"), Rnd.halfUp(col("ratio"), 6).as("ratio6"))
@@ -769,7 +769,7 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"), col("text"), col("n_chars"))
       val cont = Dedup.containment(s1, "doc_id", "text", "n_chars",
           tau = 0.9, minShared = 10, maxDf = 50, k = 8, w = 4,
-          index = IndexStore.NoStore,
+          index = IndexStore.default,
           minParallelism = s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("__cd"))
       val s1c = s1.join(cont, col("doc_id") === col("__cd"), "left_anti")
@@ -777,12 +777,12 @@ object DedupQueries extends QueryModule {
       val prs = Dedup.minhashLsh(s1c, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
-        index = IndexStore.NoStore,
+        index = IndexStore.default,
         minParallelism = s.sparkContext.defaultParallelism)
       val s2 = s1c.join(prs.select(col("id_b").as("__d")).distinct(),
         col("doc_id") === col("__d"), "left_anti")
       val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
-        maxDf = 50, k = 8, w = 4, index = IndexStore.NoStore,
+        maxDf = 50, k = 8, w = 4, index = IndexStore.default,
         minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
       val contam = Contamination.checkAgainstIndex(s2, "doc_id", "text", idx,
           minShared = 20, k = 8, w = 4,
@@ -942,7 +942,7 @@ object DedupQueries extends QueryModule {
           docs.select(col("doc_id"), col("text"), col("n_chars")),
           "doc_id", "text", "n_chars",
           tau = 0.9, minShared = 10, maxDf = 50, k = 8, w = 4,
-          index = graft.operators.IndexStore.NoStore,
+          index = graft.operators.IndexStore.default,
           minParallelism = s.sparkContext.defaultParallelism)
       val srcA = docs.select(col("doc_id"), col("source").as("from_source"))
       val srcB = docs.select(col("doc_id").as("container_id"),
@@ -1189,7 +1189,7 @@ object DedupQueries extends QueryModule {
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
-      q116, q118, q127, q143, q146, q148, q149, q153)
+      q116, q118, q127, q143, q146, q148, q149, q153, q157)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component
@@ -1770,6 +1770,149 @@ object DedupQueries extends QueryModule {
                    unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
                    % 1000000007 AS BIGINT)) AS grams
         FROM gsrc),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      evalfp AS (
+        SELECT fp.doc_id, fp.f FROM fp
+        JOIN sp USING (doc_id) WHERE sp.split = 'eval'),
+      pruned AS (SELECT f FROM evalfp GROUP BY f HAVING count(*) <= 50),
+      eidx AS (SELECT doc_id AS train_id, f FROM evalfp JOIN pruned USING (f)),
+      hits AS (
+        SELECT s2fp.doc_id
+        FROM (SELECT fp.doc_id, fp.f FROM fp JOIN s2 USING (doc_id)) s2fp
+        JOIN eidx ON s2fp.f = eidx.f
+        GROUP BY s2fp.doc_id, eidx.train_id
+        HAVING count(*) >= 20),
+      s3 AS (
+        SELECT doc_id, text FROM s2
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)),
+      t AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0))::BIGINT AS n_toks
+        FROM s3),
+      c AS (
+        SELECT doc_id, n_toks,
+          COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS tok_offset
+        FROM t)
+      SELECT doc_id, n_toks AS n_tokens, tok_offset,
+        tok_offset // 1024 AS seq_id,
+        tok_offset % 1024 AS seq_offset,
+        (tok_offset + greatest(n_toks, 1) - 1) // 1024 AS seq_last
+      FROM c
+      ORDER BY doc_id"""))
+
+  /** The q112 curation chain UNCAPPED — the whole documents corpus, no
+    * doc_id fence. What makes it affordable is exactly the production
+    * LSH posture the capped family steps around to verify handoffs:
+    * 3-word shingles (q42/q43's default — shingle sets are near-unique,
+    * so buckets stay small) plus a finite `maxBucketSize` whose
+    * de-skewed groupBy+join-back cap drops any boilerplate band before
+    * the pair join can detonate. This is the scale configuration: the
+    * capped chains verify stage HANDOFFS on a fenced corpus; this one
+    * verifies the chain SURVIVES the corpus. The oracle replays the
+    * 3-shingle LSH (q43's scheme with q42's shingle CTE), the band cap,
+    * winnowing decontamination, and the packing tail — hash-exact. */
+  private val q157 = QueryDef(
+    "q157_curation_chain_full",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val split = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      val train = split.filter(col("split") === "train").drop("split")
+      val evalDocs = split.filter(col("split") === "eval").drop("split")
+      val s1 = Dedup.exact(train, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+      val prs = Dedup.minhashLsh(s1, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, rows = 4,
+        threshold = 0.8, maxBucketSize = 100,
+        index = IndexStore.default,
+        minParallelism = s.sparkContext.defaultParallelism)
+      val s2 = s1.join(prs.select(col("id_b").as("__d")).distinct(),
+        col("doc_id") === col("__d"), "left_anti")
+      val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
+        maxDf = 50, k = 8, w = 4, index = IndexStore.default,
+        minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
+      val contam = Contamination.checkAgainstIndex(s2, "doc_id", "text", idx,
+          minShared = 20, k = 8, w = 4,
+          minParallelism = s.sparkContext.defaultParallelism,
+          rollingHash = true)
+        .select(col("test_id").as("__c"))
+      val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
+      val sized = s3.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
+        .persist()
+      Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
+          bucketWidth = 8L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sp AS (
+        SELECT doc_id, text,
+               CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 1037629354146162304 THEN 'train' ELSE 'eval' END AS split
+        FROM documents),
+      tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+      s1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM tr) WHERE rn = 1),
+      toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w
+        FROM s1),
+      sets AS (
+        SELECT id, list_distinct(CASE WHEN len(w) >= 3
+                 THEN list_transform(generate_series(1, len(w) - 2),
+                      j -> concat_ws(' ', w[j], w[j+1], w[j+2]))
+                 ELSE [] END) AS sset
+        FROM toks),
+      sets2 AS (SELECT id, sset FROM sets WHERE len(sset) > 0),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets2),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      keepb AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 100),
+      bands2 AS (SELECT b.id, b.sset, b.band FROM bands b JOIN keepb USING (band)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands2 a JOIN bands2 b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets2 sa ON sa.id = c.id_a
+        JOIN sets2 sb ON sb.id = c.id_b),
+      drop2 AS (
+        SELECT DISTINCT id_b FROM verified
+        WHERE inter / (la + lb - inter) >= 0.8),
+      s2 AS (
+        SELECT doc_id, text FROM s1
+        WHERE doc_id NOT IN (SELECT id_b FROM drop2)),
+      g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM sp),
       wnd AS (
         SELECT doc_id,
                list_sort(list_distinct(CASE WHEN len(grams) >= 4
