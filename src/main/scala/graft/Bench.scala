@@ -89,10 +89,21 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(",")}")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"failed":${failed.size}}"""
+    // the driver's BENCH_r{N}.json captures only a tail of stdout, which
+    // truncates the per-query map once the corpus passes ~100 queries —
+    // ALSO persist the complete map as a sibling artifact so cross-round
+    // per-query comparison never depends on stdout capture limits
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     // full per-query line first; the compact contract line LAST — the driver
     // tail-parses the final JSON line (BENCH_r02 "parsed" was null with the
     // long line last, so the headline must be the terminal line and short)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"failed":${failed.size}}""")
+    println(fullLine)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"failed":${failed.size}}""")
     spark.stop()
   }

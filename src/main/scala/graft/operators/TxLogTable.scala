@@ -235,6 +235,25 @@ object TxLogTable {
     v
   }
 
+  /** Log-relative paths of the files (among `all`) that contain at
+    * least one row of `probe` — EXACT file-level pruning for the DML
+    * rewrites: the probe is a filtered/semi-joined scan whose parquet
+    * footer pushdown and column pruning keep it cheap, and its
+    * `input_file_name` set names precisely the files copy-on-write must
+    * touch. Everything else carries over by reference (the Delta
+    * engines' find-touched-files scan before MERGE/DELETE). */
+  private def touchedFiles(all: Seq[String], probe: DataFrame): Seq[String] = {
+    // the caller stamps __f = input_file_name() on the SNAPSHOT scan
+    // before any join (the expression is single-source: stamping after
+    // a join with another file source is ambiguous and rejected)
+    val hit = probe.select(org.apache.spark.sql.functions.col("__f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    all.filter(rel => hit.exists(_.endsWith("/" + rel)))
+  }
+
+  private def schemaKey(st: org.apache.spark.sql.types.StructType) =
+    st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+
   /** Keyed UPSERT — the delta world's `MERGE … WHEN MATCHED UPDATE WHEN
     * NOT MATCHED INSERT` for whole rows: current rows whose `keyCols`
     * match an incoming row are REPLACED by it, unmatched incoming rows
@@ -245,9 +264,15 @@ object TxLogTable {
     * columns; non-key columns take the UPDATES frame's schema (the
     * merge writes whole rows, not per-column deltas).
     *
-    * Same scale note as [[deleteWhere]]: the whole snapshot rewrites;
-    * at real scale, file-pruned merges need the per-file stats index
-    * this log does not yet carry. */
+    * Scale shape — FILE-PRUNED copy-on-write when the updates frame
+    * matches the table schema: a key-column-only scan (column-pruned)
+    * semi-joined with the update keys finds the files that hold matched
+    * rows; ONLY those rewrite, every other file carries into the new
+    * version by reference, so upserting k rows into an N-file table
+    * costs O(files-holding-k) rewrite, not O(N). A schema-changing
+    * upsert (widening merge) falls back to the full-snapshot rewrite —
+    * mixed per-file schemas would make every later read pay mergeSchema
+    * reconciliation forever. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String],
       commit: CommitPoint = CommitPoint.Auto): Long = {
@@ -262,16 +287,37 @@ object TxLogTable {
     require(dupKeys.isEmpty,
       s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
     val snapshot = readVersion(spark, path, v0)
-    val carried = snapshot.join(
-      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
-      keyCols, "left_anti")
-    val merged = carried.unionByName(updates, allowMissingColumns = true)
-    val files = stage(merged, fs, root, "merge-")
-    val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-      maxRetries = 1, commit)
-    DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
-      merged.schema.json, commit)
-    v
+    val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    if (schemaKey(snapshot.schema) == schemaKey(updates.schema)) {
+      // file-pruned path: rewrite only files holding matched keys
+      val all = filesUpTo(fs, root, v0)
+      val touched = touchedFiles(all,
+        snapshot
+          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+          .join(keys, keyCols, "left_semi"))
+      val untouched = all.diff(touched)
+      val merged =
+        if (touched.isEmpty) updates // pure insert: nothing to carry
+        else spark.read.option("mergeSchema", true)
+          .parquet(touched.map(f => s"$path/$f"): _*)
+          .join(keys, keyCols, "left_anti")
+          .unionByName(updates)
+      val staged = stage(merged, fs, root, "merge-")
+      val v = commitEntry(fs, root, (untouched ++ staged).sorted,
+        rebase = true, Some(v0), maxRetries = 1, commit)
+      DeltaInterop.mirror(spark, path, v, staged, touched,
+        snapshot.schema.json, commit)
+      v
+    } else {
+      val carried = snapshot.join(keys, keyCols, "left_anti")
+      val merged = carried.unionByName(updates, allowMissingColumns = true)
+      val files = stage(merged, fs, root, "merge-")
+      val v = commitEntry(fs, root, files, rebase = true, Some(v0),
+        maxRetries = 1, commit)
+      DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
+        merged.schema.json, commit)
+      v
+    }
   }
 
   /** Predicate DELETE — the delta world's `DELETE FROM … WHERE`: the
@@ -284,12 +330,15 @@ object TxLogTable {
     * delete. Returns the committed version, or -1 without committing
     * when nothing matches (no empty rewrite, no log churn).
     *
-    * Scale note: this rewrites the WHOLE snapshot (the minimal correct
-    * form at this layer — file-level pruning of untouched files needs
-    * per-file min/max stats, which [[compact]]'s zorder path produces
-    * but the log does not yet index). Callers deleting a tiny slice of
-    * a huge table should compact first so the rewrite is
-    * target-file-sized. */
+    * Scale shape — FILE-PRUNED copy-on-write: a predicate probe scan
+    * (parquet footer pushdown prunes row groups; `input_file_name`
+    * names the survivors) finds exactly the files that CONTAIN matching
+    * rows; only those rewrite without their matching rows, every other
+    * file carries into the new version by reference. Deleting a
+    * partition-shaped slice of an N-file table therefore costs the
+    * probe scan plus a rewrite of the slice, not O(N) — and
+    * [[compact]]'s zorder path makes the pruning sharper by clustering
+    * the predicate columns into tight per-file ranges. */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       commit: CommitPoint = CommitPoint.Auto): Long = {
@@ -297,12 +346,23 @@ object TxLogTable {
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     require(v0 >= 0, s"cannot delete from an empty table at $path")
     val snapshot = readVersion(spark, path, v0)
-    if (snapshot.filter(predicate).isEmpty) return -1L
-    val remaining = snapshot.filter(!predicate)
-    val files = stage(remaining, fs, root, "delete-")
-    val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-      maxRetries = 1, commit)
-    DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
+    val all = filesUpTo(fs, root, v0)
+    val touched = touchedFiles(all,
+      snapshot
+        .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+        .filter(predicate))
+    if (touched.isEmpty) return -1L
+    val untouched = all.diff(touched)
+    val remaining = spark.read.option("mergeSchema", true)
+      .parquet(touched.map(f => s"$path/$f"): _*)
+      .filter(!predicate)
+    // a touched-file set whose every row matches stages nothing
+    val staged =
+      if (remaining.isEmpty) Seq.empty[String]
+      else stage(remaining, fs, root, "delete-")
+    val v = commitEntry(fs, root, (untouched ++ staged).sorted,
+      rebase = true, Some(v0), maxRetries = 1, commit)
+    DeltaInterop.mirror(spark, path, v, staged, touched,
       snapshot.schema.json, commit)
     v
   }

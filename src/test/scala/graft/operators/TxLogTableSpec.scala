@@ -385,6 +385,57 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 3, "head unharmed")
   }
 
+  test("DML file pruning: untouched files carry by reference, only touched rewrite") {
+    val path = tmp
+    // repartition(1) so each append publishes exactly one data file
+    TxLogTable.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), path)  // v0: fA
+    TxLogTable.append(spark,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v").repartition(1), path)  // v1: fB
+    val at1 = TxLogTable.filesAt(path, 1L)
+    assert(at1.size == 2)
+    // resolve which file holds id 1 by reading it
+    val fA = at1.find(f => spark.read.parquet(s"$path/$f")
+      .filter(col("id") === 1L).count() > 0).get
+    val fB = at1.filterNot(_ == fA).head
+    // predicate delete touches ONLY fA; fB must carry by reference
+    TxLogTable.deleteWhere(spark, path, col("id") === 1L)              // v2
+    val at2 = TxLogTable.filesAt(path, 2L)
+    assert(at2.contains(fB), s"untouched file must carry by reference: $at2")
+    assert(!at2.contains(fA), s"touched file must be rewritten out: $at2")
+    assert(TxLogTable.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")))
+    // same-schema upsert matching only fB's keys carries fA's rewrite
+    val fC = at2.filterNot(_ == fB).head
+    TxLogTable.upsertByKey(spark, path,
+      Seq((3L, "C2")).toDF("id", "v"), Seq("id"))                      // v3
+    val at3 = TxLogTable.filesAt(path, 3L)
+    assert(at3.contains(fC), s"file without matched keys must carry: $at3")
+    assert(!at3.contains(fB), s"file holding the matched key must rewrite: $at3")
+    assert(TxLogTable.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "C2"), (4L, "d")))
+    // pure-insert upsert (no matched keys) touches nothing: every prior
+    // file carries, only the new rows stage
+    TxLogTable.upsertByKey(spark, path,
+      Seq((5L, "e")).toDF("id", "v"), Seq("id"))                       // v4
+    val at4 = TxLogTable.filesAt(path, 4L)
+    assert(at3.forall(at4.contains), s"pure insert must carry all files: $at4")
+    // deleting every row of a file drops it without staging a residue
+    TxLogTable.deleteWhere(spark, path, col("id") === 5L)              // v5
+    assert(TxLogTable.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "C2"), (4L, "d")))
+    // history unaffected by pruning: every version still time-travels
+    assert(TxLogTable.readVersion(spark, path, 1L)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // and the change feed across the pruned commits is still exact
+    val feed = TxLogTable.changesBetween(spark, path, 1L, 3L)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set((1L, "a", "delete"),
+      (3L, "c", "delete"), (3L, "C2", "insert")))
+  }
+
   test("changesBetween: append+delete+upsert yield the exact change set") {
     val path = tmp
     TxLogTable.append(spark,
