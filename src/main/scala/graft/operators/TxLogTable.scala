@@ -83,11 +83,85 @@ object TxLogTable {
     val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new HPath(root, s"data-$stageId")
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    writeFileStats(df.sparkSession, fs, dataDir, df.schema)
     fs.listStatus(dataDir).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data-$stageId/${s.getPath.getName}")
       .toSeq.sorted
   }
+
+  // ---- per-file min/max stats (the Delta data-skipping sidecar) ----
+
+  /** Column types whose min/max order the log-level skip can reason
+    * about: numerics compare as BigDecimal, strings lexically, dates as
+    * epoch days, timestamps as epoch micros. Everything else (arrays,
+    * structs, maps, binary, boolean) is skipped — its files always scan. */
+  private def statsSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | StringType | DateType | TimestampType => true
+      case _ => false
+    }
+  }
+
+  /** One JSON-encodable scalar per stats value; exact encodings so the
+    * skip decision never rounds a bound toward the pruned side. */
+  private def statScalar(v: Any): Option[org.json4s.JValue] = {
+    import org.json4s.JsonDSL._
+    v match {
+      case null => None
+      case s: String => Some(s: org.json4s.JValue)
+      case ts: java.sql.Timestamp =>
+        Some(org.json4s.JLong(ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L))
+      case d: java.sql.Date => Some(org.json4s.JLong(d.toLocalDate.toEpochDay))
+      case n: java.math.BigDecimal => Some(org.json4s.JDecimal(BigDecimal(n)))
+      case n: Number => Some(org.json4s.JDecimal(BigDecimal(n.toString)))
+      case _ => None
+    }
+  }
+
+  /** Compute per-file min/max for every supported column of the freshly
+    * staged `dataDir` (one aggregate pass over the just-written — page-
+    * warm — slice, the stats write Delta does inline) and publish them
+    * as `_stats.json` inside the dir. Underscore-prefixed: invisible to
+    * parquet reads and to the log's file regex; lives and dies with the
+    * data dir through compaction/vacuum. BEST-EFFORT: a stats failure
+    * must not fail the commit — a file without stats simply always
+    * scans ([[readWhere]] keeps it). */
+  private def writeFileStats(spark: SparkSession, fs: FileSystem,
+      dataDir: HPath, schema: org.apache.spark.sql.types.StructType): Unit =
+    try {
+      import org.apache.spark.sql.functions.{col => fcol, input_file_name, max => fmax, min => fmin}
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val cols = schema.fields.filter(f => statsSupported(f.dataType))
+      if (cols.isEmpty) return
+      val aggs = cols.flatMap { f =>
+        Seq(fmin(fcol(s"`${f.name}`")).as(s"__min_${f.name}"),
+            fmax(fcol(s"`${f.name}`")).as(s"__max_${f.name}"))
+      }
+      val rows = spark.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val perFile: org.json4s.JObject = org.json4s.JObject(rows.toList.map { r =>
+        val fname = r.getString(0).split('/').last
+        val colsJson = org.json4s.JObject(cols.toList.flatMap { f =>
+          for {
+            mn <- statScalar(r.getAs[Any](s"__min_${f.name}"))
+            mx <- statScalar(r.getAs[Any](s"__max_${f.name}"))
+          } yield f.name -> (("min" -> mn) ~ ("max" -> mx))
+        })
+        fname -> (colsJson: org.json4s.JValue)
+      })
+      writeString(fs, new HPath(dataDir, "_stats.json"),
+        JsonMethods.compact(JsonMethods.render(
+          org.json4s.JObject("files" -> perFile))), overwrite = true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] stats for $dataDir skipped (files will always scan): $e")
+    }
 
   /** Publish one atomic commit. `rebase = true` marks the entry as a full
     * replacement of the accumulated file list (compaction); rebase
@@ -289,12 +363,30 @@ object TxLogTable {
     val snapshot = readVersion(spark, path, v0)
     val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     if (schemaKey(snapshot.schema) == schemaKey(updates.schema)) {
-      // file-pruned path: rewrite only files holding matched keys
+      // file-pruned path: rewrite only files holding matched keys.
+      // Stats-prune the probe first on the leading key's range — a file
+      // whose key interval misses [min(update keys), max(update keys)]
+      // cannot hold a match (conservative: in-range files still probe)
       val all = filesUpTo(fs, root, v0)
-      val touched = touchedFiles(all,
-        snapshot
-          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-          .join(keys, keyCols, "left_semi"))
+      val keyRange = {
+        import org.apache.spark.sql.functions.{col => fc, max => fmax, min => fmin}
+        val r = updates.agg(fmin(fc(keyCols.head)), fmax(fc(keyCols.head))).first()
+        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+      }
+      val cand = keyRange match {
+        case Some((mn, mx)) =>
+          import org.apache.spark.sql.functions.{col => fc, lit => fl}
+          prunedFiles(spark, path,
+            fc(keyCols.head) >= fl(mn) && fc(keyCols.head) <= fl(mx))._1
+        case None => all
+      }
+      val touched =
+        if (cand.isEmpty) Seq.empty[String]
+        else touchedFiles(cand,
+          spark.read.option("mergeSchema", true)
+            .parquet(cand.map(f => s"$path/$f"): _*)
+            .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+            .join(keys, keyCols, "left_semi"))
       val untouched = all.diff(touched)
       val merged =
         if (touched.isEmpty) updates // pure insert: nothing to carry
@@ -347,10 +439,17 @@ object TxLogTable {
     require(v0 >= 0, s"cannot delete from an empty table at $path")
     val snapshot = readVersion(spark, path, v0)
     val all = filesUpTo(fs, root, v0)
-    val touched = touchedFiles(all,
-      snapshot
-        .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-        .filter(predicate))
+    // stats-level prefilter first (no footer even opens for a file whose
+    // min/max interval excludes the predicate), then the exact probe
+    // scan over the surviving candidates names the files to rewrite
+    val (cand, _) = prunedFiles(spark, path, predicate)
+    val touched =
+      if (cand.isEmpty) Seq.empty[String]
+      else touchedFiles(cand,
+        spark.read.option("mergeSchema", true)
+          .parquet(cand.map(f => s"$path/$f"): _*)
+          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+          .filter(predicate))
     if (touched.isEmpty) return -1L
     val untouched = all.diff(touched)
     val remaining = spark.read.option("mergeSchema", true)
@@ -579,6 +678,173 @@ object TxLogTable {
   def currentVersion(path: String): Long = {
     val (fs, root) = fsFor(path)
     versions(fs, root).lastOption.getOrElse(-1L)
+  }
+
+  // ---- log-level data skipping (the Delta stats-pruned scan) ----
+
+  /** min/max per column per log-relative file, loaded from each data
+    * dir's `_stats.json`. Files in dirs without stats are absent from
+    * the map (they always scan). */
+  private def loadStats(fs: FileSystem, root: HPath, files: Seq[String])
+      : Map[String, Map[String, (org.json4s.JValue, org.json4s.JValue)]] = {
+    import org.json4s._
+    files.map(_.split('/').head).distinct.flatMap { dir =>
+      val p = new HPath(new HPath(root, dir), "_stats.json")
+      if (!fs.exists(p)) Seq.empty
+      else try {
+        jackson.JsonMethods.parse(readString(fs, p)) \ "files" match {
+          case JObject(perFile) => perFile.flatMap {
+            case (fname, JObject(cols)) =>
+              val m = cols.flatMap {
+                case (cname, o) => for {
+                  mn <- (o \ "min").toOption
+                  mx <- (o \ "max").toOption
+                } yield cname -> ((mn, mx))
+              }.toMap
+              Seq(s"$dir/$fname" -> m)
+            case _ => Seq.empty
+          }
+          case _ => Seq.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }.toMap
+  }
+
+  private def statOrdering(dt: org.apache.spark.sql.types.DataType,
+      stat: org.json4s.JValue, litVal: Any): Option[Int] = {
+    import org.apache.spark.sql.types._
+    import org.json4s._
+    (dt, stat) match {
+      case (StringType, JString(s)) => litVal match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(s.compareTo(u.toString))
+        case l: String => Some(s.compareTo(l))
+        case _ => None
+      }
+      case (_: NumericType | DateType | TimestampType, _) =>
+        val sNum = stat match {
+          case JInt(i) => Some(BigDecimal(i))
+          case JLong(l) => Some(BigDecimal(l))
+          case JDecimal(d) => Some(d)
+          case JDouble(d) => Some(BigDecimal(d))
+          case _ => None
+        }
+        val lNum = litVal match {
+          case n: java.math.BigDecimal => Some(BigDecimal(n))
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+          case n: Byte => Some(BigDecimal(n.toInt))
+          case n: Short => Some(BigDecimal(n.toInt))
+          case n: Int => Some(BigDecimal(n))
+          case n: Long => Some(BigDecimal(n))
+          case n: Float => Some(BigDecimal(n.toDouble))
+          case n: Double => Some(BigDecimal(n))
+          case _ => None
+        }
+        for (s <- sNum; l <- lNum) yield s.compare(l)
+      case _ => None
+    }
+  }
+
+  /** Conservative may-this-file-match over a RESOLVED predicate tree:
+    * comparisons of a (possibly numerically-cast) column against a
+    * literal consult the file's min/max interval; any shape the
+    * evaluator does not understand — unknown functions, IN over
+    * subqueries, null tests — answers "might match", so pruning can
+    * only ever drop files that provably hold no matching row. */
+  private def mightMatch(
+      stats: Option[Map[String, (org.json4s.JValue, org.json4s.JValue)]],
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrOf(x: Expression): Option[(String, org.apache.spark.sql.types.DataType)] =
+      x match {
+        case a: AttributeReference => Some((a.name, a.dataType))
+        // numeric widening casts preserve order; any other cast → unknown
+        case Cast(a: AttributeReference, _, _, _)
+            if a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          Some((a.name, a.dataType))
+        case _ => None
+      }
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v, _) if v != null => Some(v)
+      case _ => None
+    }
+    // cmpMin/cmpMax: Ordering of the file's bound vs the literal
+    def bounds(name: String, dt: org.apache.spark.sql.types.DataType,
+        lit: Any): Option[(Int, Int)] =
+      stats.flatMap(_.get(name)).flatMap { case (mn, mx) =>
+        for {
+          cMin <- statOrdering(dt, mn, lit)
+          cMax <- statOrdering(dt, mx, lit)
+        } yield (cMin, cMax)
+      }
+    def cmp(l: Expression, r: Expression,
+        keep: ((Int, Int)) => Boolean, flipKeep: ((Int, Int)) => Boolean): Boolean =
+      (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
+        case (Some((n, dt)), Some(v), _, _) => bounds(n, dt, v).forall(keep)
+        case (_, _, Some((n, dt)), Some(v)) => bounds(n, dt, v).forall(flipKeep)
+        case _ => true
+      }
+    e match {
+      case And(a, b) => mightMatch(stats, a) && mightMatch(stats, b)
+      case Or(a, b) => mightMatch(stats, a) || mightMatch(stats, b)
+      case EqualTo(l, r) =>
+        cmp(l, r, { case (mn, mx) => mn <= 0 && mx >= 0 },
+          { case (mn, mx) => mn <= 0 && mx >= 0 })
+      case GreaterThan(l, r) => // attr > lit: keep iff max > lit | lit > attr: keep iff min < lit
+        cmp(l, r, { case (_, mx) => mx > 0 }, { case (mn, _) => mn < 0 })
+      case GreaterThanOrEqual(l, r) =>
+        cmp(l, r, { case (_, mx) => mx >= 0 }, { case (mn, _) => mn <= 0 })
+      case LessThan(l, r) =>
+        cmp(l, r, { case (mn, _) => mn < 0 }, { case (_, mx) => mx > 0 })
+      case LessThanOrEqual(l, r) =>
+        cmp(l, r, { case (mn, _) => mn <= 0 }, { case (_, mx) => mx >= 0 })
+      case _ => true
+    }
+  }
+
+  /** Partition the current snapshot's file list into (kept, skipped) for
+    * `predicate` using the per-file stats — introspection for specs and
+    * skip-rate reporting; [[readWhere]] scans only the kept list. */
+  def prunedFiles(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+    val (fs, root) = fsFor(path)
+    val v = versions(fs, root).lastOption.getOrElse(-1L)
+    if (v < 0) return (Seq.empty, Seq.empty)
+    val files = filesUpTo(fs, root, v)
+    val schema = readVersion(spark, path, v).schema
+    // resolve the caller's Column against the snapshot schema so the
+    // tree carries typed AttributeReferences and cast literals
+    val cond = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(predicate).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    cond match {
+      case None => (files, Seq.empty)
+      case Some(c) =>
+        val stats = loadStats(fs, root, files)
+        files.partition(f => mightMatch(stats.get(f), c))
+    }
+  }
+
+  /** Predicate read with LOG-LEVEL data skipping — the Delta stats-
+    * pruned scan: files whose recorded min/max intervals prove no row
+    * can match are dropped from the read BEFORE any footer opens, so a
+    * selective read of a [[compact]]-zordered table touches the curve
+    * segment, not the table. Exact regardless of stats quality: the
+    * predicate still applies to every surviving row, and a file without
+    * stats (pre-stats tables, unsupported column types, exotic
+    * predicate shapes) simply scans. */
+  def readWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val (kept, _) = prunedFiles(spark, path, predicate)
+    if (kept.isEmpty) {
+      val v = currentVersion(path)
+      if (v < 0) return spark.emptyDataFrame
+      return readVersion(spark, path, v).filter(predicate).limit(0)
+    }
+    spark.read.option("mergeSchema", true)
+      .parquet(kept.map(f => s"$path/$f"): _*)
+      .filter(predicate)
   }
 
   // ---- log introspection for the Delta mirror backfill (DeltaInterop.sync) ----

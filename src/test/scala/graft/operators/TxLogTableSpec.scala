@@ -385,6 +385,62 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 3, "head unharmed")
   }
 
+  test("data skipping: stats-pruned readWhere drops provably-unmatching files") {
+    val path = tmp
+    // three single-file commits with disjoint id ranges → three files
+    // with tight, non-overlapping min/max intervals in their stats
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      TxLogTable.append(spark,
+        r.map(i => (i, s"doc-$i", i * 2.5)).toDF("id", "v", "x").repartition(1),
+        path)
+    }
+    // numeric range predicate: only the middle file may match
+    val (kept, skipped) = TxLogTable.prunedFiles(spark, path,
+      col("id") >= 150L && col("id") < 160L)
+    assert(kept.size == 1 && skipped.size == 2,
+      s"expected 1 kept / 2 skipped, got $kept / $skipped")
+    val got = TxLogTable.readWhere(spark, path,
+        col("id") >= 150L && col("id") < 160L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (150L until 160L).toSet)
+    // the pruned scan really reads one file
+    val scanned = TxLogTable.readWhere(spark, path,
+      col("id") >= 150L && col("id") < 160L).inputFiles
+    assert(scanned.length == 1, scanned.mkString(","))
+    // double column, equality — one file
+    assert(TxLogTable.prunedFiles(spark, path, col("x") === 500.0)._1.size == 1)
+    // string predicate prunes lexically (doc-250 sorts into every range
+    // that contains strings around it; exactness is what matters)
+    val sGot = TxLogTable.readWhere(spark, path, col("v") === "doc-250")
+      .select("id").as[Long].collect().toSet
+    assert(sGot == Set(250L))
+    // OR keeps the union of both sides' candidates
+    val (orKept, _) = TxLogTable.prunedFiles(spark, path,
+      col("id") < 50L || col("id") >= 250L)
+    assert(orKept.size == 2, orKept.mkString(","))
+    // a predicate shape the evaluator can't reason about keeps everything
+    val (allKept, none) = TxLogTable.prunedFiles(spark, path,
+      col("id") % 10L === 0L)
+    assert(none.isEmpty && allKept.size == 3)
+    // and the unprunable read is still exact
+    assert(TxLogTable.readWhere(spark, path, col("id") % 100L === 7L)
+      .count() == 3)
+    // impossible predicate: zero files scan, result is empty with schema
+    val nothing = TxLogTable.readWhere(spark, path, col("id") > 1000L)
+    assert(nothing.count() == 0 &&
+      nothing.columns.toSeq == Seq("id", "v", "x"))
+    // compaction recomputes stats on the rewritten layout: a z-ordered
+    // rewrite by id keeps the ranges skippable
+    TxLogTable.compact(spark, path, targetFiles = 3, zorderBy = Seq("id"))
+    val (cKept, cSkipped) = TxLogTable.prunedFiles(spark, path,
+      col("id") >= 150L && col("id") < 160L)
+    assert(cSkipped.nonEmpty,
+      s"post-compact stats must still skip: kept=$cKept")
+    assert(TxLogTable.readWhere(spark, path,
+        col("id") >= 150L && col("id") < 160L)
+      .select("id").as[Long].collect().toSet == (150L until 160L).toSet)
+  }
+
   test("DML file pruning: untouched files carry by reference, only touched rewrite") {
     val path = tmp
     // repartition(1) so each append publishes exactly one data file
