@@ -428,6 +428,49 @@ object IngestQueries extends QueryModule {
       SELECT * FROM ins UNION ALL SELECT * FROM del
       ORDER BY _change_type, s_suppkey"""))
 
+  /** A23 log-level data skipping, oracle-checked end to end: orders is
+    * committed to a [[TxLogTable]] as four disjoint key-range appends
+    * (one file each — four tight min/max stats intervals), then
+    * [[TxLogTable.readWhere]] serves a range predicate strictly inside
+    * the second commit's interval. The query REQUIRES exactly three of
+    * the four files to be stats-skipped before any footer opens — a
+    * regression to scan-everything fails the gate, not just a spec —
+    * and the returned rows hash-compare against DuckDB running the same
+    * range algebra on the raw table. */
+  private val q158 = QueryDef(
+    "q158_acid_stats_skipping",
+    (s, d) => {
+      val path = s"/tmp/graft_acid_skip_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val (b1, b2, b3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Seq(
+        col("o_orderkey") <= b1,
+        col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+        col("o_orderkey") > b2 && col("o_orderkey") <= b3,
+        col("o_orderkey") > b3
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      val hi = b1 + (b2 - b1) / 2
+      val pred = col("o_orderkey") > b1 && col("o_orderkey") <= hi
+      val (kept, skipped) = TxLogTable.prunedFiles(s, path, pred)
+      require(skipped.size == 3 && kept.size == 1,
+        s"stats skipping must drop 3 of 4 files, got kept=${kept.size} " +
+          s"skipped=${skipped.size}")
+      TxLogTable.readWhere(s, path, pred)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT max(o_orderkey) // 4 AS b1, max(o_orderkey) // 2 AS b2
+        FROM orders)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders, b
+      WHERE o_orderkey > b1 AND o_orderkey <= b1 + (b2 - b1) // 2
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156)
+    Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158)
 }
