@@ -774,6 +774,7 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id").as("__cd"))
       val s1c = s1.join(cont, col("doc_id") === col("__cd"), "left_anti")
         .select(col("doc_id"), col("text"))
+        .persist() // containment-handoff persist (the q118 s1x pattern)
       val prs = Dedup.minhashLsh(s1c, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
@@ -1431,9 +1432,14 @@ object DedupQueries extends QueryModule {
       val s1 = Dedup.exact(train, "doc_id", "text").select(col("doc_id"), col("text"))
       // stage 1b: duplicated-span excision within the deduped train
       // corpus (q116); text is REWRITTEN to the surviving tokens
+      // persist the excision handoff: spanExcision is the chain's most
+      // expensive stage and s1x fans out to the LSH (read 3x under
+      // NoStore), the survivor join, and the decontamination probe —
+      // without the persist the span pass re-executes per consumer
       val s1x = Dedup.spanExcision(s1, "doc_id", "text", n = 16,
           minParallelism = s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("clean_text").as("text"))
+        .persist()
       // stage 2: near-dup pairwise drop over the excised texts
       val prs = Dedup.minhashLsh(s1x, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
@@ -1618,6 +1624,7 @@ object DedupQueries extends QueryModule {
       val s1x = Dedup.spanExcision(s1, "doc_id", "text", n = 16,
           minParallelism = s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("clean_text").as("text"))
+        .persist() // q118's excision-handoff persist: s1x fans out 5x
       val prs = Dedup.minhashLsh(s1x, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
@@ -1831,6 +1838,7 @@ object DedupQueries extends QueryModule {
       val evalDocs = split.filter(col("split") === "eval").drop("split")
       val s1 = Dedup.exact(train, "doc_id", "text")
         .select(col("doc_id"), col("text"))
+        .persist() // dedup handoff: s1 fans out to the LSH and both joins
       val prs = Dedup.minhashLsh(s1, "doc_id", "text",
         shingleK = 3, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = 100,
@@ -1838,6 +1846,7 @@ object DedupQueries extends QueryModule {
         minParallelism = s.sparkContext.defaultParallelism)
       val s2 = s1.join(prs.select(col("id_b").as("__d")).distinct(),
         col("doc_id") === col("__d"), "left_anti")
+        .persist() // survivor handoff: decontamination probe + s3 both read s2
       val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
         maxDf = 50, k = 8, w = 4, index = IndexStore.default,
         minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
