@@ -159,6 +159,64 @@ class StreamingCurationChainSpec extends SparkSpec {
     assert(packedRows(d.out) == before)
   }
 
+  test("semantic stage crash window: lost cell slice recovers; gating continues") {
+    val d = mkDirs("semcrash")
+    val semDir = Files.createTempDirectory("graft-chain-semcrash-idx").toString
+    val centroids = Seq(
+      0L -> Array(1.0, 0.0, 0.0, 0.0),
+      1L -> Array(0.0, 1.0, 0.0, 0.0))
+    // distinct axes (pairwise cos 0.36 in-cell); doc 13 (batch 2) is a
+    // semantic twin of batch-0's doc 4 — the cross-batch drop to verify
+    val emb: Map[Long, Seq[Double]] = Map(
+      1L -> Seq(0.6, 0.0, 0.8, 0.0), 2L -> Seq(0.6, 0.0, 0.0, 0.8),
+      3L -> Seq(0.0, 0.6, 0.8, 0.0), 4L -> Seq(0.6, 0.0, -0.8, 0.0),
+      5L -> Seq(0.0, 0.6, 0.0, 0.8), 6L -> Seq(0.0, 0.6, -0.8, 0.0),
+      7L -> Seq(0.6, 0.0, 0.8, 0.0), 8L -> Seq(0.6, 0.0, 0.4, 0.69),
+      9L -> Seq(0.0, 0.6, 0.4, 0.69), 10L -> Seq(0.6, 0.0, -0.4, 0.69),
+      11L -> Seq(0.0, 0.6, -0.4, 0.69), 12L -> Seq(0.0, 0.6, 0.69, 0.4),
+      13L -> Seq(0.6, 0.0, -0.7997, 0.02),
+      16L -> Seq(0.6, 0.0, 0.02, -0.7997))
+    def dfv(rows: Seq[(Long, String, Long)]): org.apache.spark.sql.DataFrame =
+      rows.map { case (id, t, n) => (id, t, n, emb(id)) }
+        .toDF("doc_id", "text", "n_tokens", "emb")
+    val ss = StreamingCurationChain.SemanticStage(
+      "emb", centroids, semDir, threshold = 0.95)
+    def runSem(dd: Dirs, batches: Seq[Seq[(Long, String, Long)]]): Unit =
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        StreamingCurationChain.processBatch(dfv(rows), i.toLong, "doc_id",
+          "text", "n_tokens", Cap, dd.exact, dd.band,
+          Contamination.loadIndex(spark, dd.contam), dd.out, dd.hwm, dd.ckpt,
+          P, Some(ss))
+      }
+    runSem(d, Seq(batch0, batch1))
+    val expected = packedRows(d.out)
+    // crash after the out marker: batch-1's SEMANTIC slice and final
+    // marker lost — the recovery path must republish the cell rows
+    val scope = BatchCommits.scopeFor(d.ckpt)
+    val (fs, _) = BatchCommits.fileSystem(spark, d.ckpt)
+    fs.delete(new org.apache.hadoop.fs.Path(d.ckpt, "graft_batch_commits/1"), false)
+    BatchCommits.publishedFiles(spark, semDir, scope, 1L)
+      .foreach(f => fs.delete(f, false))
+    runSem(d, Seq(batch0, batch1))
+    assert(packedRows(d.out) == expected,
+      "semantic-stage recovery must not touch committed output")
+    val semIds = spark.read.parquet(semDir).select("id").as[Long].collect().toSet
+    assert(semIds == (batch0 ++ batch1).map(_._1).toSet,
+      s"recovery must restore the full cell slice: $semIds")
+    // the recovered index keeps gating: 13 semantically duplicates the
+    // ADMITTED doc 4 across batches and drops; 16 is novel and admits
+    val batch2 = Seq(
+      (13L, "entirely novel words that no earlier document used at all", 9L),
+      (16L, "yet another batch of wholly fresh closing vocabulary", 7L))
+    StreamingCurationChain.processBatch(dfv(batch2), 2L, "doc_id", "text",
+      "n_tokens", Cap, d.exact, d.band,
+      Contamination.loadIndex(spark, d.contam), d.out, d.hwm, d.ckpt, P,
+      Some(ss))
+    val ids = packedRows(d.out).map(_._1)
+    assert(ids == expected.map(_._1) + 16L,
+      s"cross-batch semantic gating after recovery failed: $ids")
+  }
+
   test("two batches through the chain == the composed batch pipeline over the union") {
     val d = mkDirs("equiv")
     run(d, Seq(batch0, batch1))
