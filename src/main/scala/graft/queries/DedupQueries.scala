@@ -1190,7 +1190,7 @@ object DedupQueries extends QueryModule {
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
-      q116, q118, q127, q143, q146, q148, q149, q153, q157)
+      q116, q118, q127, q143, q146, q148, q149, q153, q157, q159)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component
@@ -1961,4 +1961,148 @@ object DedupQueries extends QueryModule {
         (tok_offset + greatest(n_toks, 1) - 1) // 1024 AS seq_last
       FROM c
       ORDER BY doc_id"""))
+
+  /** Attrition report for the UNCAPPED chain — q153's per-stage loss
+    * accounting over q157's full-corpus recipe (input → exact →
+    * 3-shingle capped LSH near-dup → decontamination): the observability
+    * a production curation run publishes, at production scale posture.
+    * Stage frames persist once (the funnel discipline), so stage k's
+    * count never recomputes stages 1..k−1. */
+  private val q159 = QueryDef(
+    "q159_chain_attrition_full",
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val split = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      val train = split.filter(col("split") === "train").drop("split").persist()
+      val evalDocs = split.filter(col("split") === "eval").drop("split")
+      val s1 = Dedup.exact(train, "doc_id", "text")
+        .select(col("doc_id"), col("text")).persist()
+      val prs = Dedup.minhashLsh(s1, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, rows = 4,
+        threshold = 0.8, maxBucketSize = 100,
+        index = IndexStore.default,
+        minParallelism = s.sparkContext.defaultParallelism)
+      val s2 = s1.join(prs.select(col("id_b").as("__d")).distinct(),
+        col("doc_id") === col("__d"), "left_anti").persist()
+      val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
+        maxDf = 50, k = 8, w = 4, index = IndexStore.default,
+        minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
+      val contam = Contamination.checkAgainstIndex(s2, "doc_id", "text", idx,
+          minShared = 20, k = 8, w = 4,
+          minParallelism = s.sparkContext.defaultParallelism,
+          rollingHash = true)
+        .select(col("test_id").as("__c"))
+      val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
+      def report(stage: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+              .as("n_tokens"))
+          .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      Seq(report(0, "input", train), report(1, "exact", s1),
+          report(2, "near_dup", s2), report(3, "decontam", s3))
+        .reduce(_ unionByName _)
+        .orderBy(col("stage"))
+    },
+    Some("""
+      WITH sp AS (
+        SELECT doc_id, text,
+               CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 1037629354146162304 THEN 'train' ELSE 'eval' END AS split
+        FROM documents),
+      tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+      s1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM tr) WHERE rn = 1),
+      toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w
+        FROM s1),
+      sets AS (
+        SELECT id, list_distinct(CASE WHEN len(w) >= 3
+                 THEN list_transform(generate_series(1, len(w) - 2),
+                      j -> concat_ws(' ', w[j], w[j+1], w[j+2]))
+                 ELSE [] END) AS sset
+        FROM toks),
+      sets2 AS (SELECT id, sset FROM sets WHERE len(sset) > 0),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets2),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      keepb AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 100),
+      bands2 AS (SELECT b.id, b.sset, b.band FROM bands b JOIN keepb USING (band)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands2 a JOIN bands2 b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets2 sa ON sa.id = c.id_a
+        JOIN sets2 sb ON sb.id = c.id_b),
+      drop2 AS (
+        SELECT DISTINCT id_b FROM verified
+        WHERE inter / (la + lb - inter) >= 0.8),
+      s2 AS (
+        SELECT doc_id, text FROM s1
+        WHERE doc_id NOT IN (SELECT id_b FROM drop2)),
+      g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM sp),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      evalfp AS (
+        SELECT fp.doc_id, fp.f FROM fp
+        JOIN sp USING (doc_id) WHERE sp.split = 'eval'),
+      pruned AS (SELECT f FROM evalfp GROUP BY f HAVING count(*) <= 50),
+      eidx AS (SELECT doc_id AS train_id, f FROM evalfp JOIN pruned USING (f)),
+      hits AS (
+        SELECT s2fp.doc_id
+        FROM (SELECT fp.doc_id, fp.f FROM fp JOIN s2 USING (doc_id)) s2fp
+        JOIN eidx ON s2fp.f = eidx.f
+        GROUP BY s2fp.doc_id, eidx.train_id
+        HAVING count(*) >= 20),
+      s3 AS (
+        SELECT doc_id, text FROM s2
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)),
+      rep AS (
+        SELECT 0 AS stage, 'input' AS stage_name, count(*) AS n_docs,
+               COALESCE(CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0))) AS BIGINT), 0) AS n_tokens FROM tr
+        UNION ALL
+        SELECT 1, 'exact', count(*),
+               COALESCE(CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0))) AS BIGINT), 0) FROM s1
+        UNION ALL
+        SELECT 2, 'near_dup', count(*),
+               COALESCE(CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0))) AS BIGINT), 0) FROM s2
+        UNION ALL
+        SELECT 3, 'decontam', count(*),
+               COALESCE(CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0))) AS BIGINT), 0) FROM s3)
+      SELECT stage, stage_name, n_docs, n_tokens FROM rep
+      ORDER BY stage"""))
 }
