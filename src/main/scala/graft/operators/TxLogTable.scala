@@ -115,6 +115,10 @@ object TxLogTable {
         Some(org.json4s.JLong(ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L))
       case d: java.sql.Date => Some(org.json4s.JLong(d.toLocalDate.toEpochDay))
       case n: java.math.BigDecimal => Some(org.json4s.JDecimal(BigDecimal(n)))
+      // a NaN/Inf bound has no decimal encoding: skip ONLY this column
+      // (its files always scan), not the whole dir's stats
+      case f: java.lang.Float if !java.lang.Float.isFinite(f) => None
+      case d: java.lang.Double if !java.lang.Double.isFinite(d) => None
       case n: Number => Some(org.json4s.JDecimal(BigDecimal(n.toString)))
       case _ => None
     }
@@ -390,10 +394,14 @@ object TxLogTable {
       val untouched = all.diff(touched)
       val merged =
         if (touched.isEmpty) updates // pure insert: nothing to carry
+        // allowMissingColumns: per-file schemas may be narrower than the
+        // snapshot's merged schema (appends never validate), and the
+        // touched SUBSET's merge can lack a column every other file has
+        // — those carried rows read it as null either way
         else spark.read.option("mergeSchema", true)
           .parquet(touched.map(f => s"$path/$f"): _*)
           .join(keys, keyCols, "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
       val staged = stage(merged, fs, root, "merge-")
       val v = commitEntry(fs, root, (untouched ++ staged).sorted,
         rebase = true, Some(v0), maxRetries = 1, commit)
@@ -452,9 +460,15 @@ object TxLogTable {
           .filter(predicate))
     if (touched.isEmpty) return -1L
     val untouched = all.diff(touched)
+    // SQL DELETE semantics: only rows where the predicate is TRUE go;
+    // rows where it evaluates NULL survive. A bare filter(!predicate)
+    // would drop NULL rows from rewritten files while identical rows in
+    // untouched files carry by reference — erasure that depends on
+    // which file a row shares with a match.
     val remaining = spark.read.option("mergeSchema", true)
       .parquet(touched.map(f => s"$path/$f"): _*)
-      .filter(!predicate)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false)))
     // a touched-file set whose every row matches stages nothing
     val staged =
       if (remaining.isEmpty) Seq.empty[String]
@@ -543,8 +557,11 @@ object TxLogTable {
         .parquet(files.map(f => s"$path/$f"): _*)
     (scan(onlyNew), scan(onlyOld)) match {
       case (null, null) =>
-        spark.emptyDataFrame.withColumn("_change_type", lit(""))
-          .filter(lit(false))
+        // identical listings (same version, or across a restore): an
+        // empty feed that still carries the TABLE's columns, so callers
+        // selecting them never hit an unresolved-column error
+        readVersion(spark, path, toVersion).filter(lit(false))
+          .withColumn("_change_type", lit(""))
       case (nw, null) => nw.withColumn("_change_type", lit("insert"))
       case (null, old) => old.withColumn("_change_type", lit("delete"))
       case (nw, old) =>
@@ -692,7 +709,11 @@ object TxLogTable {
       val p = new HPath(new HPath(root, dir), "_stats.json")
       if (!fs.exists(p)) Seq.empty
       else try {
-        jackson.JsonMethods.parse(readString(fs, p)) \ "files" match {
+        // useBigDecimalForDouble: a DecimalType(38,20) bound written in
+        // full precision must not round through a JDouble on the way
+        // back — rounding a bound can move it toward the pruned side
+        jackson.JsonMethods.parse(readString(fs, p),
+            useBigDecimalForDouble = true) \ "files" match {
           case JObject(perFile) => perFile.flatMap {
             case (fname, JObject(cols)) =>
               val m = cols.flatMap {
@@ -710,14 +731,34 @@ object TxLogTable {
     }.toMap
   }
 
+  /** UTF-8 binary (= code-point) comparison — the order Spark's min/max
+    * aggregation uses for strings. Java's String.compareTo compares
+    * UTF-16 code units, which sorts supplementary-plane characters
+    * (surrogate pairs, 0xD800-0xDFFF units) BELOW U+E000..U+FFFF and
+    * would let the pruner drop files containing matching emoji/CJK-ext
+    * rows. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def statOrdering(dt: org.apache.spark.sql.types.DataType,
       stat: org.json4s.JValue, litVal: Any): Option[Int] = {
     import org.apache.spark.sql.types._
     import org.json4s._
     (dt, stat) match {
       case (StringType, JString(s)) => litVal match {
-        case u: org.apache.spark.unsafe.types.UTF8String => Some(s.compareTo(u.toString))
-        case l: String => Some(s.compareTo(l))
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some(utf8Compare(s, u.toString))
+        case l: String => Some(utf8Compare(s, l))
         case _ => None
       }
       case (_: NumericType | DateType | TimestampType, _) =>
@@ -728,6 +769,12 @@ object TxLogTable {
           case JDouble(d) => Some(BigDecimal(d))
           case _ => None
         }
+        // float/double convert via their shortest decimal representation
+        // (Float.toString / BigDecimal(Double)'s canonical string) — the
+        // SAME path statScalar used at write time, so a stat and a
+        // literal holding the identical IEEE value always compare equal
+        // (BigDecimal(3.14f.toDouble) would instead yield
+        // 3.14000010490417... and mis-order against the stored "3.14")
         val lNum = litVal match {
           case n: java.math.BigDecimal => Some(BigDecimal(n))
           case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
@@ -735,9 +782,14 @@ object TxLogTable {
           case n: Short => Some(BigDecimal(n.toInt))
           case n: Int => Some(BigDecimal(n))
           case n: Long => Some(BigDecimal(n))
-          case n: Float => Some(BigDecimal(n.toDouble))
-          case n: Double => Some(BigDecimal(n))
-          case _ => None
+          case n: Float if java.lang.Float.isFinite(n) =>
+            Some(BigDecimal(n.toString))
+          case n: Double if java.lang.Double.isFinite(n) =>
+            // toString, NOT BigDecimal(double): the latter is the exact
+            // binary expansion (3.14 → 3.14000000000000012…) and would
+            // never equal the stat's shortest-decimal written form
+            Some(BigDecimal(n.toString))
+          case _ => None // NaN/Inf literal: undecidable → keep the file
         }
         for (s <- sNum; l <- lNum) yield s.compare(l)
       case _ => None
@@ -754,12 +806,29 @@ object TxLogTable {
       stats: Option[Map[String, (org.json4s.JValue, org.json4s.JValue)]],
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    def attrOf(x: Expression): Option[(String, org.apache.spark.sql.types.DataType)] =
+    import org.apache.spark.sql.types._
+    // a cast is see-through for pruning ONLY when it is exact and
+    // order-preserving (every source value maps injectively+monotonically
+    // into the target), so comparing the PRE-cast stats against the
+    // post-cast literal is sound. Narrowing/truncating casts (long→int
+    // wraps, double→int truncates) would evaluate the predicate on
+    // different values than the stats describe and wrongly prune.
+    def widening(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType |
+                      DoubleType | _: DecimalType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType |
+                       _: DecimalType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 19
+      case (FloatType, DoubleType) => true
+      case _ => false // long→double, double→decimal, anything narrowing
+    }
+    def attrOf(x: Expression): Option[(String, DataType)] =
       x match {
         case a: AttributeReference => Some((a.name, a.dataType))
-        // numeric widening casts preserve order; any other cast → unknown
-        case Cast(a: AttributeReference, _, _, _)
-            if a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        case Cast(a: AttributeReference, to, _, _)
+            if widening(a.dataType, to) =>
           Some((a.name, a.dataType))
         case _ => None
       }
@@ -810,14 +879,24 @@ object TxLogTable {
     val v = versions(fs, root).lastOption.getOrElse(-1L)
     if (v < 0) return (Seq.empty, Seq.empty)
     val files = filesUpTo(fs, root, v)
-    val schema = readVersion(spark, path, v).schema
     // resolve the caller's Column against the snapshot schema so the
-    // tree carries typed AttributeReferences and cast literals
-    val cond = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(predicate).queryExecution.analyzed
-      .collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    // tree carries typed AttributeReferences and cast literals. Schema
+    // source: ONE file's footer first (opening every footer via a
+    // mergeSchema read would pay the exact O(N) cost the stats sidecar
+    // exists to avoid); if the predicate references a column that file
+    // lacks (schema evolution), fall back to the full merged schema.
+    def resolve(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    val cond =
+      try resolve(spark.read.parquet(s"$path/${files.last}").schema)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          resolve(readVersion(spark, path, v).schema)
+      }
     cond match {
       case None => (files, Seq.empty)
       case Some(c) =>

@@ -121,7 +121,16 @@ object StreamingCurationChain {
     * and each gate's decisions stay independent of the other gates'
     * drops and of where micro-batch boundaries fall: the chain's
     * admitted set is the INTERSECTION of the four gates' standalone
-    * admitted sets over the union of arrivals (spec-pinned). */
+    * admitted sets over the union of arrivals (spec-pinned).
+    *
+    * That equivalence inherits the chain's monotone-id contract (batch
+    * N's ids all precede batch N+1's — the near-dup/packing contract
+    * documented on the object): the cross-batch check drops an arrival
+    * against ANY seen same-cell doc, which equals the batch operator's
+    * smaller-id-wins rule only when earlier batches' ids really are
+    * smaller. Feed out-of-order ids and the chain may keep the earlier
+    * ARRIVAL where batch [[graft.operators.Dedup.semDedupWith]] keeps
+    * the smaller ID. */
   final case class SemanticStage(
       vecCol: String,
       centroids: Seq[(Long, Array[Double])],

@@ -441,6 +441,73 @@ class TxLogTableSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == (150L until 160L).toSet)
   }
 
+  test("data skipping edge cases: float/double equality, UTF-8 order, casts, NaN") {
+    val path = tmp
+    // floats and doubles whose shortest decimal forms differ from their
+    // exact binary expansions (3.14f, 3.14) — stat and literal must
+    // travel the SAME decimal path or equality pruning drops the file
+    TxLogTable.append(spark,
+      Seq((1L, 3.14f, 3.14, "a")).toDF("id", "f", "x", "v").repartition(1), path)
+    TxLogTable.append(spark,
+      Seq((2L, 9.5f, 9.5, "b")).toDF("id", "f", "x", "v").repartition(1), path)
+    assert(TxLogTable.readWhere(spark, path, col("f") === 3.14f)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(TxLogTable.readWhere(spark, path, col("x") === 3.14)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // and the equality still PRUNES the other file
+    assert(TxLogTable.prunedFiles(spark, path, col("x") === 3.14)._2.nonEmpty)
+    // a NaN literal is undecidable: keep-all, never a crash
+    val (nanKept, nanSkipped) =
+      TxLogTable.prunedFiles(spark, path, col("x") === Double.NaN)
+    assert(nanSkipped.isEmpty && nanKept.size == 2)
+    // supplementary-plane strings: Spark min/max order is UTF-8 binary;
+    // U+FFFF sorts BELOW U+1F600 by code point though Java's UTF-16
+    // compareTo says otherwise — the match must not be pruned
+    val path2 = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "￿"), (2L, "😀")).toDF("id", "v").repartition(1),
+      path2)
+    TxLogTable.append(spark,
+      Seq((3L, "aaa")).toDF("id", "v").repartition(1), path2)
+    assert(TxLogTable.readWhere(spark, path2, col("v") === "😀")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // a narrowing (truncating) cast must NOT consult pre-cast stats:
+    // cast(3.7 as int) = 3 matches the probe, but the file's double
+    // stats are [3.7, 3.7] and an interval check against 3 would prune
+    val path3 = tmp
+    TxLogTable.append(spark,
+      Seq((3.7, "trunc")).toDF("x", "v").repartition(1), path3)
+    TxLogTable.append(spark,
+      Seq((8.2, "other")).toDF("x", "v").repartition(1), path3)
+    assert(TxLogTable.readWhere(spark, path3, col("x").cast("int") === 3)
+      .select("v").as[String].collect().toSeq == Seq("trunc"))
+    // while a plain comparison on the same table still prunes
+    assert(TxLogTable.prunedFiles(spark, path3, col("x") === 3.7)._2.nonEmpty)
+  }
+
+  test("deleteWhere: rows with a NULL predicate survive, co-filed or not") {
+    val path = tmp
+    // file A holds a matching row AND a NULL row; file B holds only a
+    // NULL row — SQL DELETE erases TRUE rows only, so both NULL rows
+    // must survive even though file A rewrites
+    TxLogTable.append(spark,
+      Seq((1L, Some(7)), (2L, None)).toDF("id", "x").repartition(1), path)
+    TxLogTable.append(spark,
+      Seq((3L, None: Option[Int])).toDF("id", "x").repartition(1), path)
+    TxLogTable.deleteWhere(spark, path, col("x") === 7)
+    assert(TxLogTable.read(spark, path).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L),
+      "NULL-predicate rows must survive a delete regardless of file placement")
+  }
+
+  test("changesBetween: the empty feed still carries the table's columns") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    val empty = TxLogTable.changesBetween(spark, path, 0L, 0L)
+    assert(empty.columns.toSeq == Seq("id", "v", "_change_type"))
+    assert(empty.select(col("id"), col("_change_type")).count() == 0)
+  }
+
   test("DML file pruning: untouched files carry by reference, only touched rewrite") {
     val path = tmp
     // repartition(1) so each append publishes exactly one data file
