@@ -210,4 +210,71 @@ object EventAnalytics {
       .groupBy(to_date(col("cw")).as("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Time-bucket gap filling with LOCF and linear interpolation — the
+    * `time_bucket_gapfill`/`SAMPLE BY ... FILL` operator every
+    * time-series surface ships: bucket events per key, generate the
+    * COMPLETE bucket spine over the observed range, and for empty
+    * buckets carry the last observation forward (`locf6`) and linearly
+    * interpolate between the neighboring observations (`interp6`).
+    * Counts fill with 0; metric columns carry null before the first /
+    * after the last observation (the Timescale contract).
+    *
+    * Determinism: the bucket metric is the micro-rounded mean
+    * (`floor(avg·10⁶+0.5)` long, the engine's fixed-point convention);
+    * interpolation computes the rational
+    * `pv + (nv−pv)·(t−t_prev)/(t_next−t_prev)` from those integer
+    * inputs and epoch seconds, then micro-rounds — bit-identical in any
+    * engine replaying the same integers.
+    *
+    * Scale shape: one mergeable groupBy builds the observed buckets;
+    * the spine is `sequence(lo, hi)` exploded from a one-row bounds
+    * aggregate (never a driver loop); the neighbor lookup is a window
+    * per KEY over the spine — bounded by `keys × horizon/step`, the
+    * spine length, NOT by event volume (a year of minutes is ~526k rows
+    * per key). Keys are the caller's dimension column; a spine too long
+    * for one task means a coarser step or a spine-range split, not a
+    * different algorithm. Returns (key, bucket, n, m6, locf6, interp6).
+    */
+  def gapFillInterpolate(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, unit: String = "hour"): DataFrame = {
+    require(Set("hour", "day", "week")(unit), s"unsupported bucket unit $unit")
+    val b = events
+      .groupBy(col(keyCol).as("key"), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("__sv"))
+      .withColumn("m6",
+        floor(col("__sv") / col("n") * lit(1.0e6) + lit(0.5)).cast("long"))
+      .drop("__sv")
+    val keys = events.select(col(keyCol).as("key")).distinct()
+    val spine = events
+      .agg(date_trunc(unit, min(col(tsCol))).as("lo"),
+        date_trunc(unit, max(col(tsCol))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"interval 1 $unit"))).as("bucket"))
+      .join(broadcast(keys)) // tiny dimension rides the spine rows
+    val filled = spine.join(b, Seq("key", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+    val wPrev = w.rowsBetween(Long.MinValue, 0)
+    val wNext = w.rowsBetween(0, Long.MaxValue)
+    filled
+      .withColumn("__pv", last(col("m6"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(when(col("m6").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("m6"), ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(when(col("m6").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("locf6", col("__pv"))
+      .withColumn("interp6",
+        when(col("m6").isNotNull, col("m6")).otherwise(
+          when(col("__pv").isNotNull && col("__nv").isNotNull,
+            floor(col("__pv") +
+              (col("__nv") - col("__pv")).cast("double") *
+                (unix_timestamp(col("bucket")) - unix_timestamp(col("__pt"))) /
+                (unix_timestamp(col("__nt")) - unix_timestamp(col("__pt"))) +
+              lit(0.5)).cast("long"))))
+      .select(col("key"), col("bucket"), col("n"), col("m6"),
+        col("locf6"), col("interp6"))
+  }
 }

@@ -391,6 +391,71 @@ object TimeSeriesQueries extends QueryModule {
       FROM c JOIN t USING (prev_type)
       ORDER BY c.prev_type, c.next_type"""))
 
+  /** Time-bucket gap filling with LOCF + linear interpolation
+    * ([[EventAnalytics.gapFillInterpolate]]) — the
+    * `time_bucket_gapfill` / `SAMPLE BY ... FILL` surface: a sparse
+    * event slice (≈5% of purchase/error rows) bucketed hourly, the
+    * full hourly spine generated over the observed range, counts
+    * filled with 0, the micro-rounded bucket mean carried forward
+    * (`locf6`) and linearly interpolated (`interp6`) across the gaps.
+    * The oracle replays the identical spine, neighbor windows, and
+    * integer-input interpolation rational. */
+  private val q160 = QueryDef(
+    "q160_gapfill_interpolate",
+    (s, d) => {
+      val sub = Tables.events(s, d)
+        .filter(col("event_type").isin("error", "purchase") &&
+          col("user_id") % 19 === 0)
+      EventAnalytics.gapFillInterpolate(sub, "event_type", "ts", "value")
+        .select(col("key").as("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_s"),
+          col("n"), col("m6"), col("locf6"), col("interp6"))
+        .orderBy(col("event_type"), col("bucket_s"))
+    },
+    Some("""
+      WITH sub AS (
+        SELECT event_type, ts, value FROM events
+        WHERE event_type IN ('error', 'purchase') AND user_id % 19 = 0),
+      b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+               CAST(floor(sum(value) / count(*) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM sub GROUP BY 1, 2),
+      bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi FROM sub),
+      spine AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT unnest(['error', 'purchase']) AS event_type) t,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds) g),
+      f AS (
+        SELECT s.event_type, s.bucket, COALESCE(b.n, 0) AS n, b.m6
+        FROM spine s LEFT JOIN b USING (event_type, bucket)),
+      w AS (
+        SELECT *,
+          last_value(m6 IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN m6 IS NOT NULL THEN bucket END IGNORE NULLS)
+            OVER (PARTITION BY event_type
+            ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          first_value(m6 IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN m6 IS NOT NULL THEN bucket END IGNORE NULLS)
+            OVER (PARTITION BY event_type
+            ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM f)
+      SELECT event_type,
+             strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s, n, m6,
+             pv AS locf6,
+             CASE WHEN m6 IS NOT NULL THEN m6
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    CAST(floor(pv + (nv - pv) *
+                      (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
+                      + 0.5) AS BIGINT)
+                  ELSE NULL END AS interp6
+      FROM w
+      ORDER BY event_type, bucket_s"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141, q142, q151)
+    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141, q142, q151, q160)
 }

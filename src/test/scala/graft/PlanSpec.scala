@@ -130,6 +130,10 @@ class PlanSpec extends SparkSpec {
       // SAME distributed plan instead of behind a driver collect, so
       // the intentional product shape is visible to this sweep
       "q135_mmr_diversified_topk",
+      // q160's spine × key-dimension join is an intentional broadcast
+      // product: the key dim is tiny (distinct event types) and every
+      // spine bucket must pair with every key — the gapfill contract
+      "q160_gapfill_interpolate",
       // q145 bitext margin mining scores en×es all-pairs via q50's
       // broadcast-A corpus scan by design; the documented scale path
       // swaps in the LSH/IVF prefilter, margin math unchanged
