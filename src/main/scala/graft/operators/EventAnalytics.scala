@@ -237,18 +237,23 @@ object EventAnalytics {
     * different algorithm. Returns (key, bucket, n, m6, locf6, interp6).
     */
   def gapFillInterpolate(events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, unit: String = "hour"): DataFrame = {
+      valueCol: String, unit: String = "hour",
+      index: IndexStore = IndexStore.default): DataFrame = {
     require(Set("hour", "day", "week")(unit), s"unsupported bucket unit $unit")
-    val b = events
+    // ONE pass over the event volume: the bucket aggregate collapses it
+    // to keys × observed-buckets rows and persists via `index`; the key
+    // dimension and the spine bounds both derive from that tiny table
+    // (date_trunc is monotone, so min/max bucket == trunc(min/max ts)),
+    // never from a second event scan
+    val b = IndexStore.persist(events
       .groupBy(col(keyCol).as("key"), date_trunc(unit, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("__sv"))
       .withColumn("m6",
         floor(col("__sv") / col("n") * lit(1.0e6) + lit(0.5)).cast("long"))
-      .drop("__sv")
-    val keys = events.select(col(keyCol).as("key")).distinct()
-    val spine = events
-      .agg(date_trunc(unit, min(col(tsCol))).as("lo"),
-        date_trunc(unit, max(col(tsCol))).as("hi"))
+      .drop("__sv"), index)
+    val keys = b.select(col("key")).distinct()
+    val spine = b
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr(s"interval 1 $unit"))).as("bucket"))
       .join(broadcast(keys)) // tiny dimension rides the spine rows

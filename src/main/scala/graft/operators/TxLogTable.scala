@@ -559,7 +559,10 @@ object TxLogTable {
       case (null, null) =>
         // identical listings (same version, or across a restore): an
         // empty feed that still carries the TABLE's columns, so callers
-        // selecting them never hit an unresolved-column error
+        // selecting them never hit an unresolved-column error. (When the
+        // shared listing itself is empty — a delete-all head — there is
+        // no schema anywhere to carry and the feed has only
+        // _change_type.)
         readVersion(spark, path, toVersion).filter(lit(false))
           .withColumn("_change_type", lit(""))
       case (nw, null) => nw.withColumn("_change_type", lit("insert"))
@@ -737,18 +740,9 @@ object TxLogTable {
     * (surrogate pairs, 0xD800-0xDFFF units) BELOW U+E000..U+FFFF and
     * would let the pruner drop files containing matching emoji/CJK-ext
     * rows. */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   private def statOrdering(dt: org.apache.spark.sql.types.DataType,
       stat: org.json4s.JValue, litVal: Any): Option[Int] = {
@@ -821,8 +815,12 @@ object TxLogTable {
       case (IntegerType, LongType | DoubleType) => true
       case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
       case (LongType, d: DecimalType) => d.precision - d.scale >= 19
-      case (FloatType, DoubleType) => true
-      case _ => false // long→double, double→decimal, anything narrowing
+      // float→double is NOT see-through here even though the cast is
+      // exact: float stats are stored as the float's SHORTEST decimal
+      // ("3.14"), but the widened double value is 3.1400001049… — a
+      // double literal between the two would mis-order against the
+      // stored bound and prune a file whose row matches
+      case _ => false // long→double, float→double, anything narrowing
     }
     def attrOf(x: Expression): Option[(String, DataType)] =
       x match {
@@ -879,6 +877,8 @@ object TxLogTable {
     val v = versions(fs, root).lastOption.getOrElse(-1L)
     if (v < 0) return (Seq.empty, Seq.empty)
     val files = filesUpTo(fs, root, v)
+    // a head version can list ZERO files (delete-all); nothing to prune
+    if (files.isEmpty) return (Seq.empty, Seq.empty)
     // resolve the caller's Column against the snapshot schema so the
     // tree carries typed AttributeReferences and cast literals. Schema
     // source: ONE file's footer first (opening every footer via a

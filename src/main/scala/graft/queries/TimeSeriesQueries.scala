@@ -424,8 +424,10 @@ object TimeSeriesQueries extends QueryModule {
         SELECT date_trunc('hour', min(ts)) AS lo,
                date_trunc('hour', max(ts)) AS hi FROM sub),
       spine AS (
+        -- keys derive from the OBSERVED data (the operator's contract:
+        -- a type with zero surviving rows gets no spine), not a literal
         SELECT t.event_type, g.bucket
-        FROM (SELECT unnest(['error', 'purchase']) AS event_type) t,
+        FROM (SELECT DISTINCT event_type FROM sub) t,
              (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
               FROM bounds) g),
       f AS (

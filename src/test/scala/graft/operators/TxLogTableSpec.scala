@@ -452,6 +452,12 @@ class TxLogTableSpec extends SparkSpec {
       Seq((2L, 9.5f, 9.5, "b")).toDF("id", "f", "x", "v").repartition(1), path)
     assert(TxLogTable.readWhere(spark, path, col("f") === 3.14f)
       .select("id").as[Long].collect().toSeq == Seq(1L))
+    // float col vs DOUBLE literal goes through Cast(f as double), which
+    // must NOT consult the shortest-decimal float stats: 3.14f widened
+    // is 3.1400001049… > 3.14d, so the row matches though the stored
+    // bound "3.14" would compare equal and prune
+    assert(TxLogTable.readWhere(spark, path, col("f") > 3.14)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
     assert(TxLogTable.readWhere(spark, path, col("x") === 3.14)
       .select("id").as[Long].collect().toSeq == Seq(1L))
     // and the equality still PRUNES the other file
