@@ -110,19 +110,28 @@ object ConnectedComponents {
     * every row of `df` gets `cluster_id` (its own id when unpaired — a
     * singleton cluster), `cluster_size`, and `keep` = 1 on the cluster's
     * canonical (min-id) row. Narrow left join on the id — document
-    * payloads never enter the component computation. */
+    * payloads never enter the component computation.
+    *
+    * `cluster_size` is a mergeable `groupBy(cluster_id).count` joined
+    * back on the cluster id — NOT `count().over(Window.partitionBy(
+    * cluster_id))`. The window shape funnels an entire component into
+    * one task; at corpus scale a pathological mega-cluster (every
+    * empty/boilerplate doc collapsing into one component) would
+    * serialize its full membership through a single sort, while the
+    * groupBy combines map-side and ships one row per cluster. */
   def dedupAssign(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 25,
       reliable: Boolean = false): DataFrame = {
     val cc = clusters(pairs, srcCol, dstCol, maxIter, reliable)
       .toDF("__cc_id", "cluster_id")
     val idL: Column = col(idCol).cast("long")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    df.withColumn("__cc_id", idL)
+    val assigned = df.withColumn("__cc_id", idL)
       .join(cc, Seq("__cc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), idL))
       .drop("__cc_id")
-      .withColumn("cluster_size", count(lit(1)).over(w))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
       .withColumn("keep", (idL === col("cluster_id")).cast("int"))
   }
 }

@@ -293,6 +293,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q82: post-CC cluster assignment is aggregate-only — no Window") {
+    // cluster_size must be a mergeable groupBy(cluster_id).count +
+    // join-back, not count().over(Window.partitionBy(cluster_id)): a
+    // pathological mega-cluster (every boilerplate doc collapsing into
+    // one component) would funnel its full membership into ONE window
+    // task, while the groupBy ships one combined row per cluster
+    val p = planOf("q82_dedup_clusters")
+    assert(!p.contains("Window"), s"q82 still plans a window:\n${p.take(3000)}")
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("q16: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = planOf("q16_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
