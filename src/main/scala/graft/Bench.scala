@@ -98,7 +98,9 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OOM/LinkageError here must crash the run, not
+      // let it print a plausible-looking summary
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     // full per-query line first; the compact contract line LAST — the driver
     // tail-parses the final JSON line (BENCH_r02 "parsed" was null with the

@@ -76,13 +76,27 @@ object TxLogTable {
     listLog(fs, root, ".json")
 
   /** Stage a DataFrame's files under a unique data subdir (invisible to
-    * readers until the log names them); returns the relative file list. */
+    * readers until the log names them); returns the relative file list.
+    *
+    * Timestamps are forced to INT64 TIMESTAMP_MICROS for the staged
+    * parquet (scoped conf, saved/restored): Spark's default INT96
+    * encoding carries NO footer statistics, and the stats sidecar is
+    * harvested from footers — INT96 would silently lose timestamp
+    * skipping. (Delta writes int64 timestamps for the same reason.) */
   private def stage(df: DataFrame, fs: FileSystem, root: HPath,
       prefix: String): Seq[String] = {
     fs.mkdirs(logDir(root))
     val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new HPath(root, s"data-$stageId")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    val conf = df.sparkSession.conf
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = conf.getOption(tsKey)
+    conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    finally prevTs match {
+      case Some(v) => conf.set(tsKey, v)
+      case None => conf.unset(tsKey)
+    }
     writeFileStats(df.sparkSession, fs, dataDir, df.schema)
     fs.listStatus(dataDir).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -124,15 +138,181 @@ object TxLogTable {
     }
   }
 
-  /** Compute per-file min/max for every supported column of the freshly
-    * staged `dataDir` (one aggregate pass over the just-written — page-
-    * warm — slice, the stats write Delta does inline) and publish them
-    * as `_stats.json` inside the dir. Underscore-prefixed: invisible to
-    * parquet reads and to the log's file regex; lives and dies with the
-    * data dir through compaction/vacuum. BEST-EFFORT: a stats failure
-    * must not fail the commit — a file without stats simply always
-    * scans ([[readWhere]] keeps it). */
+  /** Publish per-file min/max for every supported column of the freshly
+    * staged `dataDir` as `_stats.json` inside the dir. The bounds are
+    * HARVESTED FROM THE PARQUET FOOTERS the write just produced — a
+    * metadata-only read per file, no second data scan (the shape
+    * Iceberg/Trino use for manifest stats; a re-aggregation of the
+    * staged slice would double write-path I/O on every commit,
+    * including the streaming-append hot path). Falls back to one
+    * aggregate pass over the staged slice if footer harvesting fails.
+    * Underscore-prefixed: invisible to parquet reads and to the log's
+    * file regex; lives and dies with the data dir through
+    * compaction/vacuum. BEST-EFFORT: a stats failure must not fail the
+    * commit — a file without stats simply always scans ([[readWhere]]
+    * keeps it). */
   private def writeFileStats(spark: SparkSession, fs: FileSystem,
+      dataDir: HPath, schema: org.apache.spark.sql.types.StructType): Unit =
+    try {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val cols = schema.fields.filter(f => statsSupported(f.dataType))
+      if (cols.isEmpty) return
+      val files = fs.listStatus(dataDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val perFile: org.json4s.JObject = org.json4s.JObject(files.toList.map { st =>
+        val bounds = footerBounds(fs.getConf, st.getPath, cols)
+        val colsJson = org.json4s.JObject(cols.toList.flatMap { f =>
+          bounds.get(f.name).map { case (mn, mx) =>
+            f.name -> ((("min" -> mn) ~ ("max" -> mx)): org.json4s.JValue)
+          }
+        })
+        st.getPath.getName -> (colsJson: org.json4s.JValue)
+      })
+      writeString(fs, new HPath(dataDir, "_stats.json"),
+        JsonMethods.compact(JsonMethods.render(
+          org.json4s.JObject("files" -> perFile))), overwrite = true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] footer stats for $dataDir failed ($e); re-aggregating")
+        writeFileStatsByScan(spark, fs, dataDir, schema)
+    }
+
+  /** Min/max per supported column of one parquet file, read from its
+    * footer's column-chunk statistics and encoded EXACTLY like
+    * [[statScalar]] (strings JString in UTF-8 order, timestamps epoch-
+    * micros JLong, dates epoch-day JLong, numerics shortest-decimal
+    * JDecimal) so a footer-harvested bound and a literal always compare
+    * on the same path. Soundness rules:
+    *  - a column missing usable stats in ANY non-all-null row group is
+    *    omitted (partial bounds would under-cover the statless group);
+    *  - an all-null row group contributes no bound (null rows never
+    *    match a comparison) — but a file that is all-null in every
+    *    group is omitted, like the aggregate path's null min;
+    *  - non-finite float/double bounds are omitted (no sound decimal
+    *    encoding), matching [[statScalar]];
+    *  - parquet's truncated binary stats stay sound: a truncated min is
+    *    a prefix (sorts ≤ the true min), a truncated max has its last
+    *    byte incremented (sorts ≥ the true max) — wider interval, never
+    *    a wrong prune. */
+  private def footerBounds(conf: Configuration, file: HPath,
+      cols: Seq[org.apache.spark.sql.types.StructField])
+      : Map[String, (org.json4s.JValue, org.json4s.JValue)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val wanted = cols.map(f => f.name -> f.dataType).toMap
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      // MILLIS/MICROS/NANOS unit per timestamp column, from the file
+      // schema already in hand ([[stage]] writes MICROS; foreign
+      // re-staged files stay honest)
+      val tsUnits: Map[String, String] = {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val msg = reader.getFooter.getFileMetaData.getSchema
+        wanted.collect { case (n, TimestampType) => n }.flatMap { n =>
+          try msg.getType(Seq(n): _*).asPrimitiveType()
+              .getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              Some(n -> t.getUnit.toString)
+            case _ => None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toMap
+      }
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // per column: merged (min, max) across row groups, or None = unusable
+      var acc = Map.empty[String, Option[(Any, Any)]]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (wanted.contains(name) && !name.contains('.')) {
+            val s = c.getStatistics
+            val allNull = s != null && s.isNumNullsSet &&
+              s.getNumNulls == c.getValueCount
+            if (allNull) {
+              // contributes no non-null values; bounds unchanged
+              if (!acc.contains(name)) acc += name -> Some(null)
+            } else if (s == null || s.isEmpty || !s.hasNonNullValue) {
+              acc += name -> None // statless group with rows: unusable
+            } else {
+              val lo = s.genericGetMin
+              val hi = s.genericGetMax
+              acc += name -> (acc.getOrElse(name, Some(null)) match {
+                case None => None
+                case Some(null) => Some((lo, hi))
+                case Some((plo, phi)) =>
+                  val cmp = s.comparator()
+                    .asInstanceOf[java.util.Comparator[Any]]
+                  Some((if (cmp.compare(lo, plo) < 0) lo else plo,
+                        if (cmp.compare(hi, phi) > 0) hi else phi))
+              })
+            }
+          }
+        }
+      }
+      acc.toSeq.flatMap {
+        case (name, Some(pair)) if pair != null =>
+          val (lo, hi) = pair
+          val unit = tsUnits.getOrElse(name, "MICROS")
+          for {
+            mn <- footerScalar(wanted(name), lo, unit)
+            mx <- footerScalar(wanted(name), hi, unit)
+          } yield name -> ((mn, mx))
+        case _ => Seq.empty
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** One footer statistics value → the [[statScalar]] JSON encoding for
+    * the column's SPARK type (the authority — the footer's physical
+    * type is whatever the writer chose for it). */
+  private def footerScalar(dt: org.apache.spark.sql.types.DataType,
+      v: Any, tsUnit: String): Option[org.json4s.JValue] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.io.api.Binary
+    (dt, v) match {
+      case (ByteType | ShortType | IntegerType, i: java.lang.Integer) =>
+        Some(org.json4s.JDecimal(BigDecimal(i.intValue())))
+      case (LongType, l: java.lang.Long) =>
+        Some(org.json4s.JDecimal(BigDecimal(l.longValue())))
+      case (FloatType, f: java.lang.Float) =>
+        if (java.lang.Float.isFinite(f))
+          Some(org.json4s.JDecimal(BigDecimal(f.toString))) else None
+      case (DoubleType, d: java.lang.Double) =>
+        if (java.lang.Double.isFinite(d))
+          Some(org.json4s.JDecimal(BigDecimal(d.toString))) else None
+      case (dec: DecimalType, u) =>
+        val unscaled: Option[java.math.BigInteger] = u match {
+          case i: java.lang.Integer => Some(java.math.BigInteger.valueOf(i.longValue()))
+          case l: java.lang.Long => Some(java.math.BigInteger.valueOf(l.longValue()))
+          case b: Binary => Some(new java.math.BigInteger(b.getBytes))
+          case _ => None
+        }
+        unscaled.map(bi => org.json4s.JDecimal(
+          BigDecimal(new java.math.BigDecimal(bi, dec.scale))))
+      case (DateType, i: java.lang.Integer) => // parquet DATE is epoch days
+        Some(org.json4s.JLong(i.longValue()))
+      case (TimestampType, l: java.lang.Long) =>
+        val micros = tsUnit match {
+          case "MILLIS" => l.longValue() * 1000L
+          case "NANOS" => Math.floorDiv(l.longValue(), 1000L)
+          case _ => l.longValue()
+        }
+        Some(org.json4s.JLong(micros))
+      case (StringType, b: Binary) =>
+        Some(org.json4s.JString(
+          new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+  }
+
+  /** Fallback stats computation: one aggregate pass over the staged
+    * slice (page-warm), grouped by file. Only runs when footer
+    * harvesting fails — e.g. an exotic filesystem that cannot serve
+    * footer range reads through the Hadoop input-file API. */
+  private def writeFileStatsByScan(spark: SparkSession, fs: FileSystem,
       dataDir: HPath, schema: org.apache.spark.sql.types.StructType): Unit =
     try {
       import org.apache.spark.sql.functions.{col => fcol, input_file_name, max => fmax, min => fmin}
@@ -202,8 +382,12 @@ object TxLogTable {
       val flag = if (rebase) """"rebase":true,""" else ""
       val txnField = txn.map { case (app, tv) =>
         s""""txn":["$app",$tv],""" }.getOrElse("")
+      // commit wall-clock, the timestampAsOf anchor ([[versionAsOf]]
+      // monotonizes on read, so clock skew between committers cannot
+      // reorder history against version order)
+      val tsField = s""""ts":${System.currentTimeMillis()},"""
       val entry = files.map(f => "\"" + f + "\"").mkString(
-        s"""{"version":$v,$flag$txnField"files":[""", ",", "]}")
+        s"""{"version":$v,$tsField$flag$txnField"files":[""", ",", "]}")
       // the commit point: publish-iff-absent (hard link locally,
       // no-replace rename on HDFS, conditional put on object stores)
       if (cp.putIfAbsent(fs, logDir(root), s"$v.json", entry)) {
@@ -367,30 +551,7 @@ object TxLogTable {
     val snapshot = readVersion(spark, path, v0)
     val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     if (schemaKey(snapshot.schema) == schemaKey(updates.schema)) {
-      // file-pruned path: rewrite only files holding matched keys.
-      // Stats-prune the probe first on the leading key's range — a file
-      // whose key interval misses [min(update keys), max(update keys)]
-      // cannot hold a match (conservative: in-range files still probe)
-      val all = filesUpTo(fs, root, v0)
-      val keyRange = {
-        import org.apache.spark.sql.functions.{col => fc, max => fmax, min => fmin}
-        val r = updates.agg(fmin(fc(keyCols.head)), fmax(fc(keyCols.head))).first()
-        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
-      }
-      val cand = keyRange match {
-        case Some((mn, mx)) =>
-          import org.apache.spark.sql.functions.{col => fc, lit => fl}
-          prunedFiles(spark, path,
-            fc(keyCols.head) >= fl(mn) && fc(keyCols.head) <= fl(mx))._1
-        case None => all
-      }
-      val touched =
-        if (cand.isEmpty) Seq.empty[String]
-        else touchedFiles(cand,
-          spark.read.option("mergeSchema", true)
-            .parquet(cand.map(f => s"$path/$f"): _*)
-            .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-            .join(keys, keyCols, "left_semi"))
+      val (all, touched) = filesMatchingKeys(spark, path, v0, keys, keyCols)
       val untouched = all.diff(touched)
       val merged =
         if (touched.isEmpty) updates // pure insert: nothing to carry
@@ -418,6 +579,133 @@ object TxLogTable {
         merged.schema.json, commit)
       v
     }
+  }
+
+  /** Snapshot-`v0` files that may hold rows whose `keyCols` match
+    * `keys`: stats-pruned first on the leading key's range (a file
+    * whose key interval misses [min(keys), max(keys)] cannot hold a
+    * match; conservative — in-range files still probe), then exactly
+    * probed via a column-pruned semi-join scan. Returns (all files of
+    * v0, files containing matches). Shared by [[upsertByKey]] and
+    * [[mergeByKey]]. */
+  private def filesMatchingKeys(spark: SparkSession, path: String,
+      v0: Long, keys: DataFrame, keyCols: Seq[String])
+      : (Seq[String], Seq[String]) = {
+    val (fs, root) = fsFor(path)
+    val all = filesUpTo(fs, root, v0)
+    val keyRange = {
+      import org.apache.spark.sql.functions.{col => fc, max => fmax, min => fmin}
+      val r = keys.agg(fmin(fc(keyCols.head)), fmax(fc(keyCols.head))).first()
+      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+    }
+    val cand = keyRange match {
+      case Some((mn, mx)) =>
+        import org.apache.spark.sql.functions.{col => fc, lit => fl}
+        prunedFiles(spark, path,
+          fc(keyCols.head) >= fl(mn) && fc(keyCols.head) <= fl(mx),
+          Some(v0))._1
+      case None => all
+    }
+    val touched =
+      if (cand.isEmpty) Seq.empty[String]
+      else touchedFiles(cand,
+        spark.read.option("mergeSchema", true)
+          .parquet(cand.map(f => s"$path/$f"): _*)
+          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+          .join(keys, keyCols, "left_semi"))
+    (all, touched)
+  }
+
+  /** Conditional keyed MERGE — the delta world's
+    * {{{
+    * MERGE INTO t USING s ON <keys>
+    *   WHEN MATCHED AND <deleteIf> THEN DELETE
+    *   WHEN MATCHED AND <updateIf> THEN UPDATE SET *
+    *   WHEN NOT MATCHED THEN INSERT *
+    * }}}
+    * Clause order is fixed DELETE-then-UPDATE (Delta evaluates clauses
+    * in declaration order; a matched row satisfying both conditions
+    * deletes). `whenMatchedDeleteIf` / `whenMatchedUpdateIf` are SQL
+    * boolean expressions over the aliases `t` (current row) and `s`
+    * (incoming row) — e.g. `"s.qty > t.qty"`; a NULL condition value
+    * counts false (SQL WHERE semantics). `whenMatchedUpdateIf = None`
+    * means unconditional update of non-deleted matches (exactly
+    * [[upsertByKey]]); matched rows satisfying neither clause carry
+    * unchanged. Returns -1 without committing when nothing matches and
+    * nothing inserts.
+    *
+    * Scale shape: identical to [[upsertByKey]] — file-pruned
+    * copy-on-write via [[filesMatchingKeys]], so a merge touching k
+    * keys rewrites only the files holding them. Requires matching
+    * target/source schemas (the conditional row image mixes t-rows and
+    * s-rows column-by-column; use [[upsertByKey]] for widening
+    * merges). */
+  def mergeByKey(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String],
+      whenMatchedUpdateIf: Option[String] = None,
+      whenMatchedDeleteIf: Option[String] = None,
+      insertUnmatched: Boolean = true,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, expr => fexpr, lit => flit, not => fnot, when => fwhen}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(!updates.columns.contains("__m"),
+      "updates must not carry a __m column (internal match marker)")
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot merge into an empty table at $path " +
+      "(use append for the first commit)")
+    val dupKeys = updates.groupBy(keyCols.map(fc): _*)
+      .agg(fcount(flit(1)).as("__n")).filter(fc("__n") > 1)
+    require(dupKeys.isEmpty,
+      s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
+    val snapshot = readVersion(spark, path, v0)
+    require(schemaKey(snapshot.schema) == schemaKey(updates.schema),
+      "mergeByKey requires matching schemas; use upsertByKey for " +
+        "widening merges")
+    val dataCols = snapshot.columns.toSeq
+    val keys = updates.select(keyCols.map(fc): _*)
+    val (all, touched) = filesMatchingKeys(spark, path, v0, keys, keyCols)
+    val untouched = all.diff(touched)
+    val tgtScan =
+      if (touched.isEmpty) None
+      else Some(spark.read.option("mergeSchema", true)
+        .parquet(touched.map(f => s"$path/$f"): _*))
+    val rewritten: Option[DataFrame] = tgtScan.map { tgt =>
+      val joined = tgt.alias("t").join(
+        updates.withColumn("__m", flit(1)).alias("s"),
+        keyCols.map(k => fc(s"t.`$k`") === fc(s"s.`$k`")).reduce(_ && _),
+        "left")
+      val matched = fc("s.__m").isNotNull
+      val delCond = matched && fcoalesce(
+        whenMatchedDeleteIf.map(fexpr).getOrElse(flit(false)), flit(false))
+      val updCond = matched && fcoalesce(
+        whenMatchedUpdateIf.map(fexpr).getOrElse(flit(true)), flit(false))
+      joined.filter(fnot(delCond))
+        .select(dataCols.map(c =>
+          fwhen(updCond, fc(s"s.`$c`")).otherwise(fc(s"t.`$c`")).as(c)): _*)
+    }
+    val inserts: Option[DataFrame] =
+      if (!insertUnmatched) None
+      else Some(tgtScan match {
+        // every matched key lives in a touched file by construction, so
+        // anti-joining the touched scan's keys isolates the unmatched
+        case Some(tgt) => updates.join(
+          tgt.select(keyCols.map(fc): _*), keyCols, "left_anti")
+        case None => updates
+      }).map(_.select(dataCols.map(fc): _*))
+    val outOpt = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (Some(r), None) => Some(r)
+      case (None, i) => i
+    }
+    val out = outOpt.filter(!_.isEmpty)
+    if (touched.isEmpty && out.isEmpty) return -1L
+    val staged = out.map(stage(_, fs, root, "merge-")).getOrElse(Seq.empty)
+    val v = commitEntry(fs, root, (untouched ++ staged).sorted,
+      rebase = true, Some(v0), maxRetries = 1, commit)
+    DeltaInterop.mirror(spark, path, v, staged, touched,
+      snapshot.schema.json, commit)
+    v
   }
 
   /** Predicate DELETE — the delta world's `DELETE FROM … WHERE`: the
@@ -450,7 +738,7 @@ object TxLogTable {
     // stats-level prefilter first (no footer even opens for a file whose
     // min/max interval excludes the predicate), then the exact probe
     // scan over the surviving candidates names the files to rewrite
-    val (cand, _) = prunedFiles(spark, path, predicate)
+    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
@@ -569,9 +857,14 @@ object TxLogTable {
       case (null, old) => old.withColumn("_change_type", lit("delete"))
       case (nw, old) =>
         // align column sets (an upsert may have widened the schema);
-        // the narrower side reads the missing columns as null
+        // the narrower side reads the missing columns as null. Column
+        // ORDER is table order as of toVersion (the new side's scan),
+        // with old-only columns appended and _change_type last —
+        // matching the single-sided branches (each yields its scan's
+        // table order), never the alphabetical shuffle a positional
+        // consumer would trip over
         import org.apache.spark.sql.functions.col
-        val cols = (nw.columns ++ old.columns).distinct.sorted.toSeq
+        val cols = (nw.columns ++ old.columns.diff(nw.columns)).toSeq
         val dtype = (old.schema ++ nw.schema).map(f => f.name -> f.dataType).toMap
         def aligned(df: DataFrame): DataFrame = df.select(cols.map(c =>
           if (df.columns.contains(c)) col(c) else lit(null).cast(dtype(c)).as(c)): _*)
@@ -682,6 +975,47 @@ object TxLogTable {
           fs.delete(tmp, false) // racing checkpoint won; advisory anyway
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+
+  private val TsRe = """"ts":(\d+)""".r
+
+  /** Commit history: (version, commit timestamp ms) for every committed
+    * version, oldest first. Timestamps come from the entry's `ts` field
+    * (file modification time for pre-`ts` logs) and are MONOTONIZED the
+    * way Delta resolves `timestampAsOf`: each commit's effective
+    * timestamp is max(recorded, previous + 1 ms), so wall-clock skew
+    * between racing committers can never make history non-monotone in
+    * version order — `versionAsOf` stays well-defined. */
+  def history(path: String): Seq[(Long, Long)] = {
+    val (fs, root) = fsFor(path)
+    val raw = versions(fs, root).map { v =>
+      val p = new HPath(logDir(root), s"$v.json")
+      val ts = TsRe.findFirstMatchIn(readString(fs, p)).map(_.group(1).toLong)
+        .getOrElse(fs.getFileStatus(p).getModificationTime)
+      (v, ts)
+    }
+    raw.scanLeft((-1L, Long.MinValue)) { case ((_, prev), (v, ts)) =>
+      (v, math.max(ts, prev + 1))
+    }.drop(1)
+  }
+
+  /** The latest version whose (monotonized) commit timestamp is ≤
+    * `tsMillis` — Delta's `TIMESTAMP AS OF` resolution rule. A restore
+    * or rebase is an ordinary commit here, so time-travel-by-timestamp
+    * resolves THROUGH restores: a timestamp after a restore commit
+    * reads the restored snapshot, not the pre-restore head. */
+  def versionAsOf(path: String, tsMillis: Long): Long = {
+    val h = history(path)
+    require(h.nonEmpty, s"no commits at $path")
+    require(tsMillis >= h.head._2,
+      s"timestamp $tsMillis predates the first commit (${h.head._2})")
+    h.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** Time travel by wall clock — the delta world's
+    * `SELECT … TIMESTAMP AS OF`: reads the snapshot committed at the
+    * latest version whose commit timestamp is ≤ `tsMillis`. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAsOf(path, tsMillis))
 
   /** Snapshot read of the latest committed version. */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -872,9 +1206,21 @@ object TxLogTable {
     * `predicate` using the per-file stats — introspection for specs and
     * skip-rate reporting; [[readWhere]] scans only the kept list. */
   def prunedFiles(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+      predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) =
+    prunedFiles(spark, path, predicate, None)
+
+  /** `atVersion`-pinned variant: the DML paths (delete/upsert/merge)
+    * pass their pinned snapshot so candidate pruning, the probe scan,
+    * and the commit's expectedVersion all observe the SAME version —
+    * a concurrent commit between pin and prune otherwise makes the
+    * probe read files outside the pinned snapshot (the commit point
+    * still aborts, but the wasted probe derives from a different
+    * snapshot than the rewrite). */
+  private[operators] def prunedFiles(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      atVersion: Option[Long]): (Seq[String], Seq[String]) = {
     val (fs, root) = fsFor(path)
-    val v = versions(fs, root).lastOption.getOrElse(-1L)
+    val v = atVersion.getOrElse(versions(fs, root).lastOption.getOrElse(-1L))
     if (v < 0) return (Seq.empty, Seq.empty)
     val files = filesUpTo(fs, root, v)
     // a head version can list ZERO files (delete-all); nothing to prune

@@ -471,6 +471,100 @@ object IngestQueries extends QueryModule {
       WHERE o_orderkey > b1 AND o_orderkey <= b1 + (b2 - b1) // 2
       ORDER BY o_orderkey"""))
 
+  /** A23 timestamp-based time travel ([[TxLogTable.readAsOf]]) THROUGH
+    * a restore: the DML table gains a v3 = RESTORE-to-v0 commit, then
+    * the read resolves v1's own commit timestamp — `TIMESTAMP AS OF`
+    * must land on the post-upsert snapshot, not the restored head, and
+    * not the later delete. Timestamps are monotonized in version order
+    * (the Delta resolution rule), so v1's recorded instant maps to
+    * exactly v1 regardless of commit clock skew. */
+  private val q161 = QueryDef(
+    "q161_acid_timestamp_as_of",
+    (s, d) => {
+      val path = acidDmlTable(s, d)
+      TxLogTable.restore(s, path, 0L) // v3: head is the seed again
+      val ts1 = TxLogTable.history(path).find(_._1 == 1L).get._2
+      TxLogTable.readAsOf(s, path, ts1)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+    },
+    Some("""
+      WITH upd AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20)
+      SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+      FROM supplier s ANTI JOIN upd u ON s.s_suppkey = u.s_suppkey
+      UNION ALL
+      SELECT * FROM upd
+      ORDER BY s_suppkey"""))
+
+  /** A23 conditional MERGE ([[TxLogTable.mergeByKey]]) — the delta
+    * world's `WHEN MATCHED AND <cond> THEN UPDATE/DELETE` surface,
+    * oracle-verified: suppliers with nationkey<10 arrive with balances
+    * bumped by (nationkey mod 3 → −500 / +500 / ±0); the merge deletes
+    * matches whose incoming balance is LOWER, updates those HIGHER, and
+    * carries the equal ones untouched (neither clause fires), while
+    * nationkey≥20 rows arrive under fresh keys and insert. The oracle
+    * replays the same three-way case split relationally. */
+  private val q162 = QueryDef(
+    "q162_acid_conditional_merge",
+    (s, d) => {
+      val path = s"/tmp/graft_acid_merge_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val seed = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      TxLogTable.append(s, seed, path) // v0
+      val updates = seed.filter(col("s_nationkey") < 10)
+        .select(col("s_suppkey"),
+          concat(col("s_name"), lit("_m")).as("s_name"),
+          col("s_nationkey"),
+          (col("s_acctbal") + when(col("s_nationkey") % 3 === 0, -500.0)
+            .when(col("s_nationkey") % 3 === 1, 500.0)
+            .otherwise(0.0)).as("s_acctbal"))
+        .unionByName(seed.filter(col("s_nationkey") >= 20)
+          .select((col("s_suppkey") + lit(20000L)).as("s_suppkey"),
+            concat(col("s_name"), lit("_i")).as("s_name"),
+            col("s_nationkey"), col("s_acctbal")))
+      TxLogTable.mergeByKey(s, path, updates, Seq("s_suppkey"),
+        whenMatchedUpdateIf = Some("s.s_acctbal > t.s_acctbal"),
+        whenMatchedDeleteIf = Some("s.s_acctbal < t.s_acctbal")) // v1
+      TxLogTable.read(s, path)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT s_suppkey, s_name || '_m' AS s_name, s_nationkey,
+               s_acctbal + CASE s_nationkey % 3
+                 WHEN 0 THEN -500.0 WHEN 1 THEN 500.0 ELSE 0.0 END
+                 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 10
+        UNION ALL
+        SELECT s_suppkey + 20000, s_name || '_i', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20)
+      SELECT t.s_suppkey, t.s_name, t.s_nationkey, t.s_acctbal
+      FROM supplier t ANTI JOIN u ON t.s_suppkey = u.s_suppkey
+      UNION ALL
+      SELECT t.s_suppkey,
+             CASE WHEN u.s_acctbal > t.s_acctbal THEN u.s_name
+                  ELSE t.s_name END AS s_name,
+             t.s_nationkey,
+             CASE WHEN u.s_acctbal > t.s_acctbal THEN u.s_acctbal
+                  ELSE t.s_acctbal END AS s_acctbal
+      FROM supplier t JOIN u ON t.s_suppkey = u.s_suppkey
+      WHERE NOT (u.s_acctbal < t.s_acctbal)
+      UNION ALL
+      SELECT u.s_suppkey, u.s_name, u.s_nationkey, u.s_acctbal
+      FROM u ANTI JOIN supplier t ON u.s_suppkey = t.s_suppkey
+      ORDER BY s_suppkey"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158)
+    Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
+      q161, q162)
 }

@@ -658,4 +658,117 @@ class TxLogTableSpec extends SparkSpec {
     }
     assert(TxLogTable.currentVersion(path) == before)
   }
+
+  test("timestampAsOf: versionAsOf resolves through restores, monotone history") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "v"), path) // v0
+    TxLogTable.append(spark, Seq((2L, "b")).toDF("id", "v"), path) // v1
+    TxLogTable.deleteWhere(spark, path, col("id") === 1L)          // v2
+    TxLogTable.restore(spark, path, 0L)                            // v3
+    val h = TxLogTable.history(path)
+    assert(h.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // monotonized: strictly increasing even under same-ms commits
+    assert(h.map(_._2) == h.map(_._2).sorted &&
+      h.map(_._2).distinct.size == 4, h.toString)
+    // each commit's own timestamp resolves to exactly that version
+    h.foreach { case (v, ts) =>
+      assert(TxLogTable.versionAsOf(path, ts) == v, s"ts $ts -> $v")
+    }
+    // a timestamp AFTER the restore reads the restored (v0) snapshot,
+    // not the pre-restore head — restores are ordinary commits
+    val after = TxLogTable.readAsOf(spark, path, h.last._2 + 60000)
+      .as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a")))
+    // between v1 and v2: both rows visible
+    assert(TxLogTable.readAsOf(spark, path, h(1)._2)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // predating the first commit is an error, not an empty read
+    intercept[IllegalArgumentException] {
+      TxLogTable.versionAsOf(path, h.head._2 - 1)
+    }
+  }
+
+  test("mergeByKey: DELETE-then-UPDATE clause order, conditional carry, inserts") {
+    val path = tmp
+    TxLogTable.append(spark, Seq(
+      (1L, "keep-low", 10.0), (2L, "upd-me", 20.0),
+      (3L, "del-me", 30.0), (4L, "untouched", 40.0)
+    ).toDF("id", "v", "bal").repartition(1), path) // v0
+    val updates = Seq(
+      (1L, "s-lower", 10.0),  // matched, equal bal: neither clause fires → carry
+      (2L, "s-higher", 25.0), // matched, s.bal > t.bal → update
+      (3L, "s-del", 5.0),     // matched, s.bal < t.bal → delete
+      (9L, "s-new", 90.0)     // unmatched → insert
+    ).toDF("id", "v", "bal")
+    val v = TxLogTable.mergeByKey(spark, path, updates, Seq("id"),
+      whenMatchedUpdateIf = Some("s.bal > t.bal"),
+      whenMatchedDeleteIf = Some("s.bal < t.bal"))
+    assert(v == 1)
+    val head = TxLogTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(head == Set(
+      (1L, "keep-low", 10.0), (2L, "s-higher", 25.0),
+      (4L, "untouched", 40.0), (9L, "s-new", 90.0)), head.toString)
+    // history intact through the rebase
+    assert(TxLogTable.readVersion(spark, path, 0).count() == 4)
+    // a row satisfying BOTH clauses deletes (clause order is fixed)
+    TxLogTable.mergeByKey(spark, path,
+      Seq((2L, "boom", 999.0)).toDF("id", "v", "bal"), Seq("id"),
+      whenMatchedUpdateIf = Some("true"),
+      whenMatchedDeleteIf = Some("s.bal > t.bal"))
+    assert(TxLogTable.read(spark, path).filter(col("id") === 2L).count() == 0)
+    // no-match + no-insert is a no-op that does not commit
+    val before = TxLogTable.currentVersion(path)
+    val r = TxLogTable.mergeByKey(spark, path,
+      Seq((777L, "x", 1.0)).toDF("id", "v", "bal"), Seq("id"),
+      insertUnmatched = false)
+    assert(r == -1L && TxLogTable.currentVersion(path) == before)
+    // default conditions ≡ upsertByKey (unconditional update + insert)
+    TxLogTable.mergeByKey(spark, path,
+      Seq((4L, "plain", 44.0)).toDF("id", "v", "bal"), Seq("id"))
+    assert(TxLogTable.read(spark, path).filter(col("id") === 4L)
+      .as[(Long, String, Double)].head() == ((4L, "plain", 44.0)))
+  }
+
+  test("mergeByKey: file-pruned — untouched files carry by reference") {
+    val path = tmp
+    Seq(0L until 50L, 50L until 100L, 100L until 150L).foreach { r =>
+      TxLogTable.append(spark,
+        r.map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "bal")
+          .repartition(1), path)
+    }
+    val filesBefore = TxLogTable.read(spark, path).inputFiles.toSet
+    // merge keys live only in the middle file's range
+    TxLogTable.mergeByKey(spark, path,
+      Seq((60L, "m60", 600.0), (70L, "m70", 7.0)).toDF("id", "v", "bal"),
+      Seq("id"),
+      whenMatchedUpdateIf = Some("s.bal > t.bal"),
+      whenMatchedDeleteIf = Some("s.bal < t.bal"))
+    val filesAfter = TxLogTable.read(spark, path).inputFiles.toSet
+    // the two range-disjoint files carry BY REFERENCE (same physical
+    // paths); only the touched middle file was rewritten
+    assert(filesBefore.intersect(filesAfter).size == 2,
+      s"before=$filesBefore after=$filesAfter")
+    assert(TxLogTable.read(spark, path).count() == 149) // 70 deleted
+    assert(TxLogTable.read(spark, path).filter(col("id") === 60L)
+      .select("v").as[String].head() == "m60")
+  }
+
+  test("timestamp columns carry footer stats (INT64 micros) and prune") {
+    val path = tmp
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    TxLogTable.append(spark, Seq(
+      (1L, t("2024-01-01 00:00:00")), (2L, t("2024-01-31 23:59:59"))
+    ).toDF("id", "ts").repartition(1), path)
+    TxLogTable.append(spark, Seq(
+      (3L, t("2024-06-01 00:00:00")), (4L, t("2024-06-30 12:00:00"))
+    ).toDF("id", "ts").repartition(1), path)
+    val (kept, skipped) = TxLogTable.prunedFiles(spark, path,
+      col("ts") >= lit(t("2024-06-01 00:00:00")))
+    assert(kept.size == 1 && skipped.size == 1,
+      s"timestamp stats must prune: kept=$kept skipped=$skipped")
+    assert(TxLogTable.readWhere(spark, path,
+        col("ts") >= lit(t("2024-06-01 00:00:00")))
+      .select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
 }
