@@ -84,7 +84,7 @@ object TxLogTable {
     * harvested from footers — INT96 would silently lose timestamp
     * skipping. (Delta writes int64 timestamps for the same reason.) */
   private def stage(df: DataFrame, fs: FileSystem, root: HPath,
-      prefix: String): Seq[String] = {
+      prefix: String, partitionBy: Seq[String] = Seq.empty): Seq[String] = {
     fs.mkdirs(logDir(root))
     val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new HPath(root, s"data-$stageId")
@@ -92,16 +92,37 @@ object TxLogTable {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = conf.getOption(tsKey)
     conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    finally prevTs match {
+    try {
+      val w = df.write.mode(SaveMode.ErrorIfExists)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dataDir.toString)
+    } finally prevTs match {
       case Some(v) => conf.set(tsKey, v)
       case None => conf.unset(tsKey)
     }
-    writeFileStats(df.sparkSession, fs, dataDir, df.schema)
-    fs.listStatus(dataDir).iterator
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data-$stageId/${s.getPath.getName}")
-      .toSeq.sorted
+    writeFileStats(df.sparkSession, fs, dataDir,
+      org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(f => partitionBy.contains(f.name))))
+    listParquet(fs, dataDir)
+      .map(rel => s"data-$stageId/$rel")
+      .sorted
+  }
+
+  /** Parquet files under `dir` (recursive — hive partition layouts nest
+    * `k=v` subdirs), as dir-relative paths. */
+  private def listParquet(fs: FileSystem, dir: HPath): Seq[String] = {
+    val base = dir.toUri.getPath
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith(".")) {
+        val full = st.getPath.toUri.getPath
+        out += full.stripPrefix(base).stripPrefix("/")
+      }
+    }
+    out.result()
   }
 
   // ---- per-file min/max stats (the Delta data-skipping sidecar) ----
@@ -158,16 +179,16 @@ object TxLogTable {
       import org.json4s.jackson.JsonMethods
       val cols = schema.fields.filter(f => statsSupported(f.dataType))
       if (cols.isEmpty) return
-      val files = fs.listStatus(dataDir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      val perFile: org.json4s.JObject = org.json4s.JObject(files.toList.map { st =>
-        val bounds = footerBounds(fs.getConf, st.getPath, cols)
+      // keys are dataDir-RELATIVE paths (hive layouts nest k=v subdirs)
+      val files = listParquet(fs, dataDir)
+      val perFile: org.json4s.JObject = org.json4s.JObject(files.toList.map { rel =>
+        val bounds = footerBounds(fs.getConf, new HPath(dataDir, rel), cols)
         val colsJson = org.json4s.JObject(cols.toList.flatMap { f =>
           bounds.get(f.name).map { case (mn, mx) =>
             f.name -> ((("min" -> mn) ~ ("max" -> mx)): org.json4s.JValue)
           }
         })
-        st.getPath.getName -> (colsJson: org.json4s.JValue)
+        rel -> (colsJson: org.json4s.JValue)
       })
       writeString(fs, new HPath(dataDir, "_stats.json"),
         JsonMethods.compact(JsonMethods.render(
@@ -328,8 +349,10 @@ object TxLogTable {
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
+      val base = dataDir.toUri.getPath
       val perFile: org.json4s.JObject = org.json4s.JObject(rows.toList.map { r =>
-        val fname = r.getString(0).split('/').last
+        val fname = new java.net.URI(r.getString(0)).getPath
+          .stripPrefix(base).stripPrefix("/")
         val colsJson = org.json4s.JObject(cols.toList.flatMap { f =>
           for {
             mn <- statScalar(r.getAs[Any](s"__min_${f.name}"))
@@ -428,7 +451,10 @@ object TxLogTable {
     * [[graft.streaming.StreamingOps.startIngest]]. */
   def append(spark: SparkSession, df: DataFrame, path: String,
       maxRetries: Int = 20, commit: CommitPoint = CommitPoint.Auto,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns ${partitionBy.diff(df.columns.toSeq)} not in frame")
     val (fs, root) = fsFor(path)
     txn.foreach { case (app, tv) =>
       require(app.matches("[A-Za-z0-9_:/.@=-]+"),
@@ -443,7 +469,7 @@ object TxLogTable {
       if (lastTxnVersion(fs, root, app).exists(_ >= tv))
         return versions(fs, root).lastOption.getOrElse(-1L)
     }
-    val files = stage(df, fs, root, "")
+    val files = stage(df, fs, root, "", partitionBy)
     val v = commitEntry(fs, root, files, rebase = false, None, maxRetries,
       commit, txn)
     DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json,
@@ -472,7 +498,7 @@ object TxLogTable {
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256,
       commit: CommitPoint = CommitPoint.Auto,
       zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 8,
-      targetFiles: Int = 0): Long = {
+      targetFiles: Int = 0, partitionBy: Seq[String] = Seq.empty): Long = {
     val (fs, root) = fsFor(path)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val snapshot = readVersion(spark, path, v0)
@@ -488,7 +514,7 @@ object TxLogTable {
         .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
         .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
         .drop("__z")
-    val files = stage(rewritten, fs, root, "compact-")
+    val files = stage(rewritten, fs, root, "compact-", partitionBy)
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
       maxRetries = 1, commit)
     // the rebase is a remove-all + add-all in Delta terms
@@ -559,11 +585,10 @@ object TxLogTable {
         // snapshot's merged schema (appends never validate), and the
         // touched SUBSET's merge can lack a column every other file has
         // — those carried rows read it as null either way
-        else spark.read.option("mergeSchema", true)
-          .parquet(touched.map(f => s"$path/$f"): _*)
+        else scanFiles(spark, path, touched)
           .join(keys, keyCols, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
-      val staged = stage(merged, fs, root, "merge-")
+      val staged = stage(merged, fs, root, "merge-", partColsOf(touched))
       val v = commitEntry(fs, root, (untouched ++ staged).sorted,
         rebase = true, Some(v0), maxRetries = 1, commit)
       DeltaInterop.mirror(spark, path, v, staged, touched,
@@ -609,8 +634,7 @@ object TxLogTable {
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
-        spark.read.option("mergeSchema", true)
-          .parquet(cand.map(f => s"$path/$f"): _*)
+        scanFiles(spark, path, cand)
           .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
           .join(keys, keyCols, "left_semi"))
     (all, touched)
@@ -668,8 +692,7 @@ object TxLogTable {
     val untouched = all.diff(touched)
     val tgtScan =
       if (touched.isEmpty) None
-      else Some(spark.read.option("mergeSchema", true)
-        .parquet(touched.map(f => s"$path/$f"): _*))
+      else Some(scanFiles(spark, path, touched))
     val rewritten: Option[DataFrame] = tgtScan.map { tgt =>
       val joined = tgt.alias("t").join(
         updates.withColumn("__m", flit(1)).alias("s"),
@@ -700,7 +723,8 @@ object TxLogTable {
     }
     val out = outOpt.filter(!_.isEmpty)
     if (touched.isEmpty && out.isEmpty) return -1L
-    val staged = out.map(stage(_, fs, root, "merge-")).getOrElse(Seq.empty)
+    val staged = out.map(stage(_, fs, root, "merge-", partColsOf(touched)))
+      .getOrElse(Seq.empty)
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
       rebase = true, Some(v0), maxRetries = 1, commit)
     DeltaInterop.mirror(spark, path, v, staged, touched,
@@ -742,8 +766,7 @@ object TxLogTable {
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
-        spark.read.option("mergeSchema", true)
-          .parquet(cand.map(f => s"$path/$f"): _*)
+        scanFiles(spark, path, cand)
           .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
           .filter(predicate))
     if (touched.isEmpty) return -1L
@@ -753,14 +776,14 @@ object TxLogTable {
     // would drop NULL rows from rewritten files while identical rows in
     // untouched files carry by reference — erasure that depends on
     // which file a row shares with a match.
-    val remaining = spark.read.option("mergeSchema", true)
-      .parquet(touched.map(f => s"$path/$f"): _*)
+    val remaining = scanFiles(spark, path, touched)
       .filter(!org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false)))
-    // a touched-file set whose every row matches stages nothing
+    // a touched-file set whose every row matches stages nothing; a
+    // partitioned touched set re-stages in its own layout
     val staged =
       if (remaining.isEmpty) Seq.empty[String]
-      else stage(remaining, fs, root, "delete-")
+      else stage(remaining, fs, root, "delete-", partColsOf(touched))
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
       rebase = true, Some(v0), maxRetries = 1, commit)
     DeltaInterop.mirror(spark, path, v, staged, touched,
@@ -841,8 +864,7 @@ object TxLogTable {
     val onlyNew = (f2 -- f1).toSeq.sorted
     def scan(files: Seq[String]): DataFrame =
       if (files.isEmpty) None.orNull
-      else spark.read.option("mergeSchema", true)
-        .parquet(files.map(f => s"$path/$f"): _*)
+      else scanFiles(spark, path, files)
     (scan(onlyNew), scan(onlyOld)) match {
       case (null, null) =>
         // identical listings (same version, or across a restore): an
@@ -1017,16 +1039,114 @@ object TxLogTable {
   def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
     readVersion(spark, path, versionAsOf(path, tsMillis))
 
+  // ---- hive-partitioned layout (first-class partitionBy) ----
+
+  /** Hive `k=v` path segments of a log-relative file path, in layout
+    * order: `data-x/date=2024-01-01/f.parquet` → Seq(("date",
+    * Some("2024-01-01"))). `__HIVE_DEFAULT_PARTITION__` decodes to
+    * None (null partition value). Values are %XX-unescaped (hive path
+    * escaping; NOT URLDecoder — '+' must stay literal). */
+  private[operators] def partitionValuesOf(rel: String)
+      : Seq[(String, Option[String])] =
+    rel.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = unescapePath(seg.substring(i + 1))
+        Some(unescapePath(seg.substring(0, i)) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
+      }
+    }
+
+  private def unescapePath(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The partition column layout of a file set: the single consistent
+    * `k=v` column sequence if every partitioned file agrees, else
+    * empty (mixed layouts re-stage unpartitioned — correct either
+    * way, reads recover the columns from whichever layout a file
+    * has). */
+  private def partColsOf(files: Seq[String]): Seq[String] = {
+    val layouts = files.map(f => partitionValuesOf(f).map(_._1))
+      .filter(_.nonEmpty).distinct
+    if (layouts.size == 1) layouts.head else Seq.empty
+  }
+
+  /** Scan a log-relative file list with hive-partition recovery: files
+    * in a partitioned data dir read with that dir as `basePath` (so
+    * their `k=v` segments surface as columns), all unpartitioned files
+    * read as one multi-path scan, and the sides align by name. For a
+    * table with no partitioned files this is exactly the old single
+    * mergeSchema read — no plan-shape change. */
+  private def scanFiles(spark: SparkSession, path: String,
+      files: Seq[String]): DataFrame = {
+    val (parted, plain) = files.partition(f =>
+      partitionValuesOf(f).nonEmpty)
+    val plainScan =
+      if (plain.isEmpty) None
+      else Some(spark.read.option("mergeSchema", true)
+        .parquet(plain.map(f => s"$path/$f"): _*))
+    val partedScans = parted.groupBy(_.split('/').head).toSeq
+      .sortBy(_._1).map { case (dir, fsOfDir) =>
+        spark.read.option("mergeSchema", true)
+          .option("basePath", s"$path/$dir")
+          .parquet(fsOfDir.map(f => s"$path/$f"): _*)
+      }
+    (plainScan.toSeq ++ partedScans)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** min=max "stats" synthesized from a file's hive path segments, for
+    * the partition columns the predicate references — the zero-I/O
+    * pruning pass that runs BEFORE any stats sidecar loads. Typed by
+    * the RESOLVED predicate's attribute types (what the scan will cast
+    * the partition string to), encoded exactly like [[statScalar]].
+    * Timestamp partition values are skipped (their string form is
+    * session-timezone-dependent; those files just scan). */
+  private def partitionStatsFor(rel: String,
+      attrTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, (org.json4s.JValue, org.json4s.JValue)] = {
+    import org.apache.spark.sql.types._
+    partitionValuesOf(rel).flatMap {
+      case (k, Some(v)) => attrTypes.get(k).flatMap { dt =>
+        try dt match {
+          case StringType => Some(org.json4s.JString(v))
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType | _: DecimalType =>
+            Some(org.json4s.JDecimal(BigDecimal(v)))
+          case DateType => Some(org.json4s.JLong(
+            java.time.LocalDate.parse(v).toEpochDay))
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.map(j => k -> ((j, j)))
+      case _ => None // null partition: no bound, the file scans
+    }.toMap
+  }
+
   /** Snapshot read of the latest committed version. */
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, currentVersion(path))
 
-  /** Time travel: read the table as of `version`. */
+  /** Time travel: read the table as of `version`. Hive-partitioned
+    * files recover their partition columns ([[scanFiles]]). */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val (fs, root) = fsFor(path)
-    val files = filesUpTo(fs, root, version).map(f => s"$path/$f")
+    val files = filesUpTo(fs, root, version)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", true).parquet(files: _*)
+    else scanFiles(spark, path, files)
   }
 
   def currentVersion(path: String): Long = {
@@ -1246,8 +1366,26 @@ object TxLogTable {
     cond match {
       case None => (files, Seq.empty)
       case Some(c) =>
-        val stats = loadStats(fs, root, files)
-        files.partition(f => mightMatch(stats.get(f), c))
+        val attrTypes = c.references
+          .map(a => (a.name, a.dataType)).toSeq.toMap
+        // pass 1 — PARTITION pruning, from path segments alone: zero
+        // I/O beyond the listing already in hand. Runs BEFORE the
+        // stats sidecars so a date-partitioned table's point query
+        // never even opens the other partitions' _stats.json.
+        val (cand, partSkipped) = files.partition { f =>
+          val ps = partitionStatsFor(f, attrTypes)
+          ps.isEmpty || mightMatch(Some(ps), c)
+        }
+        // pass 2 — stats sidecars, loaded only for partition survivors
+        // (merged with the partition bounds so mixed predicates like
+        // `part = x AND v > k` stay exact)
+        val stats = loadStats(fs, root, cand)
+        val (kept, statSkipped) = cand.partition { f =>
+          val merged = stats.getOrElse(f, Map.empty) ++
+            partitionStatsFor(f, attrTypes)
+          mightMatch(if (merged.isEmpty) None else Some(merged), c)
+        }
+        (kept, partSkipped ++ statSkipped)
     }
   }
 
@@ -1267,9 +1405,7 @@ object TxLogTable {
       if (v < 0) return spark.emptyDataFrame
       return readVersion(spark, path, v).filter(predicate).limit(0)
     }
-    spark.read.option("mergeSchema", true)
-      .parquet(kept.map(f => s"$path/$f"): _*)
-      .filter(predicate)
+    scanFiles(spark, path, kept).filter(predicate)
   }
 
   // ---- log introspection for the Delta mirror backfill (DeltaInterop.sync) ----

@@ -564,7 +564,45 @@ object IngestQueries extends QueryModule {
       FROM u ANTI JOIN supplier t ON u.s_suppkey = t.s_suppkey
       ORDER BY s_suppkey"""))
 
+  /** A23 hive-partitioned TxLogTable, oracle-checked end to end: orders
+    * is committed with `partitionBy = o_orderpriority` (5 partitions),
+    * then [[TxLogTable.readWhere]] serves a partition-predicate point
+    * query. The query REQUIRES — in-query, q158-pattern — that
+    * partition pruning keeps ONLY files inside the matched partition's
+    * `k=v` directory and drops every foreign-partition file from the
+    * listing before any footer or stats sidecar opens (path-segment
+    * pruning is pass 1, zero I/O). A mixed partition+data predicate
+    * then composes path pruning with the per-file stats interval. */
+  private val q163 = QueryDef(
+    "q163_acid_partition_pruning",
+    (s, d) => {
+      val path = s"/tmp/graft_acid_part_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      TxLogTable.append(s, orders.repartition(2), path,
+        partitionBy = Seq("o_orderpriority"))
+      val pred = col("o_orderpriority") === "1-URGENT"
+      val (kept, skipped) = TxLogTable.prunedFiles(s, path, pred)
+      require(kept.nonEmpty && kept.forall(_.contains("o_orderpriority=1-URGENT")),
+        s"partition pruning must keep only the matched partition: $kept")
+      require(skipped.nonEmpty &&
+        skipped.forall(!_.contains("o_orderpriority=1-URGENT")),
+        s"every foreign-partition file must be pruned: kept=${kept.size} " +
+          s"skipped=${skipped.size}")
+      TxLogTable.readWhere(s, path, pred && col("o_totalprice") > 50000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 50000.0
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162)
+      q161, q162, q163)
 }

@@ -754,6 +754,92 @@ class TxLogTableSpec extends SparkSpec {
       .select("v").as[String].head() == "m60")
   }
 
+  test("hive partitionBy: partition columns recover on read; pruning opens zero files outside") {
+    val path = tmp
+    val rows = (0L until 300L).map(i =>
+      (i, s"v$i", (i % 3) match { case 0 => "a"; case 1 => "b"; case _ => "c" }))
+    TxLogTable.append(spark, rows.toDF("id", "v", "p").repartition(2),
+      path, partitionBy = Seq("p"))
+    // partition column recovered as a real column
+    val head = TxLogTable.read(spark, path)
+    assert(head.columns.contains("p") && head.count() == 300)
+    assert(head.filter(col("p") === "b").count() == 100)
+    // PARTITION pruning: a p-predicate drops every foreign-partition
+    // file from the listing before any footer or sidecar opens
+    val (kept, skipped) = TxLogTable.prunedFiles(spark, path, col("p") === "b")
+    assert(kept.nonEmpty && kept.forall(_.contains("p=b")), kept.mkString(","))
+    assert(skipped.nonEmpty && skipped.forall(!_.contains("p=b")),
+      skipped.mkString(","))
+    val scanned = TxLogTable.readWhere(spark, path, col("p") === "b").inputFiles
+    assert(scanned.forall(_.contains("p=b")), scanned.mkString(","))
+    // mixed predicate: partition prune AND data-column stats both apply
+    val got = TxLogTable.readWhere(spark, path,
+        col("p") === "b" && col("id") < 30L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 30L).filter(_ % 3 == 1).toSet)
+    // int-typed partition values prune numerically
+    val path2 = tmp
+    TxLogTable.append(spark,
+      (0L until 100L).map(i => (i, (i / 50).toInt)).toDF("id", "bucket"),
+      path2, partitionBy = Seq("bucket"))
+    val (k2, s2) = TxLogTable.prunedFiles(spark, path2, col("bucket") === 1)
+    assert(k2.forall(_.contains("bucket=1")) && s2.nonEmpty)
+  }
+
+  test("hive partitionBy: DML rewrites only within matched partitions") {
+    val path = tmp
+    val rows = (0L until 300L).map(i => (i, s"v$i", s"part${i % 3}"))
+    TxLogTable.append(spark, rows.toDF("id", "v", "p").repartition(1),
+      path, partitionBy = Seq("p"))
+    val before = TxLogTable.read(spark, path).inputFiles.toSet
+    // delete inside ONE partition: the other partitions' files carry
+    // by reference, and the rewrite stays hive-partitioned
+    TxLogTable.deleteWhere(spark, path,
+      col("p") === "part1" && col("id") < 100L)
+    val after = TxLogTable.read(spark, path).inputFiles.toSet
+    val untouchedCarried = before.intersect(after)
+    assert(untouchedCarried.nonEmpty &&
+      untouchedCarried.forall(f => !f.contains("p=part1")),
+      s"only part1 files may rewrite: carried=$untouchedCarried")
+    assert(after.exists(f => f.contains("p=part1") && !before.contains(f)),
+      "the rewritten slice keeps its hive layout")
+    assert(TxLogTable.read(spark, path).count() == 300 - 33)
+    // upsert keyed into one partition: same containment
+    val b2 = TxLogTable.read(spark, path).inputFiles.toSet
+    TxLogTable.upsertByKey(spark, path,
+      Seq((2L, "UP", "part2")).toDF("id", "v", "p"), Seq("id"))
+    val a2 = TxLogTable.read(spark, path).inputFiles.toSet
+    assert(b2.intersect(a2).forall(f => !f.contains("p=part2")))
+    assert(TxLogTable.read(spark, path)
+      .filter(col("id") === 2L).select("v").as[String].head() == "UP")
+  }
+
+  test("hive partitionBy: partition evolution is safe (mixed layouts read+prune)") {
+    val path = tmp
+    // v0 unpartitioned, v1 partitioned — layouts coexist
+    TxLogTable.append(spark,
+      Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p"), path)
+    TxLogTable.append(spark,
+      Seq((3L, "z", "a"), (4L, "w", "b")).toDF("id", "v", "p"),
+      path, partitionBy = Seq("p"))
+    val head = TxLogTable.read(spark, path)
+    assert(head.count() == 4 && head.columns.toSet == Set("id", "v", "p"))
+    assert(head.filter(col("p") === "a").select("id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+    // pruning on p: partitioned files outside p=a drop by PATH; the
+    // unpartitioned file is judged by its own p-column SIDECAR stats
+    // (p is a data column there) — never wrongly pruned
+    val (kept, _) = TxLogTable.prunedFiles(spark, path, col("p") === "a")
+    assert(kept.exists(_.contains("p=a")) && !kept.exists(_.contains("p=b")))
+    val got = TxLogTable.readWhere(spark, path, col("p") === "a")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+    // delete across both layouts stays exact
+    TxLogTable.deleteWhere(spark, path, col("p") === "b")
+    assert(TxLogTable.read(spark, path).select("id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+  }
+
   test("timestamp columns carry footer stats (INT64 micros) and prune") {
     val path = tmp
     def t(s: String) = java.sql.Timestamp.valueOf(s)
