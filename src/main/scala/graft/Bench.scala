@@ -52,6 +52,7 @@ object Bench {
           System.err.println(s"[bench] WARMUP FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
+    graft.queries.Handoff.releaseAll()
     spark.catalog.clearCache()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
@@ -59,6 +60,9 @@ object Bench {
     val failed = scala.collection.mutable.Set.empty[String]
     (1 to passes).foreach { pass =>
       names.foreach { name =>
+        // release the PREVIOUS query's chain handoffs (registered via
+        // Handoff.persist) before clearing the cache for this one
+        graft.queries.Handoff.releaseAll()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =

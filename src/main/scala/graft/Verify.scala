@@ -25,6 +25,7 @@ object Verify {
         }
         // dedup/ANN queries cache their signature indexes; don't let 65
         // queries' worth accumulate in whatever heap the driver gives us
+        graft.queries.Handoff.releaseAll()
         spark.catalog.clearCache()
       }
     }

@@ -229,17 +229,32 @@ object EventAnalytics {
     *
     * Scale shape: one mergeable groupBy builds the observed buckets;
     * the spine is `sequence(lo, hi)` exploded from a one-row bounds
-    * aggregate (never a driver loop); the neighbor lookup is a window
-    * per KEY over the spine — bounded by `keys × horizon/step`, the
-    * spine length, NOT by event volume (a year of minutes is ~526k rows
-    * per key). Keys are the caller's dimension column; a spine too long
-    * for one task means a coarser step or a spine-range split, not a
-    * different algorithm. Returns (key, bucket, n, m6, locf6, interp6).
+    * aggregate (never a driver loop); and the neighbor lookup is
+    * TWO-PHASE so no window task ever sorts a key's whole spine:
+    *
+    *  1. the spine chunks into fixed runs of `chunkBuckets` buckets
+    *     and a window per (key, chunk) finds the within-chunk
+    *     previous/next observation — every task is ≤ chunkBuckets
+    *     rows regardless of horizon;
+    *  2. a per-(key, chunk) aggregate keeps each chunk's first/last
+    *     observation — keys × (horizon / chunkBuckets) rows, metadata
+    *     scale — and a window over THAT carries the cross-chunk
+    *     previous/next; the join-back fills the buckets whose chunk
+    *     holds no earlier/later observation.
+    *
+    * This is the engine's distributed-prefix pattern ([[Packing]]'s
+    * two-phase sum) applied to LOCF: a multi-year minute-grain spine
+    * (~2.6M buckets/key) costs ~320 bounded window tasks per key plus
+    * one metadata-scale pass, not one 2.6M-row sort. Returns
+    * (key, bucket, n, m6, locf6, interp6).
     */
   def gapFillInterpolate(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, unit: String = "hour",
-      index: IndexStore = IndexStore.default): DataFrame = {
-    require(Set("hour", "day", "week")(unit), s"unsupported bucket unit $unit")
+      index: IndexStore = IndexStore.default,
+      chunkBuckets: Int = 8192): DataFrame = {
+    require(Set("minute", "hour", "day", "week")(unit),
+      s"unsupported bucket unit $unit")
+    require(chunkBuckets > 0, s"chunkBuckets must be positive: $chunkBuckets")
     // ONE pass over the event volume: the bucket aggregate collapses it
     // to keys × observed-buckets rows and persists via `index`; the key
     // dimension and the spine bounds both derive from that tiny table
@@ -257,19 +272,51 @@ object EventAnalytics {
       .select(explode(sequence(col("lo"), col("hi"),
         expr(s"interval 1 $unit"))).as("bucket"))
       .join(broadcast(keys)) // tiny dimension rides the spine rows
+    val stepSec = unit match {
+      case "minute" => 60L
+      case "hour" => 3600L
+      case "day" => 86400L
+      case "week" => 604800L
+    }
     val filled = spine.join(b, Seq("key", "bucket"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("bucket"))
-    val wPrev = w.rowsBetween(Long.MinValue, 0)
-    val wNext = w.rowsBetween(0, Long.MaxValue)
-    filled
-      .withColumn("__pv", last(col("m6"), ignoreNulls = true).over(wPrev))
-      .withColumn("__pt", last(when(col("m6").isNotNull, col("bucket")),
-        ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(col("m6"), ignoreNulls = true).over(wNext))
-      .withColumn("__nt", first(when(col("m6").isNotNull, col("bucket")),
-        ignoreNulls = true).over(wNext))
+      // fixed-length chunk id: any contiguous grouping is CORRECT (the
+      // cross-chunk carry below handles neighbors over the boundary);
+      // fixed epochs-based runs just keep every chunk ≤ chunkBuckets
+      .withColumn("__c", floor(unix_timestamp(col("bucket")) /
+        lit(stepSec * chunkBuckets)).cast("long"))
+    val W = org.apache.spark.sql.expressions.Window
+    // phase 1 — within-chunk neighbors: tasks bounded by chunkBuckets
+    val wc = W.partitionBy(col("key"), col("__c")).orderBy(col("bucket"))
+    val local = filled
+      .withColumn("__pv0", last(col("m6"), ignoreNulls = true)
+        .over(wc.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__pt0", last(when(col("m6").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wc.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__nv0", first(col("m6"), ignoreNulls = true)
+        .over(wc.rowsBetween(0, Long.MaxValue)))
+      .withColumn("__nt0", first(when(col("m6").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wc.rowsBetween(0, Long.MaxValue)))
+    // phase 2 — per-chunk first/last observation (keys × chunks rows,
+    // metadata scale), then the cross-chunk carry over that summary
+    val summary = filled.groupBy(col("key"), col("__c"))
+      .agg(
+        max(when(col("m6").isNotNull, struct(col("bucket"), col("m6"))))
+          .as("__lastObs"),
+        min(when(col("m6").isNotNull, struct(col("bucket"), col("m6"))))
+          .as("__firstObs"))
+    val ws = W.partitionBy(col("key")).orderBy(col("__c"))
+    val carry = summary
+      .withColumn("__cp", last(col("__lastObs"), ignoreNulls = true)
+        .over(ws.rowsBetween(Long.MinValue, -1)))
+      .withColumn("__cn", first(col("__firstObs"), ignoreNulls = true)
+        .over(ws.rowsBetween(1, Long.MaxValue)))
+      .select(col("key"), col("__c"), col("__cp"), col("__cn"))
+    local.join(carry, Seq("key", "__c"))
+      .withColumn("__pv", coalesce(col("__pv0"), col("__cp").getField("m6")))
+      .withColumn("__pt", coalesce(col("__pt0"), col("__cp").getField("bucket")))
+      .withColumn("__nv", coalesce(col("__nv0"), col("__cn").getField("m6")))
+      .withColumn("__nt", coalesce(col("__nt0"), col("__cn").getField("bucket")))
       .withColumn("locf6", col("__pv"))
       .withColumn("interp6",
         when(col("m6").isNotNull, col("m6")).otherwise(

@@ -109,20 +109,21 @@ object TxLogTable {
   }
 
   /** Parquet files under `dir` (recursive — hive partition layouts nest
-    * `k=v` subdirs), as dir-relative paths. */
+    * `k=v` subdirs), as dir-relative paths. Walks with plain
+    * `listStatus`, not `listFiles(recursive)`: the located-status API
+    * eagerly loads permission info through java.io.File and breaks on
+    * non-file schemes that delegate to the raw local FS. */
   private def listParquet(fs: FileSystem, dir: HPath): Seq[String] = {
     val base = dir.toUri.getPath
-    val it = fs.listFiles(dir, true)
-    val out = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet") && !name.startsWith(".")) {
-        val full = st.getPath.toUri.getPath
-        out += full.stripPrefix(base).stripPrefix("/")
+    def walk(d: HPath): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith(".")) walk(st.getPath)
+        else if (st.isFile && name.endsWith(".parquet") && !name.startsWith("."))
+          Seq(st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"))
+        else Seq.empty
       }
-    }
-    out.result()
+    walk(dir)
   }
 
   // ---- per-file min/max stats (the Delta data-skipping sidecar) ----

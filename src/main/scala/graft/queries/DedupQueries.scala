@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.operators.{ConnectedComponents, Contamination, Dedup, IndexStore, Packing, Sampling}
+import graft.queries.Handoff.HandoffOps
 import org.apache.spark.sql.functions._
 
 /** Deduplication extension operators surfaced through the correctness
@@ -774,7 +775,7 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id").as("__cd"))
       val s1c = s1.join(cont, col("doc_id") === col("__cd"), "left_anti")
         .select(col("doc_id"), col("text"))
-        .persist() // containment-handoff persist (the q118 s1x pattern)
+        .handoff // containment-handoff persist (the q118 s1x pattern)
       val prs = Dedup.minhashLsh(s1c, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
@@ -793,7 +794,7 @@ object DedupQueries extends QueryModule {
       val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
       val sized = s3.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
-        .persist()
+        .handoff
       Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
           bucketWidth = 8L)
         .orderBy(col("doc_id"))
@@ -1013,24 +1014,24 @@ object DedupQueries extends QueryModule {
         .filter(col("doc_id") <= 300)
       val split = Sampling.split(docs, "doc_id",
         Seq("train" -> 0.9, "eval" -> 0.1))
-      val train = split.filter(col("split") === "train").drop("split").persist()
+      val train = split.filter(col("split") === "train").drop("split").handoff
       val evalDocs = split.filter(col("split") === "eval").drop("split")
       val s1 = Dedup.exact(train, "doc_id", "text")
-        .select(col("doc_id"), col("text"), col("n_chars")).persist()
+        .select(col("doc_id"), col("text"), col("n_chars")).handoff
       val cont = Dedup.containment(s1, "doc_id", "text", "n_chars",
           tau = 0.9, minShared = 10, maxDf = 50, k = 8, w = 4,
           index = IndexStore.NoStore,
           minParallelism = s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("__cd"))
       val s1c = s1.join(cont, col("doc_id") === col("__cd"), "left_anti")
-        .select(col("doc_id"), col("text")).persist()
+        .select(col("doc_id"), col("text")).handoff
       val prs = Dedup.minhashLsh(s1c, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
         index = IndexStore.NoStore,
         minParallelism = s.sparkContext.defaultParallelism)
       val s2 = s1c.join(prs.select(col("id_b").as("__d")).distinct(),
-        col("doc_id") === col("__d"), "left_anti").persist()
+        col("doc_id") === col("__d"), "left_anti").handoff
       val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
         maxDf = 50, k = 8, w = 4, index = IndexStore.NoStore,
         minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
@@ -1311,7 +1312,7 @@ object DedupQueries extends QueryModule {
       // Width does not affect the assignment, only the plan.
       val sized = s3.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
-        .persist()
+        .handoff
       Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
           bucketWidth = 8L)
         .orderBy(col("doc_id"))
@@ -1439,7 +1440,7 @@ object DedupQueries extends QueryModule {
       val s1x = Dedup.spanExcision(s1, "doc_id", "text", n = 16,
           minParallelism = s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("clean_text").as("text"))
-        .persist()
+        .handoff
       // stage 2: near-dup pairwise drop over the excised texts
       val prs = Dedup.minhashLsh(s1x, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
@@ -1462,7 +1463,7 @@ object DedupQueries extends QueryModule {
       // stage 4: pack the survivors (q112's persist + explicit width)
       val sized = s3.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
-        .persist()
+        .handoff
       Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
           bucketWidth = 8L)
         .orderBy(col("doc_id"))
@@ -1624,7 +1625,7 @@ object DedupQueries extends QueryModule {
       val s1x = Dedup.spanExcision(s1, "doc_id", "text", n = 16,
           minParallelism = s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("clean_text").as("text"))
-        .persist() // q118's excision-handoff persist: s1x fans out 5x
+        .handoff // q118's excision-handoff persist: s1x fans out 5x
       val prs = Dedup.minhashLsh(s1x, "doc_id", "text",
         shingleK = 1, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = Int.MaxValue,
@@ -1643,7 +1644,7 @@ object DedupQueries extends QueryModule {
       val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
       val sized = s3.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
-        .persist()
+        .handoff
       Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
           bucketWidth = 8L)
         .orderBy(col("doc_id"))
@@ -1838,7 +1839,7 @@ object DedupQueries extends QueryModule {
       val evalDocs = split.filter(col("split") === "eval").drop("split")
       val s1 = Dedup.exact(train, "doc_id", "text")
         .select(col("doc_id"), col("text"))
-        .persist() // dedup handoff: s1 fans out to the LSH and both joins
+        .handoff // dedup handoff: s1 fans out to the LSH and both joins
       val prs = Dedup.minhashLsh(s1, "doc_id", "text",
         shingleK = 3, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = 100,
@@ -1846,7 +1847,7 @@ object DedupQueries extends QueryModule {
         minParallelism = s.sparkContext.defaultParallelism)
       val s2 = s1.join(prs.select(col("id_b").as("__d")).distinct(),
         col("doc_id") === col("__d"), "left_anti")
-        .persist() // survivor handoff: decontamination probe + s3 both read s2
+        .handoff // survivor handoff: decontamination probe + s3 both read s2
       val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
         maxDf = 50, k = 8, w = 4, index = IndexStore.default,
         minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
@@ -1858,7 +1859,7 @@ object DedupQueries extends QueryModule {
       val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
       val sized = s3.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
-        .persist()
+        .handoff
       Packing.assign(sized, "doc_id", "n_toks", capacity = 1024L,
           bucketWidth = 8L)
         .orderBy(col("doc_id"))
@@ -1975,17 +1976,17 @@ object DedupQueries extends QueryModule {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val split = Sampling.split(docs, "doc_id",
         Seq("train" -> 0.9, "eval" -> 0.1))
-      val train = split.filter(col("split") === "train").drop("split").persist()
+      val train = split.filter(col("split") === "train").drop("split").handoff
       val evalDocs = split.filter(col("split") === "eval").drop("split")
       val s1 = Dedup.exact(train, "doc_id", "text")
-        .select(col("doc_id"), col("text")).persist()
+        .select(col("doc_id"), col("text")).handoff
       val prs = Dedup.minhashLsh(s1, "doc_id", "text",
         shingleK = 3, numHashes = 16, bands = 4, rows = 4,
         threshold = 0.8, maxBucketSize = 100,
         index = IndexStore.default,
         minParallelism = s.sparkContext.defaultParallelism)
       val s2 = s1.join(prs.select(col("id_b").as("__d")).distinct(),
-        col("doc_id") === col("__d"), "left_anti").persist()
+        col("doc_id") === col("__d"), "left_anti").handoff
       val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
         maxDf = 50, k = 8, w = 4, index = IndexStore.default,
         minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)

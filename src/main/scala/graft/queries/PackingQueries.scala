@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.operators.Packing
+import graft.queries.Handoff.HandoffOps
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 
@@ -138,7 +139,7 @@ object PackingQueries extends QueryModule {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).as("n_toks"))
-        .persist()
+        .handoff
       val reports = Seq(512L, 1024L, 2048L).map { cap =>
         Packing.assign(docs, "doc_id", "n_toks", capacity = cap)
           .agg(

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.operators.Sampling
+import graft.queries.Handoff.HandoffOps
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / split / mixture-weighting surface (see
@@ -531,7 +532,7 @@ object SamplingQueries extends QueryModule {
       val sized = sched.select(col("doc_id").as("orig_id"), col("lang"),
           col("global_pos"),
           size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
-        .persist() // feeds packing AND the id join-back (the q112 lesson)
+        .handoff // feeds packing AND the id join-back (the q112 lesson)
       val packed = Packing.assign(
         sized.select(col("global_pos"), col("n_toks")),
         "global_pos", "n_toks", capacity = 512L, bucketWidth = 64L)

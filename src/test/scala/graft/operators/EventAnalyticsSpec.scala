@@ -143,4 +143,47 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(out(1)._4 - 1.0 / 3.0) < 1e-12)
     assert(out(2)._4 == 1.0)
   }
+
+  test("gapFillInterpolate: two-phase split ≡ whole-spine window, across chunk boundaries") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // observations 40 hours apart with chunkBuckets = 4: the gap spans
+    // ~10 chunks, so LOCF/interp for most buckets must come from the
+    // cross-chunk CARRY, not the within-chunk window; a third key has a
+    // single observation (null interp after, locf carries to the end)
+    val events = Seq(
+      ("a", "2024-01-01 00:30:00", 10.0),
+      ("a", "2024-01-02 16:15:00", 90.0), // 40 h later
+      ("a", "2024-01-02 16:45:00", 110.0), // same bucket, mean = 100
+      ("b", "2024-01-01 05:10:00", 7.0),
+      ("b", "2024-01-01 06:20:00", 13.0),
+      ("c", "2024-01-01 12:00:00", 5.0)
+    ).map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "t", "v")
+    def run(cb: Int) =
+      EventAnalytics.gapFillInterpolate(events, "k", "t", "v",
+          unit = "hour", chunkBuckets = cb)
+        .orderBy(col("key"), col("bucket"))
+        .as[(String, java.sql.Timestamp, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().toList
+    val tiny = run(4) // forces many cross-chunk carries
+    val whole = run(1 << 20) // one chunk = the old whole-spine window
+    assert(tiny == whole, s"two-phase must be exact:\n$tiny\nvs\n$whole")
+    // spine covers the observed range for every key (shared bounds)
+    val byKey = tiny.groupBy(_._1)
+    assert(byKey("a").size == 41 && byKey("c").size == 41)
+    // key a: bucket 20 of 0..40 interpolates between 10e6 and 100e6
+    val aRows = byKey("a")
+    assert(aRows.head._4.contains(10000000L))
+    assert(aRows.last._4.contains(100000000L))
+    val mid = aRows(20)
+    assert(mid._4.isEmpty && mid._6.contains(55000000L),
+      s"linear midpoint across chunks: $mid")
+    assert(mid._5.contains(10000000L), "LOCF carries across chunks")
+    // key c: single observation at bucket 12 — locf carries forward
+    // only, interp null outside the observed pair
+    val cRows = byKey("c")
+    assert(cRows(11)._5.isEmpty && cRows(11)._6.isEmpty)
+    assert(cRows(12)._4.contains(5000000L))
+    assert(cRows(40)._5.contains(5000000L) && cRows(40)._6.isEmpty)
+  }
 }
