@@ -287,6 +287,21 @@ object TxLogTable {
     } finally reader.close()
   }
 
+  /** Footer min/max of one STRING column of a parquet file — a
+    * metadata-only read, shared with the streaming gates' per-batch
+    * index-file pruning ([[graft.streaming.StreamingDedupGate]]).
+    * None when the footer carries no usable stats (the file must
+    * scan). */
+  private[graft] def stringRange(conf: Configuration, file: HPath,
+      name: String): Option[(String, String)] =
+    try footerBounds(conf, file,
+        Seq(org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.StringType)))
+      .get(name).collect {
+        case (org.json4s.JString(mn), org.json4s.JString(mx)) => (mn, mx)
+      }
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** One footer statistics value → the [[statScalar]] JSON encoding for
     * the column's SPARK type (the authority — the footer's physical
     * type is whatever the writer chose for it). */

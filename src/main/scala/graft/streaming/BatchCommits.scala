@@ -110,9 +110,17 @@ private[graft] object BatchCommits {
     * mid-swap can only leave a row present twice — never absent — and
     * the gates' existence/anti-join semantics are unaffected. Run while
     * the owning gate is stopped. */
+  /** `sortCol` + `targetFiles` produce a RANGE-SORTED layout: rows
+    * range-partition on (partitionCol, sortCol) and sort within tasks,
+    * so every written file covers a tight, near-disjoint `sortCol`
+    * interval inside its partition dir — the layout that makes footer
+    * min/max file pruning effective for the gates' per-batch index
+    * reads (a batch of k hashes then opens ≈ min(k, files) files per
+    * prefix instead of all of them). */
   def compactPartitioned(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      partitionCol: String): Unit = {
+      partitionCol: String, sortCol: Option[String] = None,
+      targetFiles: Int = 0): Unit = {
     val (fs, target) = fileSystem(spark, dir)
     if (!fs.exists(target)) return
     val old = {
@@ -126,9 +134,21 @@ private[graft] object BatchCommits {
     }
     if (old.isEmpty) return
     val staging = new Path(target, ".compact")
-    spark.read.schema(schema).parquet(dir).distinct()
-      .repartition(org.apache.spark.sql.functions.col(partitionCol))
-      .write.mode(SaveMode.Overwrite)
+    import org.apache.spark.sql.functions.{col => fc}
+    val rows = spark.read.schema(schema).parquet(dir).distinct()
+    val laidOut = sortCol match {
+      case Some(s) if targetFiles > 0 =>
+        // range-split layout: files per partition dir, each a tight
+        // near-disjoint sortCol interval
+        rows.repartitionByRange(targetFiles, fc(partitionCol), fc(s))
+          .sortWithinPartitions(fc(partitionCol), fc(s))
+      case Some(s) =>
+        // one file per partition dir (the historical contract), sorted
+        // so row-group stats stay tight inside it
+        rows.repartition(fc(partitionCol)).sortWithinPartitions(fc(s))
+      case None => rows.repartition(fc(partitionCol))
+    }
+    laidOut.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(staging.toString)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     var i = 0

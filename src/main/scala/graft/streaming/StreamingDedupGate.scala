@@ -53,6 +53,12 @@ object StreamingDedupGate {
   private val OutCommits = "graft_out_commits"
   private val BatchCommitsDir = "graft_batch_commits"
 
+  /** Largest batch hash set collected driver-side for per-file index
+    * pruning (32-char hex strings; 200k ≈ 13 MB). Bigger batches fall
+    * back to prefix-only pruning — a batch that large touches most
+    * files anyway. */
+  private val MaxHashCollect = 200000L
+
   private val indexSchema: StructType =
     StructType(Seq(StructField("h", StringType), StructField("hp", StringType)))
 
@@ -103,6 +109,67 @@ object StreamingDedupGate {
       spark.read.schema(indexSchema).parquet(indexDir)
         .filter(col("hp").isin(prefixes: _*))
     }
+  }
+
+  /** Per-batch FILE-level index pruning, layered under the hp=
+    * partition prune: within each prefix the batch can touch, a file is
+    * opened only if its footer's [min(h), max(h)] interval contains at
+    * least one of the batch's hashes (hex hashes are ASCII, so
+    * String ordering == the UTF-8 order parquet stats use). Against a
+    * [[compactIndex]]-range-sorted index a batch of k hashes opens
+    * ≈ min(k, files-per-prefix) files instead of every accrued file in
+    * its prefixes — the [[graft.operators.TxLogTable.readWhere]] stats
+    * discipline applied to the gate's cross-batch memory. Pre-compaction
+    * accrual files span wide ranges and simply stay in (stats missing
+    * or interval overlap ⇒ scan — exactness never depends on pruning).
+    * Returns the kept files; empty when the index dir does not exist. */
+  private[streaming] def statsPrunedIndexFiles(spark: SparkSession,
+      indexDir: String, batchHashes: Seq[String], prefixLen: Int)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val (fs, p) = BatchCommits.fileSystem(spark, indexDir)
+    if (!fs.exists(p)) return Seq.empty
+    // same guard as prunedIndex: a flat index would match no hp= dir
+    // and silently re-admit every duplicate
+    val flat = fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+    if (flat) throw new IllegalStateException(
+      s"$indexDir holds an unpartitioned hash index (flat part files); " +
+        "run StreamingDedupGate.migrateIndex to the hp= layout first")
+    val sorted = batchHashes.sorted
+    def anyHashIn(lo: String, hi: String): Boolean = {
+      // first batch hash >= lo; in-range iff it is also <= hi
+      var a = 0; var b = sorted.length
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (sorted(m) < lo) a = m + 1 else b = m
+      }
+      a < sorted.length && sorted(a) <= hi
+    }
+    val conf = fs.getConf
+    sorted.map(_.substring(0, prefixLen)).distinct.flatMap { pre =>
+      val dir = new org.apache.hadoop.fs.Path(p, s"hp=$pre")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath)
+        .filter(f => graft.operators.TxLogTable.stringRange(conf, f, "h") match {
+          case Some((lo, hi)) => anyHashIn(lo, hi)
+          case None => true // no usable stats: the file scans
+        })
+    }
+  }
+
+  /** The stats-pruned index read: hp partition prune by the batch's
+    * prefixes, then [[statsPrunedIndexFiles]] file prune by its hash
+    * set. Projects the `h` column only (all the anti-join needs). */
+  private[streaming] def statsPrunedIndex(spark: SparkSession,
+      indexDir: String, batchHashes: Seq[String], prefixLen: Int): DataFrame = {
+    val hOnly = StructType(Seq(StructField("h", StringType)))
+    val kept = statsPrunedIndexFiles(spark, indexDir, batchHashes, prefixLen)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hOnly)
+    else spark.read.schema(hOnly).parquet(kept.map(_.toString): _*)
   }
 
   /** One-time migration of a flat (pre-partitioning) hash index to the
@@ -188,10 +255,21 @@ object StreamingDedupGate {
       .withColumn("hp", substring(col("__h"), 1, prefixLen))
       .cache()
     try {
-      // prune the index scan to the prefixes this batch can touch
-      val prefixes = inBatch.select(col("hp")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val seen = prunedIndex(spark, indexDir, prefixes)
+      // prune the index scan to what this batch can touch: hp prefixes
+      // always; per-FILE footer-range pruning too when the batch's hash
+      // set fits a driver-side list (micro-batches do; the cap guards a
+      // backfill-sized batch, which falls back to prefix-only pruning)
+      val nHashes = inBatch.select(col("__h")).distinct().count()
+      val seen =
+        if (nHashes <= MaxHashCollect) {
+          val hashes = inBatch.select(col("__h")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          statsPrunedIndex(spark, indexDir, hashes, prefixLen)
+        } else {
+          val prefixes = inBatch.select(col("hp")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          prunedIndex(spark, indexDir, prefixes).select(col("h"))
+        }
       val admitted = inBatch.join(seen, inBatch("__h") === seen("h"),
         "left_anti").cache()
       try {
@@ -227,10 +305,15 @@ object StreamingDedupGate {
   }
 
   /** Offline compaction for the one-file-per-batch-per-prefix accrual:
-    * rewrites the index so each `hp=` partition holds a single file,
-    * preserving the exact hash set (every admission decision). Run while
+    * rewrites the index RANGE-SORTED on `h` (each written file covers a
+    * tight hash interval inside its `hp=` dir — what makes the per-file
+    * footer pruning in [[statsPrunedIndexFiles]] effective), preserving
+    * the exact hash set (every admission decision). `targetFiles` sizes
+    * the total layout (0 = Spark's range-partition default). Run while
     * the gate is stopped — the swap is not coordinated with a live
     * writer. */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    BatchCommits.compactPartitioned(spark, indexDir, indexSchema, "hp")
+  def compactIndex(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 0): Unit =
+    BatchCommits.compactPartitioned(spark, indexDir, indexSchema, "hp",
+      sortCol = Some("h"), targetFiles = targetFiles)
 }

@@ -75,6 +75,51 @@ class StreamingDedupGateSpec extends SparkSpec {
     assert(pruned.count() >= 1)
   }
 
+  test("index scan prunes FILES by the batch's hash set, not just its prefixes") {
+    val idx = Files.createTempDirectory("graft-gate-sidx").toString
+    val out = Files.createTempDirectory("graft-gate-sout").toString
+    val ckpt = Files.createTempDirectory("graft-gate-sckpt").toString
+    // force every hash into ONE hp partition: craft texts whose md5
+    // (contentKey's hash) shares the first hex char
+    import org.apache.spark.sql.functions.col
+    val texts = (0 until 4000).map(i => s"doc body $i")
+    val hashOf = texts.map { t =>
+      t -> java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val samePrefix = hashOf.filter(_._2.startsWith("a")).take(120)
+    assert(samePrefix.size >= 100, "need ≥100 docs sharing hash prefix 'a'")
+    val docs = samePrefix.zipWithIndex
+      .map { case ((t, _), i) => (i.toLong, t) }
+    StreamingDedupGate.processBatch(docs.toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, out, ckpt, 1)
+    // range-sorted compaction: many files per prefix, tight h intervals
+    StreamingDedupGate.compactIndex(spark, idx, targetFiles = 8)
+    val prefixFiles = new java.io.File(s"$idx/hp=a").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(prefixFiles >= 4,
+      s"range compaction should split hp=a into several files: $prefixFiles")
+    // a one-duplicate batch: prefix pruning alone keeps ALL hp=a files;
+    // the batch-stats file prune must open only the file(s) whose
+    // [min h, max h] interval contains that hash
+    val dupHash = samePrefix.head._2
+    val kept = StreamingDedupGate.statsPrunedIndexFiles(
+      spark, idx, Seq(dupHash), 1)
+    assert(kept.nonEmpty && kept.size < prefixFiles,
+      s"file pruning must beat prefix pruning: kept ${kept.size} of $prefixFiles")
+    // exactness: the duplicate is still blocked, a new doc admits
+    StreamingDedupGate.processBatch(
+      Seq((9001L, samePrefix.head._1), (9002L, "totally fresh body"))
+        .toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, out,
+      Files.createTempDirectory("graft-gate-sckpt2").toString, 1)
+    val admitted = spark.read.parquet(out)
+      .filter(col("doc_id") >= 9000L).select("doc_id")
+      .as[Long].collect().toSet
+    assert(admitted == Set(9002L),
+      s"stats-pruned gate must still block the duplicate: $admitted")
+  }
+
   test("crash windows: replay never duplicates output or loses index entries") {
     val idx = Files.createTempDirectory("graft-gate-cidx").toString
     val out = Files.createTempDirectory("graft-gate-cout").toString
