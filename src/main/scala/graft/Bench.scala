@@ -85,6 +85,36 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+
+    // chain family: the four-stage curation chains swing ±2–3 s with
+    // bench context (cache state, GC debt from neighboring queries), so
+    // round-over-round comparison anchored on probes run as prose. Run
+    // them back-to-back min-of-N probe-style here and carry the stable
+    // numbers IN the artifact ("chains"). Not part of "value" — the
+    // interleaved minima above remain the headline.
+    val chainFamily = Seq(
+      "q118_curation_chain_excision", "q127_curation_chain_quality",
+      "q148_curation_chain_containment", "q153_chain_attrition",
+      "q157_curation_chain_full", "q159_chain_attrition_full")
+      .filter(names.contains)
+    val chainProbeN = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHAIN_PROBES", "3").toInt
+    val chains =
+      if (chainProbeN <= 0 || failed.nonEmpty) Map.empty[String, Double]
+      else chainFamily.flatMap { name =>
+        val times = (1 to chainProbeN).flatMap { _ =>
+          graft.queries.Handoff.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        times.minOption.map(name -> _)
+      }.toMap
+    val chainJson = chainFamily.flatMap(n => chains.get(n).map(v =>
+      "\"" + n + "\":" + r3(v))).mkString("{", ",", "}")
     // a run with any failed query reports sentinel total -1 so the driver
     // can never mistake a broken run (failed queries contribute no time)
     // for a fast one
@@ -94,7 +124,7 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(",")}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"failed":${failed.size}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"chains":$chainJson,"sf":$sfNum,"failed":${failed.size}}"""
     // the driver's BENCH_r{N}.json captures only a tail of stdout, which
     // truncates the per-query map once the corpus passes ~100 queries —
     // ALSO persist the complete map as a sibling artifact so cross-round
