@@ -397,7 +397,8 @@ object TxLogTable {
     * key their replay checks on. */
   private def commitEntry(fs: FileSystem, root: HPath, files: Seq[String],
       rebase: Boolean, expectedVersion: Option[Long], maxRetries: Int,
-      cp: CommitPoint, txn: Option[(String, Long)] = None): Long = {
+      cp: CommitPoint, txn: Option[(String, Long)] = None,
+      op: String = "append"): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = versions(fs, root).lastOption.getOrElse(-1L) + 1
@@ -423,8 +424,10 @@ object TxLogTable {
         s""""txn":["$app",$tv],""" }.getOrElse("")
       // commit wall-clock, the timestampAsOf anchor ([[versionAsOf]]
       // monotonizes on read, so clock skew between committers cannot
-      // reorder history against version order)
-      val tsField = s""""ts":${System.currentTimeMillis()},"""
+      // reorder history against version order) + the operation name
+      // (the DESCRIBE HISTORY surface; ops are a fixed enum, never
+      // caller-supplied strings, so the JSON stays literal-safe)
+      val tsField = s""""ts":${System.currentTimeMillis()},"op":"$op","""
       val entry = files.map(f => "\"" + f + "\"").mkString(
         s"""{"version":$v,$tsField$flag$txnField"files":[""", ",", "]}")
       // the commit point: publish-iff-absent (hard link locally,
@@ -532,7 +535,7 @@ object TxLogTable {
         .drop("__z")
     val files = stage(rewritten, fs, root, "compact-", partitionBy)
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-      maxRetries = 1, commit)
+      maxRetries = 1, commit, op = "compact")
     // the rebase is a remove-all + add-all in Delta terms
     DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
       snapshot.schema.json, commit)
@@ -606,7 +609,7 @@ object TxLogTable {
           .unionByName(updates, allowMissingColumns = true)
       val staged = stage(merged, fs, root, "merge-", partColsOf(touched))
       val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-        rebase = true, Some(v0), maxRetries = 1, commit)
+        rebase = true, Some(v0), maxRetries = 1, commit, op = "upsert")
       DeltaInterop.mirror(spark, path, v, staged, touched,
         snapshot.schema.json, commit)
       v
@@ -615,7 +618,7 @@ object TxLogTable {
       val merged = carried.unionByName(updates, allowMissingColumns = true)
       val files = stage(merged, fs, root, "merge-")
       val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-        maxRetries = 1, commit)
+        maxRetries = 1, commit, op = "upsert")
       DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
         merged.schema.json, commit)
       v
@@ -742,7 +745,7 @@ object TxLogTable {
     val staged = out.map(stage(_, fs, root, "merge-", partColsOf(touched)))
       .getOrElse(Seq.empty)
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit)
+      rebase = true, Some(v0), maxRetries = 1, commit, op = "merge")
     DeltaInterop.mirror(spark, path, v, staged, touched,
       snapshot.schema.json, commit)
     v
@@ -801,7 +804,7 @@ object TxLogTable {
       if (remaining.isEmpty) Seq.empty[String]
       else stage(remaining, fs, root, "delete-", partColsOf(touched))
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit)
+      rebase = true, Some(v0), maxRetries = 1, commit, op = "delete")
     DeltaInterop.mirror(spark, path, v, staged, touched,
       snapshot.schema.json, commit)
     v
@@ -837,7 +840,7 @@ object TxLogTable {
     val schemaJson = readVersion(spark, path, toVersion).schema.json
     val current = filesUpTo(fs, root, v0)
     val v = commitEntry(fs, root, target, rebase = true, Some(v0),
-      maxRetries = 1, commit)
+      maxRetries = 1, commit, op = "restore")
     DeltaInterop.mirror(spark, path, v,
       target.diff(current), current.diff(target), schemaJson, commit)
     v
@@ -911,6 +914,29 @@ object TxLogTable {
         a2.exceptAll(a1).withColumn("_change_type", lit("insert"))
           .unionByName(a1.exceptAll(a2).withColumn("_change_type", lit("delete")))
     }
+  }
+
+  /** Per-version change feed — Delta's `table_changes` shape: one row
+    * per changed row per COMMIT in (fromVersion, toVersion], each
+    * tagged `_commit_version` and `_commit_timestamp` (monotonized).
+    * Every step is a consecutive-snapshot [[changesBetween]], so the
+    * same file-level pruning applies per commit: an append step scans
+    * only its appended files, a pure compaction step diffs to the
+    * empty feed. Schema evolution across the range aligns by name
+    * (missing columns null-pad). */
+  def changesPerVersion(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion < toVersion,
+      s"changesPerVersion needs fromVersion < toVersion, got " +
+        s"[$fromVersion, $toVersion]")
+    val ts = history(path).toMap
+    (fromVersion + 1 to toVersion).map { v =>
+      changesBetween(spark, path, v - 1, v)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(ts(v))))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Delete data dirs referenced ONLY by versions older than
@@ -1034,6 +1060,26 @@ object TxLogTable {
     raw.scanLeft((-1L, Long.MinValue)) { case ((_, prev), (v, ts)) =>
       (v, math.max(ts, prev + 1))
     }.drop(1)
+  }
+
+  private val OpRe = """"op":"([a-z]+)"""".r
+
+  /** DESCRIBE HISTORY — one row per commit, oldest first: version,
+    * monotonized commit timestamp, operation (append / upsert / merge /
+    * delete / restore / compact; pre-`op` logs read back as append),
+    * whether the entry rebased the listing, and the entry's own file
+    * count. Driver-side log parse — the log is metadata-scale by
+    * construction (one JSON entry per commit). */
+  def historyDf(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = fsFor(path)
+    val ts = history(path).toMap
+    import spark.implicits._
+    versions(fs, root).map { v =>
+      val txt = readString(fs, new HPath(logDir(root), s"$v.json"))
+      (v, new java.sql.Timestamp(ts(v)),
+        OpRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("append"),
+        isRebase(txt), fileList(txt).size)
+    }.toDF("version", "timestamp", "operation", "is_rebase", "num_files")
   }
 
   /** The latest version whose (monotonized) commit timestamp is ≤

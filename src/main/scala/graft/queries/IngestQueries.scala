@@ -602,7 +602,70 @@ object IngestQueries extends QueryModule {
       WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 50000.0
       ORDER BY o_orderkey"""))
 
+  /** A23 commit history ([[TxLogTable.historyDf]] — the DESCRIBE
+    * HISTORY surface): the DML table gains restore and compact
+    * commits, then the log's own record of WHAT each version did is
+    * oracle-verified on its deterministic columns (version, operation,
+    * rebase flag; timestamps are wall-clock and stay out of the
+    * hash). */
+  private val q164 = QueryDef(
+    "q164_acid_history",
+    (s, d) => {
+      val path = acidDmlTable(s, d)                 // v0..v2
+      TxLogTable.restore(s, path, 0L)               // v3
+      TxLogTable.compact(s, path, targetFiles = 2)  // v4
+      TxLogTable.historyDf(s, path)
+        .select(col("version"), col("operation"), col("is_rebase"))
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (0, 'append',  false),
+        (1, 'upsert',  true),
+        (2, 'delete',  true),
+        (3, 'restore', true),
+        (4, 'compact', true))
+        AS t(version, operation, is_rebase)
+      ORDER BY version"""))
+
+  /** A23 per-version change feed ([[TxLogTable.changesPerVersion]] —
+    * Delta's `table_changes` shape): the v0→v2 DML history unrolled
+    * COMMIT BY COMMIT, each row tagged `_commit_version` — the upsert's
+    * replaced rows surface as delete+insert at version 1, the erased
+    * nationkey-7 rows as delete at version 2 (they were untouched by
+    * the upsert, so their images are the originals). The oracle
+    * replays both commits' relational algebra with the version tag. */
+  private val q165 = QueryDef(
+    "q165_acid_changes_per_version",
+    (s, d) => {
+      val path = acidDmlTable(s, d)
+      TxLogTable.changesPerVersion(s, path, 0L, 2L)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"), col("_change_type"), col("_commit_version"))
+    },
+    Some("""
+      WITH upd AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20),
+      c1 AS (
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal,
+               'delete' AS _change_type, 1 AS _commit_version
+        FROM supplier s JOIN upd u ON s.s_suppkey = u.s_suppkey
+        UNION ALL
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               'insert', 1
+        FROM upd),
+      c2 AS (
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               'delete' AS _change_type, 2 AS _commit_version
+        FROM supplier WHERE s_nationkey = 7)
+      SELECT * FROM c1 UNION ALL SELECT * FROM c2
+      ORDER BY _commit_version, _change_type, s_suppkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163)
+      q161, q162, q163, q164, q165)
 }

@@ -754,6 +754,36 @@ class TxLogTableSpec extends SparkSpec {
       .select("v").as[String].head() == "m60")
   }
 
+  test("historyDf + changesPerVersion: operations recorded; compaction step feeds empty") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path) // v0
+    TxLogTable.append(spark, Seq((3L, "c")).toDF("id", "v"), path)            // v1
+    TxLogTable.deleteWhere(spark, path, col("id") === 2L)                     // v2
+    TxLogTable.compact(spark, path, targetFiles = 1)                          // v3
+    TxLogTable.upsertByKey(spark, path,
+      Seq((1L, "A2"), (9L, "i")).toDF("id", "v"), Seq("id"))                  // v4
+    val h = TxLogTable.historyDf(spark, path)
+      .select("version", "operation", "is_rebase")
+      .as[(Long, String, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(h == Seq((0L, "append", false), (1L, "append", false),
+      (2L, "delete", true), (3L, "compact", true), (4L, "upsert", true)), h)
+    val feed = TxLogTable.changesPerVersion(spark, path, 0L, 4L)
+      .select(col("_commit_version"), col("id"), col("v"), col("_change_type"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (1L, 3L, "c", "insert"),
+      (2L, 2L, "b", "delete"),
+      // v3 compaction: rewrite, zero row changes — nothing from it
+      (4L, 1L, "a", "delete"), (4L, 1L, "A2", "insert"),
+      (4L, 9L, "i", "insert")), feed.toString)
+    // _commit_timestamp carries the monotonized history instants
+    val ts = TxLogTable.changesPerVersion(spark, path, 0L, 4L)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    val hist = TxLogTable.history(path).toMap
+    assert(ts.forall { case (v, t) => t.getTime == hist(v) })
+  }
+
   test("hive partitionBy: partition columns recover on read; pruning opens zero files outside") {
     val path = tmp
     val rows = (0L until 300L).map(i =>
