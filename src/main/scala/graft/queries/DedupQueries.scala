@@ -1187,11 +1187,195 @@ object DedupQueries extends QueryModule {
       SELECT stage, stage_name, n_docs, n_tokens FROM rep
       ORDER BY stage"""))
 
+  /** Per-document curation DISPOSITION — the audit log a production
+    * curation run publishes next to its output: for EVERY input
+    * document, the first stage that dropped it (exact → containment →
+    * near-dup → decontamination) or 'kept'. Same stages and parameters
+    * as [[q153]]'s funnel; where q153 reports the aggregate attrition,
+    * this answers the per-doc question a pipeline operator debugging a
+    * missing document actually asks. Membership flags come from LEFT
+    * joins against the persisted stage frames (mergeable hash joins on
+    * doc_id — no window, no driver-side rows), and the first-drop rule
+    * is one CASE over the flags. */
+  private val q166 = QueryDef(
+    "q166_chain_disposition",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .filter(col("doc_id") <= 300)
+      val split = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      val train = split.filter(col("split") === "train").drop("split").handoff
+      val evalDocs = split.filter(col("split") === "eval").drop("split")
+      val s1 = Dedup.exact(train, "doc_id", "text")
+        .select(col("doc_id"), col("text"), col("n_chars")).handoff
+      val cont = Dedup.containment(s1, "doc_id", "text", "n_chars",
+          tau = 0.9, minShared = 10, maxDf = 50, k = 8, w = 4,
+          index = IndexStore.NoStore,
+          minParallelism = s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("__cd"))
+      val s1c = s1.join(cont, col("doc_id") === col("__cd"), "left_anti")
+        .select(col("doc_id"), col("text")).handoff
+      val prs = Dedup.minhashLsh(s1c, "doc_id", "text",
+        shingleK = 1, numHashes = 16, bands = 4, rows = 4,
+        threshold = 0.8, maxBucketSize = Int.MaxValue,
+        index = IndexStore.NoStore,
+        minParallelism = s.sparkContext.defaultParallelism)
+      val s2 = s1c.join(prs.select(col("id_b").as("__d")).distinct(),
+        col("doc_id") === col("__d"), "left_anti").handoff
+      val idx = Contamination.fingerprints(evalDocs, "doc_id", "text",
+        maxDf = 50, k = 8, w = 4, index = IndexStore.NoStore,
+        minParallelism = s.sparkContext.defaultParallelism, rollingHash = true)
+      val contam = Contamination.checkAgainstIndex(s2, "doc_id", "text", idx,
+          minShared = 20, k = 8, w = 4,
+          minParallelism = s.sparkContext.defaultParallelism,
+          rollingHash = true)
+        .select(col("test_id").as("__c"))
+      val s3 = s2.join(contam, col("doc_id") === col("__c"), "left_anti")
+      def flag(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.select(col("doc_id"), lit(1).as(name))
+      train.select(col("doc_id"))
+        .join(flag(s1, "__s1"), Seq("doc_id"), "left")
+        .join(flag(s1c, "__s1c"), Seq("doc_id"), "left")
+        .join(flag(s2, "__s2"), Seq("doc_id"), "left")
+        .join(flag(s3, "__s3"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__s1").isNull, lit("exact"))
+            .when(col("__s1c").isNull, lit("containment"))
+            .when(col("__s2").isNull, lit("near_dup"))
+            .when(col("__s3").isNull, lit("decontam"))
+            .otherwise(lit("kept")).as("disposition"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sp AS (
+        SELECT doc_id, text, n_chars,
+               CASE WHEN ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+                         < 1037629354146162304 THEN 'train' ELSE 'eval' END AS split
+        FROM documents WHERE doc_id <= 300),
+      tr AS (SELECT doc_id, text, n_chars FROM sp WHERE split = 'train'),
+      s1 AS (
+        SELECT doc_id, text, n_chars FROM (
+          SELECT doc_id, text, n_chars,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM tr) WHERE rn = 1),
+      cg AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM s1),
+      cwnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM cg WHERE len(grams) > 0),
+      cfp AS (SELECT doc_id, unnest(wn) AS f FROM cwnd),
+      ckeep AS (SELECT f FROM cfp GROUP BY f HAVING count(*) <= 50),
+      cpf AS (SELECT doc_id, f FROM cfp JOIN ckeep USING (f)),
+      ccnt AS (SELECT doc_id, count(*) AS nfp FROM cpf GROUP BY doc_id),
+      cpairs AS (
+        SELECT pa.doc_id AS a, pb.doc_id AS b, count(*) AS shared
+        FROM cpf pa JOIN cpf pb ON pa.f = pb.f AND pa.doc_id <> pb.doc_id
+        GROUP BY pa.doc_id, pb.doc_id
+        HAVING count(*) >= 10),
+      cdrop AS (
+        SELECT DISTINCT p.a AS doc_id
+        FROM cpairs p
+        JOIN ccnt c ON c.doc_id = p.a
+        JOIN s1 da ON da.doc_id = p.a
+        JOIN s1 db ON db.doc_id = p.b
+        WHERE CAST(p.shared AS DOUBLE) / CAST(c.nfp AS DOUBLE) >= 0.9
+          AND (db.n_chars > da.n_chars
+               OR (db.n_chars = da.n_chars AND p.b < p.a))),
+      s1c AS (
+        SELECT doc_id, text FROM s1
+        WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+      sets AS (
+        SELECT doc_id AS id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS sset
+        FROM s1c),
+      sigs AS (
+        SELECT id, sset,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(sset,
+                      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT))) AS sig
+        FROM sets WHERE len(sset) > 0),
+      bands AS (
+        SELECT id, sset, unnest(list_transform(generate_series(0, 3),
+               b -> b::VARCHAR || ':' ||
+                    (('0x' || substr(md5(array_to_string(sig[4*b+1:4*b+4], ',')), 1, 15))::UBIGINT::BIGINT)::VARCHAR)) AS band
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset)) AS inter,
+               len(sa.sset) AS la, len(sb.sset) AS lb
+        FROM cand c
+        JOIN sets sa ON sa.id = c.id_a
+        JOIN sets sb ON sb.id = c.id_b),
+      drop2 AS (
+        SELECT DISTINCT id_b FROM verified
+        WHERE inter / (la + lb - inter) >= 0.8),
+      s2 AS (
+        SELECT doc_id, text FROM s1c
+        WHERE doc_id NOT IN (SELECT id_b FROM drop2)),
+      gsrc AS (
+        SELECT doc_id, text FROM sp WHERE split = 'eval'
+        UNION ALL
+        SELECT doc_id, text FROM s2),
+      g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 7), i ->
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   unicode(substr(text, i + j, 1)) * CAST(31 ** (7 - j) AS BIGINT)))
+                   % 1000000007 AS BIGINT)) AS grams
+        FROM gsrc),
+      wnd AS (
+        SELECT doc_id,
+               list_sort(list_distinct(CASE WHEN len(grams) >= 4
+                 THEN list_transform(generate_series(1, len(grams) - 3),
+                      j -> list_min(grams[j:j+3]))
+                 ELSE [list_min(grams)] END)) AS wn
+        FROM g WHERE len(grams) > 0),
+      fp AS (SELECT doc_id, unnest(wn) AS f FROM wnd),
+      evalfp AS (
+        SELECT fp.doc_id, fp.f FROM fp
+        JOIN sp USING (doc_id) WHERE sp.split = 'eval'),
+      pruned AS (SELECT f FROM evalfp GROUP BY f HAVING count(*) <= 50),
+      eidx AS (SELECT doc_id AS train_id, f FROM evalfp JOIN pruned USING (f)),
+      hits AS (
+        SELECT s2fp.doc_id
+        FROM (SELECT fp.doc_id, fp.f FROM fp JOIN s2 USING (doc_id)) s2fp
+        JOIN eidx ON s2fp.f = eidx.f
+        GROUP BY s2fp.doc_id, eidx.train_id
+        HAVING count(*) >= 20),
+      s3 AS (
+        SELECT doc_id, text FROM s2
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits))
+      SELECT tr.doc_id,
+             CASE WHEN s1.doc_id IS NULL THEN 'exact'
+                  WHEN s1c.doc_id IS NULL THEN 'containment'
+                  WHEN s2.doc_id IS NULL THEN 'near_dup'
+                  WHEN s3.doc_id IS NULL THEN 'decontam'
+                  ELSE 'kept' END AS disposition
+      FROM tr
+      LEFT JOIN s1 ON s1.doc_id = tr.doc_id
+      LEFT JOIN s1c ON s1c.doc_id = tr.doc_id
+      LEFT JOIN s2 ON s2.doc_id = tr.doc_id
+      LEFT JOIN s3 ON s3.doc_id = tr.doc_id
+      ORDER BY tr.doc_id"""))
+
   // def, not val: q105/q112 are declared below this line, and a val
   // would capture them before initialization (null entries)
   override def entries: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q82, q89, q99, q100, q105, q112,
-      q116, q118, q127, q143, q146, q148, q149, q153, q157, q159)
+      q116, q118, q127, q143, q146, q148, q149, q153, q157, q159, q166)
 
   /** The embedding-path dedup pipeline, end to end — q89's analogue over
     * vectors: sign-LSH near-dup pairs (q45) → connected-component

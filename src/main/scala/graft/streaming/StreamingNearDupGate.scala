@@ -33,7 +33,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   * Index/scale design (the [[StreamingDedupGate]] pattern):
   *  - rows are (band, id, sset), hive-partitioned by `bp` = the first
   *    two hex chars of md5(band); the per-batch candidate join PRUNES
-  *    the index scan to the arriving bands' prefixes;
+  *    the index scan to the arriving bands' prefixes, and within them
+  *    to the FILES whose footer [min(band), max(band)] interval
+  *    contains an arriving band (effective against a
+  *    [[compactIndex]]-range-sorted layout — the
+  *    [[StreamingDedupGate.statsPrunedIndexFiles]] discipline);
   *  - the index stores shingle SETS because admission verifies EXACT
   *    Jaccard (same row the batch operator's signature index carries);
   *    `maxBucketSize` caps pathological stop-shingle bands on both
@@ -49,11 +53,24 @@ object StreamingNearDupGate {
   private val OutCommits = "graft_out_commits"
   private val Commits = "graft_batch_commits"
 
+  /** Largest batch band set collected driver-side for per-file index
+    * pruning (a micro-batch of d docs emits d×bands keys; 200k short
+    * strings ≈ a few MB). Bigger batches fall back to prefix-only
+    * pruning — a batch that large touches most files anyway. */
+  private val MaxBandCollect = 200000L
+
   private val indexSchema: StructType = StructType(Seq(
     StructField("band", StringType),
     StructField("id", LongType),
     StructField("sset", ArrayType(StringType, containsNull = false)),
     StructField("bp", StringType)))
+
+  /** The data-file schema inside a `bp=` dir (partition value lives in
+    * the path, not the file). */
+  private val fileSchema: StructType = StructType(Seq(
+    StructField("band", StringType),
+    StructField("id", LongType),
+    StructField("sset", ArrayType(StringType, containsNull = false))))
 
   /** (id, sset, band, bp) rows for a document batch — the same shingle /
     * signature / banding expressions as [[Dedup.minhashLsh]]. Shared
@@ -82,6 +99,59 @@ object StreamingNearDupGate {
         .filter(col("bp").isin(prefixes: _*))
   }
 
+  /** Per-batch FILE-level index pruning, layered under the bp=
+    * partition prune — the [[StreamingDedupGate.statsPrunedIndexFiles]]
+    * discipline applied to the band index: within each prefix the batch
+    * can touch, a file is opened only if its footer's
+    * [min(band), max(band)] interval contains at least one arriving
+    * band (band keys are ASCII, so String ordering == the UTF-8 order
+    * parquet stats use). Against a [[compactIndex]]-range-sorted index
+    * a batch of k bands opens ≈ min(k, files-per-prefix) files instead
+    * of every accrued file in its prefixes. Stats missing or interval
+    * overlap ⇒ scan — admission exactness never depends on pruning.
+    * `batchBands` are (band, bp) pairs; empty result when the index dir
+    * does not exist. */
+  private[streaming] def statsPrunedIndexFiles(spark: SparkSession,
+      indexDir: String, batchBands: Seq[(String, String)])
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val (fs, p) = BatchCommits.fileSystem(spark, indexDir)
+    if (!fs.exists(p)) return Seq.empty
+    val conf = fs.getConf
+    batchBands.groupBy(_._2).toSeq.flatMap { case (pre, pairs) =>
+      val sorted = pairs.map(_._1).distinct.sorted
+      def anyBandIn(lo: String, hi: String): Boolean = {
+        // first batch band >= lo; in-range iff it is also <= hi
+        var a = 0; var b = sorted.length
+        while (a < b) {
+          val m = (a + b) >>> 1
+          if (sorted(m) < lo) a = m + 1 else b = m
+        }
+        a < sorted.length && sorted(a) <= hi
+      }
+      val dir = new org.apache.hadoop.fs.Path(p, s"bp=$pre")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath)
+        .filter(f => graft.operators.TxLogTable.stringRange(conf, f, "band") match {
+          case Some((lo, hi)) => anyBandIn(lo, hi)
+          case None => true // no usable stats: the file scans
+        })
+    }
+  }
+
+  /** The stats-pruned index read: bp partition prune by the batch's
+    * prefixes, then [[statsPrunedIndexFiles]] file prune by its band
+    * set. Reads (band, id, sset) — all the candidate join needs. */
+  private[streaming] def statsPrunedIndex(spark: SparkSession,
+      indexDir: String, batchBands: Seq[(String, String)]): DataFrame = {
+    val kept = statsPrunedIndexFiles(spark, indexDir, batchBands)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fileSchema)
+    else spark.read.schema(fileSchema).parquet(kept.map(_.toString): _*)
+  }
+
   /** Ids among `arrivingBands` that near-duplicate any previously SEEN
     * document: candidates from shared bands in the pruned index,
     * verified with exact Jaccard, bucket-capped on the index side.
@@ -90,13 +160,26 @@ object StreamingNearDupGate {
   private[streaming] def crossBatchDupIds(spark: SparkSession,
       arrivingBands: DataFrame, indexDir: String, threshold: Double,
       maxBucketSize: Int): DataFrame = {
-    val prefixes = arrivingBands.select(col("bp")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // prune the index scan to what this batch can touch: bp prefixes
+    // always; per-FILE footer-range pruning too when the batch's band
+    // set fits a driver-side list (micro-batches do; the cap guards a
+    // backfill-sized batch, which falls back to prefix-only pruning)
+    val distinctBands = arrivingBands.select(col("band"), col("bp")).distinct()
+    val nBands = distinctBands.count()
     // bucket cap on the index side via mergeable groupBy + join-back
     // (same de-skewed shape as Dedup.minhashLsh): a hot band in the
     // durable index folds into partial-agg cells instead of one sorted
     // window task, and only bands within the cap re-enter via the join.
-    val idx = prunedIndex(spark, indexDir, prefixes)
+    val idx =
+      if (nBands <= MaxBandCollect) {
+        val bands = distinctBands.collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        statsPrunedIndex(spark, indexDir, bands)
+      } else {
+        val prefixes = distinctBands.select(col("bp")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        prunedIndex(spark, indexDir, prefixes)
+      }
     val keepBands = idx.groupBy(col("band"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucketSize)
@@ -159,11 +242,17 @@ object StreamingNearDupGate {
     } finally arrivingAll.unpersist()
   }
 
-  /** Offline compaction for the band index's per-batch file accrual —
-    * one file per `bp=` partition afterwards, row set preserved. Run
-    * while the gate is stopped. */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    BatchCommits.compactPartitioned(spark, indexDir, indexSchema, "bp")
+  /** Offline compaction for the band index's per-batch file accrual:
+    * rewrites the index RANGE-SORTED on `band` (each written file
+    * covers a tight band interval inside its `bp=` dir — what makes the
+    * per-file footer pruning in [[statsPrunedIndexFiles]] effective),
+    * preserving the exact row set (every admission decision).
+    * `targetFiles` sizes the total layout (0 = one sorted file per
+    * prefix, the historical contract). Run while the gate is stopped. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 0): Unit =
+    BatchCommits.compactPartitioned(spark, indexDir, indexSchema, "bp",
+      sortCol = Some("band"), targetFiles = targetFiles)
 
   /** Start the gate: admitted documents append to `outDir`, their band
     * rows to `indexDir` (hive-partitioned by band-hash prefix). */

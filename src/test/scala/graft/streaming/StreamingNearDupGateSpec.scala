@@ -104,6 +104,52 @@ class StreamingNearDupGateSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 5L), s"admissions wrong with idCol=\"id\": $ids")
   }
 
+  test("index scan prunes FILES by the batch's band set, not just its prefixes") {
+    val idx = Files.createTempDirectory("graft-ngate-sidx").toString
+    val ckpt = Files.createTempDirectory("graft-ngate-sckpt").toString
+    // force every row into ONE bp partition: craft band strings whose
+    // md5 shares the first two hex chars (bp is md5-derived, so the
+    // only control is search)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val samePrefix = Iterator.from(0).map(i => s"synband-$i")
+      .filter(b => md5hex(b).startsWith("aa")).take(120).toSeq
+    val rows = samePrefix.zipWithIndex.map { case (b, i) =>
+      (b, i.toLong, Seq(s"w$i", s"x$i", s"y$i"), "aa")
+    }
+    BatchCommits.publishBatch(
+      rows.toDF("band", "id", "sset", "bp"), idx,
+      BatchCommits.scopeFor(ckpt), 0L, Seq("bp"))
+    // range-sorted compaction: several files under bp=aa, each a tight
+    // band interval
+    StreamingNearDupGate.compactIndex(spark, idx, targetFiles = 8)
+    val prefixFiles = new java.io.File(s"$idx/bp=aa").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(prefixFiles >= 4,
+      s"range compaction should split bp=aa into several files: $prefixFiles")
+    // a one-band batch: prefix pruning alone keeps ALL bp=aa files; the
+    // batch-band file prune must open only the file(s) whose
+    // [min band, max band] interval contains that band
+    val probe = samePrefix.head
+    val kept = StreamingNearDupGate.statsPrunedIndexFiles(
+      spark, idx, Seq((probe, "aa")))
+    assert(kept.nonEmpty && kept.size < prefixFiles,
+      s"file pruning must beat prefix pruning: kept ${kept.size} of $prefixFiles")
+    // exactness through the pruned read: an arriving doc sharing the
+    // probe band with an identical shingle set is flagged, a stranger
+    // band is not
+    val arriving = Seq(
+      (probe, 9001L, Seq("w0", "x0", "y0"), "aa"),
+      ("unseen-band", 9002L, Seq("zz"), md5hex("unseen-band").take(2)))
+      .toDF("band", "id", "sset", "bp")
+    val dups = StreamingNearDupGate.crossBatchDupIds(
+      spark, arriving, idx, 0.7, 1000)
+      .select("__dup_id").as[Long].collect().toSet
+    assert(dups == Set(9001L),
+      s"stats-pruned candidate join must stay exact: $dups")
+  }
+
   test("crash window: replay after the output marker re-derives the index from published docs") {
     val idx = Files.createTempDirectory("graft-ngate-cidx").toString
     val out = Files.createTempDirectory("graft-ngate-cout").toString
