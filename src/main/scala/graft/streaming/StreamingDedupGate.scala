@@ -146,17 +146,24 @@ object StreamingDedupGate {
       a < sorted.length && sorted(a) <= hi
     }
     val conf = fs.getConf
-    sorted.map(_.substring(0, prefixLen)).distinct.flatMap { pre =>
+    // listing (cheap) stays serial; the footer reads (one parquet
+    // footer parse per candidate file, ~ms each) fan out across a
+    // parallel collection — a steady-state batch touching hundreds of
+    // candidate files pays max(footer) not sum(footer)
+    val candidates = sorted.map(_.substring(0, prefixLen)).distinct.flatMap { pre =>
       val dir = new org.apache.hadoop.fs.Path(p, s"hp=$pre")
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .map(_.getPath)
-        .filter(f => graft.operators.TxLogTable.stringRange(conf, f, "h") match {
-          case Some((lo, hi)) => anyHashIn(lo, hi)
-          case None => true // no usable stats: the file scans
-        })
     }
+    import scala.collection.parallel.CollectionConverters._
+    candidates.par
+      .filter(f => graft.operators.TxLogTable.stringRange(conf, f, "h") match {
+        case Some((lo, hi)) => anyHashIn(lo, hi)
+        case None => true // no usable stats: the file scans
+      })
+      .seq
   }
 
   /** The stats-pruned index read: hp partition prune by the batch's

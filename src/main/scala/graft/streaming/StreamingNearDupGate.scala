@@ -117,27 +117,36 @@ object StreamingNearDupGate {
     val (fs, p) = BatchCommits.fileSystem(spark, indexDir)
     if (!fs.exists(p)) return Seq.empty
     val conf = fs.getConf
-    batchBands.groupBy(_._2).toSeq.flatMap { case (pre, pairs) =>
+    // listing (cheap) stays serial; the footer reads (one parquet
+    // footer parse per candidate file, ~ms each) fan out across a
+    // parallel collection — a steady-state batch touching hundreds of
+    // candidate files pays max(footer) not sum(footer)
+    val candidates = batchBands.groupBy(_._2).toSeq.flatMap { case (pre, pairs) =>
       val sorted = pairs.map(_._1).distinct.sorted
-      def anyBandIn(lo: String, hi: String): Boolean = {
-        // first batch band >= lo; in-range iff it is also <= hi
-        var a = 0; var b = sorted.length
-        while (a < b) {
-          val m = (a + b) >>> 1
-          if (sorted(m) < lo) a = m + 1 else b = m
-        }
-        a < sorted.length && sorted(a) <= hi
-      }
       val dir = new org.apache.hadoop.fs.Path(p, s"bp=$pre")
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath)
-        .filter(f => graft.operators.TxLogTable.stringRange(conf, f, "band") match {
-          case Some((lo, hi)) => anyBandIn(lo, hi)
-          case None => true // no usable stats: the file scans
-        })
+        .map(s => (s.getPath, sorted))
     }
+    def anyBandIn(sorted: Seq[String], lo: String, hi: String): Boolean = {
+      // first batch band >= lo; in-range iff it is also <= hi
+      var a = 0; var b = sorted.length
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (sorted(m) < lo) a = m + 1 else b = m
+      }
+      a < sorted.length && sorted(a) <= hi
+    }
+    import scala.collection.parallel.CollectionConverters._
+    candidates.par
+      .filter { case (f, sorted) =>
+        graft.operators.TxLogTable.stringRange(conf, f, "band") match {
+          case Some((lo, hi)) => anyBandIn(sorted, lo, hi)
+          case None => true // no usable stats: the file scans
+        }
+      }
+      .map(_._1).seq
   }
 
   /** The stats-pruned index read: bp partition prune by the batch's
