@@ -733,4 +733,87 @@ object TextAnalysis {
       .select(col("cluster"), col("rank"), col("term"), col("tf"),
         col("weight"))
   }
+
+  /** Train a LINEAR QUALITY PROBE — a fastText-shaped linear text
+    * classifier (Joulin et al., "Bag of Tricks for Efficient Text
+    * Classification", 2017) over hashed unigram counts, trained by
+    * full-batch gradient descent on squared loss with EXACT INTEGER
+    * ARITHMETIC end to end: labels and weights live in micro-units
+    * (longs), per-doc predictions are long sums of weight lookups,
+    * gradients are long sums of (occurrence × error), and the update is
+    * integer division `g / (n << lrShift)` (truncation toward zero) —
+    * no floating point anywhere, so training is bit-exactly replayable
+    * by any engine with 64-bit integer division (the q133/q117
+    * fixed-point discipline applied to LEARNING, not just aggregation).
+    *
+    * Scale shape: the feature frame ((bucket array, label) — narrow
+    * rows) is persisted once; each of the `steps` passes is ONE
+    * shuffle-free projection (prediction = `aggregate` over the weight
+    * ARRAY LITERAL baked into the plan, the dsirScoreWith discipline)
+    * feeding ONE mergeable explode + groupBy into nBuckets+1 cells.
+    * Nothing driver-sized moves except the (nBuckets+1)-long gradient
+    * vector per step. Overflow bound: |error| ≤ labelScale + maxDocLen ·
+    * max|w|, and the gradient sum adds one such term per token
+    * occurrence — longs hold corpora to ~10^12 occurrences at the
+    * default scales.
+    *
+    * Effective learning rate is 2^-lrShift per mean-squared-gradient
+    * unit — normalization by `n` makes the step corpus-size-invariant.
+    * Returns nBuckets token weights plus the bias at index nBuckets,
+    * all in micro-units. */
+  def linearProbeTrain(df: DataFrame, textCol: String, labelMicro: Column,
+      nBuckets: Int = 64, steps: Int = 3, lrShift: Int = 5,
+      hashFn: Column => Column = h60(_)): IndexedSeq[Long] = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    require(lrShift >= 0 && lrShift <= 40, s"lrShift in [0, 40], got $lrShift")
+    val feat = df.select(
+        transform(tokens(col(textCol)),
+          t => pmod(hashFn(t), lit(nBuckets.toLong))).as("__b"),
+        labelMicro.cast("long").as("__y"))
+      .filter(size(col("__b")) > 0)
+      .persist()
+    try {
+      val n = feat.count()
+      if (n == 0) return IndexedSeq.fill(nBuckets + 1)(0L)
+      val div = n * (1L << lrShift)
+      var w = IndexedSeq.fill(nBuckets + 1)(0L)
+      for (_ <- 0 until steps) {
+        val wLit = array(w.map(lit(_)): _*)
+        // pred_i = Σ_occurrences w[bucket] + bias; the bias rides as a
+        // synthetic occurrence of bucket nBuckets so one explode carries
+        // both gradient families
+        val g = feat.select(
+            explode(concat(col("__b"), array(lit(nBuckets.toLong)))).as("__j"),
+            (aggregate(col("__b"), lit(0L),
+              (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+              + lit(w(nBuckets)) - col("__y")).as("__e"))
+          .groupBy(col("__j")).agg(sum(col("__e")).as("__g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        w = w.indices.map(j => w(j) - g.getOrElse(j, 0L) / div)
+      }
+      w
+    } finally feat.unpersist()
+  }
+
+  /** Score a corpus against a FROZEN [[linearProbeTrain]] model — a
+    * shuffle-free projection with the weights baked in as an array
+    * literal (no join, no window; the dsirScoreWith shape). Documents
+    * with no tokens are dropped (the probe is undefined on them —
+    * training never saw one). Scores are exact micro-unit longs. */
+  def linearProbeScore(df: DataFrame, idCol: String, textCol: String,
+      model: IndexedSeq[Long],
+      hashFn: Column => Column = h60(_)): DataFrame = {
+    require(model.length >= 3, "model must be linearProbeTrain output")
+    val nBuckets = model.length - 1
+    val wLit = array(model.map(lit(_)): _*)
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol),
+        (aggregate(
+          transform(col("__t"), t => pmod(hashFn(t), lit(nBuckets.toLong))),
+          lit(0L), (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+          + lit(model(nBuckets))).as("score_micro"))
+  }
 }

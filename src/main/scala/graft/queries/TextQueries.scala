@@ -813,7 +813,101 @@ object TextQueries extends QueryModule {
       FROM agg
       ORDER BY source"""))
 
+  /** Learned quality filter, trained IN-QUERY and replayed bit-exactly
+    * by the oracle: [[TextAnalysis.linearProbeTrain]] fits a
+    * fastText-shaped linear probe (hashed unigram counts → micro-unit
+    * label) by 3 steps of full-batch gradient descent in EXACT integer
+    * arithmetic — so the DuckDB oracle unrolls the whole training loop
+    * (weights after each step are CTEs) and must land on the identical
+    * weights, and therefore identical per-doc scores, down to the last
+    * micro-unit. The label is a stopword-density heuristic stated in
+    * integers (100·n_stop ≥ 15·n_tokens) so no doubles exist anywhere
+    * in the query. */
+  private val q167 = QueryDef(
+    "q167_learned_quality_probe",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val stop = TextAnalysis.stopwords("en")
+      def toks = tokens(col("text"))
+      def label =
+        when(lit(100) * size(filter(toks, x => x.isin(stop: _*)))
+          >= lit(15) * size(toks), lit(1000000L)).otherwise(lit(0L))
+      val model = TextAnalysis.linearProbeTrain(docs, "text", label,
+        nBuckets = 64, steps = 3, lrShift = 5)
+      val labels = docs.filter(size(toks) > 0)
+        .select(col("doc_id"), label.as("label_micro"))
+      TextAnalysis.linearProbeScore(docs, "doc_id", "text", model)
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"), col("label_micro"), col("score_micro"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      dd AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+      y AS (
+        SELECT doc_id,
+               CASE WHEN 100 * len(list_filter(toks, x -> list_contains(
+                        ['the','a','of','and','to','in','is','that','it','for'], x)))
+                         >= 15 * len(toks)
+                    THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS label_micro
+        FROM dd),
+      b AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT) % 64 AS j
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM dd)),
+      n AS (SELECT count(*) AS n FROM dd),
+      ws AS (SELECT CAST(s.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+             FROM generate_series(0, 64) s(j)),
+      e1 AS (SELECT doc_id, CAST(0 AS BIGINT) - label_micro AS e FROM y),
+      g1 AS (
+        SELECT j, CAST(SUM(e) AS BIGINT) AS g FROM (
+          SELECT b.j, e1.e FROM b JOIN e1 USING (doc_id)
+          UNION ALL
+          SELECT CAST(64 AS BIGINT), e FROM e1) GROUP BY j),
+      w1 AS (
+        SELECT ws.j, ws.w - (COALESCE(g1.g, 0) // ((SELECT n FROM n) * 32)) AS w
+        FROM ws LEFT JOIN g1 USING (j)),
+      p2 AS (SELECT b.doc_id, CAST(SUM(w1.w) AS BIGINT) AS pw
+             FROM b JOIN w1 ON b.j = w1.j GROUP BY b.doc_id),
+      e2 AS (SELECT y.doc_id,
+                    COALESCE(p2.pw, 0) + (SELECT w FROM w1 WHERE j = 64)
+                      - y.label_micro AS e
+             FROM y LEFT JOIN p2 USING (doc_id)),
+      g2 AS (
+        SELECT j, CAST(SUM(e) AS BIGINT) AS g FROM (
+          SELECT b.j, e2.e FROM b JOIN e2 USING (doc_id)
+          UNION ALL
+          SELECT CAST(64 AS BIGINT), e FROM e2) GROUP BY j),
+      w2 AS (
+        SELECT w1.j, w1.w - (COALESCE(g2.g, 0) // ((SELECT n FROM n) * 32)) AS w
+        FROM w1 LEFT JOIN g2 USING (j)),
+      p3 AS (SELECT b.doc_id, CAST(SUM(w2.w) AS BIGINT) AS pw
+             FROM b JOIN w2 ON b.j = w2.j GROUP BY b.doc_id),
+      e3 AS (SELECT y.doc_id,
+                    COALESCE(p3.pw, 0) + (SELECT w FROM w2 WHERE j = 64)
+                      - y.label_micro AS e
+             FROM y LEFT JOIN p3 USING (doc_id)),
+      g3 AS (
+        SELECT j, CAST(SUM(e) AS BIGINT) AS g FROM (
+          SELECT b.j, e3.e FROM b JOIN e3 USING (doc_id)
+          UNION ALL
+          SELECT CAST(64 AS BIGINT), e FROM e3) GROUP BY j),
+      w3 AS (
+        SELECT w2.j, w2.w - (COALESCE(g3.g, 0) // ((SELECT n FROM n) * 32)) AS w
+        FROM w2 LEFT JOIN g3 USING (j)),
+      ps AS (SELECT b.doc_id, CAST(SUM(w3.w) AS BIGINT) AS pw
+             FROM b JOIN w3 ON b.j = w3.j GROUP BY b.doc_id)
+      SELECT y.doc_id, y.label_micro,
+             COALESCE(ps.pw, 0) + (SELECT w FROM w3 WHERE j = 64) AS score_micro
+      FROM y LEFT JOIN ps USING (doc_id)
+      ORDER BY y.doc_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137, q138)
+      q121, q126, q137, q138, q167)
 }

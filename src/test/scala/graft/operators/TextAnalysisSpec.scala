@@ -359,4 +359,42 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
+
+  test("linearProbe: learns label separation, deterministic, shuffle-free scoring") {
+    // half the corpus is stopword-dense (label 1e6), half content-only
+    // (label 0); the probe must learn weights that separate the classes
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "the cat of the house and the dog in the yard is that it for " + s"w$i")
+      else (i.toLong, s"quantum flux capacitor $i spectral manifold tensor gradient warp")
+    }.toDF("doc_id", "text")
+    val label = when(col("doc_id") % 2 === 0, lit(1000000L)).otherwise(lit(0L))
+    val model = TextAnalysis.linearProbeTrain(docs, "text", label,
+      nBuckets = 64, steps = 8, lrShift = 4)
+    assert(model.length == 65)
+    // determinism: retraining lands on the identical weight vector
+    assert(model == TextAnalysis.linearProbeTrain(docs, "text", label,
+      nBuckets = 64, steps = 8, lrShift = 4))
+    val scores = TextAnalysis.linearProbeScore(docs, "doc_id", "text", model)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val pos = (0 until 40 by 2).map(i => scores(i.toLong))
+    val neg = (1 until 40 by 2).map(i => scores(i.toLong))
+    assert(pos.min > neg.max,
+      s"probe must separate the classes: pos.min=${pos.min} neg.max=${neg.max}")
+    // serving path is a pure projection: no join, no shuffle, no window
+    val plan = TextAnalysis.linearProbeScore(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"scoring must be shuffle-free:\n$plan")
+  }
+
+  test("linearProbe: empty corpus trains to zero weights; no-token docs drop from scoring") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m0 = TextAnalysis.linearProbeTrain(empty, "text", lit(0L))
+    assert(m0.forall(_ == 0L))
+    val docs = Seq((1L, "alpha beta"), (2L, "   ")).toDF("doc_id", "text")
+    val m = TextAnalysis.linearProbeTrain(docs, "text", lit(1000000L))
+    val out = TextAnalysis.linearProbeScore(docs, "doc_id", "text", m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L), s"whitespace-only doc must drop: $out")
+  }
 }
