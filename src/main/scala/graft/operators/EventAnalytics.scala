@@ -329,4 +329,103 @@ object EventAnalytics {
       .select(col("key"), col("bucket"), col("n"), col("m6"),
         col("locf6"), col("interp6"))
   }
+
+  /** Time-series DOWNSAMPLING by largest-triangle bucket selection —
+    * the LTTB family (Steinarsson, "Downsampling Time Series for
+    * Visual Representation", 2013) in a PARALLEL variant: classic LTTB
+    * anchors each bucket's triangle on the point SELECTED in the
+    * previous bucket, an inherently serial per-key scan; here the
+    * anchors are the CENTROIDS of everything before / after the
+    * bucket, so every bucket's selection is independent. The first and
+    * last present buckets keep the series' first/last point (LTTB's
+    * endpoint rule).
+    *
+    * Determinism contract (cross-engine exact): values quantize to
+    * micro-units via floor(v·10⁶+0.5) (the oracle-safe rounding);
+    * times are integer micros REBASED to the key's min; bucket
+    * assignment and centroids are integer truncating division (both
+    * engines truncate toward zero); the triangle-area comparison is
+    * the exact integer cross product carried in DECIMAL(38,0) — no
+    * floating point reaches any comparison. Ties break
+    * (area desc, t asc, id asc). Bounds: span·buckets, per-key sums of
+    * rebased micros, and (span × value-range-micros) must fit int64 /
+    * 38 digits respectively — hundreds of key-years at the defaults.
+    *
+    * Scale shape: NO per-point window — selection is a three-phase
+    * mergeable argmax (extreme → equality join → min t → min id, the
+    * de-skewed pattern), so a hot key costs partial-aggregate cells,
+    * never one sorted task; the only windows ride the per-key BUCKET
+    * SPINE (≤ `buckets` rows, the gapFill bound). Returns one row per
+    * (key, present bucket): (key, bucket, id, ts, value). */
+  def downsampleLargestTriangle(events: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, idCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 3 && buckets <= 100000,
+      s"buckets must be in [3, 100000], got $buckets")
+    val W = org.apache.spark.sql.expressions.Window
+    val pts0 = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(idCol).cast("long").as("__id"),
+        unix_micros(col(tsCol)).as("__t"),
+        floor(col(valueCol).cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("__v"),
+        col(tsCol).as("__ts"), col(valueCol).as("__value"))
+    val rng = pts0.groupBy(col("__k"))
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+    val pts = pts0.join(rng, Seq("__k"))
+      .withColumn("__tr", col("__t") - col("__t0"))
+      .withColumn("__b", least(lit(buckets - 1).cast("long"),
+        expr(s"(__tr * ${buckets}L) div (__t1 - __t0 + 1L)")))
+      .drop("__t0", "__t1")
+    // per-(key, present-bucket) sums, then prefix/suffix centroid sums
+    // over the bucket spine; a middle bucket always has a non-empty
+    // prefix AND suffix (the min/max-t points pin the end buckets)
+    val baggs = pts.groupBy(col("__k"), col("__b"))
+      .agg(sum(col("__tr")).as("__st"), sum(col("__v")).as("__sv"),
+        count(lit(1)).as("__n"))
+    val ws = W.partitionBy(col("__k")).orderBy(col("__b"))
+    val wk = W.partitionBy(col("__k"))
+    val anchors = baggs
+      .withColumn("__Tp", sum(col("__st")).over(ws.rowsBetween(Long.MinValue, -1)))
+      .withColumn("__Vp", sum(col("__sv")).over(ws.rowsBetween(Long.MinValue, -1)))
+      .withColumn("__np", sum(col("__n")).over(ws.rowsBetween(Long.MinValue, -1)))
+      .withColumn("__Tn", sum(col("__st")).over(ws.rowsBetween(1, Long.MaxValue)))
+      .withColumn("__Vn", sum(col("__sv")).over(ws.rowsBetween(1, Long.MaxValue)))
+      .withColumn("__nn", sum(col("__n")).over(ws.rowsBetween(1, Long.MaxValue)))
+      .withColumn("__bmin", min(col("__b")).over(wk))
+      .withColumn("__bmax", max(col("__b")).over(wk))
+      .select(col("__k"), col("__b"), col("__Tp"), col("__Vp"), col("__np"),
+        col("__Tn"), col("__Vn"), col("__nn"), col("__bmin"), col("__bmax"))
+    val tagged = pts.join(anchors, Seq("__k", "__b"))
+    // three-phase mergeable argmax: extreme of the primary rank, then
+    // min t among ties, then min id — never a per-point window
+    def pick(df: DataFrame, c1: String, c1Max: Boolean): DataFrame = {
+      val a1 = if (c1Max) max(col(c1)) else min(col(c1))
+      val g1 = df.groupBy(col("__k"), col("__b")).agg(a1.as("__p1"))
+      val s1 = df.join(g1, Seq("__k", "__b")).filter(col(c1) === col("__p1"))
+      val g2 = s1.groupBy(col("__k"), col("__b")).agg(min(col("__t")).as("__p2"))
+      val s2 = s1.join(g2, Seq("__k", "__b")).filter(col("__t") === col("__p2"))
+      val g3 = s2.groupBy(col("__k"), col("__b")).agg(min(col("__id")).as("__p3"))
+      s2.join(g3, Seq("__k", "__b")).filter(col("__id") === col("__p3"))
+        .select(col("__k"), col("__b"), col("__id"), col("__ts"), col("__value"))
+    }
+    val firsts = pick(tagged.filter(col("__b") === col("__bmin")), "__t", c1Max = false)
+    val lasts = pick(tagged.filter(col("__b") === col("__bmax") &&
+      col("__bmax") =!= col("__bmin")), "__t", c1Max = true)
+    val mids = pick(
+      tagged.filter(col("__b") =!= col("__bmin") && col("__b") =!= col("__bmax"))
+        .withColumn("__xA", expr("__Tp div __np"))
+        .withColumn("__yA", expr("__Vp div __np"))
+        .withColumn("__xC", expr("__Tn div __nn"))
+        .withColumn("__yC", expr("__Vn div __nn"))
+        .withColumn("__area", abs(
+          (col("__xA") - col("__xC")).cast("decimal(19,0)") *
+            (col("__v") - col("__yA")).cast("decimal(19,0)") -
+          (col("__xA") - col("__tr")).cast("decimal(19,0)") *
+            (col("__yC") - col("__yA")).cast("decimal(19,0)"))),
+      "__area", c1Max = true)
+    firsts.unionByName(lasts).unionByName(mids)
+      .select(col("__k").as("key"), col("__b").as("bucket"),
+        col("__id").as("id"), col("__ts").as("ts"), col("__value").as("value"))
+  }
 }

@@ -458,6 +458,87 @@ object TimeSeriesQueries extends QueryModule {
       FROM w
       ORDER BY event_type, bucket_s"""))
 
+  /** LTTB-family downsampling ([[EventAnalytics
+    * .downsampleLargestTriangle]]): each user's event series reduced to
+    * ≤ 12 visually-representative points — endpoints kept, middle
+    * buckets keep the point forming the largest triangle with the
+    * prefix/suffix centroids (the parallel-variant anchors). The whole
+    * selection is exact integer arithmetic (micro-unit values, rebased
+    * integer micros, truncating-division centroids, DECIMAL cross
+    * product), so the oracle replays it bit-exactly — including every
+    * area tie — with DuckDB HUGEINT products and `//` division. */
+  private val q168 = QueryDef(
+    "q168_lttb_downsample",
+    (s, d) => EventAnalytics.downsampleLargestTriangle(
+        Tables.events(s, d), "user_id", "ts", "value", "event_id",
+        buckets = 12)
+      .orderBy(col("key"), col("bucket")),
+    Some("""
+      WITH p0 AS (
+        SELECT user_id AS k, event_id AS id, epoch_us(ts) AS t,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+               ts, value
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL AND event_id IS NOT NULL),
+      rng AS (SELECT k, min(t) AS t0, max(t) AS t1 FROM p0 GROUP BY k),
+      p AS (
+        SELECT p0.k, p0.id, p0.t, p0.v, p0.ts, p0.value, p0.t - rng.t0 AS tr,
+               least(CAST(11 AS BIGINT),
+                     ((p0.t - rng.t0) * 12) // (rng.t1 - rng.t0 + 1)) AS b
+        FROM p0 JOIN rng USING (k)),
+      ba AS (
+        SELECT k, b, CAST(SUM(tr) AS BIGINT) AS st,
+               CAST(SUM(v) AS BIGINT) AS sv, count(*) AS n
+        FROM p GROUP BY k, b),
+      an AS (
+        SELECT k, b,
+          CAST(SUM(st) OVER wp AS BIGINT) AS tp,
+          CAST(SUM(sv) OVER wp AS BIGINT) AS vp,
+          CAST(SUM(n) OVER wp AS BIGINT) AS np,
+          CAST(SUM(st) OVER wn AS BIGINT) AS tn,
+          CAST(SUM(sv) OVER wn AS BIGINT) AS vn,
+          CAST(SUM(n) OVER wn AS BIGINT) AS nn,
+          MIN(b) OVER (PARTITION BY k) AS bmin,
+          MAX(b) OVER (PARTITION BY k) AS bmax
+        FROM ba
+        WINDOW wp AS (PARTITION BY k ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY k ORDER BY b
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      tt AS (
+        SELECT p.*, an.tp, an.vp, an.np, an.tn, an.vn, an.nn,
+               an.bmin, an.bmax
+        FROM p JOIN an USING (k, b)),
+      selfirst AS (
+        SELECT k, b, id, ts, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY k, b
+                      ORDER BY t ASC, id ASC) AS rn
+          FROM tt WHERE b = bmin) WHERE rn = 1),
+      sellast AS (
+        SELECT k, b, id, ts, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY k, b
+                      ORDER BY t DESC, id ASC) AS rn
+          FROM tt WHERE b = bmax AND bmax <> bmin) WHERE rn = 1),
+      mid AS (
+        SELECT *,
+          abs(CAST((tp // np) - (tn // nn) AS HUGEINT)
+                * CAST(v - (vp // np) AS HUGEINT)
+              - CAST((tp // np) - tr AS HUGEINT)
+                * CAST((vn // nn) - (vp // np) AS HUGEINT)) AS area
+        FROM tt WHERE b <> bmin AND b <> bmax),
+      selmid AS (
+        SELECT k, b, id, ts, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY k, b
+                      ORDER BY area DESC, t ASC, id ASC) AS rn
+          FROM mid) WHERE rn = 1)
+      SELECT k AS key, b AS bucket, id, ts, value FROM (
+        SELECT * FROM selfirst
+        UNION ALL SELECT * FROM sellast
+        UNION ALL SELECT * FROM selmid)
+      ORDER BY key, bucket"""))
+
   override val entries: Seq[QueryDef] =
-    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141, q142, q151, q160)
+    Seq(q72, q73, q74, q75, q76, q79, q139, q140, q141, q142, q151, q160,
+      q168)
 }

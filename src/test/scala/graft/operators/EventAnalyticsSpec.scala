@@ -186,4 +186,46 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(cRows(12)._4.contains(5000000L))
     assert(cRows(40)._5.contains(5000000L) && cRows(40)._6.isEmpty)
   }
+
+  test("downsampleLargestTriangle: endpoints kept, spike kept, bucket cap, no per-point window") {
+    // key 1: 100 points over ~100 minutes, flat except a huge spike at
+    // point 57 — the spike's bucket MUST select the spike (largest
+    // triangle against flat neighbors)
+    val rows = (0 until 100).map { i =>
+      (1L, i.toLong, ts(f"2024-03-01 10:${i / 60}%02d:${i % 60}%02d"),
+        if (i == 57) 500.0 else 1.0 + (i % 3) * 0.01)
+    } ++ Seq((2L, 200L, ts("2024-03-02 00:00:00"), 7.0)) // single-point key
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val out = EventAnalytics.downsampleLargestTriangle(
+        df, "user_id", "ts", "value", "event_id", buckets = 10)
+      .select("key", "bucket", "id").as[(Long, Long, Long)].collect()
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1.length <= 10 && k1.length >= 3, s"bucket cap: ${k1.length}")
+    val ids = k1.map(_._3).toSet
+    assert(ids.contains(0L), "series first point must survive")
+    assert(ids.contains(99L), "series last point must survive")
+    assert(ids.contains(57L), s"the spike must survive downsampling: $ids")
+    // one row per present bucket
+    assert(k1.map(_._2).distinct.length == k1.length)
+    // single-point key: exactly its one point, bucket 0
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 200L)))
+    // determinism
+    val again = EventAnalytics.downsampleLargestTriangle(
+        df, "user_id", "ts", "value", "event_id", buckets = 10)
+      .select("key", "bucket", "id").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    // scale guard: no window keyed below the bucket spine — every
+    // Window in the plan consumes the bucket-aggregate side (≤ buckets
+    // rows per key), which holds iff no Window operator line mentions
+    // the raw per-point columns (__t/__tr/__v/__id); the per-point
+    // argmax is aggregate-only (the three-phase pattern)
+    val planLines = EventAnalytics.downsampleLargestTriangle(
+        df, "user_id", "ts", "value", "event_id", buckets = 10)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    assert(planLines.nonEmpty, "expected spine windows in the plan")
+    assert(planLines.forall(l => !Seq("__t#", "__tr#", "__v#", "__id#")
+        .exists(l.contains)),
+      s"windows must ride the bucket spine only:\n${planLines.mkString("\n")}")
+  }
 }
