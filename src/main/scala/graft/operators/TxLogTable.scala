@@ -84,7 +84,9 @@ object TxLogTable {
     * harvested from footers — INT96 would silently lose timestamp
     * skipping. (Delta writes int64 timestamps for the same reason.) */
   private def stage(df: DataFrame, fs: FileSystem, root: HPath,
-      prefix: String, partitionBy: Seq[String] = Seq.empty): Seq[String] = {
+      prefix: String, partitionBy: Seq[String] = Seq.empty,
+      validate: Boolean = true): Seq[String] = {
+    if (validate) validateConstraints(df, root)
     fs.mkdirs(logDir(root))
     val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new HPath(root, s"data-$stageId")
@@ -533,7 +535,8 @@ object TxLogTable {
         .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
         .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
         .drop("__z")
-    val files = stage(rewritten, fs, root, "compact-", partitionBy)
+    val files = stage(rewritten, fs, root, "compact-", partitionBy,
+      validate = false)
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
       maxRetries = 1, commit, op = "compact")
     // the rebase is a remove-all + add-all in Delta terms
@@ -802,7 +805,8 @@ object TxLogTable {
     // partitioned touched set re-stages in its own layout
     val staged =
       if (remaining.isEmpty) Seq.empty[String]
-      else stage(remaining, fs, root, "delete-", partColsOf(touched))
+      else stage(remaining, fs, root, "delete-", partColsOf(touched),
+        validate = false)
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
       rebase = true, Some(v0), maxRetries = 1, commit, op = "delete")
     DeltaInterop.mirror(spark, path, v, staged, touched,
@@ -954,6 +958,143 @@ object TxLogTable {
       .map(_.getPath).toSeq
     stale.foreach(d => fs.delete(d, true))
     stale.map(_.getName)
+  }
+
+  // ---- CHECK constraints (Delta's table invariants) ----
+
+  // dot-prefixed: listLog skips dot-files, so the constraints file can
+  // never be parsed as a version entry
+  private def constraintsPath(root: HPath) =
+    new HPath(logDir(root), ".constraints.json")
+
+  /** The table's CHECK constraints: name → SQL boolean expression.
+    * SQL-standard semantics — a row VIOLATES a constraint only when the
+    * expression evaluates FALSE; NULL passes (Delta's CHECK rule). */
+  def checkConstraints(path: String): Map[String, String] = {
+    val (fs, root) = fsFor(path)
+    val p = constraintsPath(root)
+    if (!fs.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(readString(fs, p)) match {
+        case JObject(fields) =>
+          fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def writeConstraints(fs: FileSystem, root: HPath,
+      cs: Map[String, String]): Unit = {
+    import org.json4s.JsonDSL._
+    fs.mkdirs(logDir(root))
+    writeString(fs, constraintsPath(root),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JObject(cs.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (v: org.json4s.JValue) }.toList))),
+      overwrite = true)
+  }
+
+  /** Add a CHECK constraint. The CURRENT snapshot must already satisfy
+    * it (one aggregate count over the table — Delta's ADD CONSTRAINT
+    * contract); every later staged write (append / upsert / merge)
+    * validates its rows before any file publishes, so a violating
+    * commit aborts with nothing staged in the log. */
+  def addCheckConstraint(spark: SparkSession, path: String,
+      name: String, exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val (fs, root) = fsFor(path)
+    val head = versions(fs, root).lastOption.getOrElse(-1L)
+    if (head >= 0) {
+      val bad = readVersion(spark, path, head)
+        .where(org.apache.spark.sql.functions.expr(exprSql) <=>
+          org.apache.spark.sql.functions.lit(false)).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"cannot add constraint $name CHECK ($exprSql): " +
+          s"$bad existing row(s) violate it")
+    }
+    writeConstraints(fs, root, checkConstraints(path) + (name -> exprSql))
+  }
+
+  def dropCheckConstraint(path: String, name: String): Unit = {
+    val (fs, root) = fsFor(path)
+    writeConstraints(fs, root, checkConstraints(path) - name)
+  }
+
+  /** Enforcement choke point, called from [[stage]] for data-adding
+    * writes: one aggregate count per constraint over the staged frame
+    * (map-side partials, no shuffle of the rows themselves). Compaction
+    * and delete re-stage only rows already in the table, which satisfy
+    * every constraint by induction, and skip this. */
+  private def validateConstraints(df: DataFrame, root: HPath): Unit = {
+    val cs = checkConstraints(root.toString)
+    cs.foreach { case (name, exprSql) =>
+      val bad = df.where(org.apache.spark.sql.functions.expr(exprSql) <=>
+        org.apache.spark.sql.functions.lit(false)).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"constraint $name CHECK ($exprSql) violated by $bad staged row(s); " +
+          "commit aborted, nothing published")
+    }
+  }
+
+  // ---- shallow clone (Delta's CLONE, single-namespace form) ----
+
+  /** CLONE a snapshot of `source` into a NEW table at `dest` without
+    * rewriting data: every file in the source snapshot's listing is
+    * HARD-LINKED into the clone (same-filesystem local paths; falls
+    * back to a copy across filesystems or where links are unsupported),
+    * together with its data dirs' stats sidecars and the source's CHECK
+    * constraints, and published as the clone's v0 (`op = "clone"`).
+    * The clone then evolves independently — DML, compaction, time
+    * travel all start from its own v0.
+    *
+    * Divergence from Delta noted: Delta's shallow clone records
+    * ABSOLUTE paths into the source table; this log keeps every
+    * snapshot self-contained under its own root (the design contract
+    * of the single-namespace `_log`), so the clone links bytes instead
+    * of referencing them. On a local FS that is still O(files) metadata
+    * work and zero data copied; VACUUM on either table can never break
+    * the other (link counts, not shared listings). */
+  def shallowClone(spark: SparkSession, source: String, dest: String,
+      version: Option[Long] = None): Long = {
+    val (sfs, sroot) = fsFor(source)
+    val head = versions(sfs, sroot).lastOption.getOrElse(-1L)
+    require(head >= 0, s"cannot clone empty table at $source")
+    val v = version.getOrElse(head)
+    require(v >= 0 && v <= head, s"clone version $v outside [0, $head]")
+    val (dfs, droot) = fsFor(dest)
+    require(!dfs.exists(logDir(droot)), s"$dest is already a table")
+    val files = filesUpTo(sfs, sroot, v)
+    val conf = hadoopConf()
+    def linkOrCopy(rel: String): Unit = {
+      val src = new HPath(sroot, rel)
+      val dst = new HPath(droot, rel)
+      dfs.mkdirs(dst.getParent)
+      val linked = sfs.getScheme == "file" && dfs.getScheme == "file" &&
+        (try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case scala.util.control.NonFatal(_) => false })
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, conf)
+    }
+    files.foreach(linkOrCopy)
+    files.map(_.split('/').head).distinct.foreach { d =>
+      if (sfs.exists(new HPath(new HPath(sroot, d), "_stats.json")))
+        linkOrCopy(s"$d/_stats.json")
+    }
+    val cs = checkConstraints(source)
+    if (cs.nonEmpty) writeConstraints(dfs, droot, cs)
+    dfs.mkdirs(logDir(droot)) // commitEntry's tmp-file publish needs it
+    val newV = commitEntry(dfs, droot, files.sorted, rebase = false, None,
+      maxRetries = 1, CommitPoint.Auto, op = "clone")
+    DeltaInterop.mirror(spark, dest, newV, files, Seq.empty,
+      readVersion(spark, source, v).schema.json, CommitPoint.Auto)
+    newV
   }
 
   private def fileList(txt: String): Seq[String] =

@@ -669,7 +669,54 @@ object IngestQueries extends QueryModule {
       SELECT * FROM c1 UNION ALL SELECT * FROM c2
       ORDER BY _commit_version, _change_type, s_suppkey"""))
 
+  /** A23 SHALLOW CLONE isolation, oracle-checked end to end: the DML
+    * table clones at head (zero data rewritten — hard links on local
+    * FS), the CLONE takes an independent predicate DELETE, and the
+    * query REQUIRES in-flight that the source's version never advanced.
+    * Output is both tables' snapshots side-tagged; the oracle replays
+    * the source algebra (q154's) twice, once with the clone's extra
+    * delete — any leakage between the tables breaks the hash. */
+  private val q169 = QueryDef(
+    "q169_acid_clone_isolation",
+    (s, d) => {
+      val src = acidDmlTable(s, d) // v0..v2
+      val dest = src + "_clone"
+      val droot = new org.apache.hadoop.fs.Path(dest)
+      droot.getFileSystem(s.sessionState.newHadoopConf()).delete(droot, true)
+      TxLogTable.shallowClone(s, src, dest)
+      val vSrc = TxLogTable.currentVersion(src)
+      TxLogTable.deleteWhere(s, dest, col("s_nationkey") < 2)
+      require(TxLogTable.currentVersion(src) == vSrc,
+        "clone DML must never advance the source table")
+      TxLogTable.read(s, src).withColumn("side", lit("src"))
+        .unionByName(TxLogTable.read(s, dest).withColumn("side", lit("clone")))
+        .select(col("side"), col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
+    },
+    Some("""
+      WITH upd AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20),
+      merged AS (
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+        FROM supplier s ANTI JOIN upd u ON s.s_suppkey = u.s_suppkey
+        UNION ALL
+        SELECT * FROM upd),
+      head AS (
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM merged WHERE s_nationkey <> 7)
+      SELECT 'src' AS side, s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM head
+      UNION ALL
+      SELECT 'clone', s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM head WHERE s_nationkey >= 2
+      ORDER BY side, s_suppkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163, q164, q165)
+      q161, q162, q163, q164, q165, q169)
 }

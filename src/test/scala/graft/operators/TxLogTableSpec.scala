@@ -887,4 +887,111 @@ class TxLogTableSpec extends SparkSpec {
         col("ts") >= lit(t("2024-06-01 00:00:00")))
       .select("id").as[Long].collect().toSet == Set(3L, 4L))
   }
+
+  test("CHECK constraints: staged writes validate, violations abort pre-stage, NULL passes") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"), path)
+    // add on a satisfying snapshot
+    TxLogTable.addCheckConstraint(spark, path, "amount_pos", "amount > 0")
+    assert(TxLogTable.checkConstraints(path) == Map("amount_pos" -> "amount > 0"))
+    // adding a constraint the existing data violates is rejected
+    intercept[IllegalStateException] {
+      TxLogTable.addCheckConstraint(spark, path, "amount_big", "amount > 15")
+    }
+    assert(TxLogTable.checkConstraints(path).size == 1)
+    // violating append aborts BEFORE staging: version unchanged, no new
+    // data dir appears under the root
+    val dirsBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("data-")).map(_.getName).toSet
+    intercept[IllegalStateException] {
+      TxLogTable.append(spark, Seq((3L, -5.0)).toDF("id", "amount"), path)
+    }
+    assert(TxLogTable.currentVersion(path) == 0L)
+    val dirsAfter = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("data-")).map(_.getName).toSet
+    assert(dirsAfter == dirsBefore, "violating append must stage nothing")
+    // NULL passes (SQL CHECK semantics); valid rows commit
+    TxLogTable.append(spark,
+      Seq((3L, Some(5.0)), (4L, None)).toDF("id", "amount"), path)
+    assert(TxLogTable.read(spark, path).count() == 4)
+    // upsert enforcement
+    intercept[IllegalStateException] {
+      TxLogTable.upsertByKey(spark, path,
+        Seq((1L, Some(-1.0))).toDF("id", "amount"), Seq("id"))
+    }
+    // a predicate DELETE (stages only surviving pre-existing rows)
+    // still works with constraints present
+    TxLogTable.deleteWhere(spark, path, col("id") === 2L)
+    assert(TxLogTable.read(spark, path).select("id").as[Long].collect().toSet
+      == Set(1L, 3L, 4L))
+    // drop → formerly violating rows admit
+    TxLogTable.dropCheckConstraint(path, "amount_pos")
+    TxLogTable.append(spark, Seq((9L, Some(-5.0))).toDF("id", "amount"), path)
+    assert(TxLogTable.read(spark, path).count() == 4)
+  }
+
+  test("shallowClone: snapshot-identical, link-not-copy, independent evolution, carries constraints") {
+    val src = tmp
+    val rows = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+    TxLogTable.append(spark, rows.toDF("id", "grp", "amount"), src) // v0
+    TxLogTable.deleteWhere(spark, src, col("id") === 2L)            // v1
+    TxLogTable.addCheckConstraint(spark, src, "amount_pos", "amount > 0")
+    val dest = tmp + "-clone"
+    val v = TxLogTable.shallowClone(spark, src, dest)
+    assert(v == 0L)
+    // clone == source head snapshot
+    assert(TxLogTable.read(spark, dest).select("id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // local FS: files are hard links, not copies (same inode → nlink 2)
+    val firstFile = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("data-")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val nlink = java.nio.file.Files.getAttribute(
+      firstFile.toPath, "unix:nlink").asInstanceOf[Number].intValue
+    assert(nlink >= 2, s"clone must hard-link on local fs (nlink=$nlink)")
+    // constraints carried: a violating append into the CLONE aborts
+    intercept[IllegalStateException] {
+      TxLogTable.append(spark,
+        Seq((9L, "z", -1.0)).toDF("id", "grp", "amount"), dest)
+    }
+    // independent evolution: DML in the clone never touches the source
+    TxLogTable.append(spark,
+      Seq((7L, "c", 7.0)).toDF("id", "grp", "amount"), dest)
+    TxLogTable.deleteWhere(spark, dest, col("id") === 1L)
+    assert(TxLogTable.read(spark, src).select("id").as[Long].collect().toSet
+      == Set(1L, 3L), "source must be untouched by clone DML")
+    assert(TxLogTable.read(spark, dest).select("id").as[Long].collect().toSet
+      == Set(3L, 7L))
+    // version-as-of clone sees the pre-delete snapshot
+    val dest0 = tmp + "-clone0"
+    TxLogTable.shallowClone(spark, src, dest0, version = Some(0L))
+    assert(TxLogTable.read(spark, dest0).select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      TxLogTable.shallowClone(spark, src, dest)
+    }
+    // stats sidecars rode along: a stats-pruned point read on the clone
+    // still skips foreign files
+    val (kept, skipped) = TxLogTable.prunedFiles(spark, dest0, col("id") === 1L)
+    assert(kept.nonEmpty, "clone must keep its stats sidecars")
+  }
+
+  test("shallowClone: hive-partitioned source keeps layout and partition pruning") {
+    val src = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0))
+        .toDF("id", "grp", "amount"),
+      src, partitionBy = Seq("grp"))
+    val dest = tmp + "-pclone"
+    TxLogTable.shallowClone(spark, src, dest)
+    assert(TxLogTable.read(spark, dest).select("id", "grp")
+      .as[(Long, String)].collect().toSet
+      == Set((1L, "x"), (2L, "y"), (3L, "x")))
+    val (kept, skipped) = TxLogTable.prunedFiles(spark, dest, col("grp") === "x")
+    assert(kept.nonEmpty && kept.forall(_.contains("grp=x")) &&
+      skipped.forall(!_.contains("grp=x")),
+      s"clone must partition-prune: kept=$kept skipped=$skipped")
+  }
 }
