@@ -498,6 +498,38 @@ object TxLogTable {
     v
   }
 
+  /** REPLACE the table's contents with `df` in one atomic commit —
+    * `mode("overwrite")` for the transaction log: a REBASE entry whose
+    * listing is exactly the newly staged files, so every earlier
+    * version stays time-travelable and a reader never sees a partial
+    * swap. Supports the same SetTransaction `txn` idempotency as
+    * [[append]] (a replayed overwrite is a no-op), CHECK-constraint
+    * validation, and `partitionBy`. */
+  def overwrite(spark: SparkSession, df: DataFrame, path: String,
+      commit: CommitPoint = CommitPoint.Auto,
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns ${partitionBy.diff(df.columns.toSeq)} not in frame")
+    val (fs, root) = fsFor(path)
+    txn.foreach { case (app, tv) =>
+      require(app.matches("[A-Za-z0-9_:/.@=-]+"),
+        s"txn appId must be JSON-literal-safe, got '$app'")
+      require(!app.startsWith("data-"),
+        s"txn appId must not start with 'data-', got '$app'")
+      if (lastTxnVersion(fs, root, app).exists(_ >= tv))
+        return versions(fs, root).lastOption.getOrElse(-1L)
+    }
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    val prior = if (v0 >= 0) filesUpTo(fs, root, v0) else Seq.empty
+    val files = stage(df, fs, root, "over-", partitionBy)
+    val v = commitEntry(fs, root, files, rebase = true, None, 20,
+      commit, txn, op = "overwrite")
+    DeltaInterop.mirror(spark, path, v, files, prior, df.schema.json,
+      commit, txn)
+    v
+  }
+
   /** Compact the current snapshot's many small data dirs into
     * ~targetFileMB-sized files, published as a REBASE commit (the entry
     * replaces the accumulated listing; `filesUpTo` resets at it). Time

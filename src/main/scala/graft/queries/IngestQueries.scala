@@ -716,7 +716,57 @@ object IngestQueries extends QueryModule {
       FROM head WHERE s_nationkey >= 2
       ORDER BY side, s_suppkey"""))
 
+  /** A23 incrementally-maintained aggregate view
+    * ([[IncrementalView.maintain]] — linear aggregates over the change
+    * feed, the DBSP observation): full load at the DML head, then one
+    * MORE delete commits and a second maintain applies ONLY that delta
+    * (REQUIRED in-query: the view advances exactly one version, and the
+    * applied-source-version record reaches the new head). The oracle
+    * recomputes the final aggregate directly — any drift between
+    * incremental maintenance and recompute breaks the hash. Money sums
+    * round to 2 decimals (the documented double-sum discipline). */
+  private val q170 = QueryDef(
+    "q170_incremental_view",
+    (s, d) => {
+      val src = acidDmlTable(s, d) // v0..v2
+      val view = src + "_view"
+      val vroot = new org.apache.hadoop.fs.Path(view)
+      vroot.getFileSystem(s.sessionState.newHadoopConf()).delete(vroot, true)
+      IncrementalView.maintain(s, src, view,
+        Seq("s_nationkey"), Seq("s_acctbal")) // full load of v2
+      TxLogTable.deleteWhere(s, src, col("s_nationkey") === 3) // v3
+      val applied = IncrementalView.maintain(s, src, view,
+        Seq("s_nationkey"), Seq("s_acctbal"))
+      require(applied == 3L, s"second maintain must reach v3, got $applied")
+      require(TxLogTable.currentVersion(view) == 1L,
+        "incremental refresh must be the view's v1, not a rebuild history")
+      TxLogTable.read(s, view)
+        .select(col("s_nationkey"), col("cnt"),
+          round(col("sum_s_acctbal"), 2).as("sum_acctbal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""
+      WITH upd AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20),
+      merged AS (
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+        FROM supplier s ANTI JOIN upd u ON s.s_suppkey = u.s_suppkey
+        UNION ALL
+        SELECT * FROM upd),
+      head AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal
+        FROM merged WHERE s_nationkey <> 7 AND s_nationkey <> 3)
+      SELECT s_nationkey, count(*) AS cnt,
+             round(SUM(s_acctbal), 2) AS sum_acctbal
+      FROM head GROUP BY s_nationkey
+      ORDER BY s_nationkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163, q164, q165, q169)
+      q161, q162, q163, q164, q165, q169, q170)
 }

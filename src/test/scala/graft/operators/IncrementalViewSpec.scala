@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp = Files.createTempDirectory("graft-iv").toString
+
+  private def viewRows(view: String): Map[String, (Long, Double)] =
+    TxLogTable.read(spark, view)
+      .select(col("grp"), col("cnt"), col("sum_amount").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def recompute(source: String): Map[String, (Long, Double)] =
+    TxLogTable.read(spark, source)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("amount")).cast("double").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("maintained view tracks the base table through mixed DML, incrementally") {
+    val src = tmp
+    val view = tmp + "-view"
+    TxLogTable.append(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+        .toDF("id", "grp", "amount"), src) // v0
+    // initial load
+    assert(IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount")) == 0L)
+    assert(viewRows(view) == recompute(src))
+    assert(viewRows(view) == Map("a" -> ((2L, 40.0)), "b" -> ((1L, 20.0))))
+
+    // append + upsert + delete, one maintain call applies the whole range
+    TxLogTable.append(spark,
+      Seq((4L, "c", 5.0)).toDF("id", "grp", "amount"), src)          // v1
+    TxLogTable.upsertByKey(spark, src,
+      Seq((1L, "a", 100.0)).toDF("id", "grp", "amount"), Seq("id"))  // v2
+    TxLogTable.deleteWhere(spark, src, col("grp") === "b")           // v3
+    assert(IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount")) == 3L)
+    assert(viewRows(view) == recompute(src))
+    // group b vanished entirely (cnt reached 0)
+    assert(!viewRows(view).contains("b"))
+    assert(viewRows(view) == Map("a" -> ((2L, 130.0)), "c" -> ((1L, 5.0))))
+
+    // the second refresh was INCREMENTAL: the view's txn record tracks
+    // the source head, and re-maintaining with no new source commits is
+    // a no-op that leaves the view's own version unchanged
+    val vv = TxLogTable.currentVersion(view)
+    assert(IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount")) == 3L)
+    assert(TxLogTable.currentVersion(view) == vv,
+      "no-op maintain must not commit a new view version")
+
+    // compaction in the source feeds an empty delta — view untouched
+    TxLogTable.compact(spark, src, targetFiles = 1)                  // v4
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    assert(viewRows(view) == recompute(src))
+
+    // the view is itself an ACID table: time travel shows the first
+    // refresh's state
+    val first = TxLogTable.readVersion(spark, view, 0L)
+      .select(col("grp"), col("cnt")).as[(String, Long)].collect().toMap
+    assert(first == Map("a" -> 2L, "b" -> 1L, "c" -> 0L).filter(_._2 > 0L) ||
+      first == Map("a" -> 2L, "b" -> 1L),
+      s"view v0 must be the initial load: $first")
+  }
+
+  test("replayed maintain is idempotent per source version (crash safety)") {
+    val src = tmp
+    val view = tmp + "-view"
+    TxLogTable.append(spark,
+      Seq((1L, "a", 1.0)).toDF("id", "grp", "amount"), src)
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    TxLogTable.append(spark,
+      Seq((2L, "a", 2.0)).toDF("id", "grp", "amount"), src)
+    // two maintains racing / a replay after a crash: the overwrite's
+    // SetTransaction record makes the second application a no-op
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    val vAfter = TxLogTable.currentVersion(view)
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    assert(TxLogTable.currentVersion(view) == vAfter)
+    assert(viewRows(view) == Map("a" -> ((2L, 3.0))))
+    assert(IncrementalView.appliedVersion(view, src) == 1L)
+  }
+}

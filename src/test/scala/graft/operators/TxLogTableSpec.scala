@@ -978,6 +978,31 @@ class TxLogTableSpec extends SparkSpec {
     assert(kept.nonEmpty, "clone must keep its stats sidecars")
   }
 
+  test("overwrite: atomic replace, history intact, txn-idempotent, constraint-checked") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path) // v0
+    TxLogTable.overwrite(spark, Seq((9L, "z")).toDF("id", "v"), path)         // v1
+    assert(TxLogTable.read(spark, path).select("id").as[Long].collect().toSet == Set(9L))
+    // every earlier version stays time-travelable
+    assert(TxLogTable.readVersion(spark, path, 0L).select("id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("version") === 1L).select("operation")
+      .as[String].head() == "overwrite")
+    // txn idempotency: a replayed overwrite is a no-op
+    TxLogTable.overwrite(spark, Seq((7L, "q")).toDF("id", "v"), path,
+      txn = Some(("ow-app", 5L)))                                             // v2
+    val v = TxLogTable.currentVersion(path)
+    TxLogTable.overwrite(spark, Seq((8L, "r")).toDF("id", "v"), path,
+      txn = Some(("ow-app", 5L)))
+    assert(TxLogTable.currentVersion(path) == v, "replayed overwrite must no-op")
+    // constraints gate overwrites too
+    TxLogTable.addCheckConstraint(spark, path, "id_pos", "id > 0")
+    intercept[IllegalStateException] {
+      TxLogTable.overwrite(spark, Seq((-1L, "x")).toDF("id", "v"), path)
+    }
+  }
+
   test("shallowClone: hive-partitioned source keeps layout and partition pruning") {
     val src = tmp
     TxLogTable.append(spark,
