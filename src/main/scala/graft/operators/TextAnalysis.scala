@@ -797,6 +797,95 @@ object TextAnalysis {
     } finally feat.unpersist()
   }
 
+  // ---- BPE tokenizer training ----
+
+  /** Words are held in the per-symbol SPACE-WRAPPED string form: every
+    * symbol independently wrapped `" x "`, wraps concatenated — so
+    * adjacent symbols are separated by exactly two spaces and a pair
+    * merge is ONE literal string replace (`" a  b "` → `" ab "`) whose
+    * left-to-right non-overlapping semantics — identical in the JVM and
+    * DuckDB — IS greedy BPE pair application, including the
+    * `a a a → (aa) a` overlap rule; and adjacent occurrences
+    * (`a b a b`) merge independently because no two symbols ever share
+    * a delimiter character.
+    *
+    * Train BPE merges (Sennrich, Haddow, Birch — "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016) over the
+    * corpus: k rounds of (count adjacent symbol pairs weighted by word
+    * frequency → merge the most frequent pair everywhere), ties broken
+    * (count desc, pair asc). Returns the ordered merge list with each
+    * pair's weighted count — THE tokenizer artifact.
+    *
+    * Scale shape — the standard word-count factorization: the corpus
+    * is scanned ONCE into a (word, count) VOCABULARY table (persisted;
+    * bounded by distinct-word count, not corpus size); every merge
+    * round is one mergeable explode+groupBy pair count over the
+    * vocabulary plus a driver-side 1-row argmax (TakeOrdered), and the
+    * merge itself is a chained literal `replace` projection. Exact
+    * integer counts everywhere — training is bit-exactly replayable by
+    * any engine with the same left-to-right replace semantics. */
+  def bpeTrain(df: DataFrame, textCol: String,
+      merges: Int = 8): Seq[(String, Long)] = {
+    require(merges >= 1 && merges <= 64, s"merges in [1, 64], got $merges")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(concat(lit(" "),
+          array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
+          lit(" ")).as("s"),
+        col("c"))
+      .persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var done = false
+      while (out.length < merges && !done) {
+        val cur = applyMerges(words, out.map(_._1).toSeq)
+        val sy = split(trim(col("s")), "  ")
+        // when-guard: sequence(1, 0) DESCENDS in Spark, so a
+        // single-symbol word would index past the array
+        val pairsCol = once(sy) { a =>
+          when(size(a) >= 2,
+            transform(sequence(lit(1), size(a) - 1),
+              i => concat(element_at(a, i), lit(" "), element_at(a, i + lit(1)))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val best = cur.select(explode(pairsCol).as("pair"), col("c"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else out += best.head.getString(0) -> best.head.getLong(1)
+      }
+      out.toSeq
+    } finally words.unpersist()
+  }
+
+  /** Apply an ordered merge list to the wrapped-symbol column — one
+    * chained literal replace per merge, all plan literals. */
+  private def applyMerges(words: DataFrame, merges: Seq[String]): DataFrame =
+    merges.foldLeft(words) { (d, p) =>
+      // the pair label "a b" matches the wrapped form " a  b " (each
+      // symbol carries its own wrap, so two spaces separate them)
+      d.withColumn("s", replace(col("s"),
+        lit(" " + p.replace(" ", "  ") + " "),
+        lit(" " + p.replace(" ", "") + " ")))
+    }
+
+  /** The corpus' symbol vocabulary AFTER applying a [[bpeTrain]] merge
+    * list: (symbol, weighted count), the subword frequency table a
+    * tokenizer ships with. One corpus scan + vocabulary-bounded work. */
+  def bpeVocab(df: DataFrame, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(concat(lit(" "),
+          array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
+          lit(" ")).as("s"),
+        col("c"))
+    applyMerges(words, merges)
+      .select(explode(split(trim(col("s")), "  ")).as("sym"), col("c"))
+      .groupBy(col("sym")).agg(sum(col("c")).as("cnt"))
+  }
+
   /** Score a corpus against a FROZEN [[linearProbeTrain]] model — a
     * shuffle-free projection with the weights baked in as an array
     * literal (no join, no window; the dsirScoreWith shape). Documents

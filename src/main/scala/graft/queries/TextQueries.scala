@@ -907,7 +907,97 @@ object TextQueries extends QueryModule {
       FROM y LEFT JOIN ps USING (doc_id)
       ORDER BY y.doc_id"""))
 
+  /** BPE tokenizer TRAINING in-query ([[TextAnalysis.bpeTrain]],
+    * Sennrich ACL'16), oracle-replayed round by round: three merge
+    * rounds over the documents corpus (pair counts weighted by word
+    * frequency, ties (count desc, pair asc)), then the post-merge
+    * subword vocabulary's top 25. Both engines hold words in the
+    * space-wrapped symbol form where greedy pair application is a
+    * literal string replace — identical left-to-right non-overlap
+    * semantics — so the merge LIST, each pair's count, and the final
+    * vocabulary must agree exactly. */
+  private val q171 = QueryDef(
+    "q171_bpe_tokenizer_train",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("text"))
+      val m = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      val mergesDf = m.zipWithIndex
+        .map { case ((p, c), i) => ("merge", (i + 1).toLong, p, c) }
+        .toDF("kind", "ord", "token", "cnt")
+      val top = TextAnalysis.bpeVocab(docs, "text", m.map(_._1))
+        .orderBy(col("cnt").desc, col("sym").asc).limit(25)
+        .collect().zipWithIndex
+        .map { case (r, i) => ("symbol", (i + 1).toLong, r.getString(0), r.getLong(1)) }
+        .toSeq.toDF("kind", "ord", "token", "cnt")
+      mergesDf.unionByName(top).orderBy(col("kind"), col("ord"))
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents) GROUP BY w),
+      s0 AS (
+        SELECT ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+                 i -> substr(w, i, 1)), '  ') || ' ' AS s, c
+        FROM w0),
+      p1 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s0))
+        GROUP BY pair),
+      b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s1 AS (SELECT replace(s,
+               ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS s, c
+             FROM s0),
+      p2 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s1))
+        GROUP BY pair),
+      b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s2 AS (SELECT replace(s,
+               ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS s, c
+             FROM s1),
+      p3 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s2))
+        GROUP BY pair),
+      b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s3 AS (SELECT replace(s,
+               ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS s, c
+             FROM s2),
+      vocab AS (
+        SELECT sym, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(trim(s), '  ')) AS sym, c FROM s3)
+        GROUP BY sym),
+      topsym AS (
+        SELECT 'symbol' AS kind,
+               CAST(row_number() OVER (ORDER BY cnt DESC, sym ASC) AS BIGINT) AS ord,
+               sym AS token, cnt
+        FROM vocab ORDER BY cnt DESC, sym ASC LIMIT 25)
+      SELECT kind, ord, token, cnt FROM (
+        SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS ord,
+               (SELECT pair FROM b1) AS token, (SELECT cnt FROM b1) AS cnt
+        UNION ALL
+        SELECT 'merge', CAST(2 AS BIGINT),
+               (SELECT pair FROM b2), (SELECT cnt FROM b2)
+        UNION ALL
+        SELECT 'merge', CAST(3 AS BIGINT),
+               (SELECT pair FROM b3), (SELECT cnt FROM b3)
+        UNION ALL
+        SELECT kind, ord, token, cnt FROM topsym)
+      ORDER BY kind, ord"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137, q138, q167)
+      q121, q126, q137, q138, q167, q171)
 }

@@ -387,6 +387,28 @@ class TextAnalysisSpec extends SparkSpec {
       s"scoring must be shuffle-free:\n$plan")
   }
 
+  test("bpeTrain: hand-computed merges, greedy overlap rule, lexicographic tie-break") {
+    // "aaab"×3 + "ab"×2: round 1 counts (a,a)=6 (two per aaab) vs
+    // (a,b)=5 → merge "a a"; round 2: (aa,a)=3 vs (a,b)=5 → "a b";
+    // round 3: (aa,ab)=3 → "aa ab". The (a,a) count also pins the
+    // overlap rule: aaa yields TWO (a,a) pairs but merging is greedy
+    // left-to-right, aaa → (aa) a.
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+    assert(m == Seq("a a" -> 6L, "a b" -> 5L, "aa ab" -> 3L), s"merges: $m")
+    // vocabulary after the merges: the two words are whole subwords
+    val vocab = TextAnalysis.bpeVocab(docs, "text", m.map(_._1))
+      .as[(String, Long)].collect().toMap
+    assert(vocab == Map("aaab" -> 3L, "ab" -> 2L), s"vocab: $vocab")
+    // tie-break: (c,d) and (c,e) both count 2 → lexicographically
+    // smaller pair merges first
+    val tie = Seq((1L, "cd cd ce ce")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(tie, "text", merges = 1)
+      == Seq("c d" -> 2L))
+    // merge exhaustion: a fully merged corpus stops early
+    assert(TextAnalysis.bpeTrain(tie, "text", merges = 10).length <= 2)
+  }
+
   test("linearProbe: empty corpus trains to zero weights; no-token docs drop from scoring") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val m0 = TextAnalysis.linearProbeTrain(empty, "text", lit(0L))
