@@ -733,12 +733,17 @@ object IngestQueries extends QueryModule {
       val vroot = new org.apache.hadoop.fs.Path(view)
       vroot.getFileSystem(s.sessionState.newHadoopConf()).delete(vroot, true)
       IncrementalView.maintain(s, src, view,
-        Seq("s_nationkey"), Seq("s_acctbal")) // full load of v2
-      TxLogTable.deleteWhere(s, src, col("s_nationkey") === 3) // v3
+        Seq("s_nationkey"), Seq("s_acctbal")) // full load of the head
+      // head-relative, not literal versions: at sf0.001 the DML
+      // table's own nationkey-7 delete no-ops (no matching rows), so
+      // the head is 1 there, not 2 — the q165 lesson (bench warmups
+      // run at sf0.001)
+      val dv = TxLogTable.deleteWhere(s, src, col("s_nationkey") === 3)
       val applied = IncrementalView.maintain(s, src, view,
         Seq("s_nationkey"), Seq("s_acctbal"))
-      require(applied == 3L, s"second maintain must reach v3, got $applied")
-      require(TxLogTable.currentVersion(view) == 1L,
+      require(applied == TxLogTable.currentVersion(src),
+        s"second maintain must reach the source head, got $applied")
+      require(dv < 0 || TxLogTable.currentVersion(view) == 1L,
         "incremental refresh must be the view's v1, not a rebuild history")
       TxLogTable.read(s, view)
         .select(col("s_nationkey"), col("cnt"),
