@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-lake analytics over the ingested stream: the queries a product
@@ -351,15 +351,17 @@ object EventAnalytics {
     * rebased micros, and (span × value-range-micros) must fit int64 /
     * 38 digits respectively — hundreds of key-years at the defaults.
     *
-    * Scale shape: NO per-point window — selection is a three-phase
-    * mergeable argmax (extreme → equality join → min t → min id, the
-    * de-skewed pattern), so a hot key costs partial-aggregate cells,
-    * never one sorted task; the only windows ride the per-key BUCKET
-    * SPINE (≤ `buckets` rows, the gapFill bound). Returns one row per
-    * (key, present bucket): (key, bucket, id, ts, value). */
+    * Scale shape: NO per-point window — each class's selection is ONE
+    * mergeable struct-max aggregate (rank tuple leads the struct, a
+    * unique (−t, −id) suffix makes the payload inert), so a hot key
+    * costs partial-aggregate cells, never one sorted task; the only
+    * windows ride the per-key BUCKET SPINE (≤ `buckets` rows, the
+    * gapFill bound). Returns one row per (key, present bucket):
+    * (key, bucket, id, ts, value). */
   def downsampleLargestTriangle(events: DataFrame, keyCol: String,
       tsCol: String, valueCol: String, idCol: String,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64,
+      index: IndexStore = IndexStore.default): DataFrame = {
     require(buckets >= 3 && buckets <= 100000,
       s"buckets must be in [3, 100000], got $buckets")
     val W = org.apache.spark.sql.expressions.Window
@@ -372,11 +374,15 @@ object EventAnalytics {
         col(tsCol).as("__ts"), col(valueCol).as("__value"))
     val rng = pts0.groupBy(col("__k"))
       .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
-    val pts = pts0.join(rng, Seq("__k"))
+    // materialized once via `index` (session-temp parquet by default):
+    // the per-point frame feeds the bucket aggregate AND nine
+    // aggregate/join consumers across the three selection phases —
+    // without it every pick phase re-derives points from the raw scan
+    val pts = IndexStore.persist(pts0.join(rng, Seq("__k"))
       .withColumn("__tr", col("__t") - col("__t0"))
       .withColumn("__b", least(lit(buckets - 1).cast("long"),
         expr(s"(__tr * ${buckets}L) div (__t1 - __t0 + 1L)")))
-      .drop("__t0", "__t1")
+      .drop("__t0", "__t1"), index)
     // per-(key, present-bucket) sums, then prefix/suffix centroid sums
     // over the bucket spine; a middle bucket always has a non-empty
     // prefix AND suffix (the min/max-t points pin the end buckets)
@@ -397,21 +403,24 @@ object EventAnalytics {
       .select(col("__k"), col("__b"), col("__Tp"), col("__Vp"), col("__np"),
         col("__Tn"), col("__Vn"), col("__nn"), col("__bmin"), col("__bmax"))
     val tagged = pts.join(anchors, Seq("__k", "__b"))
-    // three-phase mergeable argmax: extreme of the primary rank, then
-    // min t among ties, then min id — never a per-point window
-    def pick(df: DataFrame, c1: String, c1Max: Boolean): DataFrame = {
-      val a1 = if (c1Max) max(col(c1)) else min(col(c1))
-      val g1 = df.groupBy(col("__k"), col("__b")).agg(a1.as("__p1"))
-      val s1 = df.join(g1, Seq("__k", "__b")).filter(col(c1) === col("__p1"))
-      val g2 = s1.groupBy(col("__k"), col("__b")).agg(min(col("__t")).as("__p2"))
-      val s2 = s1.join(g2, Seq("__k", "__b")).filter(col("__t") === col("__p2"))
-      val g3 = s2.groupBy(col("__k"), col("__b")).agg(min(col("__id")).as("__p3"))
-      s2.join(g3, Seq("__k", "__b")).filter(col("__id") === col("__p3"))
-        .select(col("__k"), col("__b"), col("__id"), col("__ts"), col("__value"))
-    }
-    val firsts = pick(tagged.filter(col("__b") === col("__bmin")), "__t", c1Max = false)
+    // selection is ONE mergeable aggregate per class: max of a struct
+    // whose leading fields are the rank tuple (struct comparison is
+    // lexicographic; (−t, −id) is unique per row, so the payload
+    // fields after it never decide a comparison). Never a per-point
+    // window, never a join — a hot bucket folds into partial-agg cells.
+    def pick(df: DataFrame, r1: Column, r2: Column, r3: Column): DataFrame =
+      df.groupBy(col("__k"), col("__b"))
+        .agg(max(struct(r1.as("r1"), r2.as("r2"), r3.as("r3"),
+          col("__id").as("id"), col("__ts").as("ts"),
+          col("__value").as("value"))).as("__sel"))
+        .select(col("__k"), col("__b"), col("__sel.id").as("__id"),
+          col("__sel.ts").as("__ts"), col("__sel.value").as("__value"))
+    // firsts: min (t, id) == max (−t, −id); lasts: max t then min id
+    val firsts = pick(tagged.filter(col("__b") === col("__bmin")),
+      -col("__t"), -col("__id"), lit(0L))
     val lasts = pick(tagged.filter(col("__b") === col("__bmax") &&
-      col("__bmax") =!= col("__bmin")), "__t", c1Max = true)
+      col("__bmax") =!= col("__bmin")),
+      col("__t"), -col("__id"), lit(0L))
     val mids = pick(
       tagged.filter(col("__b") =!= col("__bmin") && col("__b") =!= col("__bmax"))
         .withColumn("__xA", expr("__Tp div __np"))
@@ -423,7 +432,7 @@ object EventAnalytics {
             (col("__v") - col("__yA")).cast("decimal(19,0)") -
           (col("__xA") - col("__tr")).cast("decimal(19,0)") *
             (col("__yC") - col("__yA")).cast("decimal(19,0)"))),
-      "__area", c1Max = true)
+      col("__area"), -col("__t"), -col("__id"))
     firsts.unionByName(lasts).unionByName(mids)
       .select(col("__k").as("key"), col("__b").as("bucket"),
         col("__id").as("id"), col("__ts").as("ts"), col("__value").as("value"))
