@@ -110,6 +110,46 @@ object StreamingOps {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** One materialized-view micro-batch — the foreachBatch body,
+    * factored out so specs can drive replay windows directly: append
+    * the batch to the ACID table (SetTransaction-idempotent per
+    * (checkpoint scope, batch id)), then refresh the incremental view
+    * (idempotent per source version via ITS OWN txn record). A replayed
+    * batch therefore neither double-appends nor double-applies — the
+    * two idempotency layers compose into exactly-once with zero Spark
+    * streaming state. */
+  private[graft] def materializedViewBatch(batch: DataFrame,
+      batchId: Long, tablePath: String, viewPath: String,
+      keyCols: Seq[String], sumCols: Seq[String], checkpoint: String): Unit = {
+    val scope = BatchCommits.scopeFor(checkpoint)
+    graft.operators.TxLogTable.append(batch.sparkSession, batch, tablePath,
+      txn = Some((s"$scope:mv", batchId)))
+    graft.operators.IncrementalView.maintain(batch.sparkSession,
+      tablePath, viewPath, keyCols, sumCols)
+    ()
+  }
+
+  /** STREAMING MATERIALIZED VIEW: every arriving micro-batch lands in
+    * an ACID [[graft.operators.TxLogTable]] and an
+    * [[graft.operators.IncrementalView]] of it refreshes in the same
+    * batch — the always-current aggregate a dashboard reads while the
+    * raw stream keeps its full history, DML-capable and
+    * time-travelable. See [[materializedViewBatch]] for the
+    * exactly-once argument. */
+  def startMaterializedView(docs: DataFrame, tablePath: String,
+      viewPath: String, keyCols: Seq[String], sumCols: Seq[String],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        materializedViewBatch(batch, batchId, tablePath, viewPath,
+          keyCols, sumCols, checkpoint)
+      }
+      .start()
+
   /** Streaming ingest: wraps IngestPipeline.runBatch in foreachBatch with
     * per-batch config reload from `configDir` (replaces rtdl_205). Source
     * is a drop directory of JSON lines (the Kafka-less A1/A6 equivalent;

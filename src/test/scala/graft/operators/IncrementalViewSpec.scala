@@ -68,6 +68,40 @@ class IncrementalViewSpec extends SparkSpec {
       s"view v0 must be the initial load: $first")
   }
 
+  test("streaming materialized view: per-batch refresh, exactly-once under replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = tmp
+    val view = tmp + "-view"
+    val ckpt = Files.createTempDirectory("graft-mv-ckpt").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.StreamingOps.startMaterializedView(
+      mem.toDF().toDF("id", "grp", "amount"), table, view,
+      Seq("grp"), Seq("amount"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "a", 10.0), (2L, "b", 20.0))
+      q.processAllAvailable()
+      assert(viewRows(view) == Map("a" -> ((1L, 10.0)), "b" -> ((1L, 20.0))))
+      mem.addData((3L, "a", 5.0))
+      q.processAllAvailable()
+      assert(viewRows(view) == Map("a" -> ((2L, 15.0)), "b" -> ((1L, 20.0))))
+      assert(viewRows(view) == recompute(table),
+        "streaming view must equal a batch recompute of the ACID table")
+    } finally q.stop()
+    // REPLAY the last batch verbatim (crash-after-commit window): the
+    // append's SetTransaction record and the view's applied-version
+    // record each no-op — same table, same view, no new versions
+    val tv = TxLogTable.currentVersion(table)
+    val vv = TxLogTable.currentVersion(view)
+    graft.streaming.StreamingOps.materializedViewBatch(
+      Seq((3L, "a", 5.0)).toDF("id", "grp", "amount"), 1L,
+      table, view, Seq("grp"), Seq("amount"), ckpt)
+    assert(TxLogTable.currentVersion(table) == tv, "replay double-appended")
+    assert(TxLogTable.currentVersion(view) == vv, "replay double-applied")
+    assert(viewRows(view) == Map("a" -> ((2L, 15.0)), "b" -> ((1L, 20.0))))
+  }
+
   test("replayed maintain is idempotent per source version (crash safety)") {
     val src = tmp
     val view = tmp + "-view"
