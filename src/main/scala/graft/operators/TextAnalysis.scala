@@ -893,16 +893,23 @@ object TextAnalysis {
     * training never saw one). Scores are exact micro-unit longs. */
   def linearProbeScore(df: DataFrame, idCol: String, textCol: String,
       model: IndexedSeq[Long],
-      hashFn: Column => Column = h60(_)): DataFrame = {
-    require(model.length >= 3, "model must be linearProbeTrain output")
-    val nBuckets = model.length - 1
-    val wLit = array(model.map(lit(_)): _*)
+      hashFn: Column => Column = h60(_)): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) > 0)
       .select(col(idCol),
-        (aggregate(
-          transform(col("__t"), t => pmod(hashFn(t), lit(nBuckets.toLong))),
-          lit(0L), (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
-          + lit(model(nBuckets))).as("score_micro"))
+        linearProbeScoreCol(col("__t"), model, hashFn).as("score_micro"))
+
+  /** The frozen-model score as a bare COLUMN over a token array — the
+    * composable form (e.g. an ingest-gate filter). Undefined (null-ish
+    * garbage-in) on empty arrays; callers guard with `size(...) > 0`. */
+  def linearProbeScoreCol(tokensCol: Column, model: IndexedSeq[Long],
+      hashFn: Column => Column = h60(_)): Column = {
+    require(model.length >= 3, "model must be linearProbeTrain output")
+    val nBuckets = model.length - 1
+    val wLit = array(model.map(lit(_)): _*)
+    aggregate(
+      transform(tokensCol, t => pmod(hashFn(t), lit(nBuckets.toLong))),
+      lit(0L), (acc, b) => acc + element_at(wLit, b.cast("int") + 1)) +
+      lit(model(nBuckets))
   }
 }

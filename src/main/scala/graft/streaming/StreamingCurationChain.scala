@@ -101,10 +101,14 @@ object StreamingCurationChain {
       w: Int = 4,
       rollingHash: Boolean = false,
       minTokens: Int = 0,
-      repetitionFilter: Boolean = false) {
+      repetitionFilter: Boolean = false,
+      probeModel: Seq[Long] = Seq.empty,
+      probeMinScoreMicro: Long = 0L) {
     require(bands * rows == numHashes, "bands*rows must equal numHashes")
     require(prefixLen >= 1 && prefixLen <= 8, "prefixLen in [1, 8]")
     require(minTokens >= 0, "minTokens must be >= 0")
+    require(probeModel.isEmpty || probeModel.length >= 3,
+      "probeModel must be TextAnalysis.linearProbeTrain output")
   }
 
   /** Optional SEMANTIC stage ([[StreamingSemanticGate]] folded into the
@@ -151,19 +155,34 @@ object StreamingCurationChain {
     * (`minTokens = 0`, `repetitionFilter = false` passes everything
     * through untouched, the pre-round-10 behavior). */
   private[streaming] def qualityFiltered(batch: DataFrame, idCol: String,
-      textCol: String, p: Params): DataFrame =
-    if (p.minTokens == 0 && !p.repetitionFilter) batch
+      textCol: String, p: Params): DataFrame = {
+    // LEARNED quality stage (the q167 probe, frozen): a pure
+    // shuffle-free filter column — the weights are plan literals, so
+    // this adds zero joins and zero state to the gate. Train offline
+    // with TextAnalysis.linearProbeTrain, enforce here at ingest.
+    // No-token docs drop when the probe is on (the score is undefined
+    // on them — training never saw one).
+    val probed =
+      if (p.probeModel.isEmpty) batch
+      else {
+        val t = graft.functions.TextFunctions.tokens(col(textCol))
+        batch.filter(size(t) > 0 &&
+          graft.operators.TextAnalysis.linearProbeScoreCol(
+            t, p.probeModel.toIndexedSeq) >= lit(p.probeMinScoreMicro))
+      }
+    if (p.minTokens == 0 && !p.repetitionFilter) probed
     else {
       // metrics on a projected (id, text) frame, then a semi-join back:
       // the batch may itself carry an n_tokens column (the packing
       // contract), which repetition's metric column would shadow
       val keepIds = graft.operators.TextAnalysis
-        .repetition(batch.select(col(idCol), col(textCol)), idCol, textCol)
+        .repetition(probed.select(col(idCol), col(textCol)), idCol, textCol)
         .filter(col("n_tokens") >= p.minTokens &&
           (if (p.repetitionFilter) col("flagged") === 0 else lit(true)))
         .select(col(idCol).as("__q_keep"))
-      batch.join(keepIds, col(idCol) === col("__q_keep"), "left_semi")
+      probed.join(keepIds, col(idCol) === col("__q_keep"), "left_semi")
     }
+  }
 
   /** The batch's exact-index slice: every arriving doc's content hash,
     * distinct, prefix-partitioned — a pure function of the batch. */

@@ -271,6 +271,50 @@ class StreamingCurationChainSpec extends SparkSpec {
       "junk band rows must not reach the index")
   }
 
+  test("learned-probe quality stage: frozen model gates at ingest; chain == filter-then-batch") {
+    // train the q167-style probe on a crafted corpus: stopword-dense
+    // docs are the positive class
+    val trainDocs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "the cat of the house and the dog in the yard is that it for w" + i)
+      else (i.toLong, s"quantum flux capacitor $i spectral manifold tensor gradient warp")
+    }.toDF("doc_id", "text")
+    val label = when(col("doc_id") % 2 === 0, lit(1000000L)).otherwise(lit(0L))
+    val model = graft.operators.TextAnalysis.linearProbeTrain(
+      trainDocs, "text", label, nBuckets = 64, steps = 8, lrShift = 4)
+    // threshold between the two classes' scores on the training corpus
+    val scores = graft.operators.TextAnalysis
+      .linearProbeScore(trainDocs, "doc_id", "text", model)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val thr = ((0 until 40 by 2).map(i => scores(i.toLong)).min +
+      (1 until 40 by 2).map(i => scores(i.toLong)).max) / 2
+    val pq = P.copy(probeModel = model, probeMinScoreMicro = thr)
+    // batch0/batch1 prose scores BELOW the stopword-dense threshold?
+    // craft instead: junk = content-only jargon doc, good = the
+    // stopword-dense register the probe was trained to pass
+    val good1 = "the cat of the house and the dog in the yard is that it for sure"
+    val good2 = "it is the case that for the most part the house and the yard stand"
+    val junk = "quantum flux capacitor spectral manifold tensor gradient warp nine"
+    val b0 = Seq((1L, good1, 10L), (2L, junk, 20L), (3L, good2, 30L))
+    val b1 = Seq((4L, junk, 40L), (5L, good1, 50L)) // junk twin + exact dup of 1
+    val d = mkDirs("probe")
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      StreamingCurationChain.processBatch(df(rows), i.toLong,
+        "doc_id", "text", "n_tokens", Cap, d.exact, d.band,
+        Contamination.loadIndex(spark, d.contam), d.out, d.hwm, d.ckpt, pq)
+    }
+    val streamed = packedRows(d.out)
+    val kept = (b0 ++ b1).filterNot(_._2 == junk)
+    assert(streamed == batchPipeline(kept, d.contam),
+      "chain with the probe stage must equal filter-then-batch-pipeline")
+    val ids = streamed.map(_._1)
+    assert(!ids.exists(Set(2L, 4L)), s"low-score docs must never admit: $ids")
+    assert(ids.contains(1L) && ids.contains(3L), s"high-score docs must admit: $ids")
+    // the probe gate is index-coherent too: junk never becomes a keeper
+    val bandIds = spark.read.parquet(d.band).select("id").as[Long].collect().toSet
+    assert(bandIds.intersect(Set(2L, 4L)).isEmpty,
+      "probe-dropped docs must not reach the band index")
+  }
+
   test("rollingHash chain knob matches a rolling-hash-built contamination index") {
     // same hash family on BOTH sides — a mismatch shares zero
     // fingerprints and would silently admit the contaminated doc
