@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate VIEW over a [[TxLogTable]] — the
@@ -29,11 +29,13 @@ import org.apache.spark.sql.functions._
   *     a delta, and the view itself is an ACID table (time travel
   *     shows every refresh).
   *
-  * Supported aggregates: `count(*)` (always, as `cnt`) and `sum` of
-  * each `sumCols` column (as `sum_<col>`). Averages derive as
-  * sum/cnt downstream. Min/max are NOT maintainable from deltas alone
-  * (a deleted extremum needs the base table) — deliberately out of
-  * scope, matching the linear-aggregate contract.
+  * Supported aggregates: `count(*)` (always, as `cnt`), `sum` of each
+  * `sumCols` column (as `sum_<col>`) — averages derive as sum/cnt
+  * downstream — plus `min`/`max` of `minCols`/`maxCols` under the
+  * non-invertible-aggregate discipline documented on [[maintain]]:
+  * inserts merge monotonically from the delta alone; a delete
+  * triggers a base-table recompute ONLY for the groups whose stored
+  * extremum it removed.
   */
 object IncrementalView {
 
@@ -45,9 +47,21 @@ object IncrementalView {
     TxLogTable.lastTransaction(view, appIdFor(source)).getOrElse(-1L)
 
   /** Refresh the view to the source's current head; returns the source
-    * version now applied. No-op (and no commit) when already current. */
+    * version now applied. No-op (and no commit) when already current.
+    *
+    * `minCols`/`maxCols` extend the view beyond the linear contract
+    * with the standard non-invertible-aggregate discipline: INSERTS
+    * merge monotonically for free (`min(state, delta-insert-min)`),
+    * while a DELETE can only invalidate a stored extremum when the
+    * deleted value EQUALS it — exactly those groups go DIRTY and
+    * recompute their extremes from the base table, restricted by a
+    * semi-join to the dirty key set. Steady-state appends therefore
+    * stay delta-priced; the recompute pass runs only when an extremum
+    * actually leaves, over only the groups it left. */
   def maintain(spark: SparkSession, source: String, view: String,
-      keyCols: Seq[String], sumCols: Seq[String]): Long = {
+      keyCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty): Long = {
     require(keyCols.nonEmpty, "view needs at least one group key")
     val srcHead = TxLogTable.currentVersion(source)
     require(srcHead >= 0, s"source $source is empty — nothing to maintain")
@@ -57,9 +71,13 @@ object IncrementalView {
     val sign = when(col("_change_type") === "insert", lit(1L))
       .otherwise(lit(-1L))
     val keyCs = keyCols.map(col)
+    val insOnly = (c: String, f: Column => Column) =>
+      f(when(col("_change_type") === "insert", col(c)))
     val deltaAgg = delta.groupBy(keyCs: _*)
       .agg(sum(sign).as("cnt"),
-        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")) ++
+        minCols.map(c => insOnly(c, min).as(s"min_$c")) ++
+        maxCols.map(c => insOnly(c, max).as(s"max_$c")): _*)
     val prior =
       if (applied < 0) None
       else Some(TxLogTable.read(spark, view))
@@ -68,9 +86,42 @@ object IncrementalView {
       case Some(p) => p.unionByName(deltaAgg)
         .groupBy(keyCs: _*)
         .agg(sum(col("cnt")).as("cnt"),
-          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+          minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+          maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")): _*)
     }
-    val next = merged.filter(col("cnt") > 0)
+    val withExtremes =
+      if ((minCols.isEmpty && maxCols.isEmpty) || prior.isEmpty) merged
+      else {
+        // dirty groups: a DELETED row's value null-safe-equals the
+        // PRIOR stored extremum for any tracked column
+        val p = prior.get
+        val dels = delta.filter(col("_change_type") === "delete")
+        val dirtyCond = (minCols.map(c => dels(c) <=> p(s"min_$c")) ++
+          maxCols.map(c => dels(c) <=> p(s"max_$c"))).reduce(_ || _)
+        val dirty = dels.join(p,
+            keyCols.map(k => dels(k) <=> p(k)).reduce(_ && _) && dirtyCond,
+            "left_semi")
+          .select(keyCs: _*).distinct()
+        if (dirty.isEmpty) merged
+        else {
+          val recAggs = minCols.map(c => min(col(c)).as(s"rmin_$c")) ++
+            maxCols.map(c => max(col(c)).as(s"rmax_$c")) :+
+            count(lit(1)).as("__dirty")
+          val rec = TxLogTable.read(spark, source)
+            .join(dirty, keyCols, "left_semi")
+            .groupBy(keyCs: _*)
+            .agg(recAggs.head, recAggs.tail: _*)
+          merged.join(rec, keyCols, "left").select(
+            keyCs ++ Seq(col("cnt")) ++
+              sumCols.map(c => col(s"sum_$c")) ++
+              minCols.map(c => when(col("__dirty").isNotNull,
+                col(s"rmin_$c")).otherwise(col(s"min_$c")).as(s"min_$c")) ++
+              maxCols.map(c => when(col("__dirty").isNotNull,
+                col(s"rmax_$c")).otherwise(col(s"max_$c")).as(s"max_$c")): _*)
+        }
+      }
+    val next = withExtremes.filter(col("cnt") > 0)
     TxLogTable.overwrite(spark, next, view,
       txn = Some((appIdFor(source), srcHead)))
     srcHead

@@ -771,7 +771,57 @@ object IngestQueries extends QueryModule {
       FROM head GROUP BY s_nationkey
       ORDER BY s_nationkey"""))
 
+  /** A23 incremental view with MIN/MAX under the dirty-group
+    * discipline: the balance-capped DELETE strips the stored maximum
+    * from MANY nationkey groups in one commit — exactly those groups
+    * recompute their extremes from the base (semi-join-restricted),
+    * every other group carries on the delta alone. The oracle
+    * recomputes the final (cnt, min, max) directly; any stale
+    * extremum the dirty tracking missed breaks the hash. */
+  private val q172 = QueryDef(
+    "q172_incremental_view_extremes",
+    (s, d) => {
+      val src = acidDmlTable(s, d)
+      val view = src + "_mm"
+      val vroot = new org.apache.hadoop.fs.Path(view)
+      vroot.getFileSystem(s.sessionState.newHadoopConf()).delete(vroot, true)
+      IncrementalView.maintain(s, src, view, Seq("s_nationkey"),
+        Seq.empty, minCols = Seq("s_acctbal"), maxCols = Seq("s_acctbal"))
+      val dv = TxLogTable.deleteWhere(s, src, col("s_acctbal") > 8000.0)
+      val applied = IncrementalView.maintain(s, src, view, Seq("s_nationkey"),
+        Seq.empty, minCols = Seq("s_acctbal"), maxCols = Seq("s_acctbal"))
+      require(applied == TxLogTable.currentVersion(src),
+        s"second maintain must reach the source head, got $applied")
+      require(dv < 0 || TxLogTable.currentVersion(view) == 1L,
+        "incremental refresh must be the view's v1")
+      TxLogTable.read(s, view)
+        .select(col("s_nationkey"), col("cnt"),
+          col("min_s_acctbal"), col("max_s_acctbal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""
+      WITH upd AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20),
+      merged AS (
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+        FROM supplier s ANTI JOIN upd u ON s.s_suppkey = u.s_suppkey
+        UNION ALL
+        SELECT * FROM upd),
+      head AS (
+        SELECT s_nationkey, s_acctbal
+        FROM merged WHERE s_nationkey <> 7 AND NOT (s_acctbal > 8000.0))
+      SELECT s_nationkey, count(*) AS cnt,
+             MIN(s_acctbal) AS min_s_acctbal,
+             MAX(s_acctbal) AS max_s_acctbal
+      FROM head GROUP BY s_nationkey
+      ORDER BY s_nationkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163, q164, q165, q169, q170)
+      q161, q162, q163, q164, q165, q169, q170, q172)
 }

@@ -68,6 +68,46 @@ class IncrementalViewSpec extends SparkSpec {
       s"view v0 must be the initial load: $first")
   }
 
+  test("min/max extremes: monotone on inserts, dirty-group recompute on extremum deletes") {
+    val src = tmp
+    val view = tmp + "-view"
+    TxLogTable.append(spark,
+      Seq((1L, "a", 10.0), (2L, "a", 90.0), (3L, "b", 50.0))
+        .toDF("id", "grp", "amount"), src) // v0
+    def refresh() = IncrementalView.maintain(spark, src, view,
+      Seq("grp"), Seq("amount"), minCols = Seq("amount"), maxCols = Seq("amount"))
+    def rows() = TxLogTable.read(spark, view)
+      .select(col("grp"), col("cnt"), col("min_amount"), col("max_amount"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    refresh()
+    assert(rows() == Map("a" -> ((2L, 10.0, 90.0)), "b" -> ((1L, 50.0, 50.0))))
+    // insert-only delta: extremes merge monotonically from the delta
+    TxLogTable.append(spark,
+      Seq((4L, "a", 5.0), (5L, "b", 99.0)).toDF("id", "grp", "amount"), src)
+    refresh()
+    assert(rows() == Map("a" -> ((3L, 5.0, 90.0)), "b" -> ((2L, 50.0, 99.0))))
+    // delete a's MAX (90): group a is dirty and recomputes its
+    // extremes from the base; b's delete of a non-extremum (none here)
+    // leaves it linear-only
+    TxLogTable.deleteWhere(spark, src, col("id") === 2L)
+    refresh()
+    assert(rows() == Map("a" -> ((2L, 5.0, 10.0)), "b" -> ((2L, 50.0, 99.0))))
+    // delete a NON-extremum row of b: no recompute needed, extremes
+    // carry (the delta path alone must keep them right)
+    TxLogTable.append(spark,
+      Seq((6L, "b", 70.0)).toDF("id", "grp", "amount"), src)
+    TxLogTable.deleteWhere(spark, src, col("id") === 6L)
+    refresh()
+    assert(rows() == Map("a" -> ((2L, 5.0, 10.0)), "b" -> ((2L, 50.0, 99.0))))
+    // the maintained extremes always equal a recompute
+    val direct = TxLogTable.read(spark, src).groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), min(col("amount")), max(col("amount")))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows() == direct)
+  }
+
   test("streaming materialized view: per-batch refresh, exactly-once under replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = tmp
