@@ -108,17 +108,24 @@ object IncrementalView {
           val recAggs = minCols.map(c => min(col(c)).as(s"rmin_$c")) ++
             maxCols.map(c => max(col(c)).as(s"rmax_$c")) :+
             count(lit(1)).as("__dirty")
-          val rec = TxLogTable.read(spark, source)
-            .join(dirty, keyCols, "left_semi")
+          // null-safe joins throughout: a NULL group key is a real
+          // group (groupBy keeps it), and an equality join would
+          // silently skip its recompute, leaving a stale extremum
+          val base = TxLogTable.read(spark, source)
+          val rec = base.join(dirty,
+              keyCols.map(k => base(k) <=> dirty(k)).reduce(_ && _),
+              "left_semi")
             .groupBy(keyCs: _*)
             .agg(recAggs.head, recAggs.tail: _*)
-          merged.join(rec, keyCols, "left").select(
-            keyCs ++ Seq(col("cnt")) ++
-              sumCols.map(c => col(s"sum_$c")) ++
-              minCols.map(c => when(col("__dirty").isNotNull,
-                col(s"rmin_$c")).otherwise(col(s"min_$c")).as(s"min_$c")) ++
-              maxCols.map(c => when(col("__dirty").isNotNull,
-                col(s"rmax_$c")).otherwise(col(s"max_$c")).as(s"max_$c")): _*)
+          val j = merged.join(rec,
+            keyCols.map(k => merged(k) <=> rec(k)).reduce(_ && _), "left")
+          j.select(
+            keyCols.map(k => merged(k).as(k)) ++ Seq(merged("cnt")) ++
+              sumCols.map(c => merged(s"sum_$c")) ++
+              minCols.map(c => when(rec("__dirty").isNotNull,
+                rec(s"rmin_$c")).otherwise(merged(s"min_$c")).as(s"min_$c")) ++
+              maxCols.map(c => when(rec("__dirty").isNotNull,
+                rec(s"rmax_$c")).otherwise(merged(s"max_$c")).as(s"max_$c")): _*)
         }
       }
     val next = withExtremes.filter(col("cnt") > 0)

@@ -783,12 +783,16 @@ object TextAnalysis {
         val wLit = array(w.map(lit(_)): _*)
         // pred_i = Σ_occurrences w[bucket] + bias; the bias rides as a
         // synthetic occurrence of bucket nBuckets so one explode carries
-        // both gradient families
-        val g = feat.select(
-            explode(concat(col("__b"), array(lit(nBuckets.toLong)))).as("__j"),
+        // both gradient families. The error is computed in its OWN
+        // projection BELOW the generate: an explode-side expression
+        // would be re-evaluated once per occurrence (O(L²) per doc)
+        val g = feat.select(col("__b"),
             (aggregate(col("__b"), lit(0L),
               (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
               + lit(w(nBuckets)) - col("__y")).as("__e"))
+          .select(
+            explode(concat(col("__b"), array(lit(nBuckets.toLong)))).as("__j"),
+            col("__e"))
           .groupBy(col("__j")).agg(sum(col("__e")).as("__g"))
           .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
         w = w.indices.map(j => w(j) - g.getOrElse(j, 0L) / div)
@@ -824,16 +828,21 @@ object TextAnalysis {
     * merge itself is a chained literal `replace` projection. Exact
     * integer counts everywhere — training is bit-exactly replayable by
     * any engine with the same left-to-right replace semantics. */
-  def bpeTrain(df: DataFrame, textCol: String,
-      merges: Int = 8): Seq[(String, Long)] = {
-    require(merges >= 1 && merges <= 64, s"merges in [1, 64], got $merges")
-    val words = df.select(explode(tokens(col(textCol))).as("w"))
+  /** The (space-wrapped-symbols, count) word vocabulary — the ONE
+    * construction [[bpeTrain]] and [[bpeVocab]] share, so the oracle
+    * parity contract has a single definition to match. */
+  private def wrappedWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(concat(lit(" "),
           array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
           lit(" ")).as("s"),
         col("c"))
-      .persist()
+
+  def bpeTrain(df: DataFrame, textCol: String,
+      merges: Int = 8): Seq[(String, Long)] = {
+    require(merges >= 1 && merges <= 64, s"merges in [1, 64], got $merges")
+    val words = wrappedWords(df, textCol).persist()
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       var done = false
@@ -874,17 +883,10 @@ object TextAnalysis {
     * list: (symbol, weighted count), the subword frequency table a
     * tokenizer ships with. One corpus scan + vocabulary-bounded work. */
   def bpeVocab(df: DataFrame, textCol: String,
-      merges: Seq[String]): DataFrame = {
-    val words = df.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(concat(lit(" "),
-          array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
-          lit(" ")).as("s"),
-        col("c"))
-    applyMerges(words, merges)
+      merges: Seq[String]): DataFrame =
+    applyMerges(wrappedWords(df, textCol), merges)
       .select(explode(split(trim(col("s")), "  ")).as("sym"), col("c"))
       .groupBy(col("sym")).agg(sum(col("c")).as("cnt"))
-  }
 
   /** Score a corpus against a FROZEN [[linearProbeTrain]] model — a
     * shuffle-free projection with the weights baked in as an array

@@ -523,8 +523,13 @@ object TxLogTable {
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val prior = if (v0 >= 0) filesUpTo(fs, root, v0) else Seq.empty
     val files = stage(df, fs, root, "over-", partitionBy)
-    val v = commitEntry(fs, root, files, rebase = true, None, 20,
-      commit, txn, op = "overwrite")
+    // pinned snapshot, one attempt (the compact/delete discipline): a
+    // commit landing between the v0 read and this publish would make
+    // `prior` — the Delta mirror's remove set — stale, so the race
+    // ABORTS (Delta's overwrite-conflicts-with-anything rule) instead
+    // of mirroring a divergent listing
+    val v = commitEntry(fs, root, files, rebase = true, Some(v0),
+      maxRetries = 1, commit, txn, op = "overwrite")
     DeltaInterop.mirror(spark, path, v, files, prior, df.schema.json,
       commit, txn)
     v
@@ -1008,24 +1013,51 @@ object TxLogTable {
     if (!fs.exists(p)) Map.empty
     else {
       import org.json4s._
-      org.json4s.jackson.JsonMethods.parse(readString(fs, p)) match {
+      // parse failures are LOUD: silently treating a corrupt file as
+      // "no constraints" would drop enforcement without a trace
+      val txt = readString(fs, p)
+      try org.json4s.jackson.JsonMethods.parse(txt) match {
         case JObject(fields) =>
           fields.collect { case (k, JString(v)) => k -> v }.toMap
-        case _ => Map.empty
+        case other => throw new IllegalStateException(
+          s"$p holds ${other.getClass.getSimpleName}, expected an object")
+      } catch {
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+          s"unreadable constraints file $p (${e.getMessage}); " +
+            "restore or delete it to unblock writes", e)
       }
     }
   }
 
+  /** Atomic replace: stage to a dot-tmp (the version listing skips
+    * dot-files), then ATOMIC_MOVE over the target on local filesystems;
+    * non-atomic delete+rename elsewhere (the window there loses the
+    * update, never leaves a torn file). */
   private def writeConstraints(fs: FileSystem, root: HPath,
       cs: Map[String, String]): Unit = {
     import org.json4s.JsonDSL._
     fs.mkdirs(logDir(root))
-    writeString(fs, constraintsPath(root),
+    val target = constraintsPath(root)
+    val tmp = new HPath(logDir(root),
+      s".constraints.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeString(fs, tmp,
       org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(
           org.json4s.JObject(cs.toSeq.sortBy(_._1)
             .map { case (k, v) => k -> (v: org.json4s.JValue) }.toList))),
       overwrite = true)
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new IllegalStateException(s"could not publish $target")
+    }
   }
 
   /** Add a CHECK constraint. The CURRENT snapshot must already satisfy
@@ -1056,15 +1088,23 @@ object TxLogTable {
   }
 
   /** Enforcement choke point, called from [[stage]] for data-adding
-    * writes: one aggregate count per constraint over the staged frame
-    * (map-side partials, no shuffle of the rows themselves). Compaction
-    * and delete re-stage only rows already in the table, which satisfy
-    * every constraint by induction, and skip this. */
+    * writes: ONE aggregate job counts every constraint's violations
+    * together (map-side partials, no shuffle of the rows themselves) —
+    * an expensive input frame is evaluated once regardless of how many
+    * constraints the table carries. Compaction and delete re-stage
+    * only rows already in the table, which satisfy every constraint by
+    * induction, and skip this. */
   private def validateConstraints(df: DataFrame, root: HPath): Unit = {
-    val cs = checkConstraints(root.toString)
-    cs.foreach { case (name, exprSql) =>
-      val bad = df.where(org.apache.spark.sql.functions.expr(exprSql) <=>
-        org.apache.spark.sql.functions.lit(false)).count()
+    val cs = checkConstraints(root.toString).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    val aggs = cs.map { case (name, exprSql) =>
+      sum(when(expr(exprSql) <=> lit(false), lit(1L)).otherwise(lit(0L)))
+        .as(s"__v_$name")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((name, exprSql), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (bad > 0) throw new IllegalStateException(
         s"constraint $name CHECK ($exprSql) violated by $bad staged row(s); " +
           "commit aborted, nothing published")

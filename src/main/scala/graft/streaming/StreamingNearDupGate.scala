@@ -173,16 +173,19 @@ object StreamingNearDupGate {
     // always; per-FILE footer-range pruning too when the batch's band
     // set fits a driver-side list (micro-batches do; the cap guards a
     // backfill-sized batch, which falls back to prefix-only pruning)
+    // ONE job decides the cap AND delivers the bands: collect
+    // MaxBandCollect+1 rows — a full result means the batch fits and
+    // the rows ARE the band set; an overflowing one falls back to
+    // prefix pruning (only then does the extra prefix job run)
     val distinctBands = arrivingBands.select(col("band"), col("bp")).distinct()
-    val nBands = distinctBands.count()
+    val collected = distinctBands.limit(MaxBandCollect.toInt + 1).collect()
     // bucket cap on the index side via mergeable groupBy + join-back
     // (same de-skewed shape as Dedup.minhashLsh): a hot band in the
     // durable index folds into partial-agg cells instead of one sorted
     // window task, and only bands within the cap re-enter via the join.
     val idx =
-      if (nBands <= MaxBandCollect) {
-        val bands = distinctBands.collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq
+      if (collected.length <= MaxBandCollect) {
+        val bands = collected.map(r => (r.getString(0), r.getString(1))).toSeq
         statsPrunedIndex(spark, indexDir, bands)
       } else {
         val prefixes = distinctBands.select(col("bp")).distinct()

@@ -108,6 +108,25 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rows() == direct)
   }
 
+  test("min/max: NULL group key recomputes on extremum delete (null-safe dirty joins)") {
+    val src = tmp
+    val view = tmp + "-view"
+    TxLogTable.append(spark,
+      Seq((1L, Option.empty[String], 10.0), (2L, Option.empty[String], 90.0),
+          (3L, Some("b"), 50.0))
+        .toDF("id", "grp", "amount"), src)
+    def refresh() = IncrementalView.maintain(spark, src, view,
+      Seq("grp"), Seq.empty, maxCols = Seq("amount"))
+    refresh()
+    TxLogTable.deleteWhere(spark, src, col("id") === 2L) // null group's max leaves
+    refresh()
+    val m = TxLogTable.read(spark, view)
+      .select(col("grp"), col("max_amount"))
+      .as[(Option[String], Double)].collect().toMap
+    assert(m == Map(Option.empty[String] -> 10.0, Some("b") -> 50.0),
+      s"null-keyed group must recompute its extremum: $m")
+  }
+
   test("streaming materialized view: per-batch refresh, exactly-once under replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = tmp
