@@ -841,13 +841,33 @@ object TextAnalysis {
 
   def bpeTrain(df: DataFrame, textCol: String,
       merges: Int = 8): Seq[(String, Long)] = {
-    require(merges >= 1 && merges <= 64, s"merges in [1, 64], got $merges")
-    val words = wrappedWords(df, textCol).persist()
+    require(merges >= 1 && merges <= 65536,
+      s"merges in [1, 65536], got $merges")
+    // The merged vocabulary is carried FORWARD round to round: each
+    // round applies ONLY the newest merge (one literal replace) to the
+    // previous round's materialized frame, then LOCAL-CHECKPOINTS the
+    // result — persisting the RDD AND truncating its lineage — before
+    // releasing the predecessor. O(k) total single-replace vocabulary
+    // passes and CONSTANT plan/lineage depth: a plain persist is not
+    // enough, because each round's RDD graph would still chain through
+    // every prior round's (task serialization stack-overflows near
+    // depth ~50, and AQE's plan strings grow super-linearly).
+    val spark = df.sparkSession
+    var held: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+      None
+    def materialize(d: DataFrame): DataFrame = {
+      val r = d.rdd
+      r.localCheckpoint()
+      r.count()
+      held.foreach(_.unpersist(false))
+      held = Some(r)
+      spark.createDataFrame(r, d.schema)
+    }
     try {
+      var cur = materialize(wrappedWords(df, textCol))
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       var done = false
       while (out.length < merges && !done) {
-        val cur = applyMerges(words, out.map(_._1).toSeq)
         val sy = split(trim(col("s")), "  ")
         // when-guard: sequence(1, 0) DESCENDS in Spark, so a
         // single-symbol word would index past the array
@@ -862,10 +882,17 @@ object TextAnalysis {
           .orderBy(col("cnt").desc, col("pair").asc)
           .limit(1).collect()
         if (best.isEmpty) done = true
-        else out += best.head.getString(0) -> best.head.getLong(1)
+        else {
+          val pair = best.head.getString(0)
+          out += pair -> best.head.getLong(1)
+          // the checkpointed predecessor stays alive while the new
+          // round's rows materialize from it inside materialize()
+          if (out.length < merges)
+            cur = materialize(applyMerges(cur, Seq(pair)))
+        }
       }
       out.toSeq
-    } finally words.unpersist()
+    } finally held.foreach(_.unpersist(false))
   }
 
   /** Apply an ordered merge list to the wrapped-symbol column — one

@@ -851,6 +851,72 @@ object TxLogTable {
     v
   }
 
+  /** Expression-level UPDATE — the delta world's
+    * `UPDATE t SET col = expr, … WHERE pred`, the most-used DML form
+    * after DELETE. Matching rows take the SET projections (right-hand
+    * sides evaluate against the PRE-update row, standard SQL UPDATE
+    * semantics, so `SET a = b, b = a` swaps); rows where the predicate
+    * is false or NULL carry verbatim. SET expressions are cast to the
+    * column's CURRENT type — the rewritten files keep the snapshot
+    * schema, so untouched files and rewritten files never diverge (a
+    * widened column in some files only would tax every later read with
+    * mergeSchema reconciliation). Returns the committed version, or -1
+    * without committing when nothing matches.
+    *
+    * Scale shape — FILE-PRUNED copy-on-write exactly like
+    * [[deleteWhere]]: a stats-level prefilter (files whose min/max
+    * interval excludes the predicate never open) then an exact probe
+    * scan name the files that CONTAIN matching rows; ONLY those
+    * rewrite, every other file carries into the new version by
+    * reference. Updating a partition-shaped slice of an N-file table
+    * costs the probe plus a rewrite of the slice, not O(N). CHECK
+    * constraints validate the full rewritten frame in one aggregate
+    * before any file stages ([[validateConstraints]] via [[stage]]) —
+    * a violating SET aborts with nothing published. Partition columns
+    * are updatable; re-staging goes through the touched files'
+    * partition layout, so moved rows land in their new partition
+    * dirs. */
+  def updateWhere(spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      predicate: org.apache.spark.sql.Column,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, lit => flit, when => fwhen}
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot update an empty table at $path")
+    val snapshot = readVersion(spark, path, v0)
+    val unknown = set.keys.filterNot(snapshot.columns.contains)
+    require(unknown.isEmpty,
+      s"SET targets unknown column(s): ${unknown.mkString(", ")}")
+    val all = filesUpTo(fs, root, v0)
+    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
+    val touched =
+      if (cand.isEmpty) Seq.empty[String]
+      else touchedFiles(cand,
+        scanFiles(spark, path, cand)
+          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+          .filter(predicate))
+    if (touched.isEmpty) return -1L
+    val untouched = all.diff(touched)
+    val cond = fcoalesce(predicate, flit(false))
+    val rewritten = scanFiles(spark, path, touched)
+      .select(snapshot.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            fwhen(cond, e.cast(f.dataType)).otherwise(fc(s"`${f.name}`"))
+              .as(f.name)
+          case None => fc(s"`${f.name}`")
+        }
+      }: _*)
+    val staged = stage(rewritten, fs, root, "update-", partColsOf(touched))
+    val v = commitEntry(fs, root, (untouched ++ staged).sorted,
+      rebase = true, Some(v0), maxRetries = 1, commit, op = "update")
+    DeltaInterop.mirror(spark, path, v, staged, touched,
+      snapshot.schema.json, commit)
+    v
+  }
+
   /** RESTORE the table to a historical version — the delta world's
     * `RESTORE TABLE … TO VERSION AS OF`: published as a REBASE commit
     * whose file list IS version `toVersion`'s snapshot listing. No data
@@ -1696,7 +1762,10 @@ object TxLogTable {
     val (fs, root) = fsFor(path)
     fileList(readString(fs, new HPath(logDir(root), s"$v.json")))
   }
-  private[operators] def filesAt(path: String, v: Long): Seq[String] = {
+  /** The snapshot's relative data-file listing at version `v` — the
+    * audit surface DML queries use to assert copy-on-write file
+    * pruning (which files carried by reference, which rewrote). */
+  def filesAt(path: String, v: Long): Seq[String] = {
     val (fs, root) = fsFor(path)
     filesUpTo(fs, root, v)
   }

@@ -821,7 +821,65 @@ object IngestQueries extends QueryModule {
       FROM head GROUP BY s_nationkey
       ORDER BY s_nationkey"""))
 
+  /** A23 expression-level UPDATE ([[TxLogTable.updateWhere]] — the
+    * delta world's `UPDATE … SET col = expr WHERE pred`, its most-used
+    * DML form after DELETE): orders is committed as four disjoint
+    * key-range appends (one file each, q158's layout), then an UPDATE
+    * whose predicate lands strictly inside the second file's interval
+    * bumps two columns. The query REQUIRES — in-query — that EXACTLY
+    * one of the four files rewrote and the other three carried into
+    * the new version by reference (file-pruned copy-on-write, not
+    * O(N)); the oracle replays the same CASE split over the raw
+    * table. Additions, not multiplications, keep the double algebra
+    * bit-identical across engines. */
+  private val q173 = QueryDef(
+    "q173_acid_update_where",
+    (s, d) => {
+      val path = s"/tmp/graft_acid_upd_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val (b1, b2, b3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Seq(
+        col("o_orderkey") <= b1,
+        col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+        col("o_orderkey") > b2 && col("o_orderkey") <= b3,
+        col("o_orderkey") > b3
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      val hi = b1 + (b2 - b1) / 2
+      val pred = col("o_orderkey") > b1 && col("o_orderkey") <= hi
+      val v0 = TxLogTable.currentVersion(path)
+      val at0 = TxLogTable.filesAt(path, v0)
+      val v = TxLogTable.updateWhere(s, path,
+        Map("o_custkey" -> (col("o_custkey") + lit(1000000L)),
+          "o_totalprice" -> (col("o_totalprice") + lit(1000.0))),
+        pred)
+      require(v == v0 + 1, s"update must commit exactly one version, got $v")
+      val at1 = TxLogTable.filesAt(path, v)
+      require(at0.diff(at1).size == 1,
+        s"exactly ONE of ${at0.size} files may rewrite, got ${at0.diff(at1)}")
+      require(at0.count(at1.contains) == 3,
+        "the three unmatched files must carry by reference")
+      TxLogTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT max(o_orderkey) // 4 AS b1,
+               max(o_orderkey) // 4 + (max(o_orderkey) // 2 - max(o_orderkey) // 4) // 2 AS hi
+        FROM orders)
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey > b1 AND o_orderkey <= hi
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey > b1 AND o_orderkey <= hi
+                  THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                  AS o_totalprice
+      FROM orders, b
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163, q164, q165, q169, q170, q172)
+      q161, q162, q163, q164, q165, q169, q170, q172, q173)
 }

@@ -409,6 +409,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrain(tie, "text", merges = 10).length <= 2)
   }
 
+  test("bpeTrain: carried-forward vocabulary ≡ driver-side from-scratch reference, across a re-root boundary") {
+    // An independent reference trainer: re-derives pair counts from the
+    // raw word map every round (the O(k²) shape bpeTrain used to have),
+    // greedy left-to-right merge application, ties (count desc, "a b"
+    // string asc). bpeTrain's incremental carry-forward must produce
+    // the IDENTICAL merge list and counts.
+    def refBpe(corpus: Seq[String], merges: Int): Seq[(String, Long)] = {
+      var words: Map[Vector[String], Long] =
+        corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+          .groupBy(identity).map { case (w, ws) =>
+            w.map(_.toString).toVector -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var done = false
+      while (out.length < merges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) =
+            counts.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+          out += s"$a $b" -> cnt
+          words = words.toSeq.map { case (syms, c) =>
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            buf.result() -> c
+          }.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    // 31 distinct symbols → 30 merge rounds, crossing bpeTrain's
+    // 24-round plan re-root; the second word shares a prefix so counts
+    // diverge mid-training and the tie-break path is exercised too.
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwxyz01234 abcdefghijklm xyz01 xyz01 abc")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 30)
+    val want = refBpe(texts, 30)
+    assert(got == want,
+      s"incremental must equal re-derived:\n got=$got\nwant=$want")
+    assert(got.length >= 25, s"must cross the re-root boundary: ${got.length}")
+    // training releases every per-round frame it persisted
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "bpeTrain must release every per-round frame")
+  }
+
   test("linearProbe: empty corpus trains to zero weights; no-token docs drop from scoring") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val m0 = TextAnalysis.linearProbeTrain(empty, "text", lit(0L))

@@ -1003,6 +1003,137 @@ class TxLogTableSpec extends SparkSpec {
     }
   }
 
+  test("updateWhere: SET projections on matched rows, pre-update RHS, history intact") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "v", "x"), path)                                    // v0
+    val v = TxLogTable.updateWhere(spark, path,
+      Map("v" -> concat(col("v"), lit("!")), "x" -> (col("x") + 1)),
+      col("id") >= 2L)                                                  // v1
+    assert(v == 1, "update is an ordinary rebase commit")
+    assert(TxLogTable.read(spark, path).as[(Long, String, Long)]
+      .collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b!", 21L), (3L, "c!", 31L)))
+    // copy-on-write: the pre-update snapshot still reads the old rows
+    assert(TxLogTable.readVersion(spark, path, 0).as[(Long, String, Long)]
+      .collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // SQL UPDATE semantics: RHS evaluates against the PRE-update row,
+    // so SET a = b, b = a swaps
+    val pSwap = tmp
+    TxLogTable.append(spark,
+      Seq((1L, 7L, 9L)).toDF("id", "a", "b"), pSwap)
+    TxLogTable.updateWhere(spark, pSwap,
+      Map("a" -> col("b"), "b" -> col("a")), lit(true))
+    assert(TxLogTable.read(spark, pSwap).as[(Long, Long, Long)].head() ==
+      ((1L, 9L, 7L)), "swap must read pre-update values")
+    // no matching rows: no commit, sentinel -1
+    val before = TxLogTable.currentVersion(path)
+    assert(TxLogTable.updateWhere(spark, path,
+      Map("v" -> lit("z")), col("id") === 99L) == -1L)
+    assert(TxLogTable.currentVersion(path) == before)
+    // NULL predicate counts false: those rows carry unchanged
+    val p2 = tmp
+    TxLogTable.append(spark,
+      Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+        .toDF("id", "n"), p2)
+    TxLogTable.updateWhere(spark, p2,
+      Map("id" -> (col("id") + 100L)), col("n") > 0L)
+    assert(TxLogTable.read(spark, p2).select("id").as[Long]
+      .collect().toSet == Set(101L, 2L, 103L),
+      "NULL-predicate rows must carry unchanged")
+    // unknown SET target rejects before any work
+    intercept[IllegalArgumentException] {
+      TxLogTable.updateWhere(spark, p2, Map("nope" -> lit(1)), lit(true))
+    }
+  }
+
+  test("updateWhere: SET is cast to the column's current type — no schema drift") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), path)
+    // a string literal RHS must land as LONG in the rewritten file
+    TxLogTable.updateWhere(spark, path,
+      Map("x" -> lit("42")), col("id") === 1L)
+    val head = TxLogTable.read(spark, path)
+    assert(head.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"column type must not drift: ${head.schema("x").dataType}")
+    assert(head.as[(Long, Long)].collect().toSet ==
+      Set((1L, 42L), (2L, 20L)))
+  }
+
+  test("updateWhere: file-pruned — only files containing matches rewrite") {
+    val path = tmp
+    // three single-file commits with disjoint id ranges
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      TxLogTable.append(spark,
+        r.map(i => (i, i * 2L)).toDF("id", "x").repartition(1), path)
+    }
+    val at2 = TxLogTable.filesAt(path, 2L)
+    assert(at2.size == 3)
+    val fMid = at2.find(f => spark.read.parquet(s"$path/$f")
+      .filter(col("id") === 150L).count() > 0).get
+    TxLogTable.updateWhere(spark, path,
+      Map("x" -> lit(-1L)), col("id") >= 150L && col("id") < 160L)      // v3
+    val at3 = TxLogTable.filesAt(path, 3L)
+    assert(!at3.contains(fMid), s"matched file must rewrite: $at3")
+    assert(at2.filterNot(_ == fMid).forall(at3.contains),
+      s"both unmatched files must carry by reference: $at3")
+    assert(at3.size == 3, s"one staged file replaces one touched: $at3")
+    assert(TxLogTable.read(spark, path)
+      .filter(col("x") === -1L).count() == 10)
+    assert(TxLogTable.read(spark, path).count() == 300)
+  }
+
+  test("updateWhere: CHECK constraint violations abort with nothing published") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), path)
+    TxLogTable.addCheckConstraint(spark, path, "x_pos", "x > 0")
+    val before = TxLogTable.currentVersion(path)
+    intercept[IllegalStateException] {
+      TxLogTable.updateWhere(spark, path,
+        Map("x" -> lit(-5L)), col("id") === 1L)
+    }
+    assert(TxLogTable.currentVersion(path) == before,
+      "violating update must not commit")
+    assert(TxLogTable.read(spark, path).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)), "data unchanged after abort")
+    // a conforming update still passes the gate
+    TxLogTable.updateWhere(spark, path,
+      Map("x" -> (col("x") * 2)), col("id") === 1L)
+    assert(TxLogTable.read(spark, path).filter(col("id") === 1L)
+      .select("x").as[Long].head() == 20L)
+  }
+
+  test("updateWhere: hive-partitioned — rewrites stay in layout, partition moves work") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+        .toDF("id", "grp", "amount"), path, partitionBy = Seq("grp"))
+    // non-partition update inside one partition: grp=b files carry
+    val at0 = TxLogTable.filesAt(path, 0L)
+    val bFiles = at0.filter(_.contains("grp=b"))
+    TxLogTable.updateWhere(spark, path,
+      Map("amount" -> (col("amount") + 10)), col("grp") === "a")        // v1
+    val at1 = TxLogTable.filesAt(path, 1L)
+    assert(bFiles.forall(at1.contains),
+      s"unmatched partition must carry by reference: $at1")
+    assert(at1.forall(f => f.contains("grp=a") || f.contains("grp=b")),
+      s"rewrites must stay in the hive layout: $at1")
+    // partition-column update MOVES the row to its new partition dir
+    TxLogTable.updateWhere(spark, path,
+      Map("grp" -> lit("c")), col("id") === 2L)                         // v2
+    assert(TxLogTable.read(spark, path).select("id", "grp", "amount")
+      .as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 11.0), (2L, "c", 2.0), (3L, "a", 13.0)))
+    val (kept, _) = TxLogTable.prunedFiles(spark, path, col("grp") === "c")
+    assert(kept.nonEmpty && kept.forall(_.contains("grp=c")),
+      s"moved row must land in its new partition dir: $kept")
+  }
+
   test("shallowClone: hive-partitioned source keeps layout and partition pruning") {
     val src = tmp
     TxLogTable.append(spark,
