@@ -53,6 +53,31 @@ final case class KmvSketch(k: Int)
     Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
 }
 
+/** [[KmvSketch]] with the BUFFER as the output: the sorted k-minimum
+  * distinct-hash array itself — the mergeable per-group state an
+  * incrementally-maintained view stores and re-merges across refreshes
+  * ([[graft.operators.IncrementalView]]). Two sketches over disjoint or
+  * overlapping inputs union losslessly (`array_union` + keep k
+  * smallest), which is what makes approx-distinct maintainable under
+  * an insert stream. Negative inputs are ignored — the caller's
+  * sentinel for rows that must not contribute (delete images in a
+  * change feed, NULL values); the h60 hash domain is [0, 2^60), so no
+  * real hash is ever negative. */
+final case class KmvState(k: Int)
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
+  private val inner = KmvSketch(k)
+  override def zero: Array[Long] = Array.empty[Long]
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    if (h < 0L) buf else inner.reduce(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 /** Misra-Gries heavy-hitters summary (Misra & Gries 1982; mergeable per
   * Agarwal et al., "Mergeable Summaries", PODS 2012): at most `k` counters;
   * an untracked item with full counters decrements every counter instead of

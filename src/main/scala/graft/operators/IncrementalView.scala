@@ -57,12 +57,28 @@ object IncrementalView {
     * recompute their extremes from the base table, restricted by a
     * semi-join to the dirty key set. Steady-state appends therefore
     * stay delta-priced; the recompute pass runs only when an extremum
-    * actually leaves, over only the groups it left. */
+    * actually leaves, over only the groups it left.
+    *
+    * `distinctCols` adds APPROX-DISTINCT per group under the same
+    * discipline, backed by the mergeable KMV sketch
+    * ([[graft.functions.KmvState]], the q47 lineage): the view stores
+    * `kmv_<col>` — the `distinctK` smallest distinct h60 hashes of the
+    * column's non-NULL string form. Insert deltas union losslessly
+    * into the stored state (`array_union` + keep k smallest — KMV's
+    * defining property); a DELETE can only invalidate the sketch when
+    * the deleted value's hash is PRESENT in it (a larger hash never
+    * displaced the k minima), so exactly those groups recompute their
+    * sketch from the base. The estimate `(k-1)·2^60/kth` derives
+    * downstream, q47-style; `size(kmv_<col>) < k` means the sketch is
+    * exact. */
   def maintain(spark: SparkSession, source: String, view: String,
       keyCols: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Seq.empty,
-      maxCols: Seq[String] = Seq.empty): Long = {
+      maxCols: Seq[String] = Seq.empty,
+      distinctCols: Seq[String] = Seq.empty,
+      distinctK: Int = 64): Long = {
     require(keyCols.nonEmpty, "view needs at least one group key")
+    require(distinctK >= 2, s"distinctK must be >= 2, got $distinctK")
     val srcHead = TxLogTable.currentVersion(source)
     require(srcHead >= 0, s"source $source is empty — nothing to maintain")
     val applied = appliedVersion(view, source)
@@ -73,11 +89,18 @@ object IncrementalView {
     val keyCs = keyCols.map(col)
     val insOnly = (c: String, f: Column => Column) =>
       f(when(col("_change_type") === "insert", col(c)))
+    val kmvAgg = udaf(graft.functions.KmvState(distinctK))
+    val hOf = (c: Column) => graft.functions.TextFunctions.h60(c.cast("string"))
+    // -1 sentinel: delete images and NULL values must not contribute
+    // (the aggregator ignores negatives; real h60 hashes are >= 0)
+    val insHash = (c: String) =>
+      coalesce(insOnly(c, hOf), lit(-1L))
     val deltaAgg = delta.groupBy(keyCs: _*)
       .agg(sum(sign).as("cnt"),
         sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")) ++
         minCols.map(c => insOnly(c, min).as(s"min_$c")) ++
-        maxCols.map(c => insOnly(c, max).as(s"max_$c")): _*)
+        maxCols.map(c => insOnly(c, max).as(s"max_$c")) ++
+        distinctCols.map(c => kmvAgg(insHash(c)).as(s"kmv_$c")): _*)
     val prior =
       if (applied < 0) None
       else Some(TxLogTable.read(spark, view))
@@ -88,17 +111,28 @@ object IncrementalView {
         .agg(sum(col("cnt")).as("cnt"),
           sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
           minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
-          maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")): _*)
+          maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
+          // lossless KMV union: ≤2 bounded arrays per group collect,
+          // dedup, and the k smallest survive — all codegen built-ins
+          distinctCols.map(c => slice(array_sort(array_distinct(
+            flatten(collect_list(col(s"kmv_$c"))))), 1, distinctK)
+            .as(s"kmv_$c")): _*)
     }
+    val nonLinear = minCols.nonEmpty || maxCols.nonEmpty ||
+      distinctCols.nonEmpty
     val withExtremes =
-      if ((minCols.isEmpty && maxCols.isEmpty) || prior.isEmpty) merged
+      if (!nonLinear || prior.isEmpty) merged
       else {
         // dirty groups: a DELETED row's value null-safe-equals the
-        // PRIOR stored extremum for any tracked column
+        // PRIOR stored extremum for any tracked column, or its hash
+        // sits inside the PRIOR stored KMV sketch
         val p = prior.get
         val dels = delta.filter(col("_change_type") === "delete")
         val dirtyCond = (minCols.map(c => dels(c) <=> p(s"min_$c")) ++
-          maxCols.map(c => dels(c) <=> p(s"max_$c"))).reduce(_ || _)
+          maxCols.map(c => dels(c) <=> p(s"max_$c")) ++
+          distinctCols.map(c => coalesce(
+            array_contains(p(s"kmv_$c"), hOf(dels(c))), lit(false))))
+          .reduce(_ || _)
         val dirty = dels.join(p,
             keyCols.map(k => dels(k) <=> p(k)).reduce(_ && _) && dirtyCond,
             "left_semi")
@@ -106,7 +140,9 @@ object IncrementalView {
         if (dirty.isEmpty) merged
         else {
           val recAggs = minCols.map(c => min(col(c)).as(s"rmin_$c")) ++
-            maxCols.map(c => max(col(c)).as(s"rmax_$c")) :+
+            maxCols.map(c => max(col(c)).as(s"rmax_$c")) ++
+            distinctCols.map(c =>
+              kmvAgg(coalesce(hOf(col(c)), lit(-1L))).as(s"rkmv_$c")) :+
             count(lit(1)).as("__dirty")
           // null-safe joins throughout: a NULL group key is a real
           // group (groupBy keeps it), and an equality join would
@@ -125,7 +161,9 @@ object IncrementalView {
               minCols.map(c => when(rec("__dirty").isNotNull,
                 rec(s"rmin_$c")).otherwise(merged(s"min_$c")).as(s"min_$c")) ++
               maxCols.map(c => when(rec("__dirty").isNotNull,
-                rec(s"rmax_$c")).otherwise(merged(s"max_$c")).as(s"max_$c")): _*)
+                rec(s"rmax_$c")).otherwise(merged(s"max_$c")).as(s"max_$c")) ++
+              distinctCols.map(c => when(rec("__dirty").isNotNull,
+                rec(s"rkmv_$c")).otherwise(merged(s"kmv_$c")).as(s"kmv_$c")): _*)
         }
       }
     val next = withExtremes.filter(col("cnt") > 0)

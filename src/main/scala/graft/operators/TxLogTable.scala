@@ -1030,20 +1030,41 @@ object TxLogTable {
     * same file-level pruning applies per commit: an append step scans
     * only its appended files, a pure compaction step diffs to the
     * empty feed. Schema evolution across the range aligns by name
-    * (missing columns null-pad). */
+    * (missing columns null-pad).
+    *
+    * Plan growth is BOUNDED: a range wider than `maxCommits` is split
+    * into chunks and each chunk's union re-roots as a single plan leaf
+    * (its computed RDD), so a thousand-commit audit presents the
+    * optimizer ~⌈n/maxCommits⌉ leaves instead of a thousand-scan
+    * union. The per-commit file pruning is unchanged — re-rooting
+    * repackages the plan, not the I/O; chunked ranges pay one row
+    * (de)serialization hop at the chunk boundary, which a wide audit
+    * amortizes. Ranges at or under `maxCommits` — the steady-state
+    * incremental consumer — keep the direct, fully-codegen plan. */
   def changesPerVersion(spark: SparkSession, path: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long,
+      maxCommits: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(fromVersion < toVersion,
       s"changesPerVersion needs fromVersion < toVersion, got " +
         s"[$fromVersion, $toVersion]")
+    require(maxCommits >= 1, s"maxCommits must be >= 1, got $maxCommits")
     val ts = history(path).toMap
-    (fromVersion + 1 to toVersion).map { v =>
-      changesBetween(spark, path, v - 1, v)
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp",
-          lit(new java.sql.Timestamp(ts(v))))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    def span(lo: Long, hi: Long): DataFrame =
+      (lo + 1 to hi).map { v =>
+        changesBetween(spark, path, v - 1, v)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(ts(v))))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (toVersion - fromVersion <= maxCommits) span(fromVersion, toVersion)
+    else {
+      val bounds = (fromVersion to toVersion by maxCommits) :+ toVersion
+      bounds.distinct.sliding(2).map { case Seq(lo, hi) =>
+        val d = span(lo, hi)
+        spark.createDataFrame(d.rdd, d.schema)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Delete data dirs referenced ONLY by versions older than

@@ -879,7 +879,81 @@ object IngestQueries extends QueryModule {
       FROM orders, b
       ORDER BY o_orderkey"""))
 
+  /** A23 incremental view with APPROX-DISTINCT under the dirty-group
+    * discipline ([[IncrementalView.maintain]]'s `distinctCols`,
+    * backed by the mergeable KMV sketch — the q47 lineage lifted to
+    * VIEW level): full load stores each nationkey's 8 smallest
+    * distinct supplier-key hashes; a modulo DELETE then strips hashes
+    * out of some sketches — exactly those groups recompute, the rest
+    * ride the delta. The oracle replays the final KMV state from the
+    * head relationally (DISTINCT + row_number ≤ k), so a stale sketch
+    * the dirty tracking missed breaks the hash, q170-style. */
+  private val q174 = QueryDef(
+    "q174_incremental_view_distinct",
+    (s, d) => {
+      val k = 8
+      val src = acidDmlTable(s, d) // v0..v2
+      val view = src + "_kmv"
+      val vroot = new org.apache.hadoop.fs.Path(view)
+      vroot.getFileSystem(s.sessionState.newHadoopConf()).delete(vroot, true)
+      IncrementalView.maintain(s, src, view, Seq("s_nationkey"),
+        Seq.empty, distinctCols = Seq("s_suppkey"), distinctK = k)
+      val dv = TxLogTable.deleteWhere(s, src, col("s_suppkey") % 4 === 0)
+      val applied = IncrementalView.maintain(s, src, view, Seq("s_nationkey"),
+        Seq.empty, distinctCols = Seq("s_suppkey"), distinctK = k)
+      require(applied == TxLogTable.currentVersion(src),
+        s"second maintain must reach the source head, got $applied")
+      require(dv < 0 || TxLogTable.currentVersion(view) == 1L,
+        "incremental refresh must be the view's v1")
+      val kM = 1152921504606846976.0 // h60 domain [0, 2^60)
+      TxLogTable.read(s, view)
+        .select(col("s_nationkey"), col("cnt"),
+          size(col("kmv_s_suppkey")).as("n_min"),
+          element_at(col("kmv_s_suppkey"), -1).as("kth_hash"))
+        .withColumn("est2", Rnd.halfUp(
+          when(col("n_min") < k, col("n_min").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(kM) / col("kth_hash")), 2))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""
+      WITH upd AS (
+        SELECT s_suppkey, s_name || '_v2' AS s_name, s_nationkey,
+               s_acctbal + 1000.0 AS s_acctbal
+        FROM supplier WHERE s_nationkey < 5
+        UNION ALL
+        SELECT s_suppkey + 10000, s_name || '_new', s_nationkey, s_acctbal
+        FROM supplier WHERE s_nationkey >= 20),
+      merged AS (
+        SELECT s.s_suppkey, s.s_nationkey
+        FROM supplier s ANTI JOIN upd u ON s.s_suppkey = u.s_suppkey
+        UNION ALL
+        SELECT s_suppkey, s_nationkey FROM upd),
+      head AS (
+        SELECT s_suppkey, s_nationkey FROM merged
+        WHERE s_nationkey <> 7 AND NOT (s_suppkey % 4 = 0)),
+      h AS (
+        SELECT DISTINCT s_nationkey,
+               ('0x' || substr(md5(s_suppkey::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+        FROM head),
+      r AS (
+        SELECT s_nationkey, h,
+               row_number() OVER (PARTITION BY s_nationkey ORDER BY h) AS rn
+        FROM h),
+      sk AS (
+        SELECT s_nationkey,
+               CAST(least(count(*), 8) AS INT) AS n_min,
+               max(h) FILTER (WHERE rn <= 8) AS kth_hash
+        FROM r GROUP BY s_nationkey),
+      c AS (
+        SELECT s_nationkey, count(*) AS cnt FROM head GROUP BY s_nationkey)
+      SELECT c.s_nationkey, c.cnt, n_min, kth_hash,
+             floor((CASE WHEN n_min < 8 THEN n_min::DOUBLE
+                         ELSE 7.0 * 1152921504606846976.0 / kth_hash END)
+                   * 100.0 + 0.5) / 100.0 AS est2
+      FROM c JOIN sk USING (s_nationkey)
+      ORDER BY s_nationkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163, q164, q165, q169, q170, q172, q173)
+      q161, q162, q163, q164, q165, q169, q170, q172, q173, q174)
 }

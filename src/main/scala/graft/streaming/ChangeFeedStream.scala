@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.operators.TxLogTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental CHANGE-FEED consumer over a [[TxLogTable]] — the delta
+  * world's `readChangeFeed` streaming pattern (the batch-only CDF gap
+  * the round-12 verdict flagged): a downstream pipeline rides an ACID
+  * table's commit log instead of rescanning the table, paying only for
+  * the commits it has not seen yet.
+  *
+  * This generalizes [[graft.operators.IncrementalView]]'s
+  * applied-version tracking into a reusable consumer:
+  *
+  *  - the WATERMARK is the destination table's own SetTransaction
+  *    record (`cdf:<source>` app id) — durable, crash-safe, no side
+  *    files, readable via [[appliedVersion]];
+  *  - each [[applyOnce]] feeds the not-yet-applied commit range's
+  *    [[TxLogTable.changesPerVersion]] — per-commit `insert`/`delete`
+  *    images tagged `_commit_version`/`_commit_timestamp`, file-pruned
+  *    per step, plan-bounded by `maxCommits` chunking — to the USER
+  *    transform, and appends the result to the destination with
+  *    `txn = (cdf:<source>, head)`;
+  *  - exactly-once falls out of the txn record: a replayed range (a
+  *    crash after the transform ran but before the checkpoint/marker
+  *    advanced, or a duplicate foreachBatch delivery) re-appends under
+  *    the SAME (appId, version) and [[TxLogTable.append]] skips it.
+  *    Successive ranges `(applied, head]` partition the commit axis, so
+  *    the destination holds the transform of each source commit exactly
+  *    once — per-row transforms compose to "transform of the full feed".
+  *
+  * Scale shape: a refresh is priced by the DELTA — an idle consumer
+  * waking up to k new commits scans only those commits' file
+  * symmetric differences; the destination append is one commit. The
+  * restore case needs no special handling: a RESTORE is an ordinary
+  * commit whose feed step carries the un-restored rows as deletes.
+  */
+object ChangeFeedStream {
+
+  private def consumerId(source: String): String =
+    "cdf:" + source.replaceAll("[^A-Za-z0-9_:/.@=-]", "_")
+
+  /** The source version `dest`'s consumer has applied (−1 = none). */
+  def appliedVersion(dest: String, source: String): Long =
+    TxLogTable.lastTransaction(dest, consumerId(source)).getOrElse(-1L)
+
+  /** Apply every source commit past the watermark in one idempotent
+    * step: `transform` sees the range's per-version change feed and
+    * returns the rows to append downstream (possibly zero — the
+    * watermark still advances through the txn record on the empty
+    * append). Returns the source version now applied. No-op without a
+    * commit when already current. */
+  def applyOnce(spark: SparkSession, source: String, dest: String,
+      transform: DataFrame => DataFrame, maxCommits: Int = 64): Long = {
+    val head = TxLogTable.currentVersion(source)
+    require(head >= 0, s"source $source is empty — nothing to consume")
+    val applied = appliedVersion(dest, source)
+    if (applied >= head) return applied
+    val feed = TxLogTable.changesPerVersion(spark, source, applied, head,
+      maxCommits)
+    TxLogTable.append(spark, transform(feed), dest,
+      txn = Some((consumerId(source), head)))
+    head
+  }
+
+  /** The foreachBatch driver: clocks [[applyOnce]] off a rate-source
+    * tick (the jar-free stand-in for a native CDF stream source — the
+    * tick content is ignored; the WORK is always "apply whatever the
+    * log gained since the watermark", so trigger cadence only bounds
+    * latency, never correctness). `Trigger.AvailableNow()` gives the
+    * one-shot catch-up run; a ProcessingTime trigger tails the table
+    * continuously. */
+  def start(spark: SparkSession, source: String, dest: String,
+      transform: DataFrame => DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxCommits: Int = 64): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyOnce(spark, source, dest, transform, maxCommits)
+        ()
+      }
+      .start()
+}

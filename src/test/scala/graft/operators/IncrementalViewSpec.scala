@@ -127,6 +127,68 @@ class IncrementalViewSpec extends SparkSpec {
       s"null-keyed group must recompute its extremum: $m")
   }
 
+  test("KMV distinct: lossless insert merge, dirty recompute only when a sketch hash leaves") {
+    import graft.functions.TextFunctions.h60
+    val src = tmp
+    val view = tmp + "-view"
+    val k = 4
+    def refresh() = IncrementalView.maintain(spark, src, view,
+      Seq("grp"), Seq.empty, distinctCols = Seq("v"), distinctK = k)
+    def viewKmv(): Map[String, Seq[Long]] = TxLogTable.read(spark, view)
+      .select(col("grp"), col("kmv_v")).as[(String, Seq[Long])]
+      .collect().toMap
+    // the ground truth: k smallest distinct hashes recomputed from base
+    def directKmv(): Map[String, Seq[Long]] = TxLogTable.read(spark, src)
+      .filter(col("v").isNotNull)
+      .select(col("grp"), h60(col("v").cast("string")).as("h")).distinct()
+      .groupBy(col("grp"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("kmv"))
+      .as[(String, Seq[Long])].collect().toMap
+
+    // 8 distinct values in group a (sketch saturates at 4), 2 in b,
+    // plus duplicates and a NULL (must not contribute)
+    TxLogTable.append(spark,
+      ((1L to 8L).map(i => (i, "a", Some(s"x$i"))) ++
+        Seq((9L, "b", Some("y1")), (10L, "b", Some("y2")),
+          (11L, "b", Some("y1")), (12L, "b", Option.empty[String])))
+        .toDF("id", "grp", "v"), src) // v0
+    refresh()
+    assert(viewKmv() == directKmv(), "initial load must equal recompute")
+    assert(viewKmv()("a").length == k, "saturated sketch holds exactly k")
+    assert(viewKmv()("b").length == 2, "undersized sketch is exact")
+
+    // insert-only delta (one duplicate, one fresh): lossless union
+    TxLogTable.append(spark,
+      Seq((13L, "a", Some("x1")), (14L, "a", Some("x99")),
+        (15L, "b", Some("y3"))).toDF("id", "grp", "v"), src)
+    refresh()
+    assert(viewKmv() == directKmv(), "insert merge must equal recompute")
+
+    // pick a's values by hash rank: the SMALLEST hash is in the sketch,
+    // the LARGEST is not (9 distinct vs k=4)
+    val byHash = TxLogTable.read(spark, src).filter(col("grp") === "a")
+      .select(col("v"), h60(col("v").cast("string")).as("h")).distinct()
+      .orderBy(col("h")).as[(String, Long)].collect()
+    val inSketch = byHash.head._1
+    val outOfSketch = byHash.last._1
+    // deleting a value whose hash is OUTSIDE the sketch: the k minima
+    // cannot change — the delta path alone must keep the state right
+    val before = viewKmv()("a")
+    TxLogTable.deleteWhere(spark, src, col("v") === outOfSketch)
+    refresh()
+    assert(viewKmv()("a") == before, "out-of-sketch delete must not disturb")
+    assert(viewKmv() == directKmv())
+    // deleting the value holding the sketch's minimum: group a is dirty
+    // and recomputes; the 5th-smallest hash must step in
+    TxLogTable.deleteWhere(spark, src, col("v") === inSketch)
+    refresh()
+    assert(viewKmv()("a") == directKmv()("a"),
+      "in-sketch delete must recompute the group")
+    assert(!viewKmv()("a").contains(byHash.head._2),
+      "the deleted value's hash must leave the sketch")
+    assert(viewKmv() == directKmv())
+  }
+
   test("streaming materialized view: per-batch refresh, exactly-once under replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = tmp

@@ -1003,6 +1003,33 @@ class TxLogTableSpec extends SparkSpec {
     }
   }
 
+  test("changesPerVersion: wide ranges chunk to a bounded plan with the identical feed") {
+    val path = tmp
+    (0 until 100).foreach { i =>
+      TxLogTable.append(spark,
+        Seq((i.toLong, s"r$i")).toDF("id", "v").repartition(1), path)
+    }
+    def feed(maxCommits: Int) = TxLogTable.changesPerVersion(
+      spark, path, -1L, 99L, maxCommits = maxCommits)
+    val chunked = feed(10)
+    val direct = feed(1000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("v"), col("_commit_version"))
+        .as[(Long, String, Long)].collect().toSet
+    val a = rows(chunked)
+    assert(a == rows(direct) && a.size == 100,
+      "chunking must not change the feed")
+    // every chunk re-roots to ONE plan leaf; the direct plan carries
+    // one scan per commit
+    val chunkedLeaves = chunked.queryExecution.analyzed.collectLeaves().size
+    val directLeaves = direct.queryExecution.analyzed.collectLeaves().size
+    assert(chunkedLeaves <= 10,
+      s"a 100-commit range at maxCommits=10 must present <=10 leaves, " +
+        s"got $chunkedLeaves")
+    assert(directLeaves >= 100,
+      s"sanity: the unchunked plan scans per commit, got $directLeaves")
+  }
+
   test("updateWhere: SET projections on matched rows, pre-update RHS, history intact") {
     val path = tmp
     TxLogTable.append(spark,
