@@ -56,16 +56,44 @@ object ConnectedComponents {
     if (reliable) require(
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true needs sparkContext.setCheckpointDir(...) first")
+    // Per-round lineage truncation with EXPLICIT block release (the
+    // round-13 cache audit: bare Dataset.localCheckpoint pinned every
+    // round's blocks for the session, GC-cleanable only). Superseded
+    // rounds unpersist as soon as their successor is materialized, the
+    // edges frame at return, and the FINAL labels frame goes to
+    // [[BlockRegistry]] (the lazy result reads its blocks — the
+    // harness releases it after materialization). Reliable mode keeps
+    // checkpoint-dir files: nothing pinned in executor memory.
+    var releasable = List.empty[org.apache.spark.rdd.RDD[_]]
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint()
+      else {
+        // Dataset.localCheckpoint keeps the InternalRow fast path (no
+        // Row (de)serialization hop); the persisted RDD rides the
+        // returned plan's LogicalRDD leaf — hold it for explicit
+        // release instead of waiting on ContextCleaner GC
+        val cp = df.localCheckpoint()
+        cp.queryExecution.analyzed.collectLeaves().foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            releasable ::= l.rdd
+          case _ => ()
+        }
+        cp
+      }
+    def releaseAllBut(keep: Int): Unit = {
+      releasable.drop(keep).foreach(_.unpersist(blocking = false))
+      releasable = releasable.take(keep)
+    }
     val half = pairs.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val edges = truncate(half
       .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct(), reliable)
+      .distinct())
 
     var labels = truncate(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("label", col("id")), reliable)
+      .withColumn("label", col("id")))
     var prevSum = checksum(labels)
     var iter = 0
     var converged = edges.isEmpty
@@ -83,20 +111,30 @@ object ConnectedComponents {
       val next = truncate(folded.withColumnRenamed("label", "jkey")
         .join(jump, Seq("jkey"), "left")
         .select(col("id"),
-          coalesce(col("jlabel"), col("jkey")).as("label")), reliable)
+          coalesce(col("jlabel"), col("jkey")).as("label")))
+      // the new round is materialized: its predecessor (position 1 in
+      // the stack — position 0 is `next`) and anything older except
+      // the loop-invariant edges frame (always last) can go
+      releasable match {
+        case cur :: rest if rest.size > 1 =>
+          rest.init.foreach(_.unpersist(blocking = false))
+          releasable = cur :: List(rest.last)
+        case _ => ()
+      }
       val s = checksum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
     }
+    // the result references only the FINAL labels blocks: drop edges
+    // (and the initial labels when the loop never ran past them), hand
+    // the survivor to the harness-scoped registry
+    releaseAllBut(1)
+    releasable.foreach(BlockRegistry.track)
+    releasable = Nil
     labels.select(col("id"), col("label").as("cluster_id"))
   }
-
-  /** Per-round lineage truncation: executor-local blocks by default,
-    * reliable checkpoint-dir files for cluster runs. */
-  private def truncate(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint() else df.localCheckpoint()
 
   /** Monotone fixpoint witness: labels only decrease, so equal sums
     * between rounds ⟺ no label changed. Summed as decimal(38,0) — a

@@ -915,6 +915,31 @@ object TextAnalysis {
       .select(explode(split(trim(col("s")), "  ")).as("sym"), col("c"))
       .groupBy(col("sym")).agg(sum(col("c")).as("cnt"))
 
+  /** ENCODE a corpus with a trained merge list — per-document subword
+    * counts, the number a token-budgeted packing/pricing pipeline needs
+    * from the tokenizer it just trained. Same word-type factorization
+    * as training: each DISTINCT word segments ONCE (wrapped form →
+    * merge replaces → split), and documents join their words back
+    * against that vocabulary-bounded table — a mergeable hash join plus
+    * one groupBy, no window, never a per-occurrence re-segmentation.
+    * Returns (idCol, n_words, n_subwords); no-token documents are
+    * dropped (nothing to encode). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val words = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val uniq = words.select(col("w")).distinct()
+      .select(col("w"), concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
+        lit(" ")).as("s"))
+    val seg = applyMerges(uniq, merges)
+      .select(col("w"), size(split(trim(col("s")), "  ")).cast("long")
+        .as("__n_sub"))
+    words.join(seg, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n_sub")).as("n_subwords"))
+  }
+
   /** Score a corpus against a FROZEN [[linearProbeTrain]] model — a
     * shuffle-free projection with the weights baked in as an array
     * literal (no join, no window; the dsirScoreWith shape). Documents

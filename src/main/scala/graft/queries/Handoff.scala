@@ -30,7 +30,10 @@ object Handoff {
     p
   }
 
-  /** Unpersist every registered handoff frame (non-blocking). */
+  /** Unpersist every registered handoff frame (non-blocking), and
+    * drain the RDD-level [[graft.operators.BlockRegistry]] (local-
+    * checkpoint blocks from iterative operators — invisible to both
+    * `Dataset.unpersist` and `clearCache`). */
   def releaseAll(): Unit = {
     var f = frames.poll()
     while (f != null) {
@@ -38,10 +41,12 @@ object Handoff {
       catch { case scala.util.control.NonFatal(_) => () }
       f = frames.poll()
     }
+    graft.operators.BlockRegistry.releaseAll()
   }
 
-  /** Registered-but-unreleased frame count (spec introspection). */
-  def outstanding: Int = frames.size()
+  /** Registered-but-unreleased count, both layers (spec introspection). */
+  def outstanding: Int =
+    frames.size() + graft.operators.BlockRegistry.outstanding
 
   implicit class HandoffOps(private val df: DataFrame) extends AnyVal {
     /** `.persist()` with release tracking — use for every chain

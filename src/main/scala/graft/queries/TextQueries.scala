@@ -997,7 +997,82 @@ object TextQueries extends QueryModule {
         SELECT kind, ord, token, cnt FROM topsym)
       ORDER BY kind, ord"""))
 
+  /** BPE tokenizer APPLICATION ([[TextAnalysis.bpeEncode]]): train 3
+    * merges in-query (bit-identical to q171's trainer), then encode
+    * every document — per-doc word and subword counts, the numbers a
+    * token-budgeted packing/pricing pipeline reads off the tokenizer it
+    * just trained. The word-type factorization is the scale story:
+    * each DISTINCT word segments once and documents JOIN their words
+    * back (vocabulary-bounded work + one mergeable hash join), never a
+    * per-occurrence re-segmentation. The oracle replays the 3 merge
+    * rounds on the word vocabulary, segments it relationally, and
+    * re-joins the docs — any drift in the replace semantics or the
+    * join shape breaks the hash. */
+  private val q175 = QueryDef(
+    "q175_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", m.map(_._1))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents) GROUP BY w),
+      s0 AS (
+        SELECT w, ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+                 i -> substr(w, i, 1)), '  ') || ' ' AS s, c
+        FROM w0),
+      p1 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s0))
+        GROUP BY pair),
+      b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s1 AS (SELECT w, replace(s,
+               ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS s, c
+             FROM s0),
+      p2 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s1))
+        GROUP BY pair),
+      b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s2 AS (SELECT w, replace(s,
+               ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS s, c
+             FROM s1),
+      p3 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s2))
+        GROUP BY pair),
+      b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s3 AS (SELECT w, replace(s,
+               ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS s
+             FROM s2),
+      seg AS (
+        SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sub
+        FROM s3),
+      dw AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0)) AS w
+        FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+      FROM dw JOIN seg USING (w)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137, q138, q167, q171)
+      q121, q126, q137, q138, q167, q171, q175)
 }

@@ -19,7 +19,18 @@ object TestSpark {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Mirror the harness release contract at the suite boundary: drain
+    * the handoff frames and RDD-level block registry a suite's operator
+    * calls registered, so one suite's local-checkpoint blocks (held by
+    * strong registry references — ContextCleaner can never GC them)
+    * don't surface as phantom leaks in the next suite's assertions. */
+  override protected def afterAll(): Unit = {
+    graft.queries.Handoff.releaseAll()
+    super.afterAll()
+  }
 }

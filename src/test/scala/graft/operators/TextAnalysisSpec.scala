@@ -465,6 +465,29 @@ class TextAnalysisSpec extends SparkSpec {
       "bpeTrain must release every per-round frame")
   }
 
+  test("bpeEncode: per-doc subword counts match hand segmentation; word-type factorization") {
+    // merges from the q171-style corpus: "a a", then "a b", then "aa ab"
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab ab"), // trains the merges
+      (2L, "ab ba"),                // ab→1 subword, ba→2 (no "b a" merge)
+      (3L, "   "),                  // no tokens: dropped
+      (4L, "aaa")                   // greedy overlap: (aa) a → 2 subwords
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs.filter($"doc_id" === 1L), "text", 3)
+    assert(m.map(_._1) == Seq("a a", "a b", "aa ab"))
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", m.map(_._1))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1: aaab ×3 (1 subword each after all merges) + ab ×2 (1 each)
+    assert(got == Map(
+      1L -> ((5L, 5L)), 2L -> ((2L, 3L)), 4L -> ((1L, 2L))), s"got $got")
+    // the plan joins a distinct-word segmentation, it never re-segments
+    // per occurrence: no window anywhere
+    val plan = TextAnalysis.bpeEncode(docs, "doc_id", "text", m.map(_._1))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+
   test("linearProbe: empty corpus trains to zero weights; no-token docs drop from scoring") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val m0 = TextAnalysis.linearProbeTrain(empty, "text", lit(0L))

@@ -1114,6 +1114,30 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 300)
   }
 
+  test("updateWhere: change feed carries old image as delete, new image as insert") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "x"), path) // v0
+    TxLogTable.updateWhere(spark, path,
+      Map("x" -> (col("x") + 5L)), col("id") === 2L)              // v1
+    val feed = TxLogTable.changesBetween(spark, path, 0L, 1L)
+      .select(col("id"), col("x"), col("_change_type"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed == Set((2L, 20L, "delete"), (2L, 25L, "insert")),
+      s"update must diff to old-image delete + new-image insert: $feed")
+    // downstream consumers see it without special casing: an
+    // incremental view rides the update commit like any other delta
+    val view = tmp + "-v"
+    IncrementalView.maintain(spark, path, view, Seq("id"), Seq("x"))
+    TxLogTable.updateWhere(spark, path,
+      Map("x" -> (col("x") * 10L)), col("id") === 1L)             // v2
+    IncrementalView.maintain(spark, path, view, Seq("id"), Seq("x"))
+    val got = TxLogTable.read(spark, view)
+      .select(col("id"), col("sum_x")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 100L, 2L -> 25L, 3L -> 30L),
+      s"view must track through the update commit: $got")
+  }
+
   test("updateWhere: CHECK constraint violations abort with nothing published") {
     val path = tmp
     TxLogTable.append(spark,
