@@ -1760,10 +1760,11 @@ object TxLogTable {
     * stats (pre-stats tables, unsupported column types, exotic
     * predicate shapes) simply scans. */
   def readWhere(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column): DataFrame = {
-    val (kept, _) = prunedFiles(spark, path, predicate)
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Long] = None): DataFrame = {
+    val (kept, _) = prunedFiles(spark, path, predicate, version)
     if (kept.isEmpty) {
-      val v = currentVersion(path)
+      val v = version.getOrElse(currentVersion(path))
       if (v < 0) return spark.emptyDataFrame
       return readVersion(spark, path, v).filter(predicate).limit(0)
     }

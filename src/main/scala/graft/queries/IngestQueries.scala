@@ -953,7 +953,54 @@ object IngestQueries extends QueryModule {
       FROM c JOIN sk USING (s_nationkey)
       ORDER BY s_nationkey"""))
 
+  /** A23/§2.B scans — the `graftlog` DataSource (spark.read/SQL
+    * connector over TxLogTable, the delta world's reader shape with
+    * versionAsOf/timestampAsOf options): orders lands in an ACID table
+    * as four disjoint key-range commits, then the read goes through
+    * `spark.read.format("graftlog")` with a range filter. The query
+    * REQUIRES — in-query — that Catalyst pushed the predicate into the
+    * V1 scan node (`PushedFilters` is the handoff that reaches the
+    * log's stats skipping) and that the result equals DuckDB running
+    * the same algebra on the raw table. Pushdown is advisory
+    * (`unhandledFilters` keeps everything), so exactness never depends
+    * on the pruning translation. */
+  private val q176 = QueryDef(
+    "q176_datasource_connector",
+    (s, d) => {
+      val path = s"/tmp/graft_acid_dsrc_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val (b1, b2, b3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Seq(
+        col("o_orderkey") <= b1,
+        col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+        col("o_orderkey") > b2 && col("o_orderkey") <= b3,
+        col("o_orderkey") > b3
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      val hi = b1 + (b2 - b1) / 2
+      val out = s.read.format("graftlog").load(path)
+        .filter(col("o_orderkey") > b1 && col("o_orderkey") <= hi)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThan(o_orderkey"),
+        s"range filter must push into the graftlog scan:\n$plan")
+      out
+    },
+    Some("""
+      WITH b AS (
+        SELECT max(o_orderkey) // 4 AS b1,
+               max(o_orderkey) // 4 + (max(o_orderkey) // 2 - max(o_orderkey) // 4) // 2 AS hi
+        FROM orders)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders, b
+      WHERE o_orderkey > b1 AND o_orderkey <= hi
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163, q164, q165, q169, q170, q172, q173, q174)
+      q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176)
 }
