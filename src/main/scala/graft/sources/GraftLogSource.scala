@@ -31,9 +31,48 @@ import org.apache.spark.sql.types.StructType
   * The delta world ships exactly this shape (a DataSource with
   * versionAsOf/timestampAsOf options); here it is ~100 lines over the
   * existing snapshot/pruning machinery, no new read path. */
-class GraftLogSource extends RelationProvider with DataSourceRegister {
+class GraftLogSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graftlog"
+
+  /** The write side — `df.write.format("graftlog").mode(…).save(path)`
+    * mapping SaveMode onto the log's commit forms: Append → ACID
+    * [[TxLogTable.append]]; Overwrite → atomic [[TxLogTable.overwrite]]
+    * (one rebase commit, history intact); ErrorIfExists → append only
+    * into an empty table; Ignore → no-op when the table has a version.
+    * `option("partitionBy", "a,b")` routes to hive-partitioned
+    * commits (`DataFrameWriter.partitionBy` is not forwarded to V1
+    * sources, hence the option). CHECK constraints and SetTransaction
+    * semantics apply unchanged — this is the same commit path every
+    * other writer uses, behind the standard API. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlog needs a path — df.write.format(\"graftlog\").save(path)"))
+    val parts = opts.get("partitionby")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val spark = sqlContext.sparkSession
+    val exists = TxLogTable.currentVersion(path) >= 0
+    mode match {
+      case Append => TxLogTable.append(spark, data, path, partitionBy = parts)
+      case Overwrite =>
+        TxLogTable.overwrite(spark, data, path, partitionBy = parts)
+      case ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graftlog table at $path already has commits (ErrorIfExists)")
+        else TxLogTable.append(spark, data, path, partitionBy = parts)
+      case Ignore =>
+        if (!exists) TxLogTable.append(spark, data, path, partitionBy = parts)
+    }
+    GraftLogRelation(sqlContext, path, TxLogTable.currentVersion(path))
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

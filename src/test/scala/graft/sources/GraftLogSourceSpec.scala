@@ -75,6 +75,43 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(odd.count() == (0L until 300L).count(_ % 7 == 0))
   }
 
+  test("write side: SaveModes map onto ACID commits; partitionBy option; constraints hold") {
+    val path = tmp
+    def w(df: org.apache.spark.sql.DataFrame,
+        mode: String): Unit =
+      df.write.format("graftlog").mode(mode).save(path)
+    w(Seq((1L, "a")).toDF("id", "v"), "append")                 // v0
+    w(Seq((2L, "b")).toDF("id", "v"), "append")                 // v1
+    assert(TxLogTable.currentVersion(path) == 1L,
+      "each append is one ACID commit")
+    intercept[IllegalStateException] {
+      w(Seq((3L, "c")).toDF("id", "v"), "error")
+    }
+    w(Seq((9L, "z")).toDF("id", "v"), "ignore") // table exists: no-op
+    assert(TxLogTable.currentVersion(path) == 1L)
+    w(Seq((3L, "c")).toDF("id", "v"), "overwrite")              // v2 rebase
+    assert(spark.read.format("graftlog").load(path)
+      .select("id").as[Long].collect().toSet == Set(3L))
+    // history intact through the overwrite (it's a rebase, not a wipe)
+    assert(spark.read.format("graftlog").option("versionAsOf", 1)
+      .load(path).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // CHECK constraints gate connector writes like any other commit
+    TxLogTable.addCheckConstraint(spark, path, "id_pos", "id > 0")
+    intercept[IllegalStateException] {
+      w(Seq((-1L, "bad")).toDF("id", "v"), "append")
+    }
+    // hive partitioning via option (DataFrameWriter.partitionBy is not
+    // forwarded to V1 sources)
+    val p2 = tmp
+    Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "grp", "amount")
+      .write.format("graftlog").option("partitionBy", "grp")
+      .mode("append").save(p2)
+    val (kept, skipped) = TxLogTable.prunedFiles(spark, p2, col("grp") === "x")
+    assert(kept.nonEmpty && kept.forall(_.contains("grp=x")) &&
+      skipped.forall(!_.contains("grp=x")),
+      s"connector write must produce a partition-pruned layout: $kept")
+  }
+
   test("missing path and empty tables fail loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("graftlog").load()
