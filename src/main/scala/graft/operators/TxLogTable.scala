@@ -717,18 +717,29 @@ object TxLogTable {
     * unchanged. Returns -1 without committing when nothing matches and
     * nothing inserts.
     *
+    * `whenMatchedSet` switches the update clause from whole-row
+    * `UPDATE SET *` to COLUMN-LEVEL `UPDATE SET col = expr, …`: each
+    * entry is a SQL expression over the `t`/`s` aliases (e.g.
+    * `"o_totalprice" -> "t.o_totalprice + s.adj"`), unset columns keep
+    * the target's value, and every right-hand side casts to the
+    * column's CURRENT type (the [[updateWhere]] no-schema-drift rule).
+    * With column-level SET and `insertUnmatched = false` the source no
+    * longer needs the target's schema at all — a narrow adjustments
+    * frame (keys + delta columns) merges directly, the common
+    * CDC-apply shape.
+    *
     * Scale shape: identical to [[upsertByKey]] — file-pruned
     * copy-on-write via [[filesMatchingKeys]], so a merge touching k
-    * keys rewrites only the files holding them. Requires matching
-    * target/source schemas (the conditional row image mixes t-rows and
-    * s-rows column-by-column; use [[upsertByKey]] for widening
-    * merges). */
+    * keys rewrites only the files holding them. Whole-row paths
+    * (default SET *, or inserts) require matching target/source
+    * schemas (use [[upsertByKey]] for widening merges). */
   def mergeByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String],
       whenMatchedUpdateIf: Option[String] = None,
       whenMatchedDeleteIf: Option[String] = None,
       insertUnmatched: Boolean = true,
-      commit: CommitPoint = CommitPoint.Auto): Long = {
+      commit: CommitPoint = CommitPoint.Auto,
+      whenMatchedSet: Option[Map[String, String]] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, expr => fexpr, lit => flit, not => fnot, when => fwhen}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__m"),
@@ -742,9 +753,19 @@ object TxLogTable {
     require(dupKeys.isEmpty,
       s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
     val snapshot = readVersion(spark, path, v0)
-    require(schemaKey(snapshot.schema) == schemaKey(updates.schema),
-      "mergeByKey requires matching schemas; use upsertByKey for " +
-        "widening merges")
+    require(!(whenMatchedSet.isEmpty || insertUnmatched) ||
+      schemaKey(snapshot.schema) == schemaKey(updates.schema),
+      "mergeByKey requires matching schemas on whole-row paths " +
+        "(SET * update, or inserts); use upsertByKey for widening " +
+        "merges, or pass whenMatchedSet with insertUnmatched = false " +
+        "for a narrow source")
+    whenMatchedSet.foreach { set =>
+      val unknown = set.keys.filterNot(snapshot.columns.contains)
+      require(unknown.isEmpty,
+        s"SET targets unknown column(s): ${unknown.mkString(", ")}")
+      require(set.keys.forall(c => !keyCols.contains(c)),
+        "SET must not reassign a merge key")
+    }
     val dataCols = snapshot.columns.toSeq
     val keys = updates.select(keyCols.map(fc): _*)
     val (all, touched) = filesMatchingKeys(spark, path, v0, keys, keyCols)
@@ -762,9 +783,17 @@ object TxLogTable {
         whenMatchedDeleteIf.map(fexpr).getOrElse(flit(false)), flit(false))
       val updCond = matched && fcoalesce(
         whenMatchedUpdateIf.map(fexpr).getOrElse(flit(true)), flit(false))
+      val updImage: String => org.apache.spark.sql.Column = whenMatchedSet match {
+        case None => c => fc(s"s.`$c`") // whole-row SET *
+        case Some(set) => c => set.get(c) match {
+          case Some(sql) =>
+            fexpr(sql).cast(snapshot.schema(c).dataType) // no schema drift
+          case None => fc(s"t.`$c`") // unset columns keep the target's
+        }
+      }
       joined.filter(fnot(delCond))
         .select(dataCols.map(c =>
-          fwhen(updCond, fc(s"s.`$c`")).otherwise(fc(s"t.`$c`")).as(c)): _*)
+          fwhen(updCond, updImage(c)).otherwise(fc(s"t.`$c`")).as(c)): _*)
     }
     val inserts: Option[DataFrame] =
       if (!insertUnmatched) None

@@ -1000,7 +1000,53 @@ object IngestQueries extends QueryModule {
       WHERE o_orderkey > b1 AND o_orderkey <= hi
       ORDER BY o_orderkey"""))
 
+  /** A23 conditional MERGE with COLUMN-LEVEL SET
+    * ([[TxLogTable.mergeByKey]]'s `whenMatchedSet` — Delta's
+    * `WHEN MATCHED THEN UPDATE SET col = expr` clause) applied from a
+    * NARROW source (keys + one delta column, the CDC-apply shape; the
+    * source never carries the target schema): every third order sends
+    * an adjustment in [−50, 49]; matches below −40 DELETE (clause
+    * order first), positive adjustments bump `o_totalprice` in place
+    * (`t`/`s` expression), everything else — including matched rows
+    * failing both clauses and unmatched source keys with
+    * `insertUnmatched = false` — carries verbatim. The oracle replays
+    * the three-way split with a LEFT JOIN + CASE. Integer-valued
+    * double addition keeps the arithmetic engine-identical. */
+  private val q177 = QueryDef(
+    "q177_acid_merge_column_set",
+    (s, d) => {
+      val path = s"/tmp/graft_acid_mset_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxLogTable.append(s, orders, path) // v0
+      val adj = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 100 - 50).as("adj"))
+      TxLogTable.mergeByKey(s, path, adj, Seq("o_orderkey"),
+        whenMatchedUpdateIf = Some("s.adj > 0"),
+        whenMatchedDeleteIf = Some("s.adj < -40"),
+        insertUnmatched = false,
+        whenMatchedSet = Some(Map(
+          "o_totalprice" -> "t.o_totalprice + s.adj"))) // v1
+      TxLogTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_orderkey, o_orderkey % 100 - 50 AS adj
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT t.o_orderkey, t.o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL AND s.adj > 0
+                  THEN t.o_totalprice + s.adj
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM orders t LEFT JOIN s USING (o_orderkey)
+      WHERE NOT (s.o_orderkey IS NOT NULL AND s.adj < -40)
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
-      q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176)
+      q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
+      q177)
 }

@@ -1072,7 +1072,94 @@ object TextQueries extends QueryModule {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** TOKENIZER-PRICED sequence packing — the full train-time
+    * composition: train 3 BPE merges (q171's trainer), price every
+    * document in SUBWORDS ([[TextAnalysis.bpeEncode]], q175), then
+    * pack the corpus into capacity-1024 context windows
+    * ([[graft.operators.Packing.assign]], q90's distributed prefix
+    * sum). This is the number chain a real pretraining pipeline runs —
+    * context budgets are set in the model's own token units, not in
+    * whitespace words. The oracle replays all three stages: the merge
+    * ladder, the relational segmentation + doc join, and the windowed
+    * prefix sum with the same integer clamps. */
+  private val q178 = QueryDef(
+    "q178_bpe_priced_packing",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      val priced = TextAnalysis.bpeEncode(docs, "doc_id", "text", m.map(_._1))
+        .select(col("doc_id"), col("n_subwords"))
+      graft.operators.Packing.assign(priced, "doc_id", "n_subwords",
+        capacity = 1024L).orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents) GROUP BY w),
+      s0 AS (
+        SELECT w, ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+                 i -> substr(w, i, 1)), '  ') || ' ' AS s, c
+        FROM w0),
+      p1 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s0))
+        GROUP BY pair),
+      b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s1 AS (SELECT w, replace(s,
+               ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS s, c
+             FROM s0),
+      p2 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s1))
+        GROUP BY pair),
+      b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s2 AS (SELECT w, replace(s,
+               ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS s, c
+             FROM s1),
+      p3 AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s2))
+        GROUP BY pair),
+      b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s3 AS (SELECT w, replace(s,
+               ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS s
+             FROM s2),
+      seg AS (
+        SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sub
+        FROM s3),
+      dw AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                 x -> length(x) > 0)) AS w
+        FROM documents),
+      priced AS (
+        SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_tokens
+        FROM dw JOIN seg USING (w)
+        GROUP BY doc_id),
+      c AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS tok_offset
+        FROM priced)
+      SELECT doc_id, n_tokens, tok_offset,
+        tok_offset // 1024 AS seq_id,
+        tok_offset % 1024 AS seq_offset,
+        (tok_offset + greatest(n_tokens, 1) - 1) // 1024 AS seq_last
+      FROM c
+      ORDER BY doc_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137, q138, q167, q171, q175)
+      q121, q126, q137, q138, q167, q171, q175, q178)
 }

@@ -35,6 +35,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * symmetric differences; the destination append is one commit. The
   * restore case needs no special handling: a RESTORE is an ordinary
   * commit whose feed step carries the un-restored rows as deletes.
+  *
+  * Sibling surface: [[graft.sources.GraftLogStreamSource]] exposes the
+  * SAME feed as a native Structured Streaming source
+  * (`spark.readStream.format("graftlog")`) — use that when the
+  * consumer is a standard streaming pipeline (watermarks, windows,
+  * any sink); use this driver when the consumer must WRITE BACK into
+  * an ACID table with range-txn idempotency it controls.
   */
 object ChangeFeedStream {
 

@@ -1114,6 +1114,47 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 300)
   }
 
+  test("mergeByKey: column-level SET with a narrow source (CDC-apply shape)") {
+    val path = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "a", 100L), (2L, "b", 200L), (3L, "c", 300L))
+        .toDF("id", "v", "x"), path) // v0
+    // narrow adjustments frame: keys + delta column only
+    val adj = Seq((1L, 5L), (2L, 0L), (9L, 7L)).toDF("id", "adj")
+    val v = TxLogTable.mergeByKey(spark, path, adj, Seq("id"),
+      whenMatchedUpdateIf = Some("s.adj <> 0"),
+      insertUnmatched = false,
+      whenMatchedSet = Some(Map(
+        "x" -> "t.x + s.adj",
+        "v" -> "concat(t.v, '+')")))
+    assert(v == 1)
+    assert(TxLogTable.read(spark, path).as[(Long, String, Long)]
+      .collect().toSet == Set(
+        (1L, "a+", 105L),  // matched, adj<>0: both SET columns fire
+        (2L, "b", 200L),   // matched but updateIf false: carries whole
+        (3L, "c", 300L))) // unmatched target row carries
+    // unmatched SOURCE row (id 9) must NOT insert with insertUnmatched=false
+    assert(TxLogTable.read(spark, path).count() == 3)
+    // SET result casts to the column's current type (no schema drift)
+    assert(TxLogTable.read(spark, path).schema("x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // guards: reassigning a key or an unknown column rejects up front
+    intercept[IllegalArgumentException] {
+      TxLogTable.mergeByKey(spark, path, adj, Seq("id"),
+        insertUnmatched = false,
+        whenMatchedSet = Some(Map("id" -> "s.adj")))
+    }
+    intercept[IllegalArgumentException] {
+      TxLogTable.mergeByKey(spark, path, adj, Seq("id"),
+        insertUnmatched = false,
+        whenMatchedSet = Some(Map("nope" -> "s.adj")))
+    }
+    // whole-row paths still demand matching schemas for a narrow source
+    intercept[IllegalArgumentException] {
+      TxLogTable.mergeByKey(spark, path, adj, Seq("id"))
+    }
+  }
+
   test("updateWhere: change feed carries old image as delete, new image as insert") {
     val path = tmp
     TxLogTable.append(spark,

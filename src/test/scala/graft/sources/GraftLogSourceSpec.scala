@@ -112,6 +112,81 @@ class GraftLogSourceSpec extends SparkSpec {
       s"connector write must produce a partition-pruned layout: $kept")
   }
 
+  test("streaming source: per-commit change feed, exactly-once across a restart") {
+    val path = tmp
+    val ckpt = Files.createTempDirectory("graft-dsrc-ckpt").toString
+    TxLogTable.append(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "grp", "amount"),
+      path) // v0
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def start() = spark.readStream.format("graftlog").load(path)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("id"), col("_change_type"), col("_commit_version"))
+          .collect()
+          .foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      .start()
+
+    val q = start()
+    q.processAllAvailable()
+    assert(got.toArray.toSet == Set((1L, "insert", 0L), (2L, "insert", 0L)),
+      s"first batch must deliver the initial snapshot: $got")
+
+    // DML while the stream runs: the delete's old image arrives tagged
+    TxLogTable.deleteWhere(spark, path, col("id") === 1L)            // v1
+    TxLogTable.append(spark,
+      Seq((3L, "c", 30.0)).toDF("id", "grp", "amount"), path)        // v2
+    q.processAllAvailable()
+    assert(got.toArray.toSet == Set(
+      (1L, "insert", 0L), (2L, "insert", 0L),
+      (1L, "delete", 1L), (3L, "insert", 2L)), s"live feed: $got")
+    q.stop()
+
+    // restart from the checkpoint: ONLY commits after it arrive —
+    // nothing from v0..v2 replays
+    got.clear()
+    TxLogTable.upsertByKey(spark, path,
+      Seq((2L, "b", 25.0)).toDF("id", "grp", "amount"), Seq("id"))   // v3
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toArray.toSet == Set(
+      (2L, "delete", 3L), (2L, "insert", 3L)),
+      s"restart must resume at the checkpointed version: $got")
+  }
+
+  test("streaming source: startingVersion skips history; empty table refuses") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, 1.0)).toDF("id", "x"), path)   // v0
+    TxLogTable.append(spark, Seq((2L, 2.0)).toDF("id", "x"), path)   // v1
+    TxLogTable.append(spark, Seq((3L, 3.0)).toDF("id", "x"), path)   // v2
+    val ckpt = Files.createTempDirectory("graft-dsrc-ckpt2").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("graftlog")
+      .option("startingVersion", 2).load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("id"), col("_commit_version")).collect()
+          .foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray.toSet == Set((3L, 2L)),
+      s"startingVersion=2 must skip v0/v1: $got")
+    intercept[Exception] {
+      spark.readStream.format("graftlog").load(tmp) // no commits
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-dsrc-ckpt3").toString)
+        .start()
+    }
+  }
+
   test("missing path and empty tables fail loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("graftlog").load()
