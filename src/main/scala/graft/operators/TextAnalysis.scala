@@ -895,9 +895,16 @@ object TextAnalysis {
     } finally held.foreach(_.unpersist(false))
   }
 
-  /** Apply an ordered merge list to the wrapped-symbol column — one
-    * chained literal replace per merge, all plan literals. */
-  private def applyMerges(words: DataFrame, merges: Seq[String]): DataFrame =
+  /** Merges applied per projection before the frame is materialized and
+    * the replace chain restarted. Depth 32 is safely under the ~50 where
+    * task serialization stack-overflows, while keeping the common case
+    * (training's single-merge rounds, small gate-scale merge lists) a
+    * zero-overhead plain projection. */
+  private[graft] val MergeChunk = 32
+
+  /** The raw k-deep chain — one literal replace per merge. Only ever
+    * built [[MergeChunk]]-deep; [[applyMerges]] is the bounded entry. */
+  private def applyMergeChain(words: DataFrame, merges: Seq[String]): DataFrame =
     merges.foldLeft(words) { (d, p) =>
       // the pair label "a b" matches the wrapped form " a  b " (each
       // symbol carries its own wrap, so two spaces separate them)
@@ -906,9 +913,49 @@ object TextAnalysis {
         lit(" " + p.replace(" ", "") + " ")))
     }
 
+  /** Apply an ordered merge list to the wrapped-symbol column in
+    * BOUNDED-DEPTH passes: at most [[MergeChunk]] chained replaces per
+    * projection, each chunk boundary local-checkpointed (persist +
+    * lineage truncation) with the predecessor's blocks released — the
+    * encode-side mirror of [[bpeTrain]]'s round materialization. A real
+    * tokenizer's 30k-merge list is O(k) single-pass work over the
+    * vocabulary-bounded word table; the unchunked chain stack-overflows
+    * task serialization near depth ~50 and blows AQE's plan strings
+    * super-linearly. The final boundary's blocks are registered in
+    * [[BlockRegistry]] for release at the harness boundary (the lazy
+    * result frame reads them). */
+  private[graft] def applyMerges(words: DataFrame, merges: Seq[String],
+      chunk: Int = MergeChunk): DataFrame = {
+    require(chunk >= 1, s"chunk >= 1, got $chunk")
+    if (merges.length <= chunk) applyMergeChain(words, merges)
+    else {
+      val spark = words.sparkSession
+      var held: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+        None
+      var cur = words
+      val groups = merges.grouped(chunk).toSeq
+      // every chunk but the last materializes; the last stays a lazy
+      // <=chunk-deep projection over the final checkpointed boundary
+      for (g <- groups.dropRight(1)) {
+        val d = applyMergeChain(cur, g)
+        val r = d.rdd
+        r.localCheckpoint()
+        r.count()
+        // the predecessor stays alive until the new rows materialized
+        held.foreach(_.unpersist(false))
+        held = Some(r)
+        cur = spark.createDataFrame(r, d.schema)
+      }
+      held.foreach(BlockRegistry.track)
+      applyMergeChain(cur, groups.last)
+    }
+  }
+
   /** The corpus' symbol vocabulary AFTER applying a [[bpeTrain]] merge
     * list: (symbol, weighted count), the subword frequency table a
-    * tokenizer ships with. One corpus scan + vocabulary-bounded work. */
+    * tokenizer ships with. One corpus scan + vocabulary-bounded work;
+    * the merge application is depth-bounded (see [[applyMerges]]), so a
+    * full-size merge list is safe here. */
   def bpeVocab(df: DataFrame, textCol: String,
       merges: Seq[String]): DataFrame =
     applyMerges(wrappedWords(df, textCol), merges)
@@ -922,8 +969,11 @@ object TextAnalysis {
     * merge replaces → split), and documents join their words back
     * against that vocabulary-bounded table — a mergeable hash join plus
     * one groupBy, no window, never a per-occurrence re-segmentation.
-    * Returns (idCol, n_words, n_subwords); no-token documents are
-    * dropped (nothing to encode). */
+    * The merge application is depth-bounded ([[applyMerges]] chunks at
+    * [[MergeChunk]] replaces per projection), so encoding with a real
+    * 30k-merge tokenizer is O(k) bounded passes over the word table,
+    * not one 30k-deep plan. Returns (idCol, n_words, n_subwords);
+    * no-token documents are dropped (nothing to encode). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[String]): DataFrame = {
     val words = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))

@@ -488,6 +488,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
 
+  test("applyMerges: chunked ≡ unchunked segmentation; boundary blocks release at the harness boundary") {
+    // 5 valid in-order merges applied at chunk=2 (two materialized
+    // boundaries + a lazy tail) must segment identically to the single
+    // 5-deep chain.
+    val words = Seq(
+      (" a  b  c  d  e  f ", 2L),
+      (" a  b  c ", 1L),
+      (" e  f  a  b ", 4L),
+      (" x ", 5L)).toDF("s", "c")
+    val merges = Seq("a b", "c d", "ab c", "e f", "abc d")
+    val chain = TextAnalysis.applyMerges(words, merges, chunk = 1000)
+      .select("s", "c").as[(String, Long)].collect().sorted
+    BlockRegistry.releaseAll() // isolate this test's registrations
+    val chunked = TextAnalysis.applyMerges(words, merges, chunk = 2)
+    val got = chunked.select("s", "c").as[(String, Long)].collect().sorted
+    assert(got.sameElements(chain), s"chunked=${got.toSeq} chain=${chain.toSeq}")
+    // only the FINAL boundary's blocks are still held (predecessors were
+    // released eagerly inside applyMerges); the registry drains them
+    assert(BlockRegistry.outstanding >= 1,
+      "final checkpoint boundary must be registered for harness release")
+    BlockRegistry.releaseAll()
+    assert(BlockRegistry.outstanding == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "no blocks may outlive the harness release")
+  }
+
+  test("bpeEncode: a merge list past MergeChunk takes the chunked path and stays exact") {
+    // 36 distinct symbols in one word → 35 trained merges > MergeChunk
+    // (32), so encode exercises the chunked path end-to-end. After all
+    // 35 merges the word is ONE subword, so the per-doc counts are
+    // hand-checkable: 3 occurrences → (3 words, 3 subwords).
+    val w = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val docs = Seq((1L, s"$w $w $w"), (2L, s"$w zz")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, "text", merges = 40).map(_._1)
+    assert(m.length >= 35, s"expected >= 35 trainable merges, got ${m.length}")
+    assert(m.length > TextAnalysis.MergeChunk)
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 3L)), s"got $got")
+    assert(got(2L)._1 == 2L, s"got $got")
+    BlockRegistry.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("linearProbe: empty corpus trains to zero weights; no-token docs drop from scoring") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val m0 = TextAnalysis.linearProbeTrain(empty, "text", lit(0L))
