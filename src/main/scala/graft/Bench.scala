@@ -151,10 +151,28 @@ object Bench {
         val from = txt.indexOf(key)
         if (from < 0) Map.empty
         else {
-          val body = txt.substring(from + key.length,
-            txt.indexOf("}", from + key.length))
-          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+          // balanced-brace scan, not indexOf('}'): a nested value inside
+          // the queries map would otherwise silently truncate the map
+          // and degrade the ratio to null without warning
+          val start = from + key.length
+          var i = start
+          var depth = 1
+          while (i < txt.length && depth > 0) {
+            val c = txt.charAt(i)
+            if (c == '{') depth += 1 else if (c == '}') depth -= 1
+            i += 1
+          }
+          val body = txt.substring(start, math.max(start, i - 1))
+          val parsed = "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // loud degradation: a committed artifact whose map parses to
+          // almost nothing means the format drifted, not that the run
+          // was fast — say so instead of quietly reporting null
+          if (depth != 0 || (body.length > 40 && parsed.size < 10))
+            System.err.println(s"[bench] committed $fullPath queries map " +
+              s"parsed to only ${parsed.size} entries (depth=$depth) — " +
+              "format drift? median_ratio_vs_committed may degrade to null")
+          parsed
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val ratios = results.collect {

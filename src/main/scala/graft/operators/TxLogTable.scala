@@ -407,7 +407,8 @@ object TxLogTable {
       expectedVersion.foreach { exp =>
         if (v != exp + 1)
           throw new java.util.ConcurrentModificationException(
-            s"table advanced to ${v - 1} during compaction (snapshot was $exp)")
+            s"table advanced to ${v - 1} past the pinned snapshot $exp " +
+              "(compaction or CAS append lost to a concurrent commit)")
       }
       // SetTransaction re-check ON EVERY ATTEMPT, after the version
       // listing (the delta conflict-detection shape): append's pre-stage
@@ -440,7 +441,8 @@ object TxLogTable {
       }
       if (expectedVersion.isDefined)
         throw new java.util.ConcurrentModificationException(
-          s"lost the commit race at version $v during compaction")
+          s"lost the commit race at version $v (pinned snapshot " +
+            s"${expectedVersion.get})")
       attempt += 1 // lost the race; retry at the next version
       // wait for the winner's entry to become visible before re-listing:
       // on a slow store the winner's upload may still be in flight, and
@@ -473,7 +475,8 @@ object TxLogTable {
   def append(spark: SparkSession, df: DataFrame, path: String,
       maxRetries: Int = 20, commit: CommitPoint = CommitPoint.Auto,
       txn: Option[(String, Long)] = None,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      expectedVersion: Option[Long] = None): Long = {
     require(partitionBy.forall(df.columns.contains),
       s"partition columns ${partitionBy.diff(df.columns.toSeq)} not in frame")
     val (fs, root) = fsFor(path)
@@ -491,8 +494,12 @@ object TxLogTable {
         return versions(fs, root).lastOption.getOrElse(-1L)
     }
     val files = stage(df, fs, root, "", partitionBy)
-    val v = commitEntry(fs, root, files, rebase = false, None, maxRetries,
-      commit, txn)
+    // expectedVersion makes the append a CAS: it commits ONLY as
+    // version expectedVersion+1 (one attempt, ConcurrentModification
+    // on any interleaved commit) — the compare-and-swap a concurrent
+    // change-feed consumer pins its watermark read with
+    val v = commitEntry(fs, root, files, rebase = false, expectedVersion,
+      if (expectedVersion.isDefined) 1 else maxRetries, commit, txn)
     DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json,
       commit, txn)
     v

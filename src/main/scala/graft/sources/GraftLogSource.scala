@@ -38,12 +38,15 @@ class GraftLogSource extends RelationProvider
   override def shortName(): String = "graftlog"
 
   private def streamOpts(parameters: Map[String, String])
-      : (String, Long) = {
+      : (String, Long, Option[Long]) = {
     val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException(
         "graftlog needs a path — spark.readStream.format(\"graftlog\").load(path)"))
-    (path, opts.get("startingversion").map(_.toLong).getOrElse(0L))
+    val maxPer = opts.get("maxversionspertrigger").map(_.toLong)
+    maxPer.foreach(m => require(m >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $m"))
+    (path, opts.get("startingversion").map(_.toLong).getOrElse(0L), maxPer)
   }
 
   /** STREAMING over the commit log — `spark.readStream
@@ -58,11 +61,16 @@ class GraftLogSource extends RelationProvider
     * (default 0 = the table's full history; the first batch delivers
     * the initial snapshot as per-commit inserts). The table must have
     * at least one commit when the stream starts (the schema comes from
-    * the log). */
+    * the log). `option("maxVersionsPerTrigger", n)` bounds catch-up:
+    * each micro-batch covers at most n commits, so a stream starting
+    * against a thousand-commit history (or restarting after long
+    * downtime) drains in bounded batches instead of one unbounded one
+    * — the delta world's `maxFilesPerTrigger` admission control, on
+    * the commit axis. */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (path, _) = streamOpts(parameters)
+    val (path, _, _) = streamOpts(parameters)
     (shortName(), GraftLogStreamSource.feedSchema(sqlContext, path))
   }
 
@@ -70,8 +78,9 @@ class GraftLogSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val (path, startingVersion) = streamOpts(parameters)
-    new GraftLogStreamSource(sqlContext, path, startingVersion)
+    val (path, startingVersion, maxPerTrigger) = streamOpts(parameters)
+    new GraftLogStreamSource(sqlContext, path, startingVersion,
+      maxPerTrigger)
   }
 
   /** The write side — `df.write.format("graftlog").mode(…).save(path)`
@@ -97,19 +106,24 @@ class GraftLogSource extends RelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val spark = sqlContext.sparkSession
-    val exists = TxLogTable.currentVersion(path) >= 0
-    mode match {
+    // ONE existence read; the returned relation pins the version the
+    // commit path itself returned (or that same read, for the no-write
+    // modes) — never a second currentVersion that a concurrent writer
+    // could have advanced past this write's commit
+    val v0 = TxLogTable.currentVersion(path)
+    val v = mode match {
       case Append => TxLogTable.append(spark, data, path, partitionBy = parts)
       case Overwrite =>
         TxLogTable.overwrite(spark, data, path, partitionBy = parts)
       case ErrorIfExists =>
-        if (exists) throw new IllegalStateException(
+        if (v0 >= 0) throw new IllegalStateException(
           s"graftlog table at $path already has commits (ErrorIfExists)")
         else TxLogTable.append(spark, data, path, partitionBy = parts)
       case Ignore =>
-        if (!exists) TxLogTable.append(spark, data, path, partitionBy = parts)
+        if (v0 < 0) TxLogTable.append(spark, data, path, partitionBy = parts)
+        else v0
     }
-    GraftLogRelation(sqlContext, path, TxLogTable.currentVersion(path))
+    GraftLogRelation(sqlContext, path, Some(v))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -124,11 +138,14 @@ class GraftLogSource extends RelationProvider
     val byTs = opts.get("timestampasof").map(_.toLong)
     require(byVersion.isEmpty || byTs.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
-    val version = byVersion
-      .orElse(byTs.map(TxLogTable.versionAsOf(path, _)))
-      .getOrElse(TxLogTable.currentVersion(path))
-    require(version >= 0, s"no committed version at $path")
-    GraftLogRelation(sqlContext, path, version)
+    val pinned = byVersion.orElse(byTs.map(TxLogTable.versionAsOf(path, _)))
+    require(pinned.getOrElse(TxLogTable.currentVersion(path)) >= 0,
+      s"no committed version at $path")
+    // time travel pins; a head read stays LIVE (each scan resolves the
+    // then-current version), so a `CREATE TEMPORARY VIEW … USING
+    // graftlog` sees commits — including its own `INSERT INTO` — made
+    // after the view was created
+    GraftLogRelation(sqlContext, path, pinned)
   }
 }
 
@@ -150,20 +167,34 @@ object GraftLogStreamSource {
 }
 
 /** V1 streaming Source whose offset axis IS the commit-log version:
-  * `getOffset` reports the head, `getBatch(start, end)` is one
-  * file-pruned [[TxLogTable.changesPerVersion]] over `(start, end]`.
-  * No source-side state — restart recovery is entirely the engine's
-  * checkpointed offsets, and a replayed batch re-reads the identical
-  * commit range (the log is immutable), so delivery is exactly-once
-  * into any idempotent sink. */
+  * `getOffset` reports the head — clamped to `maxVersionsPerTrigger`
+  * commits past the last batch boundary when set — and
+  * `getBatch(start, end)` is one file-pruned
+  * [[TxLogTable.changesPerVersion]] over `(start, end]`.
+  * No DURABLE source-side state — restart recovery is entirely the
+  * engine's checkpointed offsets, and a replayed batch re-reads the
+  * identical commit range (the log is immutable), so delivery is
+  * exactly-once into any idempotent sink. The admission-control clamp
+  * only needs the in-memory high-water mark of batch ranges this
+  * incarnation has SEEN (`seenEnd`, re-primed on restart by the
+  * engine's recovery `getBatch` of the checkpointed range before the
+  * first `getOffset`), so throttling never risks re-reporting an
+  * offset below the checkpoint. */
 class GraftLogStreamSource(sqlContext: SQLContext, path: String,
-    startingVersion: Long)
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   override val schema: StructType =
     GraftLogStreamSource.feedSchema(sqlContext, path)
+
+  /** Highest batch-range bound this source incarnation has handed to
+    * the engine — the admission-control base. NOT durable state: a
+    * fresh start begins at `startingVersion - 1`, and on restart the
+    * engine's recovery call to [[getBatch]] with the checkpointed
+    * range re-primes it before the next [[getOffset]]. */
+  @volatile private var seenEnd: Long = startingVersion - 1L
 
   private def versionOf(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -174,7 +205,11 @@ class GraftLogStreamSource(sqlContext: SQLContext, path: String,
 
   override def getOffset: Option[OffsetV1] = {
     val head = TxLogTable.currentVersion(path)
-    if (head < startingVersion) None else Some(LongOffset(head))
+    if (head < startingVersion) None
+    else Some(LongOffset(maxVersionsPerTrigger match {
+      case Some(m) => math.min(head, seenEnd + m)
+      case None => head
+    }))
   }
 
   override def getBatch(start: Option[OffsetV1],
@@ -182,14 +217,34 @@ class GraftLogStreamSource(sqlContext: SQLContext, path: String,
     val spark = sqlContext.sparkSession
     val from = start.map(versionOf).getOrElse(startingVersion - 1L)
     val to = versionOf(end)
+    // track BOTH bounds: the engine's recovery getBatch replays the
+    // checkpointed range before the first post-restart getOffset (the
+    // documented V1 contract — "certain sources assume on restart the
+    // last batch will be executed before getOffset is called again"),
+    // and taking the max of either bound keeps the clamp monotonic
+    // even against an engine that skipped it
+    seenEnd = math.max(seenEnd, math.max(from, to))
     val rows =
       if (to <= from)
         spark.sparkContext
           .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
       else {
         val feed = TxLogTable.changesPerVersion(spark, path, from, to)
-        // pin the declared column order; a column the range's commits
-        // never carried (schema evolution) null-pads
+        // schema contract: the feed schema pins at stream START. A
+        // column the range's commits never carried (the table narrowed
+        // before the stream began) null-pads; but a column the TABLE
+        // gained mid-stream must fail LOUDLY — silently projecting it
+        // away would lose data with no signal (the reference CDF
+        // stream fails on schema change too). Restart picks up the
+        // widened schema from the log.
+        val gained = feed.columns.filterNot(c =>
+          schema.fieldNames.contains(c))
+        if (gained.nonEmpty) throw new IllegalStateException(
+          s"graftlog stream at $path: commits (${from + 1}, $to] carry " +
+            s"column(s) ${gained.mkString(", ")} absent from the schema " +
+            "pinned at stream start — restart the stream to pick up the " +
+            "widened schema (failing loudly instead of silently dropping " +
+            "the new column's data)")
         feed.select(schema.fields.toSeq.map { f =>
           if (feed.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
@@ -209,11 +264,38 @@ class GraftLogStreamSource(sqlContext: SQLContext, path: String,
   override def stop(): Unit = ()
 }
 
+/** The batch relation. `pinned = Some(v)` is a time-travel snapshot;
+  * `None` is a LIVE head relation — every scan resolves the version
+  * current at scan time, so a long-lived temp view tracks the table.
+  * The SCHEMA still pins at relation creation (Spark resolves plans
+  * against it once); appends never change it, and a widening overwrite
+  * warrants recreating the view. */
 case class GraftLogRelation(sqlContext: SQLContext, path: String,
-    version: Long) extends BaseRelation with PrunedFilteredScan {
+    pinned: Option[Long])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  private def snapshotVersion: Long =
+    pinned.getOrElse(TxLogTable.currentVersion(path))
 
   override val schema: StructType =
-    TxLogTable.readVersion(sqlContext.sparkSession, path, version).schema
+    TxLogTable.readVersion(sqlContext.sparkSession, path, snapshotVersion)
+      .schema
+
+  /** `INSERT INTO t SELECT …` / `INSERT OVERWRITE t …` on the SQL view
+    * — routed to the SAME ACID commit path every other writer uses
+    * (CHECK constraints gate, a constraint abort stages nothing, the
+    * pre-insert version stays time-travelable). Only a live head view
+    * accepts inserts: writing "into" a pinned time-travel snapshot
+    * would silently target a different version than the reader sees. */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    require(pinned.isEmpty,
+      s"cannot INSERT into a time-travel graftlog view (pinned at " +
+        s"version ${pinned.get} of $path) — create a head view instead")
+    val spark = sqlContext.sparkSession
+    if (overwrite) TxLogTable.overwrite(spark, data, path)
+    else TxLogTable.append(spark, data, path)
+  }
 
   /** Translate Catalyst's pushed [[Filter]]s into a Column predicate
     * for the stats-pruning pass. Partial by design: an untranslatable
@@ -243,9 +325,10 @@ case class GraftLogRelation(sqlContext: SQLContext, path: String,
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val spark = sqlContext.sparkSession
+    val v = snapshotVersion
     val base = filters.flatMap(toColumn).reduceOption(_ && _) match {
-      case Some(pred) => TxLogTable.readWhere(spark, path, pred, Some(version))
-      case None => TxLogTable.readVersion(spark, path, version)
+      case Some(pred) => TxLogTable.readWhere(spark, path, pred, Some(v))
+      case None => TxLogTable.readVersion(spark, path, v)
     }
     base.select(requiredColumns.map(col).toSeq: _*).rdd
   }

@@ -57,18 +57,45 @@ object ChangeFeedStream {
     * returns the rows to append downstream (possibly zero — the
     * watermark still advances through the txn record on the empty
     * append). Returns the source version now applied. No-op without a
-    * commit when already current. */
+    * commit when already current.
+    *
+    * Safe under CONCURRENT consumers of the same source→dest pair: the
+    * destination append is a CAS pinned to the dest version current
+    * when the watermark was read (`expectedVersion`), so two drivers
+    * that both read the same watermark cannot both land overlapping
+    * ranges — the loser's commit aborts and its retry re-reads the
+    * advanced watermark. The dest-version read deliberately precedes
+    * the watermark read: any commit interleaving the two can only make
+    * the CAS abort, never let a stale range through. */
   def applyOnce(spark: SparkSession, source: String, dest: String,
-      transform: DataFrame => DataFrame, maxCommits: Int = 64): Long = {
+      transform: DataFrame => DataFrame, maxCommits: Int = 64,
+      maxRetries: Int = 20): Long = {
     val head = TxLogTable.currentVersion(source)
     require(head >= 0, s"source $source is empty — nothing to consume")
-    val applied = appliedVersion(dest, source)
-    if (applied >= head) return applied
-    val feed = TxLogTable.changesPerVersion(spark, source, applied, head,
-      maxCommits)
-    TxLogTable.append(spark, transform(feed), dest,
-      txn = Some((consumerId(source), head)))
-    head
+    var attempt = 0
+    while (true) {
+      val destV = TxLogTable.currentVersion(dest)
+      val applied = appliedVersion(dest, source)
+      if (applied >= head) return applied
+      val feed = TxLogTable.changesPerVersion(spark, source, applied, head,
+        maxCommits)
+      try {
+        TxLogTable.append(spark, transform(feed), dest,
+          txn = Some((consumerId(source), head)),
+          expectedVersion = Some(destV))
+        return head
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          // someone committed to dest since the watermark read — maybe
+          // a rival consumer who applied (part of) our range; re-read
+          // and re-derive the still-unapplied remainder
+          attempt += 1
+          if (attempt >= maxRetries) throw new IllegalStateException(
+            s"change-feed apply $source -> $dest lost the commit race " +
+              s"$maxRetries times")
+      }
+    }
+    -1L // unreachable
   }
 
   /** The foreachBatch driver: clocks [[applyOnce]] off a rate-source

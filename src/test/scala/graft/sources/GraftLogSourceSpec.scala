@@ -187,6 +187,136 @@ class GraftLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("maxVersionsPerTrigger: a 50-commit history drains in bounded batches; mid-drain restart resumes exactly") {
+    val path = tmp
+    for (i <- 0 until 50)
+      TxLogTable.append(spark, Seq((i.toLong, i.toString)).toDF("id", "s"),
+        path)
+    val expect = TxLogTable.changesPerVersion(spark, path, -1L, 49L)
+      .select(col("id"), col("_commit_version")).as[(Long, Long)]
+      .collect().toSet
+    assert(expect.size == 50)
+
+    val ckpt = Files.createTempDirectory("graft-dsrc-ckpt4").toString
+    // an idempotent sink keyed by batchId: a replayed batch overwrites
+    // its own slot, so the union below is the exactly-once contract
+    val batches = new scala.collection.concurrent.TrieMap[Long,
+      Set[(Long, Long)]]()
+    def start() = spark.readStream.format("graftlog")
+      .option("maxVersionsPerTrigger", 10).load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches(id) = b.select(col("id"), col("_commit_version"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        ()
+      }.start()
+
+    // stop as soon as the first batch lands — almost always mid-drain
+    val q = start()
+    val deadline = System.currentTimeMillis + 60000
+    while (batches.isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(25)
+    q.stop()
+    assert(batches.nonEmpty, "no batch arrived within 60s")
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val union = batches.values.flatten.toSet
+    assert(union == expect,
+      s"drained union must equal the unthrottled feed exactly — " +
+        s"missing ${expect -- union}, extra ${union -- expect}")
+    assert(batches.size >= 5,
+      s"50 commits at maxVersionsPerTrigger=10 need >= 5 batches, " +
+        s"got ${batches.size}")
+    batches.foreach { case (id, rows) =>
+      assert(rows.map(_._2).size <= 10,
+        s"batch $id covers ${rows.map(_._2).size} commits > 10")
+    }
+  }
+
+  test("streaming source: a mid-stream widened schema fails loudly; restart picks it up") {
+    val path = tmp
+    val ckpt = Files.createTempDirectory("graft-dsrc-ckpt5").toString
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "s"), path) // v0
+    val cols = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graftlog").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cols.add(b.columns.toSeq)
+        b.select(col("id")).collect().foreach(r => ids.add(r.getLong(0)))
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    assert(ids.toArray.toSet == Set(1L))
+    // the table gains a column mid-stream: silently projecting it away
+    // would lose data — the batch must fail loudly instead
+    TxLogTable.overwrite(spark,
+      Seq((2L, "b", 9.9)).toDF("id", "s", "extra"), path) // v1
+    val err = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("widened schema")),
+      s"expected the widened-schema error, got: ${messages(err)}")
+    q.stop()
+    // restart from the SAME checkpoint: the failed range replays under
+    // the new pinned schema — the extra column arrives, nothing lost
+    cols.clear(); ids.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(cols.toArray.forall(_.asInstanceOf[Seq[String]].contains("extra")),
+      s"restart must pick up the widened schema: $cols")
+    assert(ids.toArray.toSet == Set(1L, 2L),
+      s"the replayed range must deliver the overwrite's rows: $ids")
+  }
+
+  test("SQL surface: INSERT INTO a graftlog view is one ACID commit; pinned views refuse; constraint abort stages nothing") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((1L, "a")).toDF("id", "s"), path) // v0
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW glv " +
+      s"USING graftlog OPTIONS (path '$path')")
+    spark.sql("INSERT INTO glv SELECT CAST(2 AS BIGINT), 'b'")     // v1
+    assert(TxLogTable.currentVersion(path) == 1L,
+      "the insert must land as exactly one commit")
+    // the LIVE view sees its own insert without re-creation
+    assert(spark.sql("SELECT id FROM glv").as[Long].collect().toSet
+      == Set(1L, 2L))
+    // time travel still sees the pre-insert version
+    assert(spark.read.format("graftlog").option("versionAsOf", 0)
+      .load(path).select("id").as[Long].collect().toSet == Set(1L))
+    // a constraint abort commits nothing and advances nothing
+    TxLogTable.addCheckConstraint(spark, path, "pos_id", "id > 0")
+    intercept[Exception] {
+      spark.sql("INSERT INTO glv SELECT CAST(-5 AS BIGINT), 'x'")
+    }
+    assert(TxLogTable.currentVersion(path) == 1L,
+      "an aborted insert must not advance the version")
+    assert(spark.sql("SELECT id FROM glv").as[Long].collect().toSet
+      == Set(1L, 2L))
+    // INSERT OVERWRITE routes to the atomic rebase commit
+    spark.sql("INSERT OVERWRITE glv SELECT CAST(9 AS BIGINT), 'z'") // v2
+    assert(spark.sql("SELECT id FROM glv").as[Long].collect().toSet
+      == Set(9L))
+    assert(spark.read.format("graftlog").option("versionAsOf", 1)
+      .load(path).select("id").as[Long].collect().toSet == Set(1L, 2L),
+      "overwrite must keep history time-travelable")
+    // a time-travel view is read-only
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW glv0 " +
+      s"USING graftlog OPTIONS (path '$path', versionAsOf '0')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO glv0 SELECT CAST(7 AS BIGINT), 'q'")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("time-travel")),
+      s"expected the time-travel refusal, got: ${messages(e)}")
+  }
+
   test("missing path and empty tables fail loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("graftlog").load()

@@ -80,6 +80,65 @@ class ChangeFeedStreamSpec extends SparkSpec {
       "replayed range must not even commit")
   }
 
+  test("concurrent consumers: racing applyOnce never duplicates a range") {
+    val src = tmp
+    val dest = tmp + "-down"
+    for (i <- 0 until 5)
+      TxLogTable.append(spark,
+        Seq((i.toLong, s"g$i", i * 10.0)).toDF("id", "grp", "amount"), src)
+    // four drivers race the same catch-up; the CAS lets exactly one
+    // land the range, the rest retry into the advanced watermark
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def race(): Unit = {
+      val fs = (1 to 4).map(_ => Future {
+        ChangeFeedStream.applyOnce(spark, src, dest, transform)
+      })
+      fs.foreach(Await.result(_, 120.seconds))
+    }
+    race()
+    assert(TxLogTable.currentVersion(dest) == 0L,
+      "four racing consumers must produce exactly ONE dest commit")
+    val recompute = transform(
+      TxLogTable.changesPerVersion(spark, src, -1L, 4L))
+      .as[(Long, Double, String, Long)].collect().toSet
+    assert(destRows(dest) == recompute)
+    // and again after the source advances
+    TxLogTable.append(spark,
+      Seq((9L, "z", 90.0)).toDF("id", "grp", "amount"), src) // v5
+    race()
+    assert(TxLogTable.currentVersion(dest) == 1L)
+    assert(destRows(dest) == transform(
+      TxLogTable.changesPerVersion(spark, src, -1L, 5L))
+      .as[(Long, Double, String, Long)].collect().toSet)
+  }
+
+  test("a stale driver's overlapping range is rejected by the CAS (the two-driver window)") {
+    val src = tmp
+    val dest = tmp + "-down"
+    TxLogTable.append(spark,
+      Seq((1L, "a", 10.0)).toDF("id", "grp", "amount"), src) // v0
+    // driver A reads the dest version, then stalls
+    val staleDestV = TxLogTable.currentVersion(dest) // -1
+    // driver B applies (-1, 0] and advances the watermark
+    ChangeFeedStream.applyOnce(spark, src, dest, transform)
+    TxLogTable.append(spark,
+      Seq((2L, "b", 20.0)).toDF("id", "grp", "amount"), src) // v1
+    val rows = destRows(dest)
+    // driver A wakes with its stale snapshot and tries to land the
+    // OVERLAPPING range (-1, 1] under a newer txn version — before the
+    // CAS this committed (SetTransaction only skips <= recorded) and
+    // duplicated (-1, 0] downstream; now it must abort stageless
+    val feed = TxLogTable.changesPerVersion(spark, src, -1L, 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      TxLogTable.append(spark, transform(feed), dest,
+        txn = Some(("cdf:" + src, 1L)),
+        expectedVersion = Some(staleDestV))
+    }
+    assert(destRows(dest) == rows, "the stale range must not land")
+  }
+
   test("foreachBatch driver: AvailableNow tick catches the consumer up") {
     val src = tmp
     val dest = tmp + "-down"
