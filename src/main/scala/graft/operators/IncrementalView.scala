@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
   *     view state with one mergeable groupBy (state size = GROUP
   *     cardinality, never corpus size), groups whose count reaches 0
   *     drop (the multiset-semantics guarantee);
-  *  4. the new state publishes with [[TxLogTable.overwrite]] carrying
+  *  4. the touched groups' new state publishes with ONE file-pruned
+  *     [[TxLogTable.mergeByKey]] (update / delete-at-zero /
+  *     conditional-insert clauses, null-safe keys) carrying
   *     `txn = (iv:<source>, srcVersion)` — idempotent per source
   *     version, so a crashed/replayed maintain can never double-apply
   *     a delta, and the view itself is an ACID table (time travel
-  *     shows every refresh).
+  *     shows every refresh). The publish is priced by the DELTA:
+  *     untouched groups' files carry by reference (first load is the
+  *     one full overwrite; a no-row-change range advances the
+  *     watermark with an empty txn-stamped append).
   *
   * Supported aggregates: `count(*)` (always, as `cnt`), `sum` of each
   * `sumCols` column (as `sum_<col>`) — averages derive as sum/cnt
@@ -101,9 +106,19 @@ object IncrementalView {
         minCols.map(c => insOnly(c, min).as(s"min_$c")) ++
         maxCols.map(c => insOnly(c, max).as(s"max_$c")) ++
         distinctCols.map(c => kmvAgg(insHash(c)).as(s"kmv_$c")): _*)
+    // only the groups the delta TOUCHED participate from here on —
+    // untouched groups' stored state never loads into the merge and
+    // (below) never republishes; a NULL group key is a real group,
+    // hence the null-safe semi-join
     val prior =
       if (applied < 0) None
-      else Some(TxLogTable.read(spark, view))
+      else Some {
+        val full = TxLogTable.read(spark, view)
+        full.alias("pv").join(deltaAgg.select(keyCs: _*).alias("dk"),
+          keyCols.map(k => col(s"pv.`$k`") <=> col(s"dk.`$k`"))
+            .reduce(_ && _),
+          "left_semi")
+      }
     val merged = prior match {
       case None => deltaAgg
       case Some(p) => p.unionByName(deltaAgg)
@@ -166,9 +181,36 @@ object IncrementalView {
                 rec(s"rkmv_$c")).otherwise(merged(s"kmv_$c")).as(s"kmv_$c")): _*)
         }
       }
-    val next = withExtremes.filter(col("cnt") > 0)
-    TxLogTable.overwrite(spark, next, view,
-      txn = Some((appIdFor(source), srcHead)))
+    val srcTxn = Some((appIdFor(source), srcHead))
+    prior match {
+      case None =>
+        // first load: the full state publishes once (overwrite also
+        // clears any pre-existing content at the view path)
+        TxLogTable.overwrite(spark, withExtremes.filter(col("cnt") > 0),
+          view, txn = srcTxn)
+      case Some(_) =>
+        // DELTA-PRICED publish: one file-pruned MERGE carrying only the
+        // touched groups' new state — groups netting to zero DELETE,
+        // surviving groups update whole-row, genuinely new groups
+        // insert (conditionally: a group born and fully deleted inside
+        // the range never lands). Untouched groups' files carry into
+        // the new version by reference, so a 3-group delta against a
+        // 5k-group view rewrites only the files holding those 3 groups
+        // instead of republishing the whole state.
+        val merged2 = TxLogTable.mergeByKey(spark, view,
+          withExtremes, keyCols,
+          whenMatchedDeleteIf = Some("s.cnt <= 0"),
+          whenNotMatchedInsertIf = Some("s.cnt > 0"),
+          txn = srcTxn,
+          checkDuplicateKeys = false, // distinct by groupBy construction
+          nullSafeKeys = true)
+        // a range with NO row changes (compaction-only commits) merges
+        // nothing; the watermark still advances through an empty
+        // txn-stamped append so the next maintain never rescans it
+        if (merged2 == -1L)
+          TxLogTable.append(spark,
+            TxLogTable.read(spark, view).limit(0), view, txn = srcTxn)
+    }
     srcHead
   }
 }

@@ -397,6 +397,25 @@ object TxLogTable {
     * with an (appId, txnVersion) transaction identifier (the delta
     * protocol's SetTransaction), the hook idempotent streaming writers
     * key their replay checks on. */
+  /** Shared SetTransaction pre-commit: validates the appId and returns
+    * Some(currentVersion) when the transaction already committed at or
+    * past its version — the caller returns it without staging anything.
+    * The same check re-runs race-safely inside [[commitEntry]]. */
+  private def txnFastPath(fs: FileSystem, root: HPath,
+      txn: Option[(String, Long)]): Option[Long] =
+    txn.flatMap { case (app, tv) =>
+      require(app.matches("[A-Za-z0-9_:/.@=-]+"),
+        s"txn appId must be JSON-literal-safe, got '$app'")
+      // the log parser extracts file names by their data- prefix from the
+      // whole entry; an appId that looks like one would be read back as a
+      // phantom data file and break every snapshot of the table
+      require(!app.startsWith("data-"),
+        s"txn appId must not start with 'data-', got '$app'")
+      if (lastTxnVersion(fs, root, app).exists(_ >= tv))
+        Some(versions(fs, root).lastOption.getOrElse(-1L))
+      else None
+    }
+
   private def commitEntry(fs: FileSystem, root: HPath, files: Seq[String],
       rebase: Boolean, expectedVersion: Option[Long], maxRetries: Int,
       cp: CommitPoint, txn: Option[(String, Long)] = None,
@@ -480,19 +499,7 @@ object TxLogTable {
     require(partitionBy.forall(df.columns.contains),
       s"partition columns ${partitionBy.diff(df.columns.toSeq)} not in frame")
     val (fs, root) = fsFor(path)
-    txn.foreach { case (app, tv) =>
-      require(app.matches("[A-Za-z0-9_:/.@=-]+"),
-        s"txn appId must be JSON-literal-safe, got '$app'")
-      // the log parser extracts file names by their data- prefix from the
-      // whole entry; an appId that looks like one would be read back as a
-      // phantom data file and break every snapshot of the table
-      require(!app.startsWith("data-"),
-        s"txn appId must not start with 'data-', got '$app'")
-      // fast path: don't stage files for a batch that already committed
-      // (re-checked race-safely inside the commit loop)
-      if (lastTxnVersion(fs, root, app).exists(_ >= tv))
-        return versions(fs, root).lastOption.getOrElse(-1L)
-    }
+    txnFastPath(fs, root, txn).foreach(v => return v)
     val files = stage(df, fs, root, "", partitionBy)
     // expectedVersion makes the append a CAS: it commits ONLY as
     // version expectedVersion+1 (one attempt, ConcurrentModification
@@ -519,14 +526,7 @@ object TxLogTable {
     require(partitionBy.forall(df.columns.contains),
       s"partition columns ${partitionBy.diff(df.columns.toSeq)} not in frame")
     val (fs, root) = fsFor(path)
-    txn.foreach { case (app, tv) =>
-      require(app.matches("[A-Za-z0-9_:/.@=-]+"),
-        s"txn appId must be JSON-literal-safe, got '$app'")
-      require(!app.startsWith("data-"),
-        s"txn appId must not start with 'data-', got '$app'")
-      if (lastTxnVersion(fs, root, app).exists(_ >= tv))
-        return versions(fs, root).lastOption.getOrElse(-1L)
-    }
+    txnFastPath(fs, root, txn).foreach(v => return v)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val prior = if (v0 >= 0) filesUpTo(fs, root, v0) else Seq.empty
     val files = stage(df, fs, root, "over-", partitionBy)
@@ -680,18 +680,23 @@ object TxLogTable {
     * v0, files containing matches). Shared by [[upsertByKey]] and
     * [[mergeByKey]]. */
   private def filesMatchingKeys(spark: SparkSession, path: String,
-      v0: Long, keys: DataFrame, keyCols: Seq[String])
-      : (Seq[String], Seq[String]) = {
+      v0: Long, keys: DataFrame, keyCols: Seq[String],
+      nullSafeKeys: Boolean = false): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col => fc}
     val (fs, root) = fsFor(path)
     val all = filesUpTo(fs, root, v0)
-    val keyRange = {
-      import org.apache.spark.sql.functions.{col => fc, max => fmax, min => fmin}
+    // the stats-range prefilter is null-UNSAFE twice over (min/max skip
+    // NULL keys, and a file whose key column is all-NULL has a null
+    // interval) — under nullSafeKeys the exact probe below is the only
+    // sound filter, so every file is a candidate
+    val keyRange = if (nullSafeKeys) None else {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
       val r = keys.agg(fmin(fc(keyCols.head)), fmax(fc(keyCols.head))).first()
       if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
     }
     val cand = keyRange match {
       case Some((mn, mx)) =>
-        import org.apache.spark.sql.functions.{col => fc, lit => fl}
+        import org.apache.spark.sql.functions.{lit => fl}
         prunedFiles(spark, path,
           fc(keyCols.head) >= fl(mn) && fc(keyCols.head) <= fl(mx),
           Some(v0))._1
@@ -699,10 +704,16 @@ object TxLogTable {
     }
     val touched =
       if (cand.isEmpty) Seq.empty[String]
-      else touchedFiles(cand,
-        scanFiles(spark, path, cand)
+      else {
+        val probe = scanFiles(spark, path, cand)
           .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-          .join(keys, keyCols, "left_semi"))
+        val joined =
+          if (!nullSafeKeys) probe.join(keys, keyCols, "left_semi")
+          else probe.alias("t").join(keys.alias("s"),
+            keyCols.map(k => fc(s"t.`$k`") <=> fc(s"s.`$k`")).reduce(_ && _),
+            "left_semi")
+        touchedFiles(cand, joined)
+      }
     (all, touched)
   }
 
@@ -735,6 +746,17 @@ object TxLogTable {
     * frame (keys + delta columns) merges directly, the common
     * CDC-apply shape.
     *
+    * `whenNotMatchedInsertIf` makes the insert clause conditional
+    * (`WHEN NOT MATCHED AND <cond> THEN INSERT`, over the `s` alias);
+    * `nullSafeKeys` switches every key comparison to `<=>` so a NULL
+    * key is a real, matchable key (an incremental view's NULL group);
+    * `txn` gives the merge [[append]]'s SetTransaction idempotency (a
+    * replayed merge is a stageless no-op — note a merge that matches
+    * and inserts NOTHING returns -1 without recording the txn);
+    * `checkDuplicateKeys = false` skips the duplicate-key guard action
+    * for updates that are distinct by construction (off a groupBy on
+    * the merge keys).
+    *
     * Scale shape: identical to [[upsertByKey]] — file-pruned
     * copy-on-write via [[filesMatchingKeys]], so a merge touching k
     * keys rewrites only the files holding them. Whole-row paths
@@ -746,19 +768,34 @@ object TxLogTable {
       whenMatchedDeleteIf: Option[String] = None,
       insertUnmatched: Boolean = true,
       commit: CommitPoint = CommitPoint.Auto,
-      whenMatchedSet: Option[Map[String, String]] = None): Long = {
+      whenMatchedSet: Option[Map[String, String]] = None,
+      txn: Option[(String, Long)] = None,
+      checkDuplicateKeys: Boolean = true,
+      nullSafeKeys: Boolean = false,
+      whenNotMatchedInsertIf: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, expr => fexpr, lit => flit, not => fnot, when => fwhen}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__m"),
       "updates must not carry a __m column (internal match marker)")
     val (fs, root) = fsFor(path)
+    // same SetTransaction contract as append/overwrite: a replayed merge
+    // is a stageless no-op. (A merge that matches and inserts NOTHING
+    // returns -1 without recording the txn — there is no commit to make
+    // idempotent; callers needing a watermark advance on empty deltas
+    // record it with an empty txn append instead.)
+    txnFastPath(fs, root, txn).foreach(v => return v)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     require(v0 >= 0, s"cannot merge into an empty table at $path " +
       "(use append for the first commit)")
-    val dupKeys = updates.groupBy(keyCols.map(fc): _*)
-      .agg(fcount(flit(1)).as("__n")).filter(fc("__n") > 1)
-    require(dupKeys.isEmpty,
-      s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
+    // the guard is one extra action per merge; a caller whose updates
+    // are distinct BY CONSTRUCTION (e.g. they come off a groupBy on the
+    // merge keys) skips it with checkDuplicateKeys = false
+    if (checkDuplicateKeys) {
+      val dupKeys = updates.groupBy(keyCols.map(fc): _*)
+        .agg(fcount(flit(1)).as("__n")).filter(fc("__n") > 1)
+      require(dupKeys.isEmpty,
+        s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
+    }
     val snapshot = readVersion(spark, path, v0)
     require(!(whenMatchedSet.isEmpty || insertUnmatched) ||
       schemaKey(snapshot.schema) == schemaKey(updates.schema),
@@ -775,15 +812,22 @@ object TxLogTable {
     }
     val dataCols = snapshot.columns.toSeq
     val keys = updates.select(keyCols.map(fc): _*)
-    val (all, touched) = filesMatchingKeys(spark, path, v0, keys, keyCols)
+    val (all, touched) =
+      filesMatchingKeys(spark, path, v0, keys, keyCols, nullSafeKeys)
     val untouched = all.diff(touched)
+    // nullSafeKeys switches every key comparison to <=>: a NULL key is
+    // then a real, matchable key (the incremental-view contract — a
+    // NULL group key is a real group) instead of never-matching
+    val keyEq: (String, String) => org.apache.spark.sql.Column =
+      if (nullSafeKeys) (a, b) => fc(a) <=> fc(b)
+      else (a, b) => fc(a) === fc(b)
     val tgtScan =
       if (touched.isEmpty) None
       else Some(scanFiles(spark, path, touched))
     val rewritten: Option[DataFrame] = tgtScan.map { tgt =>
       val joined = tgt.alias("t").join(
         updates.withColumn("__m", flit(1)).alias("s"),
-        keyCols.map(k => fc(s"t.`$k`") === fc(s"s.`$k`")).reduce(_ && _),
+        keyCols.map(k => keyEq(s"t.`$k`", s"s.`$k`")).reduce(_ && _),
         "left")
       val matched = fc("s.__m").isNotNull
       val delCond = matched && fcoalesce(
@@ -802,14 +846,26 @@ object TxLogTable {
         .select(dataCols.map(c =>
           fwhen(updCond, updImage(c)).otherwise(fc(s"t.`$c`")).as(c)): _*)
     }
+    // WHEN NOT MATCHED AND <cond> THEN INSERT — the conditional-insert
+    // clause (Delta's insert condition): a SQL boolean over the `s`
+    // alias, NULL counts false
+    val insertSource = whenNotMatchedInsertIf match {
+      case None => updates
+      case Some(c) =>
+        updates.alias("s").filter(fcoalesce(fexpr(c), flit(false)))
+    }
     val inserts: Option[DataFrame] =
       if (!insertUnmatched) None
       else Some(tgtScan match {
         // every matched key lives in a touched file by construction, so
         // anti-joining the touched scan's keys isolates the unmatched
-        case Some(tgt) => updates.join(
+        case Some(tgt) if !nullSafeKeys => insertSource.join(
           tgt.select(keyCols.map(fc): _*), keyCols, "left_anti")
-        case None => updates
+        case Some(tgt) => insertSource.alias("s").join(
+          tgt.select(keyCols.map(fc): _*).alias("t"),
+          keyCols.map(k => keyEq(s"s.`$k`", s"t.`$k`")).reduce(_ && _),
+          "left_anti")
+        case None => insertSource
       }).map(_.select(dataCols.map(fc): _*))
     val outOpt = (rewritten, inserts) match {
       case (Some(r), Some(i)) => Some(r.unionByName(i))
@@ -821,7 +877,7 @@ object TxLogTable {
     val staged = out.map(stage(_, fs, root, "merge-", partColsOf(touched)))
       .getOrElse(Seq.empty)
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, op = "merge")
+      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "merge")
     DeltaInterop.mirror(spark, path, v, staged, touched,
       snapshot.schema.json, commit)
     v
@@ -848,8 +904,10 @@ object TxLogTable {
     * the predicate columns into tight per-file ranges. */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
-      commit: CommitPoint = CommitPoint.Auto): Long = {
+      commit: CommitPoint = CommitPoint.Auto,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = fsFor(path)
+    txnFastPath(fs, root, txn).foreach(v => return v)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     require(v0 >= 0, s"cannot delete from an empty table at $path")
     val snapshot = readVersion(spark, path, v0)
@@ -881,7 +939,7 @@ object TxLogTable {
       else stage(remaining, fs, root, "delete-", partColsOf(touched),
         validate = false)
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, op = "delete")
+      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "delete")
     DeltaInterop.mirror(spark, path, v, staged, touched,
       snapshot.schema.json, commit)
     v
@@ -915,10 +973,12 @@ object TxLogTable {
   def updateWhere(spark: SparkSession, path: String,
       set: Map[String, org.apache.spark.sql.Column],
       predicate: org.apache.spark.sql.Column,
-      commit: CommitPoint = CommitPoint.Auto): Long = {
+      commit: CommitPoint = CommitPoint.Auto,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, lit => flit, when => fwhen}
     require(set.nonEmpty, "update needs at least one SET assignment")
     val (fs, root) = fsFor(path)
+    txnFastPath(fs, root, txn).foreach(v => return v)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     require(v0 >= 0, s"cannot update an empty table at $path")
     val snapshot = readVersion(spark, path, v0)
@@ -947,7 +1007,7 @@ object TxLogTable {
       }: _*)
     val staged = stage(rewritten, fs, root, "update-", partColsOf(touched))
     val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, op = "update")
+      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "update")
     DeltaInterop.mirror(spark, path, v, staged, touched,
       snapshot.schema.json, commit)
     v
@@ -1416,6 +1476,15 @@ object TxLogTable {
         OpRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("append"),
         isRebase(txt), fileList(txt).size)
     }.toDF("version", "timestamp", "operation", "is_rebase", "num_files")
+  }
+
+  /** The log-relative data-file listing of version `version`'s snapshot
+    * — the DESCRIBE DETAIL surface. Diffing two versions' listings
+    * shows exactly which files a DML commit rewrote vs carried by
+    * reference (metadata-scale driver-side log parse). */
+  def snapshotFiles(path: String, version: Long): Seq[String] = {
+    val (fs, root) = fsFor(path)
+    filesUpTo(fs, root, version)
   }
 
   /** The latest version whose (monotonized) commit timestamp is ≤

@@ -68,6 +68,74 @@ class IncrementalViewSpec extends SparkSpec {
       s"view v0 must be the initial load: $first")
   }
 
+  test("delta-priced publish: a 3-group delta merges into a 5k-group view touching only those groups' files") {
+    val src = tmp
+    val view = tmp + "-view"
+    // 5000 groups, one row each; the view state lands spread over many
+    // files (the groupBy's shuffle partitioning)
+    TxLogTable.append(spark,
+      spark.range(5000).select(col("id"),
+        concat(lit("g"), col("id")).as("grp"),
+        (col("id") * 1.0).as("amount")), src) // v0
+    // pin a multi-file first-load layout (AQE would coalesce this tiny
+    // probe state into one file and the file-count REQUIRE below would
+    // be vacuous)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val v0 = TxLogTable.currentVersion(view)
+    val f0 = TxLogTable.snapshotFiles(view, v0).toSet
+    assert(f0.size >= 8,
+      s"the probe needs a multi-file view, got ${f0.size} file(s)")
+
+    // a delta touching exactly 3 groups
+    TxLogTable.append(spark,
+      Seq((9001L, "g7", 1.0), (9002L, "g1234", 2.0), (9003L, "g4999", 3.0))
+        .toDF("id", "grp", "amount"), src) // v1
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    val v1 = TxLogTable.currentVersion(view)
+    val f1 = TxLogTable.snapshotFiles(view, v1).toSet
+    val rewritten = f0 -- f1
+    val added = f1 -- f0
+    // the REQUIRE: the merge rewrote at most the files HOLDING the 3
+    // touched groups — never the whole state
+    assert(rewritten.size <= 3 && rewritten.nonEmpty,
+      s"3-group delta must rewrite <= 3 files, rewrote ${rewritten.size}")
+    assert(added.size <= 3 + 1, s"staged ${added.size} files for 3 groups")
+    assert((f0 & f1).size >= f0.size - 3,
+      "untouched groups' files must carry by reference")
+    assert(viewRows(view) == recompute(src))
+    assert(TxLogTable.historyDf(spark, view)
+      .filter(col("version") === v1).select("operation")
+      .as[String].head() == "merge")
+
+    // zero-crossing groups DELETE through the merge, again file-pruned
+    TxLogTable.deleteWhere(spark, src,
+      col("grp") === "g42" || col("grp") === "g4321") // v2
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    val v2 = TxLogTable.currentVersion(view)
+    val f2 = TxLogTable.snapshotFiles(view, v2).toSet
+    assert((f1 -- f2).size <= 2,
+      s"2-group delete must rewrite <= 2 files, rewrote ${(f1 -- f2).size}")
+    assert(!viewRows(view).contains("g42") && !viewRows(view).contains("g4321"))
+    assert(viewRows(view) == recompute(src))
+
+    // a compaction-only range advances the watermark without touching
+    // the state (empty txn-stamped append)
+    TxLogTable.compact(spark, src, targetFiles = 1) // v3
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    assert(IncrementalView.appliedVersion(view, src)
+      == TxLogTable.currentVersion(src),
+      "the watermark must advance across a no-row-change range")
+    assert(viewRows(view) == recompute(src))
+
+    // replay-idempotent: re-maintaining commits nothing further
+    val vv = TxLogTable.currentVersion(view)
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    assert(TxLogTable.currentVersion(view) == vv)
+  }
+
   test("min/max extremes: monotone on inserts, dirty-group recompute on extremum deletes") {
     val src = tmp
     val view = tmp + "-view"
