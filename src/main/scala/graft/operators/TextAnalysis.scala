@@ -951,6 +951,38 @@ object TextAnalysis {
     }
   }
 
+  /** PERSIST a trained merge list as a versioned [[TxLogTable]]
+    * artifact — training and serving become separate jobs: train once,
+    * save, and every pricing/packing/encode job loads the tokenizer it
+    * was built with. Schema `(merge_idx, pair, cnt)`; each save is one
+    * atomic `overwrite` commit, so retraining VERSIONS the tokenizer
+    * (time travel reads any historical tokenizer, and a model's data
+    * card can pin the exact merge-list version it shipped with).
+    * Returns the committed version. */
+  def bpeSave(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, Long)], path: String): Long = {
+    require(merges.nonEmpty, "cannot save an empty merge list")
+    import spark.implicits._
+    TxLogTable.overwrite(spark,
+      merges.zipWithIndex
+        .map { case ((p, c), i) => (i.toLong, p, c) }
+        .toDF("merge_idx", "pair", "cnt"),
+      path)
+  }
+
+  /** LOAD a [[bpeSave]]d merge list (optionally a historical version).
+    * The collect is bounded metadata by construction — a merge list is
+    * at most 65536 rows, the same class as centroid codebooks. */
+  def bpeLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+      versionAsOf: Option[Long] = None): Seq[(String, Long)] = {
+    val df = versionAsOf
+      .map(v => TxLogTable.readVersion(spark, path, v))
+      .getOrElse(TxLogTable.read(spark, path))
+    df.orderBy(col("merge_idx"))
+      .select(col("pair"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
   /** The corpus' symbol vocabulary AFTER applying a [[bpeTrain]] merge
     * list: (symbol, weighted count), the subword frequency table a
     * tokenizer ships with. One corpus scan + vocabulary-bounded work;

@@ -1159,7 +1159,72 @@ object TextQueries extends QueryModule {
       FROM c
       ORDER BY doc_id"""))
 
+  /** The q175-family oracle merge ladder, generated for k rounds: each
+    * round counts pairs over the previous round's vocabulary, picks the
+    * (count desc, pair asc) argmax, and applies it as the one wrapped
+    * literal replace. `s0` must already be defined by the caller. */
+  private def bpeRoundsSql(k: Int): String =
+    (1 to k).map { i =>
+      s"""p$i AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                   i -> sy[i] || ' ' || sy[i+1])) AS pair, c
+          FROM (SELECT string_split(trim(s), '  ') AS sy, c FROM s${i - 1}))
+        GROUP BY pair),
+      b$i AS (SELECT pair FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s$i AS (SELECT w, replace(s,
+               ' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS s, c
+             FROM s${i - 1})"""
+    }.mkString(",\n      ")
+
+  /** TOKENIZER AS A TABLE ARTIFACT ([[TextAnalysis.bpeSave]] /
+    * [[TextAnalysis.bpeLoad]]): train 4 merges, persist the ordered
+    * merge list as a versioned ACID table, then ENCODE the corpus with
+    * the tokenizer loaded back FROM THE TABLE — train-once/serve-
+    * everywhere as two decoupled jobs, the artifact itself
+    * time-travelable. The oracle replays the 4 merge rounds and the
+    * relational segmentation; any corruption in the save→load
+    * round-trip (ordering, truncation, pair text) breaks the hash. */
+  private val q179 = QueryDef(
+    "q179_bpe_tokenizer_artifact",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = TextAnalysis.bpeTrain(docs, "text", merges = 4)
+      val path = s"/tmp/graft_bpe_artifact_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      TextAnalysis.bpeSave(s, m, path)
+      // the serving side: the tokenizer comes ONLY from the artifact
+      val loaded = TextAnalysis.bpeLoad(s, path)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", loaded.map(_._1))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w0 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents) GROUP BY w),
+      s0 AS (
+        SELECT w, ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+                 i -> substr(w, i, 1)), '  ') || ' ' AS s, c
+        FROM w0),
+      ${bpeRoundsSql(4)},
+      seg AS (
+        SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sub
+        FROM s4),
+      dw AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                 x -> length(x) > 0)) AS w
+        FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+      FROM dw JOIN seg USING (w)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137, q138, q167, q171, q175, q178)
+      q121, q126, q137, q138, q167, q171, q175, q178, q179)
 }

@@ -533,6 +533,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("bpeSave/bpeLoad: versioned tokenizer artifact; encoding with the loaded tokenizer is identical") {
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-bpe-artifact").toString
+    val docs = Seq((1L, "aaab aaab aaab ab ab"), (2L, "ab ba"))
+      .toDF("doc_id", "text")
+    val m1 = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+    val v0 = TextAnalysis.bpeSave(spark, m1, path)
+    assert(TextAnalysis.bpeLoad(spark, path) == m1,
+      "the loaded merge list must round-trip ordered and exact")
+    // retraining versions the artifact; time travel reads the old one
+    val docs2 = Seq((1L, "cd cd ce ce ce")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(docs2, "text", merges = 2)
+    val v1 = TextAnalysis.bpeSave(spark, m2, path)
+    assert(v1 > v0)
+    assert(TextAnalysis.bpeLoad(spark, path) == m2)
+    assert(TextAnalysis.bpeLoad(spark, path, Some(v0)) == m1)
+    // the serving contract: encode with the LOADED tokenizer equals
+    // encode with the in-memory one
+    val mem = TextAnalysis.bpeEncode(docs, "doc_id", "text", m1.map(_._1))
+      .as[(Long, Long, Long)].collect().toSet
+    val loaded = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      TextAnalysis.bpeLoad(spark, path, Some(v0)).map(_._1))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loaded == mem)
+  }
+
   test("linearProbe: empty corpus trains to zero weights; no-token docs drop from scoring") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val m0 = TextAnalysis.linearProbeTrain(empty, "text", lit(0L))
