@@ -43,7 +43,7 @@ object TxLogTable {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  private[operators] def fsFor(path: String): (FileSystem, HPath) = {
+  private[graft] def fsFor(path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
     (p.getFileSystem(hadoopConf()), p)
   }
@@ -1513,7 +1513,7 @@ object TxLogTable {
     * Some("2024-01-01"))). `__HIVE_DEFAULT_PARTITION__` decodes to
     * None (null partition value). Values are %XX-unescaped (hive path
     * escaping; NOT URLDecoder — '+' must stay literal). */
-  private[operators] def partitionValuesOf(rel: String)
+  private[graft] def partitionValuesOf(rel: String)
       : Seq[(String, Option[String])] =
     rel.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
       val i = seg.indexOf('=')
@@ -1830,6 +1830,18 @@ object TxLogTable {
         case _: org.apache.spark.sql.AnalysisException =>
           resolve(readVersion(spark, path, v).schema)
       }
+    pruneFilesWith(fs, root, files, cond)
+  }
+
+  /** The pruning CORE over an already-RESOLVED condition (typed
+    * AttributeReferences) — shared by the Column front door above and
+    * the [[graft.sources.GraftLogFileIndex]] connector path, whose
+    * `listFiles` receives Catalyst expressions directly from the
+    * planner. */
+  private[graft] def pruneFilesWith(fs: FileSystem, root: HPath,
+      files: Seq[String],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (Seq[String], Seq[String]) =
     cond match {
       case None => (files, Seq.empty)
       case Some(c) =>
@@ -1854,7 +1866,6 @@ object TxLogTable {
         }
         (kept, partSkipped ++ statSkipped)
     }
-  }
 
   /** Predicate read with LOG-LEVEL data skipping — the Delta stats-
     * pruned scan: files whose recorded min/max intervals prove no row

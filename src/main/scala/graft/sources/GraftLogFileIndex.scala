@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.operators.TxLogTable
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LOG-BACKED [[FileIndex]] — the architecture the delta world ships
+  * for its read path (a transaction-log snapshot exposed as the file
+  * listing of an ordinary `HadoopFsRelation`): the planner sees a
+  * standard parquet relation, so the scan is Spark's OWN
+  * `FileSourceScanExec` — vectorized columnar parquet, whole-stage
+  * codegen, parquet footer/row-group pushdown — while `listFiles`
+  * answers from the COMMIT LOG: only the snapshot's live files exist,
+  * and the planner's partition+data filters run through the table's
+  * log-level skipping ([[TxLogTable.pruneFilesWith]]: hive-segment
+  * bounds first, then the `_stats.json` min/max sidecars), so a file
+  * whose recorded interval provably excludes the predicate never even
+  * reaches the scan's listing. Pruning is advisory as everywhere else
+  * — the scan re-applies every filter exactly.
+  *
+  * `pinned = Some(v)` serves time travel; `None` is LIVE — every
+  * planner listing resolves the then-current version, so a long-lived
+  * SQL view tracks the table (including its own `INSERT INTO`s).
+  * File statuses cache forever: committed data files are immutable by
+  * the log's construction. */
+class GraftLogFileIndex(spark: SparkSession, path: String,
+    pinned: Option[Long], override val partitionSchema: StructType)
+    extends FileIndex {
+
+  private val statusCache =
+    new scala.collection.concurrent.TrieMap[String, FileStatus]()
+
+  private def version: Long =
+    pinned.getOrElse(TxLogTable.currentVersion(path))
+
+  private def snapshot: Seq[String] = TxLogTable.snapshotFiles(path, version)
+
+  private def statusOf(rel: String): FileStatus =
+    statusCache.getOrElseUpdate(rel, {
+      val (fs, _) = TxLogTable.fsFor(path)
+      fs.getFileStatus(new HPath(s"$path/$rel"))
+    })
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(path))
+
+  override def refresh(): Unit = statusCache.clear()
+
+  override def inputFiles: Array[String] =
+    snapshot.map(f => s"$path/$f").toArray
+
+  override def sizeInBytes: Long = snapshot.map(statusOf(_).getLen).sum
+
+  /** Hive-partition path values cast to the declared partition types —
+    * the same string→type conversion partition discovery performs
+    * (session time zone for temporal casts); a
+    * `__HIVE_DEFAULT_PARTITION__` segment is NULL. */
+  private def partitionRow(rel: String): InternalRow = {
+    val vals = TxLogTable.partitionValuesOf(rel).toMap
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+      vals.get(f.name).flatten match {
+        case None => null
+        case Some(s) => Cast(
+          Literal(UTF8String.fromString(s), StringType), f.dataType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+      }
+    })
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (fs, root) = TxLogTable.fsFor(path)
+    val snap = snapshot
+    // layout guard for LIVE head indexes: the relation chose this fast
+    // path from the layout at VIEW CREATION. If a later commit mixes
+    // layouts (partition evolution — a file carrying the column
+    // in-file instead of in its path), reading that column as a path
+    // constant would yield nulls silently; fail loudly instead and the
+    // recreated view takes the row fallback.
+    val expected = partitionSchema.fieldNames.toSeq
+    snap.find(f => TxLogTable.partitionValuesOf(f).map(_._1) != expected)
+      .foreach { f =>
+        throw new IllegalStateException(
+          s"graftlog view over $path: file $f does not match the " +
+            s"partition layout ${expected.mkString("[", ",", "]")} the " +
+            "view was created with (partition evolution after view " +
+            "creation) — recreate the view to pick up the new layout")
+      }
+    // partition pruning is EXACT, not interval-based: bind the
+    // planner's partition filters to each directory's typed values and
+    // evaluate — this also prunes the cases a min/max model cannot
+    // express (IsNotNull against a __HIVE_DEFAULT_PARTITION__ dir,
+    // null-safe equality, Not). NULL or false both exclude, standard
+    // WHERE semantics.
+    val keepDir: InternalRow => Boolean =
+      partitionFilters.reduceOption(And) match {
+        case None => _ => true
+        case Some(cond) =>
+          val bound = cond.transform {
+            case a: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                partitionSchema.fieldIndex(a.name), a.dataType, a.nullable)
+          }
+          row => java.lang.Boolean.TRUE == bound.eval(row)
+      }
+    val dataCond = dataFilters.reduceOption(And)
+    snap.groupBy(f => TxLogTable.partitionValuesOf(f).map(_._2)).toSeq
+      .sortBy(_._1.toString)
+      .flatMap { case (_, fsOfDir) =>
+        val row = partitionRow(fsOfDir.head)
+        if (!keepDir(row)) None
+        else {
+          // data-column skipping via the _stats.json sidecars, only
+          // for partition survivors
+          val (kept, _) =
+            TxLogTable.pruneFilesWith(fs, root, fsOfDir, dataCond)
+          if (kept.isEmpty) None
+          else Some(PartitionDirectory(row, kept.map(statusOf).toArray))
+        }
+      }
+  }
+}

@@ -19,23 +19,62 @@ import org.apache.spark.sql.types.StructType
   *
   * Registered as short name `graftlog` via the
   * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`
-  * entry, exactly like Spark's own formats. Implements
-  * [[PrunedFilteredScan]], so Catalyst's pushed-down filters reach the
-  * table's LOG-LEVEL data skipping ([[TxLogTable.readWhere]]): a file
-  * whose recorded min/max interval provably excludes the predicate
-  * never opens a footer. Pushdown is advisory (`unhandledFilters`
-  * returns every filter), so Spark re-applies the exact predicates —
-  * pruning can only skip provably-unmatching files, never change
-  * results. Column pruning projects before the scan's row conversion.
+  * entry, exactly like Spark's own formats. Reads plan as Spark's OWN
+  * `FileSourceScanExec` over a log-backed [[GraftLogFileIndex]] —
+  * vectorized columnar parquet in whole-stage codegen, with the
+  * planner's filters running through exact partition-value pruning and
+  * the log-level min/max skipping inside `listFiles` (the delta
+  * world's read architecture; see [[GraftLogRelation]]). Pruning is
+  * advisory — the scan re-applies every predicate exactly, so skipping
+  * can only drop provably-unmatching files, never change results.
   *
   * The delta world ships exactly this shape (a DataSource with
-  * versionAsOf/timestampAsOf options); here it is ~100 lines over the
-  * existing snapshot/pruning machinery, no new read path. */
+  * versionAsOf/timestampAsOf options); here it is a thin layer over
+  * the existing snapshot/pruning machinery, no new read path. */
 class GraftLogSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graftlog"
+
+  /** STREAMING SINK — `df.writeStream.format("graftlog")
+    * .option("checkpointLocation", …).start(path)`: every micro-batch
+    * lands as ONE ACID commit stamped with
+    * `SetTransaction(graftlog-sink:<queryId>, batchId)`, so a replayed
+    * batch (crash between commit and the engine's offset checkpoint,
+    * or a restart re-delivering the last batch) commits NOTHING — the
+    * txn fast path returns before anything stages. `queryId` is the
+    * StreamingQuery's durable id (stable across restarts from the same
+    * checkpoint), which is exactly the replay axis batchIds live on.
+    * Append mode appends; Complete mode atomically overwrites with the
+    * batch's full result (one rebase commit per trigger, history
+    * time-travelable — the table IS the query's materialized state);
+    * Update is refused (the log has no in-place row channel; use
+    * foreachBatch + mergeByKey for update semantics). CHECK
+    * constraints gate every batch like any other commit. Partitioning
+    * comes from `writeStream.partitionBy(…)` (V1 sinks DO receive it)
+    * or the `partitionBy` option. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlog needs a path — df.writeStream.format(\"graftlog\").start(path)"))
+    import org.apache.spark.sql.streaming.OutputMode.{Append, Complete}
+    require(outputMode == Append() || outputMode == Complete(),
+      s"graftlog sink supports Append and Complete output modes, got " +
+        s"$outputMode — for Update semantics drive mergeByKey from " +
+        "foreachBatch")
+    val parts =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else opts.get("partitionby")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+    new GraftLogStreamSink(sqlContext, path, parts,
+      outputMode == Complete())
+  }
 
   private def streamOpts(parameters: Map[String, String])
       : (String, Long, Option[Long]) = {
@@ -150,6 +189,25 @@ class GraftLogSource extends RelationProvider
 }
 
 object GraftLogStreamSource {
+  /** The V1-connector hop shared by the stream source (needs
+    * `isStreaming = true` on the frame it hands the engine) and the
+    * stream sink (needs `isStreaming = false` on the micro-batch it
+    * hands the ACID writer): the one constructor that sets the flag
+    * (`internalCreateDataFrame`, the FileStreamSource /
+    * ForeachBatchSink path) is `private[sql]` at the Scala level but
+    * public bytecode. */
+  private[sources] def internalDf(spark: org.apache.spark.sql.SparkSession,
+      rows: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: StructType, isStreaming: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val m = spark.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      classOf[Boolean])
+    m.invoke(spark, rows, schema, java.lang.Boolean.valueOf(isStreaming))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+  }
+
   /** Table columns (as of the current head) + the change-feed metadata
     * triple, in [[graft.operators.TxLogTable.changesPerVersion]]'s
     * column order. */
@@ -250,27 +308,155 @@ class GraftLogStreamSource(sqlContext: SQLContext, path: String,
           else lit(null).cast(f.dataType).as(f.name)
         }: _*).queryExecution.toRdd
       }
-    // the engine asserts isStreaming on the returned frame; the one
-    // constructor that sets it (internalCreateDataFrame, the
-    // FileStreamSource path) is private[sql] at the Scala level but
-    // public bytecode — the standard V1-connector reflection hop
-    val m = spark.getClass.getMethod("internalCreateDataFrame",
-      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
-      classOf[Boolean])
-    m.invoke(spark, rows, schema, java.lang.Boolean.TRUE)
-      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    // the engine asserts isStreaming on the returned frame
+    GraftLogStreamSource.internalDf(spark, rows, schema,
+      isStreaming = true)
   }
 
   override def stop(): Unit = ()
 }
 
-/** The batch relation. `pinned = Some(v)` is a time-travel snapshot;
+/** V1 streaming Sink over the commit log (see
+  * [[GraftLogSource.createSink]]): one ACID commit per micro-batch,
+  * exactly-once via `SetTransaction(graftlog-sink:<queryId>, batchId)`
+  * — batchIds are the engine's replay axis and the queryId is durable
+  * in the checkpoint, so a re-delivered batch hits the txn fast path
+  * and commits nothing. No sink-side state of any kind. */
+class GraftLogStreamSink(sqlContext: SQLContext, path: String,
+    partitionBy: Seq[String], complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = sqlContext.sparkSession
+    // the engine sets the query's DURABLE id as a local property for
+    // exactly the lifetime of addBatch (the standard V1-sink
+    // idempotency key — checkpoint-stable, unlike runId)
+    val queryId = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    require(queryId != null,
+      "graftlog sink must run inside a streaming query (no " +
+        "sql.streaming.queryId local property)")
+    val txn = Some((s"graftlog-sink:$queryId", batchId))
+    // the incoming frame is the engine's incremental plan (flagged
+    // isStreaming); re-root its physical rows as an ordinary batch
+    // frame for the commit path
+    val batch = GraftLogStreamSource.internalDf(spark,
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    if (complete)
+      TxLogTable.overwrite(spark, batch, path, txn = txn,
+        partitionBy = partitionBy)
+    else
+      TxLogTable.append(spark, batch, path, txn = txn,
+        partitionBy = partitionBy)
+  }
+
+  override def toString: String = s"GraftLogStreamSink[$path]"
+}
+
+/** Factory for the batch relation. The DEFAULT shape is Delta's read
+  * architecture: a [[org.apache.spark.sql.execution.datasources
+  * .HadoopFsRelation]] over a log-backed [[GraftLogFileIndex]], so the
+  * physical scan is Spark's own `FileSourceScanExec` — VECTORIZED
+  * columnar parquet inside whole-stage codegen, parquet footer
+  * pushdown, column pruning — with the commit log answering the file
+  * listing and the log-level stats skipping running inside
+  * `listFiles`. No per-row `Row` conversion anywhere (the cost the V1
+  * `PrunedFilteredScan` shape paid on every row).
+  *
+  * Tables whose snapshot mixes hive-partition LAYOUTS (partition
+  * evolution: some files carry a column in their path, others carry it
+  * in-file) fall back to [[GraftLogRowRelation]] — a single
+  * `HadoopFsRelation` declares ONE partition schema, and reading an
+  * in-file column as a path constant would corrupt the mixed case.
+  * Same semantics, row-at-a-time cost; compaction normalizes the
+  * layout and the next view creation takes the fast path. */
+object GraftLogRelation {
+  /** (path, version) → merged snapshot schema. A committed version's
+    * schema is IMMUTABLE (the log never rewrites history), so caching
+    * is safe and kills the dominant fixed cost of relation creation —
+    * the mergeSchema footer sweep — for every re-read of a version
+    * this process has already resolved. Size-capped defensively. */
+  private val schemaCache = new scala.collection.concurrent.TrieMap[
+    (String, Long), StructType]()
+
+  private def snapshotSchema(spark: org.apache.spark.sql.SparkSession,
+      path: String, v: Long): StructType = {
+    if (schemaCache.size > 1024) schemaCache.clear()
+    schemaCache.getOrElseUpdate((path, v),
+      TxLogTable.readVersion(spark, path, v).schema)
+  }
+
+  def apply(sqlContext: SQLContext, path: String,
+      pinned: Option[Long]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val v = pinned.getOrElse(TxLogTable.currentVersion(path))
+    val files = TxLogTable.snapshotFiles(path, v)
+    val keySets = files.map(f => TxLogTable.partitionValuesOf(f).map(_._1))
+    if (files.isEmpty || keySets.distinct.size > 1)
+      new GraftLogRowRelation(sqlContext, path, pinned)
+    else {
+      val full = snapshotSchema(spark, path, v)
+      val partKeys = keySets.head
+      val partSchema = StructType(partKeys.map(k => full(k)))
+      val dataSchema = StructType(
+        full.fields.filterNot(f => partKeys.contains(f.name)))
+      new GraftLogRelation(spark, path, pinned,
+        new GraftLogFileIndex(spark, path, pinned, partSchema),
+        partSchema, dataSchema)
+    }
+  }
+
+  /** The shared ACID insert — `INSERT INTO t SELECT …` /
+    * `INSERT OVERWRITE t …` on the SQL view, routed to the SAME commit
+    * path every other writer uses (CHECK constraints gate, a
+    * constraint abort stages nothing, the pre-insert version stays
+    * time-travelable). Only a live head view accepts inserts: writing
+    * "into" a pinned time-travel snapshot would silently target a
+    * different version than the reader sees. */
+  private[sources] def acidInsert(spark: org.apache.spark.sql.SparkSession,
+      path: String, pinned: Option[Long],
+      data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    require(pinned.isEmpty,
+      s"cannot INSERT into a time-travel graftlog view (pinned at " +
+        s"version ${pinned.get} of $path) — create a head view instead")
+    if (overwrite) TxLogTable.overwrite(spark, data, path)
+    else TxLogTable.append(spark, data, path)
+  }
+}
+
+/** The vectorized relation (see [[GraftLogRelation.apply]]). Extends
+  * `HadoopFsRelation` so the planner's `FileSourceStrategy` owns the
+  * physical scan, AND `InsertableRelation` so SQL `INSERT INTO` still
+  * routes to the ACID commit path — the analyzer checks
+  * `InsertableRelation` BEFORE `HadoopFsRelation`
+  * (`DataSourceAnalysis`), so the file-write command that would bypass
+  * the log is never chosen. The SCHEMA pins at relation creation
+  * (Spark resolves plans against it once); the FILE LISTING of a head
+  * relation stays live through the index. */
+class GraftLogRelation(spark: org.apache.spark.sql.SparkSession,
+    val path: String, val pinned: Option[Long],
+    index: GraftLogFileIndex, partSchema: StructType,
+    dataSchema0: StructType)
+    extends org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partSchema, dataSchema0, None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat(),
+      Map.empty)(spark)
+    with InsertableRelation {
+
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit =
+    GraftLogRelation.acidInsert(spark, path, pinned, data, overwrite)
+}
+
+/** The row-at-a-time fallback relation (mixed hive-partition layouts,
+  * empty snapshots). `pinned = Some(v)` is a time-travel snapshot;
   * `None` is a LIVE head relation — every scan resolves the version
   * current at scan time, so a long-lived temp view tracks the table.
   * The SCHEMA still pins at relation creation (Spark resolves plans
   * against it once); appends never change it, and a widening overwrite
   * warrants recreating the view. */
-case class GraftLogRelation(sqlContext: SQLContext, path: String,
+class GraftLogRowRelation(val sqlContext: SQLContext, path: String,
     pinned: Option[Long])
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
@@ -281,21 +467,10 @@ case class GraftLogRelation(sqlContext: SQLContext, path: String,
     TxLogTable.readVersion(sqlContext.sparkSession, path, snapshotVersion)
       .schema
 
-  /** `INSERT INTO t SELECT …` / `INSERT OVERWRITE t …` on the SQL view
-    * — routed to the SAME ACID commit path every other writer uses
-    * (CHECK constraints gate, a constraint abort stages nothing, the
-    * pre-insert version stays time-travelable). Only a live head view
-    * accepts inserts: writing "into" a pinned time-travel snapshot
-    * would silently target a different version than the reader sees. */
   override def insert(data: org.apache.spark.sql.DataFrame,
-      overwrite: Boolean): Unit = {
-    require(pinned.isEmpty,
-      s"cannot INSERT into a time-travel graftlog view (pinned at " +
-        s"version ${pinned.get} of $path) — create a head view instead")
-    val spark = sqlContext.sparkSession
-    if (overwrite) TxLogTable.overwrite(spark, data, path)
-    else TxLogTable.append(spark, data, path)
-  }
+      overwrite: Boolean): Unit =
+    GraftLogRelation.acidInsert(sqlContext.sparkSession, path, pinned,
+      data, overwrite)
 
   /** Translate Catalyst's pushed [[Filter]]s into a Column predicate
     * for the stats-pruning pass. Partial by design: an untranslatable

@@ -75,6 +75,104 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(odd.count() == (0L until 300L).count(_ % 7 == 0))
   }
 
+  test("the connector scan is Spark's vectorized FileSourceScan; log-level skipping prunes the physical listing") {
+    val path = tmp
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      TxLogTable.append(spark,
+        r.map(i => (i, i * 2L)).toDF("id", "x").repartition(1), path)
+    }
+    val df = spark.read.format("graftlog").load(path)
+      .filter(col("id") >= 150L && col("id") < 160L)
+      .select("id")
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      "the graftlog read must plan as Spark's own FileSourceScanExec " +
+        s"(vectorized parquet), got:\n${df.queryExecution.executedPlan}")
+    assert(scans.head.supportsColumnar,
+      "the connector scan must be columnar (vectorized parquet reader)")
+    // execute THIS plan (a derived Dataset would execute a clone whose
+    // metrics stay zero), then read its metrics
+    assert(df.collect().map(_.getLong(0)).toSet == (150L until 160L).toSet)
+    // the log-level stats skipping pruned the LISTING itself: of the
+    // three disjoint-range files, exactly one reached the scan
+    assert(scans.head.metrics("numFiles").value == 1,
+      s"log-level skipping must prune the listing to 1 file, " +
+        s"scanned ${scans.head.metrics("numFiles").value}")
+  }
+
+  test("connector reads hive-partitioned tables: values recover, partition pruning reaches the listing, NULL partition round-trips") {
+    val path = tmp
+    Seq((1L, "us", 10.0), (2L, "eu", 20.0), (3L, "us", 30.0),
+      (4L, null.asInstanceOf[String], 40.0))
+      .toDF("id", "region", "amount")
+      .write.format("graftlog").option("partitionBy", "region").save(path)
+    val df = spark.read.format("graftlog").load(path)
+    assert(df.select("id", "region", "amount")
+      .as[(Long, String, Double)].collect().toSet
+      == Set((1L, "us", 10.0), (2L, "eu", 20.0), (3L, "us", 30.0),
+        (4L, null, 40.0)),
+      "partition values (incl. NULL) must round-trip through the index")
+    val us = df.filter(col("region") === "us").select("id")
+    assert(us.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val scan = us.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // exact partition pruning: only region=us files scan — the eu AND
+    // the NULL-partition dirs are both excluded (the bound-predicate
+    // evaluation prunes what a min/max interval model cannot)
+    val usFiles = TxLogTable.snapshotFiles(path, 0L)
+      .count(_.contains("region=us"))
+    assert(scan.metrics("numFiles").value == usFiles,
+      s"partition pruning must reach the physical listing, scanned " +
+        s"${scan.metrics("numFiles").value} of expected $usFiles file(s)")
+    // IS NULL finds the default-partition rows
+    assert(df.filter(col("region").isNull).select("id")
+      .as[Long].collect().toSet == Set(4L))
+  }
+
+  test("a LIVE partitioned view fails loudly when a later commit changes the partition layout") {
+    val path = tmp
+    Seq((1L, "us", 10.0)).toDF("id", "region", "amount")
+      .write.format("graftlog").option("partitionBy", "region").save(path)
+    val df = spark.read.format("graftlog").load(path) // head = LIVE
+    assert(df.count() == 1)
+    // partition evolution AFTER view creation: region moves in-file —
+    // reading it as a path constant would silently null it
+    TxLogTable.append(spark,
+      Seq((2L, "eu", 20.0)).toDF("id", "region", "amount"), path)
+    val e = intercept[Exception] { df.count() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m =>
+        m != null && m.contains("partition layout")),
+      s"layout drift must fail loudly, got: $e")
+    // a recreated view takes the exact row fallback
+    assert(spark.read.format("graftlog").load(path)
+      .select("id", "region").as[(Long, String)].collect().toSet
+      == Set((1L, "us"), (2L, "eu")))
+  }
+
+  test("mixed hive-partition layouts fall back to the row relation and stay exact") {
+    val path = tmp
+    Seq((1L, "us", 10.0)).toDF("id", "region", "amount")
+      .write.format("graftlog").option("partitionBy", "region").save(path)
+    // partition evolution: the second commit carries region IN-FILE
+    TxLogTable.append(spark,
+      Seq((2L, "eu", 20.0)).toDF("id", "region", "amount"), path)
+    val df = spark.read.format("graftlog").load(path)
+    val fileScans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fileScans.isEmpty,
+      "a mixed-layout snapshot must take the row-relation fallback " +
+        "(one HadoopFsRelation cannot declare both layouts)")
+    assert(df.select("id", "region", "amount")
+      .as[(Long, String, Double)].collect().toSet
+      == Set((1L, "us", 10.0), (2L, "eu", 20.0)))
+  }
+
   test("write side: SaveModes map onto ACID commits; partitionBy option; constraints hold") {
     val path = tmp
     def w(df: org.apache.spark.sql.DataFrame,
@@ -325,5 +423,134 @@ class GraftLogSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.read.format("graftlog").load(path)
     }
+  }
+
+  test("streaming sink: one ACID commit per batch, partitionBy, exactly-once across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp
+    val ckpt = Files.createTempDirectory("graft-dsink-ckpt").toString
+    val in = MemoryStream[(Long, String, Double)]
+    def start() = in.toDF().toDF("id", "grp", "amount")
+      .writeStream.format("graftlog")
+      .partitionBy("grp")
+      .option("checkpointLocation", ckpt)
+      .start(path)
+
+    in.addData((1L, "a", 10.0), (2L, "b", 20.0))
+    val q = start()
+    q.processAllAvailable()
+    in.addData((3L, "a", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(TxLogTable.currentVersion(path) == 1L,
+      "two non-empty triggers = two ACID commits")
+    assert(TxLogTable.snapshotFiles(path, 1L).forall(_.contains("grp=")),
+      "writeStream.partitionBy must reach the hive layout")
+    assert(spark.read.format("graftlog").load(path)
+      .select("id", "amount").as[(Long, Double)].collect().toSet
+      == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+
+    // restart from the checkpoint: only NEW data lands, no replay
+    in.addData((4L, "b", 40.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.format("graftlog").load(path)
+      .select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L),
+      "restart must deliver each row exactly once")
+  }
+
+  test("streaming sink: a replayed batchId commits nothing (txn fast path)") {
+    val path = tmp
+    val sink = new GraftLogStreamSink(spark.sqlContext, path,
+      Seq.empty, complete = false)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "spec-q1")
+    try {
+      sink.addBatch(0L, Seq((1L, 1.0)).toDF("id", "amount"))
+      assert(TxLogTable.currentVersion(path) == 0L)
+      // crash-between-commit-and-checkpoint: the engine re-delivers
+      // batch 0 — the SetTransaction fast path must commit NOTHING
+      sink.addBatch(0L, Seq((1L, 1.0)).toDF("id", "amount"))
+      assert(TxLogTable.currentVersion(path) == 0L,
+        "replayed batch must not commit")
+      assert(TxLogTable.read(spark, path).count() == 1L)
+      sink.addBatch(1L, Seq((2L, 2.0)).toDF("id", "amount"))
+      assert(TxLogTable.currentVersion(path) == 1L)
+      // a DIFFERENT query's batch 0 is not a replay of ours
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "spec-q2")
+      sink.addBatch(0L, Seq((3L, 3.0)).toDF("id", "amount"))
+      assert(TxLogTable.read(spark, path).count() == 3L,
+        "idempotency is scoped per queryId, not global")
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("streaming sink: Complete mode overwrites per trigger and stays time-travelable; Update refuses") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp
+    val ckpt = Files.createTempDirectory("graft-dsink-cmp").toString
+    val in = MemoryStream[String]
+    val agg = in.toDF().toDF("grp").groupBy("grp")
+      .agg(count(lit(1)).as("n"))
+    in.addData("a", "b", "a")
+    val q = agg.writeStream.format("graftlog").outputMode("complete")
+      .option("checkpointLocation", ckpt).start(path)
+    q.processAllAvailable()
+    in.addData("b")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.format("graftlog").load(path)
+      .as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 2L)),
+      "the table IS the query's current state")
+    // every trigger's state stays in the history (rebase commits)
+    val v0 = spark.read.format("graftlog").option("versionAsOf", 0L)
+      .load(path).as[(String, Long)].collect().toSet
+    assert(v0 == Set(("a", 2L), ("b", 1L)),
+      s"the first trigger's state must time-travel: $v0")
+    val e = intercept[Exception] {
+      in.toDF().toDF("grp").writeStream.format("graftlog")
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-dsink-upd").toString)
+        .start(tmp)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("Append and Complete")),
+      s"Update mode must refuse loudly: ${messages(e)}")
+  }
+
+  test("ACID-to-ACID streaming pipeline: readStream graftlog -> transform -> writeStream graftlog, exactly-once end to end") {
+    val src = tmp
+    val dst = tmp
+    val ckpt = Files.createTempDirectory("graft-a2a-ckpt").toString
+    TxLogTable.append(spark,
+      Seq((1L, 10.0), (2L, 200.0)).toDF("id", "amount"), src) // v0
+    def start() = spark.readStream.format("graftlog").load(src)
+      .filter(col("_change_type") === "insert" && col("amount") > 50.0)
+      .select(col("id"), col("amount"), col("_commit_version").as("src_v"))
+      .writeStream.format("graftlog")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    val q = start()
+    q.processAllAvailable()
+    TxLogTable.append(spark,
+      Seq((3L, 60.0), (4L, 5.0)).toDF("id", "amount"), src)   // v1
+    q.processAllAvailable()
+    q.stop()
+    // restart: nothing replays into the destination
+    TxLogTable.append(spark, Seq((5L, 70.0)).toDF("id", "amount"), src) // v2
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.format("graftlog").load(dst)
+      .select("id", "src_v").as[(Long, Long)].collect().toSet
+      == Set((2L, 0L), (3L, 1L), (5L, 2L)),
+      "table-to-table pipeline must deliver each qualifying change " +
+        "exactly once across restarts")
   }
 }
