@@ -161,6 +161,47 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(concat_ws(" ", tokenSet(textCol)))
 
+  /** DOMAIN/TOPIC CLASSIFICATION by keyword lexicon — the curation
+    * primitive behind domain balancing and source mixing (tag every
+    * document with the taxonomy topic whose keywords it hits most;
+    * the per-topic corpus shares then drive mixture sampling). Where
+    * [[langId]] inlines its five fixed ten-word lists as a per-row
+    * codegen expression, a real taxonomy lexicon is 10k+ keywords and
+    * USER-supplied — so this takes the join shape that scales with
+    * lexicon size: tokenize (lowered) → explode → one BROADCAST hash
+    * join against the (topic, keyword) table → mergeable
+    * groupBy(doc, topic) count → per-doc argmax via `min(struct(-hits,
+    * topic))` (ties break topic-ascending, deterministically) → left
+    * join back so zero-hit documents classify as `unknownLabel` with
+    * 0 hits. No window anywhere; the only shuffles are the two
+    * mergeable aggregations on doc id. A keyword may appear under
+    * multiple topics (it counts for each). */
+  def lexiconClassify(df: DataFrame, idCol: String, textCol: String,
+      lexicon: Map[String, Seq[String]],
+      unknownLabel: String = "unknown"): DataFrame = {
+    require(lexicon.nonEmpty && lexicon.forall(_._2.nonEmpty),
+      "lexiconClassify needs a non-empty topic -> keywords lexicon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = lexicon.toSeq
+      .flatMap { case (t, ws) => ws.map(_.toLowerCase).distinct.map((t, _)) }
+      .toDF("__topic", "__w")
+    val words = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("__w"))
+    val win = words.join(broadcast(lex), "__w")
+      .groupBy(col(idCol), col("__topic"))
+      .agg(count(lit(1)).as("__hits"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__hits")).as("neg"),
+        col("__topic").as("t"), col("__hits").as("h"))).as("__b"))
+      .select(col(idCol), col("__b.t").as("topic"), col("__b.h").as("hits"))
+    df.select(col(idCol)).distinct()
+      .join(win, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("topic"), lit(unknownLabel)).as("topic"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** Winnowing over the Rabin-Karp rolling hash — the primitive the
     * original paper builds on (Schleimer et al. SIGMOD'03 §2): k-gram
     * hashes in O(n), then the min of every w-hash window, distinct,

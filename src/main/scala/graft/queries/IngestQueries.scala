@@ -1045,8 +1045,61 @@ object IngestQueries extends QueryModule {
       WHERE NOT (s.o_orderkey IS NOT NULL AND s.adj < -40)
       ORDER BY o_orderkey"""))
 
+  /** The `graftlog` connector's VECTORIZED partitioned read
+    * (round 14's log-backed-FileIndex architecture, end to end through
+    * the public API): write `customer` hive-partitioned by
+    * `c_mktsegment` through `df.write.format("graftlog")`, read one
+    * segment back through `spark.read.format("graftlog")`. In-query
+    * REQUIREs pin the architecture, not just the rows: the physical
+    * scan must be Spark's own columnar `FileSourceScanExec` (the
+    * vectorized parquet reader — a row-relation fallback would fail
+    * the REQUIRE), and the planner's partition filter must prune the
+    * PHYSICAL LISTING to exactly the matching hive directory's files
+    * (`numFiles` metric == the snapshot's `c_mktsegment=BUILDING`
+    * count, strictly fewer than the table's total). The partition
+    * column itself round-trips from the directory PATH, not file
+    * contents — the oracle's value equality covers that recovery. */
+  private val q180 = QueryDef(
+    "q180_connector_partitioned_scan",
+    (s, d) => {
+      val path = s"/tmp/graft_acid_part_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .repartition(2)
+        .write.format("graftlog").option("partitionBy", "c_mktsegment")
+        .save(path)
+      val out = s.read.format("graftlog").load(path)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"))
+      val scans = out.queryExecution.executedPlan.collectLeaves().collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      require(scans.size == 1 && scans.head.supportsColumnar,
+        "the partitioned connector read must plan as one columnar " +
+          s"FileSourceScanExec:\n${out.queryExecution.executedPlan}")
+      // execute THIS plan (a derived frame would run a clone whose
+      // metrics stay zero), then hold the listing to account
+      out.collect()
+      val all = TxLogTable.snapshotFiles(path, 0L)
+      val matching = all.count(_.contains("c_mktsegment=BUILDING"))
+      val scanned = scans.head.metrics("numFiles").value
+      require(scanned == matching && scanned < all.size,
+        s"partition pruning must reach the physical listing: scanned " +
+          s"$scanned of ${all.size} files, expected $matching")
+      out
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177)
+      q177, q180)
 }

@@ -1224,7 +1224,56 @@ object TextQueries extends QueryModule {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Domain/topic classification by keyword lexicon
+    * ([[graft.operators.TextAnalysis.lexiconClassify]]) — the curation
+    * primitive behind domain balancing: every document tagged with the
+    * taxonomy topic whose keywords it hits most (broadcast lexicon
+    * join + two mergeable doc-id aggregations, argmax ties broken
+    * topic-ascending; zero-hit docs classify 'unknown'). The oracle
+    * replays the explode → join → count → row_number argmax
+    * relationally over the same VALUES lexicon. */
+  private val q181 = QueryDef(
+    "q181_lexicon_domain_classify",
+    (s, d) => {
+      graft.operators.TextAnalysis.lexiconClassify(
+        Tables.documents(s, d), "doc_id", "text",
+        Map(
+          "storage" -> Seq("table", "row", "column", "scan", "part"),
+          "compute" -> Seq("join", "hash", "agg", "sort", "group", "merge"),
+          "streaming" -> Seq("stream", "window", "batch"),
+          "query" -> Seq("query", "filter", "key", "value")))
+    },
+    Some("""
+      WITH lex(topic, w) AS (VALUES
+        ('storage','table'), ('storage','row'), ('storage','column'),
+        ('storage','scan'), ('storage','part'),
+        ('compute','join'), ('compute','hash'), ('compute','agg'),
+        ('compute','sort'), ('compute','group'), ('compute','merge'),
+        ('streaming','stream'), ('streaming','window'), ('streaming','batch'),
+        ('query','query'), ('query','filter'), ('query','key'),
+        ('query','value')),
+      words AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> length(x) > 0)) AS w
+        FROM documents),
+      hits AS (
+        SELECT doc_id, topic, count(*) AS hits
+        FROM words JOIN lex USING (w) GROUP BY 1, 2),
+      win AS (
+        SELECT doc_id, topic, hits,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, topic ASC) AS rn
+        FROM hits)
+      SELECT d.doc_id,
+             coalesce(w.topic, 'unknown') AS topic,
+             coalesce(w.hits, 0) AS hits
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN (SELECT doc_id, topic, hits FROM win WHERE rn = 1) w
+        USING (doc_id)
+      ORDER BY doc_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137, q138, q167, q171, q175, q178, q179)
+      q121, q126, q137, q138, q167, q171, q175, q178, q179, q181)
 }

@@ -569,4 +569,32 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(1L), s"whitespace-only doc must drop: $out")
   }
+
+  test("lexiconClassify: hand-computed argmax with deterministic ties, multi-topic keywords, zero-hit docs, case folding; broadcast + no window") {
+    val docs = Seq(
+      (1L, "table scan JOIN table"),   // storage 3 (case-folded), compute 1
+      (2L, "join stream"),             // compute 1, streaming 1 → tie: compute
+      (3L, "nothing matches here"),    // zero hits → unknown
+      (4L, "pivot pivot sort"),        // pivot counts for BOTH topics: p 2, compute 3
+      (5L, "")                         // empty text → unknown
+    ).toDF("doc_id", "text")
+    val lex = Map(
+      "storage" -> Seq("table", "scan"),
+      "compute" -> Seq("join", "sort", "pivot", "pivot"), // dup keyword dedups
+      "p" -> Seq("pivot"),
+      "streaming" -> Seq("stream"))
+    val out = TextAnalysis.lexiconClassify(docs, "doc_id", "text", lex)
+    val got = out.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("storage", 3L)),
+      2L -> (("compute", 1L)),   // tie with streaming breaks topic-asc
+      3L -> (("unknown", 0L)),
+      4L -> (("compute", 3L)),   // pivot×2 + sort beats p's pivot×2
+      5L -> (("unknown", 0L))), s"got $got")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the lexicon side must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
 }
