@@ -313,6 +313,41 @@ object Similarity {
       -element_at(scoredCentroids(centroids, col("cv")), -1).getField("nc"))
   }
 
+  /** PERSIST a trained codebook as a versioned [[TxLogTable]] artifact
+    * — the ANN mirror of the tokenizer's `bpeSave`: an index's
+    * centroids are trained ONCE (on a reference sample, an expensive
+    * job) and then served by every assignment/search/gate job, and the
+    * table versions retrains — time travel reads any historical
+    * codebook, a serving job pins the exact codebook version its cell
+    * assignments were built with (assignment stability across restarts
+    * is the whole point of [[ivfAssignWith]]). Schema
+    * `(cluster_id, centroid: array<double>)`; each save is one atomic
+    * `overwrite` commit. Returns the committed version. */
+  def ivfSave(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Array[Double])], path: String): Long = {
+    require(centroids.nonEmpty, "cannot save an empty codebook")
+    import spark.implicits._
+    TxLogTable.overwrite(spark,
+      centroids.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cluster_id", "centroid"),
+      path)
+  }
+
+  /** LOAD an [[ivfSave]]d codebook (optionally a historical version).
+    * The collect is bounded metadata by construction — a codebook is
+    * K×d, the same class the training path already holds driver-side
+    * as plan literals. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+      versionAsOf: Option[Long] = None): Seq[(Long, Array[Double])] = {
+    val df = versionAsOf
+      .map(v => TxLogTable.readVersion(spark, path, v))
+      .getOrElse(TxLogTable.read(spark, path))
+    df.orderBy(col("cluster_id"))
+      .select(col("cluster_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+  }
+
   /** [[ivfAssign]] against a Lloyd-trained codebook ([[trainCentroids]])
     * — cells follow the data's cluster structure, so the buckets are
     * SEMANTIC groups (topic-ish cells over document embeddings), usable

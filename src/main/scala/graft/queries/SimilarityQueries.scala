@@ -1010,7 +1010,48 @@ object SimilarityQueries extends QueryModule {
         ORDER BY margin DESC, b_id ASC) = 1
       ORDER BY en_id"""))
 
+  /** ANN INDEX AS A VERSIONED TABLE ARTIFACT
+    * ([[Similarity.ivfSave]]/[[Similarity.ivfLoad]] — the similarity
+    * family's `bpeSave`): the Lloyd-trained codebook is persisted as
+    * one atomic commit on an ACID table, loaded back by version, and
+    * SERVING assigns every corpus vector with the LOADED codebook
+    * ([[Similarity.ivfAssignWith]], plan-literal centroids) — training
+    * and serving decoupled into separate jobs with a time-travelable
+    * index. The in-query REQUIRE pins the artifact guarantee (loaded ≡
+    * trained, ordered, element-exact); the oracle replays the q101
+    * Lloyd training (shared CTE prefix) and the assignment — any
+    * save→load corruption (ordering, truncation, element drift) breaks
+    * the hash. */
+  private val q182 = QueryDef(
+    "q182_ann_index_artifact",
+    (s, d) => {
+      val path = s"/tmp/graft_ivf_index_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2)
+      val v = Similarity.ivfSave(s, cents, path)
+      val loaded = Similarity.ivfLoad(s, path, Some(v))
+      require(loaded.size == cents.size &&
+        loaded.zip(cents).forall { case ((li, lv), (ti, tv)) =>
+          li == ti && lv.sameElements(tv) },
+        "the loaded codebook must be the trained codebook, ordered and " +
+          "element-exact")
+      Similarity.ivfAssignWith(emb, "vec_id", "embedding", loaded)
+        .select(col("corpus_id").as("vec_id"), col("bucket"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1)
+      SELECT vec_id, bucket FROM assign ORDER BY vec_id"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125, q130, q135, q136, q145)
+      q124, q125, q130, q135, q136, q145, q182)
 }

@@ -447,4 +447,37 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "rank stages must push the k-limit into the window")
   }
+
+  test("ivfSave/ivfLoad: versioned codebook artifact; serving with the loaded codebook is identical") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-artifact").toString + "/idx"
+    val corpus = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j =>
+        math.sin(i * 0.7 + j * 1.3) + (if (i % 4 == j % 4) 2.0 else 0.0))))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nCentroids = 4, iters = 2)
+    val v0 = Similarity.ivfSave(spark, trained, path)
+    val loaded = Similarity.ivfLoad(spark, path, Some(v0))
+    assert(loaded.map(_._1) == trained.map(_._1) &&
+      loaded.zip(trained).forall { case ((_, l), (_, t)) =>
+        l.sameElements(t) },
+      "round-trip must be ordered and element-exact")
+    // serving with the loaded codebook == serving with the in-memory one
+    val a = Similarity.ivfAssignWith(corpus, "vec_id", "embedding", trained)
+      .select("corpus_id", "bucket").as[(Long, Long)].collect().toSet
+    val b = Similarity.ivfAssignWith(corpus, "vec_id", "embedding", loaded)
+      .select("corpus_id", "bucket").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // retraining VERSIONS the index: the head is the retrain, the
+    // pinned version still serves the original cells
+    val retrained = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nCentroids = 2, iters = 1)
+    val v1 = Similarity.ivfSave(spark, retrained, path)
+    assert(v1 == v0 + 1)
+    assert(Similarity.ivfLoad(spark, path).size == 2,
+      "head load must see the retrain")
+    assert(Similarity.ivfLoad(spark, path, Some(v0)).size == 4,
+      "the pinned version must still serve the original codebook")
+  }
 }
