@@ -348,6 +348,47 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
   }
 
+  /** EMBEDDING-DISTRIBUTION DRIFT between two corpus versions, measured
+    * against a PINNED codebook — the semantic-space counterpart of the
+    * token-distribution JS drift (q138), and the reason
+    * [[ivfSave]]/[[ivfLoad]] version the codebook at all: per-cell mass
+    * is only comparable across corpus versions when BOTH versions
+    * assign with the SAME centroids (retraining per version would
+    * reshape the cells and report drift that is really just a new
+    * clustering). Returns one row per codebook cell: raw counts, each
+    * corpus' cell share (half-up 6), and the absolute share difference
+    * `drift6` — `sum(drift6)/2` is the total-variation distance
+    * downstream reads off. Cells empty in both corpora still appear
+    * (share 0/0 — a cell going dark IS drift signal). Shape: two
+    * mergeable per-cell counts + one broadcast join of the K-row cell
+    * list + a 1-row totals frame cross-joined in; no window. Both
+    * corpora must be non-empty (shares divide by the totals). */
+  def embeddingDrift(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "codebook must be non-empty")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def cellCounts(df: DataFrame, n: String) =
+      ivfAssignWith(df, idCol, vecCol, centroids)
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val ca = cellCounts(a, "n_a")
+    val cb = cellCounts(b, "n_b")
+    val cells = centroids.map(_._1).toDF("bucket")
+    val totals = ca.agg(sum(col("n_a")).cast("double").as("__ta"))
+      .crossJoin(cb.agg(sum(col("n_b")).cast("double").as("__tb")))
+    val shareA = col("n_a").cast("double") / col("__ta")
+    val shareB = col("n_b").cast("double") / col("__tb")
+    broadcast(cells)
+      .join(ca, Seq("bucket"), "left")
+      .join(cb, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        graft.queries.Rnd.halfUp(shareA, 6).as("share_a6"),
+        graft.queries.Rnd.halfUp(shareB, 6).as("share_b6"),
+        graft.queries.Rnd.halfUp(abs(shareA - shareB), 6).as("drift6"))
+  }
+
   /** [[ivfAssign]] against a Lloyd-trained codebook ([[trainCentroids]])
     * — cells follow the data's cluster structure, so the buckets are
     * SEMANTIC groups (topic-ish cells over document embeddings), usable

@@ -1051,7 +1051,56 @@ object SimilarityQueries extends QueryModule {
           FROM n, c2 c) t WHERE rn = 1)
       SELECT vec_id, bucket FROM assign ORDER BY vec_id"""))
 
+  /** EMBEDDING-DISTRIBUTION DRIFT between two corpus versions against a
+    * PINNED codebook ([[Similarity.embeddingDrift]] — the semantic-space
+    * counterpart of q138's token JS drift, and the payoff of the q182
+    * artifact: per-cell mass is only comparable across versions when
+    * both assign with the SAME centroids). Corpus B is a deterministic
+    * re-curation of A (every third vector dropped); the result is one
+    * row per codebook cell with raw counts, half-up-6 shares, and the
+    * absolute share drift whose half-sum is the total-variation
+    * distance. The oracle replays the q101 Lloyd CTEs, both
+    * assignments (B's as the subset restriction — same codebook, so
+    * the subset's assignment IS the restricted assignment), and the
+    * share arithmetic verbatim. */
+  private val q183 = QueryDef(
+    "q183_embedding_drift",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2)
+      val curated = emb.filter(col("vec_id") % 3 =!= 0)
+      Similarity.embeddingDrift(emb, curated, "vec_id", "embedding", cents)
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      assign_a AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      assign_b AS (SELECT vec_id, bucket FROM assign_a WHERE vec_id % 3 <> 0),
+      ca AS (SELECT bucket, count(*) AS n_a FROM assign_a GROUP BY 1),
+      cb AS (SELECT bucket, count(*) AS n_b FROM assign_b GROUP BY 1),
+      tot AS (SELECT (SELECT count(*) FROM assign_a)::DOUBLE AS ta,
+                     (SELECT count(*) FROM assign_b)::DOUBLE AS tb),
+      cells AS (SELECT cid AS bucket FROM c2)
+      SELECT cells.bucket,
+             coalesce(ca.n_a, 0) AS n_a,
+             coalesce(cb.n_b, 0) AS n_b,
+             floor(coalesce(ca.n_a, 0)::DOUBLE / ta * 1000000.0 + 0.5)
+               / 1000000.0 AS share_a6,
+             floor(coalesce(cb.n_b, 0)::DOUBLE / tb * 1000000.0 + 0.5)
+               / 1000000.0 AS share_b6,
+             floor(abs(coalesce(ca.n_a, 0)::DOUBLE / ta
+                       - coalesce(cb.n_b, 0)::DOUBLE / tb) * 1000000.0 + 0.5)
+               / 1000000.0 AS drift6
+      FROM cells LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)
+      CROSS JOIN tot
+      ORDER BY bucket"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125, q130, q135, q136, q145, q182)
+      q124, q125, q130, q135, q136, q145, q182, q183)
 }

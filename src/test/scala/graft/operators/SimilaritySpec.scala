@@ -480,4 +480,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfLoad(spark, path, Some(v0)).size == 4,
       "the pinned version must still serve the original codebook")
   }
+
+  test("embeddingDrift: hand-computed per-cell shares and TV distance against a pinned codebook; dark cells still report") {
+    // two axis-aligned clusters; the codebook has a THIRD centroid no
+    // vector is nearest to (the dark cell)
+    val cents = Seq(
+      0L -> Array(1.0, 0.0, 0.0),
+      1L -> Array(0.0, 1.0, 0.0),
+      2L -> Array(-1.0, -1.0, 5.0))
+    def vecs(xs: Seq[(Long, Int)]) = xs.map { case (id, axis) =>
+      (id, Array.tabulate(3)(j => if (j == axis) 1.0 else 0.01))
+    }.toDF("vec_id", "embedding")
+    val a = vecs(Seq(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1)) // cell0: 3/4, cell1: 1/4
+    val b = vecs(Seq(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1)) // cell0: 1/4, cell1: 3/4
+    val got = Similarity
+      .embeddingDrift(a, b, "vec_id", "embedding", cents)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 1L, 0.75, 0.25, 0.5),
+      (1L, 1L, 3L, 0.25, 0.75, 0.5),
+      (2L, 0L, 0L, 0.0, 0.0, 0.0)), s"got $got")
+    assert(got.map(_._6).sum / 2 == 0.5, "TV distance reads off drift6/2")
+    val plan = Similarity
+      .embeddingDrift(a, b, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
 }
