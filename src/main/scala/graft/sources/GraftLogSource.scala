@@ -194,19 +194,18 @@ object GraftLogStreamSource {
     * stream sink (needs `isStreaming = false` on the micro-batch it
     * hands the ACID writer): the one constructor that sets the flag
     * (`internalCreateDataFrame`, the FileStreamSource /
-    * ForeachBatchSink path) is `private[sql]` at the Scala level but
-    * public bytecode. */
+    * ForeachBatchSink path) is `private[sql]` — reached through the
+    * compile-time-checked [[org.apache.spark.sql.graftshim
+    * .GraftSqlShim]] (the delta-style namespace shim; it replaced the
+    * reflective `getMethod` hop, so Spark upgrades break at compile
+    * time, not runtime). */
   private[sources] def internalDf(spark: org.apache.spark.sql.SparkSession,
       rows: org.apache.spark.rdd.RDD[
         org.apache.spark.sql.catalyst.InternalRow],
       schema: StructType, isStreaming: Boolean)
-      : org.apache.spark.sql.DataFrame = {
-    val m = spark.getClass.getMethod("internalCreateDataFrame",
-      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
-      classOf[Boolean])
-    m.invoke(spark, rows, schema, java.lang.Boolean.valueOf(isStreaming))
-      .asInstanceOf[org.apache.spark.sql.DataFrame]
-  }
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftshim.GraftSqlShim
+      .internalDf(spark, rows, schema, isStreaming)
 
   /** Table columns (as of the current head) + the change-feed metadata
     * triple, in [[graft.operators.TxLogTable.changesPerVersion]]'s

@@ -1,0 +1,30 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** COMPILE-TIME-CHECKED access to the one `private[sql]` constructor a
+  * V1 streaming connector needs: `internalCreateDataFrame`, the only
+  * API that builds a DataFrame from an `InternalRow` RDD with an
+  * explicit `isStreaming` flag (the engine asserts the flag on every
+  * frame a `Source.getBatch` returns, and a `Sink.addBatch` needs the
+  * inverse — re-rooting the incremental plan's rows as an ordinary
+  * batch frame).
+  *
+  * This is the standard third-party-connector shim pattern (the delta
+  * world compiles its `DeltaSource`/`DeltaSink` inside the
+  * `org.apache.spark.sql` namespace for exactly this access): a
+  * `private[sql]` member is visible to subpackages of
+  * `org.apache.spark.sql`, so this ONE object lives there and the rest
+  * of the engine stays in `graft.*`. It replaces the reflective
+  * `getMethod("internalCreateDataFrame", …)` hop the connector shipped
+  * with — same bytecode surface, but the compiler now checks the
+  * signature on every Spark upgrade instead of failing at runtime. */
+object GraftSqlShim {
+  def internalDf(spark: org.apache.spark.sql.SparkSession,
+      rows: RDD[InternalRow], schema: StructType,
+      isStreaming: Boolean): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming)
+}
