@@ -137,7 +137,11 @@ class PlanSpec extends SparkSpec {
       // q145 bitext margin mining scores en×es all-pairs via q50's
       // broadcast-A corpus scan by design; the documented scale path
       // swaps in the LSH/IVF prefilter, margin math unchanged
-      "q145_bitext_margin_mining")
+      "q145_bitext_margin_mining",
+      // q183 cross-joins a BROADCAST 1-ROW totals frame (each corpus'
+      // total count, the share denominators) into the K-row cell
+      // table — the q117/q84 scalar-subquery shape
+      "q183_embedding_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .flatMap { name =>
