@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   *     `txn = (iv:<source>, srcVersion)` — idempotent per source
   *     version, so a crashed/replayed maintain can never double-apply
   *     a delta, and the view itself is an ACID table (time travel
-  *     shows every refresh). The publish is priced by the DELTA:
-  *     untouched groups' files carry by reference (first load is the
-  *     one full overwrite; a no-row-change range advances the
-  *     watermark with an empty txn-stamped append).
+  *     shows every refresh). The publish is COST-BASED: when the delta
+  *     touches a minority of groups it merges and untouched groups'
+  *     files carry by reference; when it touches at least half the
+  *     groups (or on first load) one atomic overwrite republishes —
+  *     the merge would rewrite nearly every file anyway and its
+  *     probe/join machinery on top measured 1.4–1.6× slower at that
+  *     regime. A no-row-change range advances the watermark with an
+  *     empty txn-stamped append.
   *
   * Supported aggregates: `count(*)` (always, as `cnt`), `sum` of each
   * `sumCols` column (as `sum_<col>`) — averages derive as sum/cnt
@@ -106,22 +110,40 @@ object IncrementalView {
         minCols.map(c => insOnly(c, min).as(s"min_$c")) ++
         maxCols.map(c => insOnly(c, max).as(s"max_$c")) ++
         distinctCols.map(c => kmvAgg(insHash(c)).as(s"kmv_$c")): _*)
-    // only the groups the delta TOUCHED participate from here on —
-    // untouched groups' stored state never loads into the merge and
-    // (below) never republishes; a NULL group key is a real group,
-    // hence the null-safe semi-join
+    // COST-BASED publish: the delta-priced MERGE wins when the delta
+    // touches a MINORITY of the view's groups (untouched files carry by
+    // reference); when most groups are touched the merge rewrites
+    // nearly every file anyway and pays its probe/join machinery on
+    // top — a full republish is strictly cheaper there (measured: the
+    // bench's load-then-maintain views ran 1.4–1.6× slower on the
+    // always-merge shape). Both decision inputs are cheap: the delta
+    // aggregate is delta-sized and persisted for reuse across the
+    // plan's three references; the view's group count is a parquet
+    // footer-only count.
+    val deltaAggP = deltaAgg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touchedGroups = deltaAggP.count()
+    val wide = applied >= 0 &&
+      touchedGroups * 2L >= TxLogTable.read(spark, view).count()
+    try {
+    // in the narrow (merge) path, only the groups the delta TOUCHED
+    // participate from here on — untouched groups' stored state never
+    // loads into the merge and (below) never republishes; a NULL group
+    // key is a real group, hence the null-safe semi-join. The wide
+    // path keeps the FULL prior state (it republishes everything).
     val prior =
       if (applied < 0) None
+      else if (wide) Some(TxLogTable.read(spark, view))
       else Some {
         val full = TxLogTable.read(spark, view)
-        full.alias("pv").join(deltaAgg.select(keyCs: _*).alias("dk"),
+        full.alias("pv").join(deltaAggP.select(keyCs: _*).alias("dk"),
           keyCols.map(k => col(s"pv.`$k`") <=> col(s"dk.`$k`"))
             .reduce(_ && _),
           "left_semi")
       }
     val merged = prior match {
-      case None => deltaAgg
-      case Some(p) => p.unionByName(deltaAgg)
+      case None => deltaAggP
+      case Some(p) => p.unionByName(deltaAggP)
         .groupBy(keyCs: _*)
         .agg(sum(col("cnt")).as("cnt"),
           sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
@@ -188,6 +210,13 @@ object IncrementalView {
         // clears any pre-existing content at the view path)
         TxLogTable.overwrite(spark, withExtremes.filter(col("cnt") > 0),
           view, txn = srcTxn)
+      case Some(_) if wide =>
+        // wide delta (≥ half the groups touched): `merged` carries ALL
+        // groups (prior was the full view), so one atomic overwrite
+        // republishes — cheaper than a merge that would rewrite nearly
+        // every file anyway plus its probe/join machinery
+        TxLogTable.overwrite(spark, withExtremes.filter(col("cnt") > 0),
+          view, txn = srcTxn)
       case Some(_) =>
         // DELTA-PRICED publish: one file-pruned MERGE carrying only the
         // touched groups' new state — groups netting to zero DELETE,
@@ -211,6 +240,7 @@ object IncrementalView {
           TxLogTable.append(spark,
             TxLogTable.read(spark, view).limit(0), view, txn = srcTxn)
     }
+    } finally deltaAggP.unpersist(false)
     srcHead
   }
 }

@@ -136,6 +136,46 @@ class IncrementalViewSpec extends SparkSpec {
     assert(TxLogTable.currentVersion(view) == vv)
   }
 
+  test("cost-based publish: a wide delta (most groups touched) republishes via overwrite, stays exact, and the narrow merge resumes after") {
+    val src = tmp
+    val view = tmp + "-view"
+    TxLogTable.append(spark,
+      spark.range(200).select(col("id"),
+        (col("id") % 10).cast("string").as("grp"),
+        (col("id") * 1.0).as("amount")), src) // v0: 10 groups
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+
+    // WIDE delta: rows land in 8 of 10 groups (>= half) — the publish
+    // must take the atomic-overwrite path (a rebase commit, every
+    // pre-refresh file replaced), not the merge
+    TxLogTable.append(spark,
+      spark.range(80).select((col("id") + 1000L).as("id"),
+        (col("id") % 8).cast("string").as("grp"),
+        lit(5.0).as("amount")), src) // v1
+    val before = TxLogTable.snapshotFiles(view,
+      TxLogTable.currentVersion(view)).toSet
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    val vWide = TxLogTable.currentVersion(view)
+    assert(TxLogTable.historyDf(spark, view)
+      .filter(col("version") === vWide).select("operation")
+      .as[String].head() == "overwrite",
+      "a wide delta must republish, not merge")
+    assert((TxLogTable.snapshotFiles(view, vWide).toSet & before).isEmpty,
+      "the republish rebases: no pre-refresh file survives")
+    assert(viewRows(view) == recompute(src))
+
+    // NARROW delta after the wide one: back on the merge path
+    TxLogTable.append(spark,
+      Seq((2000L, "3", 7.0)).toDF("id", "grp", "amount"), src) // v2
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    val vNarrow = TxLogTable.currentVersion(view)
+    assert(TxLogTable.historyDf(spark, view)
+      .filter(col("version") === vNarrow).select("operation")
+      .as[String].head() == "merge",
+      "a 1-of-10-group delta must merge")
+    assert(viewRows(view) == recompute(src))
+  }
+
   test("min/max extremes: monotone on inserts, dirty-group recompute on extremum deletes") {
     val src = tmp
     val view = tmp + "-view"
