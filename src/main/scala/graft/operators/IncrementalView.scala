@@ -30,13 +30,16 @@ import org.apache.spark.sql.functions._
   *     version, so a crashed/replayed maintain can never double-apply
   *     a delta, and the view itself is an ACID table (time travel
   *     shows every refresh). The publish is COST-BASED: when the delta
-  *     touches a minority of groups it merges and untouched groups'
-  *     files carry by reference; when it touches at least half the
-  *     groups (or on first load) one atomic overwrite republishes —
-  *     the merge would rewrite nearly every file anyway and its
-  *     probe/join machinery on top measured 1.4–1.6× slower at that
-  *     regime. A no-row-change range advances the watermark with an
-  *     empty txn-stamped append.
+  *     touches a minority of a multi-file view's groups it merges and
+  *     untouched groups' files carry by reference; when it touches at
+  *     least half the groups, when the view is a SINGLE file (any
+  *     touch rewrites it — carrying by reference can provably save
+  *     nothing, and this tier decides from the log's metadata alone,
+  *     zero actions), or on first load, one atomic overwrite
+  *     republishes — the merge would rewrite nearly every file anyway
+  *     and its probe/join machinery on top measured 1.4–1.6× slower
+  *     at that regime. A no-row-change range advances the watermark
+  *     with an empty txn-stamped append.
   *
   * Supported aggregates: `count(*)` (always, as `cnt`), `sum` of each
   * `sumCols` column (as `sum_<col>`) — averages derive as sum/cnt
@@ -116,15 +119,26 @@ object IncrementalView {
     // nearly every file anyway and pays its probe/join machinery on
     // top — a full republish is strictly cheaper there (measured: the
     // bench's load-then-maintain views ran 1.4–1.6× slower on the
-    // always-merge shape). Both decision inputs are cheap: the delta
-    // aggregate is delta-sized and persisted for reuse across the
-    // plan's three references; the view's group count is a parquet
-    // footer-only count.
-    val deltaAggP = deltaAgg
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touchedGroups = deltaAggP.count()
-    val wide = applied >= 0 &&
-      touchedGroups * 2L >= TxLogTable.read(spark, view).count()
+    // always-merge shape). Two tiers, cheapest first:
+    //  - a SINGLE-FILE view always republishes, with NO decision
+    //    actions at all: any touched group rewrites the one file, so
+    //    carrying by reference can provably save nothing (metadata-only
+    //    check against the log's snapshot listing);
+    //  - otherwise compare the delta's touched-group count (the delta
+    //    aggregate persists once and is reused across the plan's
+    //    references) against the view's group count (a parquet
+    //    footer-only count): at >= half, republish; under, merge.
+    val singleFile = applied >= 0 &&
+      TxLogTable.snapshotFiles(view, TxLogTable.currentVersion(view))
+        .size <= 1
+    var deltaAggP = deltaAgg
+    var persisted = false
+    val wide = applied >= 0 && (singleFile || {
+      deltaAggP = deltaAgg
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted = true
+      deltaAggP.count() * 2L >= TxLogTable.read(spark, view).count()
+    })
     try {
     // in the narrow (merge) path, only the groups the delta TOUCHED
     // participate from here on — untouched groups' stored state never
@@ -240,7 +254,7 @@ object IncrementalView {
           TxLogTable.append(spark,
             TxLogTable.read(spark, view).limit(0), view, txn = srcTxn)
     }
-    } finally deltaAggP.unpersist(false)
+    } finally if (persisted) deltaAggP.unpersist(false)
     srcHead
   }
 }

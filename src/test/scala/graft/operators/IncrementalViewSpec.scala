@@ -143,7 +143,15 @@ class IncrementalViewSpec extends SparkSpec {
       spark.range(200).select(col("id"),
         (col("id") % 10).cast("string").as("grp"),
         (col("id") * 1.0).as("amount")), src) // v0: 10 groups
-    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    // multi-file view so the decision below is the COUNT-based tier,
+    // not the single-file shortcut
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val before = TxLogTable.snapshotFiles(view,
+      TxLogTable.currentVersion(view)).toSet
+    assert(before.size > 1, s"the probe needs a multi-file view: $before")
 
     // WIDE delta: rows land in 8 of 10 groups (>= half) — the publish
     // must take the atomic-overwrite path (a rebase commit, every
@@ -152,9 +160,10 @@ class IncrementalViewSpec extends SparkSpec {
       spark.range(80).select((col("id") + 1000L).as("id"),
         (col("id") % 8).cast("string").as("grp"),
         lit(5.0).as("amount")), src) // v1
-    val before = TxLogTable.snapshotFiles(view,
-      TxLogTable.currentVersion(view)).toSet
-    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
     val vWide = TxLogTable.currentVersion(view)
     assert(TxLogTable.historyDf(spark, view)
       .filter(col("version") === vWide).select("operation")
@@ -163,6 +172,8 @@ class IncrementalViewSpec extends SparkSpec {
     assert((TxLogTable.snapshotFiles(view, vWide).toSet & before).isEmpty,
       "the republish rebases: no pre-refresh file survives")
     assert(viewRows(view) == recompute(src))
+    assert(TxLogTable.snapshotFiles(view, vWide).size > 1,
+      "the next leg needs the view still multi-file")
 
     // NARROW delta after the wide one: back on the merge path
     TxLogTable.append(spark,
@@ -173,6 +184,21 @@ class IncrementalViewSpec extends SparkSpec {
       .filter(col("version") === vNarrow).select("operation")
       .as[String].head() == "merge",
       "a 1-of-10-group delta must merge")
+    assert(viewRows(view) == recompute(src))
+
+    // SINGLE-FILE shortcut: compact the view to one file — even a
+    // 1-group delta republishes (carrying by reference can save
+    // nothing when the one file must rewrite), with zero decision
+    // actions
+    TxLogTable.compact(spark, view, targetFiles = 1)
+    TxLogTable.append(spark,
+      Seq((3000L, "4", 9.0)).toDF("id", "grp", "amount"), src) // v3
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"))
+    val vSingle = TxLogTable.currentVersion(view)
+    assert(TxLogTable.historyDf(spark, view)
+      .filter(col("version") === vSingle).select("operation")
+      .as[String].head() == "overwrite",
+      "a single-file view must republish even for a narrow delta")
     assert(viewRows(view) == recompute(src))
   }
 
