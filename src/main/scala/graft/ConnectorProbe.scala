@@ -79,6 +79,47 @@ object ConnectorProbe {
     }
     println(f"[connector-probe] full-scan ratio conn/parquet = ${conn / full}%.2fx")
     println(f"[connector-probe] selective ratio conn/parquet = ${selConn / selRaw}%.2fx")
+
+    // ---- many-file FIRST-PLAN listing: the metadata storm probe ----
+    // A wide table (many small files over many commits): time the cost
+    // of a FRESH relation's first plan — schema + sizeInBytes + split
+    // listing — which the log now serves without statting or opening
+    // any data file. Compare against raw parquet's InMemoryFileIndex
+    // listing + mergeSchema-style footer path over the same files.
+    val widePath = "/tmp/graft_connector_probe_wide"
+    val wroot = new org.apache.hadoop.fs.Path(widePath)
+    wroot.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(wroot, true)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    for (_ <- 0 until 8)
+      graft.operators.TxLogTable.append(spark, events.limit(20000)
+        .repartition(32), widePath)
+    val wideFiles = graft.operators.TxLogTable.snapshotWithSizes(widePath,
+      graft.operators.TxLogTable.currentVersion(widePath))._1
+    val nFiles = wideFiles.size
+    def timePlan(label: String)(f: => Unit): Double = {
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[connector-probe] $label%-28s min=${ts.min}%6.3f s " +
+        f"(${ts.map(t => f"$t%.2f").mkString(", ")})  files=$nFiles")
+      ts.min
+    }
+    val planRaw = timePlan("parquet first-plan (wide)") {
+      // the pre-log-metadata cost: an explicit-file-list read (the
+      // scanFiles shape) stats every path and mergeSchema opens every
+      // footer before the first plan
+      spark.read.option("mergeSchema", true)
+        .parquet(wideFiles.map(f => s"$widePath/$f"): _*)
+        .filter(col("event_id") >= 0).rdd.getNumPartitions
+    }
+    val planConn = timePlan("graftlog first-plan (wide)") {
+      spark.read.format("graftlog").load(widePath)
+        .filter(col("event_id") >= 0).rdd.getNumPartitions
+    }
+    println(f"[connector-probe] first-plan ratio conn/parquet = " +
+      f"${planConn / planRaw}%.2fx (log metadata vs listing+footers)")
     spark.stop()
   }
 }

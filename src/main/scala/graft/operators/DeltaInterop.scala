@@ -86,7 +86,8 @@ object DeltaInterop {
     * mirror entry is exactly the [[sync]] backfill case. */
   private[operators] def mirror(spark: SparkSession, path: String, v: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
-      cp: CommitPoint, txn: Option[(String, Long)] = None): Unit =
+      cp: CommitPoint, txn: Option[(String, Long)] = None,
+      sizes: Map[String, Long] = Map.empty): Unit =
     try {
       val (fs, root) = TxLogTable.fsFor(path)
       // Delta readers require CONTIGUOUS versions: if an earlier mirror
@@ -94,7 +95,8 @@ object DeltaInterop {
       // heal any missing predecessors before publishing v
       if (v > 0 && !fs.exists(new HPath(deltaDir(root), s"${pad(v - 1)}.json")))
         sync(spark, path, cp, upTo = v - 1)
-      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp, txn)
+      mirrorOrThrow(spark, path, v, added, removed, schemaJson, cp, txn,
+        sizes)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(
@@ -104,7 +106,8 @@ object DeltaInterop {
 
   private def mirrorOrThrow(spark: SparkSession, path: String, v: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
-      cp: CommitPoint, txn: Option[(String, Long)] = None): Unit = {
+      cp: CommitPoint, txn: Option[(String, Long)] = None,
+      sizes: Map[String, Long] = Map.empty): Unit = {
     val (fs, root) = TxLogTable.fsFor(path)
     fs.mkdirs(deltaDir(root))
     val ts = System.currentTimeMillis()
@@ -122,7 +125,10 @@ object DeltaInterop {
     actions += metaDataAction(fs, root, schemaJson, ts)
     removed.foreach(f => actions += removeAction(f, ts))
     added.foreach { f =>
-      sizeOf(fs, root, f) match {
+      // committer-recorded size first (the staging listStatus already
+      // measured it); one getFileStatus only on the sync/backfill path
+      // where no fresh staging exists
+      sizes.get(f).orElse(sizeOf(fs, root, f)) match {
         case Some(size) => actions += addAction(f, size, ts)
         case None =>
           // backfilling a version whose file was compacted/vacuumed away:

@@ -76,7 +76,9 @@ object TxLogTable {
     listLog(fs, root, ".json")
 
   /** Stage a DataFrame's files under a unique data subdir (invisible to
-    * readers until the log names them); returns the relative file list.
+    * readers until the log names them); returns the relative file list
+    * with each file's physical size (recorded into the commit entry so
+    * readers plan without per-file FS stats).
     *
     * Timestamps are forced to INT64 TIMESTAMP_MICROS for the staged
     * parquet (scoped conf, saved/restored): Spark's default INT96
@@ -85,7 +87,7 @@ object TxLogTable {
     * skipping. (Delta writes int64 timestamps for the same reason.) */
   private def stage(df: DataFrame, fs: FileSystem, root: HPath,
       prefix: String, partitionBy: Seq[String] = Seq.empty,
-      validate: Boolean = true): Seq[String] = {
+      validate: Boolean = true): Seq[(String, Long)] = {
     if (validate) validateConstraints(df, root)
     fs.mkdirs(logDir(root))
     val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
@@ -106,23 +108,27 @@ object TxLogTable {
       org.apache.spark.sql.types.StructType(
         df.schema.filterNot(f => partitionBy.contains(f.name))))
     listParquet(fs, dataDir)
-      .map(rel => s"data-$stageId/$rel")
-      .sorted
+      .map { case (rel, size) => (s"data-$stageId/$rel", size) }
+      .sortBy(_._1)
   }
 
   /** Parquet files under `dir` (recursive — hive partition layouts nest
-    * `k=v` subdirs), as dir-relative paths. Walks with plain
-    * `listStatus`, not `listFiles(recursive)`: the located-status API
-    * eagerly loads permission info through java.io.File and breaks on
-    * non-file schemes that delegate to the raw local FS. */
-  private def listParquet(fs: FileSystem, dir: HPath): Seq[String] = {
+    * `k=v` subdirs), as (dir-relative path, size-in-bytes). The sizes
+    * ride along from the `listStatus` the walk performs anyway — they
+    * are what the commit entry records so readers never re-stat data
+    * files. Walks with plain `listStatus`, not `listFiles(recursive)`:
+    * the located-status API eagerly loads permission info through
+    * java.io.File and breaks on non-file schemes that delegate to the
+    * raw local FS. */
+  private def listParquet(fs: FileSystem, dir: HPath): Seq[(String, Long)] = {
     val base = dir.toUri.getPath
-    def walk(d: HPath): Seq[String] =
+    def walk(d: HPath): Seq[(String, Long)] =
       fs.listStatus(d).toSeq.flatMap { st =>
         val name = st.getPath.getName
         if (st.isDirectory && !name.startsWith(".")) walk(st.getPath)
         else if (st.isFile && name.endsWith(".parquet") && !name.startsWith("."))
-          Seq(st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"))
+          Seq((st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"),
+            st.getLen))
         else Seq.empty
       }
     walk(dir)
@@ -183,7 +189,7 @@ object TxLogTable {
       val cols = schema.fields.filter(f => statsSupported(f.dataType))
       if (cols.isEmpty) return
       // keys are dataDir-RELATIVE paths (hive layouts nest k=v subdirs)
-      val files = listParquet(fs, dataDir)
+      val files = listParquet(fs, dataDir).map(_._1)
       val perFile: org.json4s.JObject = org.json4s.JObject(files.toList.map { rel =>
         val bounds = footerBounds(fs.getConf, new HPath(dataDir, rel), cols)
         val colsJson = org.json4s.JObject(cols.toList.flatMap { f =>
@@ -416,10 +422,18 @@ object TxLogTable {
       else None
     }
 
+  /** `sizes` maps log-relative paths to physical byte sizes; a file with
+    * a known size publishes as `{"p":path,"s":size}` so readers (the
+    * log-backed FileIndex, the Delta mirror, compaction sizing) never
+    * re-stat immutable data files — the Delta protocol's `add.size`.
+    * Files absent from the map publish in the legacy bare-string form
+    * and readers fall back to one `getFileStatus` for exactly those
+    * (pre-size logs stay readable forever). */
   private def commitEntry(fs: FileSystem, root: HPath, files: Seq[String],
       rebase: Boolean, expectedVersion: Option[Long], maxRetries: Int,
       cp: CommitPoint, txn: Option[(String, Long)] = None,
-      op: String = "append"): Long = {
+      op: String = "append", sizes: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = versions(fs, root).lastOption.getOrElse(-1L) + 1
@@ -450,8 +464,18 @@ object TxLogTable {
       // (the DESCRIBE HISTORY surface; ops are a fixed enum, never
       // caller-supplied strings, so the JSON stays literal-safe)
       val tsField = s""""ts":${System.currentTimeMillis()},"op":"$op","""
-      val entry = files.map(f => "\"" + f + "\"").mkString(
-        s"""{"version":$v,$tsField$flag$txnField"files":[""", ",", "]}")
+      // the READ-BACK snapshot schema as of this commit (when the
+      // committer can assert it — [[appendSchema]]) — Delta's metaData
+      // action: a fresh relation resolves its schema from this one
+      // entry instead of a mergeSchema footer sweep over every file
+      val schemaField = schemaJson
+        .map(s => s""""schema":"${escJson(s)}",""").getOrElse("")
+      val entry = files.map(f => sizes.get(f) match {
+        case Some(s) => s"""{"p":"$f","s":$s}"""
+        case None => "\"" + f + "\""
+      }).mkString(
+        s"""{"version":$v,$tsField$flag$txnField$schemaField"files":[""",
+        ",", "]}")
       // the commit point: publish-iff-absent (hard link locally,
       // no-replace rename on HDFS, conditional put on object stores)
       if (cp.putIfAbsent(fs, logDir(root), s"$v.json", entry)) {
@@ -500,15 +524,24 @@ object TxLogTable {
       s"partition columns ${partitionBy.diff(df.columns.toSeq)} not in frame")
     val (fs, root) = fsFor(path)
     txnFastPath(fs, root, txn).foreach(v => return v)
-    val files = stage(df, fs, root, "", partitionBy)
+    // resolved BEFORE staging: the recorded schema merges the prior
+    // entry's recording with this frame (a lost commit race re-attempts
+    // at the next version with a schema recorded against v0 — same
+    // semantics as the relation-creation contract, where a concurrent
+    // widening append lands in the NEXT resolved snapshot)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    val staged = stage(df, fs, root, "", partitionBy)
+    val files = staged.map(_._1)
     // expectedVersion makes the append a CAS: it commits ONLY as
     // version expectedVersion+1 (one attempt, ConcurrentModification
     // on any interleaved commit) — the compare-and-swap a concurrent
     // change-feed consumer pins its watermark read with
     val v = commitEntry(fs, root, files, rebase = false, expectedVersion,
-      if (expectedVersion.isDefined) 1 else maxRetries, commit, txn)
+      if (expectedVersion.isDefined) 1 else maxRetries, commit, txn,
+      sizes = staged.toMap,
+      schemaJson = appendSchema(fs, root, v0, df, partitionBy))
     DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json,
-      commit, txn)
+      commit, txn, sizes = staged.toMap)
     v
   }
 
@@ -529,16 +562,22 @@ object TxLogTable {
     txnFastPath(fs, root, txn).foreach(v => return v)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val prior = if (v0 >= 0) filesUpTo(fs, root, v0) else Seq.empty
-    val files = stage(df, fs, root, "over-", partitionBy)
+    val staged = stage(df, fs, root, "over-", partitionBy)
+    val files = staged.map(_._1)
     // pinned snapshot, one attempt (the compact/delete discipline): a
     // commit landing between the v0 read and this publish would make
     // `prior` — the Delta mirror's remove set — stale, so the race
     // ABORTS (Delta's overwrite-conflicts-with-anything rule) instead
     // of mirroring a divergent listing
+    // an unpartitioned overwrite's read-back schema IS the frame's; a
+    // partitioned one reads back with path-inferred partition types the
+    // committer cannot assert, so it records nothing (the sweep serves
+    // until the next snapshot-reading commit records what it saw)
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-      maxRetries = 1, commit, txn, op = "overwrite")
+      maxRetries = 1, commit, txn, op = "overwrite", sizes = staged.toMap,
+      schemaJson = if (partitionBy.isEmpty) Some(df.schema.json) else None)
     DeltaInterop.mirror(spark, path, v, files, prior, df.schema.json,
-      commit, txn)
+      commit, txn, sizes = staged.toMap)
     v
   }
 
@@ -567,8 +606,11 @@ object TxLogTable {
     val (fs, root) = fsFor(path)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val snapshot = readVersion(spark, path, v0)
-    val sizeBytes = filesUpTo(fs, root, v0)
-      .map(f => fs.getFileStatus(new HPath(root, f)).getLen).sum
+    // log-recorded sizes first; one getFileStatus only for files whose
+    // committing entry predates size recording
+    val (priorFiles, priorSizes) = filesAndSizesUpTo(fs, root, v0)
+    val sizeBytes = priorFiles.map(f => priorSizes.getOrElse(f,
+      fs.getFileStatus(new HPath(root, f)).getLen)).sum
     val parts =
       if (targetFiles > 0) targetFiles
       else math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
@@ -579,13 +621,16 @@ object TxLogTable {
         .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
         .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
         .drop("__z")
-    val files = stage(rewritten, fs, root, "compact-", partitionBy,
+    val staged = stage(rewritten, fs, root, "compact-", partitionBy,
       validate = false)
+    val files = staged.map(_._1)
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-      maxRetries = 1, commit, op = "compact")
+      maxRetries = 1, commit, op = "compact", sizes = staged.toMap,
+      schemaJson =
+        if (partitionBy.isEmpty) Some(snapshot.schema.json) else None)
     // the rebase is a remove-all + add-all in Delta terms
-    DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
-      snapshot.schema.json, commit)
+    DeltaInterop.mirror(spark, path, v, files, priorFiles,
+      snapshot.schema.json, commit, sizes = staged.toMap)
     v
   }
 
@@ -643,7 +688,8 @@ object TxLogTable {
     val snapshot = readVersion(spark, path, v0)
     val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     if (schemaKey(snapshot.schema) == schemaKey(updates.schema)) {
-      val (all, touched) = filesMatchingKeys(spark, path, v0, keys, keyCols)
+      val (all, priorSizes, touched) =
+        filesMatchingKeys(spark, path, v0, keys, keyCols)
       val untouched = all.diff(touched)
       val merged =
         if (touched.isEmpty) updates // pure insert: nothing to carry
@@ -655,19 +701,26 @@ object TxLogTable {
           .join(keys, keyCols, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       val staged = stage(merged, fs, root, "merge-", partColsOf(touched))
-      val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-        rebase = true, Some(v0), maxRetries = 1, commit, op = "upsert")
-      DeltaInterop.mirror(spark, path, v, staged, touched,
-        snapshot.schema.json, commit)
+      // snapshot.schema came off the read-back scan of v0, and the
+      // rewrite preserves it (same-schemaKey guard above) — faithful to
+      // what a sweep of the new snapshot yields
+      val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
+        rebase = true, Some(v0), maxRetries = 1, commit, op = "upsert",
+        sizes = priorSizes ++ staged,
+        schemaJson = Some(snapshot.schema.json))
+      DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
+        snapshot.schema.json, commit, sizes = staged.toMap)
       v
     } else {
       val carried = snapshot.join(keys, keyCols, "left_anti")
       val merged = carried.unionByName(updates, allowMissingColumns = true)
-      val files = stage(merged, fs, root, "merge-")
-      val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-        maxRetries = 1, commit, op = "upsert")
-      DeltaInterop.mirror(spark, path, v, files, filesUpTo(fs, root, v0),
-        merged.schema.json, commit)
+      val staged = stage(merged, fs, root, "merge-")
+      val v = commitEntry(fs, root, staged.map(_._1), rebase = true, Some(v0),
+        maxRetries = 1, commit, op = "upsert", sizes = staged.toMap,
+        schemaJson = Some(merged.schema.json))
+      DeltaInterop.mirror(spark, path, v, staged.map(_._1),
+        filesUpTo(fs, root, v0), merged.schema.json, commit,
+        sizes = staged.toMap)
       v
     }
   }
@@ -681,18 +734,28 @@ object TxLogTable {
     * [[mergeByKey]]. */
   private def filesMatchingKeys(spark: SparkSession, path: String,
       v0: Long, keys: DataFrame, keyCols: Seq[String],
-      nullSafeKeys: Boolean = false): (Seq[String], Seq[String]) = {
+      nullSafeKeys: Boolean = false)
+      : (Seq[String], Map[String, Long], Seq[String]) = {
     import org.apache.spark.sql.functions.{col => fc}
     val (fs, root) = fsFor(path)
-    val all = filesUpTo(fs, root, v0)
-    // the stats-range prefilter is null-UNSAFE twice over (min/max skip
-    // NULL keys, and a file whose key column is all-NULL has a null
-    // interval) — under nullSafeKeys the exact probe below is the only
-    // sound filter, so every file is a candidate
-    val keyRange = if (nullSafeKeys) None else {
-      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-      val r = keys.agg(fmin(fc(keyCols.head)), fmax(fc(keyCols.head))).first()
-      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+    val (all, sizes) = filesAndSizesUpTo(fs, root, v0)
+    // The stats-range prefilter reasons about NON-NULL leading-key
+    // values only (footer min/max skip NULLs), so under nullSafeKeys it
+    // stays sound EXACTLY WHEN the delta itself carries no NULL leading
+    // key: a non-null delta key can only <=>-match non-null table keys,
+    // which the recorded intervals cover, and prunedFiles already keeps
+    // every file with missing stats. Only a NULL delta key — which may
+    // match NULL rows invisible to any interval — forces the
+    // all-candidates fallback. Without this, every narrow
+    // incremental-view merge probe-scanned the WHOLE view.
+    val keyRange = {
+      import org.apache.spark.sql.functions.{count => fcnt, lit => flit, max => fmax, min => fmin}
+      val r = keys.agg(fmin(fc(keyCols.head)), fmax(fc(keyCols.head)),
+        fcnt(flit(1)), fcnt(fc(keyCols.head))).first()
+      val deltaHasNullKey = r.getLong(2) != r.getLong(3)
+      if (r.isNullAt(0)) None // empty delta or all-NULL keys: no interval
+      else if (nullSafeKeys && deltaHasNullKey) None
+      else Some((r.get(0), r.get(1)))
     }
     val cand = keyRange match {
       case Some((mn, mx)) =>
@@ -714,7 +777,7 @@ object TxLogTable {
             "left_semi")
         touchedFiles(cand, joined)
       }
-    (all, touched)
+    (all, sizes, touched)
   }
 
   /** Conditional keyed MERGE — the delta world's
@@ -773,7 +836,38 @@ object TxLogTable {
       checkDuplicateKeys: Boolean = true,
       nullSafeKeys: Boolean = false,
       whenNotMatchedInsertIf: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, expr => fexpr, lit => flit, not => fnot, when => fwhen}
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    mergeByKeyCols(spark, path, updates, keyCols,
+      whenMatchedUpdateIf.map(fexpr), whenMatchedDeleteIf.map(fexpr),
+      insertUnmatched, commit,
+      whenMatchedSet.map(_.toSeq.map { case (c, sql) => c -> fexpr(sql) }),
+      txn, checkDuplicateKeys, nullSafeKeys,
+      whenNotMatchedInsertIf.map(fexpr))
+  }
+
+  /** Column-typed core of [[mergeByKey]] — the entry the SQL
+    * `MERGE INTO` routing ([[graft.sources.GraftSqlDml]]) drives with
+    * analyzer-resolved clause expressions (re-anchored to the `t`/`s`
+    * aliases), and the string API delegates to via `expr()`. Identical
+    * semantics; one extra capability the SQL surface needs:
+    * `insertProjection` — `WHEN NOT MATCHED THEN INSERT (col, …) VALUES
+    * (expr, …)` with explicit per-column expressions over the `s` alias
+    * covering every target column, so an insert clause no longer
+    * requires the source frame to carry the target schema verbatim. */
+  private[graft] def mergeByKeyCols(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String],
+      whenMatchedUpdateIf: Option[org.apache.spark.sql.Column],
+      whenMatchedDeleteIf: Option[org.apache.spark.sql.Column],
+      insertUnmatched: Boolean,
+      commit: CommitPoint,
+      whenMatchedSet: Option[Seq[(String, org.apache.spark.sql.Column)]],
+      txn: Option[(String, Long)],
+      checkDuplicateKeys: Boolean,
+      nullSafeKeys: Boolean,
+      whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column],
+      insertProjection: Option[Seq[(String, org.apache.spark.sql.Column)]]
+        = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, lit => flit, not => fnot, when => fwhen}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__m"),
       "updates must not carry a __m column (internal match marker)")
@@ -797,22 +891,31 @@ object TxLogTable {
         s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
     }
     val snapshot = readVersion(spark, path, v0)
-    require(!(whenMatchedSet.isEmpty || insertUnmatched) ||
-      schemaKey(snapshot.schema) == schemaKey(updates.schema),
+    require(
+      !(whenMatchedSet.isEmpty ||
+          (insertUnmatched && insertProjection.isEmpty)) ||
+        schemaKey(snapshot.schema) == schemaKey(updates.schema),
       "mergeByKey requires matching schemas on whole-row paths " +
-        "(SET * update, or inserts); use upsertByKey for widening " +
-        "merges, or pass whenMatchedSet with insertUnmatched = false " +
-        "for a narrow source")
+        "(SET * update, or projection-less inserts); use upsertByKey " +
+        "for widening merges, or pass whenMatchedSet with " +
+        "insertUnmatched = false (or an insert projection) for a " +
+        "narrow source")
     whenMatchedSet.foreach { set =>
-      val unknown = set.keys.filterNot(snapshot.columns.contains)
+      val unknown = set.map(_._1).filterNot(snapshot.columns.contains)
       require(unknown.isEmpty,
         s"SET targets unknown column(s): ${unknown.mkString(", ")}")
-      require(set.keys.forall(c => !keyCols.contains(c)),
+      require(set.forall { case (c, _) => !keyCols.contains(c) },
         "SET must not reassign a merge key")
     }
     val dataCols = snapshot.columns.toSeq
+    insertProjection.foreach { proj =>
+      require(proj.map(_._1).sorted == dataCols.sorted,
+        s"INSERT projection must assign every target column exactly " +
+          s"once; got (${proj.map(_._1).mkString(", ")}) for " +
+          s"(${dataCols.mkString(", ")})")
+    }
     val keys = updates.select(keyCols.map(fc): _*)
-    val (all, touched) =
+    val (all, priorSizes, touched) =
       filesMatchingKeys(spark, path, v0, keys, keyCols, nullSafeKeys)
     val untouched = all.diff(touched)
     // nullSafeKeys switches every key comparison to <=>: a NULL key is
@@ -831,14 +934,15 @@ object TxLogTable {
         "left")
       val matched = fc("s.__m").isNotNull
       val delCond = matched && fcoalesce(
-        whenMatchedDeleteIf.map(fexpr).getOrElse(flit(false)), flit(false))
+        whenMatchedDeleteIf.getOrElse(flit(false)), flit(false))
       val updCond = matched && fcoalesce(
-        whenMatchedUpdateIf.map(fexpr).getOrElse(flit(true)), flit(false))
-      val updImage: String => org.apache.spark.sql.Column = whenMatchedSet match {
+        whenMatchedUpdateIf.getOrElse(flit(true)), flit(false))
+      val setMap = whenMatchedSet.map(_.toMap)
+      val updImage: String => org.apache.spark.sql.Column = setMap match {
         case None => c => fc(s"s.`$c`") // whole-row SET *
         case Some(set) => c => set.get(c) match {
-          case Some(sql) =>
-            fexpr(sql).cast(snapshot.schema(c).dataType) // no schema drift
+          case Some(e) =>
+            e.cast(snapshot.schema(c).dataType) // no schema drift
           case None => fc(s"t.`$c`") // unset columns keep the target's
         }
       }
@@ -850,9 +954,9 @@ object TxLogTable {
     // clause (Delta's insert condition): a SQL boolean over the `s`
     // alias, NULL counts false
     val insertSource = whenNotMatchedInsertIf match {
-      case None => updates
+      case None => updates.alias("s")
       case Some(c) =>
-        updates.alias("s").filter(fcoalesce(fexpr(c), flit(false)))
+        updates.alias("s").filter(fcoalesce(c, flit(false)))
     }
     val inserts: Option[DataFrame] =
       if (!insertUnmatched) None
@@ -861,12 +965,20 @@ object TxLogTable {
         // anti-joining the touched scan's keys isolates the unmatched
         case Some(tgt) if !nullSafeKeys => insertSource.join(
           tgt.select(keyCols.map(fc): _*), keyCols, "left_anti")
-        case Some(tgt) => insertSource.alias("s").join(
+        case Some(tgt) => insertSource.join(
           tgt.select(keyCols.map(fc): _*).alias("t"),
           keyCols.map(k => keyEq(s"s.`$k`", s"t.`$k`")).reduce(_ && _),
           "left_anti")
         case None => insertSource
-      }).map(_.select(dataCols.map(fc): _*))
+      }).map { df =>
+        insertProjection match {
+          case None => df.select(dataCols.map(fc): _*)
+          case Some(proj) => // explicit per-column insert image, typed
+            val m = proj.toMap // to the target (the SET no-drift rule)
+            df.select(dataCols.map(c =>
+              m(c).cast(snapshot.schema(c).dataType).as(c)): _*)
+        }
+      }
     val outOpt = (rewritten, inserts) match {
       case (Some(r), Some(i)) => Some(r.unionByName(i))
       case (Some(r), None) => Some(r)
@@ -876,10 +988,11 @@ object TxLogTable {
     if (touched.isEmpty && out.isEmpty) return -1L
     val staged = out.map(stage(_, fs, root, "merge-", partColsOf(touched)))
       .getOrElse(Seq.empty)
-    val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "merge")
-    DeltaInterop.mirror(spark, path, v, staged, touched,
-      snapshot.schema.json, commit)
+    val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
+      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "merge",
+      sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json))
+    DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
+      snapshot.schema.json, commit, sizes = staged.toMap)
     v
   }
 
@@ -911,7 +1024,7 @@ object TxLogTable {
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     require(v0 >= 0, s"cannot delete from an empty table at $path")
     val snapshot = readVersion(spark, path, v0)
-    val all = filesUpTo(fs, root, v0)
+    val (all, priorSizes) = filesAndSizesUpTo(fs, root, v0)
     // stats-level prefilter first (no footer even opens for a file whose
     // min/max interval excludes the predicate), then the exact probe
     // scan over the surviving candidates names the files to rewrite
@@ -935,13 +1048,14 @@ object TxLogTable {
     // a touched-file set whose every row matches stages nothing; a
     // partitioned touched set re-stages in its own layout
     val staged =
-      if (remaining.isEmpty) Seq.empty[String]
+      if (remaining.isEmpty) Seq.empty[(String, Long)]
       else stage(remaining, fs, root, "delete-", partColsOf(touched),
         validate = false)
-    val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "delete")
-    DeltaInterop.mirror(spark, path, v, staged, touched,
-      snapshot.schema.json, commit)
+    val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
+      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "delete",
+      sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json))
+    DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
+      snapshot.schema.json, commit, sizes = staged.toMap)
     v
   }
 
@@ -985,7 +1099,7 @@ object TxLogTable {
     val unknown = set.keys.filterNot(snapshot.columns.contains)
     require(unknown.isEmpty,
       s"SET targets unknown column(s): ${unknown.mkString(", ")}")
-    val all = filesUpTo(fs, root, v0)
+    val (all, priorSizes) = filesAndSizesUpTo(fs, root, v0)
     val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
     val touched =
       if (cand.isEmpty) Seq.empty[String]
@@ -1006,10 +1120,18 @@ object TxLogTable {
         }
       }: _*)
     val staged = stage(rewritten, fs, root, "update-", partColsOf(touched))
-    val v = commitEntry(fs, root, (untouched ++ staged).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "update")
-    DeltaInterop.mirror(spark, path, v, staged, touched,
-      snapshot.schema.json, commit)
+    val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
+      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "update",
+      sizes = priorSizes ++ staged,
+      // a SET that rewrites a partition column re-runs path-type
+      // inference on values the committer didn't see read back —
+      // record nothing and let the sweep re-learn the typing
+      schemaJson =
+        if (partColsOf(touched).intersect(set.keys.toSeq).isEmpty)
+          Some(snapshot.schema.json)
+        else None)
+    DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
+      snapshot.schema.json, commit, sizes = staged.toMap)
     v
   }
 
@@ -1035,17 +1157,22 @@ object TxLogTable {
     require(v0 >= 0, s"cannot restore an empty table at $path")
     require(toVersion >= 0 && toVersion <= v0,
       s"restore target $toVersion outside [0, $v0]")
-    val target = filesUpTo(fs, root, toVersion)
+    val (target, targetSizes) = filesAndSizesUpTo(fs, root, toVersion)
     val missing = target.filterNot(f => fs.exists(new HPath(root, f)))
     require(missing.isEmpty,
       s"cannot restore to $toVersion: ${missing.size} data dirs were " +
         s"vacuumed (first: ${missing.headOption.getOrElse("")})")
-    val schemaJson = readVersion(spark, path, toVersion).schema.json
+    // the target's recorded schema (read-back-faithful by its own
+    // committing op's contract) saves the sweep; pre-schema logs sweep
+    val schemaJson = schemaAt(path, toVersion).map(_.json)
+      .getOrElse(readVersion(spark, path, toVersion).schema.json)
     val current = filesUpTo(fs, root, v0)
     val v = commitEntry(fs, root, target, rebase = true, Some(v0),
-      maxRetries = 1, commit, op = "restore")
+      maxRetries = 1, commit, op = "restore", sizes = targetSizes,
+      schemaJson = Some(schemaJson))
     DeltaInterop.mirror(spark, path, v,
-      target.diff(current), current.diff(target), schemaJson, commit)
+      target.diff(current), current.diff(target), schemaJson, commit,
+      sizes = targetSizes)
     v
   }
 
@@ -1321,7 +1448,7 @@ object TxLogTable {
     require(v >= 0 && v <= head, s"clone version $v outside [0, $head]")
     val (dfs, droot) = fsFor(dest)
     require(!dfs.exists(logDir(droot)), s"$dest is already a table")
-    val files = filesUpTo(sfs, sroot, v)
+    val (files, srcSizes) = filesAndSizesUpTo(sfs, sroot, v)
     val conf = hadoopConf()
     def linkOrCopy(rel: String): Unit = {
       val src = new HPath(sroot, rel)
@@ -1345,15 +1472,134 @@ object TxLogTable {
     val cs = checkConstraints(source)
     if (cs.nonEmpty) writeConstraints(dfs, droot, cs)
     dfs.mkdirs(logDir(droot)) // commitEntry's tmp-file publish needs it
+    // linked/copied bytes are identical, so the source's recorded sizes
+    // and schema carry into the clone's v0 verbatim
+    val srcSchema = schemaAt(source, v).map(_.json)
+      .getOrElse(readVersion(spark, source, v).schema.json)
     val newV = commitEntry(dfs, droot, files.sorted, rebase = false, None,
-      maxRetries = 1, CommitPoint.Auto, op = "clone")
+      maxRetries = 1, CommitPoint.Auto, op = "clone", sizes = srcSizes,
+      schemaJson = Some(srcSchema))
     DeltaInterop.mirror(spark, dest, newV, files, Seq.empty,
-      readVersion(spark, source, v).schema.json, CommitPoint.Auto)
+      srcSchema, CommitPoint.Auto, sizes = srcSizes)
     newV
   }
 
+  /** The entry's `"files":[…]` array substring. Entries always write
+    * the files array LAST, and every other string field is either
+    * enum-safe (`op`), guarded (`txn` appIds may not start with
+    * `data-`), or JSON-escaped (`schema` — its inner quotes are `\"`,
+    * so the raw token `"files":[` cannot occur inside it); scoping the
+    * file regexes here keeps a column named `data-…` in a recorded
+    * schema from reading back as a phantom data file. */
+  private def filesArray(txt: String): String = {
+    val i = txt.lastIndexOf(""""files":[""")
+    if (i < 0) txt else txt.substring(i)
+  }
+
   private def fileList(txt: String): Seq[String] =
-    """"(data-[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+    """"(data-[^"]+)"""".r.findAllMatchIn(filesArray(txt))
+      .map(_.group(1)).toSeq
+
+  /** Per-file physical sizes recorded in a commit entry's
+    * `{"p":path,"s":size}` elements. Legacy bare-string elements carry
+    * no size and are simply absent from the map. */
+  private val SizedFileRe = """\{"p":"(data-[^"]+)","s":(\d+)\}""".r
+
+  private def fileSizes(txt: String): Map[String, Long] =
+    SizedFileRe.findAllMatchIn(filesArray(txt))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  // ---- snapshot schema recorded in the log (Delta's metaData action) ----
+
+  /** All-nullable view of a schema, recursively — what reading the
+    * files back yields (Spark marks every parquet-read column
+    * nullable), so a log-recorded schema and a footer-swept schema
+    * present identically to the planner. */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(asNullable(m.keyType), asNullable(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** The READ-BACK snapshot schema version `v`'s committing entry
+    * recorded, if it did — resolving it is one small JSON read instead
+    * of the O(files) mergeSchema footer sweep, the fresh-relation cost
+    * Delta kills with its `metaData.schemaString`. Entries record a
+    * schema only when the committer could assert read-back fidelity
+    * (see [[recordableSchema]]); absent → the caller sweeps. */
+  def schemaAt(path: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, root) = fsFor(path)
+    val p = new HPath(logDir(root), s"$v.json")
+    if (!fs.exists(p)) return None
+    recordedSchema(readString(fs, p)).map(s =>
+      asNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def recordedSchema(txt: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      import org.json4s._
+      jackson.JsonMethods.parse(txt) \ "schema" match {
+        case JString(s) =>
+          org.apache.spark.sql.types.DataType.fromJson(s) match {
+            case st: org.apache.spark.sql.types.StructType => Some(st)
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The snapshot schema an APPEND can record: the prior entry's
+    * recorded schema merged (Spark's own `StructType.merge`, via the
+    * shim — byte-identical semantics to the footer sweep's reduce) with
+    * the staged frame's non-partition columns. Partition columns keep
+    * the PRIOR recording's types: read-back runs partition-value type
+    * INFERENCE on the path strings, so the staged frame's declared
+    * partition types are not what a reader sees — which also means a
+    * first append to a partitioned layout records nothing (the log
+    * learns the table's read-back schema at its first
+    * snapshot-reading commit: compact/DML/restore all record
+    * `snapshot.schema` verbatim). A merge conflict records nothing
+    * rather than failing the append — appends never validate schema,
+    * and the sweep surfaces the same conflict at read time. */
+  private def appendSchema(fs: FileSystem, root: HPath, v0: Long,
+      df: DataFrame, partitionBy: Seq[String]): Option[String] = {
+    val stagedData = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
+    if (v0 < 0) {
+      if (partitionBy.isEmpty) Some(df.schema.json) else None
+    } else {
+      val p = new HPath(logDir(root), s"$v0.json")
+      val prior = try recordedSchema(readString(fs, p))
+        catch { case scala.util.control.NonFatal(_) => None }
+      prior.flatMap { ps =>
+        try Some(org.apache.spark.sql.graftshim.GraftSqlShim
+          .mergeSchemas(ps, org.apache.spark.sql.types.StructType(
+            stagedData.map(f => f.copy(nullable = true)))).json)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** JSON-string-escape a schema's json for embedding as the entry's
+    * `"schema"` field value (json4s renders the full escape set —
+    * quotes, backslashes, control chars, non-BMP — so the entry stays
+    * one valid JSON object whatever the field names contain). */
+  private def escJson(s: String): String = {
+    val q = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
+    q.substring(1, q.length - 1)
+  }
 
   private def isRebase(txt: String): Boolean = txt.contains(""""rebase":true""")
 
@@ -1400,20 +1646,37 @@ object TxLogTable {
     lastTxnVersion(fs, root, appId)
   }
 
-  private def filesUpTo(fs: FileSystem, root: HPath, v: Long): Seq[String] = {
+  private def filesUpTo(fs: FileSystem, root: HPath, v: Long): Seq[String] =
+    filesAndSizesUpTo(fs, root, v)._1
+
+  /** The snapshot listing of version `v` plus every recorded file size
+    * — ONE pass over the same entries [[filesUpTo]] reads, so resolving
+    * a snapshot with sizes costs exactly a snapshot resolution (one
+    * checkpoint + at most CheckpointInterval-1 incrementals), never a
+    * per-file FS round-trip. Files from pre-size log entries are absent
+    * from the map. */
+  private def filesAndSizesUpTo(fs: FileSystem, root: HPath, v: Long)
+      : (Seq[String], Map[String, Long]) = {
     val ckpt = listLog(fs, root, ".checkpoint.json").filter(_ <= v).lastOption
-    var acc = ckpt.toSeq.flatMap { c =>
-      fileList(readString(fs, new HPath(logDir(root), s"$c.checkpoint.json")))
+    var acc = Seq.empty[String]
+    var sizes = Map.empty[String, Long]
+    ckpt.foreach { c =>
+      val txt = readString(fs, new HPath(logDir(root), s"$c.checkpoint.json"))
+      acc = fileList(txt); sizes = fileSizes(txt)
     }
     versions(fs, root)
       .filter(ver => ver <= v && ckpt.forall(ver > _))
       .foreach { ver =>
         val txt = readString(fs, new HPath(logDir(root), s"$ver.json"))
-        // a rebase entry (compaction) REPLACES the accumulated listing
-        if (isRebase(txt)) acc = fileList(txt)
-        else acc = acc ++ fileList(txt)
+        // a rebase entry (compaction) REPLACES the accumulated listing;
+        // sizes accumulate regardless — a rebase carries files by
+        // reference whose sizes earlier entries may have recorded, and a
+        // stale extra size for a dropped file is harmless (lookups are
+        // keyed by the listing)
+        if (isRebase(txt)) acc = fileList(txt) else acc = acc ++ fileList(txt)
+        sizes = sizes ++ fileSizes(txt)
       }
-    acc
+    (acc, sizes.view.filterKeys(acc.toSet).toMap)
   }
 
   /** Roll the cumulative listing into a checkpoint file. Best-effort and
@@ -1427,7 +1690,11 @@ object TxLogTable {
           if (txns.isEmpty) ""
           else txns.toSeq.sorted.map { case (a, tv) => s""""$a":$tv""" }
             .mkString(""""txns":{""", ",", "},")
-        val entry = filesUpTo(fs, root, v).map(f => "\"" + f + "\"").mkString(
+        val (ckptFiles, ckptSizes) = filesAndSizesUpTo(fs, root, v)
+        val entry = ckptFiles.map(f => ckptSizes.get(f) match {
+          case Some(s) => s"""{"p":"$f","s":$s}"""
+          case None => "\"" + f + "\""
+        }).mkString(
           s"""{"version":$v,$txnsField"files":[""", ",", "]}")
         val tmp = new HPath(logDir(root), s".$v.ckpt.tmp")
         writeString(fs, tmp, entry, overwrite = true)
@@ -1485,6 +1752,18 @@ object TxLogTable {
   def snapshotFiles(path: String, version: Long): Seq[String] = {
     val (fs, root) = fsFor(path)
     filesUpTo(fs, root, version)
+  }
+
+  /** Version `version`'s listing together with the per-file sizes the
+    * log records — one log resolution, zero per-file FS calls. The
+    * reader contract of [[commitEntry]]'s size stamping: the log-backed
+    * FileIndex plans scans (split sizing, join-size estimates) entirely
+    * from this, falling back to `getFileStatus` only for files whose
+    * committing entry predates size recording. */
+  def snapshotWithSizes(path: String, version: Long)
+      : (Seq[String], Map[String, Long]) = {
+    val (fs, root) = fsFor(path)
+    filesAndSizesUpTo(fs, root, version)
   }
 
   /** The latest version whose (monotonized) commit timestamp is ≤

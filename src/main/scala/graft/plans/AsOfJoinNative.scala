@@ -184,6 +184,10 @@ object AsOfJoinNative {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL row-level DML (UPDATE / DELETE FROM / MERGE INTO) on graftlog
+    // relations → the engine's file-pruned ACID commands
+    e.injectPostHocResolutionRule(session =>
+      graft.sources.GraftDmlResolution(session))
     e.injectFunction(graft.functions.VectorExpressions.functionDescription)
     // the other custom expressions self-register per session at their
     // operator entry points; a production session built withExtensions

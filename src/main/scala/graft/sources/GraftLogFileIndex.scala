@@ -35,25 +35,53 @@ class GraftLogFileIndex(spark: SparkSession, path: String,
   private val statusCache =
     new scala.collection.concurrent.TrieMap[String, FileStatus]()
 
+  // per-version snapshot (listing + log-recorded sizes), cached: a
+  // committed version's listing is immutable by the log's construction,
+  // and a LIVE index re-resolving the head on every planner call must
+  // not pay a log re-read per already-seen version
+  private val snapshotCache = new scala.collection.concurrent
+    .TrieMap[Long, (Seq[String], Map[String, Long])]()
+
   private def version: Long =
     pinned.getOrElse(TxLogTable.currentVersion(path))
 
-  private def snapshot: Seq[String] = TxLogTable.snapshotFiles(path, version)
+  private def snapshotAt(v: Long): (Seq[String], Map[String, Long]) =
+    snapshotCache.getOrElseUpdate(v, TxLogTable.snapshotWithSizes(path, v))
 
-  private def statusOf(rel: String): FileStatus =
-    statusCache.getOrElseUpdate(rel, {
-      val (fs, _) = TxLogTable.fsFor(path)
-      fs.getFileStatus(new HPath(s"$path/$rel"))
+  private def snapshot: Seq[String] = snapshotAt(version)._1
+
+  /** `FileStatus` served FROM THE LOG: the commit entry records each
+    * file's size, so planning (split sizing, `sizeInBytes` join
+    * estimates) performs ZERO per-file filesystem calls — the metadata
+    * shape Delta's `add.size` gives its readers; without it a fresh
+    * relation over a 100k-file object-store table would pay ~100k
+    * serial HEAD requests before its first plan. The mtime is synthetic
+    * (0): committed data files are immutable, and nothing downstream of
+    * a scan consumes it except the `_metadata.file_modification_time`
+    * column, which this connector does not expose. One real
+    * `getFileStatus` remains as the fallback for files whose committing
+    * entry predates size recording. */
+  private def statusOf(sizes: Map[String, Long])(rel: String): FileStatus =
+    statusCache.getOrElseUpdate(rel, sizes.get(rel) match {
+      case Some(len) =>
+        new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+          new HPath(s"$path/$rel"))
+      case None =>
+        val (fs, _) = TxLogTable.fsFor(path)
+        fs.getFileStatus(new HPath(s"$path/$rel"))
     })
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(path))
 
-  override def refresh(): Unit = statusCache.clear()
+  override def refresh(): Unit = { statusCache.clear(); snapshotCache.clear() }
 
   override def inputFiles: Array[String] =
     snapshot.map(f => s"$path/$f").toArray
 
-  override def sizeInBytes: Long = snapshot.map(statusOf(_).getLen).sum
+  override def sizeInBytes: Long = {
+    val (files, sizes) = snapshotAt(version)
+    files.map(f => statusOf(sizes)(f).getLen).sum
+  }
 
   /** Hive-partition path values cast to the declared partition types —
     * the same string→type conversion partition discovery performs
@@ -74,7 +102,8 @@ class GraftLogFileIndex(spark: SparkSession, path: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val (fs, root) = TxLogTable.fsFor(path)
-    val snap = snapshot
+    val (snap, sizes) = snapshotAt(version)
+    val status = statusOf(sizes) _
     // layout guard for LIVE head indexes: the relation chose this fast
     // path from the layout at VIEW CREATION. If a later commit mixes
     // layouts (partition evolution — a file carrying the column
@@ -120,7 +149,7 @@ class GraftLogFileIndex(spark: SparkSession, path: String,
           val (kept, _) =
             TxLogTable.pruneFilesWith(fs, root, fsOfDir, dataCond)
           if (kept.isEmpty) None
-          else Some(PartitionDirectory(row, kept.map(statusOf).toArray))
+          else Some(PartitionDirectory(row, kept.map(status).toArray))
         }
       }
   }

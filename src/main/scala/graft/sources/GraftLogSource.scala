@@ -381,8 +381,15 @@ object GraftLogRelation {
   private def snapshotSchema(spark: org.apache.spark.sql.SparkSession,
       path: String, v: Long): StructType = {
     if (schemaCache.size > 1024) schemaCache.clear()
+    // the log-recorded schema first (one small JSON read — the commit
+    // entry is Delta's metaData action here), so a FRESH relation over
+    // an N-file table resolves its schema in O(1) FS metadata calls;
+    // the mergeSchema footer sweep remains the fallback for versions
+    // whose committing entry recorded none (pre-schema logs, first
+    // append to a partitioned layout)
     schemaCache.getOrElseUpdate((path, v),
-      TxLogTable.readVersion(spark, path, v).schema)
+      TxLogTable.schemaAt(path, v)
+        .getOrElse(TxLogTable.readVersion(spark, path, v).schema))
   }
 
   def apply(sqlContext: SQLContext, path: String,
@@ -455,8 +462,8 @@ class GraftLogRelation(spark: org.apache.spark.sql.SparkSession,
   * The SCHEMA still pins at relation creation (Spark resolves plans
   * against it once); appends never change it, and a widening overwrite
   * warrants recreating the view. */
-class GraftLogRowRelation(val sqlContext: SQLContext, path: String,
-    pinned: Option[Long])
+class GraftLogRowRelation(val sqlContext: SQLContext, val path: String,
+    val pinned: Option[Long])
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def snapshotVersion: Long =

@@ -1,0 +1,298 @@
+package graft.sources
+
+import graft.operators.TxLogTable
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftshim.GraftSqlShim
+
+/** SQL ROW-LEVEL DML on `graftlog` tables — `UPDATE`, `DELETE FROM`,
+  * and `MERGE INTO` as plain `spark.sql` statements, routed to the
+  * engine's existing ACID copy-on-write surface
+  * ([[TxLogTable.updateWhere]] / [[TxLogTable.deleteWhere]] /
+  * [[TxLogTable.mergeByKeyCols]]) by an analyzer post-hoc resolution
+  * rule installed through [[graft.plans.GraftExtensions]].
+  *
+  * Architecture note (vs the DSv2 `SupportsRowLevelOperations` shape):
+  * the rule-rewrite-to-runnable-command integration is the original
+  * public Delta-on-Spark design (DeltaAnalysis rewrote exactly these
+  * plans into Delete/Update/MergeCommands over a V1 relation), chosen
+  * here deliberately — the read path stays the log-backed
+  * `HadoopFsRelation`, so every DML probe scan and every post-DML read
+  * keeps the vectorized `FileSourceScanExec` + listing-level pruning a
+  * V2 `TableProvider` batch read would forfeit. The analyzer resolves
+  * the statement's expressions against the relation as usual; this
+  * rule re-anchors them BY NAME onto the engine's own snapshot scan
+  * (fresh exprIds), and the command executes one file-pruned ACID
+  * commit with history intact.
+  *
+  * Supported MERGE surface (clear errors otherwise): conjunctive
+  * equi-key ON clauses (`t.k = s.k …`, same column name both sides —
+  * [[TxLogTable.mergeByKeyCols]] is keyed by name), at most one
+  * UPDATE and one DELETE matched clause with DELETE declared first
+  * when both appear (the engine evaluates delete-then-update, Delta's
+  * clause order), at most one INSERT clause (star or explicit
+  * projection covering every target column), no
+  * NOT-MATCHED-BY-SOURCE clauses, no schema evolution. */
+object GraftSqlDml {
+
+  /** Unwrap a resolved DML target to its graftlog relation:
+    * (table path, pinned time-travel version). */
+  private[sources] def graftTarget(plan: LogicalPlan)
+      : Option[(String, Option[Long])] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case v: View => graftTarget(v.child)
+    case lr: LogicalRelation => lr.relation match {
+      case r: GraftLogRelation => Some((r.path, r.pinned))
+      case r: GraftLogRowRelation => Some((r.path, r.pinned))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private[sources] def requireHead(pinned: Option[Long], op: String,
+      path: String): Unit =
+    require(pinned.isEmpty,
+      s"cannot $op a time-travel graftlog view (pinned at version " +
+        s"${pinned.get} of $path) — DML targets the live head")
+
+  /** Re-anchor a resolved expression by NAME: the analyzer resolved it
+    * against the statement's relation instance, but the command
+    * replays it over the engine's own snapshot scan with fresh
+    * exprIds — unresolved-by-name attributes rebind there, exactly the
+    * contract updateWhere/deleteWhere document for caller-supplied
+    * Columns. */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  private def columnOf(e: Expression): Column =
+    GraftSqlShim.columnOf(unresolve(e))
+
+  /** Merge-clause expressions re-anchor with the engine's `t` (target
+    * row) / `s` (incoming row) aliases, resolved by attribute
+    * PROVENANCE — the analyzer already decided which side each
+    * reference binds to, so a same-named column on both sides stays
+    * unambiguous. */
+  private def mergeColumnOf(e: Expression, tgt: AttributeSet,
+      src: AttributeSet): Column =
+    GraftSqlShim.columnOf(e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if src.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    })
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graftlog MERGE INTO: $what")
+
+  /** Equi-key extraction from the ON clause: conjunction of
+    * `t.k = s.k` with the SAME name both sides. */
+  private def mergeKeys(cond: Expression, tgt: AttributeSet,
+      src: AttributeSet): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference) =>
+        val (t, s) =
+          if (tgt.contains(l) && src.contains(r)) (l, r)
+          else if (tgt.contains(r) && src.contains(l)) (r, l)
+          else unsupported(s"ON conjunct compares within one side: $l = $r")
+        if (t.name != s.name) unsupported(
+          s"ON keys must share a column name (got t.${t.name} = " +
+            s"s.${s.name}); alias the source column to the target's name")
+        t.name
+      case other => unsupported(
+        s"ON clause must be a conjunction of bare-column equi-keys " +
+          s"(t.k = s.k); got: ${other.sql}")
+    }.distinct
+  }
+
+  case class MergeSpec(keyCols: Seq[String], updIf: Option[Column],
+      delIf: Option[Column], set: Option[Seq[(String, Column)]],
+      insert: Boolean, insIf: Option[Column],
+      insProj: Option[Seq[(String, Column)]])
+
+  /** Map the analyzer's merge actions onto the engine's clause model. */
+  private[sources] def mergeSpec(m: MergeIntoTable): MergeSpec = {
+    val tgt = m.targetTable.outputSet
+    val src = m.sourceTable.outputSet
+    val keyCols = mergeKeys(m.mergeCondition, tgt, src)
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+    val mc = (e: Expression) => mergeColumnOf(e, tgt, src)
+
+    var delIf: Option[Column] = None
+    var updIf: Option[Column] = None
+    var set: Option[Seq[(String, Column)]] = None
+    var sawUpdate = false; var sawDelete = false
+    m.matchedActions.foreach {
+      case DeleteAction(cond) =>
+        if (sawDelete) unsupported("at most one WHEN MATCHED … DELETE")
+        if (sawUpdate) unsupported(
+          "DELETE clause must be declared before the UPDATE clause " +
+            "(the engine evaluates delete-then-update; a row matching " +
+            "both must delete)")
+        sawDelete = true
+        delIf = Some(cond.map(mc).getOrElse(
+          GraftSqlShim.columnOf(
+            org.apache.spark.sql.catalyst.expressions.Literal(true))))
+      case ua: UpdateAction =>
+        if (sawUpdate) unsupported("at most one WHEN MATCHED … UPDATE")
+        sawUpdate = true
+        val assignments = ua.assignments
+        updIf = ua.condition.map(mc)
+        set = Some(assignments.map { a =>
+          val name = a.key match {
+            case k: AttributeReference => k.name
+            case other => unsupported(
+              s"UPDATE SET target must be a top-level column, got $other")
+          }
+          name -> mc(a.value)
+        }.filterNot { case (n, _) => keyCols.contains(n) })
+        // key self-assignments (SET * expands keys as t.k == s.k on a
+        // matched row) are dropped above; a key reassignment to a NEW
+        // value is not expressible through a keyed merge
+        assignments.foreach { a =>
+          a.key match {
+            case k: AttributeReference if keyCols.contains(k.name) =>
+              a.value match {
+                case v: AttributeReference if v.name == k.name => ()
+                case _ => unsupported(
+                  s"UPDATE may not reassign merge key ${k.name}")
+              }
+            case _ => ()
+          }
+        }
+      case other => unsupported(s"matched action $other")
+    }
+
+    var insert = false
+    var insIf: Option[Column] = None
+    var insProj: Option[Seq[(String, Column)]] = None
+    m.notMatchedActions.foreach {
+      case InsertAction(cond, assignments) =>
+        if (insert) unsupported("at most one WHEN NOT MATCHED … INSERT")
+        insert = true
+        insIf = cond.map(mc)
+        insProj = Some(assignments.map { a =>
+          val name = a.key match {
+            case k: AttributeReference => k.name
+            case other => unsupported(
+              s"INSERT target must be a top-level column, got $other")
+          }
+          name -> mc(a.value)
+        })
+      case other => unsupported(s"not-matched action $other")
+    }
+    MergeSpec(keyCols, updIf, delIf, set, insert, insIf, insProj)
+  }
+
+  // ---- the runnable commands (payloads are Columns, not Expressions:
+  // they carry name-anchored rebindables, and a Column field keeps the
+  // command node `resolved` for checkAnalysis) ----
+
+  case class GraftDeleteCommand(path: String, cond: Column)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      TxLogTable.deleteWhere(spark, path, cond)
+      Nil
+    }
+  }
+
+  case class GraftUpdateCommand(path: String,
+      set: Seq[(String, Column)], cond: Column)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      TxLogTable.updateWhere(spark, path, set.toMap, cond)
+      Nil
+    }
+  }
+
+  case class GraftMergeCommand(path: String, source: LogicalPlan,
+      spec: MergeSpec) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, source)
+      TxLogTable.mergeByKeyCols(spark, path, src, spec.keyCols,
+        whenMatchedUpdateIf = spec.updIf,
+        whenMatchedDeleteIf = spec.delIf,
+        insertUnmatched = spec.insert,
+        commit = graft.operators.CommitPoint.Auto,
+        whenMatchedSet = spec.set,
+        txn = None,
+        checkDuplicateKeys = true,
+        nullSafeKeys = false,
+        whenNotMatchedInsertIf = spec.insIf,
+        insertProjection = spec.insProj)
+      Nil
+    }
+  }
+}
+
+/** The analyzer rule: rewrite resolved row-level DML over graftlog
+  * relations into the runnable commands above, BEFORE checkAnalysis
+  * would reject them as non-v2 (post-hoc resolution placement, the
+  * public Delta-1.x integration point). Non-graftlog targets pass
+  * through untouched. */
+case class GraftDmlResolution(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import GraftSqlDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case d @ DeleteFromTable(target, condition) if d.resolved =>
+        graftTarget(target) match {
+          case Some((path, pinned)) =>
+            requireHead(pinned, "DELETE FROM", path)
+            GraftDeleteCommand(path, columnOf(condition))
+          case None => d
+        }
+      case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+        graftTarget(target) match {
+          case Some((path, pinned)) =>
+            requireHead(pinned, "UPDATE", path)
+            val set = assignments.map { a =>
+              val name = a.key match {
+                case k: AttributeReference => k.name
+                case other => throw new UnsupportedOperationException(
+                  s"graftlog UPDATE: SET target must be a top-level " +
+                    s"column, got $other")
+              }
+              name -> columnOf(a.value)
+            }
+            GraftUpdateCommand(path, set,
+              condition.map(columnOf).getOrElse(
+                org.apache.spark.sql.functions.lit(true)))
+          case None => u
+        }
+      case m: MergeIntoTable if m.resolved =>
+        graftTarget(m.targetTable) match {
+          case Some((path, pinned)) =>
+            requireHead(pinned, "MERGE INTO", path)
+            if (m.withSchemaEvolution) throw new
+                UnsupportedOperationException(
+              "graftlog MERGE INTO: WITH SCHEMA EVOLUTION is not " +
+                "supported (the log's rewrite keeps the target schema)")
+            GraftMergeCommand(path, m.sourceTable, mergeSpec(m))
+          case None => m
+        }
+    }
+
+  /** Re-anchored condition for the two single-table statements. */
+  private def columnOf(e: Expression): Column =
+    GraftSqlShim.columnOf(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+}

@@ -27,4 +27,22 @@ object GraftSqlShim {
       isStreaming: Boolean): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming)
+
+  /** `StructType.merge` — the EXACT operator Spark's own
+    * `mergeSchema` footer sweep reduces file schemas with
+    * (`SchemaMergeUtils.mergeSchemasInParallel`), `private[sql]` like
+    * the above. The commit log records each snapshot's merged schema
+    * with this so a log-recorded schema and a footer-swept schema can
+    * never diverge on merge semantics (type widening, nested structs,
+    * conflict errors). */
+  def mergeSchemas(a: StructType, b: StructType): StructType = a.merge(b)
+
+  /** Wrap a catalyst `Expression` as a user-facing `Column`
+    * (`ExpressionUtils.column`, `private[sql]` since the Spark-4
+    * ColumnNode split) — how the SQL DML routing re-anchors an
+    * analyzer-resolved WHERE/SET/clause expression onto the engine's
+    * own snapshot scan. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -10,6 +10,7 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
