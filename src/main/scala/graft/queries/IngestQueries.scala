@@ -1098,8 +1098,133 @@ object IngestQueries extends QueryModule {
       WHERE c_mktsegment = 'BUILDING'
       ORDER BY c_custkey"""))
 
+  /** A23 SQL ROW-LEVEL DML ([[graft.sources.GraftDmlResolution]] — the
+    * delta world's `UPDATE` / `DELETE FROM` / `MERGE INTO` as plain
+    * `spark.sql` statements over a graftlog view, each landing as ONE
+    * file-pruned ACID commit through the engine's copy-on-write
+    * surface): orders commits as four disjoint key-range files (q173's
+    * layout); a SQL DELETE thins odd keys out of the second range, a
+    * SQL UPDATE bumps the fourth range's prices, and a SQL MERGE
+    * against a derived source deletes/updates inside the third range
+    * and inserts beyond the key space (conditional clauses, explicit
+    * INSERT projection, delete-before-update order). The query
+    * REQUIREs — in-query — that every statement committed exactly one
+    * version and rewrote ONLY its range's file (three others carry by
+    * reference each time); the oracle replays all three statements
+    * relationally. Additions only, so the double algebra stays
+    * bit-identical across engines. */
+  private val q184 = QueryDef(
+    "q184_sql_row_dml",
+    (s, d) => {
+      val path = s"/tmp/graft_sqldml_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val (b1, b2, b3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Seq(
+        col("o_orderkey") <= b1,
+        col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+        col("o_orderkey") > b2 && col("o_orderkey") <= b3,
+        col("o_orderkey") > b3
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      s.read.format("graftlog").load(path).createOrReplaceTempView("t184")
+      val v0 = TxLogTable.currentVersion(path)
+      val at0 = TxLogTable.filesAt(path, v0)
+
+      s.sql(s"DELETE FROM t184 WHERE o_orderkey > $b1 AND " +
+        s"o_orderkey <= $b2 AND o_orderkey % 2 = 1")
+      val v1 = TxLogTable.currentVersion(path)
+      require(v1 == v0 + 1, s"SQL DELETE must commit exactly one version")
+      val at1 = TxLogTable.filesAt(path, v1)
+      require(at0.diff(at1).size == 1 && at0.count(at1.contains) == 3,
+        "SQL DELETE must rewrite only the second range's file")
+
+      s.sql(s"UPDATE t184 SET o_totalprice = o_totalprice + 500.0 " +
+        s"WHERE o_orderkey > $b3")
+      val v2 = TxLogTable.currentVersion(path)
+      require(v2 == v1 + 1, "SQL UPDATE must commit exactly one version")
+      val at2 = TxLogTable.filesAt(path, v2)
+      require(at1.diff(at2).size == 1 && at1.count(at2.contains) == 3,
+        "SQL UPDATE must rewrite only the fourth range's file")
+
+      // merge source: price adjustments for every 5th key of the third
+      // range, plus brand-new keys beyond the key space
+      orders.filter(col("o_orderkey") > b2 && col("o_orderkey") <= b3 &&
+          col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          (col("o_custkey") + lit(1000000L)).as("o_custkey"),
+          (col("o_totalprice") + lit(11.5)).as("o_totalprice"))
+        .unionByName(
+          orders.filter(col("o_orderkey") <= b1 && col("o_orderkey") % 3 === 0)
+            // + maxK + 1: the synthetic key space starts at 0, so a bare
+            // + maxK would collide key 0's image with the existing max
+            .select((col("o_orderkey") + lit(maxK + 1)).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice")))
+        .createOrReplaceTempView("s184")
+      s.sql("""
+        MERGE INTO t184 USING s184 ON t184.o_orderkey = s184.o_orderkey
+        WHEN MATCHED AND s184.o_custkey % 2 = 0 THEN DELETE
+        WHEN MATCHED THEN
+          UPDATE SET o_totalprice = t184.o_totalprice + s184.o_totalprice
+        WHEN NOT MATCHED AND s184.o_custkey % 2 = 1 THEN
+          INSERT (o_orderkey, o_custkey, o_totalprice)
+          VALUES (s184.o_orderkey, s184.o_custkey + 1, s184.o_totalprice)
+      """)
+      val v3 = TxLogTable.currentVersion(path)
+      require(v3 == v2 + 1, "SQL MERGE must commit exactly one version")
+      val at3 = TxLogTable.filesAt(path, v3)
+      require(at2.diff(at3).size == 1,
+        "SQL MERGE must rewrite only the third range's file (matched " +
+          "keys live there; inserts stage fresh)")
+      TxLogTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT max(o_orderkey) // 4 AS b1, max(o_orderkey) // 2 AS b2,
+               3 * max(o_orderkey) // 4 AS b3, max(o_orderkey) AS mk
+        FROM orders),
+      base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      d1 AS (
+        SELECT t.* FROM base t, b
+        WHERE NOT (t.o_orderkey > b.b1 AND t.o_orderkey <= b.b2
+                   AND t.o_orderkey % 2 = 1)),
+      u1 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey > b.b3 THEN o_totalprice + 500.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM d1, b),
+      src AS (
+        SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+               o_totalprice + 11.5 AS o_totalprice
+        FROM base, b
+        WHERE o_orderkey > b.b2 AND o_orderkey <= b.b3
+          AND o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey + b.mk + 1, o_custkey, o_totalprice
+        FROM base, b WHERE o_orderkey <= b.b1 AND o_orderkey % 3 = 0),
+      m1 AS (
+        SELECT t.o_orderkey, t.o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN t.o_totalprice + s.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL AND s.o_custkey % 2 = 0
+                    THEN 1 ELSE 0 END AS del
+        FROM u1 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey),
+      kept AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM m1 WHERE del = 0),
+      ins AS (
+        SELECT s.o_orderkey, s.o_custkey + 1 AS o_custkey, s.o_totalprice
+        FROM src s ANTI JOIN u1 t ON s.o_orderkey = t.o_orderkey
+        WHERE s.o_custkey % 2 = 1)
+      SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180)
+      q177, q180, q184)
 }
