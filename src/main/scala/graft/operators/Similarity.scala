@@ -481,6 +481,22 @@ object Similarity {
     ivfTopKWith(codebook(c, nCentroids), c, queries, idCol, vecCol, k, nprobe)
   }
 
+  /** Full IVF top-k SERVING from a CALLER-SUPPLIED codebook — the
+    * public search half of the versioned index artifact
+    * ([[ivfSave]]/[[ivfLoad]]): a serving job loads the exact codebook
+    * version its index was built with and runs the complete
+    * nprobe-cell search against it, never retraining (which would
+    * silently reshape cells between the index build and the query
+    * path). Identical plan to [[ivfTopKTrained]]: codebook as plan
+    * literals, shuffle-free assignment, broadcast probe join. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "codebook must be non-empty")
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    ivfTopKWith(centroids, c, queries, idCol, vecCol, k, nprobe)
+  }
+
   private def ivfTopKWith(cents: Seq[(Long, Array[Double])],
       c: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {

@@ -1100,7 +1100,76 @@ object SimilarityQueries extends QueryModule {
       CROSS JOIN tot
       ORDER BY bucket"""))
 
+  /** ANN SERVING from the LOADED index artifact
+    * ([[Similarity.ivfTopKWith]] public overload — the search half of
+    * the q182 round-trip, closing its assignment-only gap): train,
+    * [[Similarity.ivfSave]], [[Similarity.ivfLoad]] the exact version,
+    * then run the FULL nprobe top-k search against the loaded codebook.
+    * The query REQUIREs — in-query — that the loaded-artifact search is
+    * row-identical to a fresh in-memory-trained search (training is
+    * deterministic, so any drift means the artifact round-trip lost
+    * precision); the oracle is q101's replay (Lloyd CTEs + assignment +
+    * probe + ranking) — the SAME final ranking, reached through the
+    * persisted codebook. */
+  private val q185 = QueryDef(
+    "q185_ann_index_serving",
+    (s, d) => {
+      val path = s"/tmp/graft_ivf_serve_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2)
+      val v = Similarity.ivfSave(s, cents, path)
+      val loaded = Similarity.ivfLoad(s, path, Some(v))
+      val served = Similarity.ivfTopKWith(queries, emb, "vec_id",
+          "embedding", k = 5, loaded, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+      val retrained = Similarity.ivfTopKTrained(queries, emb, "vec_id",
+          "embedding", k = 5, nCentroids = 8, nprobe = 2, iters = 2)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          Rnd.halfUp(col("cosine"), 4).as("cos4"))
+      require(served.except(retrained).isEmpty &&
+        retrained.except(served).isEmpty,
+        "the loaded-artifact search must be row-identical to the " +
+          "in-memory-trained search")
+      served.orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      assign AS (
+        SELECT vec_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c) t WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, bucket FROM (
+          SELECT n.vec_id, c.cid AS bucket,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+          FROM n, c2 c WHERE n.vec_id < 10) t WHERE rn <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS corpus_id,
+               list_dot_product(qn.nv, cn.nv) AS cosine
+        FROM probes p
+        JOIN assign a ON a.bucket = p.bucket
+        JOIN n qn ON qn.vec_id = p.query_id
+        JOIN n cn ON cn.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, corpus_id,
+             floor(cosine * 10000.0 + 0.5) / 10000.0 AS cos4
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125, q130, q135, q136, q145, q182, q183)
+      q124, q125, q130, q135, q136, q145, q182, q183, q185)
 }

@@ -481,6 +481,33 @@ class SimilaritySpec extends SparkSpec {
       "the pinned version must still serve the original codebook")
   }
 
+  test("ivfTopKWith: full top-k SEARCH from a loaded codebook equals the in-memory-trained search") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-serve").toString + "/idx"
+    val corpus = (0L until 60L)
+      .map(i => (i, Array.tabulate(8)(j =>
+        math.cos(i * 0.9 + j * 0.4) + (if (i % 3 == j % 3) 1.5 else 0.0))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 6)
+    val trained = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nCentroids = 4, iters = 2)
+    val v = Similarity.ivfSave(spark, trained, path)
+    val loaded = Similarity.ivfLoad(spark, path, Some(v))
+    val served = Similarity.ivfTopKWith(queries, corpus, "vec_id",
+        "embedding", k = 3, loaded, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    val inMem = Similarity.ivfTopKTrained(queries, corpus, "vec_id",
+        "embedding", k = 3, nCentroids = 4, nprobe = 2, iters = 2)
+      .orderBy("query_id", "rank")
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(served == inMem,
+      "loaded-artifact top-k must be rank-identical to the trained search")
+    assert(served.nonEmpty && served.map(_._1).distinct.size == 6)
+  }
+
   test("embeddingDrift: hand-computed per-cell shares and TV distance against a pinned codebook; dark cells still report") {
     // two axis-aligned clusters; the codebook has a THIRD centroid no
     // vector is nearest to (the dark cell)
