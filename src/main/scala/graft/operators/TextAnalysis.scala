@@ -1063,6 +1063,100 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("__n_sub")).as("n_subwords"))
   }
 
+  /** Deterministic SUBWORD-ID table over a [[bpeVocab]] frequency
+    * table — the id half of the tokenizer artifact: ids 0–255 are
+    * RESERVED for byte fallback (an out-of-vocabulary subword encodes
+    * as its raw UTF-8 bytes, the SentencePiece/GPT-2 convention), the
+    * vocabulary occupies 256+ ranked by (count desc, symbol asc) so
+    * frequent subwords take low ids and any engine can replay the
+    * assignment with one row_number. The global window is
+    * VOCABULARY-bounded by construction (alphabet + ≤65536 merges —
+    * metadata scale, same class as the codebook collects), never
+    * corpus-scale. Returns (sym, cnt, sym_id). */
+  def bpeVocabIds(vocab: DataFrame): DataFrame =
+    vocab.select(col("sym"), col("cnt"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("sym").asc)).cast("long") + lit(255L))
+        .as("sym_id"))
+
+  /** The byte-fallback expansion of one OOV subword: its UTF-8 bytes
+    * as ids 0–255. A multi-char subword CAN go OOV — a merge-created
+    * symbol whose every training occurrence was consumed by a later
+    * merge is absent from the final vocabulary, yet merge application
+    * on a serving corpus can still produce it. */
+  private def byteFallbackIds(sym: Column): Column = {
+    val b = encode(sym, "UTF-8")
+    transform(sequence(lit(1), length(b)),
+      i => conv(hex(substr(b, i, lit(1))), 16, 10).cast("long"))
+  }
+
+  /** PER-DOCUMENT ORDERED TOKEN-ID SEQUENCES — what a training-batch
+    * exporter actually ships ([[bpeEncode]] prices documents; this
+    * emits the ids). Same word-type factorization: each DISTINCT word
+    * segments once ([[applyMerges]], depth-bounded) and resolves its
+    * subwords against `vocabIds` ([[bpeVocabIds]] over the TRAINING
+    * corpus' [[bpeVocab]]) — in-vocabulary subwords take their table
+    * id, OOV subwords expand to UTF-8 byte ids (0–255). Documents then
+    * join their words back against the vocabulary-bounded
+    * word→id-sequence table and flatten in word order (mergeable
+    * collect_list + array_sort — no window). Returns one row per token
+    * position: (idCol, pos, token_id), 0-based; no-token documents
+    * yield nothing. */
+  def bpeTokenIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], vocabIds: DataFrame): DataFrame = {
+    val words = df.select(col(idCol), posexplode(tokens(col(textCol))))
+      .toDF(idCol, "wpos", "w")
+    val uniq = words.select(col("w")).distinct()
+      .select(col("w"), concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
+        lit(" ")).as("s"))
+    val syms = applyMerges(uniq, merges)
+      .select(col("w"), posexplode(split(trim(col("s")), "  ")))
+      .toDF("w", "spos", "sym")
+    val withIds = syms
+      .join(vocabIds.select(col("sym"), col("sym_id")), Seq("sym"), "left")
+      .select(col("w"), col("spos"),
+        when(col("sym_id").isNotNull, array(col("sym_id")))
+          .otherwise(byteFallbackIds(col("sym"))).as("ids"))
+    val wordIds = withIds.groupBy(col("w"))
+      .agg(flatten(array_sort(collect_list(struct(col("spos"), col("ids"))))
+        .getField("ids")).as("word_ids"))
+    words.join(wordIds, "w")
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("wpos"), col("word_ids"))))
+        .getField("word_ids")).as("token_ids"))
+      .select(col(idCol), posexplode(col("token_ids")))
+      .toDF(idCol, "pos", "token_id")
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token_id"))
+  }
+
+  /** PACKED TOKEN-ID EXPORT — [[bpeTokenIds]] composed with the
+    * distributed prefix-sum packer ([[Packing.assign]] →
+    * [[Packing.slices]]): every document's id sequence lands in its
+    * capacity-K context window(s), straddlers split across consecutive
+    * sequences, position arithmetic per slice. One row per (sequence,
+    * output position): (seq_id, out_pos, idCol, token_id) — exactly
+    * the flattened training batch a loader materializes. The
+    * slice-to-ids join is doc-keyed with a per-doc position range —
+    * fan-out is token volume over capacity, never quadratic. */
+  def bpePackedExport(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], vocabIds: DataFrame, capacity: Long): DataFrame = {
+    val toks = bpeTokenIds(df, idCol, textCol, merges, vocabIds)
+    val counts = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+    val sl = Packing.slices(
+      Packing.assign(counts, idCol, "n_tokens", capacity), capacity)
+    toks.alias("t")
+      .join(sl.alias("sl"),
+        col(s"t.`$idCol`") === col("sl.doc_id") &&
+          col("t.pos") >= col("sl.doc_start") &&
+          col("t.pos") < col("sl.doc_end"))
+      .select(col("sl.seq_id"),
+        (col("sl.seq_pos") + col("t.pos") - col("sl.doc_start")).as("out_pos"),
+        col("sl.doc_id").as(idCol), col("t.token_id"))
+  }
+
   /** Score a corpus against a FROZEN [[linearProbeTrain]] model — a
     * shuffle-free projection with the weights baked in as an array
     * literal (no join, no window; the dsirScoreWith shape). Documents

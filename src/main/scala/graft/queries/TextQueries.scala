@@ -1273,7 +1273,123 @@ object TextQueries extends QueryModule {
         USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** The q186/q187 shared oracle: merge-ladder training (4 rounds),
+    * per-word subword SEGMENTATION with positions, the frequency-ranked
+    * id table (ids 256+, 0–255 reserved for byte fallback), OOV
+    * expansion to byte ids, and the per-document flatten in word order
+    * — ending at `doc_ids(doc_id, tids)`. ASCII corpus ⇒ the oracle's
+    * per-char ascii() equals the engine's true UTF-8 byte fallback. */
+  private val tokenIdCtes = s"""w0 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents) GROUP BY w),
+      s0 AS (
+        SELECT w, ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+                 i -> substr(w, i, 1)), '  ') || ' ' AS s, c
+        FROM w0),
+      ${bpeRoundsSql(4)},
+      seg AS (SELECT w, string_split(trim(s), '  ') AS subs FROM s4),
+      vocab AS (
+        SELECT sym, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(trim(s), '  ')) AS sym, c FROM s4)
+        GROUP BY sym),
+      vids AS (
+        SELECT sym, 255 + row_number() OVER (ORDER BY cnt DESC, sym ASC)
+               AS sym_id
+        FROM vocab),
+      wsyms AS (
+        SELECT w, generate_subscripts(subs, 1) AS spos, unnest(subs) AS sym
+        FROM seg),
+      sym_ids AS (
+        SELECT w, spos,
+               CASE WHEN v.sym_id IS NOT NULL THEN [CAST(v.sym_id AS BIGINT)]
+                    ELSE list_transform(generate_series(1, length(sym)),
+                           i -> CAST(ascii(substr(sym, i, 1)) AS BIGINT))
+               END AS ids
+        FROM wsyms LEFT JOIN vids v USING (sym)),
+      word_ids AS (
+        SELECT w, flatten(list(ids ORDER BY spos)) AS word_ids
+        FROM sym_ids GROUP BY w),
+      dw AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> length(x) > 0) AS ws
+              FROM documents)),
+      doc_ids AS (
+        SELECT doc_id, flatten(list(word_ids ORDER BY wpos)) AS tids
+        FROM dw JOIN word_ids USING (w) GROUP BY doc_id)"""
+
+  /** TOKEN-ID SEQUENCE EXPORT ([[TextAnalysis.bpeTokenIds]] — the
+    * segmented subword ID sequences a training-batch exporter ships;
+    * [[TextAnalysis.bpeEncode]] prices, this emits): train 4 merges,
+    * build the frequency-ranked id table over the tokenizer's
+    * vocabulary ([[TextAnalysis.bpeVocabIds]], ids 256+, 0–255
+    * reserved byte fallback), then export every document's ordered ids
+    * — one row per token position. The oracle replays training,
+    * per-position segmentation, id ranking, OOV byte expansion, and
+    * the word-order flatten. */
+  private val q186 = QueryDef(
+    "q186_bpe_token_ids",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = TextAnalysis.bpeTrain(docs, "text", merges = 4).map(_._1)
+      val vids = TextAnalysis.bpeVocabIds(
+        TextAnalysis.bpeVocab(docs, "text", m))
+      TextAnalysis.bpeTokenIds(docs, "doc_id", "text", m, vids)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""
+      WITH $tokenIdCtes
+      SELECT doc_id,
+             CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos,
+             unnest(tids) AS token_id
+      FROM doc_ids
+      ORDER BY doc_id, pos"""))
+
+  /** PACKED TOKEN-ID EXPORT ([[TextAnalysis.bpePackedExport]] — q186's
+    * sequences through the distributed prefix-sum packer into
+    * capacity-64 context windows, q178's ladder with the ACTUAL ids):
+    * one row per (sequence, output position). The oracle collapses the
+    * slice arithmetic to the global-position identity — a token at
+    * document offset p with stream offset o lands at sequence
+    * (o+p)//64, position (o+p)%64 — which is exactly what
+    * assign→slices→join computes piecewise. */
+  private val q187 = QueryDef(
+    "q187_bpe_packed_export",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val m = TextAnalysis.bpeTrain(docs, "text", merges = 4).map(_._1)
+      val vids = TextAnalysis.bpeVocabIds(
+        TextAnalysis.bpeVocab(docs, "text", m))
+      TextAnalysis.bpePackedExport(docs, "doc_id", "text", m, vids,
+          capacity = 64L)
+        .orderBy(col("seq_id"), col("out_pos"))
+    },
+    Some(s"""
+      WITH $tokenIdCtes,
+      counts AS (
+        SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens FROM doc_ids),
+      c AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS tok_offset
+        FROM counts),
+      pos_ids AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(tids, 1) - 1 AS BIGINT) AS pos,
+               unnest(tids) AS token_id
+        FROM doc_ids)
+      SELECT (c.tok_offset + p.pos) // 64 AS seq_id,
+             (c.tok_offset + p.pos) % 64 AS out_pos,
+             p.doc_id, p.token_id
+      FROM pos_ids p JOIN c USING (doc_id)
+      ORDER BY seq_id, out_pos"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q81, q84, q86, q91, q93, q96, q117,
-      q121, q126, q137, q138, q167, q171, q175, q178, q179, q181)
+      q121, q126, q137, q138, q167, q171, q175, q178, q179, q181, q186,
+      q187)
 }

@@ -597,4 +597,67 @@ class TextAnalysisSpec extends SparkSpec {
       s"the lexicon side must broadcast:\n$plan")
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
+
+  test("bpeTokenIds: hand-computed id sequences; OOV byte fallback for single-char AND merge-created subwords") {
+    // train on a corpus where BOTH merges fire and the intermediate
+    // symbol 'ab' is fully consumed by the second merge — so 'ab' is a
+    // MERGE-CREATED symbol absent from the final vocabulary
+    val train = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, "text", merges = 2).map(_._1)
+    assert(merges == Seq("a b", "ab c"), s"got $merges")
+    val vocab = TextAnalysis.bpeVocab(train, "text", merges)
+    val vids = TextAnalysis.bpeVocabIds(vocab)
+    assert(vids.select("sym", "sym_id").as[(String, Long)].collect()
+      .toSeq == Seq(("abc", 256L)),
+      "single-symbol vocabulary takes the first id past the byte range")
+    // serving corpus: 'abx' segments to [ab, x] — 'ab' is a multi-char
+    // OOV (merge-created, consumed in training) → UTF-8 bytes [97, 98];
+    // 'zq' is two unseen chars → [122, 113]; 'abc' is in-vocab → [256]
+    val serve = Seq((7L, "abx zq abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenIds(serve, "doc_id", "text", merges, vids)
+      .orderBy("pos").select("pos", "token_id").as[(Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(0L -> 97L, 1L -> 98L, 2L -> 120L, 3L -> 122L,
+      4L -> 113L, 5L -> 256L), s"got $got")
+  }
+
+  test("bpeVocabIds: frequency-ranked ids from 256, symbol-ascending tie-break") {
+    val train = Seq((1L, "aa bb bb c")).toDF("doc_id", "text")
+    val vids = TextAnalysis.bpeVocabIds(
+      TextAnalysis.bpeVocab(train, "text", Seq("a a", "b b")))
+    // counts: 'bb' 2, 'aa' 1, 'c' 1 → bb=256, then ties (aa, c) break
+    // symbol-ascending: aa=257, c=258
+    assert(vids.select("sym", "sym_id").as[(String, Long)].collect()
+      .toMap == Map("bb" -> 256L, "aa" -> 257L, "c" -> 258L))
+  }
+
+  test("bpePackedExport: every sequence but the last is exactly capacity; ids equal the global token stream") {
+    val docs = Seq(
+      (1L, "aa bb cc dd"), (2L, "ee ff"), (3L, "gg hh ii"), (4L, "jj"))
+      .toDF("doc_id", "text")
+    val vids = TextAnalysis.bpeVocabIds(
+      TextAnalysis.bpeVocab(docs, "text", Seq.empty))
+    val packed = TextAnalysis.bpePackedExport(docs, "doc_id", "text",
+      Seq.empty, vids, capacity = 3L)
+      .orderBy("seq_id", "out_pos")
+      .select("seq_id", "out_pos", "doc_id", "token_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // no merges: every word is its chars → 2 tokens per 2-char word;
+    // total 20 tokens → 7 sequences (6 full of 3, one of 2)
+    val bySeq = packed.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sq, poss) =>
+      if (sq != lastSeq) assert(poss == Seq(0L, 1L, 2L),
+        s"seq $sq must be exactly capacity, got $poss")
+      assert(poss == poss.indices.map(_.toLong), s"seq $sq contiguous")
+    }
+    // the packed stream, read in (seq, pos) order, IS the doc-order
+    // token stream
+    val streamIds = packed.map(_._4)
+    val direct = TextAnalysis.bpeTokenIds(docs, "doc_id", "text",
+        Seq.empty, vids)
+      .orderBy("doc_id", "pos").select("token_id").as[Long]
+      .collect().toSeq
+    assert(streamIds == direct, "packed order must equal the global stream")
+  }
 }
