@@ -197,8 +197,13 @@ object IncrementalView {
             count(lit(1)).as("__dirty")
           // null-safe joins throughout: a NULL group key is a real
           // group (groupBy keeps it), and an equality join would
-          // silently skip its recompute, leaving a stale extremum
-          val base = TxLogTable.read(spark, source)
+          // silently skip its recompute, leaving a stale extremum.
+          // PINNED to srcHead — the version the refresh's watermark txn
+          // stamps: a live-head read here would fold a CONCURRENT
+          // source append into the recompute while the delta (and the
+          // recorded watermark) stop at srcHead; benign for monotone
+          // merges but the pin makes the snapshot invariant structural
+          val base = TxLogTable.readVersion(spark, source, srcHead)
           val rec = base.join(dirty,
               keyCols.map(k => base(k) <=> dirty(k)).reduce(_ && _),
               "left_semi")

@@ -383,6 +383,15 @@ object Similarity {
       .join(cb, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_a", "n_b"))
       .crossJoin(broadcast(totals))
+      // ENFORCE the documented non-empty contract in-plan: an empty
+      // corpus leaves its total NULL (sum over zero rows) and every
+      // share/drift column would silently go NULL — fail loudly
+      // instead. assert_true(NULL) throws, so the null total itself
+      // trips the check; the filter is true on success (assert_true
+      // yields NULL) and costs K rows.
+      .filter(isnull(assert_true(col("__ta") > 0.0 && col("__tb") > 0.0,
+        lit("embeddingDrift: both corpora must be non-empty (a share " +
+          "divides by each total)"))))
       .select(col("bucket"), col("n_a"), col("n_b"),
         graft.queries.Rnd.halfUp(shareA, 6).as("share_a6"),
         graft.queries.Rnd.halfUp(shareB, 6).as("share_b6"),

@@ -429,19 +429,32 @@ object TxLogTable {
     * Files absent from the map publish in the legacy bare-string form
     * and readers fall back to one `getFileStatus` for exactly those
     * (pre-size logs stay readable forever). */
+  /** `cleanupDirs`: the data dirs THIS commit freshly staged — deleted
+    * when the commit definitively does not publish them (a pinned CAS
+    * loses its race, the SetTransaction replay check fires mid-commit,
+    * or retries exhaust). Without this, every lost change-feed CAS
+    * attempt leaves a full staged transform as an orphan dir that only
+    * vacuum would reap. */
   private def commitEntry(fs: FileSystem, root: HPath, files: Seq[String],
       rebase: Boolean, expectedVersion: Option[Long], maxRetries: Int,
       cp: CommitPoint, txn: Option[(String, Long)] = None,
       op: String = "append", sizes: Map[String, Long] = Map.empty,
-      schemaJson: Option[String] = None): Long = {
+      schemaJson: Option[String] = None,
+      cleanupDirs: Seq[String] = Nil): Long = {
+    def cleanStaged(): Unit = cleanupDirs.foreach { d =>
+      try fs.delete(new HPath(root, d), true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val v = versions(fs, root).lastOption.getOrElse(-1L) + 1
       expectedVersion.foreach { exp =>
-        if (v != exp + 1)
+        if (v != exp + 1) {
+          cleanStaged()
           throw new java.util.ConcurrentModificationException(
             s"table advanced to ${v - 1} past the pinned snapshot $exp " +
               "(compaction or CAS append lost to a concurrent commit)")
+        }
       }
       // SetTransaction re-check ON EVERY ATTEMPT, after the version
       // listing (the delta conflict-detection shape): append's pre-stage
@@ -452,8 +465,10 @@ object TxLogTable {
       // landing after it makes this put LOSE (the name is taken), and the
       // retry re-checks.
       txn.foreach { case (app, tv) =>
-        if (lastTxnVersion(fs, root, app).exists(_ >= tv))
+        if (lastTxnVersion(fs, root, app).exists(_ >= tv)) {
+          cleanStaged() // replay detected mid-commit: nothing publishes
           return v - 1
+        }
       }
       val flag = if (rebase) """"rebase":true,""" else ""
       val txnField = txn.map { case (app, tv) =>
@@ -482,10 +497,12 @@ object TxLogTable {
         maybeCheckpoint(fs, root, v)
         return v
       }
-      if (expectedVersion.isDefined)
+      if (expectedVersion.isDefined) {
+        cleanStaged()
         throw new java.util.ConcurrentModificationException(
           s"lost the commit race at version $v (pinned snapshot " +
             s"${expectedVersion.get})")
+      }
       attempt += 1 // lost the race; retry at the next version
       // wait for the winner's entry to become visible before re-listing:
       // on a slow store the winner's upload may still be in flight, and
@@ -497,8 +514,14 @@ object TxLogTable {
       while (!fs.exists(taken) && System.currentTimeMillis() < deadline)
         Thread.sleep(10)
     }
+    cleanStaged()
     throw new IllegalStateException(s"could not commit to $root after $maxRetries attempts")
   }
+
+  /** The data dirs a fresh [[stage]] result occupies — the cleanup
+    * unit for a commit that loses its race. */
+  private def stagedDirs(staged: Seq[(String, Long)]): Seq[String] =
+    staged.map(_._1.split('/').head).distinct
 
   /** Append a batch as one atomic commit; returns the committed version.
     * `commit` selects the atomic-publish primitive for the table's
@@ -539,7 +562,8 @@ object TxLogTable {
     val v = commitEntry(fs, root, files, rebase = false, expectedVersion,
       if (expectedVersion.isDefined) 1 else maxRetries, commit, txn,
       sizes = staged.toMap,
-      schemaJson = appendSchema(fs, root, v0, df, partitionBy))
+      schemaJson = appendSchema(fs, root, v0, df, partitionBy),
+      cleanupDirs = stagedDirs(staged))
     DeltaInterop.mirror(spark, path, v, files, Seq.empty, df.schema.json,
       commit, txn, sizes = staged.toMap)
     v
@@ -575,7 +599,8 @@ object TxLogTable {
     // until the next snapshot-reading commit records what it saw)
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
       maxRetries = 1, commit, txn, op = "overwrite", sizes = staged.toMap,
-      schemaJson = if (partitionBy.isEmpty) Some(df.schema.json) else None)
+      schemaJson = if (partitionBy.isEmpty) Some(df.schema.json) else None,
+      cleanupDirs = stagedDirs(staged))
     DeltaInterop.mirror(spark, path, v, files, prior, df.schema.json,
       commit, txn, sizes = staged.toMap)
     v
@@ -627,7 +652,8 @@ object TxLogTable {
     val v = commitEntry(fs, root, files, rebase = true, Some(v0),
       maxRetries = 1, commit, op = "compact", sizes = staged.toMap,
       schemaJson =
-        if (partitionBy.isEmpty) Some(snapshot.schema.json) else None)
+        if (partitionBy.isEmpty) Some(snapshot.schema.json) else None,
+      cleanupDirs = stagedDirs(staged))
     // the rebase is a remove-all + add-all in Delta terms
     DeltaInterop.mirror(spark, path, v, files, priorFiles,
       snapshot.schema.json, commit, sizes = staged.toMap)
@@ -707,7 +733,8 @@ object TxLogTable {
       val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
         rebase = true, Some(v0), maxRetries = 1, commit, op = "upsert",
         sizes = priorSizes ++ staged,
-        schemaJson = Some(snapshot.schema.json))
+        schemaJson = Some(snapshot.schema.json),
+        cleanupDirs = stagedDirs(staged))
       DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
         snapshot.schema.json, commit, sizes = staged.toMap)
       v
@@ -717,7 +744,8 @@ object TxLogTable {
       val staged = stage(merged, fs, root, "merge-")
       val v = commitEntry(fs, root, staged.map(_._1), rebase = true, Some(v0),
         maxRetries = 1, commit, op = "upsert", sizes = staged.toMap,
-        schemaJson = Some(merged.schema.json))
+        schemaJson = Some(merged.schema.json),
+        cleanupDirs = stagedDirs(staged))
       DeltaInterop.mirror(spark, path, v, staged.map(_._1),
         filesUpTo(fs, root, v0), merged.schema.json, commit,
         sizes = staged.toMap)
@@ -990,7 +1018,8 @@ object TxLogTable {
       .getOrElse(Seq.empty)
     val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
       rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "merge",
-      sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json))
+      sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json),
+      cleanupDirs = stagedDirs(staged))
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
@@ -1053,7 +1082,8 @@ object TxLogTable {
         validate = false)
     val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
       rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "delete",
-      sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json))
+      sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json),
+      cleanupDirs = stagedDirs(staged))
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
@@ -1129,7 +1159,8 @@ object TxLogTable {
       schemaJson =
         if (partColsOf(touched).intersect(set.keys.toSeq).isEmpty)
           Some(snapshot.schema.json)
-        else None)
+        else None,
+      cleanupDirs = stagedDirs(staged))
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v

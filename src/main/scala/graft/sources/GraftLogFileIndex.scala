@@ -28,8 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQL view tracks the table (including its own `INSERT INTO`s).
   * File statuses cache forever: committed data files are immutable by
   * the log's construction. */
-class GraftLogFileIndex(spark: SparkSession, path: String,
-    pinned: Option[Long], override val partitionSchema: StructType)
+class GraftLogFileIndex(spark: SparkSession, val path: String,
+    val pinned: Option[Long], override val partitionSchema: StructType)
     extends FileIndex {
 
   private val statusCache =

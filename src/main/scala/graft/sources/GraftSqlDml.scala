@@ -49,8 +49,32 @@ object GraftSqlDml {
     case lr: LogicalRelation => lr.relation match {
       case r: GraftLogRelation => Some((r.path, r.pinned))
       case r: GraftLogRowRelation => Some((r.path, r.pinned))
+      // STRUCTURAL detection, not subclass identity: HadoopFsRelation
+      // is a case class, and catalyst/catalog plumbing (the session
+      // catalog's relation cache among them) can `copy()` it — which
+      // rebuilds the BASE case class and silently drops the
+      // GraftLogRelation subtype. The log-backed FileIndex survives
+      // every copy, so it is the identity that matters.
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location match {
+          case idx: GraftLogFileIndex => Some((idx.path, idx.pinned))
+          case _ => None
+        }
       case _ => None
     }
+    // a CATALOG table's DML target resolves through the V2SessionCatalog
+    // as a DataSourceV2Relation over the V1Table adapter — recover the
+    // provider + path/options from the underlying CatalogTable
+    case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation =>
+      GraftSqlShim.v1CatalogTable(r.table).flatMap { ct =>
+        if (!ct.provider.exists(_.equalsIgnoreCase("graftlog"))) None
+        else {
+          val opts = ct.storage.properties
+          opts.get("path").orElse(ct.storage.locationUri.map(_.toString))
+            .map(p => (p, opts.get("versionAsOf").map(_.toLong)))
+        }
+      }
     case _ => None
   }
 
@@ -219,6 +243,26 @@ object GraftSqlDml {
     }
   }
 
+  /** ACID INSERT for CATALOG graftlog tables. Temp-view inserts route
+    * through `InsertableRelation` (DataSourceAnalysis checks it before
+    * the file-write command), but a CATALOG table's INSERT resolves to
+    * `InsertIntoHadoopFsRelationCommand` — a direct parquet write into
+    * the table dir that would BYPASS the commit log (files no snapshot
+    * references; silent data loss). The rule below intercepts that
+    * command whenever its FileIndex is the log-backed one and re-routes
+    * to the same ACID commit path, with the query already
+    * column-coerced by Spark's own PreprocessTableInsertion. */
+  case class GraftInsertCommand(path: String, pinned: Option[Long],
+      query: LogicalPlan, overwrite: Boolean) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val df = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, query)
+      GraftLogRelation.acidInsert(spark, path, pinned, df, overwrite)
+      Nil
+    }
+  }
+
   case class GraftMergeCommand(path: String, source: LogicalPlan,
       spec: MergeSpec) extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
@@ -252,6 +296,15 @@ case class GraftDmlResolution(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
+      // catalog-table INSERT: DataSourceAnalysis (an earlier post-hoc
+      // rule) already rewrote it into the direct file-write command —
+      // re-route to the ACID commit path when the target is log-backed
+      case c: org.apache.spark.sql.execution.datasources
+          .InsertIntoHadoopFsRelationCommand
+          if c.fileIndex.exists(_.isInstanceOf[GraftLogFileIndex]) =>
+        val idx = c.fileIndex.get.asInstanceOf[GraftLogFileIndex]
+        GraftSqlDml.GraftInsertCommand(idx.path, idx.pinned, c.query,
+          overwrite = c.mode == org.apache.spark.sql.SaveMode.Overwrite)
       case d @ DeleteFromTable(target, condition) if d.resolved =>
         graftTarget(target) match {
           case Some((path, pinned)) =>

@@ -45,4 +45,17 @@ object GraftSqlShim {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Unwrap the session catalog's `V1Table` adapter (`private[sql]`) —
+    * a CATALOG table's row-level DML resolves its target to a
+    * `DataSourceV2Relation` over this wrapper (the V2SessionCatalog
+    * fallback), so the DML routing needs the underlying CatalogTable
+    * to recognize a graftlog provider and recover its path/options. */
+  def v1CatalogTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    t match {
+      case v1: org.apache.spark.sql.connector.catalog.V1Table =>
+        Some(v1.v1Table)
+      case _ => None
+    }
 }

@@ -374,4 +374,65 @@ class IncrementalViewSpec extends SparkSpec {
     assert(viewRows(view) == Map("a" -> ((2L, 3.0))))
     assert(IncrementalView.appliedVersion(view, src) == 1L)
   }
+
+  test("maintain's dirty-group recompute pins to the watermark version under concurrent source appends") {
+    val src = tmp
+    val view = tmp + "-view"
+    TxLogTable.append(spark,
+      (0L until 200L).map(i => (i, s"g${i % 5}", (i % 40).toDouble))
+        .toDF("id", "grp", "amount"), src) // v0
+    IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"),
+      minCols = Seq("amount"), maxCols = Seq("amount"))
+    // strip every group's stored maximum → the NEXT maintain must run
+    // the dirty-group recompute path (the read this spec pins)
+    TxLogTable.deleteWhere(spark, src, col("amount") >= 35.0) // v1
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val f = Future {
+      IncrementalView.maintain(spark, src, view, Seq("grp"), Seq("amount"),
+        minCols = Seq("amount"), maxCols = Seq("amount"))
+    }
+    // race appends into the source while the maintain runs: rows that
+    // RAISE maxima past the deleted extremes, so an unpinned recompute
+    // (live-head read) would fold them in ahead of the watermark
+    var i = 0
+    while (!f.isCompleted && i < 30) {
+      TxLogTable.append(spark,
+        Seq((10000L + i, s"g${i % 5}", 90.0 + i)).toDF("id", "grp", "amount"),
+        src)
+      i += 1
+    }
+    val applied = Await.result(f, 5.minutes)
+    // the view must equal the full recompute AT THE WATERMARK VERSION —
+    // exactly the snapshot the recorded txn claims, concurrent appends
+    // excluded
+    def recomputeAt(v: Long): Map[String, (Long, Double, Double)] =
+      TxLogTable.readVersion(spark, src, v)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), min(col("amount")).as("mn"),
+          max(col("amount")).as("mx"))
+        .select(col("grp"), col("cnt"), col("mn").cast("double"),
+          col("mx").cast("double"))
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = TxLogTable.read(spark, view)
+      .select(col("grp"), col("cnt"), col("min_amount").cast("double"),
+        col("max_amount").cast("double"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(applied == IncrementalView.appliedVersion(view, src))
+    assert(got == recomputeAt(applied),
+      s"view must equal the recompute at its watermark $applied")
+    // and the next maintain catches the raced appends up exactly
+    val head = IncrementalView.maintain(spark, src, view, Seq("grp"),
+      Seq("amount"), minCols = Seq("amount"), maxCols = Seq("amount"))
+    assert(head == TxLogTable.currentVersion(src))
+    val after = TxLogTable.read(spark, view)
+      .select(col("grp"), col("cnt"), col("min_amount").cast("double"),
+        col("max_amount").cast("double"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(after == recomputeAt(head))
+  }
 }

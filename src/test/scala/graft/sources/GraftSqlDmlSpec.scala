@@ -208,6 +208,41 @@ class GraftSqlDmlSpec extends SparkSpec {
     intercept[Exception](spark.sql("DELETE FROM plain_tv WHERE id = 1"))
   }
 
+  test("persistent catalog table (CREATE TABLE USING graftlog): survives to a new session, INSERT and row-level DML by name, time travel via OPTIONS") {
+    val path = freshTable()
+    spark.sql("DROP TABLE IF EXISTS graft_cat_t")
+    spark.sql("DROP TABLE IF EXISTS graft_cat_t0")
+    spark.sql(s"CREATE TABLE graft_cat_t USING graftlog " +
+      s"OPTIONS (path '$path')")
+    assert(spark.table("graft_cat_t").count() == 300)
+
+    // a NEW session (fresh session state, shared catalog — the
+    // restart-equivalent): the table resolves by NAME, reads, and
+    // accepts INSERT routed to the ACID commit path
+    val s2 = spark.newSession()
+    assert(s2.table("graft_cat_t").count() == 300)
+    val v0 = TxLogTable.currentVersion(path)
+    s2.sql("INSERT INTO graft_cat_t VALUES (9001, 1, 'ins'), (9002, 2, 'ins')")
+    assert(TxLogTable.currentVersion(path) == v0 + 1,
+      "INSERT by catalog name must land as one ACID commit")
+    assert(TxLogTable.read(spark, path).count() == 302)
+
+    // row-level SQL DML resolves through the catalog name too
+    spark.sql("DELETE FROM graft_cat_t WHERE k = 'ins'")
+    assert(TxLogTable.read(spark, path).count() == 300)
+    spark.sql("UPDATE graft_cat_t SET v = 1 WHERE id = 0")
+    assert(TxLogTable.read(spark, path).filter($"id" === 0L)
+      .select("v").as[Long].head() == 1L)
+
+    // time travel pins through OPTIONS
+    spark.sql(s"CREATE TABLE graft_cat_t0 USING graftlog " +
+      s"OPTIONS (path '$path', versionAsOf '0')")
+    assert(spark.table("graft_cat_t0").count() == 100,
+      "the pinned catalog table must read version 0's snapshot")
+    spark.sql("DROP TABLE graft_cat_t")
+    spark.sql("DROP TABLE graft_cat_t0")
+  }
+
   test("SQL DELETE/UPDATE keep recorded sizes+schema in the new commit (planning stays O(1) after DML)") {
     val path = freshTable()
     spark.read.format("graftlog").load(path).createOrReplaceTempView("t_sz")
