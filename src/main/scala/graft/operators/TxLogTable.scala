@@ -723,7 +723,7 @@ object TxLogTable {
         // snapshot's merged schema (appends never validate), and the
         // touched SUBSET's merge can lack a column every other file has
         // — those carried rows read it as null either way
-        else scanFiles(spark, path, touched)
+        else scanFiles(spark, path, touched, Some(snapshot.schema))
           .join(keys, keyCols, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       val staged = stage(merged, fs, root, "merge-", partColsOf(touched))
@@ -796,7 +796,7 @@ object TxLogTable {
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else {
-        val probe = scanFiles(spark, path, cand)
+        val probe = scanFiles(spark, path, cand, schemaAt(path, v0))
           .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
         val joined =
           if (!nullSafeKeys) probe.join(keys, keyCols, "left_semi")
@@ -954,7 +954,7 @@ object TxLogTable {
       else (a, b) => fc(a) === fc(b)
     val tgtScan =
       if (touched.isEmpty) None
-      else Some(scanFiles(spark, path, touched))
+      else Some(scanFiles(spark, path, touched, Some(snapshot.schema)))
     val rewritten: Option[DataFrame] = tgtScan.map { tgt =>
       val joined = tgt.alias("t").join(
         updates.withColumn("__m", flit(1)).alias("s"),
@@ -1061,7 +1061,7 @@ object TxLogTable {
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
-        scanFiles(spark, path, cand)
+        scanFiles(spark, path, cand, Some(snapshot.schema))
           .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
           .filter(predicate))
     if (touched.isEmpty) return -1L
@@ -1071,7 +1071,7 @@ object TxLogTable {
     // would drop NULL rows from rewritten files while identical rows in
     // untouched files carry by reference — erasure that depends on
     // which file a row shares with a match.
-    val remaining = scanFiles(spark, path, touched)
+    val remaining = scanFiles(spark, path, touched, Some(snapshot.schema))
       .filter(!org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false)))
     // a touched-file set whose every row matches stages nothing; a
@@ -1134,13 +1134,13 @@ object TxLogTable {
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
-        scanFiles(spark, path, cand)
+        scanFiles(spark, path, cand, Some(snapshot.schema))
           .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
           .filter(predicate))
     if (touched.isEmpty) return -1L
     val untouched = all.diff(touched)
     val cond = fcoalesce(predicate, flit(false))
-    val rewritten = scanFiles(spark, path, touched)
+    val rewritten = scanFiles(spark, path, touched, Some(snapshot.schema))
       .select(snapshot.schema.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(e) =>
@@ -1867,15 +1867,31 @@ object TxLogTable {
     * their `k=v` segments surface as columns), all unpartitioned files
     * read as one multi-path scan, and the sides align by name. For a
     * table with no partitioned files this is exactly the old single
-    * mergeSchema read — no plan-shape change. */
+    * mergeSchema read — no plan-shape change.
+    *
+    * `knownSchema` (the log-recorded snapshot schema, read-back-
+    * faithful by the commit contract) replaces the mergeSchema footer
+    * sweep for ALL-PLAIN listings — zero footer opens before the scan,
+    * on every DML probe/rewrite and snapshot read. Sound for SUBSET
+    * scans too: a file narrower than the snapshot schema reads its
+    * missing columns as null, exactly what the mergeSchema union
+    * yielded downstream. Partitioned listings keep the sweep (their
+    * recorded schemas exist only for ops that saw read-back typing;
+    * the conservative path costs one footer pass per dir group). */
   private def scanFiles(spark: SparkSession, path: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String],
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val (parted, plain) = files.partition(f =>
       partitionValuesOf(f).nonEmpty)
     val plainScan =
       if (plain.isEmpty) None
-      else Some(spark.read.option("mergeSchema", true)
-        .parquet(plain.map(f => s"$path/$f"): _*))
+      else Some(knownSchema match {
+        case Some(s) if parted.isEmpty =>
+          spark.read.schema(s).parquet(plain.map(f => s"$path/$f"): _*)
+        case _ => spark.read.option("mergeSchema", true)
+          .parquet(plain.map(f => s"$path/$f"): _*)
+      })
     val partedScans = parted.groupBy(_.split('/').head).toSeq
       .sortBy(_._1).map { case (dir, fsOfDir) =>
         spark.read.option("mergeSchema", true)
@@ -1923,7 +1939,7 @@ object TxLogTable {
     val (fs, root) = fsFor(path)
     val files = filesUpTo(fs, root, version)
     if (files.isEmpty) spark.emptyDataFrame
-    else scanFiles(spark, path, files)
+    else scanFiles(spark, path, files, schemaAt(path, version))
   }
 
   def currentVersion(path: String): Long = {
