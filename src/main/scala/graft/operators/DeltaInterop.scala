@@ -56,6 +56,40 @@ object DeltaInterop {
   private def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
+  // ---- mirror disablement (deletion vectors) ----
+
+  private def disabledMarker(root: HPath): HPath =
+    new HPath(root, "_delta_log_disabled")
+
+  private[operators] def isDisabled(fs: FileSystem, root: HPath): Boolean =
+    fs.exists(disabledMarker(root))
+
+  /** Permanently disable the Delta mirror for a table and REMOVE the
+    * existing `_delta_log` — called by [[TxLogTable.deleteWhereDv]]:
+    * the hand-rolled mirror speaks base JSON actions only, and a
+    * deletion-vector commit it cannot express would leave external
+    * readers a snapshot that RESURRECTS deleted rows (silent wrong
+    * answers, the worst interop failure). Real Delta gates DV tables
+    * behind a reader table feature for exactly this reason. The marker
+    * file records why; [[mirror]]/[[sync]] check it and skip. */
+  private[operators] def disable(path: String, reason: String): Unit = {
+    val (fs, root) = TxLogTable.fsFor(path)
+    try {
+      if (!fs.exists(disabledMarker(root))) {
+        val out = fs.create(disabledMarker(root), false)
+        try out.write(
+          (s"The Delta-protocol mirror of this graft table is disabled.\n" +
+            s"Reason: $reason\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      fs.delete(deltaDir(root), true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] failed to disable the delta mirror for $path: $e")
+    }
+  }
+
   private def metaDataAction(fs: FileSystem, root: HPath, schemaJson: String,
       ts: Long): String =
     s"""{"metaData":{"id":"${tableId(fs, root)}","format":{"provider":"parquet","options":{}},""" +
@@ -90,6 +124,7 @@ object DeltaInterop {
       sizes: Map[String, Long] = Map.empty): Unit =
     try {
       val (fs, root) = TxLogTable.fsFor(path)
+      if (isDisabled(fs, root)) return // deletion-vector table: no mirror
       // Delta readers require CONTIGUOUS versions: if an earlier mirror
       // write crashed, the hole would block replay past it forever —
       // heal any missing predecessors before publishing v
@@ -156,6 +191,7 @@ object DeltaInterop {
       cp: CommitPoint = CommitPoint.Auto,
       upTo: Long = Long.MaxValue): Seq[Long] = {
     val (fs, root) = TxLogTable.fsFor(path)
+    if (isDisabled(fs, root)) return Seq.empty // deletion-vector table
     val d = deltaDir(root)
     val present: Set[Long] =
       if (!fs.exists(d)) Set.empty

@@ -440,7 +440,8 @@ object TxLogTable {
       cp: CommitPoint, txn: Option[(String, Long)] = None,
       op: String = "append", sizes: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      cleanupDirs: Seq[String] = Nil): Long = {
+      cleanupDirs: Seq[String] = Nil,
+      dvs: Map[String, (String, Long)] = Map.empty): Long = {
     def cleanStaged(): Unit = cleanupDirs.foreach { d =>
       try fs.delete(new HPath(root, d), true)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -485,11 +486,19 @@ object TxLogTable {
       // entry instead of a mergeSchema footer sweep over every file
       val schemaField = schemaJson
         .map(s => s""""schema":"${escJson(s)}",""").getOrElse("")
+      // deletion vectors, BEFORE the files array so the file-name
+      // parser's scope ([[filesArray]]) never reads a dv path as a
+      // snapshot file; only rebase entries carry state ([[stateUpTo]])
+      val dvField =
+        if (dvs.isEmpty) ""
+        else dvs.toSeq.sortBy(_._1).map { case (f, (d, n)) =>
+          s"""{"f":"$f","d":"$d","n":$n}"""
+        }.mkString(""""dvs":[""", ",", "],")
       val entry = files.map(f => sizes.get(f) match {
         case Some(s) => s"""{"p":"$f","s":$s}"""
         case None => "\"" + f + "\""
       }).mkString(
-        s"""{"version":$v,$tsField$flag$txnField$schemaField"files":[""",
+        s"""{"version":$v,$tsField$flag$txnField$schemaField$dvField"files":[""",
         ",", "]}")
       // the commit point: publish-iff-absent (hard link locally,
       // no-replace rename on HDFS, conditional put on object stores)
@@ -714,8 +723,8 @@ object TxLogTable {
     val snapshot = readVersion(spark, path, v0)
     val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     if (schemaKey(snapshot.schema) == schemaKey(updates.schema)) {
-      val (all, priorSizes, touched) =
-        filesMatchingKeys(spark, path, v0, keys, keyCols)
+      val (st, touched) = filesMatchingKeys(spark, path, v0, keys, keyCols)
+      val (all, priorSizes) = (st.files, st.sizes)
       val untouched = all.diff(touched)
       val merged =
         if (touched.isEmpty) updates // pure insert: nothing to carry
@@ -723,7 +732,7 @@ object TxLogTable {
         // snapshot's merged schema (appends never validate), and the
         // touched SUBSET's merge can lack a column every other file has
         // — those carried rows read it as null either way
-        else scanFiles(spark, path, touched, Some(snapshot.schema))
+        else scanFilesDv(spark, path, touched, Some(snapshot.schema), st.dvs)
           .join(keys, keyCols, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       val staged = stage(merged, fs, root, "merge-", partColsOf(touched))
@@ -734,7 +743,8 @@ object TxLogTable {
         rebase = true, Some(v0), maxRetries = 1, commit, op = "upsert",
         sizes = priorSizes ++ staged,
         schemaJson = Some(snapshot.schema.json),
-        cleanupDirs = stagedDirs(staged))
+        cleanupDirs = stagedDirs(staged),
+        dvs = st.dvs -- touched)
       DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
         snapshot.schema.json, commit, sizes = staged.toMap)
       v
@@ -763,10 +773,11 @@ object TxLogTable {
   private def filesMatchingKeys(spark: SparkSession, path: String,
       v0: Long, keys: DataFrame, keyCols: Seq[String],
       nullSafeKeys: Boolean = false)
-      : (Seq[String], Map[String, Long], Seq[String]) = {
+      : (LogState, Seq[String]) = {
     import org.apache.spark.sql.functions.{col => fc}
     val (fs, root) = fsFor(path)
-    val (all, sizes) = filesAndSizesUpTo(fs, root, v0)
+    val st = stateUpTo(fs, root, v0)
+    val all = st.files
     // The stats-range prefilter reasons about NON-NULL leading-key
     // values only (footer min/max skip NULLs), so under nullSafeKeys it
     // stays sound EXACTLY WHEN the delta itself carries no NULL leading
@@ -796,8 +807,8 @@ object TxLogTable {
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else {
-        val probe = scanFiles(spark, path, cand, schemaAt(path, v0))
-          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+        val probe = scanFilesDv(spark, path, cand, schemaAt(path, v0),
+          st.dvs, lineage = true)
         val joined =
           if (!nullSafeKeys) probe.join(keys, keyCols, "left_semi")
           else probe.alias("t").join(keys.alias("s"),
@@ -805,7 +816,7 @@ object TxLogTable {
             "left_semi")
         touchedFiles(cand, joined)
       }
-    (all, sizes, touched)
+    (st, touched)
   }
 
   /** Conditional keyed MERGE — the delta world's
@@ -943,8 +954,9 @@ object TxLogTable {
           s"(${dataCols.mkString(", ")})")
     }
     val keys = updates.select(keyCols.map(fc): _*)
-    val (all, priorSizes, touched) =
+    val (st, touched) =
       filesMatchingKeys(spark, path, v0, keys, keyCols, nullSafeKeys)
+    val (all, priorSizes) = (st.files, st.sizes)
     val untouched = all.diff(touched)
     // nullSafeKeys switches every key comparison to <=>: a NULL key is
     // then a real, matchable key (the incremental-view contract — a
@@ -954,7 +966,8 @@ object TxLogTable {
       else (a, b) => fc(a) === fc(b)
     val tgtScan =
       if (touched.isEmpty) None
-      else Some(scanFiles(spark, path, touched, Some(snapshot.schema)))
+      else Some(
+        scanFilesDv(spark, path, touched, Some(snapshot.schema), st.dvs))
     val rewritten: Option[DataFrame] = tgtScan.map { tgt =>
       val joined = tgt.alias("t").join(
         updates.withColumn("__m", flit(1)).alias("s"),
@@ -1019,7 +1032,8 @@ object TxLogTable {
     val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
       rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "merge",
       sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json),
-      cleanupDirs = stagedDirs(staged))
+      cleanupDirs = stagedDirs(staged),
+      dvs = st.dvs -- touched)
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
@@ -1053,7 +1067,8 @@ object TxLogTable {
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     require(v0 >= 0, s"cannot delete from an empty table at $path")
     val snapshot = readVersion(spark, path, v0)
-    val (all, priorSizes) = filesAndSizesUpTo(fs, root, v0)
+    val st = stateUpTo(fs, root, v0)
+    val (all, priorSizes) = (st.files, st.sizes)
     // stats-level prefilter first (no footer even opens for a file whose
     // min/max interval excludes the predicate), then the exact probe
     // scan over the surviving candidates names the files to rewrite
@@ -1061,9 +1076,8 @@ object TxLogTable {
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
-        scanFiles(spark, path, cand, Some(snapshot.schema))
-          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-          .filter(predicate))
+        scanFilesDv(spark, path, cand, Some(snapshot.schema), st.dvs,
+          lineage = true).filter(predicate))
     if (touched.isEmpty) return -1L
     val untouched = all.diff(touched)
     // SQL DELETE semantics: only rows where the predicate is TRUE go;
@@ -1071,9 +1085,10 @@ object TxLogTable {
     // would drop NULL rows from rewritten files while identical rows in
     // untouched files carry by reference — erasure that depends on
     // which file a row shares with a match.
-    val remaining = scanFiles(spark, path, touched, Some(snapshot.schema))
-      .filter(!org.apache.spark.sql.functions.coalesce(
-        predicate, org.apache.spark.sql.functions.lit(false)))
+    val remaining =
+      scanFilesDv(spark, path, touched, Some(snapshot.schema), st.dvs)
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          predicate, org.apache.spark.sql.functions.lit(false)))
     // a touched-file set whose every row matches stages nothing; a
     // partitioned touched set re-stages in its own layout
     val staged =
@@ -1083,10 +1098,140 @@ object TxLogTable {
     val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
       rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "delete",
       sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json),
-      cleanupDirs = stagedDirs(staged))
+      cleanupDirs = stagedDirs(staged),
+      // rewritten files fold their dvs into the rewrite; carried files
+      // keep theirs
+      dvs = st.dvs -- touched)
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
+  }
+
+  /** Merge-on-read DELETE via DELETION VECTORS — the delta world's
+    * deletion-vector table feature: instead of [[deleteWhere]]'s
+    * copy-on-write rewrite of every file that holds a matching row,
+    * this records the matching rows' `(file, row_index)` coordinates in
+    * a dv parquet sidecar and publishes a rebase commit with the SAME
+    * file listing plus an updated `"dvs"` map. Readers subtract the
+    * masked rows with a metadata-lineage anti-join
+    * ([[scanFilesDv]]) — the vectorized scan is untouched.
+    *
+    * Scale shape — the reason this exists: deleting k rows scattered
+    * through an N-file, multi-TB table costs O(k) dv rows written +
+    * the pruned probe scan, NEVER a rewrite of the touched files'
+    * bytes. Copy-on-write pays O(touched file bytes) — a 1-row GDPR
+    * delete in a 1 GB file rewrites the gigabyte; this writes one dv
+    * row. The trade is a per-read anti-join against the dv set (small,
+    * usually broadcast) until [[purgeDeletes]] or [[compact]] folds the
+    * masks into a rewrite. Semantics are identical to [[deleteWhere]]
+    * (rows where the predicate is NULL survive; time travel reads each
+    * version under its own dv map; [[changesBetween]] reports the
+    * masked rows as deletes). A file already carrying a dv gets a NEW
+    * dv holding the union of old and new masked rows (pointer
+    * replacement — resolution stays one dv per file).
+    *
+    * The external Delta mirror cannot express this (real DV encoding is
+    * a protocol table FEATURE with a roaring-bitmap format); the first
+    * dv commit DISABLES the mirror loudly ([[DeltaInterop.disable]])
+    * rather than letting external readers resurrect deleted rows.
+    *
+    * Returns the committed version, or -1 without committing when
+    * nothing matches. */
+  def deleteWhereDv(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      commit: CommitPoint = CommitPoint.Auto,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{col => fc, expr => fexpr}
+    val (fs, root) = fsFor(path)
+    txnFastPath(fs, root, txn).foreach(v => return v)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot delete from an empty table at $path")
+    val snapshot = readVersion(spark, path, v0)
+    val st = stateUpTo(fs, root, v0)
+    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
+    if (cand.isEmpty) return -1L
+    val qual = fs.makeQualified(root).toString
+    // matching rows AFTER the existing dv view (a row already masked
+    // must not mask twice), as (log-relative file, in-file row index)
+    val matched =
+      scanFilesDv(spark, path, cand, Some(snapshot.schema), st.dvs,
+        lineage = true)
+      .filter(predicate)
+      .select(fexpr(s"substring(__f, ${qual.length + 2})").as("f"),
+        fc("__ri").as("ri"))
+      .persist()
+    try {
+      val touched = matched.select("f").distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) return -1L
+      // the lineage-derived names must BE listing names (they are, for
+      // every layout this table stages; a hypothetical path-encoding
+      // divergence must fail loudly, not mask the wrong rows)
+      val unknown = touched.filterNot(st.files.toSet)
+      require(unknown.isEmpty,
+        s"deletion-vector delete: probe-derived file ${unknown.headOption
+          .getOrElse("")} is not in the snapshot listing (path-encoding " +
+          "mismatch); use deleteWhere (copy-on-write) for this layout")
+      // new dv rows for the touched files = fresh matches ∪ the touched
+      // files' PRIOR dv rows (pointer replacement needs the union)
+      val priorTouched = st.dvs.view.filterKeys(touched.toSet).toMap
+      val dvRows = priorTouched.values.map(_._1).toSeq.distinct match {
+        case Nil => matched
+        case dirs =>
+          val prior = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+            .filter(fc("f").isin(touched: _*))
+            .select(fc("f"), fc("ri"))
+          matched.unionByName(prior)
+      }
+      val dvDir =
+        s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
+      dvRows.write.mode(SaveMode.ErrorIfExists)
+        .parquet(new HPath(root, dvDir).toString)
+      // per-file masked-row totals, read back from the published dv
+      // (bounded: one row per touched file)
+      val counts = spark.read.parquet(s"$path/$dvDir")
+        .groupBy("f").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val v = commitEntry(fs, root, st.files.sorted, rebase = true,
+        Some(v0), maxRetries = 1, commit, txn, op = "dvdelete",
+        sizes = st.sizes, schemaJson = Some(snapshot.schema.json),
+        cleanupDirs = Seq(dvDir),
+        dvs = st.dvs ++ touched.map(f => f -> ((dvDir, counts(f)))))
+      DeltaInterop.disable(path,
+        s"version $v recorded deletion vectors (deleteWhereDv); the " +
+          "JSON-action mirror cannot express the DV table feature and " +
+          "would resurrect deleted rows for external readers")
+      v
+    } finally matched.unpersist()
+  }
+
+  /** Fold every deletion vector into a rewrite — the delta world's
+    * `REORG TABLE … APPLY (PURGE)`: the dv-masked files (and ONLY
+    * those) re-stage without their masked rows, the dv map empties, and
+    * reads drop the anti-join. One file-pruned rebase commit; old data
+    * and dv dirs stay for time travel until [[vacuumCompacted]].
+    * Returns the committed version, or -1 when the head carries no
+    * dvs. */
+  def purgeDeletes(spark: SparkSession, path: String,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot purge an empty table at $path")
+    val st = stateUpTo(fs, root, v0)
+    if (st.dvs.isEmpty) return -1L
+    val snapshot = readVersion(spark, path, v0)
+    val masked = st.dvs.keys.toSeq.sorted
+    val remaining =
+      scanFilesDv(spark, path, masked, Some(snapshot.schema), st.dvs)
+    val staged =
+      if (remaining.isEmpty) Seq.empty[(String, Long)]
+      else stage(remaining, fs, root, "purge-", partColsOf(masked),
+        validate = false)
+    commitEntry(fs, root,
+      (st.files.diff(masked) ++ staged.map(_._1)).sorted,
+      rebase = true, Some(v0), maxRetries = 1, commit, op = "purge",
+      sizes = st.sizes ++ staged, schemaJson = Some(snapshot.schema.json),
+      cleanupDirs = stagedDirs(staged))
   }
 
   /** Expression-level UPDATE — the delta world's
@@ -1129,18 +1274,19 @@ object TxLogTable {
     val unknown = set.keys.filterNot(snapshot.columns.contains)
     require(unknown.isEmpty,
       s"SET targets unknown column(s): ${unknown.mkString(", ")}")
-    val (all, priorSizes) = filesAndSizesUpTo(fs, root, v0)
+    val st = stateUpTo(fs, root, v0)
+    val (all, priorSizes) = (st.files, st.sizes)
     val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
-        scanFiles(spark, path, cand, Some(snapshot.schema))
-          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-          .filter(predicate))
+        scanFilesDv(spark, path, cand, Some(snapshot.schema), st.dvs,
+          lineage = true).filter(predicate))
     if (touched.isEmpty) return -1L
     val untouched = all.diff(touched)
     val cond = fcoalesce(predicate, flit(false))
-    val rewritten = scanFiles(spark, path, touched, Some(snapshot.schema))
+    val rewritten =
+      scanFilesDv(spark, path, touched, Some(snapshot.schema), st.dvs)
       .select(snapshot.schema.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(e) =>
@@ -1160,7 +1306,8 @@ object TxLogTable {
         if (partColsOf(touched).intersect(set.keys.toSeq).isEmpty)
           Some(snapshot.schema.json)
         else None,
-      cleanupDirs = stagedDirs(staged))
+      cleanupDirs = stagedDirs(staged),
+      dvs = st.dvs -- touched)
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
@@ -1188,8 +1335,10 @@ object TxLogTable {
     require(v0 >= 0, s"cannot restore an empty table at $path")
     require(toVersion >= 0 && toVersion <= v0,
       s"restore target $toVersion outside [0, $v0]")
-    val (target, targetSizes) = filesAndSizesUpTo(fs, root, toVersion)
-    val missing = target.filterNot(f => fs.exists(new HPath(root, f)))
+    val targetState = stateUpTo(fs, root, toVersion)
+    val (target, targetSizes) = (targetState.files, targetState.sizes)
+    val missing = (target ++ targetState.dvs.values.map(_._1).toSeq.distinct)
+      .filterNot(f => fs.exists(new HPath(root, f)))
     require(missing.isEmpty,
       s"cannot restore to $toVersion: ${missing.size} data dirs were " +
         s"vacuumed (first: ${missing.headOption.getOrElse("")})")
@@ -1200,7 +1349,7 @@ object TxLogTable {
     val current = filesUpTo(fs, root, v0)
     val v = commitEntry(fs, root, target, rebase = true, Some(v0),
       maxRetries = 1, commit, op = "restore", sizes = targetSizes,
-      schemaJson = Some(schemaJson))
+      schemaJson = Some(schemaJson), dvs = targetState.dvs)
     DeltaInterop.mirror(spark, path, v,
       target.diff(current), current.diff(target), schemaJson, commit,
       sizes = targetSizes)
@@ -1236,16 +1385,25 @@ object TxLogTable {
     require(fromVersion >= -1 && toVersion <= head && fromVersion <= toVersion,
       s"change range [$fromVersion, $toVersion] outside [-1, $head]")
     // fromVersion = -1 means "since before the table existed": every
-    // row at toVersion is an insert
-    val f1 = (if (fromVersion < 0) Seq.empty[String]
-              else filesUpTo(fs, root, fromVersion)).toSet
-    val f2 = filesUpTo(fs, root, toVersion).toSet
-    val onlyOld = (f1 -- f2).toSeq.sorted
-    val onlyNew = (f2 -- f1).toSeq.sorted
-    def scan(files: Seq[String]): DataFrame =
+    // row at toVersion is an insert. A file's diff identity is
+    // (path, dv pointer): a deletion-vector commit changes no listing,
+    // but a file whose dv pointer differs between the two snapshots
+    // contributes DIFFERENT effective rows — it scans on both sides
+    // (each under its own dv view) and exceptAll isolates exactly the
+    // newly-masked rows as deletes.
+    val st1 =
+      if (fromVersion < 0) LogState(Seq.empty, Map.empty, Map.empty)
+      else stateUpTo(fs, root, fromVersion)
+    val st2 = stateUpTo(fs, root, toVersion)
+    val s1 = st1.files.map(f => (f, st1.dvs.get(f))).toSet
+    val s2 = st2.files.map(f => (f, st2.dvs.get(f))).toSet
+    val onlyOld = (s1 -- s2).map(_._1).toSeq.sorted
+    val onlyNew = (s2 -- s1).map(_._1).toSeq.sorted
+    def scanSide(files: Seq[String],
+        dvs: Map[String, (String, Long)]): DataFrame =
       if (files.isEmpty) None.orNull
-      else scanFiles(spark, path, files)
-    (scan(onlyNew), scan(onlyOld)) match {
+      else scanFilesDv(spark, path, files, None, dvs)
+    (scanSide(onlyNew, st2.dvs), scanSide(onlyOld, st1.dvs)) match {
       case (null, null) =>
         // identical listings (same version, or across a restore): an
         // empty feed that still carries the TABLE's columns, so callers
@@ -1326,9 +1484,14 @@ object TxLogTable {
     * earlier than that, keeps every snapshot at-or-after it intact). */
   def vacuumCompacted(path: String, sinceVersion: Long): Seq[String] = {
     val (fs, root) = fsFor(path)
-    // the closure of every reachable snapshot >= sinceVersion
+    // the closure of every reachable snapshot >= sinceVersion —
+    // including each snapshot's deletion-vector dirs (reaping a live dv
+    // would RESURRECT its masked rows)
     val live = versions(fs, root).filter(_ >= sinceVersion)
-      .flatMap(v => filesUpTo(fs, root, v))
+      .flatMap { v =>
+        val st = stateUpTo(fs, root, v)
+        st.files ++ st.dvs.values.map(_._1)
+      }
       .map(_.split('/').head).toSet
     val stale = fs.listStatus(root).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-") &&
@@ -1531,6 +1694,20 @@ object TxLogTable {
     """"(data-[^"]+)"""".r.findAllMatchIn(filesArray(txt))
       .map(_.group(1)).toSeq
 
+  /** DELETION-VECTOR map recorded in a commit entry's `"dvs":[…]` field
+    * (placed BEFORE `"files":[`, so [[filesArray]]'s scope excludes it
+    * and a dv path can never read back as a phantom data file):
+    * data file → (dv parquet dir, deleted-row count). Only REBASE
+    * entries carry it; absent means no deletion vectors. */
+  private val DvRe = """\{"f":"(data-[^"]+)","d":"(data-dvs-[^"]+)","n":(\d+)\}""".r
+
+  private def dvList(txt: String): Map[String, (String, Long)] = {
+    val i = txt.lastIndexOf(""""files":[""")
+    val scope = if (i < 0) txt else txt.substring(0, i)
+    DvRe.findAllMatchIn(scope)
+      .map(m => m.group(1) -> ((m.group(2), m.group(3).toLong))).toMap
+  }
+
   /** Per-file physical sizes recorded in a commit entry's
     * `{"p":path,"s":size}` elements. Legacy bare-string elements carry
     * no size and are simply absent from the map. */
@@ -1688,26 +1865,54 @@ object TxLogTable {
     * from the map. */
   private def filesAndSizesUpTo(fs: FileSystem, root: HPath, v: Long)
       : (Seq[String], Map[String, Long]) = {
+    val st = stateUpTo(fs, root, v)
+    (st.files, st.sizes)
+  }
+
+  /** A snapshot's full log-derived state: file listing, recorded sizes,
+    * and the deletion-vector map (data file → (dv dir, deleted rows)).
+    * DVs follow the same resolution rule as the listing: a REBASE entry
+    * carries the complete current dv map (absent field = none — every
+    * dv-aware rebase writer records it), appends never change it. */
+  private[operators] case class LogState(files: Seq[String],
+      sizes: Map[String, Long], dvs: Map[String, (String, Long)])
+
+  private[operators] def stateUpTo(fs: FileSystem, root: HPath, v: Long)
+      : LogState = {
     val ckpt = listLog(fs, root, ".checkpoint.json").filter(_ <= v).lastOption
     var acc = Seq.empty[String]
     var sizes = Map.empty[String, Long]
+    var dvs = Map.empty[String, (String, Long)]
     ckpt.foreach { c =>
       val txt = readString(fs, new HPath(logDir(root), s"$c.checkpoint.json"))
-      acc = fileList(txt); sizes = fileSizes(txt)
+      acc = fileList(txt); sizes = fileSizes(txt); dvs = dvList(txt)
     }
     versions(fs, root)
       .filter(ver => ver <= v && ckpt.forall(ver > _))
       .foreach { ver =>
         val txt = readString(fs, new HPath(logDir(root), s"$ver.json"))
-        // a rebase entry (compaction) REPLACES the accumulated listing;
-        // sizes accumulate regardless — a rebase carries files by
-        // reference whose sizes earlier entries may have recorded, and a
-        // stale extra size for a dropped file is harmless (lookups are
-        // keyed by the listing)
-        if (isRebase(txt)) acc = fileList(txt) else acc = acc ++ fileList(txt)
+        // a rebase entry (compaction) REPLACES the accumulated listing
+        // and the dv map; sizes accumulate regardless — a rebase carries
+        // files by reference whose sizes earlier entries may have
+        // recorded, and a stale extra size for a dropped file is
+        // harmless (lookups are keyed by the listing)
+        if (isRebase(txt)) { acc = fileList(txt); dvs = dvList(txt) }
+        else acc = acc ++ fileList(txt)
         sizes = sizes ++ fileSizes(txt)
       }
-    (acc, sizes.view.filterKeys(acc.toSet).toMap)
+    val live = acc.toSet
+    LogState(acc, sizes.view.filterKeys(live).toMap,
+      dvs.view.filterKeys(live).toMap)
+  }
+
+  /** Public probe: the deletion-vector map of version `v` — which data
+    * files carry merge-on-read deletes, where each file's dv parquet
+    * lives (log-relative), and how many rows it masks. Empty for a
+    * table with no [[deleteWhereDv]] history (or after
+    * [[purgeDeletes]]/[[compact]] rewrote the masked files). */
+  def deletionVectors(path: String, v: Long): Map[String, (String, Long)] = {
+    val (fs, root) = fsFor(path)
+    stateUpTo(fs, root, v).dvs
   }
 
   /** Roll the cumulative listing into a checkpoint file. Best-effort and
@@ -1721,12 +1926,18 @@ object TxLogTable {
           if (txns.isEmpty) ""
           else txns.toSeq.sorted.map { case (a, tv) => s""""$a":$tv""" }
             .mkString(""""txns":{""", ",", "},")
-        val (ckptFiles, ckptSizes) = filesAndSizesUpTo(fs, root, v)
+        val st = stateUpTo(fs, root, v)
+        val (ckptFiles, ckptSizes) = (st.files, st.sizes)
+        val dvField =
+          if (st.dvs.isEmpty) ""
+          else st.dvs.toSeq.sortBy(_._1).map { case (f, (d, n)) =>
+            s"""{"f":"$f","d":"$d","n":$n}"""
+          }.mkString(""""dvs":[""", ",", "],")
         val entry = ckptFiles.map(f => ckptSizes.get(f) match {
           case Some(s) => s"""{"p":"$f","s":$s}"""
           case None => "\"" + f + "\""
         }).mkString(
-          s"""{"version":$v,$txnsField"files":[""", ",", "]}")
+          s"""{"version":$v,$txnsField$dvField"files":[""", ",", "]}")
         val tmp = new HPath(logDir(root), s".$v.ckpt.tmp")
         writeString(fs, tmp, entry, overwrite = true)
         if (!fs.rename(tmp, new HPath(logDir(root), s"$v.checkpoint.json")))
@@ -1795,6 +2006,15 @@ object TxLogTable {
       : (Seq[String], Map[String, Long]) = {
     val (fs, root) = fsFor(path)
     filesAndSizesUpTo(fs, root, version)
+  }
+
+  /** Listing + sizes + deletion-vector map in one log resolution — what
+    * the connector's FileIndex caches per version. */
+  def snapshotState(path: String, version: Long)
+      : (Seq[String], Map[String, Long], Map[String, (String, Long)]) = {
+    val (fs, root) = fsFor(path)
+    val st = stateUpTo(fs, root, version)
+    (st.files, st.sizes, st.dvs)
   }
 
   /** The latest version whose (monotonized) commit timestamp is ≤
@@ -1902,6 +2122,93 @@ object TxLogTable {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** [[scanFiles]] with DELETION-VECTOR application and optional file
+    * lineage — the one scan primitive every dv-aware consumer (snapshot
+    * reads, DML probe scans, rewrites, the change feed) goes through.
+    *
+    *  - `dvs` (restricted to `files`): rows recorded in a file's dv
+    *    parquet are subtracted by a `(file, row_index)` anti-join
+    *    against the scan's own `_metadata` lineage — the vectorized
+    *    parquet scan stays intact and a delete of k rows costs an
+    *    O(k)-row join side, never a file rewrite (the merge-on-read
+    *    half of the delta world's deletion-vector table feature).
+    *  - `lineage = true` keeps `__f` (the file path exactly as
+    *    `_metadata.file_path` renders it — same endsWith contract as
+    *    `input_file_name` for [[touchedFiles]]) and `__ri` (the row's
+    *    position in its file) on the output, which is what lets a DML
+    *    probe name touched files WITHOUT `input_file_name` — that
+    *    expression returns empty strings after the anti-join's shuffle,
+    *    while metadata columns are ordinary row fields.
+    *
+    * The join side is broadcast when the log-recorded deleted-row total
+    * is small (the common point-delete case); larger dv sets take the
+    * shuffled anti-join and AQE sizes it from actuals. */
+  private def scanFilesDv(spark: SparkSession, path: String,
+      files: Seq[String],
+      knownSchema: Option[org.apache.spark.sql.types.StructType],
+      dvs: Map[String, (String, Long)],
+      lineage: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+    val live = dvs.view.filterKeys(files.toSet).toMap
+    if (live.isEmpty && !lineage)
+      return scanFiles(spark, path, files, knownSchema)
+    val base = scanFiles(spark, path, files, knownSchema)
+    require(!base.columns.contains("__f") && !base.columns.contains("__ri"),
+      "table columns __f/__ri collide with the scan's lineage columns")
+    // lineage must stamp on each LEG (metadata columns do not survive a
+    // union) — rebuild the scan with per-leg stamping
+    def stamp(df: DataFrame): DataFrame =
+      df.select(df.col("*"),
+        df.col("_metadata.file_path").as("__f"),
+        df.col("_metadata.row_index").as("__ri"))
+    val (parted, plain) = files.partition(f =>
+      partitionValuesOf(f).nonEmpty)
+    val plainScan =
+      if (plain.isEmpty) None
+      else Some(knownSchema match {
+        case Some(s) if parted.isEmpty =>
+          spark.read.schema(s).parquet(plain.map(f => s"$path/$f"): _*)
+        case _ => spark.read.option("mergeSchema", true)
+          .parquet(plain.map(f => s"$path/$f"): _*)
+      })
+    val partedScans = parted.groupBy(_.split('/').head).toSeq
+      .sortBy(_._1).map { case (dir, fsOfDir) =>
+        spark.read.option("mergeSchema", true)
+          .option("basePath", s"$path/$dir")
+          .parquet(fsOfDir.map(f => s"$path/$f"): _*)
+      }
+    val scan = (plainScan.toSeq ++ partedScans).map(stamp)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val out =
+      if (live.isEmpty) scan
+      else {
+        val (fs, root) = fsFor(path)
+        val qual = fs.makeQualified(root).toString
+        val raw = spark.read.parquet(
+          live.values.map(_._1).toSeq.distinct.map(d => s"$path/$d"): _*)
+        // restrict to THIS snapshot's dv entries: a dv dir may carry
+        // rows for files a later commit rewrote (their dvs dropped)
+        val restricted =
+          if (live.size <= 64)
+            raw.filter(col("f").isin(live.keys.toSeq: _*))
+          else {
+            import spark.implicits._
+            raw.join(broadcast(live.keys.toSeq.toDF("f")), Seq("f"),
+              "left_semi")
+          }
+        val dvRows = restricted.select(
+          concat(lit(qual + "/"), col("f")).as("__dvf"),
+          col("ri").as("__dvri"))
+        val right =
+          if (live.values.map(_._2).sum <= 4000000L) broadcast(dvRows)
+          else dvRows
+        scan.join(right,
+          scan("__f") === right("__dvf") && scan("__ri") === right("__dvri"),
+          "left_anti")
+      }
+    if (lineage) out else out.drop("__f", "__ri")
+  }
+
   /** min=max "stats" synthesized from a file's hive path segments, for
     * the partition columns the predicate references — the zero-I/O
     * pruning pass that runs BEFORE any stats sidecar loads. Typed by
@@ -1937,9 +2244,9 @@ object TxLogTable {
     * files recover their partition columns ([[scanFiles]]). */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val (fs, root) = fsFor(path)
-    val files = filesUpTo(fs, root, version)
-    if (files.isEmpty) spark.emptyDataFrame
-    else scanFiles(spark, path, files, schemaAt(path, version))
+    val st = stateUpTo(fs, root, version)
+    if (st.files.isEmpty) spark.emptyDataFrame
+    else scanFilesDv(spark, path, st.files, schemaAt(path, version), st.dvs)
   }
 
   def currentVersion(path: String): Long = {
@@ -2204,13 +2511,14 @@ object TxLogTable {
   def readWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       version: Option[Long] = None): DataFrame = {
-    val (kept, _) = prunedFiles(spark, path, predicate, version)
-    if (kept.isEmpty) {
-      val v = version.getOrElse(currentVersion(path))
-      if (v < 0) return spark.emptyDataFrame
+    val v = version.getOrElse(currentVersion(path))
+    if (v < 0) return spark.emptyDataFrame
+    val (kept, _) = prunedFiles(spark, path, predicate, Some(v))
+    if (kept.isEmpty)
       return readVersion(spark, path, v).filter(predicate).limit(0)
-    }
-    scanFiles(spark, path, kept).filter(predicate)
+    val (fs, root) = fsFor(path)
+    scanFilesDv(spark, path, kept, None, stateUpTo(fs, root, v).dvs)
+      .filter(predicate)
   }
 
   // ---- log introspection for the Delta mirror backfill (DeltaInterop.sync) ----
@@ -2250,9 +2558,13 @@ object TxLogTable {
     val (fs, root) = fsFor(path)
     if (!fs.exists(root)) return Seq.empty
     // referenced by ANY version (not just the head): pre-compaction dirs
-    // stay time-travelable until vacuumCompacted explicitly drops them
+    // stay time-travelable until vacuumCompacted explicitly drops them;
+    // dv dirs of any version are referenced the same way
     val referenced = versions(fs, root)
-      .flatMap(v => filesUpTo(fs, root, v))
+      .flatMap { v =>
+        val st = stateUpTo(fs, root, v)
+        st.files ++ st.dvs.values.map(_._1)
+      }
       .map(_.split('/').head).toSet // data-<stageId> dir component
     val cutoff = System.currentTimeMillis() - graceMs
     val stray = fs.listStatus(root).iterator

@@ -1223,8 +1223,91 @@ object IngestQueries extends QueryModule {
       SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       ORDER BY o_orderkey"""))
 
+  /** A23 merge-on-read DELETE via deletion vectors
+    * ([[TxLogTable.deleteWhereDv]], the delta protocol's DV table
+    * feature rebuilt on the log): orders commits as four single-file
+    * key-range appends, then TWO dv deletes land — one inside the
+    * second range, one spanning every range — and the head reads back
+    * through the `(file, row_index)` anti-join. REQUIREd in-query, so a
+    * regression fails the gate: each dv commit keeps the FILE LISTING
+    * IDENTICAL (no data file rewrites — the whole point: a k-row delete
+    * in a multi-TB table costs O(k) dv rows, not a file rewrite), the
+    * recorded mask totals equal the predicate's match count, the two
+    * masks UNION on the shared file (pointer replacement), and
+    * [[TxLogTable.purgeDeletes]] folds the masks into a rewrite that
+    * reads IDENTICALLY. The returned frame is the DV-masked head (the
+    * anti-join path is what the oracle hashes); DuckDB replays both
+    * predicates over the raw table. */
+  private val q188 = QueryDef(
+    "q188_dv_delete",
+    (s, d) => {
+      val path = s"/tmp/graft_dv_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val (b1, b2, b3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Seq(
+        col("o_orderkey") <= b1,
+        col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+        col("o_orderkey") > b2 && col("o_orderkey") <= b3,
+        col("o_orderkey") > b3
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      val v0 = TxLogTable.currentVersion(path)
+      val at0 = TxLogTable.filesAt(path, v0)
+
+      // dv delete 1: odd keys of the second range — stats-pruned to one
+      // candidate file, masks recorded, NOTHING rewritten
+      val p1 = col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+        col("o_orderkey") % 2 === 1
+      val n1 = orders.filter(p1).count()
+      val v1 = TxLogTable.deleteWhereDv(s, path, p1)
+      require(v1 == v0 + 1, "dv delete must commit exactly one version")
+      require(TxLogTable.filesAt(path, v1) == at0.sorted,
+        "dv delete must keep the data-file listing IDENTICAL")
+      val dv1 = TxLogTable.deletionVectors(path, v1)
+      require(dv1.size == 1 && dv1.values.map(_._2).sum == n1,
+        s"dv delete 1 must mask exactly $n1 rows in 1 file, got $dv1")
+
+      // dv delete 2: every 7th customer corpus-wide — overlaps the
+      // already-masked file (union) and masks the other three
+      val p2 = col("o_custkey") % 7 === 0
+      val n2 = orders.filter(p2 && !p1).count()
+      val v2 = TxLogTable.deleteWhereDv(s, path, p2)
+      require(v2 == v1 + 1, "dv delete must commit exactly one version")
+      require(TxLogTable.filesAt(path, v2) == at0.sorted,
+        "second dv delete must also keep the listing identical")
+      val dv2 = TxLogTable.deletionVectors(path, v2)
+      require(dv2.values.map(_._2).sum == n1 + n2,
+        s"masks must UNION on the shared file: want ${n1 + n2} total, " +
+          s"got ${dv2.values.map(_._2).sum}")
+
+      // the masked head ≡ the purged head (REORG APPLY PURGE folds the
+      // masks into a file-pruned rewrite; reads drop the anti-join)
+      val masked = TxLogTable.readVersion(s, path, v2)
+      val vP = TxLogTable.purgeDeletes(s, path)
+      require(vP == v2 + 1 && TxLogTable.deletionVectors(path, vP).isEmpty,
+        "purge must clear the dv map in one commit")
+      require(TxLogTable.read(s, path).count() == masked.count(),
+        "purged read must equal the dv-masked read")
+      // return the DV-MASKED snapshot — the anti-join path is what the
+      // oracle hashes; time travel serves it bit-exactly post-purge
+      TxLogTable.readVersion(s, path, v2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""
+      WITH b AS (SELECT max(o_orderkey) // 4 AS b1,
+                        max(o_orderkey) // 2 AS b2 FROM orders)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders, b
+      WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2 AND
+                 o_orderkey % 2 = 1)
+        AND NOT (o_custkey % 7 = 0)
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180, q184)
+      q177, q180, q184, q188)
 }

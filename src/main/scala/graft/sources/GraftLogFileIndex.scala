@@ -29,26 +29,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * File statuses cache forever: committed data files are immutable by
   * the log's construction. */
 class GraftLogFileIndex(spark: SparkSession, val path: String,
-    val pinned: Option[Long], override val partitionSchema: StructType)
+    val pinned: Option[Long], override val partitionSchema: StructType,
+    val dvApproved: Boolean = false, val dvLivePinned: Boolean = false)
     extends FileIndex {
 
   private val statusCache =
     new scala.collection.concurrent.TrieMap[String, FileStatus]()
 
-  // per-version snapshot (listing + log-recorded sizes), cached: a
-  // committed version's listing is immutable by the log's construction,
-  // and a LIVE index re-resolving the head on every planner call must
-  // not pay a log re-read per already-seen version
+  // per-version snapshot (listing + log-recorded sizes + deletion
+  // vectors), cached: a committed version's listing is immutable by the
+  // log's construction, and a LIVE index re-resolving the head on every
+  // planner call must not pay a log re-read per already-seen version
   private val snapshotCache = new scala.collection.concurrent
-    .TrieMap[Long, (Seq[String], Map[String, Long])]()
+    .TrieMap[Long, (Seq[String], Map[String, Long],
+      Map[String, (String, Long)])]()
 
   private def version: Long =
     pinned.getOrElse(TxLogTable.currentVersion(path))
 
-  private def snapshotAt(v: Long): (Seq[String], Map[String, Long]) =
-    snapshotCache.getOrElseUpdate(v, TxLogTable.snapshotWithSizes(path, v))
+  private def snapshotAt(v: Long)
+      : (Seq[String], Map[String, Long], Map[String, (String, Long)]) =
+    snapshotCache.getOrElseUpdate(v, TxLogTable.snapshotState(path, v))
 
   private def snapshot: Seq[String] = snapshotAt(version)._1
+
+  /** The serving version's deletion-vector map (cached with the
+    * snapshot) — what [[graft.sources.GraftDmlResolution]]'s read
+    * rewrite consults per analysis. */
+  private[sources] def dvsAt(v: Long): Map[String, (String, Long)] =
+    snapshotAt(v)._3
+
+  private[sources] def resolvedVersion: Long = version
 
   /** `FileStatus` served FROM THE LOG: the commit entry records each
     * file's size, so planning (split sizing, `sizeInBytes` join
@@ -64,8 +75,12 @@ class GraftLogFileIndex(spark: SparkSession, val path: String,
   private def statusOf(sizes: Map[String, Long])(rel: String): FileStatus =
     statusCache.getOrElseUpdate(rel, sizes.get(rel) match {
       case Some(len) =>
+        // fully QUALIFIED, like every real listing API returns — the
+        // rendering `_metadata.file_path` serves is this path's
+        // toString, and the deletion-vector anti-join keys on it
+        val (fs, _) = TxLogTable.fsFor(path)
         new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
-          new HPath(s"$path/$rel"))
+          fs.makeQualified(new HPath(s"$path/$rel")))
       case None =>
         val (fs, _) = TxLogTable.fsFor(path)
         fs.getFileStatus(new HPath(s"$path/$rel"))
@@ -79,7 +94,7 @@ class GraftLogFileIndex(spark: SparkSession, val path: String,
     snapshot.map(f => s"$path/$f").toArray
 
   override def sizeInBytes: Long = {
-    val (files, sizes) = snapshotAt(version)
+    val (files, sizes, _) = snapshotAt(version)
     files.map(f => statusOf(sizes)(f).getLen).sum
   }
 
@@ -102,7 +117,21 @@ class GraftLogFileIndex(spark: SparkSession, val path: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val (fs, root) = TxLogTable.fsFor(path)
-    val (snap, sizes) = snapshotAt(version)
+    val (snap, sizes, dvs) = snapshotAt(version)
+    // DELETION-VECTOR guard: a raw file scan of a dv-carrying snapshot
+    // would RESURRECT the masked rows. The session's
+    // [[GraftDmlResolution]] rule (installed by GraftExtensions)
+    // rewrites every read over this index into the scan + dv anti-join
+    // and marks the rewritten index `dvApproved`; a session WITHOUT the
+    // extensions must fail loudly here, never answer wrong.
+    if (dvs.nonEmpty && !dvApproved)
+      throw new IllegalStateException(
+        s"graftlog table at $path carries deletion vectors " +
+          "(merge-on-read deletes); a raw scan would resurrect deleted " +
+          "rows. Install graft.plans.GraftExtensions " +
+          "(spark.sql.extensions) so reads rewrite with the dv " +
+          "anti-join, read through TxLogTable.read, or fold the masks " +
+          "with TxLogTable.purgeDeletes")
     val status = statusOf(sizes) _
     // layout guard for LIVE head indexes: the relation chose this fast
     // path from the layout at VIEW CREATION. If a later commit mixes

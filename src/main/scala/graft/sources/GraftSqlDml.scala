@@ -46,6 +46,39 @@ object GraftSqlDml {
       : Option[(String, Option[Long])] = plan match {
     case SubqueryAlias(_, child) => graftTarget(child)
     case v: View => graftTarget(v.child)
+    // the DELETION-VECTOR read rewrite ([[GraftDmlResolution
+    // .rewriteDvRead]]) wraps the relation in Project(s) over a
+    // LeftAnti join whose LEFT side is the approved, version-pinned
+    // scan — a DML statement over such a view still targets the table
+    // (the live head when the original relation was live:
+    // dvLivePinned). ONLY the approved-index shape unwraps; an
+    // arbitrary user query with a Project/anti-join never resolves to
+    // a DML target.
+    case Project(_, child) =>
+      def fromLeft(p: LogicalPlan): Option[(String, Option[Long])] =
+        p match {
+          case Project(_, lr: LogicalRelation) => fromLeft(lr)
+          case lr: LogicalRelation => lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location match {
+              case idx: GraftLogFileIndex if idx.dvApproved =>
+                Some((idx.path,
+                  if (idx.dvLivePinned) None else idx.pinned))
+              case _ => None
+            }
+            case _ => None
+          }
+          case _ => None
+        }
+      def fromJoin(p: LogicalPlan): Option[(String, Option[Long])] =
+        p match {
+          case j: Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans
+                .LeftAnti => fromLeft(j.left)
+          case Project(_, inner) => fromJoin(inner)
+          case _ => None
+        }
+      fromJoin(child)
     case lr: LogicalRelation => lr.relation match {
       case r: GraftLogRelation => Some((r.path, r.pinned))
       case r: GraftLogRowRelation => Some((r.path, r.pinned))
@@ -341,7 +374,70 @@ case class GraftDmlResolution(spark: SparkSession)
             GraftMergeCommand(path, m.sourceTable, mergeSpec(m))
           case None => m
         }
+      // DELETION-VECTOR read rewrite: a graftlog relation whose serving
+      // snapshot carries dvs must not scan raw (the FileIndex guard
+      // would throw) — rebuild the read as the SAME vectorized scan
+      // (over a dvApproved, version-pinned copy of the index) minus a
+      // (file, row_index) anti-join against the dv rows, output
+      // attributes re-anchored to the original exprIds so every parent
+      // operator resolves unchanged. The scan + its dv view pin to one
+      // version — per-query snapshot isolation, the same contract
+      // TxLogTable.read gives. Dv-free snapshots pass through with one
+      // cached map lookup.
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            h.location match {
+              case idx: GraftLogFileIndex if !idx.dvApproved =>
+                val v = idx.resolvedVersion
+                val dvs = idx.dvsAt(v)
+                if (dvs.isEmpty) lr else rewriteDvRead(lr, h, idx, v, dvs)
+              case _ => lr
+            }
+          case _ => lr
+        }
     }
+
+  private def rewriteDvRead(lr: LogicalRelation,
+      h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      idx: GraftLogFileIndex, v: Long,
+      dvs: Map[String, (String, Long)]): LogicalPlan = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+    // the rewritten read PINS the resolved version (scan and dv view
+    // must agree — per-query snapshot isolation, the delta-on-spark
+    // posture where a DataFrame captures its snapshot); dvLivePinned
+    // remembers the relation was a live head, so DML target detection
+    // still routes statements over it to the head
+    val approved = new GraftLogFileIndex(spark, idx.path, Some(v),
+      idx.partitionSchema, dvApproved = true,
+      dvLivePinned = idx.pinned.isEmpty)
+    val base = spark.baseRelationToDataFrame(
+      h.copy(location = approved)(spark))
+    val (fs, root) = TxLogTable.fsFor(idx.path)
+    val qual = fs.makeQualified(root).toString
+    val dvRows = spark.read.parquet(
+        dvs.values.map(_._1).toSeq.distinct.map(d => s"${idx.path}/$d"): _*)
+      .filter(col("f").isin(dvs.keys.toSeq: _*))
+      .select(concat(lit(qual + "/"), col("f")).as("__dvf"),
+        col("ri").as("__dvri"))
+    val right =
+      if (dvs.values.map(_._2).sum <= 4000000L) broadcast(dvRows)
+      else dvRows
+    val withLineage = base.select(col("*"),
+      col("_metadata.file_path").as("__f"),
+      col("_metadata.row_index").as("__ri"))
+    val joined = withLineage.join(right,
+        withLineage("__f") === right("__dvf") &&
+          withLineage("__ri") === right("__dvri"), "left_anti")
+      .select(lr.output.map(a => col(s"`${a.name}`")): _*)
+    val plan = joined.queryExecution.analyzed
+    org.apache.spark.sql.catalyst.plans.logical.Project(
+      lr.output.zip(plan.output).map { case (o, n) =>
+        org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
+          exprId = o.exprId, qualifier = o.qualifier)
+      }, plan)
+  }
 
   /** Re-anchored condition for the two single-table statements. */
   private def columnOf(e: Expression): Column =
