@@ -1205,6 +1205,47 @@ object TxLogTable {
     } finally matched.unpersist()
   }
 
+  /** Metadata-only ALTER TABLE ADD COLUMNS — the delta world's schema
+    * evolution DDL: the table's recorded schema widens by `newFields`
+    * in ONE rebase commit that carries every file (and deletion
+    * vector) by reference — zero data bytes move, which is the entire
+    * point at a 100 TB table (a rewrite-based widening would cost the
+    * table's size for a column no row has yet). Existing files lack
+    * the new columns, so every read serves them as NULL (exactly what
+    * a parquet scan under the widened schema yields); later appends
+    * and UPDATE SET populate them. Added fields must be nullable —
+    * there is no backfill, so a non-null column would be born
+    * violated. Time travel below the DDL commit serves the old
+    * schema. Returns the committed version. */
+  def addColumns(spark: SparkSession, path: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField],
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    require(newFields.nonEmpty, "addColumns needs at least one field")
+    val notNullable = newFields.filterNot(_.nullable)
+    require(notNullable.isEmpty,
+      s"added columns must be nullable (no backfill exists for " +
+        s"existing rows): ${notNullable.map(_.name).mkString(", ")}")
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot alter an empty table at $path")
+    val snapshot = readVersion(spark, path, v0)
+    val existing = snapshot.schema.fieldNames.map(_.toLowerCase).toSet
+    val dup = newFields.filter(f => existing(f.name.toLowerCase))
+    require(dup.isEmpty,
+      s"column(s) already exist (case-insensitive): " +
+        dup.map(_.name).mkString(", "))
+    val widened = org.apache.spark.sql.types.StructType(
+      snapshot.schema.fields ++ newFields)
+    val st = stateUpTo(fs, root, v0)
+    val v = commitEntry(fs, root, st.files.sorted, rebase = true,
+      Some(v0), maxRetries = 1, commit, op = "addcolumns",
+      sizes = st.sizes, schemaJson = Some(widened.json), dvs = st.dvs)
+    // a schema-change commit mirrors as a metaData-only Delta entry
+    DeltaInterop.mirror(spark, path, v, Seq.empty, Seq.empty,
+      widened.json, commit)
+    v
+  }
+
   /** Fold every deletion vector into a rewrite — the delta world's
     * `REORG TABLE … APPLY (PURGE)`: the dv-masked files (and ONLY
     * those) re-stage without their masked rows, the dv map empties, and
@@ -2118,9 +2159,31 @@ object TxLogTable {
           .option("basePath", s"$path/$dir")
           .parquet(fsOfDir.map(f => s"$path/$f"): _*)
       }
-    (plainScan.toSeq ++ partedScans)
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    alignToSchema(
+      (plainScan.toSeq ++ partedScans)
+        .reduce(_.unionByName(_, allowMissingColumns = true)),
+      knownSchema)
   }
+
+  /** Serve recorded-schema columns that NO file carries as NULLs — the
+    * read-back face of metadata-only [[addColumns]]: a column added by
+    * DDL exists in the log's schema before any file holds it. The
+    * plain-listing fast path already yields it (the scan reads with the
+    * recorded schema); this covers the mergeSchema paths (partitioned
+    * and mixed layouts), where a footer sweep can only see columns some
+    * file has. A no-op whenever nothing is missing. */
+  private def alignToSchema(df: DataFrame,
+      knownSchema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame =
+    knownSchema match {
+      case Some(s) =>
+        val missing = s.fields.filterNot(f => df.columns.contains(f.name))
+        if (missing.isEmpty) df
+        else df.select(df.col("*") +: missing.toSeq.map(f =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+            .as(f.name)): _*)
+      case None => df
+    }
 
   /** [[scanFiles]] with DELETION-VECTOR application and optional file
     * lineage — the one scan primitive every dv-aware consumer (snapshot
@@ -2206,7 +2269,8 @@ object TxLogTable {
           scan("__f") === right("__dvf") && scan("__ri") === right("__dvri"),
           "left_anti")
       }
-    if (lineage) out else out.drop("__f", "__ri")
+    val aligned = alignToSchema(out, knownSchema)
+    if (lineage) aligned else aligned.drop("__f", "__ri")
   }
 
   /** min=max "stats" synthesized from a file's hive path segments, for

@@ -1306,8 +1306,49 @@ object IngestQueries extends QueryModule {
         AND NOT (o_custkey % 7 = 0)
       ORDER BY o_orderkey"""))
 
+  /** A23 metadata-only schema evolution ([[TxLogTable.addColumns]], the
+    * delta world's ALTER TABLE ADD COLUMNS): customer seeds the table,
+    * a `tier` column is added by DDL — REQUIREd in-query to commit with
+    * the file listing IDENTICAL (zero data bytes move; at 100 TB a
+    * rewrite-based widening costs the table, this costs one log entry)
+    * — then two predicate UPDATEs populate it and unmatched rows keep
+    * the born-NULL value. DuckDB replays the widening as a CASE
+    * projection over the raw table. */
+  private val q189 = QueryDef(
+    "q189_add_columns",
+    (s, d) => {
+      val path = s"/tmp/graft_alter_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      TxLogTable.append(s, cust, path) // v0
+      val at0 = TxLogTable.filesAt(path, 0)
+      val v1 = TxLogTable.addColumns(s, path, Seq(
+        org.apache.spark.sql.types.StructField("tier",
+          org.apache.spark.sql.types.StringType)))
+      require(v1 == 1 && TxLogTable.filesAt(path, 1).toSet == at0.toSet,
+        "ALTER ADD COLUMNS must be metadata-only (listing identical)")
+      require(TxLogTable.readVersion(s, path, 0).columns.length == 3,
+        "pre-DDL versions must keep the narrow schema")
+      TxLogTable.updateWhere(s, path, Map("tier" -> lit("gold")),
+        col("c_acctbal") >= 5000.0) // v2
+      TxLogTable.updateWhere(s, path, Map("tier" -> lit("risk")),
+        col("c_acctbal") < 0.0) // v3
+      TxLogTable.read(s, path)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("tier"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal,
+             CASE WHEN c_acctbal >= 5000.0 THEN 'gold'
+                  WHEN c_acctbal < 0.0 THEN 'risk'
+                  ELSE NULL END AS tier
+      FROM customer
+      ORDER BY c_custkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180, q184, q188)
+      q177, q180, q184, q188, q189)
 }

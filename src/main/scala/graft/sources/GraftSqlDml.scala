@@ -296,6 +296,32 @@ object GraftSqlDml {
     }
   }
 
+  /** SQL `ALTER TABLE … ADD COLUMNS` for CATALOG graftlog tables:
+    * stock Spark's `AlterTableAddColumnsCommand` rejects unknown
+    * providers outright ("you must drop and re-create the table"), so
+    * the rule below re-routes it to [[TxLogTable.addColumns]] — ONE
+    * metadata-only rebase commit, zero data bytes — and then updates
+    * the session catalog's schema + drops the cached relation, so a
+    * `SELECT … BY NAME` in this or any later session serves the
+    * widened schema immediately. Both schema stores stay authoritative
+    * for their readers: the LOG for path-addressed reads (the commit
+    * is the source of truth), the catalog for name resolution. */
+  case class GraftAddColumnsCommand(path: String,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      cols: Seq[org.apache.spark.sql.types.StructField])
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      TxLogTable.addColumns(spark, path, cols)
+      val cat = spark.sessionState.catalog
+      val t = cat.getTableMetadata(ident)
+      cat.alterTableDataSchema(ident,
+        org.apache.spark.sql.types.StructType(t.dataSchema.fields ++ cols))
+      cat.refreshTable(ident)
+      Nil
+    }
+  }
+
   case class GraftMergeCommand(path: String, source: LogicalPlan,
       spec: MergeSpec) extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
@@ -338,6 +364,24 @@ case class GraftDmlResolution(spark: SparkSession)
         val idx = c.fileIndex.get.asInstanceOf[GraftLogFileIndex]
         GraftSqlDml.GraftInsertCommand(idx.path, idx.pinned, c.query,
           overwrite = c.mode == org.apache.spark.sql.SaveMode.Overwrite)
+      // catalog-table ALTER ADD COLUMNS: stock Spark's v1 command
+      // rejects non-builtin providers in run(); re-route to the
+      // metadata-only log commit + catalog schema update
+      case a: org.apache.spark.sql.execution.command
+          .AlterTableAddColumnsCommand =>
+        val ct = spark.sessionState.catalog.getTableMetadata(a.table)
+        if (!ct.provider.exists(_.equalsIgnoreCase("graftlog"))) a
+        else {
+          val opts = ct.storage.properties
+          require(!opts.contains("versionAsOf"),
+            s"cannot ALTER a time-travel graftlog table ${a.table} — " +
+              "DDL targets the live head")
+          val path = opts.get("path")
+            .orElse(ct.storage.locationUri.map(_.toString))
+            .getOrElse(throw new IllegalStateException(
+              s"graftlog catalog table ${a.table} records no path"))
+          GraftSqlDml.GraftAddColumnsCommand(path, a.table, a.colsToAdd)
+        }
       case d @ DeleteFromTable(target, condition) if d.resolved =>
         graftTarget(target) match {
           case Some((path, pinned)) =>
