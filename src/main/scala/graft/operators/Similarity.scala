@@ -348,6 +348,74 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
   }
 
+  /** CLUSTER-QUALITY report over Lloyd-trained cells — the "is this
+    * clustering any good?" gate a pipeline runs BEFORE trusting cells
+    * for SemDeDup (q120) or cluster-balanced sampling (q111). Per
+    * populated cell: population `n`, the mean SIMPLIFIED SILHOUETTE
+    * `mean_sil6` (the centroid-based variant — a = cosine distance to
+    * the own centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b); Hruschka et al.'s O(N·K) simplification of
+    * Rousseeuw '87 — the only silhouette computable at corpus scale,
+    * the exact pairwise form is O(N²)), the cosine scatter `scatter6`
+    * (mean distance to the own centroid), and the DAVIES-BOULDIN term
+    * `db6` = max over other populated cells of (S_i+S_j)/M_ij (Davies
+    * & Bouldin '79; lower = tighter/better-separated; NULL when no
+    * comparable cell exists).
+    *
+    * Scale shape: training + assignment are [[ivfAssignTrained]]'s
+    * (centroids as plan literals, shuffle-free per-row scoring), the
+    * per-cell stats are ONE mergeable hash aggregate, and the K-row
+    * result collects driver-side where the K×K Davies-Bouldin matrix
+    * is plain arithmetic over already-rounded values — no second
+    * corpus pass, no window, nothing all-pairs over rows. All emitted
+    * metrics round half-up-6 so a replaying engine lands on identical
+    * doubles (the [[trainCentroids]] determinism contract extended to
+    * the metrics). Zero-distance centroid pairs (duplicate centroids)
+    * are excluded from the DB max rather than dividing by zero. */
+  def clusterQuality(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = normalized(corpus, idCol, vecCol, "corpus_id", "cv")
+    val cents = trainOnNormalized(c, nCentroids, iters)
+    require(cents.size >= 2, "cluster quality needs at least 2 centroids")
+    val scored = scoredCentroids(cents, col("cv"))
+    val aD = lit(1.0) - element_at(col("__sc"), -1).getField("d")
+    val bD = lit(1.0) - element_at(col("__sc"), -2).getField("d")
+    val perCell = c.withColumn("__sc", scored)
+      .select(
+        (-element_at(col("__sc"), -1).getField("nc")).as("bucket"),
+        aD.as("a_dist"), bD.as("b_dist"))
+      .withColumn("sil",
+        when(greatest(col("a_dist"), col("b_dist")) > 0.0,
+          (col("b_dist") - col("a_dist")) /
+            greatest(col("a_dist"), col("b_dist")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("sil")) * 1e6 + 0.5) / 1e6).as("mean_sil6"),
+        (floor(avg(col("a_dist")) * 1e6 + 0.5) / 1e6).as("scatter6"))
+      .collect() // bounded: one row per populated cell, K rows max
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    val centMap = cents.toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rows = perCell.map { case (b, n, ms, s) =>
+      val dbTerms = perCell.filter(_._1 != b).flatMap { case (o, _, _, so) =>
+        val m = r6(1.0 - dotArr(centMap(b), centMap(o)))
+        if (m > 0.0) Some(r6((s + so) / m)) else None
+      }
+      (b, n, ms, s,
+        if (dbTerms.isEmpty) None else Some(dbTerms.max))
+    }
+    rows.toDF("bucket", "n", "mean_sil6", "scatter6", "db6")
+  }
+
   /** EMBEDDING-DISTRIBUTION DRIFT between two corpus versions, measured
     * against a PINNED codebook — the semantic-space counterpart of the
     * token-distribution JS drift (q138), and the reason

@@ -1169,7 +1169,59 @@ object SimilarityQueries extends QueryModule {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Cluster-quality gate over the SAME Lloyd-trained cells as
+    * q101/q111 (shared oracle prefix): per populated cell the
+    * simplified-silhouette mean, cosine scatter, and Davies-Bouldin
+    * term — the "is this clustering good enough to curate with?" check
+    * that runs before SemDeDup or cluster-balanced sampling trusts the
+    * cells. The oracle replays training, both distance ranks (own +
+    * nearest-other centroid), the per-cell means, and the K×K DB max
+    * over the rounded values. */
+  private val q190 = QueryDef(
+    "q190_cluster_quality",
+    (s, d) => Similarity.clusterQuality(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCentroids = 8, iters = 2)
+      .orderBy(col("bucket")),
+    Some(s"""
+      WITH $lloydK8I2Ctes,
+      scored AS (
+        SELECT n.vec_id, c.cid, list_dot_product(n.nv, c.cv) AS d,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cid ASC) AS rn
+        FROM n, c2 c),
+      own AS (SELECT vec_id, cid AS bucket, 1.0 - d AS a_dist
+              FROM scored WHERE rn = 1),
+      nxt AS (SELECT vec_id, 1.0 - d AS b_dist FROM scored WHERE rn = 2),
+      pt AS (
+        SELECT o.vec_id, o.bucket, o.a_dist, x.b_dist,
+               CASE WHEN greatest(o.a_dist, x.b_dist) > 0.0
+                    THEN (x.b_dist - o.a_dist) / greatest(o.a_dist, x.b_dist)
+                    ELSE 0.0 END AS sil
+        FROM own o JOIN nxt x USING (vec_id)),
+      cell AS (
+        SELECT bucket, count(*) AS n,
+               floor(avg(sil) * 1000000.0 + 0.5) / 1000000.0 AS mean_sil6,
+               floor(avg(a_dist) * 1000000.0 + 0.5) / 1000000.0 AS scatter6
+        FROM pt GROUP BY bucket),
+      cdist AS (
+        SELECT a.cid AS bucket, b.cid AS other,
+               floor((1.0 - list_dot_product(a.cv, b.cv)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS m6
+        FROM c2 a, c2 b WHERE a.cid <> b.cid),
+      db AS (
+        SELECT i.bucket,
+               max(floor((i.scatter6 + j.scatter6) / d.m6 * 1000000.0 + 0.5)
+                 / 1000000.0) AS db6
+        FROM cell i
+        JOIN cdist d ON d.bucket = i.bucket
+        JOIN cell j ON j.bucket = d.other
+        WHERE d.m6 > 0.0
+        GROUP BY i.bucket)
+      SELECT c.bucket, c.n, c.mean_sil6, c.scatter6, db.db6
+      FROM cell c LEFT JOIN db USING (bucket)
+      ORDER BY c.bucket"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q50, q51, q52, q87, q94, q101, q111, q114, q115, q119, q120, q122,
-      q124, q125, q130, q135, q136, q145, q182, q183, q185)
+      q124, q125, q130, q135, q136, q145, q182, q183, q185, q190)
 }

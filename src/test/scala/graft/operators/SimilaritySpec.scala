@@ -534,4 +534,38 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
+
+  test("clusterQuality: tight well-separated clusters beat smeared ones, metrics bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def cloud(base: Array[Double], n: Int, noise: Double, from: Long) =
+      (0 until n).map { i =>
+        (from + i, base.zipWithIndex.map { case (x, _) =>
+          x + (rnd.nextDouble() - 0.5) * noise })
+      }
+    val axes = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    val tight = axes.zipWithIndex.flatMap { case (a, i) =>
+      cloud(a, 30, 0.05, i * 100L) }.toDF("vec_id", "embedding")
+    val smeared = axes.zipWithIndex.flatMap { case (a, i) =>
+      cloud(a, 30, 1.2, i * 100L) }.toDF("vec_id", "embedding")
+    def metrics(df: org.apache.spark.sql.DataFrame) = Similarity
+      .clusterQuality(df, "vec_id", "embedding", nCentroids = 4, iters = 2)
+      .as[(Long, Long, Double, Double, Option[Double])].collect().toSeq
+    val t = metrics(tight); val s = metrics(smeared)
+    // silhouette bounded, coverage complete
+    (t ++ s).foreach { case (_, n, sil, sc, _) =>
+      assert(sil >= -1.0 && sil <= 1.0 && sc >= 0.0 && n > 0) }
+    assert(t.map(_._2).sum == 120 && s.map(_._2).sum == 120)
+    // tight clusters: higher mean silhouette and lower Davies-Bouldin
+    def wavg(m: Seq[(Long, Long, Double, Double, Option[Double])],
+        f: ((Long, Long, Double, Double, Option[Double])) => Double) =
+      m.map(r => f(r) * r._2).sum / m.map(_._2).sum
+    assert(wavg(t, _._3) > wavg(s, _._3) + 0.2,
+      s"tight silhouette ${wavg(t, _._3)} vs smeared ${wavg(s, _._3)}")
+    assert(wavg(t, _._5.getOrElse(0.0)) < wavg(s, _._5.getOrElse(0.0)),
+      "tight clusters must score a lower Davies-Bouldin term")
+    // deterministic: a rerun lands on identical doubles
+    assert(metrics(tight) == t)
+  }
 }
