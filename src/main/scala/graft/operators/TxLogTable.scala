@@ -1554,12 +1554,16 @@ object TxLogTable {
     * expression evaluates FALSE; NULL passes (Delta's CHECK rule). */
   def checkConstraints(path: String): Map[String, String] = {
     val (fs, root) = fsFor(path)
-    val p = constraintsPath(root)
+    readDotJsonMap(fs, constraintsPath(root), "constraints")
+  }
+
+  private def readDotJsonMap(fs: FileSystem, p: HPath,
+      what: String): Map[String, String] = {
     if (!fs.exists(p)) Map.empty
     else {
       import org.json4s._
       // parse failures are LOUD: silently treating a corrupt file as
-      // "no constraints" would drop enforcement without a trace
+      // "none" would drop enforcement/configuration without a trace
       val txt = readString(fs, p)
       try org.json4s.jackson.JsonMethods.parse(txt) match {
         case JObject(fields) =>
@@ -1569,7 +1573,7 @@ object TxLogTable {
       } catch {
         case e: IllegalStateException => throw e
         case scala.util.control.NonFatal(e) => throw new IllegalStateException(
-          s"unreadable constraints file $p (${e.getMessage}); " +
+          s"unreadable $what file $p (${e.getMessage}); " +
             "restore or delete it to unblock writes", e)
       }
     }
@@ -1580,12 +1584,15 @@ object TxLogTable {
     * non-atomic delete+rename elsewhere (the window there loses the
     * update, never leaves a torn file). */
   private def writeConstraints(fs: FileSystem, root: HPath,
-      cs: Map[String, String]): Unit = {
+      cs: Map[String, String]): Unit =
+    writeDotJsonMap(fs, root, constraintsPath(root), cs)
+
+  private def writeDotJsonMap(fs: FileSystem, root: HPath,
+      target: HPath, cs: Map[String, String]): Unit = {
     import org.json4s.JsonDSL._
     fs.mkdirs(logDir(root))
-    val target = constraintsPath(root)
     val tmp = new HPath(logDir(root),
-      s".constraints.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     writeString(fs, tmp,
       org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(
@@ -1630,6 +1637,41 @@ object TxLogTable {
   def dropCheckConstraint(path: String, name: String): Unit = {
     val (fs, root) = fsFor(path)
     writeConstraints(fs, root, checkConstraints(path) - name)
+  }
+
+  // ---- table properties (Delta's metaData.configuration) ----
+
+  private def propertiesPath(root: HPath) =
+    new HPath(logDir(root), ".properties.json")
+
+  /** Table-level configuration, the delta world's `TBLPROPERTIES`:
+    * string key → value, stored beside the log like the constraints
+    * file. The one property the engine itself consumes is
+    * [[PropEnableDv]] — when `"true"`, SQL `DELETE FROM` statements
+    * route to [[deleteWhereDv]] (merge-on-read masks) instead of the
+    * copy-on-write rewrite, exactly Delta's
+    * `delta.enableDeletionVectors` contract; the programmatic APIs
+    * stay explicit either way. */
+  def tableProperties(path: String): Map[String, String] = {
+    val (fs, root) = fsFor(path)
+    readDotJsonMap(fs, propertiesPath(root), "table-properties")
+  }
+
+  /** The SQL-DELETE routing property (see [[tableProperties]]). */
+  val PropEnableDv = "graft.enableDeletionVectors"
+
+  def setTableProperty(path: String, key: String, value: String): Unit = {
+    require(key.matches("[A-Za-z0-9_.-]+"),
+      s"property key must be [A-Za-z0-9_.-]+, got '$key'")
+    val (fs, root) = fsFor(path)
+    writeDotJsonMap(fs, root, propertiesPath(root),
+      tableProperties(path) + (key -> value))
+  }
+
+  def unsetTableProperty(path: String, key: String): Unit = {
+    val (fs, root) = fsFor(path)
+    writeDotJsonMap(fs, root, propertiesPath(root),
+      tableProperties(path) - key)
   }
 
   /** Enforcement choke point, called from [[stage]] for data-adding

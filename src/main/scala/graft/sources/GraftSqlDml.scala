@@ -261,7 +261,13 @@ object GraftSqlDml {
       extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
     override def run(spark: SparkSession): Seq[Row] = {
-      TxLogTable.deleteWhere(spark, path, cond)
+      // the delta contract: with the table property enabled, SQL DELETE
+      // takes the merge-on-read deletion-vector path (O(deleted rows)
+      // written); otherwise the copy-on-write rewrite
+      if (TxLogTable.tableProperties(path)
+          .get(TxLogTable.PropEnableDv).exists(_.equalsIgnoreCase("true")))
+        TxLogTable.deleteWhereDv(spark, path, cond)
+      else TxLogTable.deleteWhere(spark, path, cond)
       Nil
     }
   }

@@ -267,6 +267,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(TxLogTable.read(spark, path).count() == 29 + 8)
   }
 
+  test("table property routes SQL DELETE to the dv path (Delta's enableDeletionVectors)") {
+    val path = tmp
+    seed(path)
+    assert(TxLogTable.tableProperties(path).isEmpty)
+    TxLogTable.setTableProperty(path, TxLogTable.PropEnableDv, "true")
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("dvp_t")
+    val before = TxLogTable.filesAt(path, 2)
+    spark.sql("DELETE FROM dvp_t WHERE id = 4")
+    // the SQL statement committed a MASK, not a rewrite
+    assert(TxLogTable.filesAt(path, 3).toSet == before.toSet)
+    assert(TxLogTable.deletionVectors(path, 3).values.map(_._2).sum == 1L)
+    assert(TxLogTable.read(spark, path).count() == 29)
+    // property off → the same statement takes copy-on-write
+    TxLogTable.unsetTableProperty(path, TxLogTable.PropEnableDv)
+    spark.sql("DELETE FROM dvp_t WHERE id = 6")
+    val at4 = TxLogTable.filesAt(path, 4)
+    assert(at4.toSet != before.toSet) // one file rewrote
+    assert(TxLogTable.read(spark, path).count() == 28)
+    spark.catalog.dropTempView("dvp_t")
+  }
+
   test("dv delete on a hive-partitioned table masks within the right partition") {
     val path = tmp
     TxLogTable.append(spark,
