@@ -288,6 +288,49 @@ class DeletionVectorSpec extends SparkSpec {
     spark.catalog.dropTempView("dvp_t")
   }
 
+  test("tableDetail reports the dv posture; vacuumRetain keys the closure by wall clock") {
+    val path = tmp
+    seed(path)
+    TxLogTable.deleteWhereDv(spark, path, col("id").isin(2L, 12L))
+    val d = TxLogTable.tableDetail(spark, path).head()
+    assert(d.getAs[Long]("version") == 3L)
+    assert(d.getAs[Long]("num_files") == 3L)
+    assert(d.getAs[Long]("dv_masked_files") == 2L)
+    assert(d.getAs[Long]("dv_masked_rows") == 2L)
+    assert(d.getAs[String]("op_counts") == "append=3,dvdelete=1")
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    // wall-clock retention: everything is newer than a day → nothing reaps
+    assert(TxLogTable.vacuumRetain(path, 24L * 3600 * 1000).isEmpty)
+    // zero retention keeps only dirs the HEAD references: purge then
+    // retain-nothing reaps the superseded dv dir
+    TxLogTable.purgeDeletes(spark, path)
+    val reaped = TxLogTable.vacuumRetain(path, 0L)
+    assert(reaped.exists(_.startsWith("data-dvs-")))
+    assert(TxLogTable.read(spark, path).count() == 28)
+  }
+
+  test("a graftlog stream sees dv-masked rows as row-level deletes") {
+    val path = tmp
+    seed(path)
+    val out = Files.createTempDirectory("graft-dv-sink").toString
+    val ckpt = Files.createTempDirectory("graft-dv-ckpt").toString
+    TxLogTable.deleteWhereDv(spark, path, col("id") === 17)
+    val q = spark.readStream.format("graftlog").load(path)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val feed = spark.read.parquet(out)
+    // three appends stream as inserts; the dv commit streams its one
+    // masked row as a delete — same contract as a COW delete
+    assert(feed.filter(col("_change_type") === "insert").count() == 30)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq
+    assert(dels == Seq(17L))
+  }
+
   test("dv delete on a hive-partitioned table masks within the right partition") {
     val path = tmp
     TxLogTable.append(spark,
