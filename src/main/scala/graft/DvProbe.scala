@@ -90,18 +90,28 @@ object DvProbe {
       }
       val cowRead = readSec(cowPath)
       val dvRead = readSec(dvPath)
-      (cowSec, dvSec, cowWritten, dvWritten, cowRead, dvRead)
+      // concentrated delete: masks land in ONE of the 8 files — the
+      // split read scans the other 7 plain, so the anti-join penalty
+      // is proportional to MASKED-file bytes, not table bytes
+      val dv1Path = "/tmp/graft_dvprobe_dv1"
+      build(dv1Path)
+      TxLogTable.deleteWhereDv(spark, dv1Path,
+        col("l_orderkey") < step && col("l_orderkey") % 1001 === 0)
+      val dv1Read = readSec(dv1Path)
+      (cowSec, dvSec, cowWritten, dvWritten, cowRead, dvRead, dv1Read)
     }
 
     val cowSec = median(results.map(_._1))
     val dvSec = median(results.map(_._2))
     val cowRead = median(results.map(_._5))
     val dvRead = median(results.map(_._6))
+    val dv1Read = median(results.map(_._7))
     println(f"""{"probe":"dv_delete","sf_dir":"$sfDir","rows_deleted":$matchRows,""" +
       f""""cow_delete_sec":$cowSec%.3f,"dv_delete_sec":$dvSec%.3f,""" +
       f""""cow_bytes_written":${results.head._3},""" +
       f""""dv_bytes_written":${results.head._4},""" +
-      f""""cow_read_sec":$cowRead%.3f,"dv_read_sec":$dvRead%.3f}""")
+      f""""cow_read_sec":$cowRead%.3f,"dv_read_sec_all_masked":$dvRead%.3f,""" +
+      f""""dv_read_sec_one_masked":$dv1Read%.3f}""")
     spark.stop()
   }
 }

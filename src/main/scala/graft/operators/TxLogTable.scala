@@ -2302,19 +2302,47 @@ object TxLogTable {
       knownSchema: Option[org.apache.spark.sql.types.StructType],
       dvs: Map[String, (String, Long)],
       lineage: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
     val live = dvs.view.filterKeys(files.toSet).toMap
     if (live.isEmpty && !lineage)
       return scanFiles(spark, path, files, knownSchema)
-    val base = scanFiles(spark, path, files, knownSchema)
-    require(!base.columns.contains("__f") && !base.columns.contains("__ri"),
-      "table columns __f/__ri collide with the scan's lineage columns")
-    // lineage must stamp on each LEG (metadata columns do not survive a
-    // union) — rebuild the scan with per-leg stamping
-    def stamp(df: DataFrame): DataFrame =
+    if (lineage)
+      // probe scans need uniform __f/__ri on EVERY row — one stamped
+      // scan with the anti-join over the whole candidate set (the
+      // candidate set is already file-pruned by the caller)
+      return alignToSchema(
+        dvAntiJoin(spark, path,
+          stampedScan(spark, path, files, knownSchema), live),
+        knownSchema)
+    // snapshot-read shape: ONLY the masked files pay the lineage
+    // columns + anti-join; every clean file keeps the untouched
+    // vectorized scan. A 100 TB table with one masked file reads at
+    // full speed everywhere except that file.
+    val masked = files.filter(live.contains)
+    val clean = files.filterNot(live.contains)
+    val maskedScan = alignToSchema(
+      dvAntiJoin(spark, path,
+        stampedScan(spark, path, masked, knownSchema), live),
+      knownSchema).drop("__f", "__ri")
+    if (clean.isEmpty) maskedScan
+    else scanFiles(spark, path, clean, knownSchema)
+      .unionByName(maskedScan, allowMissingColumns = true)
+  }
+
+  /** The [[scanFiles]] legs with per-leg `__f` (file path as
+    * `_metadata.file_path` renders it) and `__ri` (in-file row index)
+    * — stamping must happen per LEG because metadata columns do not
+    * survive a union. */
+  private def stampedScan(spark: SparkSession, path: String,
+      files: Seq[String],
+      knownSchema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    def stamp(df: DataFrame): DataFrame = {
+      require(!df.columns.contains("__f") && !df.columns.contains("__ri"),
+        "table columns __f/__ri collide with the scan's lineage columns")
       df.select(df.col("*"),
         df.col("_metadata.file_path").as("__f"),
         df.col("_metadata.row_index").as("__ri"))
+    }
     val (parted, plain) = files.partition(f =>
       partitionValuesOf(f).nonEmpty)
     val plainScan =
@@ -2331,37 +2359,40 @@ object TxLogTable {
           .option("basePath", s"$path/$dir")
           .parquet(fsOfDir.map(f => s"$path/$f"): _*)
       }
-    val scan = (plainScan.toSeq ++ partedScans).map(stamp)
+    (plainScan.toSeq ++ partedScans).map(stamp)
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    val out =
-      if (live.isEmpty) scan
+  }
+
+  /** Subtract a dv map's masked rows from a stamped scan — the
+    * `(file, row_index)` anti-join, broadcast when the log-recorded
+    * mask total is small. `live` must already be restricted to the
+    * scanned snapshot's entries (a dv dir may carry rows for files a
+    * later commit rewrote). */
+  private def dvAntiJoin(spark: SparkSession, path: String,
+      scan: DataFrame, live: Map[String, (String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+    if (live.isEmpty) return scan
+    val (fs, root) = fsFor(path)
+    val qual = fs.makeQualified(root).toString
+    val raw = spark.read.parquet(
+      live.values.map(_._1).toSeq.distinct.map(d => s"$path/$d"): _*)
+    val restricted =
+      if (live.size <= 64)
+        raw.filter(col("f").isin(live.keys.toSeq: _*))
       else {
-        val (fs, root) = fsFor(path)
-        val qual = fs.makeQualified(root).toString
-        val raw = spark.read.parquet(
-          live.values.map(_._1).toSeq.distinct.map(d => s"$path/$d"): _*)
-        // restrict to THIS snapshot's dv entries: a dv dir may carry
-        // rows for files a later commit rewrote (their dvs dropped)
-        val restricted =
-          if (live.size <= 64)
-            raw.filter(col("f").isin(live.keys.toSeq: _*))
-          else {
-            import spark.implicits._
-            raw.join(broadcast(live.keys.toSeq.toDF("f")), Seq("f"),
-              "left_semi")
-          }
-        val dvRows = restricted.select(
-          concat(lit(qual + "/"), col("f")).as("__dvf"),
-          col("ri").as("__dvri"))
-        val right =
-          if (live.values.map(_._2).sum <= 4000000L) broadcast(dvRows)
-          else dvRows
-        scan.join(right,
-          scan("__f") === right("__dvf") && scan("__ri") === right("__dvri"),
-          "left_anti")
+        import spark.implicits._
+        raw.join(broadcast(live.keys.toSeq.toDF("f")), Seq("f"),
+          "left_semi")
       }
-    val aligned = alignToSchema(out, knownSchema)
-    if (lineage) aligned else aligned.drop("__f", "__ri")
+    val dvRows = restricted.select(
+      concat(lit(qual + "/"), col("f")).as("__dvf"),
+      col("ri").as("__dvri"))
+    val right =
+      if (live.values.map(_._2).sum <= 4000000L) broadcast(dvRows)
+      else dvRows
+    scan.join(right,
+      scan("__f") === right("__dvf") && scan("__ri") === right("__dvri"),
+      "left_anti")
   }
 
   /** min=max "stats" synthesized from a file's hive path segments, for

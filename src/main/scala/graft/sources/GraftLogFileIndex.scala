@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the log's construction. */
 class GraftLogFileIndex(spark: SparkSession, val path: String,
     val pinned: Option[Long], override val partitionSchema: StructType,
-    val dvApproved: Boolean = false, val dvLivePinned: Boolean = false)
+    val dvApproved: Boolean = false, val dvLivePinned: Boolean = false,
+    val restrictTo: Option[Set[String]] = None)
     extends FileIndex {
 
   private val statusCache =
@@ -48,8 +49,17 @@ class GraftLogFileIndex(spark: SparkSession, val path: String,
     pinned.getOrElse(TxLogTable.currentVersion(path))
 
   private def snapshotAt(v: Long)
-      : (Seq[String], Map[String, Long], Map[String, (String, Long)]) =
-    snapshotCache.getOrElseUpdate(v, TxLogTable.snapshotState(path, v))
+      : (Seq[String], Map[String, Long], Map[String, (String, Long)]) = {
+    val (files, sizes, dvs) =
+      snapshotCache.getOrElseUpdate(v, TxLogTable.snapshotState(path, v))
+    // file-subset view of the snapshot — the deletion-vector read
+    // rewrite splits a table into a clean-files relation (plain
+    // vectorized scan) and a masked-files relation (scan + anti-join)
+    restrictTo match {
+      case None => (files, sizes, dvs)
+      case Some(keep) => (files.filter(keep), sizes, dvs)
+    }
+  }
 
   private def snapshot: Seq[String] = snapshotAt(version)._1
 

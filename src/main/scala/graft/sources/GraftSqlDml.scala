@@ -75,6 +75,9 @@ object GraftSqlDml {
           case j: Join
               if j.joinType == org.apache.spark.sql.catalyst.plans
                 .LeftAnti => fromLeft(j.left)
+          // clean-files ∪ (masked-files anti-join) — the split shape;
+          // the clean side is Project over the approved relation
+          case u: Union => u.children.headOption.flatMap(fromLeft)
           case Project(_, inner) => fromJoin(inner)
           case _ => None
         }
@@ -458,12 +461,17 @@ case class GraftDmlResolution(spark: SparkSession)
     // must agree — per-query snapshot isolation, the delta-on-spark
     // posture where a DataFrame captures its snapshot); dvLivePinned
     // remembers the relation was a live head, so DML target detection
-    // still routes statements over it to the head
-    val approved = new GraftLogFileIndex(spark, idx.path, Some(v),
-      idx.partitionSchema, dvApproved = true,
-      dvLivePinned = idx.pinned.isEmpty)
-    val base = spark.baseRelationToDataFrame(
-      h.copy(location = approved)(spark))
+    // still routes statements over it to the head. The table SPLITS:
+    // clean files keep the untouched vectorized relation, ONLY the
+    // masked files' relation pays the lineage columns + anti-join — a
+    // wide table with one masked file reads at full speed everywhere
+    // except that file.
+    val masked = dvs.keySet
+    def subIdx(keep: Set[String]) = new GraftLogFileIndex(spark,
+      idx.path, Some(v), idx.partitionSchema, dvApproved = true,
+      dvLivePinned = idx.pinned.isEmpty, restrictTo = Some(keep))
+    val allFiles = TxLogTable.filesAt(idx.path, v).toSet
+    val clean = allFiles -- masked
     val (fs, root) = TxLogTable.fsFor(idx.path)
     val qual = fs.makeQualified(root).toString
     val dvRows = spark.read.parquet(
@@ -474,13 +482,21 @@ case class GraftDmlResolution(spark: SparkSession)
     val right =
       if (dvs.values.map(_._2).sum <= 4000000L) broadcast(dvRows)
       else dvRows
-    val withLineage = base.select(col("*"),
+    val maskedBase = spark.baseRelationToDataFrame(
+      h.copy(location = subIdx(masked))(spark))
+    val withLineage = maskedBase.select(col("*"),
       col("_metadata.file_path").as("__f"),
       col("_metadata.row_index").as("__ri"))
-    val joined = withLineage.join(right,
+    val names = lr.output.map(a => col(s"`${a.name}`"))
+    val maskedSide = withLineage.join(right,
         withLineage("__f") === right("__dvf") &&
           withLineage("__ri") === right("__dvri"), "left_anti")
-      .select(lr.output.map(a => col(s"`${a.name}`")): _*)
+      .select(names: _*)
+    val joined =
+      if (clean.isEmpty) maskedSide
+      else spark.baseRelationToDataFrame(
+          h.copy(location = subIdx(clean))(spark))
+        .select(names: _*).unionByName(maskedSide)
     val plan = joined.queryExecution.analyzed
     org.apache.spark.sql.catalyst.plans.logical.Project(
       lr.output.zip(plan.output).map { case (o, n) =>

@@ -331,6 +331,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(dels == Seq(17L))
   }
 
+  test("reads split clean vs masked: one anti-join over only the masked file") {
+    val path = tmp
+    seed(path) // 3 single-file commits
+    TxLogTable.deleteWhereDv(spark, path, col("id") === 5) // masks 1 file
+    // engine read: exactly ONE anti-join; the clean files union in as
+    // plain scans (a wide table with one masked file reads at full
+    // speed everywhere except that file)
+    val df = TxLogTable.read(spark, path)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1, s"plan:\n$plan")
+    assert(df.count() == 29)
+    // masked-side leg scans exactly one data file
+    assert(plan.contains("InMemoryFileIndex(1 paths)"), s"plan:\n$plan")
+    // connector/SQL read rewrite: same split (clean relation ∪ masked
+    // anti-join), same single anti-join
+    val sdf = spark.read.format("graftlog").load(path)
+    val splan = sdf.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(splan).size == 1, s"plan:\n$splan")
+    assert(sdf.count() == 29)
+    sdf.createOrReplaceTempView("dv_split_t")
+    assert(spark.sql("SELECT sum(id) FROM dv_split_t").head().getLong(0)
+      == (0L until 30L).sum - 5L)
+    spark.catalog.dropTempView("dv_split_t")
+  }
+
   test("dv delete on a hive-partitioned table masks within the right partition") {
     val path = tmp
     TxLogTable.append(spark,
