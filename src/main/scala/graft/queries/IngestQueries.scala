@@ -1082,7 +1082,11 @@ object IngestQueries extends QueryModule {
         "the partitioned connector read must plan as one columnar " +
           s"FileSourceScanExec:\n${out.queryExecution.executedPlan}")
       // execute THIS plan (a derived frame would run a clone whose
-      // metrics stay zero), then hold the listing to account
+      // metrics stay zero), then hold the listing to account. The one
+      // deliberate double-materialization in the corpus: the returned
+      // frame re-executes in Verify/Bench, and this in-builder run is
+      // what makes the scan metrics REQUIREable — bounded to the one
+      // matching hive segment at gate scale.
       out.collect()
       val all = TxLogTable.snapshotFiles(path, 0L)
       val matching = all.count(_.contains("c_mktsegment=BUILDING"))
