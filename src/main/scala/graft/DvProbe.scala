@@ -98,7 +98,19 @@ object DvProbe {
       TxLogTable.deleteWhereDv(spark, dv1Path,
         col("l_orderkey") < step && col("l_orderkey") % 1001 === 0)
       val dv1Read = readSec(dv1Path)
-      (cowSec, dvSec, cowWritten, dvWritten, cowRead, dvRead, dv1Read)
+      // LARGE mask (~a third of the table, typically ≥1M rows at
+      // sf0.1+): the build side overflows the byte budget, so the
+      // anti-join must take the shuffled path with the
+      // dictionary-encoded (int, long) keys — the read should degrade
+      // gracefully, not OOM an executor on a broadcast of path strings
+      val dvBigPath = "/tmp/graft_dvprobe_dvbig"
+      build(dvBigPath)
+      val bigDeleted = li.filter(col("l_suppkey") % 3 === 0).count()
+      TxLogTable.deleteWhereDv(spark, dvBigPath,
+        col("l_suppkey") % 3 === 0)
+      val dvBigRead = readSec(dvBigPath)
+      (cowSec, dvSec, cowWritten, dvWritten, cowRead, dvRead, dv1Read,
+        dvBigRead, bigDeleted)
     }
 
     val cowSec = median(results.map(_._1))
@@ -106,12 +118,15 @@ object DvProbe {
     val cowRead = median(results.map(_._5))
     val dvRead = median(results.map(_._6))
     val dv1Read = median(results.map(_._7))
+    val dvBigRead = median(results.map(_._8))
     println(f"""{"probe":"dv_delete","sf_dir":"$sfDir","rows_deleted":$matchRows,""" +
       f""""cow_delete_sec":$cowSec%.3f,"dv_delete_sec":$dvSec%.3f,""" +
       f""""cow_bytes_written":${results.head._3},""" +
       f""""dv_bytes_written":${results.head._4},""" +
       f""""cow_read_sec":$cowRead%.3f,"dv_read_sec_all_masked":$dvRead%.3f,""" +
-      f""""dv_read_sec_one_masked":$dv1Read%.3f}""")
+      f""""dv_read_sec_one_masked":$dv1Read%.3f,""" +
+      f""""big_mask_rows":${results.head._9},""" +
+      f""""dv_read_sec_big_mask":$dvBigRead%.3f}""")
     spark.stop()
   }
 }

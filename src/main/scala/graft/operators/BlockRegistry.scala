@@ -18,11 +18,24 @@ package graft.operators
 object BlockRegistry {
   private val rdds =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  private val dfs =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
 
   /** Register a persisted RDD for the next [[releaseAll]]. */
   def track(r: org.apache.spark.rdd.RDD[_]): Unit = rdds.add(r)
 
-  /** Unpersist every registered RDD (non-blocking, idempotent). */
+  /** Register a persisted DATAFRAME for the next [[releaseAll]] — the
+    * operator-side mirror of [[graft.queries.Handoff]] (which lives a
+    * package up and cannot be imported here without a cycle). Used by
+    * operators whose lazy result references one subtree from two
+    * consumers (e.g. [[TextAnalysis.bpePackedExport]]'s token table),
+    * so the subtree computes once per materialization instead of
+    * twice. Unlike the RDD contract, a released frame CAN recompute —
+    * release is a cache drop, not a lineage truncation. */
+  def track(df: org.apache.spark.sql.DataFrame): Unit = dfs.add(df)
+
+  /** Unpersist every registered RDD and DataFrame (non-blocking,
+    * idempotent). */
   def releaseAll(): Unit = {
     var r = rdds.poll()
     while (r != null) {
@@ -30,8 +43,14 @@ object BlockRegistry {
       catch { case scala.util.control.NonFatal(_) => () }
       r = rdds.poll()
     }
+    var f = dfs.poll()
+    while (f != null) {
+      try f.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      f = dfs.poll()
+    }
   }
 
-  /** Registered-but-unreleased count (spec introspection). */
-  def outstanding: Int = rdds.size()
+  /** Registered-but-unreleased count, both layers (spec introspection). */
+  def outstanding: Int = rdds.size() + dfs.size()
 }

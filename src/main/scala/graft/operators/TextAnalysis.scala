@@ -1139,10 +1139,20 @@ object TextAnalysis {
     * output position): (seq_id, out_pos, idCol, token_id) — exactly
     * the flattened training batch a loader materializes. The
     * slice-to-ids join is doc-keyed with a per-doc position range —
-    * fan-out is token volume over capacity, never quadratic. */
+    * fan-out is token volume over capacity, never quadratic.
+    *
+    * The token table is PERSISTED across its two consumers (the
+    * `counts` aggregate that [[Packing.assign]]'s prefix-sum window
+    * materializes, and the final slice join): without the handoff the
+    * whole tokenizer subtree — distinct-word segmentation through
+    * [[applyMerges]], the vocab-id resolution join, both flatten
+    * aggregates — executed twice per export, a 2× constant on the
+    * exporter's dominant cost. Registered in [[BlockRegistry]] for
+    * release at the harness boundary (the lazy result reads it). */
   def bpePackedExport(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[String], vocabIds: DataFrame, capacity: Long): DataFrame = {
-    val toks = bpeTokenIds(df, idCol, textCol, merges, vocabIds)
+    val toks = bpeTokenIds(df, idCol, textCol, merges, vocabIds).persist()
+    BlockRegistry.track(toks)
     val counts = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"))
     val sl = Packing.slices(

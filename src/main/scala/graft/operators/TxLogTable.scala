@@ -874,14 +874,15 @@ object TxLogTable {
       txn: Option[(String, Long)] = None,
       checkDuplicateKeys: Boolean = true,
       nullSafeKeys: Boolean = false,
-      whenNotMatchedInsertIf: Option[String] = None): Long = {
+      whenNotMatchedInsertIf: Option[String] = None,
+      useDv: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{expr => fexpr}
     mergeByKeyCols(spark, path, updates, keyCols,
       whenMatchedUpdateIf.map(fexpr), whenMatchedDeleteIf.map(fexpr),
       insertUnmatched, commit,
       whenMatchedSet.map(_.toSeq.map { case (c, sql) => c -> fexpr(sql) }),
       txn, checkDuplicateKeys, nullSafeKeys,
-      whenNotMatchedInsertIf.map(fexpr))
+      whenNotMatchedInsertIf.map(fexpr), useDv = useDv)
   }
 
   /** Column-typed core of [[mergeByKey]] — the entry the SQL
@@ -905,7 +906,8 @@ object TxLogTable {
       nullSafeKeys: Boolean,
       whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column],
       insertProjection: Option[Seq[(String, org.apache.spark.sql.Column)]]
-        = None): Long = {
+        = None,
+      useDv: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, lit => flit, not => fnot, when => fwhen}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__m"),
@@ -964,6 +966,146 @@ object TxLogTable {
     val keyEq: (String, String) => org.apache.spark.sql.Column =
       if (nullSafeKeys) (a, b) => fc(a) <=> fc(b)
       else (a, b) => fc(a) === fc(b)
+    // ---- MERGE-ON-READ branch (useDv): the delta world's dv table
+    // feature serves MERGE too — matched rows that delete or update
+    // MASK their old images ((file, row_index) dv coordinates) and
+    // only the update images + unmatched inserts APPEND; matched rows
+    // satisfying neither clause stay untouched bytes. A merge touching
+    // k rows costs O(k) dv rows + O(k + inserts) appended rows, never
+    // a rewrite of the touched files ----
+    if (useDv) {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val qual = fs.makeQualified(root).toString
+      val setMap = whenMatchedSet.map(_.toMap)
+      val affectedOpt =
+        if (touched.isEmpty) None
+        else Some {
+          val tgt = scanFilesDv(spark, path, touched,
+            Some(snapshot.schema), st.dvs, lineage = true)
+          val joined = tgt.alias("t").join(
+            updates.withColumn("__m", flit(1)).alias("s"),
+            keyCols.map(k => keyEq(s"t.`$k`", s"s.`$k`")).reduce(_ && _),
+            "left")
+          val matched = fc("s.__m").isNotNull
+          val delCond = matched && fcoalesce(
+            whenMatchedDeleteIf.getOrElse(flit(false)), flit(false))
+          val updCond = matched && fcoalesce(
+            whenMatchedUpdateIf.getOrElse(flit(true)), flit(false))
+          val updImage: String => org.apache.spark.sql.Column =
+            setMap match {
+              case None => c => fc(s"s.`$c`")
+              case Some(set) => c => set.get(c) match {
+                case Some(e) => e.cast(snapshot.schema(c).dataType)
+                case None => fc(s"t.`$c`")
+              }
+            }
+          // one probe join, persisted across its consumers: mask
+          // coordinates + delete flag + the update image columns
+          joined.filter(delCond || updCond).select(
+            fexpr(s"substring(__f, ${qual.length + 2})").as("__gf") +:
+            fc("__ri").as("__gri") +:
+            delCond.as("__gdel") +:
+            dataCols.map(c => updImage(c).as(c)): _*)
+            .persist()
+        }
+      try {
+        val maskedFiles = affectedOpt.map(_.select("__gf").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Seq.empty)
+        val unknownF = maskedFiles.filterNot(st.files.toSet)
+        require(unknownF.isEmpty,
+          s"deletion-vector merge: probe-derived file ${unknownF.headOption
+            .getOrElse("")} is not in the snapshot listing (path-encoding " +
+            "mismatch); use the copy-on-write merge for this layout")
+        val images = affectedOpt.map(_.filter(fnot(fc("__gdel")))
+          .select(dataCols.map(fc): _*))
+        val insertSource = whenNotMatchedInsertIf match {
+          case None => updates.alias("s")
+          case Some(c) =>
+            updates.alias("s").filter(fcoalesce(c, flit(false)))
+        }
+        val inserts: Option[DataFrame] =
+          if (!insertUnmatched) None
+          else Some(affectedOpt match {
+            case _ if touched.isEmpty => insertSource
+            case _ =>
+              // anti-join against the touched files' key scan (every
+              // matched key lives in a touched file by construction)
+              val tgtKeys = scanFilesDv(spark, path, touched,
+                Some(snapshot.schema), st.dvs).select(keyCols.map(fc): _*)
+              if (!nullSafeKeys)
+                insertSource.join(tgtKeys, keyCols, "left_anti")
+              else insertSource.join(tgtKeys.alias("t"),
+                keyCols.map(k => keyEq(s"s.`$k`", s"t.`$k`")).reduce(_ && _),
+                "left_anti")
+          }).map { df =>
+            insertProjection match {
+              case None => df.select(dataCols.map(fc): _*)
+              case Some(proj) =>
+                val m = proj.toMap
+                df.select(dataCols.map(c =>
+                  m(c).cast(snapshot.schema(c).dataType).as(c)): _*)
+            }
+          }
+        val outOpt = (images, inserts) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (Some(a), None) => Some(a)
+          case (None, b) => b
+        }
+        val out = outOpt.filter(!_.isEmpty)
+        if (maskedFiles.isEmpty && out.isEmpty) return -1L
+        // stage FIRST (constraints abort before any dv sidecar exists)
+        val staged = out
+          .map(stage(_, fs, root, "merge-", partColsOf(touched)))
+          .getOrElse(Seq.empty)
+        if (maskedFiles.isEmpty) {
+          // no clause masked anything: a pure-insert merge — an
+          // append-shaped commit with the dv map carried unchanged
+          val v = commitEntry(fs, root,
+            (all ++ staged.map(_._1)).sorted, rebase = true, Some(v0),
+            maxRetries = 1, commit, txn, op = "merge",
+            sizes = priorSizes ++ staged,
+            schemaJson = Some(snapshot.schema.json),
+            cleanupDirs = stagedDirs(staged), dvs = st.dvs)
+          DeltaInterop.mirror(spark, path, v, staged.map(_._1),
+            Seq.empty, snapshot.schema.json, commit,
+            sizes = staged.toMap)
+          return v
+        }
+        val affected = affectedOpt.get
+        val freshMask = affected.select(fc("__gf").as("f"),
+          fc("__gri").as("ri"))
+        val priorTouchedDvs =
+          st.dvs.view.filterKeys(maskedFiles.toSet).toMap
+        val dvRows = priorTouchedDvs.values.map(_._1).toSeq.distinct match {
+          case Nil => freshMask
+          case dirs => freshMask.unionByName(
+            spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+              .filter(fc("f").isin(maskedFiles: _*))
+              .select(fc("f"), fc("ri")))
+        }
+        val dvDir =
+          s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
+        dvRows.write.mode(SaveMode.ErrorIfExists)
+          .parquet(new HPath(root, dvDir).toString)
+        val counts = spark.read.parquet(s"$path/$dvDir")
+          .groupBy("f").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val v = commitEntry(fs, root,
+          (all ++ staged.map(_._1)).sorted, rebase = true, Some(v0),
+          maxRetries = 1, commit, txn, op = "dvmerge",
+          sizes = priorSizes ++ staged,
+          schemaJson = Some(snapshot.schema.json),
+          cleanupDirs = stagedDirs(staged) :+ dvDir,
+          dvs = st.dvs ++
+            maskedFiles.map(f => f -> ((dvDir, counts(f)))))
+        DeltaInterop.disable(path,
+          s"version $v recorded deletion vectors (merge-on-read " +
+            "MERGE); the JSON-action mirror cannot express the DV " +
+            "table feature and would serve stale pre-merge rows to " +
+            "external readers")
+        return v
+      } finally affectedOpt.foreach(_.unpersist())
+    }
     val tgtScan =
       if (touched.isEmpty) None
       else Some(
@@ -1201,6 +1343,112 @@ object TxLogTable {
         s"version $v recorded deletion vectors (deleteWhereDv); the " +
           "JSON-action mirror cannot express the DV table feature and " +
           "would resurrect deleted rows for external readers")
+      v
+    } finally matched.unpersist()
+  }
+
+  /** Merge-on-read UPDATE via DELETION VECTORS — the delta world
+    * serves ALL THREE row-level DML forms through the dv table
+    * feature, not just DELETE: an update masks the matched rows' OLD
+    * images with `(file, row_index)` dv coordinates and APPENDS only
+    * the new images, so updating k rows scattered through an N-file
+    * multi-TB table costs O(k) dv rows + O(k) appended image rows,
+    * never a rewrite of the touched files' bytes
+    * ([[updateWhere]]'s copy-on-write pays O(touched file bytes) — a
+    * 1-row update in a 1 GB file rewrites the gigabyte).
+    *
+    * Semantics are identical to [[updateWhere]]: SET right-hand sides
+    * evaluate against the PRE-update row, cast to the column's current
+    * type; rows where the predicate is false or NULL are untouched
+    * (unmasked, carried by reference). CHECK constraints validate the
+    * appended images before anything publishes ([[stage]]); the change
+    * feed reports old images as deletes and new images as inserts (the
+    * (file, dv-pointer) diff identity [[changesBetween]] documents).
+    * The matched frame is persisted across its two consumers (the dv
+    * sidecar write and the image staging) — one probe scan, not two.
+    * Returns the committed version, or -1 without committing when
+    * nothing matches. */
+  def updateWhereDv(spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      predicate: org.apache.spark.sql.Column,
+      commit: CommitPoint = CommitPoint.Auto,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{col => fc, expr => fexpr}
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val (fs, root) = fsFor(path)
+    txnFastPath(fs, root, txn).foreach(v => return v)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot update an empty table at $path")
+    val snapshot = readVersion(spark, path, v0)
+    val unknown = set.keys.filterNot(snapshot.columns.contains)
+    require(unknown.isEmpty,
+      s"SET targets unknown column(s): ${unknown.mkString(", ")}")
+    val st = stateUpTo(fs, root, v0)
+    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
+    if (cand.isEmpty) return -1L
+    val qual = fs.makeQualified(root).toString
+    // matched rows AFTER the existing dv view, carrying BOTH the mask
+    // coordinates and the SET-projected new image — one probe scan
+    val matched =
+      scanFilesDv(spark, path, cand, Some(snapshot.schema), st.dvs,
+        lineage = true)
+      .filter(predicate)
+      .select(
+        fexpr(s"substring(__f, ${qual.length + 2})").as("__gf") +:
+        fc("__ri").as("__gri") +:
+        snapshot.schema.fields.toSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => fc(s"`${f.name}`")
+          }
+        }: _*)
+      .persist()
+    try {
+      val touched = matched.select("__gf").distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) return -1L
+      val unknownF = touched.filterNot(st.files.toSet)
+      require(unknownF.isEmpty,
+        s"deletion-vector update: probe-derived file ${unknownF.headOption
+          .getOrElse("")} is not in the snapshot listing (path-encoding " +
+          "mismatch); use updateWhere (copy-on-write) for this layout")
+      // new images stage FIRST (CHECK constraints validate here — a
+      // violating SET aborts before any dv sidecar exists); a SET on a
+      // partition column lands rows in their new dirs
+      val staged = stage(matched.drop("__gf", "__gri"), fs, root,
+        "update-", partColsOf(touched))
+      // new dv rows = fresh masks ∪ the touched files' PRIOR dv rows
+      // (pointer replacement needs the union)
+      val freshMask = matched.select(fc("__gf").as("f"), fc("__gri").as("ri"))
+      val priorTouched = st.dvs.view.filterKeys(touched.toSet).toMap
+      val dvRows = priorTouched.values.map(_._1).toSeq.distinct match {
+        case Nil => freshMask
+        case dirs => freshMask.unionByName(
+          spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+            .filter(fc("f").isin(touched: _*))
+            .select(fc("f"), fc("ri")))
+      }
+      val dvDir =
+        s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
+      dvRows.write.mode(SaveMode.ErrorIfExists)
+        .parquet(new HPath(root, dvDir).toString)
+      val counts = spark.read.parquet(s"$path/$dvDir")
+        .groupBy("f").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val v = commitEntry(fs, root,
+        (st.files ++ staged.map(_._1)).sorted,
+        rebase = true, Some(v0), maxRetries = 1, commit, txn,
+        op = "dvupdate", sizes = st.sizes ++ staged,
+        schemaJson =
+          if (partColsOf(touched).intersect(set.keys.toSeq).isEmpty)
+            Some(snapshot.schema.json)
+          else None,
+        cleanupDirs = stagedDirs(staged) :+ dvDir,
+        dvs = st.dvs ++ touched.map(f => f -> ((dvDir, counts(f)))))
+      DeltaInterop.disable(path,
+        s"version $v recorded deletion vectors (updateWhereDv); the " +
+          "JSON-action mirror cannot express the DV table feature and " +
+          "would serve stale pre-update rows to external readers")
       v
     } finally matched.unpersist()
   }
@@ -2363,12 +2611,35 @@ object TxLogTable {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Byte budget for broadcasting the dv anti-join build side (64 MiB
+    * — well inside a default executor's broadcast headroom). The
+    * decision is in BYTES, priced from the log-recorded mask totals ×
+    * the actual path width — a bare row-count threshold was blind to
+    * path length (4M rows × ~100 B of fully-qualified path ≈ 400 MB
+    * forced onto every executor). */
+  private val DvBroadcastBudget = 64L << 20
+
   /** Subtract a dv map's masked rows from a stamped scan — the
-    * `(file, row_index)` anti-join, broadcast when the log-recorded
-    * mask total is small. `live` must already be restricted to the
-    * scanned snapshot's entries (a dv dir may carry rows for files a
-    * later commit rewrote). */
-  private def dvAntiJoin(spark: SparkSession, path: String,
+    * `(file, row_index)` anti-join. Two shapes, picked by a byte
+    * budget over the log-recorded mask totals (zero extra I/O):
+    *
+    *  - SMALL mask (the common point-delete case): the dv rows
+    *    broadcast with fully-qualified path keys — one hashed-relation
+    *    probe per scanned row, nothing added to the hot path.
+    *  - LARGE mask (over [[DvBroadcastBudget]] priced at
+    *    rows × (avg qualified path + 16 B)): the join must shuffle, so
+    *    both sides first DICTIONARY-ENCODE the masked-file path to an
+    *    int id (the id table is metadata-scale — one row per masked
+    *    file — and broadcast); the shuffle then moves `(int, long)`
+    *    keys, ~16 B/row, instead of repeating a ~100 B path string
+    *    per masked row. Scan rows from files outside `live` take a
+    *    null id, which the anti-join never matches — they pass
+    *    through untouched.
+    *
+    * `live` must already be restricted to the scanned snapshot's
+    * entries (a dv dir may carry rows for files a later commit
+    * rewrote). */
+  private[graft] def dvAntiJoin(spark: SparkSession, path: String,
       scan: DataFrame, live: Map[String, (String, Long)]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
     if (live.isEmpty) return scan
@@ -2376,23 +2647,37 @@ object TxLogTable {
     val qual = fs.makeQualified(root).toString
     val raw = spark.read.parquet(
       live.values.map(_._1).toSeq.distinct.map(d => s"$path/$d"): _*)
+    import spark.implicits._
     val restricted =
       if (live.size <= 64)
         raw.filter(col("f").isin(live.keys.toSeq: _*))
-      else {
-        import spark.implicits._
+      else
         raw.join(broadcast(live.keys.toSeq.toDF("f")), Seq("f"),
           "left_semi")
-      }
-    val dvRows = restricted.select(
-      concat(lit(qual + "/"), col("f")).as("__dvf"),
-      col("ri").as("__dvri"))
-    val right =
-      if (live.values.map(_._2).sum <= 4000000L) broadcast(dvRows)
-      else dvRows
-    scan.join(right,
-      scan("__f") === right("__dvf") && scan("__ri") === right("__dvri"),
-      "left_anti")
+    val maskRows = live.values.map(_._2).sum
+    val avgKeyBytes =
+      live.keys.map(_.length).sum / live.size + qual.length + 1 + 16L
+    if (maskRows * avgKeyBytes <= DvBroadcastBudget) {
+      val dvRows = restricted.select(
+        concat(lit(qual + "/"), col("f")).as("__dvf"),
+        col("ri").as("__dvri"))
+      scan.join(broadcast(dvRows),
+        scan("__f") === dvRows("__dvf") && scan("__ri") === dvRows("__dvri"),
+        "left_anti")
+    } else {
+      val idDf = live.keys.toSeq.sorted.zipWithIndex.toDF("f", "__fid")
+      val dvRows = restricted.join(broadcast(idDf), Seq("f"))
+        .select(col("__fid").as("__dvfid"), col("ri").as("__dvri"))
+      val withId = scan.join(
+        broadcast(idDf.select(concat(lit(qual + "/"), col("f")).as("__f"),
+          col("__fid"))),
+        Seq("__f"), "left")
+      withId.join(dvRows,
+          withId("__fid") === dvRows("__dvfid") &&
+            withId("__ri") === dvRows("__dvri"),
+          "left_anti")
+        .drop("__fid")
+    }
   }
 
   /** min=max "stats" synthesized from a file's hive path segments, for

@@ -1351,8 +1351,99 @@ object IngestQueries extends QueryModule {
       FROM customer
       ORDER BY c_custkey"""))
 
+  /** A23 deletion vectors beyond DELETE — the delta protocol serves
+    * all three DML forms merge-on-read, and so does the engine:
+    * [[TxLogTable.updateWhereDv]] masks the matched old images and
+    * appends only the new ones (REQUIREd in-query: the pre-update
+    * listing survives INTACT — append-only, zero rewrites — and the
+    * mask total equals the matched-row count), then a
+    * [[TxLogTable.mergeByKey]] with `useDv` runs delete+update+insert
+    * clauses over the same table (REQUIREd: still append-only, op =
+    * dvmerge, masks = deleted + updated). The returned frame is the
+    * dv-masked head — the anti-join read path is what the oracle
+    * hashes; DuckDB replays both DML layers as CASE/filter algebra
+    * over the raw table. */
+  private val q191 = QueryDef(
+    "q191_dv_update_merge",
+    (s, d) => {
+      val path = s"/tmp/graft_dvum_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val (b1, b2, b3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Seq(
+        col("o_orderkey") <= b1,
+        col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+        col("o_orderkey") > b2 && col("o_orderkey") <= b3,
+        col("o_orderkey") > b3
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      val v0 = TxLogTable.currentVersion(path)
+      val at0 = TxLogTable.filesAt(path, v0)
+
+      // dv UPDATE: stats-pruned to the first range's file; masks the
+      // matched old images, appends only the new ones
+      val upd = col("o_orderkey") % 5 === 0 && col("o_orderkey") <= b1
+      val nUpd = orders.filter(upd).count()
+      val v1 = TxLogTable.updateWhereDv(s, path,
+        Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))), upd)
+      require(v1 == v0 + 1, "dv update must commit exactly one version")
+      val at1 = TxLogTable.filesAt(path, v1)
+      require(at0.forall(at1.contains),
+        "dv update must keep every pre-update file (append-only listing)")
+      require(at1.size > at0.size, "dv update must append image files")
+      require(TxLogTable.deletionVectors(path, v1).values.map(_._2).sum
+        == nUpd, s"dv update must mask exactly the $nUpd matched rows")
+
+      // dv MERGE: conditional delete + unconditional update of the
+      // rest + 5 inserts, all merge-on-read
+      val src = orders.filter(col("o_custkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(s.range(1, 6).select(
+          (lit(maxK) + col("id")).as("o_orderkey"),
+          (col("id") * 11).as("o_custkey"),
+          (col("id").cast("double") * 100.0).as("o_totalprice")))
+      val v2 = TxLogTable.mergeByKey(s, path, src, Seq("o_orderkey"),
+        whenMatchedDeleteIf = Some("s.o_custkey % 20 = 3"),
+        useDv = true)
+      require(v2 == v1 + 1, "dv merge must commit exactly one version")
+      val at2 = TxLogTable.filesAt(path, v2)
+      require(at1.forall(at2.contains),
+        "dv merge must keep every pre-merge file (append-only listing)")
+      require(TxLogTable.historyDf(s, path)
+        .filter(col("version") === v2).select("operation")
+        .head().getString(0) == "dvmerge", "merge must take the dv path")
+      TxLogTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""
+      WITH b AS (SELECT max(o_orderkey) // 4 AS b1,
+                        max(o_orderkey) AS mx FROM orders),
+      u AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey <= b1
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                 AS o_totalprice
+        FROM orders, b),
+      m AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_custkey % 10 = 3
+                    THEN (SELECT o_totalprice * 2 FROM orders o
+                          WHERE o.o_orderkey = u.o_orderkey)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM u WHERE NOT (o_custkey % 20 = 3)),
+      ins AS (
+        SELECT CAST(mx + i AS BIGINT) AS o_orderkey,
+               CAST(i * 11 AS BIGINT) AS o_custkey,
+               CAST(i AS DOUBLE) * 100.0 AS o_totalprice
+        FROM b, generate_series(1, 5) AS t(i))
+      SELECT * FROM m UNION ALL SELECT * FROM ins
+      ORDER BY o_orderkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180, q184, q188, q189)
+      q177, q180, q184, q188, q189, q191)
 }

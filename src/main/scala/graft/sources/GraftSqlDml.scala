@@ -126,11 +126,27 @@ object GraftSqlDml {
     * exprIds — unresolved-by-name attributes rebind there, exactly the
     * contract updateWhere/deleteWhere document for caller-supplied
     * Columns. */
-  private def unresolve(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  private[sources] def unresolve(e: Expression): Expression = {
+    // bare-name rebinding is sound for every supported single-table
+    // statement shape, but a correlated subquery's inner references
+    // would rebind against the OUTER snapshot scan — silently wrong
+    // rows, not an analysis error. Refuse loudly instead (the merge
+    // path rebinds by provenance and is unaffected).
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          "graftlog DELETE/UPDATE: subqueries in the WHERE/SET clause " +
+            s"are not supported (found ${s.getClass.getSimpleName}); " +
+            "materialize the subquery into a source table and use " +
+            "MERGE INTO instead")
+      case _ => ()
+    }
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }
   }
 
-  private def columnOf(e: Expression): Column =
+  private[sources] def columnOf(e: Expression): Column =
     GraftSqlShim.columnOf(unresolve(e))
 
   /** Merge-clause expressions re-anchor with the engine's `t` (target
@@ -234,6 +250,19 @@ object GraftSqlDml {
         }
       case other => unsupported(s"matched action $other")
     }
+    // SQL semantics: a merge with NO update clause leaves non-deleted
+    // matched rows untouched. The engine's updIf = None default means
+    // UNCONDITIONAL whole-row update (the upsert shape) — mapping the
+    // absent clause through unchanged would overwrite matched rows
+    // with source values on a delete-only or insert-only MERGE. An
+    // always-false update condition + an empty column-level SET pins
+    // carry-unchanged semantics and keeps narrow sources legal (no
+    // whole-row schema requirement).
+    if (!sawUpdate) {
+      updIf = Some(GraftSqlShim.columnOf(
+        org.apache.spark.sql.catalyst.expressions.Literal(false)))
+      set = Some(Seq.empty)
+    }
 
     var insert = false
     var insIf: Option[Column] = None
@@ -260,16 +289,19 @@ object GraftSqlDml {
   // they carry name-anchored rebindables, and a Column field keeps the
   // command node `resolved` for checkAnalysis) ----
 
+  /** The delta contract shared by all three DML forms: with the table
+    * property enabled, SQL row-level statements take the merge-on-read
+    * deletion-vector path (O(changed rows) written); otherwise the
+    * copy-on-write rewrite. */
+  private def dvEnabled(path: String): Boolean =
+    TxLogTable.tableProperties(path)
+      .get(TxLogTable.PropEnableDv).exists(_.equalsIgnoreCase("true"))
+
   case class GraftDeleteCommand(path: String, cond: Column)
       extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
     override def run(spark: SparkSession): Seq[Row] = {
-      // the delta contract: with the table property enabled, SQL DELETE
-      // takes the merge-on-read deletion-vector path (O(deleted rows)
-      // written); otherwise the copy-on-write rewrite
-      if (TxLogTable.tableProperties(path)
-          .get(TxLogTable.PropEnableDv).exists(_.equalsIgnoreCase("true")))
-        TxLogTable.deleteWhereDv(spark, path, cond)
+      if (dvEnabled(path)) TxLogTable.deleteWhereDv(spark, path, cond)
       else TxLogTable.deleteWhere(spark, path, cond)
       Nil
     }
@@ -280,7 +312,9 @@ object GraftSqlDml {
       extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
     override def run(spark: SparkSession): Seq[Row] = {
-      TxLogTable.updateWhere(spark, path, set.toMap, cond)
+      if (dvEnabled(path))
+        TxLogTable.updateWhereDv(spark, path, set.toMap, cond)
+      else TxLogTable.updateWhere(spark, path, set.toMap, cond)
       Nil
     }
   }
@@ -347,7 +381,8 @@ object GraftSqlDml {
         checkDuplicateKeys = true,
         nullSafeKeys = false,
         whenNotMatchedInsertIf = spec.insIf,
-        insertProjection = spec.insProj)
+        insertProjection = spec.insProj,
+        useDv = dvEnabled(path))
       Nil
     }
   }
@@ -472,25 +507,16 @@ case class GraftDmlResolution(spark: SparkSession)
       dvLivePinned = idx.pinned.isEmpty, restrictTo = Some(keep))
     val allFiles = TxLogTable.filesAt(idx.path, v).toSet
     val clean = allFiles -- masked
-    val (fs, root) = TxLogTable.fsFor(idx.path)
-    val qual = fs.makeQualified(root).toString
-    val dvRows = spark.read.parquet(
-        dvs.values.map(_._1).toSeq.distinct.map(d => s"${idx.path}/$d"): _*)
-      .filter(col("f").isin(dvs.keys.toSeq: _*))
-      .select(concat(lit(qual + "/"), col("f")).as("__dvf"),
-        col("ri").as("__dvri"))
-    val right =
-      if (dvs.values.map(_._2).sum <= 4000000L) broadcast(dvRows)
-      else dvRows
     val maskedBase = spark.baseRelationToDataFrame(
       h.copy(location = subIdx(masked))(spark))
     val withLineage = maskedBase.select(col("*"),
       col("_metadata.file_path").as("__f"),
       col("_metadata.row_index").as("__ri"))
     val names = lr.output.map(a => col(s"`${a.name}`"))
-    val maskedSide = withLineage.join(right,
-        withLineage("__f") === right("__dvf") &&
-          withLineage("__ri") === right("__dvri"), "left_anti")
+    // shared dictionary-encoded anti-join (int file ids, byte-budgeted
+    // broadcast) — same primitive the Scala read path uses
+    val maskedSide = TxLogTable.dvAntiJoin(spark, idx.path,
+        withLineage, dvs)
       .select(names: _*)
     val joined =
       if (clean.isEmpty) maskedSide
@@ -505,9 +531,4 @@ case class GraftDmlResolution(spark: SparkSession)
       }, plan)
   }
 
-  /** Re-anchored condition for the two single-table statements. */
-  private def columnOf(e: Expression): Column =
-    GraftSqlShim.columnOf(e.transform {
-      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
-    })
 }

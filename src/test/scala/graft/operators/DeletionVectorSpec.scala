@@ -370,4 +370,168 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().toSet == Set(11L, 13L, 15L, 17L, 19L))
     assert(rows.filter(col("part") === "p0").count() == 10)
   }
+
+  test("dv update: listing grows APPEND-ONLY — masks + new images, no rewrite") {
+    val path = tmp
+    seed(path)
+    val before = TxLogTable.filesAt(path, 2)
+    val v = TxLogTable.updateWhereDv(spark, path,
+      Map("v" -> concat(lit("u"), col("id"))), col("id") % 10 === 3)
+    assert(v == 3)
+    val after = TxLogTable.filesAt(path, 3)
+    // the dv-update contract: every pre-update file carries BY
+    // REFERENCE (no rewrite, no removal); the only listing change is
+    // the appended image files
+    assert(before.toSet.subsetOf(after.toSet),
+      "dv update must not remove or rewrite any existing file")
+    assert((after.toSet -- before.toSet).nonEmpty,
+      "dv update appends the new-image files")
+    // O(updated rows) masks — exactly the 3 matched old images
+    assert(TxLogTable.deletionVectors(path, 3).values.map(_._2).sum == 3L)
+    val t = TxLogTable.read(spark, path)
+    assert(t.count() == 30)
+    assert(t.filter(col("id") % 10 === 3).select("v").as[String]
+      .collect().toSet == Set("u3", "u13", "u23"))
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("version") === 3).select("operation").head().getString(0)
+      == "dvupdate")
+  }
+
+  test("dv update ≡ copy-on-write update; NULL-predicate rows untouched") {
+    val p1 = tmp; val p2 = tmp
+    seed(p1); seed(p2)
+    val set = Map("v" -> concat(col("v"), lit("!")),
+      "grp" -> (col("grp") + 10))
+    val pred = col("id") >= 5 && col("id") < 25
+    TxLogTable.updateWhereDv(spark, p1, set, pred)
+    TxLogTable.updateWhere(spark, p2, set, pred)
+    assert(TxLogTable.read(spark, p1).orderBy("id").collect().toSeq ==
+      TxLogTable.read(spark, p2).orderBy("id").collect().toSeq)
+    // a NULL predicate value neither updates nor masks (SQL semantics)
+    val p3 = tmp
+    TxLogTable.append(spark,
+      Seq((1L, "a", Some(1)), (2L, "b", None), (3L, "c", Some(2)))
+        .toDF("id", "v", "grp"), p3)
+    TxLogTable.updateWhereDv(spark, p3, Map("v" -> lit("X")),
+      col("grp") === 1)
+    assert(TxLogTable.read(spark, p3).filter(col("v") === "X")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(TxLogTable.read(spark, p3).count() == 3)
+  }
+
+  test("dv merge masks only clause-affected rows and appends images + inserts") {
+    val p1 = tmp; val p2 = tmp
+    seed(p1); seed(p2)
+    val src = Seq.tabulate(12)(i => (i.toLong, s"s$i", 99))
+      .++(Seq((40L, "n40", 7), (41L, "n41", 7)))
+      .toDF("id", "v", "grp")
+    def run(p: String, dv: Boolean): Long =
+      TxLogTable.mergeByKey(spark, p, src, Seq("id"),
+        whenMatchedUpdateIf = Some("s.id >= 8"),
+        whenMatchedDeleteIf = Some("s.id < 4"),
+        useDv = dv)
+    val before = TxLogTable.filesAt(p1, 2)
+    run(p1, dv = true); run(p2, dv = false)
+    // identical table contents on both paths
+    assert(TxLogTable.read(spark, p1).orderBy("id").collect().toSeq ==
+      TxLogTable.read(spark, p2).orderBy("id").collect().toSeq)
+    // dv side: append-only listing; masks = 4 deletes + 4 updates;
+    // matched rows satisfying NEITHER clause (ids 4..7) stay untouched
+    // bytes — no mask, no image
+    val after = TxLogTable.filesAt(p1, 3)
+    assert(before.toSet.subsetOf(after.toSet))
+    assert(TxLogTable.deletionVectors(p1, 3).values.map(_._2).sum == 8L)
+    val t = TxLogTable.read(spark, p1)
+    assert(t.count() == 30 - 4 + 2)
+    assert(t.filter(col("id").isin(8L, 9L, 10L, 11L))
+      .select("v").as[String].collect().toSet ==
+      Set("s8", "s9", "s10", "s11"))
+    assert(t.filter(col("id").isin(4L, 5L, 6L, 7L))
+      .select("v").as[String].collect().toSet ==
+      Set("r4", "r5", "r6", "r7"))
+    assert(TxLogTable.historyDf(spark, p1)
+      .filter(col("version") === 3).select("operation").head().getString(0)
+      == "dvmerge")
+  }
+
+  test("dv merge with nothing masked commits a plain append-shaped merge") {
+    val path = tmp
+    seed(path)
+    // source matches nothing: pure insert under useDv — no dv sidecar,
+    // no mirror disable, op stays 'merge'
+    val src = Seq((50L, "n50", 1), (51L, "n51", 2)).toDF("id", "v", "grp")
+    val v = TxLogTable.mergeByKey(spark, path, src, Seq("id"),
+      useDv = true)
+    assert(v == 3)
+    assert(TxLogTable.deletionVectors(path, 3).isEmpty)
+    assert(TxLogTable.read(spark, path).count() == 32)
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("version") === 3).select("operation").head().getString(0)
+      == "merge")
+  }
+
+  test("change feed reports a dv update as old-image delete + new-image insert") {
+    val path = tmp
+    seed(path)
+    TxLogTable.updateWhereDv(spark, path, Map("v" -> lit("upd")),
+      col("id") === 7)
+    val ch = TxLogTable.changesBetween(spark, path, 2, 3)
+    val del = ch.filter(col("_change_type") === "delete")
+      .select("id", "v").collect().toSeq
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select("id", "v").collect().toSeq
+    assert(del.map(r => (r.getLong(0), r.getString(1))) == Seq((7L, "r7")))
+    assert(ins.map(r => (r.getLong(0), r.getString(1))) == Seq((7L, "upd")))
+  }
+
+  test("table property routes SQL UPDATE and MERGE to the dv paths") {
+    val path = tmp
+    seed(path)
+    TxLogTable.setTableProperty(path, TxLogTable.PropEnableDv, "true")
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("dvum_t")
+    val before = TxLogTable.filesAt(path,
+      TxLogTable.currentVersion(path))
+    spark.sql("UPDATE dvum_t SET v = 'sqlu' WHERE id = 9")
+    val v1 = TxLogTable.currentVersion(path)
+    assert(before.toSet.subsetOf(TxLogTable.filesAt(path, v1).toSet),
+      "SQL UPDATE under the property must be merge-on-read")
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("version") === v1).select("operation").head()
+      .getString(0) == "dvupdate")
+    // a dv-rewritten view pins at its creation snapshot — reads of the
+    // post-DML state go through a FRESH load (documented semantics)
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("dvum_t")
+    assert(spark.sql("SELECT v FROM dvum_t WHERE id = 9").head()
+      .getString(0) == "sqlu")
+    Seq((3L, "m3", 0), (60L, "m60", 1)).toDF("id", "v", "grp")
+      .createOrReplaceTempView("dvum_s")
+    spark.sql("""
+      MERGE INTO dvum_t USING dvum_s ON dvum_t.id = dvum_s.id
+      WHEN MATCHED THEN UPDATE SET v = dvum_s.v
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val v2 = TxLogTable.currentVersion(path)
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("version") === v2).select("operation").head()
+      .getString(0) == "dvmerge")
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("dvum_t")
+    assert(spark.sql("SELECT v FROM dvum_t WHERE id = 3").head()
+      .getString(0) == "m3")
+    assert(spark.sql("SELECT count(*) FROM dvum_t").head().getLong(0) == 31)
+    spark.catalog.dropTempView("dvum_t")
+    spark.catalog.dropTempView("dvum_s")
+  }
+
+  test("purgeDeletes folds dv-update masks back into plain files") {
+    val path = tmp
+    seed(path)
+    TxLogTable.updateWhereDv(spark, path,
+      Map("v" -> lit("z")), col("id").isin(1L, 21L))
+    val masked = TxLogTable.read(spark, path).orderBy("id").collect().toSeq
+    TxLogTable.purgeDeletes(spark, path)
+    assert(TxLogTable.deletionVectors(path,
+      TxLogTable.currentVersion(path)).isEmpty)
+    assert(TxLogTable.read(spark, path).orderBy("id").collect().toSeq
+      == masked)
+  }
 }

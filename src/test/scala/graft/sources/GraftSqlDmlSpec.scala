@@ -208,6 +208,53 @@ class GraftSqlDmlSpec extends SparkSpec {
     intercept[Exception](spark.sql("DELETE FROM plain_tv WHERE id = 1"))
   }
 
+  test("MERGE with no UPDATE clause carries matched rows UNCHANGED") {
+    val path = freshTable()
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("t_nou")
+    // source overlaps ids 0..4 with DIFFERENT v values + inserts 900..901
+    Seq.tabulate(5)(i => (i.toLong, 7777L, "src"))
+      .++(Seq((900L, 1L, "new"), (901L, 2L, "new")))
+      .toDF("id", "v", "k").createOrReplaceTempView("s_nou")
+    // insert-only merge: matched rows must NOT take source values
+    spark.sql("""
+      MERGE INTO t_nou USING s_nou ON t_nou.id = s_nou.id
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(spark.sql("SELECT count(*) FROM t_nou WHERE v = 7777")
+      .head().getLong(0) == 0L,
+      "matched rows overwritten by an insert-only MERGE")
+    assert(spark.sql("SELECT v FROM t_nou WHERE id = 3").head()
+      .getLong(0) == 30L)
+    assert(spark.sql("SELECT count(*) FROM t_nou").head().getLong(0) == 302)
+    // conditional-delete-only merge: non-qualifying matches carry
+    spark.sql("""
+      MERGE INTO t_nou USING s_nou ON t_nou.id = s_nou.id
+      WHEN MATCHED AND s_nou.k = 'new' THEN DELETE
+    """)
+    assert(spark.sql("SELECT count(*) FROM t_nou").head().getLong(0) == 300)
+    assert(spark.sql("SELECT v FROM t_nou WHERE id = 2").head()
+      .getLong(0) == 20L, "non-deleted matches must carry unchanged")
+    spark.catalog.dropTempView("t_nou")
+    spark.catalog.dropTempView("s_nou")
+  }
+
+  test("DELETE/UPDATE with a subquery in the condition fails loudly") {
+    val path = freshTable()
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("t_sub")
+    spark.range(5).toDF("id").createOrReplaceTempView("s_sub")
+    val e1 = intercept[Exception](spark.sql(
+      "DELETE FROM t_sub WHERE id IN (SELECT id FROM s_sub)"))
+    assert(e1.getMessage.contains("subqueries"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "UPDATE t_sub SET v = 0 WHERE EXISTS " +
+        "(SELECT 1 FROM s_sub WHERE s_sub.id = t_sub.id)"))
+    assert(e2.getMessage.contains("subqueries"), e2.getMessage)
+    // nothing committed by either refusal
+    assert(spark.sql("SELECT count(*) FROM t_sub").head().getLong(0) == 300)
+    spark.catalog.dropTempView("t_sub")
+    spark.catalog.dropTempView("s_sub")
+  }
+
   test("persistent catalog table (CREATE TABLE USING graftlog): survives to a new session, INSERT and row-level DML by name, time travel via OPTIONS") {
     val path = freshTable()
     spark.sql("DROP TABLE IF EXISTS graft_cat_t")
