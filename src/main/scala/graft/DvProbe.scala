@@ -109,8 +109,42 @@ object DvProbe {
       TxLogTable.deleteWhereDv(spark, dvBigPath,
         col("l_suppkey") % 3 === 0)
       val dvBigRead = readSec(dvBigPath)
+      // UPDATE through dvs vs copy-on-write: same sparse predicate —
+      // the dv path writes O(k) masks + O(k) image rows; c-o-w
+      // re-stages every touched file's bytes
+      val cowUpPath = "/tmp/graft_dvprobe_cowup"
+      val dvUpPath = "/tmp/graft_dvprobe_dvup"
+      build(cowUpPath); build(dvUpPath)
+      val upSet = Map("l_quantity" -> (col("l_quantity") + lit(1.0)))
+      val tu0 = System.nanoTime()
+      TxLogTable.updateWhere(spark, cowUpPath, upSet, pred)
+      val cowUpSec = (System.nanoTime() - tu0) / 1e9
+      val cowUpWritten = {
+        val (f0, _) = TxLogTable.snapshotWithSizes(cowUpPath, 7)
+        val (f1, s1) = TxLogTable.snapshotWithSizes(cowUpPath,
+          TxLogTable.currentVersion(cowUpPath))
+        f1.diff(f0).map(s1.getOrElse(_, 0L)).sum
+      }
+      val tu1 = System.nanoTime()
+      TxLogTable.updateWhereDv(spark, dvUpPath, upSet, pred)
+      val dvUpSec = (System.nanoTime() - tu1) / 1e9
+      val dvUpWritten = {
+        val (f0, _) = TxLogTable.snapshotWithSizes(dvUpPath, 7)
+        val (f1, s1) = TxLogTable.snapshotWithSizes(dvUpPath,
+          TxLogTable.currentVersion(dvUpPath))
+        val images = f1.diff(f0).map(s1.getOrElse(_, 0L)).sum
+        val hconf = spark.sessionState.newHadoopConf()
+        val dvBytes = TxLogTable.deletionVectors(dvUpPath,
+            TxLogTable.currentVersion(dvUpPath))
+          .values.map(_._1).toSeq.distinct.map { d =>
+            val p = new org.apache.hadoop.fs.Path(s"$dvUpPath/$d")
+            p.getFileSystem(hconf).getContentSummary(p).getLength
+          }.sum
+        images + dvBytes
+      }
       (cowSec, dvSec, cowWritten, dvWritten, cowRead, dvRead, dv1Read,
-        dvBigRead, bigDeleted)
+        dvBigRead, bigDeleted, cowUpSec, dvUpSec, cowUpWritten,
+        dvUpWritten)
     }
 
     val cowSec = median(results.map(_._1))
@@ -119,6 +153,8 @@ object DvProbe {
     val dvRead = median(results.map(_._6))
     val dv1Read = median(results.map(_._7))
     val dvBigRead = median(results.map(_._8))
+    val cowUpSec = median(results.map(_._10))
+    val dvUpSec = median(results.map(_._11))
     println(f"""{"probe":"dv_delete","sf_dir":"$sfDir","rows_deleted":$matchRows,""" +
       f""""cow_delete_sec":$cowSec%.3f,"dv_delete_sec":$dvSec%.3f,""" +
       f""""cow_bytes_written":${results.head._3},""" +
@@ -126,7 +162,10 @@ object DvProbe {
       f""""cow_read_sec":$cowRead%.3f,"dv_read_sec_all_masked":$dvRead%.3f,""" +
       f""""dv_read_sec_one_masked":$dv1Read%.3f,""" +
       f""""big_mask_rows":${results.head._9},""" +
-      f""""dv_read_sec_big_mask":$dvBigRead%.3f}""")
+      f""""dv_read_sec_big_mask":$dvBigRead%.3f,""" +
+      f""""cow_update_sec":$cowUpSec%.3f,"dv_update_sec":$dvUpSec%.3f,""" +
+      f""""cow_update_bytes":${results.head._12},""" +
+      f""""dv_update_bytes":${results.head._13}}""")
     spark.stop()
   }
 }

@@ -85,10 +85,37 @@ object TxLogTable {
     * encoding carries NO footer statistics, and the stats sidecar is
     * harvested from footers — INT96 would silently lose timestamp
     * skipping. (Delta writes int64 timestamps for the same reason.) */
-  private def stage(df: DataFrame, fs: FileSystem, root: HPath,
+  private def stage(df0: DataFrame, fs: FileSystem, root: HPath,
       prefix: String, partitionBy: Seq[String] = Seq.empty,
-      validate: Boolean = true): Seq[(String, Long)] = {
-    if (validate) validateConstraints(df, root)
+      validate: Boolean = true, toPhysical: Boolean = true)
+      : Seq[(String, Long)] = {
+    if (validate) validateConstraints(df0, root)
+    // COLUMN-MAPPING mode: files are written uniformly under PHYSICAL
+    // names (the logical frame renames just before the write), so every
+    // file in the table — pre- and post-rename — spells its columns the
+    // same way and one physical read schema serves them all. Constraint
+    // validation above ran on the LOGICAL frame (constraints are spelled
+    // logically). Unknown columns refuse: schema widening on a mapped
+    // table must go through addColumns, which assigns a collision-free
+    // physical name; a bare append cannot. `toPhysical = false` is the
+    // overwrite path — it REPLACES the table, and the fresh schema it
+    // records carries no mapping.
+    val df = if (!toPhysical) df0 else {
+      versions(fs, root).lastOption
+        .flatMap(v => schemaAt(root.toString, v))
+        .filter(mappingActive) match {
+        case Some(s) =>
+          val m = logicalToPhysical(s)
+          val unknown = df0.columns.filterNot(m.contains)
+          require(unknown.isEmpty,
+            s"cannot stage column(s) ${unknown.mkString(", ")} into a " +
+              "column-mapped table — widen the schema with addColumns " +
+              "first (it assigns a collision-free physical name)")
+          df0.select(df0.columns.map(c =>
+            df0.col(s"`$c`").as(m(c))): _*)
+        case None => df0
+      }
+    }
     fs.mkdirs(logDir(root))
     val stageId = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new HPath(root, s"data-$stageId")
@@ -595,7 +622,10 @@ object TxLogTable {
     txnFastPath(fs, root, txn).foreach(v => return v)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
     val prior = if (v0 >= 0) filesUpTo(fs, root, v0) else Seq.empty
-    val staged = stage(df, fs, root, "over-", partitionBy)
+    // overwrite REPLACES the table: the fresh frame's names become both
+    // logical and physical (mapping mode, if any, ends here)
+    val staged = stage(df, fs, root, "over-", partitionBy,
+      toPhysical = false)
     val files = staged.map(_._1)
     // pinned snapshot, one attempt (the compact/delete discipline): a
     // commit landing between the v0 read and this publish would make
@@ -1482,8 +1512,17 @@ object TxLogTable {
     require(dup.isEmpty,
       s"column(s) already exist (case-insensitive): " +
         dup.map(_.name).mkString(", "))
+    val base = schemaAt(path, v0).getOrElse(snapshot.schema)
+    // under mapping mode a NEW column takes a FRESH physical name: a
+    // re-added name matching a previously-DROPPED column's physical
+    // name would otherwise resurrect the dropped bytes from old files
+    // (the delta world solves the same hazard with GUID physical names)
+    val stampedNew =
+      if (!mappingActive(base)) newFields
+      else newFields.map(f => stamped(f,
+        s"col-${java.util.UUID.randomUUID().toString.take(8)}"))
     val widened = org.apache.spark.sql.types.StructType(
-      snapshot.schema.fields ++ newFields)
+      base.fields ++ stampedNew)
     val st = stateUpTo(fs, root, v0)
     val v = commitEntry(fs, root, st.files.sorted, rebase = true,
       Some(v0), maxRetries = 1, commit, op = "addcolumns",
@@ -1491,6 +1530,111 @@ object TxLogTable {
     // a schema-change commit mirrors as a metaData-only Delta entry
     DeltaInterop.mirror(spark, path, v, Seq.empty, Seq.empty,
       widened.json, commit)
+    v
+  }
+
+  /** Shared guards for the column-mapping DDL: partition columns are
+    * spelled in file PATHS (a rename/drop would need a path rewrite —
+    * exactly what metadata-only DDL must not do), and a CHECK
+    * constraint referencing the column would silently stop guarding
+    * (rename) or fail every later stage (drop). Both refuse loudly;
+    * the constraint check is conservative word-boundary matching over
+    * the stored expression text. */
+  private def requireMappableDdl(path: String, files: Seq[String],
+      colName: String, what: String): Unit = {
+    val partCols = files.flatMap(f => partitionValuesOf(f).map(_._1))
+      .distinct
+    require(!partCols.exists(_.equalsIgnoreCase(colName)),
+      s"cannot $what partition column $colName — partition values live " +
+        "in file paths; rewrite the layout (compact with partitionBy) " +
+        "first")
+    val refs = checkConstraints(path).filter { case (_, sql) =>
+      sql.toLowerCase.matches(
+        s"(?s).*\\b${java.util.regex.Pattern.quote(colName.toLowerCase)}\\b.*")
+    }
+    require(refs.isEmpty,
+      s"cannot $what column $colName — referenced by CHECK constraint(s) " +
+        s"${refs.keys.toSeq.sorted.mkString(", ")}; drop the " +
+        "constraint(s) first")
+  }
+
+  /** Metadata-only ALTER TABLE RENAME COLUMN via COLUMN MAPPING — the
+    * other half of the delta world's schema-evolution DDL
+    * ([[addColumns]] widens): the table's recorded schema renames the
+    * LOGICAL column while every existing parquet file keeps its bytes
+    * untouched, because the new schema records the old spelling as the
+    * field's PHYSICAL name ([[PhysNameKey]] — Delta's
+    * `columnMapping.mode = name`). One rebase commit carrying every
+    * file and dv by reference; reads scan under physical names and
+    * project to logical ([[alignToSchema]]); writes rename
+    * logical→physical at [[stage]] so all files stay uniformly
+    * physical. Time travel below the DDL serves the old name. Renaming
+    * partition or constraint-referenced columns refuses loudly
+    * ([[requireMappableDdl]]). The external Delta mirror cannot express
+    * the mapping and is disabled at the first mapping commit. Once
+    * mapping mode is ON, schema widening must go through
+    * [[addColumns]] (appends refuse unknown columns — the staged file
+    * could not record a collision-free physical name). */
+  def renameColumn(spark: SparkSession, path: String,
+      from: String, to: String,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot alter an empty table at $path")
+    val snapshot = readVersion(spark, path, v0)
+    val base = schemaAt(path, v0).getOrElse(snapshot.schema)
+    val idx = base.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+    require(idx >= 0, s"no such column $from")
+    require(!base.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists (case-insensitive)")
+    val st = stateUpTo(fs, root, v0)
+    requireMappableDdl(path, st.files, from, "rename")
+    val renamed = org.apache.spark.sql.types.StructType(
+      base.fields.zipWithIndex.map { case (f, i) =>
+        val phys = physicalNameOf(f)
+        if (i == idx) stamped(f.copy(name = to), phys) else stamped(f, phys)
+      })
+    val v = commitEntry(fs, root, st.files.sorted, rebase = true,
+      Some(v0), maxRetries = 1, commit, op = "renamecolumn",
+      sizes = st.sizes, schemaJson = Some(renamed.json), dvs = st.dvs)
+    DeltaInterop.disable(path,
+      s"version $v renamed column $from to $to via column mapping; " +
+        "the JSON-action mirror cannot express logical-to-physical " +
+        "name mapping and external readers would read nulls")
+    v
+  }
+
+  /** Metadata-only ALTER TABLE DROP COLUMN via COLUMN MAPPING: the
+    * column leaves the recorded schema in one rebase commit — zero
+    * data bytes move; the dropped bytes stay in the files but no read
+    * ever projects them ([[alignToSchema]] under mapping mode projects
+    * EXACTLY the logical schema). Time travel below the DDL still
+    * serves the column. A later [[addColumns]] re-adding the same name
+    * takes a fresh GUID physical name, so the dropped bytes can never
+    * resurrect. Same refusals and mirror-disable as [[renameColumn]];
+    * also refuses to drop the last column. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    require(v0 >= 0, s"cannot alter an empty table at $path")
+    val snapshot = readVersion(spark, path, v0)
+    val base = schemaAt(path, v0).getOrElse(snapshot.schema)
+    require(base.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"no such column $name")
+    require(base.fields.length > 1, "cannot drop the only column")
+    val st = stateUpTo(fs, root, v0)
+    requireMappableDdl(path, st.files, name, "drop")
+    val narrowed = org.apache.spark.sql.types.StructType(
+      base.fields.filterNot(_.name.equalsIgnoreCase(name))
+        .map(f => stamped(f, physicalNameOf(f))))
+    val v = commitEntry(fs, root, st.files.sorted, rebase = true,
+      Some(v0), maxRetries = 1, commit, op = "dropcolumn",
+      sizes = st.sizes, schemaJson = Some(narrowed.json), dvs = st.dvs)
+    DeltaInterop.disable(path,
+      s"version $v dropped column $name via column mapping; the " +
+        "JSON-action mirror cannot express it and external readers " +
+        "would keep serving the dropped bytes")
     v
   }
 
@@ -1688,11 +1832,17 @@ object TxLogTable {
     val s2 = st2.files.map(f => (f, st2.dvs.get(f))).toSet
     val onlyOld = (s1 -- s2).map(_._1).toSeq.sorted
     val onlyNew = (s2 -- s1).map(_._1).toSeq.sorted
-    def scanSide(files: Seq[String],
-        dvs: Map[String, (String, Long)]): DataFrame =
+    // each side scans under ITS version's recorded schema (logical
+    // names under column mapping; a rename-crossing feed aligns by the
+    // logical spelling each side had); pre-schema logs fall back to the
+    // sweep as before
+    def scanSide(files: Seq[String], dvs: Map[String, (String, Long)],
+        v: Long): DataFrame =
       if (files.isEmpty) None.orNull
-      else scanFilesDv(spark, path, files, None, dvs)
-    (scanSide(onlyNew, st2.dvs), scanSide(onlyOld, st1.dvs)) match {
+      else scanFilesDv(spark, path, files,
+        if (v < 0) None else schemaAt(path, v), dvs)
+    (scanSide(onlyNew, st2.dvs, toVersion),
+        scanSide(onlyOld, st1.dvs, fromVersion)) match {
       case (null, null) =>
         // identical listings (same version, or across a restore): an
         // empty feed that still carries the TABLE's columns, so callers
@@ -2043,6 +2193,15 @@ object TxLogTable {
       if (sfs.exists(new HPath(new HPath(sroot, d), "_stats.json")))
         linkOrCopy(s"$d/_stats.json")
     }
+    // DELETION VECTORS carry too — a clone of a masked snapshot
+    // without its dv sidecars would RESURRECT the masked rows (the
+    // clone's v0 would list the files with no masks)
+    val srcDvs = stateUpTo(sfs, sroot, v).dvs
+    srcDvs.values.map(_._1).toSeq.distinct.foreach { d =>
+      listParquet(sfs, new HPath(sroot, d)).foreach { case (rel, _) =>
+        linkOrCopy(s"$d/$rel")
+      }
+    }
     val cs = checkConstraints(source)
     if (cs.nonEmpty) writeConstraints(dfs, droot, cs)
     dfs.mkdirs(logDir(droot)) // commitEntry's tmp-file publish needs it
@@ -2050,10 +2209,18 @@ object TxLogTable {
     // and schema carry into the clone's v0 verbatim
     val srcSchema = schemaAt(source, v).map(_.json)
       .getOrElse(readVersion(spark, source, v).schema.json)
-    val newV = commitEntry(dfs, droot, files.sorted, rebase = false, None,
+    // a dv-carrying clone must publish as a REBASE entry: stateUpTo
+    // reads the dv map only from rebase entries (appends never carry
+    // state); for a v0 the listing semantics are identical either way
+    val newV = commitEntry(dfs, droot, files.sorted,
+      rebase = srcDvs.nonEmpty, None,
       maxRetries = 1, CommitPoint.Auto, op = "clone", sizes = srcSizes,
-      schemaJson = Some(srcSchema))
-    DeltaInterop.mirror(spark, dest, newV, files, Seq.empty,
+      schemaJson = Some(srcSchema), dvs = srcDvs)
+    if (srcDvs.nonEmpty)
+      DeltaInterop.disable(dest,
+        s"clone v0 carries deletion vectors from $source; the " +
+          "JSON-action mirror cannot express the DV table feature")
+    else DeltaInterop.mirror(spark, dest, newV, files, Seq.empty,
       srcSchema, CommitPoint.Auto, sizes = srcSizes)
     newV
   }
@@ -2096,6 +2263,49 @@ object TxLogTable {
   private def fileSizes(txt: String): Map[String, Long] =
     SizedFileRe.findAllMatchIn(filesArray(txt))
       .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  // ---- column mapping (Delta's columnMapping.mode = name) ----
+
+  /** Field-metadata key carrying a column's PHYSICAL (in-file) name.
+    * Absent everywhere until the first [[renameColumn]]/[[dropColumn]]
+    * turns mapping mode on; from then on EVERY field carries it (the
+    * delta posture), so `mappingActive` is one metadata probe. */
+  val PhysNameKey = "graft.physicalName"
+
+  private[graft] def physicalNameOf(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  /** Mapping mode is ON for this schema (some rename/drop happened at
+    * or below the version that recorded it). */
+  private[graft] def mappingActive(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysNameKey))
+
+  private[graft] def logicalToPhysical(
+      s: org.apache.spark.sql.types.StructType): Map[String, String] =
+    s.fields.iterator.map(f => f.name -> physicalNameOf(f)).toMap
+
+  /** The schema as the FILES spell it — what a parquet scan must be
+    * asked for under mapping mode. */
+  private[graft] def physicalize(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = physicalNameOf(f))))
+
+  private def stamped(f: org.apache.spark.sql.types.StructField,
+      phys: String): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysNameKey, phys).build())
+
+  /** The head's logical→physical map when mapping mode is on — the
+    * one-JSON-read probe the connector guard and the read rewrite
+    * consult. */
+  private[graft] def schemaMappingAt(path: String, v: Long)
+      : Option[Map[String, String]] =
+    schemaAt(path, v).filter(mappingActive).map(logicalToPhysical)
 
   // ---- snapshot schema recorded in the log (Delta's metaData action) ----
 
@@ -2171,7 +2381,12 @@ object TxLogTable {
       val prior = try recordedSchema(readString(fs, p))
         catch { case scala.util.control.NonFatal(_) => None }
       prior.flatMap { ps =>
-        try Some(org.apache.spark.sql.graftshim.GraftSqlShim
+        // mapping mode: stage() already proved the frame's columns are
+        // a subset of the logical schema, so the snapshot schema is
+        // UNCHANGED by this append — record the prior verbatim (a
+        // StructType.merge could drop the mapping metadata)
+        if (mappingActive(ps)) Some(ps.json)
+        else try Some(org.apache.spark.sql.graftshim.GraftSqlShim
           .mergeSchemas(ps, org.apache.spark.sql.types.StructType(
             stagedData.map(f => f.copy(nullable = true)))).json)
         catch { case scala.util.control.NonFatal(_) => None }
@@ -2488,7 +2703,10 @@ object TxLogTable {
       if (plain.isEmpty) None
       else Some(knownSchema match {
         case Some(s) if parted.isEmpty =>
-          spark.read.schema(s).parquet(plain.map(f => s"$path/$f"): _*)
+          // mapping mode: ask parquet for the PHYSICAL spelling; the
+          // alignToSchema projection below renames back to logical
+          spark.read.schema(if (mappingActive(s)) physicalize(s) else s)
+            .parquet(plain.map(f => s"$path/$f"): _*)
         case _ => spark.read.option("mergeSchema", true)
           .parquet(plain.map(f => s"$path/$f"): _*)
       })
@@ -2510,11 +2728,30 @@ object TxLogTable {
     * plain-listing fast path already yields it (the scan reads with the
     * recorded schema); this covers the mergeSchema paths (partitioned
     * and mixed layouts), where a footer sweep can only see columns some
-    * file has. A no-op whenever nothing is missing. */
+    * file has. A no-op whenever nothing is missing.
+    *
+    * Under COLUMN-MAPPING mode ([[mappingActive]]) this is instead the
+    * physical→logical projection: EXACTLY the logical schema's columns,
+    * each read from its physical name (renamed columns), absent
+    * physical names as NULL (post-DDL adds), every other file column
+    * SUPPRESSED (dropped columns must not resurrect through a
+    * mergeSchema sweep). The `__f`/`__ri` lineage stamps pass through
+    * — the dv machinery reads them downstream. Field metadata (the
+    * mapping itself) is preserved on the output so a snapshot's
+    * `df.schema` keeps working as `knownSchema` for nested scans. */
   private def alignToSchema(df: DataFrame,
       knownSchema: Option[org.apache.spark.sql.types.StructType])
       : DataFrame =
     knownSchema match {
+      case Some(s) if mappingActive(s) =>
+        val lineage = Seq("__f", "__ri").filter(df.columns.contains)
+        df.select(s.fields.toSeq.map { f =>
+          val pn = physicalNameOf(f)
+          if (df.columns.contains(pn))
+            df.col(s"`$pn`").as(f.name, f.metadata)
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+            .as(f.name, f.metadata)
+        } ++ lineage.map(c => df.col(c)): _*)
       case Some(s) =>
         val missing = s.fields.filterNot(f => df.columns.contains(f.name))
         if (missing.isEmpty) df
@@ -2597,7 +2834,11 @@ object TxLogTable {
       if (plain.isEmpty) None
       else Some(knownSchema match {
         case Some(s) if parted.isEmpty =>
-          spark.read.schema(s).parquet(plain.map(f => s"$path/$f"): _*)
+          // mapping mode scans physical; downstream alignToSchema
+          // projects to logical (the dv anti-join between them keys
+          // only on the __f/__ri stamps)
+          spark.read.schema(if (mappingActive(s)) physicalize(s) else s)
+            .parquet(plain.map(f => s"$path/$f"): _*)
         case _ => spark.read.option("mergeSchema", true)
           .parquet(plain.map(f => s"$path/$f"): _*)
       })
@@ -2934,7 +3175,18 @@ object TxLogTable {
         case _: org.apache.spark.sql.AnalysisException =>
           resolve(readVersion(spark, path, v).schema)
       }
-    pruneFilesWith(fs, root, files, cond)
+    // stats sidecars are keyed by PHYSICAL names (files pre-dating a
+    // rename carry the original spelling, which IS the physical name);
+    // translate the logical predicate before the lookup
+    val mapped = schemaMappingAt(path, v) match {
+      case Some(m) => cond.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference if m.get(a.name).exists(_ != a.name) =>
+          a.withName(m(a.name))
+      })
+      case None => cond
+    }
+    pruneFilesWith(fs, root, files, mapped)
   }
 
   /** The pruning CORE over an already-RESOLVED condition (typed

@@ -188,6 +188,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // relations → the engine's file-pruned ACID commands
     e.injectPostHocResolutionRule(session =>
       graft.sources.GraftDmlResolution(session))
+    // operational SQL (DESCRIBE HISTORY/DETAIL, VACUUM, OPTIMIZE,
+    // REORG … APPLY (PURGE)) + catalog-table RENAME/DROP COLUMN — a
+    // delegating parser, the delta SQL extension's integration shape
+    e.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
     e.injectFunction(graft.functions.VectorExpressions.functionDescription)
     // the other custom expressions self-register per session at their
     // operator entry points; a production session built withExtensions

@@ -1442,8 +1442,58 @@ object IngestQueries extends QueryModule {
       SELECT * FROM m UNION ALL SELECT * FROM ins
       ORDER BY o_orderkey"""))
 
+  /** A23 column mapping ([[TxLogTable.renameColumn]] /
+    * [[TxLogTable.dropColumn]] — Delta's `columnMapping.mode = name`):
+    * customer seeds the table; RENAME then DROP then a re-ADD of the
+    * dropped name run as three metadata-only commits (REQUIREd
+    * in-query: the file listing stays IDENTICAL through all three —
+    * zero data bytes move), an UPDATE populates the re-added column
+    * under its fresh physical name, and the final read must serve the
+    * renamed column from the ORIGINAL file bytes, the re-added column
+    * from only the update (never the dropped bytes — the resurrection
+    * hazard the GUID physical names exist for). DuckDB replays the
+    * whole mapping stack as plain projection algebra. */
+  private val q192 = QueryDef(
+    "q192_column_mapping",
+    (s, d) => {
+      val path = s"/tmp/graft_colmap_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      TxLogTable.append(s, cust, path) // v0
+      val at0 = TxLogTable.filesAt(path, 0)
+      val v1 = TxLogTable.renameColumn(s, path, "c_acctbal", "balance")
+      val v2 = TxLogTable.dropColumn(s, path, "c_mktsegment")
+      val v3 = TxLogTable.addColumns(s, path, Seq(
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType)))
+      require(Seq(v1, v2, v3) == Seq(1L, 2L, 3L) &&
+        Seq(1L, 2L, 3L).forall(v =>
+          TxLogTable.filesAt(path, v).toSet == at0.toSet),
+        "rename/drop/re-add must all be metadata-only (listing identical)")
+      require(TxLogTable.readVersion(s, path, 0).columns.toSeq ==
+        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        "time travel below the DDL must serve the original schema")
+      // populate the re-added column for a slice; everything else must
+      // stay NULL (the dropped bytes must NOT resurrect)
+      TxLogTable.updateWhere(s, path,
+        Map("c_mktsegment" -> lit("REMAPPED")),
+        col("c_custkey") % 10 === 0) // v4
+      TxLogTable.read(s, path)
+        .select(col("c_custkey"), col("c_name"), col("balance"),
+          col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal AS balance,
+             CASE WHEN c_custkey % 10 = 0 THEN 'REMAPPED'
+                  ELSE NULL END AS c_mktsegment
+      FROM customer
+      ORDER BY c_custkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180, q184, q188, q189, q191)
+      q177, q180, q184, q188, q189, q191, q192)
 }

@@ -69,6 +69,17 @@ class GraftLogFileIndex(spark: SparkSession, val path: String,
   private[sources] def dvsAt(v: Long): Map[String, (String, Long)] =
     snapshotAt(v)._3
 
+  // per-version logical→physical column map (column-mapping DDL);
+  // immutable once committed, so cached like the snapshot
+  private val mappingCache = new scala.collection.concurrent
+    .TrieMap[Long, Option[Map[String, String]]]()
+
+  /** The serving version's column mapping when RENAME/DROP COLUMN has
+    * run (None otherwise) — the read rewrite scans physical and
+    * projects logical; the guard below refuses raw scans. */
+  private[sources] def mappingAt(v: Long): Option[Map[String, String]] =
+    mappingCache.getOrElseUpdate(v, TxLogTable.schemaMappingAt(path, v))
+
   private[sources] def resolvedVersion: Long = version
 
   /** `FileStatus` served FROM THE LOG: the commit entry records each
@@ -142,6 +153,20 @@ class GraftLogFileIndex(spark: SparkSession, val path: String,
           "(spark.sql.extensions) so reads rewrite with the dv " +
           "anti-join, read through TxLogTable.read, or fold the masks " +
           "with TxLogTable.purgeDeletes")
+    // COLUMN-MAPPING guard, same contract: a raw scan of a table with
+    // RENAMED columns would serve them as all-NULL (parquet reads by
+    // name; the files spell the physical name). The rewrite (which
+    // sets dvApproved on its inner index) scans physical names and
+    // projects to logical. Drop-only mappings need no rewrite: the
+    // relation's dataSchema already excludes dropped columns.
+    if (!dvApproved &&
+        mappingAt(version).exists(_.exists { case (l, p) => l != p }))
+      throw new IllegalStateException(
+        s"graftlog table at $path uses column mapping (RENAME COLUMN " +
+          "ran); a raw scan would read renamed columns as NULL. " +
+          "Install graft.plans.GraftExtensions (spark.sql.extensions) " +
+          "so reads rewrite physical→logical, or read through " +
+          "TxLogTable.read")
     val status = statusOf(sizes) _
     // layout guard for LIVE head indexes: the relation chose this fast
     // path from the layout at VIEW CREATION. If a later commit mixes

@@ -78,6 +78,9 @@ object GraftSqlDml {
           // clean-files ∪ (masked-files anti-join) — the split shape;
           // the clean side is Project over the approved relation
           case u: Union => u.children.headOption.flatMap(fromLeft)
+          // the pure COLUMN-MAPPING rewrite (no dvs) is Project(s) over
+          // the approved relation directly — no join/union layer
+          case lr: LogicalRelation => fromLeft(lr)
           case Project(_, inner) => fromJoin(inner)
           case _ => None
         }
@@ -365,6 +368,50 @@ object GraftSqlDml {
     }
   }
 
+  /** SQL `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN` for CATALOG
+    * graftlog tables, routed by [[GraftSqlParser]] AT PARSE TIME —
+    * Spark's ResolveSessionCatalog throws "does not support RENAME/
+    * DROP COLUMN" for every v1 table during the main resolution batch,
+    * before any post-hoc rule could rewrite the plan. The commands run
+    * the metadata-only column-mapping commits
+    * ([[TxLogTable.renameColumn]]/[[TxLogTable.dropColumn]]) and then
+    * update the session catalog's schema so name resolution serves
+    * the new spelling immediately. */
+  case class GraftRenameColumnCommand(path: String,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      from: String, to: String) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = TxLogTable.renameColumn(spark, path, from, to)
+      syncCatalogSchema(spark, ident, path, v)
+      Nil
+    }
+  }
+
+  case class GraftDropColumnCommand(path: String,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      name: String) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = TxLogTable.dropColumn(spark, path, name)
+      syncCatalogSchema(spark, ident, path, v)
+      Nil
+    }
+  }
+
+  private def syncCatalogSchema(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      path: String, v: Long): Unit = {
+    val cat = spark.sessionState.catalog
+    // alterTableDataSchema refuses renames/drops ("we don't support
+    // dropping columns yet"); replacing the whole CatalogTable does not
+    TxLogTable.schemaAt(path, v).foreach { s =>
+      val ct = cat.getTableMetadata(ident)
+      cat.alterTable(ct.copy(schema = s))
+    }
+    cat.refreshTable(ident)
+  }
+
   case class GraftMergeCommand(path: String, source: LogicalPlan,
       spec: MergeSpec) extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
@@ -480,49 +527,73 @@ case class GraftDmlResolution(spark: SparkSession)
               case idx: GraftLogFileIndex if !idx.dvApproved =>
                 val v = idx.resolvedVersion
                 val dvs = idx.dvsAt(v)
-                if (dvs.isEmpty) lr else rewriteDvRead(lr, h, idx, v, dvs)
+                // renamed columns (logical ≠ physical) force the
+                // physical-scan rewrite; a drop-only mapping needs none
+                // (the relation's dataSchema already excludes dropped
+                // columns, and parquet reads by name)
+                val mapping = idx.mappingAt(v).getOrElse(Map.empty)
+                  .filter { case (l, p) => l != p }
+                if (dvs.isEmpty && mapping.isEmpty) lr
+                else rewriteRead(lr, h, idx, v, dvs, mapping)
               case _ => lr
             }
           case _ => lr
         }
     }
 
-  private def rewriteDvRead(lr: LogicalRelation,
+  /** The read rewrite shared by DELETION VECTORS and COLUMN MAPPING: a
+    * graftlog relation whose serving snapshot carries dvs or renamed
+    * columns must not scan raw (the FileIndex guard would throw) —
+    * rebuild the read as the SAME vectorized scan over a dvApproved,
+    * version-pinned copy of the index, with (a) the scan asked for the
+    * PHYSICAL column spelling and projected back to logical (mapping),
+    * and (b) a (file, row_index) anti-join subtracting the dv rows,
+    * output attributes re-anchored to the original exprIds so every
+    * parent operator resolves unchanged. The scan + its dv/mapping view
+    * pin to one version — per-query snapshot isolation, the same
+    * contract TxLogTable.read gives; dvLivePinned remembers the
+    * relation was a live head, so DML target detection still routes
+    * statements over it to the head. Under dvs the table SPLITS: clean
+    * files keep the untouched vectorized relation, ONLY the masked
+    * files' relation pays the lineage columns + anti-join. */
+  private def rewriteRead(lr: LogicalRelation,
       h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
       idx: GraftLogFileIndex, v: Long,
-      dvs: Map[String, (String, Long)]): LogicalPlan = {
-    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
-    // the rewritten read PINS the resolved version (scan and dv view
-    // must agree — per-query snapshot isolation, the delta-on-spark
-    // posture where a DataFrame captures its snapshot); dvLivePinned
-    // remembers the relation was a live head, so DML target detection
-    // still routes statements over it to the head. The table SPLITS:
-    // clean files keep the untouched vectorized relation, ONLY the
-    // masked files' relation pays the lineage columns + anti-join — a
-    // wide table with one masked file reads at full speed everywhere
-    // except that file.
-    val masked = dvs.keySet
-    def subIdx(keep: Set[String]) = new GraftLogFileIndex(spark,
+      dvs: Map[String, (String, Long)],
+      mapping: Map[String, String]): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    val physData =
+      if (mapping.isEmpty) h.dataSchema
+      else org.apache.spark.sql.types.StructType(h.dataSchema.fields
+        .map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
+    def subIdx(keep: Option[Set[String]]) = new GraftLogFileIndex(spark,
       idx.path, Some(v), idx.partitionSchema, dvApproved = true,
-      dvLivePinned = idx.pinned.isEmpty, restrictTo = Some(keep))
-    val allFiles = TxLogTable.filesAt(idx.path, v).toSet
-    val clean = allFiles -- masked
-    val maskedBase = spark.baseRelationToDataFrame(
-      h.copy(location = subIdx(masked))(spark))
-    val withLineage = maskedBase.select(col("*"),
-      col("_metadata.file_path").as("__f"),
-      col("_metadata.row_index").as("__ri"))
-    val names = lr.output.map(a => col(s"`${a.name}`"))
-    // shared dictionary-encoded anti-join (int file ids, byte-budgeted
-    // broadcast) — same primitive the Scala read path uses
-    val maskedSide = TxLogTable.dvAntiJoin(spark, idx.path,
-        withLineage, dvs)
-      .select(names: _*)
+      dvLivePinned = idx.pinned.isEmpty, restrictTo = keep)
+    def baseRel(keep: Option[Set[String]]) =
+      spark.baseRelationToDataFrame(
+        h.copy(location = subIdx(keep), dataSchema = physData)(spark))
+    // select by the PHYSICAL spelling; the final Project aliases back
+    // to the logical names (and original exprIds)
+    val names = lr.output.map(a =>
+      col(s"`${mapping.getOrElse(a.name, a.name)}`"))
     val joined =
-      if (clean.isEmpty) maskedSide
-      else spark.baseRelationToDataFrame(
-          h.copy(location = subIdx(clean))(spark))
-        .select(names: _*).unionByName(maskedSide)
+      if (dvs.isEmpty) baseRel(None).select(names: _*)
+      else {
+        val masked = dvs.keySet
+        val allFiles = TxLogTable.filesAt(idx.path, v).toSet
+        val clean = allFiles -- masked
+        val withLineage = baseRel(Some(masked)).select(col("*"),
+          col("_metadata.file_path").as("__f"),
+          col("_metadata.row_index").as("__ri"))
+        // shared dictionary-encoded anti-join (int file ids,
+        // byte-budgeted broadcast) — same primitive the Scala read
+        // path uses
+        val maskedSide = TxLogTable.dvAntiJoin(spark, idx.path,
+            withLineage, dvs)
+          .select(names: _*)
+        if (clean.isEmpty) maskedSide
+        else baseRel(Some(clean)).select(names: _*).unionByName(maskedSide)
+      }
     val plan = joined.queryExecution.analyzed
     org.apache.spark.sql.catalyst.plans.logical.Project(
       lr.output.zip(plan.output).map { case (o, n) =>

@@ -522,6 +522,22 @@ class DeletionVectorSpec extends SparkSpec {
     spark.catalog.dropTempView("dvum_s")
   }
 
+  test("shallowClone of a dv-masked snapshot carries the masks (no resurrection)") {
+    val path = tmp
+    seed(path)
+    TxLogTable.deleteWhereDv(spark, path, col("id").isin(4L, 14L, 24L))
+    val dest = tmp + "_clone"
+    TxLogTable.shallowClone(spark, path, dest)
+    // the clone's v0 must serve the MASKED view, not the raw files
+    assert(TxLogTable.read(spark, dest).count() == 27)
+    assert(TxLogTable.read(spark, dest).filter(col("id") === 14).isEmpty)
+    assert(TxLogTable.deletionVectors(dest, 0).values.map(_._2).sum == 3L)
+    // and it purges independently of the source
+    TxLogTable.purgeDeletes(spark, dest)
+    assert(TxLogTable.read(spark, dest).count() == 27)
+    assert(TxLogTable.read(spark, path).count() == 27)
+  }
+
   test("purgeDeletes folds dv-update masks back into plain files") {
     val path = tmp
     seed(path)

@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.TxLogTable
+import org.apache.spark.sql.functions._
+
+/** SQL spellings for the OPERATIONAL surface ([[GraftSqlParser]] —
+  * the delegating-parser integration): DESCRIBE HISTORY/DETAIL,
+  * VACUUM [RETAIN n HOURS], OPTIMIZE [ZORDER BY], REORG … APPLY
+  * (PURGE), ALTER TABLE RENAME/DROP COLUMN, and CTAS — each over
+  * views, catalog tables, and the graftlog.`/path` literal form. */
+class GraftOpsSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-opssql").toString
+    (0 until 3).foreach { b =>
+      TxLogTable.append(spark,
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"r$i", i % 3))
+          .toDF("id", "v", "grp").repartition(1), path)
+    }
+    path
+  }
+
+  test("DESCRIBE HISTORY / DETAIL over path literal, view, and catalog table") {
+    val path = fresh()
+    // path-literal form
+    val h = spark.sql(s"DESCRIBE HISTORY graftlog.`$path`")
+    assert(h.columns.toSeq ==
+      Seq("version", "timestamp", "operation", "is_rebase", "num_files"))
+    assert(h.count() == 3)
+    assert(h.orderBy("version").select("operation").as[String]
+      .collect().toSeq == Seq("append", "append", "append"))
+    val d = spark.sql(s"DESC DETAIL graftlog.`$path`").head()
+    assert(d.getAs[Long]("version") == 2L)
+    assert(d.getAs[Long]("num_files") == 3L)
+    // temp-view target
+    spark.read.format("graftlog").load(path)
+      .createOrReplaceTempView("ops_v")
+    assert(spark.sql("DESCRIBE HISTORY ops_v").count() == 3)
+    // catalog-table target
+    spark.sql("DROP TABLE IF EXISTS ops_ct")
+    spark.sql(s"CREATE TABLE ops_ct USING graftlog OPTIONS (path '$path')")
+    assert(spark.sql("DESCRIBE DETAIL ops_ct").head()
+      .getAs[Long]("num_files") == 3L)
+    spark.sql("DROP TABLE ops_ct")
+    spark.catalog.dropTempView("ops_v")
+  }
+
+  test("OPTIMIZE compacts (one commit); ZORDER BY clusters; plain DESCRIBE still works") {
+    val path = fresh()
+    val v = spark.sql(s"OPTIMIZE graftlog.`$path`").head().getLong(0)
+    assert(v == 3L)
+    assert(TxLogTable.read(spark, path).count() == 30)
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("version") === 3).select("operation").head().getString(0)
+      == "compact")
+    val v2 = spark.sql(s"OPTIMIZE graftlog.`$path` ZORDER BY (id, grp)")
+      .head().getLong(0)
+    assert(v2 == 4L)
+    assert(TxLogTable.read(spark, path).count() == 30)
+    // the graft parser must not shadow ordinary statements
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("opt_v")
+    assert(spark.sql("DESCRIBE opt_v").count() > 0)
+    assert(spark.sql("SELECT count(*) FROM opt_v").head().getLong(0) == 30)
+    spark.catalog.dropTempView("opt_v")
+  }
+
+  test("REORG APPLY (PURGE) folds dvs; VACUUM RETAIN reaps by wall clock") {
+    val path = fresh()
+    TxLogTable.deleteWhereDv(spark, path, col("id").isin(3L, 13L))
+    assert(TxLogTable.deletionVectors(path,
+      TxLogTable.currentVersion(path)).nonEmpty)
+    val v = spark.sql(s"REORG TABLE graftlog.`$path` APPLY (PURGE)")
+      .head().getLong(0)
+    assert(v == 4L)
+    assert(TxLogTable.deletionVectors(path, v).isEmpty)
+    assert(TxLogTable.read(spark, path).count() == 28)
+    // default retention (168h): everything is fresh → nothing reaps
+    assert(spark.sql(s"VACUUM graftlog.`$path`").count() == 0)
+    // explicit zero retention: superseded dirs (incl. the dv dir) reap
+    val reaped = spark.sql(s"VACUUM graftlog.`$path` RETAIN 0 HOURS")
+      .as[String].collect()
+    assert(reaped.exists(_.startsWith("data-dvs-")), reaped.toSeq.toString)
+    assert(TxLogTable.read(spark, path).count() == 28)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN on a catalog graftlog table; non-graft delegates") {
+    val path = fresh()
+    spark.sql("DROP TABLE IF EXISTS ops_alter")
+    spark.sql(s"CREATE TABLE ops_alter USING graftlog OPTIONS (path '$path')")
+    spark.sql("ALTER TABLE ops_alter RENAME COLUMN v TO label")
+    assert(spark.table("ops_alter").columns.toSeq ==
+      Seq("id", "label", "grp"))
+    assert(spark.sql("SELECT label FROM ops_alter WHERE id = 7").head()
+      .getString(0) == "r7")
+    // a NEW session resolves the renamed schema from the shared catalog
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT label FROM ops_alter WHERE id = 8").head()
+      .getString(0) == "r8")
+    spark.sql("ALTER TABLE ops_alter DROP COLUMN grp")
+    assert(spark.table("ops_alter").columns.toSeq == Seq("id", "label"))
+    assert(spark.sql("SELECT count(*) FROM ops_alter").head()
+      .getLong(0) == 30)
+    // time travel below both DDLs serves the original shape
+    assert(TxLogTable.readVersion(spark, path, 2).columns.toSeq ==
+      Seq("id", "v", "grp"))
+    // a non-graftlog table keeps Spark's own unsupported error
+    spark.sql("DROP TABLE IF EXISTS ops_pq")
+    spark.range(3).write.saveAsTable("ops_pq")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ops_pq RENAME COLUMN id TO x"))
+    assert(e.getMessage.contains("RENAME COLUMN"), e.getMessage)
+    spark.sql("DROP TABLE ops_pq")
+    spark.sql("DROP TABLE ops_alter")
+  }
+
+  test("CTAS: CREATE TABLE … USING graftlog AS SELECT lands as the ACID v0") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ctas").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS ops_ctas")
+    spark.sql(s"""
+      CREATE TABLE ops_ctas USING graftlog OPTIONS (path '$path')
+      AS SELECT id, id * 10 AS v FROM range(50)""")
+    // exactly ONE commit — the table's v0 IS the select result
+    assert(TxLogTable.currentVersion(path) == 0L)
+    assert(spark.table("ops_ctas").count() == 50)
+    assert(spark.sql("SELECT v FROM ops_ctas WHERE id = 7").head()
+      .getLong(0) == 70L)
+    // a new session reads by name; time travel to v0 works
+    assert(spark.newSession().table("ops_ctas").count() == 50)
+    assert(TxLogTable.readVersion(spark, path, 0).count() == 50)
+    // and it is a full ACID table from birth
+    spark.sql("DELETE FROM ops_ctas WHERE id < 10")
+    assert(spark.table("ops_ctas").count() == 40)
+    assert(TxLogTable.currentVersion(path) == 1L)
+    spark.sql("DROP TABLE ops_ctas")
+  }
+}
