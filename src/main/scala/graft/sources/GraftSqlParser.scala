@@ -103,6 +103,18 @@ object GraftOpsSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*;?\\s*$$""".r
   private val DropCol =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMNS?\\s+\\(?\\s*(`[^`]+`|\\w+)\\s*\\)?\\s*;?\\s*$$""".r
+  private val Restore =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val RestoreTs =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""".r
+  private val SetProps =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+?)\\)\\s*;?\\s*$$""".r
+  private val UnsetProps =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+?)\\)\\s*;?\\s*$$""".r
+  private val ShowProps =
+    s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$T\\s*;?\\s*$$""".r
+  private val PropPair =
+    """\s*['"`]?([\w.-]+)['"`]?\s*=\s*(?:'([^']*)'|"([^"]*)"|([^,'"\s]+))\s*""".r
 
   private def unquote(s: String): String =
     if (s.startsWith("`") && s.endsWith("`")) s.substring(1, s.length - 1)
@@ -131,8 +143,47 @@ object GraftOpsSql {
         catalogGraftTable(session, t).map { case (path, ti) =>
           GraftSqlDml.GraftDropColumnCommand(path, ti, unquote(colName))
         }
+      case Restore(t, v) =>
+        Some(RestoreCommand(targetOf(t), Some(v.toLong), None))
+      case RestoreTs(t, ts) =>
+        Some(RestoreCommand(targetOf(t), None, Some(ts)))
+      // TBLPROPERTIES route to the LOG's property store (the store the
+      // dv routing consults — the delta posture, where TBLPROPERTIES
+      // live in the transaction log, not the metastore). Intercept
+      // ONLY graftlog targets: other tables keep Spark's native
+      // catalog-property semantics.
+      case SetProps(t, pairs) if isGraftTarget(session, t) =>
+        Some(SetPropertiesCommand(targetOf(t), parsePairs(pairs)))
+      case UnsetProps(t, keys) if isGraftTarget(session, t) =>
+        Some(UnsetPropertiesCommand(targetOf(t),
+          keys.split(",").toSeq.map(k =>
+            unquote(k.trim.stripPrefix("'").stripSuffix("'")
+              .stripPrefix("\"").stripSuffix("\""))).filter(_.nonEmpty)))
+      case ShowProps(t) if isGraftTarget(session, t) =>
+        Some(ShowPropertiesCommand(targetOf(t)))
       case _ => None
     }
+
+  private def parsePairs(s: String): Seq[(String, String)] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case PropPair(k, v1, v2, v3) =>
+        k -> Seq(Option(v1), Option(v2), Option(v3)).flatten
+          .headOption.getOrElse("")
+      case other => throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES pair: $other (values with commas " +
+          "are not supported)")
+    }
+
+  /** Parse-time probe: is this target a graftlog table (path literal,
+    * catalog table, or temp view over a graftlog relation)? Decides
+    * interception for statements Spark also understands natively. */
+  private def isGraftTarget(session: SparkSession, raw: String): Boolean =
+    raw.toLowerCase.startsWith("graftlog.") ||
+      catalogGraftTable(session, raw).isDefined || {
+        try GraftSqlDml.graftTarget(
+          session.table(raw).queryExecution.analyzed).isDefined
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
 
   private def catalogGraftTable(session: SparkSession, raw: String)
       : Option[(String, TableIdentifier)] = {
@@ -204,5 +255,55 @@ object GraftOpsSql {
     override val output: Seq[Attribute] = attrs("version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(TxLogTable.purgeDeletes(spark, t.resolve(spark))))
+  }
+
+  /** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF 'ts'`
+    * — [[TxLogTable.restore]]: the log re-points, nothing copies. The
+    * timestamp form accepts epoch millis or `yyyy-MM-dd HH:mm:ss`
+    * (session-independent UTC, same anchor as timestampAsOf reads). */
+  case class RestoreCommand(t: Target, version: Option[Long],
+      timestamp: Option[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val path = t.resolve(spark)
+      val v = version.getOrElse {
+        val raw = timestamp.get
+        val ms =
+          if (raw.matches("\\d+")) raw.toLong
+          else java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        TxLogTable.versionAsOf(path, ms)
+      }
+      Seq(Row(TxLogTable.restore(spark, path, v)))
+    }
+  }
+
+  case class SetPropertiesCommand(t: Target, pairs: Seq[(String, String)])
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      val path = t.resolve(spark)
+      pairs.foreach { case (k, v) =>
+        TxLogTable.setTableProperty(path, k, v) }
+      Nil
+    }
+  }
+
+  case class UnsetPropertiesCommand(t: Target, keys: Seq[String])
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      val path = t.resolve(spark)
+      keys.foreach(TxLogTable.unsetTableProperty(path, _))
+      Nil
+    }
+  }
+
+  case class ShowPropertiesCommand(t: Target) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "key" -> StringType, "value" -> StringType)
+    override def run(spark: SparkSession): Seq[Row] =
+      TxLogTable.tableProperties(t.resolve(spark)).toSeq.sorted
+        .map { case (k, v) => Row(k, v) }
   }
 }

@@ -116,6 +116,49 @@ class GraftOpsSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE ops_alter")
   }
 
+  test("RESTORE TABLE TO VERSION AS OF re-points the log in one commit") {
+    val path = fresh()
+    TxLogTable.deleteWhere(spark, path, col("id") >= 20)
+    assert(TxLogTable.read(spark, path).count() == 20)
+    val v = spark.sql(s"RESTORE TABLE graftlog.`$path` TO VERSION AS OF 2")
+      .head().getLong(0)
+    assert(v == 4L)
+    assert(TxLogTable.read(spark, path).count() == 30)
+    // undo-the-restore is just another restore
+    spark.sql(s"RESTORE graftlog.`$path` TO VERSION AS OF 3")
+    assert(TxLogTable.read(spark, path).count() == 20)
+  }
+
+  test("SET/UNSET/SHOW TBLPROPERTIES route to the LOG's store; dv routing follows") {
+    val path = fresh()
+    spark.read.format("graftlog").load(path)
+      .createOrReplaceTempView("props_v")
+    spark.sql("ALTER TABLE props_v SET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true', 'owner' = 'pipeline')")
+    assert(TxLogTable.tableProperties(path) ==
+      Map("graft.enableDeletionVectors" -> "true", "owner" -> "pipeline"))
+    val shown = spark.sql("SHOW TBLPROPERTIES props_v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("owner") == "pipeline")
+    // the SQL-set property routes the next SQL DELETE to the dv path
+    val before = TxLogTable.filesAt(path, TxLogTable.currentVersion(path))
+    spark.sql("DELETE FROM props_v WHERE id = 11")
+    assert(TxLogTable.filesAt(path,
+      TxLogTable.currentVersion(path)).toSet == before.toSet,
+      "SQL-set property must route DELETE merge-on-read")
+    spark.sql("ALTER TABLE props_v UNSET TBLPROPERTIES ('owner')")
+    assert(TxLogTable.tableProperties(path) ==
+      Map("graft.enableDeletionVectors" -> "true"))
+    // a NON-graft table keeps Spark's native TBLPROPERTIES semantics
+    spark.sql("DROP TABLE IF EXISTS props_pq")
+    spark.range(3).write.saveAsTable("props_pq")
+    spark.sql("ALTER TABLE props_pq SET TBLPROPERTIES ('a' = 'b')")
+    assert(spark.sql("SHOW TBLPROPERTIES props_pq").collect()
+      .exists(r => r.getString(0) == "a" && r.getString(1) == "b"))
+    spark.sql("DROP TABLE props_pq")
+    spark.catalog.dropTempView("props_v")
+  }
+
   test("CTAS: CREATE TABLE … USING graftlog AS SELECT lands as the ACID v0") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-ctas").toString + "/t"
