@@ -173,6 +173,20 @@ class GraftLogSource extends RelationProvider
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException(
         "graftlog needs a path — spark.read.format(\"graftlog\").load(path)"))
+    // BATCH CHANGE FEED (the delta `readChangeFeed` read option):
+    // one row per changed row per commit in [startingVersion,
+    // endingVersion] (inclusive both ends, delta's contract), tagged
+    // _change_type/_commit_version/_commit_timestamp — served by the
+    // existing per-version feed, whose file-level pruning scans only
+    // each commit's touched files
+    if (opts.get("readchangefeed").exists(_.equalsIgnoreCase("true"))) {
+      val start = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+      val end = opts.get("endingversion").map(_.toLong)
+        .getOrElse(TxLogTable.currentVersion(path))
+      require(start >= 0 && start <= end,
+        s"readChangeFeed range [$start, $end] is empty or negative")
+      return new GraftChangeFeedRelation(sqlContext, path, start, end)
+    }
     val byVersion = opts.get("versionasof").map(_.toLong)
     val byTs = opts.get("timestampasof").map(_.toLong)
     require(byVersion.isEmpty || byTs.isEmpty,
@@ -462,6 +476,25 @@ class GraftLogRelation(spark: org.apache.spark.sql.SparkSession,
   * The SCHEMA still pins at relation creation (Spark resolves plans
   * against it once); appends never change it, and a widening overwrite
   * warrants recreating the view. */
+/** Batch CHANGE-FEED relation (the delta `readChangeFeed` option):
+  * [[TxLogTable.changesPerVersion]] over [start, end] INCLUSIVE both
+  * ends — delta's startingVersion contract (the per-version feed's
+  * half-open (from, to] range shifts by one). Read-only: a change feed
+  * is a view of history, not an insert target. */
+class GraftChangeFeedRelation(val sqlContext: SQLContext,
+    val path: String, start: Long, end: Long)
+    extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+
+  private def feed: org.apache.spark.sql.DataFrame =
+    TxLogTable.changesPerVersion(sqlContext.sparkSession, path,
+      start - 1, end)
+
+  override val schema: StructType = feed.schema
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    feed.rdd
+}
+
 class GraftLogRowRelation(val sqlContext: SQLContext, val path: String,
     val pinned: Option[Long])
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {

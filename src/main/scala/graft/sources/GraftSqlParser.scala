@@ -35,7 +35,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftOpsSql.parse(session, sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftOpsSql.parse(session, sqlText).getOrElse(
+      GraftOpsSql.rewriteTimeTravel(session, delegate.parsePlan(sqlText)))
 
   override def parseExpression(s: String): Expression =
     delegate.parseExpression(s)
@@ -162,6 +163,70 @@ object GraftOpsSql {
       case ShowProps(t) if isGraftTarget(session, t) =>
         Some(ShowPropertiesCommand(targetOf(t)))
       case _ => None
+    }
+
+  /** SQL time travel — `SELECT … FROM t VERSION AS OF n` /
+    * `TIMESTAMP AS OF 'ts'` on graftlog tables and views: the parser
+    * rewrites each `RelationTimeTravel` node whose target resolves to
+    * a graftlog table into a version-pinned relation (the same
+    * `versionAsOf`/`timestampAsOf` read options the DataFrame surface
+    * uses), BEFORE analysis — Spark's own resolution supports time
+    * travel only for v2 tables and would throw UNSUPPORTED_FEATURE.
+    * Non-graft targets and non-literal timestamps pass through
+    * untouched (Spark's error stands). */
+  def rewriteTimeTravel(session: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    plan transformUp {
+      case tt: RelationTimeTravel =>
+        val pinnedPlan = tt.relation match {
+          case ur: UnresolvedRelation =>
+            val raw = ur.multipartIdentifier.map(p => s"`$p`").mkString(".")
+            graftPathOf(session, raw).flatMap { path =>
+              val reader = session.read.format("graftlog")
+              val pinned = (tt.version, tt.timestamp) match {
+                case (Some(v), _) if v.matches("\\d+") =>
+                  Some(reader.option("versionAsOf", v.toLong))
+                case (None, Some(e)) => literalMillis(e)
+                  .map(ms => reader.option("timestampAsOf", ms))
+                case _ => None
+              }
+              pinned.map(r =>
+                org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+                  ur.multipartIdentifier.last,
+                  r.load(path).queryExecution.logical))
+            }
+          case _ => None
+        }
+        pinnedPlan.getOrElse(tt)
+    }
+  }
+
+  /** Epoch millis from a parsed time-travel literal: integer epoch
+    * millis, or a `yyyy-MM-dd[ HH:mm:ss]` string read as UTC (the same
+    * session-independent anchor the log's commit timestamps use). */
+  private def literalMillis(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): Option[Long] = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+      val s = String.valueOf(l.value)
+      if (s.matches("\\d+") && s.length >= 12) Some(s.toLong)
+      else try {
+        val t = if (s.contains(" ") || s.contains("T"))
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        else java.time.LocalDate.parse(s).atStartOfDay()
+        Some(t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
+  }
+
+  /** Parse-time path resolution shared by the time-travel rewrite:
+    * catalog graftlog table or temp view over a graftlog relation. */
+  private def graftPathOf(session: SparkSession, raw: String)
+      : Option[String] =
+    catalogGraftTable(session, raw).map(_._1).orElse {
+      try GraftSqlDml.graftTarget(
+        session.table(raw).queryExecution.analyzed).map(_._1)
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
   private def parsePairs(s: String): Seq[(String, String)] =

@@ -159,6 +159,59 @@ class GraftOpsSqlSpec extends SparkSpec {
     spark.catalog.dropTempView("props_v")
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on tables and views") {
+    val path = fresh()
+    spark.sql("DROP TABLE IF EXISTS tt_ct")
+    spark.sql(s"CREATE TABLE tt_ct USING graftlog OPTIONS (path '$path')")
+    TxLogTable.deleteWhere(spark, path, col("id") >= 10)
+    assert(spark.sql("SELECT count(*) FROM tt_ct").head().getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM tt_ct VERSION AS OF 2")
+      .head().getLong(0) == 30)
+    assert(spark.sql("SELECT count(*) FROM tt_ct VERSION AS OF 0")
+      .head().getLong(0) == 10)
+    // joins of two versions of the SAME table
+    assert(spark.sql("""
+      SELECT count(*) FROM tt_ct VERSION AS OF 2 a
+      LEFT ANTI JOIN tt_ct b ON a.id = b.id""").head().getLong(0) == 20)
+    // temp views travel too
+    spark.read.format("graftlog").load(path).createOrReplaceTempView("tt_v")
+    assert(spark.sql("SELECT max(id) FROM tt_v VERSION AS OF 1")
+      .head().getLong(0) == 19L)
+    // timestamp form: the head's exact commit wall clock (epoch millis
+    // — a seconds-truncated string would land BEFORE the commit and
+    // resolve the prior version, the monotonized-timestamp contract)
+    val ms = TxLogTable.history(path).last._2
+    assert(spark.sql(
+      s"SELECT count(*) FROM tt_ct TIMESTAMP AS OF '$ms'")
+      .head().getLong(0) == 10)
+    spark.sql("DROP TABLE tt_ct")
+    spark.catalog.dropTempView("tt_v")
+  }
+
+  test("readChangeFeed batch option: inclusive version range, delta column contract") {
+    val path = fresh()
+    TxLogTable.deleteWhere(spark, path, col("id") === 5) // v3
+    val feed = spark.read.format("graftlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1)
+      .load(path)
+    assert(feed.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    // versions 1..3: two 10-row appends + one 1-row delete
+    assert(feed.filter(col("_change_type") === "insert").count() == 20)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(5L))
+    assert(feed.select("_commit_version").distinct().as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // bounded range [2, 2]: exactly that commit's rows
+    val one = spark.read.format("graftlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("endingVersion", 2)
+      .load(path)
+    assert(one.count() == 10)
+    assert(one.select("_commit_version").distinct().as[Long].head() == 2L)
+  }
+
   test("CTAS: CREATE TABLE … USING graftlog AS SELECT lands as the ACID v0") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-ctas").toString + "/t"
