@@ -197,6 +197,41 @@ class ColumnMappingSpec extends SparkSpec {
       .select("label").as[String].head() == "z")
   }
 
+  test("a running stream fails LOUDLY on a mid-stream rename; restart serves the new spelling") {
+    val path = tmp
+    seed(path)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cm-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = spark.readStream.format("graftlog").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.add(b.columns.mkString(",")); ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    // rename mid-stream, then commit data under the new spelling: the
+    // pinned-at-start schema cannot represent it — the stream must
+    // fail loudly (the gained-column guard), never silently project
+    TxLogTable.renameColumn(spark, path, "v", "label")
+    TxLogTable.append(spark,
+      Seq((50L, "n50", 1)).toDF("id", "label", "grp"), path)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getCause.getMessage.contains("pinned at stream start"),
+      e.getCause.getMessage)
+    // a fresh start picks up the renamed schema from the log and
+    // resumes at the checkpointed version
+    got.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toArray.toSeq.nonEmpty &&
+      got.toArray.forall(_.toString.contains("label")),
+      s"restarted stream must serve the new spelling: $got")
+  }
+
   test("change feed crosses a rename boundary with each side's own spelling") {
     val path = tmp
     seed(path)
