@@ -173,6 +173,18 @@ class ColumnMappingSpec extends SparkSpec {
       org.apache.spark.sql.types.StructType(Nil))
     val e = intercept[IllegalStateException](idx.listFiles(Nil, Nil))
     assert(e.getMessage.contains("column mapping"), e.getMessage)
+    // PLAN GUARD: the rewrite keeps the vectorized scan, and a filter
+    // on the LOGICAL name pushes to parquet under the PHYSICAL name
+    // with column pruning intact — the mapping costs one Project, not
+    // the scan's pushdown
+    val plan = spark.read.format("graftlog").load(path)
+      .filter(col("label") === "r7").select("id", "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), plan)
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(v,r7\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("ReadSchema: struct<id:bigint,v:string>".r
+      .findFirstIn(plan).isDefined, plan)
   }
 
   test("deletion vectors + rename compose: masks and mapping both apply") {
