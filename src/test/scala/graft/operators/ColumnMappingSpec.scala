@@ -244,6 +244,33 @@ class ColumnMappingSpec extends SparkSpec {
       s"restarted stream must serve the new spelling: $got")
   }
 
+  test("compact and purge preserve the mapping (rewrites stay physical)") {
+    val path = tmp
+    seed(path)
+    TxLogTable.renameColumn(spark, path, "v", "label")
+    TxLogTable.deleteWhereDv(spark, path, col("id") === 9)
+    // OPTIMIZE folds the 3 files (and the dv mask) into a rewrite; the
+    // staged files must spell the column PHYSICALLY and the commit must
+    // carry the mapped schema, so post-compaction reads stay logical
+    val v = TxLogTable.compact(spark, path)
+    val t = TxLogTable.read(spark, path)
+    assert(t.columns.toSeq == Seq("id", "label", "grp"))
+    assert(t.count() == 29)
+    assert(t.filter(col("id") === 8).select("label").as[String].head()
+      == "r8")
+    val newFile = TxLogTable.filesAt(path, v).head
+    assert(spark.read.parquet(s"$path/$newFile").columns.contains("v"),
+      "compacted files must keep the physical spelling")
+    // dv purge after a fresh mask, same contract
+    TxLogTable.deleteWhereDv(spark, path, col("id") === 8)
+    TxLogTable.purgeDeletes(spark, path)
+    val t2 = TxLogTable.read(spark, path)
+    assert(t2.count() == 28 && t2.columns.toSeq ==
+      Seq("id", "label", "grp"))
+    assert(t2.filter(col("id") === 7).select("label").as[String].head()
+      == "r7")
+  }
+
   test("change feed crosses a rename boundary with each side's own spelling") {
     val path = tmp
     seed(path)
