@@ -559,6 +559,133 @@ object TxLogTable {
   private def stagedDirs(staged: Seq[(String, Long)]): Seq[String] =
     staged.map(_._1.split('/').head).distinct
 
+  /** Test seam: a hook registered for a table ROOT path fires exactly
+    * once, immediately before that table's next rebase commit's first
+    * publish attempt — the deterministic interleaving the conflict-
+    * retry specs need (a thread race would be timing-dependent).
+    * Keyed by path so concurrently running suites never cross-fire. */
+  private[graft] val testPreCommitHooks =
+    new scala.collection.concurrent.TrieMap[String, () => Unit]()
+
+  /** Publish a REBASE commit derived from pinned snapshot `v0` with
+    * LOGICAL conflict re-validation — the delta world's conflict
+    * detection (the ConcurrentAppend / ConcurrentDeleteRead rules its
+    * OptimisticTransaction re-checks after losing a commit race) in
+    * place of the blanket "anything committed → abort" that made every
+    * long rewrite a guaranteed casualty of one streaming append:
+    *
+    *  - the commit first tries as version v0+1 (the classic pinned CAS);
+    *  - on losing the race it re-lists the interleaved commits. Any
+    *    interleaved REBASE (DML/compact/DDL/overwrite/restore) replaced
+    *    the very listing this commit derives from — a REAL conflict,
+    *    abort. Interleaved APPENDs only add files, so the commit
+    *    retries at the new head carrying them by reference — IFF
+    *    `appendCompatible` proves the appended files cannot hold rows
+    *    this operation should have read (stats-pruned predicate
+    *    exclusion for DML; always-true for layout-only compaction and
+    *    purge, which make no row-level promise);
+    *  - the recorded schema re-merges with the interleaved appends'
+    *    recordings ([[remergedSchema]] — a widening append must not be
+    *    hidden behind this commit's narrower pinned schema).
+    *
+    * Staged dirs are cleaned HERE on a definitive abort: commitEntry
+    * gets cleanupDirs = Nil, because its per-attempt cleanup would
+    * reap the staged rewrite on the first lost race — exactly the
+    * case this wrapper exists to retry. */
+  private def commitRebaseRetry(fs: FileSystem, root: HPath, v0: Long,
+      listing: Seq[String], commit: CommitPoint,
+      txn: Option[(String, Long)], op: String,
+      sizes: Map[String, Long], schemaJson: Option[String],
+      cleanupDirs: Seq[String], dvs: Map[String, (String, Long)],
+      appendCompatible: Seq[String] => Boolean,
+      maxConflictRetries: Int = 5): Long = {
+    def cleanStaged(): Unit = cleanupDirs.foreach { d =>
+      try fs.delete(new HPath(root, d), true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    testPreCommitHooks.remove(root.toString).foreach(_.apply())
+    var base = v0
+    var extra = Seq.empty[String]
+    var extraSizes = Map.empty[String, Long]
+    var schema = schemaJson
+    var attempt = 0
+    while (true) {
+      try {
+        val v = commitEntry(fs, root, (listing ++ extra).sorted,
+          rebase = true, Some(base), maxRetries = 1, commit, txn, op,
+          sizes = sizes ++ extraSizes, schemaJson = schema,
+          cleanupDirs = Nil, dvs = dvs)
+        // a SetTransaction replay detected mid-commit publishes nothing
+        // and returns the pre-commit head — the staged dirs are garbage
+        if (v <= base) cleanStaged()
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) { cleanStaged(); throw e }
+          // wait briefly for the interleaved winner's entry to become
+          // visible (a slow store may still be uploading it); a claim
+          // that never publishes leaves head at base and the original
+          // abort stands
+          var head = versions(fs, root).lastOption.getOrElse(-1L)
+          val deadline = System.currentTimeMillis() + 2000
+          while (head <= base && System.currentTimeMillis() < deadline) {
+            Thread.sleep(10)
+            head = versions(fs, root).lastOption.getOrElse(-1L)
+          }
+          if (head <= base) { cleanStaged(); throw e }
+          val inter = (base + 1 to head).map(ver =>
+            readString(fs, new HPath(logDir(root), s"$ver.json")))
+          if (inter.exists(isRebase)) {
+            cleanStaged()
+            throw new java.util.ConcurrentModificationException(
+              s"$op at $root lost to a concurrent listing-replacing " +
+                s"commit in ($base, $head] — this rewrite derives from " +
+                "a replaced snapshot; re-run against the new head")
+          }
+          val newFiles = inter.flatMap(fileList)
+          if (!appendCompatible(newFiles)) {
+            cleanStaged()
+            throw new java.util.ConcurrentModificationException(
+              s"$op at $root conflicts with a concurrent append in " +
+                s"($base, $head]: the appended files may hold rows " +
+                "this operation read (stats could not exclude them)")
+          }
+          extra = extra ++ newFiles
+          extraSizes = extraSizes ++
+            inter.map(fileSizes).reduceOption(_ ++ _).getOrElse(Map.empty)
+          schema = remergedSchema(schema, inter.map(recordedSchema))
+          base = head
+      }
+    }
+    -1L // unreachable (the loop returns or throws)
+  }
+
+  /** The retried rebase's recorded schema after carrying interleaved
+    * appends by reference: under mapping mode appends cannot change the
+    * snapshot schema ([[stage]] refuses unknown columns on mapped
+    * tables), so the pinned recording stands verbatim; otherwise every
+    * interleaved recording merges in (an append may have widened the
+    * table, and recording only the pinned schema would hide the new
+    * column from knownSchema readers), and an absent or unmergeable
+    * recording degrades to none — the footer sweep re-learns, exactly
+    * [[appendSchema]]'s own fallback contract. */
+  private def remergedSchema(ours: Option[String],
+      inter: Seq[Option[org.apache.spark.sql.types.StructType]])
+      : Option[String] =
+    ours.flatMap { js =>
+      val st = org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (mappingActive(st)) Some(js)
+      else inter.foldLeft(Option(st)) {
+        case (Some(acc), Some(s)) =>
+          try Some(org.apache.spark.sql.graftshim.GraftSqlShim
+            .mergeSchemas(acc, s))
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }.map(_.json)
+    }
+
   /** Append a batch as one atomic commit; returns the committed version.
     * `commit` selects the atomic-publish primitive for the table's
     * storage ([[CommitPoint.Auto]]: hard link locally, no-replace rename
@@ -663,39 +790,97 @@ object TxLogTable {
     * so re-clustering is semantics-preserving by construction.
     * `targetFiles` overrides the size-derived file count when the
     * caller wants explicit layout granularity. */
+  /** `where` / `minFileMB` make the rewrite INCREMENTAL — Delta's
+    * `OPTIMIZE t WHERE <pred>` + small-files-only bin-packing, the form
+    * you actually run at 100 TB (a blanket OPTIMIZE = rewrite the
+    * table): only files that may hold predicate-matching rows
+    * (stats/partition-pruned, so an out-of-scope partition never even
+    * opens) AND are under `minFileMB` rewrite; every other file carries
+    * into the new version by reference, exactly the [[purgeDeletes]]
+    * rebase shape. Row-preservation makes ANY file subset a correct
+    * compaction unit — scoping changes layout economics, never results.
+    * Returns -1 without committing when the scope is empty (nothing
+    * under target in range — no log churn).
+    *
+    * The commit is CONCURRENCY-SURVIVABLE ([[commitRebaseRetry]]):
+    * an append landing during the rewrite no longer aborts it — the
+    * retry carries the appended files by reference (compaction makes no
+    * row-level promise, so any append is logically compatible); only a
+    * concurrent listing-replacing commit (DML/DDL/another compact)
+    * still aborts. */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256,
       commit: CommitPoint = CommitPoint.Auto,
       zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 8,
-      targetFiles: Int = 0, partitionBy: Seq[String] = Seq.empty): Long = {
+      targetFiles: Int = 0, partitionBy: Seq[String] = Seq.empty,
+      where: Option[org.apache.spark.sql.Column] = None,
+      minFileMB: Int = 0): Long = {
     val (fs, root) = fsFor(path)
     val v0 = versions(fs, root).lastOption.getOrElse(-1L)
-    val snapshot = readVersion(spark, path, v0)
-    // log-recorded sizes first; one getFileStatus only for files whose
-    // committing entry predates size recording
-    val (priorFiles, priorSizes) = filesAndSizesUpTo(fs, root, v0)
-    val sizeBytes = priorFiles.map(f => priorSizes.getOrElse(f,
-      fs.getFileStatus(new HPath(root, f)).getLen)).sum
+    val st = stateUpTo(fs, root, v0)
+    val scoped = where.isDefined || minFileMB > 0
+    // scope: stats/partition-pruned candidates of `where` (a file whose
+    // interval excludes the predicate holds no matching row and stays
+    // put), then the under-target size cut. Log-recorded sizes first;
+    // one getFileStatus only for files whose entry predates recording.
+    def sizeOf(f: String): Long =
+      st.sizes.getOrElse(f, fs.getFileStatus(new HPath(root, f)).getLen)
+    val whereScope = where match {
+      case None => st.files
+      case Some(p) => prunedFiles(spark, path, p, Some(v0))._1
+    }
+    val scope =
+      if (minFileMB <= 0) whereScope
+      else whereScope.filter(f => sizeOf(f) < minFileMB * 1024L * 1024L)
+    if (scope.isEmpty) return -1L
+    // a single under-target file with no clustering ask gains nothing
+    // from a self-rewrite
+    if (scoped && scope.size == 1 && zorderBy.isEmpty) return -1L
+    val carried = st.files.diff(scope)
+    val knownSchema = schemaAt(path, v0)
+    // the rewrite source: ONLY the in-scope files, their dvs folded in
+    // (a compacted file's masks become physical absence, like purge)
+    val source = scanFilesDv(spark, path, scope, knownSchema, st.dvs)
+    val sizeBytes = scope.map(sizeOf).sum
     val parts =
       if (targetFiles > 0) targetFiles
       else math.max(1, (sizeBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val rewritten =
-      if (zorderBy.isEmpty) snapshot.repartition(parts)
-      else snapshot
-        .withColumn("__z", Layout.zColumn(snapshot, zorderBy, zorderBits))
+      if (zorderBy.isEmpty) source.repartition(parts)
+      else source
+        .withColumn("__z", Layout.zColumn(source, zorderBy, zorderBits))
         .repartitionByRange(parts, org.apache.spark.sql.functions.col("__z"))
         .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
         .drop("__z")
-    val staged = stage(rewritten, fs, root, "compact-", partitionBy,
+    // a scoped rewrite re-stages in the scope's own hive layout so the
+    // staged files sit beside the carried ones; the full-table call
+    // keeps the caller's explicit layout contract
+    val layout =
+      if (partitionBy.nonEmpty) partitionBy
+      else if (scoped) partColsOf(scope)
+      else Seq.empty
+    val rewrittenSchemaJson =
+      if (layout.isEmpty)
+        Some(knownSchema.getOrElse(source.schema).json)
+      // a partitioned re-stage reads back with path-inferred partition
+      // types the committer cannot assert — record nothing and let the
+      // sweep re-learn — EXCEPT under column mapping, whose recorded
+      // schema must never drop off the chain (the mapping DDL already
+      // asserted the partition typing it records; losing it would
+      // resurrect dropped columns / old spellings on every later read)
+      else knownSchema.filter(mappingActive).map(_.json)
+    val staged = stage(rewritten, fs, root, "compact-", layout,
       validate = false)
     val files = staged.map(_._1)
-    val v = commitEntry(fs, root, files, rebase = true, Some(v0),
-      maxRetries = 1, commit, op = "compact", sizes = staged.toMap,
-      schemaJson =
-        if (partitionBy.isEmpty) Some(snapshot.schema.json) else None,
-      cleanupDirs = stagedDirs(staged))
-    // the rebase is a remove-all + add-all in Delta terms
-    DeltaInterop.mirror(spark, path, v, files, priorFiles,
-      snapshot.schema.json, commit, sizes = staged.toMap)
+    val v = commitRebaseRetry(fs, root, v0, (carried ++ files).sorted,
+      commit, txn = None, op = "compact",
+      sizes = st.sizes ++ staged, schemaJson = rewrittenSchemaJson,
+      cleanupDirs = stagedDirs(staged), dvs = st.dvs -- scope,
+      appendCompatible = _ => true)
+    // the rebase removes exactly the rewritten scope in Delta terms;
+    // carried files were mirrored by their own commits
+    DeltaInterop.mirror(spark, path, v, files, scope,
+      knownSchema.getOrElse(source.schema).json, commit,
+      sizes = staged.toMap)
     v
   }
 
@@ -753,7 +938,8 @@ object TxLogTable {
     val snapshot = readVersion(spark, path, v0)
     val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     if (schemaKey(snapshot.schema) == schemaKey(updates.schema)) {
-      val (st, touched) = filesMatchingKeys(spark, path, v0, keys, keyCols)
+      val (st, touched, rangeCol) =
+        filesMatchingKeys(spark, path, v0, keys, keyCols)
       val (all, priorSizes) = (st.files, st.sizes)
       val untouched = all.diff(touched)
       val merged =
@@ -769,12 +955,14 @@ object TxLogTable {
       // snapshot.schema came off the read-back scan of v0, and the
       // rewrite preserves it (same-schemaKey guard above) — faithful to
       // what a sweep of the new snapshot yields
-      val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
-        rebase = true, Some(v0), maxRetries = 1, commit, op = "upsert",
-        sizes = priorSizes ++ staged,
+      val v = commitRebaseRetry(fs, root, v0,
+        (untouched ++ staged.map(_._1)).sorted, commit, txn = None,
+        op = "upsert", sizes = priorSizes ++ staged,
         schemaJson = Some(snapshot.schema.json),
         cleanupDirs = stagedDirs(staged),
-        dvs = st.dvs -- touched)
+        dvs = st.dvs -- touched,
+        appendCompatible =
+          keyRangeCompatible(spark, path, v0, all, rangeCol))
       DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
         snapshot.schema.json, commit, sizes = staged.toMap)
       v
@@ -803,7 +991,7 @@ object TxLogTable {
   private def filesMatchingKeys(spark: SparkSession, path: String,
       v0: Long, keys: DataFrame, keyCols: Seq[String],
       nullSafeKeys: Boolean = false)
-      : (LogState, Seq[String]) = {
+      : (LogState, Seq[String], Option[org.apache.spark.sql.Column]) = {
     import org.apache.spark.sql.functions.{col => fc}
     val (fs, root) = fsFor(path)
     val st = stateUpTo(fs, root, v0)
@@ -826,12 +1014,16 @@ object TxLogTable {
       else if (nullSafeKeys && deltaHasNullKey) None
       else Some((r.get(0), r.get(1)))
     }
-    val cand = keyRange match {
-      case Some((mn, mx)) =>
-        import org.apache.spark.sql.functions.{lit => fl}
-        prunedFiles(spark, path,
-          fc(keyCols.head) >= fl(mn) && fc(keyCols.head) <= fl(mx),
-          Some(v0))._1
+    // the key-interval predicate doubles as the conflict-revalidation
+    // condition: an interleaved append whose files' stats exclude the
+    // ENTIRE update-key range can hold no row this merge should have
+    // matched, deduped an insert against, or updated
+    val rangeCol = keyRange.map { case (mn, mx) =>
+      import org.apache.spark.sql.functions.{lit => fl}
+      fc(keyCols.head) >= fl(mn) && fc(keyCols.head) <= fl(mx)
+    }
+    val cand = rangeCol match {
+      case Some(p) => prunedFiles(spark, path, p, Some(v0))._1
       case None => all
     }
     val touched =
@@ -846,7 +1038,22 @@ object TxLogTable {
             "left_semi")
         touchedFiles(cand, joined)
       }
-    (st, touched)
+    (st, touched, rangeCol)
+  }
+
+  /** Conflict-revalidation check for keyed merges: interleaved appended
+    * files are compatible iff the key-range predicate provably excludes
+    * every one of them. A merge with no derivable range (all-NULL or
+    * null-safe keys) keeps the single-attempt abort. */
+  private def keyRangeCompatible(spark: SparkSession, path: String,
+      v0: Long, files: Seq[String],
+      rangeCol: Option[org.apache.spark.sql.Column])
+      : Seq[String] => Boolean = { nf =>
+    val (fs, root) = fsFor(path)
+    rangeCol.exists { p =>
+      val cond = resolvedCondAt(spark, path, p, v0, files)
+      cond.isDefined && pruneFilesWith(fs, root, nf, cond)._1.isEmpty
+    }
   }
 
   /** Conditional keyed MERGE — the delta world's
@@ -986,10 +1193,11 @@ object TxLogTable {
           s"(${dataCols.mkString(", ")})")
     }
     val keys = updates.select(keyCols.map(fc): _*)
-    val (st, touched) =
+    val (st, touched, rangeCol) =
       filesMatchingKeys(spark, path, v0, keys, keyCols, nullSafeKeys)
     val (all, priorSizes) = (st.files, st.sizes)
     val untouched = all.diff(touched)
+    val appendOk = keyRangeCompatible(spark, path, v0, all, rangeCol)
     // nullSafeKeys switches every key comparison to <=>: a NULL key is
     // then a real, matchable key (the incremental-view contract — a
     // NULL group key is a real group) instead of never-matching
@@ -1090,12 +1298,12 @@ object TxLogTable {
         if (maskedFiles.isEmpty) {
           // no clause masked anything: a pure-insert merge — an
           // append-shaped commit with the dv map carried unchanged
-          val v = commitEntry(fs, root,
-            (all ++ staged.map(_._1)).sorted, rebase = true, Some(v0),
-            maxRetries = 1, commit, txn, op = "merge",
+          val v = commitRebaseRetry(fs, root, v0,
+            (all ++ staged.map(_._1)).sorted, commit, txn, op = "merge",
             sizes = priorSizes ++ staged,
             schemaJson = Some(snapshot.schema.json),
-            cleanupDirs = stagedDirs(staged), dvs = st.dvs)
+            cleanupDirs = stagedDirs(staged), dvs = st.dvs,
+            appendCompatible = appendOk)
           DeltaInterop.mirror(spark, path, v, staged.map(_._1),
             Seq.empty, snapshot.schema.json, commit,
             sizes = staged.toMap)
@@ -1104,30 +1312,28 @@ object TxLogTable {
         val affected = affectedOpt.get
         val freshMask = affected.select(fc("__gf").as("f"),
           fc("__gri").as("ri"))
-        val priorTouchedDvs =
-          st.dvs.view.filterKeys(maskedFiles.toSet).toMap
-        val dvRows = priorTouchedDvs.values.map(_._1).toSeq.distinct match {
-          case Nil => freshMask
-          case dirs => freshMask.unionByName(
-            spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
-              .filter(fc("f").isin(maskedFiles: _*))
-              .select(fc("f"), fc("ri")))
+        // pointer replacement via [[priorDvRows]] (each dir restricted
+        // to its current pointees — no stale-row duplication)
+        val dvRows = priorDvRows(spark, path, st.dvs, maskedFiles) match {
+          case None => freshMask
+          case Some(prior) => freshMask.unionByName(prior)
         }
         val dvDir =
           s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
         dvRows.write.mode(SaveMode.ErrorIfExists)
           .parquet(new HPath(root, dvDir).toString)
-        val counts = spark.read.parquet(s"$path/$dvDir")
-          .groupBy("f").count().collect()
+        // mask totals from the pre-write frames, no sidecar read-back
+        val fresh = affected.groupBy(fc("__gf")).count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val v = commitEntry(fs, root,
-          (all ++ staged.map(_._1)).sorted, rebase = true, Some(v0),
-          maxRetries = 1, commit, txn, op = "dvmerge",
+        val counts = dvCounts(fresh, maskedFiles, st.dvs)
+        val v = commitRebaseRetry(fs, root, v0,
+          (all ++ staged.map(_._1)).sorted, commit, txn, op = "dvmerge",
           sizes = priorSizes ++ staged,
           schemaJson = Some(snapshot.schema.json),
           cleanupDirs = stagedDirs(staged) :+ dvDir,
           dvs = st.dvs ++
-            maskedFiles.map(f => f -> ((dvDir, counts(f)))))
+            maskedFiles.map(f => f -> ((dvDir, counts(f)))),
+          appendCompatible = appendOk)
         DeltaInterop.disable(path,
           s"version $v recorded deletion vectors (merge-on-read " +
             "MERGE); the JSON-action mirror cannot express the DV " +
@@ -1201,11 +1407,12 @@ object TxLogTable {
     if (touched.isEmpty && out.isEmpty) return -1L
     val staged = out.map(stage(_, fs, root, "merge-", partColsOf(touched)))
       .getOrElse(Seq.empty)
-    val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "merge",
+    val v = commitRebaseRetry(fs, root, v0,
+      (untouched ++ staged.map(_._1)).sorted, commit, txn, op = "merge",
       sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json),
       cleanupDirs = stagedDirs(staged),
-      dvs = st.dvs -- touched)
+      dvs = st.dvs -- touched,
+      appendCompatible = appendOk)
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
@@ -1244,7 +1451,8 @@ object TxLogTable {
     // stats-level prefilter first (no footer even opens for a file whose
     // min/max interval excludes the predicate), then the exact probe
     // scan over the surviving candidates names the files to rewrite
-    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
+    val cond = resolvedCondAt(spark, path, predicate, v0, st.files)
+    val (cand, _) = pruneFilesWith(fs, root, st.files, cond)
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
@@ -1267,13 +1475,15 @@ object TxLogTable {
       if (remaining.isEmpty) Seq.empty[(String, Long)]
       else stage(remaining, fs, root, "delete-", partColsOf(touched),
         validate = false)
-    val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "delete",
+    val v = commitRebaseRetry(fs, root, v0,
+      (untouched ++ staged.map(_._1)).sorted, commit, txn, op = "delete",
       sizes = priorSizes ++ staged, schemaJson = Some(snapshot.schema.json),
       cleanupDirs = stagedDirs(staged),
       // rewritten files fold their dvs into the rewrite; carried files
       // keep theirs
-      dvs = st.dvs -- touched)
+      dvs = st.dvs -- touched,
+      appendCompatible = nf =>
+        cond.isDefined && pruneFilesWith(fs, root, nf, cond)._1.isEmpty)
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
@@ -1309,6 +1519,39 @@ object TxLogTable {
     *
     * Returns the committed version, or -1 without committing when
     * nothing matches. */
+  /** The TOUCHED files' current dv rows for pointer replacement: each
+    * prior dv dir contributes ONLY the files whose CURRENT pointer is
+    * that dir. A shared older dir can also hold STALE rows for a file
+    * whose pointer already moved to a newer dir (replacement leaves
+    * the old rows in place), and an unrestricted `f.isin(touched)`
+    * filter would duplicate those (f, ri) coordinates into the new
+    * sidecar — harmless to reads (the anti-join is duplicate-
+    * insensitive) but inflating the recorded mask counts the broadcast
+    * pricing and DESCRIBE DETAIL consume. */
+  private def priorDvRows(spark: SparkSession, path: String,
+      dvs: Map[String, (String, Long)], touched: Seq[String])
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col => fc}
+    val byDir = touched.flatMap(f => dvs.get(f).map(p => (p._1, f)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byDir.toSeq.sortBy(_._1).map { case (d, fsOfDir) =>
+      spark.read.parquet(s"$path/$d")
+        .filter(fc("f").isin(fsOfDir: _*))
+        .select(fc("f"), fc("ri"))
+    }.reduceOption(_.unionByName(_))
+  }
+
+  /** Exact per-file mask totals for the new dv pointers, computed from
+    * the PRE-WRITE frames — fresh masks per file (one bounded job over
+    * the already-persisted probe frame) plus the log-recorded prior
+    * totals (fresh and prior are disjoint by construction: the probe
+    * scanned under the existing dv view, so an already-masked row can
+    * never re-match). No read-back of the just-written sidecar. */
+  private def dvCounts(fresh: Map[String, Long], touched: Seq[String],
+      dvs: Map[String, (String, Long)]): Map[String, Long] =
+    touched.map(f => f ->
+      (fresh.getOrElse(f, 0L) + dvs.get(f).map(_._2).getOrElse(0L))).toMap
+
   def deleteWhereDv(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       commit: CommitPoint = CommitPoint.Auto,
@@ -1320,7 +1563,8 @@ object TxLogTable {
     require(v0 >= 0, s"cannot delete from an empty table at $path")
     val snapshot = readVersion(spark, path, v0)
     val st = stateUpTo(fs, root, v0)
-    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
+    val cond = resolvedCondAt(spark, path, predicate, v0, st.files)
+    val (cand, _) = pruneFilesWith(fs, root, st.files, cond)
     if (cand.isEmpty) return -1L
     val qual = fs.makeQualified(root).toString
     // matching rows AFTER the existing dv view (a row already masked
@@ -1345,30 +1589,33 @@ object TxLogTable {
           .getOrElse("")} is not in the snapshot listing (path-encoding " +
           "mismatch); use deleteWhere (copy-on-write) for this layout")
       // new dv rows for the touched files = fresh matches ∪ the touched
-      // files' PRIOR dv rows (pointer replacement needs the union)
-      val priorTouched = st.dvs.view.filterKeys(touched.toSet).toMap
-      val dvRows = priorTouched.values.map(_._1).toSeq.distinct match {
-        case Nil => matched
-        case dirs =>
-          val prior = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
-            .filter(fc("f").isin(touched: _*))
-            .select(fc("f"), fc("ri"))
-          matched.unionByName(prior)
+      // files' CURRENT dv rows (pointer replacement needs the union;
+      // [[priorDvRows]] restricts each dir to its current pointees)
+      val dvRows = priorDvRows(spark, path, st.dvs, touched) match {
+        case None => matched
+        case Some(prior) => matched.unionByName(prior)
       }
       val dvDir =
         s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
       dvRows.write.mode(SaveMode.ErrorIfExists)
         .parquet(new HPath(root, dvDir).toString)
-      // per-file masked-row totals, read back from the published dv
-      // (bounded: one row per touched file)
-      val counts = spark.read.parquet(s"$path/$dvDir")
-        .groupBy("f").count().collect()
+      // per-file masked-row totals from the pre-write frames — fresh
+      // masks (one bounded job over the persisted probe) + the
+      // log-recorded prior totals; zero read-back of the new sidecar
+      val fresh = matched.groupBy("f").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val v = commitEntry(fs, root, st.files.sorted, rebase = true,
-        Some(v0), maxRetries = 1, commit, txn, op = "dvdelete",
+      val counts = dvCounts(fresh, touched, st.dvs)
+      // an interleaved APPEND is compatible iff stats prove its files
+      // hold no predicate-matching row (Delta's ConcurrentAppend rule
+      // under its default isolation) — then the appended files carry
+      // by reference and the masks still name every matching row
+      val v = commitRebaseRetry(fs, root, v0, st.files.sorted,
+        commit, txn, op = "dvdelete",
         sizes = st.sizes, schemaJson = Some(snapshot.schema.json),
         cleanupDirs = Seq(dvDir),
-        dvs = st.dvs ++ touched.map(f => f -> ((dvDir, counts(f)))))
+        dvs = st.dvs ++ touched.map(f => f -> ((dvDir, counts(f)))),
+        appendCompatible = nf =>
+          cond.isDefined && pruneFilesWith(fs, root, nf, cond)._1.isEmpty)
       DeltaInterop.disable(path,
         s"version $v recorded deletion vectors (deleteWhereDv); the " +
           "JSON-action mirror cannot express the DV table feature and " +
@@ -1414,7 +1661,9 @@ object TxLogTable {
     require(unknown.isEmpty,
       s"SET targets unknown column(s): ${unknown.mkString(", ")}")
     val st = stateUpTo(fs, root, v0)
-    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
+    requireNoMappedPartitionSet(path, v0, st.files, set.keys.toSeq)
+    val cond = resolvedCondAt(spark, path, predicate, v0, st.files)
+    val (cand, _) = pruneFilesWith(fs, root, st.files, cond)
     if (cand.isEmpty) return -1L
     val qual = fs.makeQualified(root).toString
     // matched rows AFTER the existing dv view, carrying BOTH the mask
@@ -1447,34 +1696,33 @@ object TxLogTable {
       // partition column lands rows in their new dirs
       val staged = stage(matched.drop("__gf", "__gri"), fs, root,
         "update-", partColsOf(touched))
-      // new dv rows = fresh masks ∪ the touched files' PRIOR dv rows
-      // (pointer replacement needs the union)
+      // new dv rows = fresh masks ∪ the touched files' CURRENT dv rows
+      // (pointer replacement; [[priorDvRows]] restricts each dir to
+      // its current pointees so stale rows never duplicate)
       val freshMask = matched.select(fc("__gf").as("f"), fc("__gri").as("ri"))
-      val priorTouched = st.dvs.view.filterKeys(touched.toSet).toMap
-      val dvRows = priorTouched.values.map(_._1).toSeq.distinct match {
-        case Nil => freshMask
-        case dirs => freshMask.unionByName(
-          spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
-            .filter(fc("f").isin(touched: _*))
-            .select(fc("f"), fc("ri")))
+      val dvRows = priorDvRows(spark, path, st.dvs, touched) match {
+        case None => freshMask
+        case Some(prior) => freshMask.unionByName(prior)
       }
       val dvDir =
         s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
       dvRows.write.mode(SaveMode.ErrorIfExists)
         .parquet(new HPath(root, dvDir).toString)
-      val counts = spark.read.parquet(s"$path/$dvDir")
-        .groupBy("f").count().collect()
+      // mask totals from the pre-write frames, no sidecar read-back
+      val fresh = matched.groupBy(fc("__gf")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val v = commitEntry(fs, root,
-        (st.files ++ staged.map(_._1)).sorted,
-        rebase = true, Some(v0), maxRetries = 1, commit, txn,
+      val counts = dvCounts(fresh, touched, st.dvs)
+      val v = commitRebaseRetry(fs, root, v0,
+        (st.files ++ staged.map(_._1)).sorted, commit, txn,
         op = "dvupdate", sizes = st.sizes ++ staged,
         schemaJson =
           if (partColsOf(touched).intersect(set.keys.toSeq).isEmpty)
             Some(snapshot.schema.json)
           else None,
         cleanupDirs = stagedDirs(staged) :+ dvDir,
-        dvs = st.dvs ++ touched.map(f => f -> ((dvDir, counts(f)))))
+        dvs = st.dvs ++ touched.map(f => f -> ((dvDir, counts(f)))),
+        appendCompatible = nf =>
+          cond.isDefined && pruneFilesWith(fs, root, nf, cond)._1.isEmpty)
       DeltaInterop.disable(path,
         s"version $v recorded deletion vectors (updateWhereDv); the " +
           "JSON-action mirror cannot express the DV table feature and " +
@@ -1540,6 +1788,26 @@ object TxLogTable {
     * (rename) or fail every later stage (drop). Both refuse loudly;
     * the constraint check is conservative word-boundary matching over
     * the stored expression text. */
+  /** A SET targeting a PARTITION column records no snapshot schema
+    * (the rewritten values re-infer their path typing, which the
+    * committer cannot assert) — on a COLUMN-MAPPED table that would
+    * silently drop the mapping off the head entry: reads fall back to
+    * the footer sweep under PHYSICAL names (old spellings return,
+    * dropped columns resurrect) and later appends stage under LOGICAL
+    * names, permanently mixing spellings. Refuse loudly instead. */
+  private def requireNoMappedPartitionSet(path: String, v0: Long,
+      files: Seq[String], setCols: Seq[String]): Unit = {
+    val hit = partColsOf(files).intersect(setCols)
+    if (hit.nonEmpty && schemaAt(path, v0).exists(mappingActive))
+      throw new UnsupportedOperationException(
+        s"cannot SET partition column(s) ${hit.mkString(", ")} on a " +
+          "column-mapped table — the commit could not record the " +
+          "mapped snapshot schema (partition typing re-infers from the " +
+          "rewritten paths) and every later read would lose the " +
+          "mapping; rewrite the layout (compact with partitionBy) " +
+          "before updating partition values")
+  }
+
   private def requireMappableDdl(path: String, files: Seq[String],
       colName: String, what: String): Unit = {
     val partCols = files.flatMap(f => partitionValuesOf(f).map(_._1))
@@ -1660,11 +1928,14 @@ object TxLogTable {
       if (remaining.isEmpty) Seq.empty[(String, Long)]
       else stage(remaining, fs, root, "purge-", partColsOf(masked),
         validate = false)
-    commitEntry(fs, root,
+    // layout-only rewrite of already-committed rows: any interleaved
+    // append is logically compatible and carries by reference
+    commitRebaseRetry(fs, root, v0,
       (st.files.diff(masked) ++ staged.map(_._1)).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, op = "purge",
+      commit, txn = None, op = "purge",
       sizes = st.sizes ++ staged, schemaJson = Some(snapshot.schema.json),
-      cleanupDirs = stagedDirs(staged))
+      cleanupDirs = stagedDirs(staged), dvs = Map.empty,
+      appendCompatible = _ => true)
   }
 
   /** Expression-level UPDATE — the delta world's
@@ -1709,7 +1980,9 @@ object TxLogTable {
       s"SET targets unknown column(s): ${unknown.mkString(", ")}")
     val st = stateUpTo(fs, root, v0)
     val (all, priorSizes) = (st.files, st.sizes)
-    val (cand, _) = prunedFiles(spark, path, predicate, Some(v0))
+    requireNoMappedPartitionSet(path, v0, st.files, set.keys.toSeq)
+    val rcond = resolvedCondAt(spark, path, predicate, v0, st.files)
+    val (cand, _) = pruneFilesWith(fs, root, st.files, rcond)
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else touchedFiles(cand,
@@ -1729,18 +2002,21 @@ object TxLogTable {
         }
       }: _*)
     val staged = stage(rewritten, fs, root, "update-", partColsOf(touched))
-    val v = commitEntry(fs, root, (untouched ++ staged.map(_._1)).sorted,
-      rebase = true, Some(v0), maxRetries = 1, commit, txn, op = "update",
+    val v = commitRebaseRetry(fs, root, v0,
+      (untouched ++ staged.map(_._1)).sorted, commit, txn, op = "update",
       sizes = priorSizes ++ staged,
       // a SET that rewrites a partition column re-runs path-type
       // inference on values the committer didn't see read back —
-      // record nothing and let the sweep re-learn the typing
+      // record nothing and let the sweep re-learn the typing (refused
+      // above when the table is column-mapped)
       schemaJson =
         if (partColsOf(touched).intersect(set.keys.toSeq).isEmpty)
           Some(snapshot.schema.json)
         else None,
       cleanupDirs = stagedDirs(staged),
-      dvs = st.dvs -- touched)
+      dvs = st.dvs -- touched,
+      appendCompatible = nf =>
+        rcond.isDefined && pruneFilesWith(fs, root, nf, rcond)._1.isEmpty)
     DeltaInterop.mirror(spark, path, v, staged.map(_._1), touched,
       snapshot.schema.json, commit, sizes = staged.toMap)
     v
@@ -3157,12 +3433,26 @@ object TxLogTable {
     val files = filesUpTo(fs, root, v)
     // a head version can list ZERO files (delete-all); nothing to prune
     if (files.isEmpty) return (Seq.empty, Seq.empty)
-    // resolve the caller's Column against the snapshot schema so the
-    // tree carries typed AttributeReferences and cast literals. Schema
-    // source: ONE file's footer first (opening every footer via a
-    // mergeSchema read would pay the exact O(N) cost the stats sidecar
-    // exists to avoid); if the predicate references a column that file
-    // lacks (schema evolution), fall back to the full merged schema.
+    pruneFilesWith(fs, root, files,
+      resolvedCondAt(spark, path, predicate, v, files))
+  }
+
+  /** Resolve a caller's Column against version `v`'s snapshot schema —
+    * the tree then carries typed AttributeReferences and cast literals
+    * — and translate logical names to PHYSICAL under column mapping
+    * (stats sidecars are keyed by physical names: files pre-dating a
+    * rename spell the original name, which IS the physical one). The
+    * result feeds [[pruneFilesWith]] both for the operation's own
+    * candidate pruning and for the conflict re-validation of
+    * interleaved appends ([[commitRebaseRetry]]). Schema source: ONE
+    * file's footer first (a mergeSchema sweep would pay the exact O(N)
+    * cost the stats sidecar avoids); if the predicate references a
+    * column that file lacks (schema evolution), the full merged
+    * schema. */
+  private def resolvedCondAt(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column, v: Long,
+      files: Seq[String])
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     def resolve(schema: org.apache.spark.sql.types.StructType) =
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -3175,10 +3465,7 @@ object TxLogTable {
         case _: org.apache.spark.sql.AnalysisException =>
           resolve(readVersion(spark, path, v).schema)
       }
-    // stats sidecars are keyed by PHYSICAL names (files pre-dating a
-    // rename carry the original spelling, which IS the physical name);
-    // translate the logical predicate before the lookup
-    val mapped = schemaMappingAt(path, v) match {
+    schemaMappingAt(path, v) match {
       case Some(m) => cond.map(_.transform {
         case a: org.apache.spark.sql.catalyst.expressions
             .AttributeReference if m.get(a.name).exists(_ != a.name) =>
@@ -3186,7 +3473,6 @@ object TxLogTable {
       })
       case None => cond
     }
-    pruneFilesWith(fs, root, files, mapped)
   }
 
   /** The pruning CORE over an already-RESOLVED condition (typed
