@@ -1112,14 +1112,16 @@ object TxLogTable {
       checkDuplicateKeys: Boolean = true,
       nullSafeKeys: Boolean = false,
       whenNotMatchedInsertIf: Option[String] = None,
-      useDv: Boolean = false): Long = {
+      useDv: Boolean = false,
+      schemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{expr => fexpr}
     mergeByKeyCols(spark, path, updates, keyCols,
       whenMatchedUpdateIf.map(fexpr), whenMatchedDeleteIf.map(fexpr),
       insertUnmatched, commit,
       whenMatchedSet.map(_.toSeq.map { case (c, sql) => c -> fexpr(sql) }),
       txn, checkDuplicateKeys, nullSafeKeys,
-      whenNotMatchedInsertIf.map(fexpr), useDv = useDv)
+      whenNotMatchedInsertIf.map(fexpr), useDv = useDv,
+      schemaEvolution = schemaEvolution)
   }
 
   /** Column-typed core of [[mergeByKey]] — the entry the SQL
@@ -1144,7 +1146,8 @@ object TxLogTable {
       whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column],
       insertProjection: Option[Seq[(String, org.apache.spark.sql.Column)]]
         = None,
-      useDv: Boolean = false): Long = {
+      useDv: Boolean = false,
+      schemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, lit => flit, not => fnot, when => fwhen}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__m"),
@@ -1156,9 +1159,31 @@ object TxLogTable {
     // idempotent; callers needing a watermark advance on empty deltas
     // record it with an empty txn append instead.)
     txnFastPath(fs, root, txn).foreach(v => return v)
-    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
-    require(v0 >= 0, s"cannot merge into an empty table at $path " +
-      "(use append for the first commit)")
+    // MERGE SCHEMA EVOLUTION — Delta's autoMerge, composed from the
+    // primitives the log already has: source-only columns WIDEN the
+    // target first through the metadata-only [[addColumns]] commit
+    // (zero data bytes move; under column mapping the new fields take
+    // fresh GUID physical names), and the merge then runs against the
+    // widened snapshot. Two log commits, carried files byte-identical.
+    var widenedCols = Seq.empty[String]
+    val v0 = {
+      val base = versions(fs, root).lastOption.getOrElse(-1L)
+      require(base >= 0, s"cannot merge into an empty table at $path " +
+        "(use append for the first commit)")
+      if (!schemaEvolution) base
+      else {
+        val have = readVersion(spark, path, base).schema
+          .fieldNames.map(_.toLowerCase).toSet
+        val missing = updates.schema.fields.toSeq
+          .filterNot(f => have(f.name.toLowerCase))
+          .map(f => f.copy(nullable = true))
+        if (missing.isEmpty) base
+        else {
+          widenedCols = missing.map(_.name)
+          addColumns(spark, path, missing, commit)
+        }
+      }
+    }
     // the guard is one extra action per merge; a caller whose updates
     // are distinct BY CONSTRUCTION (e.g. they come off a groupBy on the
     // merge keys) skips it with checkDuplicateKeys = false
@@ -1169,24 +1194,54 @@ object TxLogTable {
         s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
     }
     val snapshot = readVersion(spark, path, v0)
+    val dataCols = snapshot.columns.toSeq
+    // under schema evolution the whole-row clauses rewrite to COLUMN-
+    // LEVEL semantics against the widened target — Delta's autoMerge
+    // contract: UPDATE SET * sets exactly the SOURCE's columns (target
+    // columns the source lacks keep their values), INSERT * fills them
+    // with NULL. Explicit caller clauses pass through untouched.
+    val (effSet, effProj) =
+      if (!schemaEvolution) (whenMatchedSet, insertProjection)
+      else {
+        import org.apache.spark.sql.functions.{col => fcol, lit => flit2}
+        val srcCols = updates.columns.toSeq
+        // SET * semantics: exactly the source's columns update (caller
+        // clauses — including the SQL layer's pre-widen star expansion
+        // — augment with the freshly widened source columns)
+        val s0 = whenMatchedSet.getOrElse(
+          srcCols.filterNot(keyCols.contains).map(c => c -> fcol(s"s.`$c`")))
+        val sAssigned = s0.map(_._1).toSet
+        val es = s0 ++ widenedCols
+          .filter(c => srcCols.contains(c) && !sAssigned(c) &&
+            !keyCols.contains(c))
+          .map(c => c -> fcol(s"s.`$c`"))
+        // INSERT * semantics: source values where present, NULL for
+        // target-only columns; a pre-widen projection pads the same way
+        val p0 = insertProjection.getOrElse(dataCols.map(c =>
+          c -> (if (srcCols.contains(c)) fcol(s"s.`$c`") else flit2(null))))
+        val pAssigned = p0.map(_._1).toSet
+        val ep = p0 ++ dataCols.filterNot(pAssigned).map(c =>
+          c -> (if (srcCols.contains(c)) fcol(s"s.`$c`") else flit2(null)))
+        (Some(es), Some(ep))
+      }
     require(
-      !(whenMatchedSet.isEmpty ||
-          (insertUnmatched && insertProjection.isEmpty)) ||
+      !(effSet.isEmpty ||
+          (insertUnmatched && effProj.isEmpty)) ||
         schemaKey(snapshot.schema) == schemaKey(updates.schema),
       "mergeByKey requires matching schemas on whole-row paths " +
         "(SET * update, or projection-less inserts); use upsertByKey " +
-        "for widening merges, or pass whenMatchedSet with " +
+        "for widening merges, schemaEvolution = true to widen the " +
+        "target first, or pass whenMatchedSet with " +
         "insertUnmatched = false (or an insert projection) for a " +
         "narrow source")
-    whenMatchedSet.foreach { set =>
+    effSet.foreach { set =>
       val unknown = set.map(_._1).filterNot(snapshot.columns.contains)
       require(unknown.isEmpty,
         s"SET targets unknown column(s): ${unknown.mkString(", ")}")
       require(set.forall { case (c, _) => !keyCols.contains(c) },
         "SET must not reassign a merge key")
     }
-    val dataCols = snapshot.columns.toSeq
-    insertProjection.foreach { proj =>
+    effProj.foreach { proj =>
       require(proj.map(_._1).sorted == dataCols.sorted,
         s"INSERT projection must assign every target column exactly " +
           s"once; got (${proj.map(_._1).mkString(", ")}) for " +
@@ -1214,7 +1269,7 @@ object TxLogTable {
     if (useDv) {
       import org.apache.spark.sql.functions.{expr => fexpr}
       val qual = fs.makeQualified(root).toString
-      val setMap = whenMatchedSet.map(_.toMap)
+      val setMap = effSet.map(_.toMap)
       val affectedOpt =
         if (touched.isEmpty) None
         else Some {
@@ -1276,7 +1331,7 @@ object TxLogTable {
                 keyCols.map(k => keyEq(s"s.`$k`", s"t.`$k`")).reduce(_ && _),
                 "left_anti")
           }).map { df =>
-            insertProjection match {
+            effProj match {
               case None => df.select(dataCols.map(fc): _*)
               case Some(proj) =>
                 val m = proj.toMap
@@ -1356,7 +1411,7 @@ object TxLogTable {
         whenMatchedDeleteIf.getOrElse(flit(false)), flit(false))
       val updCond = matched && fcoalesce(
         whenMatchedUpdateIf.getOrElse(flit(true)), flit(false))
-      val setMap = whenMatchedSet.map(_.toMap)
+      val setMap = effSet.map(_.toMap)
       val updImage: String => org.apache.spark.sql.Column = setMap match {
         case None => c => fc(s"s.`$c`") // whole-row SET *
         case Some(set) => c => set.get(c) match {
@@ -1390,7 +1445,7 @@ object TxLogTable {
           "left_anti")
         case None => insertSource
       }).map { df =>
-        insertProjection match {
+        effProj match {
           case None => df.select(dataCols.map(fc): _*)
           case Some(proj) => // explicit per-column insert image, typed
             val m = proj.toMap // to the target (the SET no-drift rule)
@@ -1824,6 +1879,9 @@ object TxLogTable {
       s"cannot $what column $colName — referenced by CHECK constraint(s) " +
         s"${refs.keys.toSeq.sorted.mkString(", ")}; drop the " +
         "constraint(s) first")
+    require(!notNullColumns(path).exists(_.equalsIgnoreCase(colName)),
+      s"cannot $what column $colName — it carries a NOT NULL invariant; " +
+        "drop the invariant first")
   }
 
   /** Metadata-only ALTER TABLE RENAME COLUMN via COLUMN MAPPING — the
@@ -2313,6 +2371,52 @@ object TxLogTable {
     writeConstraints(fs, root, checkConstraints(path) - name)
   }
 
+  // ---- NOT NULL column invariants (Delta's column invariants) ----
+
+  // same dot-file discipline as the constraints store; kept SEPARATE
+  // because the semantics differ at the one point that matters: a CHECK
+  // passes NULL (SQL's constraint rule), a NOT NULL invariant is
+  // exactly the rejection of it
+  private def invariantsPath(root: HPath) =
+    new HPath(logDir(root), ".invariants.json")
+
+  /** Columns carrying a NOT NULL invariant. */
+  def notNullColumns(path: String): Seq[String] = {
+    val (fs, root) = fsFor(path)
+    readDotJsonMap(fs, invariantsPath(root), "invariants")
+      .collect { case (c, "notnull") => c }.toSeq.sorted
+  }
+
+  /** Add a NOT NULL invariant — the delta world's
+    * `ALTER COLUMN … SET NOT NULL`: the CURRENT snapshot must already
+    * satisfy it (one aggregate count), and every later staged write
+    * validates before anything publishes ([[validateConstraints]]) —
+    * including the case CHECK constraints structurally cannot express:
+    * an append whose frame OMITS the column entirely (its rows read
+    * back as NULL) refuses stageless. */
+  def setNotNull(spark: SparkSession, path: String, column: String): Unit = {
+    val (fs, root) = fsFor(path)
+    val head = versions(fs, root).lastOption.getOrElse(-1L)
+    require(head >= 0, s"no committed table at $path")
+    val snapshot = readVersion(spark, path, head)
+    require(snapshot.columns.contains(column),
+      s"no such column $column")
+    val nulls = snapshot
+      .where(org.apache.spark.sql.functions.col(s"`$column`").isNull)
+      .count()
+    if (nulls > 0) throw new IllegalStateException(
+      s"cannot set $column NOT NULL: $nulls existing row(s) are NULL")
+    writeDotJsonMap(fs, root, invariantsPath(root),
+      readDotJsonMap(fs, invariantsPath(root), "invariants") +
+        (column -> "notnull"))
+  }
+
+  def dropNotNull(path: String, column: String): Unit = {
+    val (fs, root) = fsFor(path)
+    writeDotJsonMap(fs, root, invariantsPath(root),
+      readDotJsonMap(fs, invariantsPath(root), "invariants") - column)
+  }
+
   /** One-row table report — the delta world's `DESCRIBE DETAIL`:
     * current version, file count, log-recorded byte size, deletion-
     * vector posture (masked files + total masked rows), partition
@@ -2406,17 +2510,37 @@ object TxLogTable {
     * induction, and skip this. */
   private def validateConstraints(df: DataFrame, root: HPath): Unit = {
     val cs = checkConstraints(root.toString).toSeq.sortBy(_._1)
-    if (cs.isEmpty) return
-    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    val nn = notNullColumns(root.toString)
+    // a staged frame OMITTING a NOT NULL column appends rows that read
+    // back as NULL — structurally violating, refused before any job runs
+    val absent = nn.filterNot(df.columns.contains)
+    if (absent.nonEmpty) throw new IllegalStateException(
+      s"staged frame omits NOT NULL column(s) ${absent.mkString(", ")} " +
+        "(their rows would read back NULL); commit aborted, nothing " +
+        "published")
+    if (cs.isEmpty && nn.isEmpty) return
+    import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
+    // one aggregate job counts every CHECK and NOT NULL violation
+    // together — the frame is evaluated once however many invariants
+    // the table carries
     val aggs = cs.map { case (name, exprSql) =>
       sum(when(expr(exprSql) <=> lit(false), lit(1L)).otherwise(lit(0L)))
         .as(s"__v_$name")
-    }
+    } ++ nn.map(c =>
+      sum(when(col(s"`$c`").isNull, lit(1L)).otherwise(lit(0L)))
+        .as(s"__nn_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cs.zipWithIndex.foreach { case ((name, exprSql), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (bad > 0) throw new IllegalStateException(
         s"constraint $name CHECK ($exprSql) violated by $bad staged row(s); " +
+          "commit aborted, nothing published")
+    }
+    nn.zipWithIndex.foreach { case (c, j) =>
+      val i = cs.size + j
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw new IllegalStateException(
+        s"NOT NULL invariant on $c violated by $bad staged row(s); " +
           "commit aborted, nothing published")
     }
   }
@@ -2480,6 +2604,9 @@ object TxLogTable {
     }
     val cs = checkConstraints(source)
     if (cs.nonEmpty) writeConstraints(dfs, droot, cs)
+    // NOT NULL invariants are part of the table contract and carry too
+    val inv = readDotJsonMap(sfs, invariantsPath(sroot), "invariants")
+    if (inv.nonEmpty) writeDotJsonMap(dfs, droot, invariantsPath(droot), inv)
     dfs.mkdirs(logDir(droot)) // commitEntry's tmp-file publish needs it
     // linked/copied bytes are identical, so the source's recorded sizes
     // and schema carry into the clone's v0 verbatim
@@ -2899,6 +3026,20 @@ object TxLogTable {
     require(tsMillis >= h.head._2,
       s"timestamp $tsMillis predates the first commit (${h.head._2})")
     h.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** The EARLIEST version whose monotonized commit timestamp is ≥
+    * `tsMillis` — the delta world's `startingTimestamp` anchor (the
+    * dual of [[versionAsOf]]): a change-feed consumer starting "from
+    * time t" must see every commit at or after t. A timestamp before
+    * the first commit starts at version 0; one past the head returns
+    * head + 1 — an initially-empty feed that starts delivering future
+    * commits (Delta's contract for a future startingTimestamp on a
+    * stream). */
+  def versionSince(path: String, tsMillis: Long): Long = {
+    val h = history(path)
+    require(h.nonEmpty, s"no commits at $path")
+    h.find(_._2 >= tsMillis).map(_._1).getOrElse(h.last._1 + 1)
   }
 
   /** Time travel by wall clock — the delta world's

@@ -1492,8 +1492,176 @@ object IngestQueries extends QueryModule {
       FROM customer
       ORDER BY c_custkey"""))
 
+  /** A23 incremental, concurrency-survivable OPTIMIZE
+    * ([[TxLogTable.compact]] `where` + [[TxLogTable]]'s rebase conflict
+    * re-validation — Delta's `OPTIMIZE … WHERE` + ConcurrentAppend
+    * rules): a partitioned table takes a scoped `OPTIMIZE … WHERE`
+    * through SQL while a concurrent append lands MID-COMPACT
+    * (deterministically, via the pre-commit hook). REQUIREd in-query:
+    * BOTH commits land (the append wins v0+1, the compact retries and
+    * takes v0+2), every out-of-scope partition file carries BY
+    * REFERENCE, the in-scope partition bin-packs to one file, and the
+    * raced rows survive. DuckDB replays the final state as the base
+    * table plus the raced batch. */
+  private val q193 = QueryDef(
+    "q193_scoped_optimize",
+    (s, d) => {
+      val path = s"/tmp/graft_optw_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      // 3 appends -> 3 small files per status partition
+      (0 until 3).foreach { i =>
+        TxLogTable.append(s,
+          orders.filter(col("o_orderkey") % 3 === i).repartition(1),
+          path, partitionBy = Seq("o_orderstatus"))
+      }
+      val v0 = TxLogTable.currentVersion(path)
+      val at0 = TxLogTable.filesAt(path, v0)
+      val outOfScope = at0.filterNot(_.contains("o_orderstatus=F"))
+      require(outOfScope.nonEmpty && at0.size > outOfScope.size,
+        "fixture needs both in-scope and out-of-scope partitions")
+      // a concurrent append lands between the compact's snapshot read
+      // and its publish — the retry must carry it, not abort
+      val raced = s.range(1, 6).select(
+        (lit(maxK) + col("id")).as("o_orderkey"),
+        lit("Z").as("o_orderstatus"),
+        (col("id").cast("double") * 10.0).as("o_totalprice"))
+      TxLogTable.testPreCommitHooks.put(
+        new org.apache.hadoop.fs.Path(path).toString,
+        () => TxLogTable.append(s, raced, path,
+          partitionBy = Seq("o_orderstatus")))
+      val cv = s.sql(
+        s"OPTIMIZE graftlog.`$path` WHERE o_orderstatus = 'F'")
+        .head().getLong(0)
+      require(cv == v0 + 2,
+        s"append must win v0+1 and the compact retry v0+2, got $cv")
+      require(TxLogTable.historyDf(s, path)
+        .filter(col("version") === cv).select("operation")
+        .head().getString(0) == "compact", "the retried commit is a compact")
+      val after = TxLogTable.filesAt(path, cv)
+      require(outOfScope.forall(after.contains),
+        "out-of-scope partitions must carry by reference")
+      require(after.count(_.contains("o_orderstatus=F")) == 1,
+        "the in-scope partition must bin-pack to one file")
+      require(after.exists(_.contains("o_orderstatus=Z")),
+        "the raced append's files must carry into the compact listing")
+      TxLogTable.read(s, path)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT (SELECT max(o_orderkey) FROM orders) + i, 'Z',
+             CAST(i AS DOUBLE) * 10.0
+      FROM generate_series(1, 5) AS t(i)
+      ORDER BY o_orderkey"""))
+
+  /** A23/B-scans `table_changes` TVF (Delta's change-feed function,
+    * parse-time rewrite over the batch readChangeFeed relation): an
+    * UPDATE and a DELETE commit on top of the seeded table, then the
+    * TVF serves the (1, 2] range — REQUIREd in-query to equal the
+    * readChangeFeed option row-for-row. DuckDB replays the feed as
+    * CASE/filter algebra: the update's old images as deletes + new
+    * images as inserts at commit 1, the delete's (post-update) images
+    * as deletes at commit 2. */
+  private val q194 = QueryDef(
+    "q194_table_changes_tvf",
+    (s, d) => {
+      val path = s"/tmp/graft_tvf_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+      TxLogTable.append(s, cust.repartition(1), path) // v0
+      TxLogTable.updateWhere(s, path,
+        Map("c_acctbal" -> (col("c_acctbal") + lit(100.0))),
+        col("c_custkey") % 7 === 0) // v1
+      TxLogTable.deleteWhere(s, path, col("c_custkey") % 10 === 1) // v2
+      val tvf = s.sql(
+        s"""SELECT _change_type, _commit_version, c_custkey, c_acctbal
+            FROM table_changes('graftlog.`$path`', 1, 2)""")
+      val viaOption = s.read.format("graftlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("endingVersion", 2)
+        .load(path)
+        .select(col("_change_type"), col("_commit_version"),
+          col("c_custkey"), col("c_acctbal"))
+      require(tvf.exceptAll(viaOption).isEmpty &&
+        viaOption.exceptAll(tvf).isEmpty,
+        "table_changes must equal the readChangeFeed option row-for-row")
+      tvf
+    },
+    Some("""
+      SELECT 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+             c_custkey, c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT 'insert', CAST(1 AS BIGINT), c_custkey, c_acctbal + 100.0
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT 'delete', CAST(2 AS BIGINT), c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END
+      FROM customer WHERE c_custkey % 10 = 1
+      ORDER BY _commit_version, _change_type, c_custkey"""))
+
+  /** A23 MERGE schema evolution (Delta's autoMerge, composed as
+    * metadata-only [[TxLogTable.addColumns]] + the merge): a WIDER
+    * source (new `note` column) merges with `schemaEvolution = true` —
+    * REQUIREd in-query: exactly two commits (addcolumns + merge) and
+    * the widen carries every file by reference (listing identical).
+    * Matched rows take the source image including the new column,
+    * unmatched target rows read it as NULL, inserts carry it. DuckDB
+    * replays the widen-then-merge as projection algebra. */
+  private val q195 = QueryDef(
+    "q195_merge_schema_evolution",
+    (s, d) => {
+      val path = s"/tmp/graft_evo_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val part = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"))
+      TxLogTable.append(s, part.repartition(2), path) // v0
+      val maxK = part.agg(max(col("p_partkey"))).first().getLong(0)
+      val at0 = TxLogTable.filesAt(path, 0)
+      val src = part.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey"),
+          (col("p_retailprice") / 2).as("p_retailprice"),
+          lit("disc").as("note"))
+        .unionByName(s.range(1, 6).select(
+          (lit(maxK) + col("id")).as("p_partkey"),
+          (col("id").cast("double") * 9.0).as("p_retailprice"),
+          lit("new").as("note")))
+      val v = TxLogTable.mergeByKey(s, path, src, Seq("p_partkey"),
+        schemaEvolution = true)
+      require(v == 2, s"expected addcolumns(1) + merge(2), got $v")
+      require(TxLogTable.filesAt(path, 1).toSet == at0.toSet,
+        "the widen must be metadata-only (listing identical)")
+      require(TxLogTable.historyDf(s, path)
+        .orderBy("version").select("operation")
+        .collect().map(_.getString(0)).toSeq ==
+        Seq("append", "addcolumns", "merge"),
+        "exactly two evolution commits on top of the seed")
+      TxLogTable.read(s, path)
+        .select(col("p_partkey"), col("p_retailprice"), col("note"))
+    },
+    Some("""
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 5 = 0 THEN p_retailprice / 2
+                  ELSE p_retailprice END AS p_retailprice,
+             CASE WHEN p_partkey % 5 = 0 THEN 'disc' ELSE NULL END AS note
+      FROM part
+      UNION ALL
+      SELECT (SELECT max(p_partkey) FROM part) + i,
+             CAST(i AS DOUBLE) * 9.0, 'new'
+      FROM generate_series(1, 5) AS t(i)
+      ORDER BY p_partkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180, q184, q188, q189, q191, q192)
+      q177, q180, q184, q188, q189, q191, q192, q193, q194, q195)
 }

@@ -85,7 +85,16 @@ class GraftLogSource extends RelationProvider
     val maxPer = opts.get("maxversionspertrigger").map(_.toLong)
     maxPer.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
-    (path, opts.get("startingversion").map(_.toLong).getOrElse(0L), maxPer)
+    // startingTimestamp — Delta's wall-clock stream anchor: resolves
+    // through the monotonized history to the EARLIEST version committed
+    // at-or-after the timestamp (a future timestamp starts an initially
+    // empty feed at head+1). Mutually exclusive with startingVersion.
+    val byVersion = opts.get("startingversion").map(_.toLong)
+    val byTs = opts.get("startingtimestamp")
+      .map(s => TxLogTable.versionSince(path, GraftLogSource.tsMillis(s)))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    (path, byVersion.orElse(byTs).getOrElse(0L), maxPer)
   }
 
   /** STREAMING over the commit log — `spark.readStream
@@ -180,8 +189,22 @@ class GraftLogSource extends RelationProvider
     // existing per-version feed, whose file-level pruning scans only
     // each commit's touched files
     if (opts.get("readchangefeed").exists(_.equalsIgnoreCase("true"))) {
-      val start = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+      // version bounds first; timestamp bounds resolve through the
+      // monotonized history (start: earliest at-or-after; end: latest
+      // at-or-before — Delta's boundary contract)
+      require(opts.get("startingversion").isEmpty ||
+        opts.get("startingtimestamp").isEmpty,
+        "startingVersion and startingTimestamp are mutually exclusive")
+      require(opts.get("endingversion").isEmpty ||
+        opts.get("endingtimestamp").isEmpty,
+        "endingVersion and endingTimestamp are mutually exclusive")
+      val start = opts.get("startingversion").map(_.toLong)
+        .orElse(opts.get("startingtimestamp").map(s =>
+          TxLogTable.versionSince(path, GraftLogSource.tsMillis(s))))
+        .getOrElse(0L)
       val end = opts.get("endingversion").map(_.toLong)
+        .orElse(opts.get("endingtimestamp").map(s =>
+          TxLogTable.versionAsOf(path, GraftLogSource.tsMillis(s))))
         .getOrElse(TxLogTable.currentVersion(path))
       require(start >= 0 && start <= end,
         s"readChangeFeed range [$start, $end] is empty or negative")
@@ -200,6 +223,21 @@ class GraftLogSource extends RelationProvider
     // after the view was created
     GraftLogRelation(sqlContext, path, pinned)
   }
+}
+
+object GraftLogSource {
+  /** Timestamp option literal → epoch millis: a bare integer is millis,
+    * otherwise 'yyyy-MM-dd[ HH:mm:ss]' read as UTC (the same session-
+    * independent anchor the log's commit timestamps and the SQL
+    * time-travel literals use). */
+  private[sources] def tsMillis(s: String): Long =
+    if (s.matches("\\d+")) s.toLong
+    else {
+      val t = if (s.contains(" ") || s.contains("T"))
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      else java.time.LocalDate.parse(s).atStartOfDay()
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 }
 
 object GraftLogStreamSource {

@@ -413,7 +413,8 @@ object GraftSqlDml {
   }
 
   case class GraftMergeCommand(path: String, source: LogicalPlan,
-      spec: MergeSpec) extends LeafRunnableCommand {
+      spec: MergeSpec, schemaEvolution: Boolean = false)
+      extends LeafRunnableCommand {
     override def output: Seq[Attribute] = Nil
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(spark: SparkSession): Seq[Row] = {
@@ -429,7 +430,8 @@ object GraftSqlDml {
         nullSafeKeys = false,
         whenNotMatchedInsertIf = spec.insIf,
         insertProjection = spec.insProj,
-        useDv = dvEnabled(path))
+        useDv = dvEnabled(path),
+        schemaEvolution = schemaEvolution)
       Nil
     }
   }
@@ -502,11 +504,13 @@ case class GraftDmlResolution(spark: SparkSession)
         graftTarget(m.targetTable) match {
           case Some((path, pinned)) =>
             requireHead(pinned, "MERGE INTO", path)
-            if (m.withSchemaEvolution) throw new
-                UnsupportedOperationException(
-              "graftlog MERGE INTO: WITH SCHEMA EVOLUTION is not " +
-                "supported (the log's rewrite keeps the target schema)")
-            GraftMergeCommand(path, m.sourceTable, mergeSpec(m))
+            // WITH SCHEMA EVOLUTION: the engine widens the target first
+            // through the metadata-only addColumns commit, then merges
+            // with Delta-autoMerge clause semantics (source-only SET
+            // columns, NULL-filled inserts) — TxLogTable.mergeByKeyCols'
+            // schemaEvolution path
+            GraftMergeCommand(path, m.sourceTable, mergeSpec(m),
+              schemaEvolution = m.withSchemaEvolution)
           case None => m
         }
       // DELETION-VECTOR read rewrite: a graftlog relation whose serving

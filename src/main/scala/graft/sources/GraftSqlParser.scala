@@ -36,7 +36,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftOpsSql.parse(session, sqlText).getOrElse(
-      GraftOpsSql.rewriteTimeTravel(session, delegate.parsePlan(sqlText)))
+      GraftOpsSql.rewriteTableChanges(session,
+        GraftOpsSql.rewriteTimeTravel(session, delegate.parsePlan(sqlText))))
 
   override def parseExpression(s: String): Expression =
     delegate.parseExpression(s)
@@ -97,7 +98,7 @@ object GraftOpsSql {
   private val Vacuum =
     s"""(?is)^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?\\s*;?\\s*$$""".r
   private val Optimize =
-    s"""(?is)^\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""".r
   private val Reorg =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
   private val RenameCol =
@@ -114,6 +115,14 @@ object GraftOpsSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+?)\\)\\s*;?\\s*$$""".r
   private val ShowProps =
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$T\\s*;?\\s*$$""".r
+  private val AddConstraint =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+  private val DropConstraint =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$$""".r
+  private val SetNotNull =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+SET\\s+NOT\\s+NULL\\s*;?\\s*$$""".r
+  private val DropNotNull =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$T\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+DROP\\s+NOT\\s+NULL\\s*;?\\s*$$""".r
   private val PropPair =
     """\s*['"`]?([\w.-]+)['"`]?\s*=\s*(?:'([^']*)'|"([^"]*)"|([^,'"\s]+))\s*""".r
 
@@ -127,27 +136,47 @@ object GraftOpsSql {
     * table keeps Spark's own (unsupported-for-v1) behavior. */
   def parse(session: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case DescHistory(t) => Some(DescribeHistoryCommand(targetOf(t)))
-      case DescDetail(t) => Some(DescribeDetailCommand(targetOf(t)))
-      case Vacuum(t, hours) => Some(VacuumCommand(targetOf(t),
-        Option(hours).map(_.toDouble)))
-      case Optimize(t, zcols) => Some(OptimizeCommand(targetOf(t),
-        Option(zcols).map(_.split(",").toSeq.map(c => unquote(c.trim))
-          .filter(_.nonEmpty)).getOrElse(Seq.empty)))
-      case Reorg(t) => Some(ReorgPurgeCommand(targetOf(t)))
+      // every statement Spark has no grammar for still probes
+      // isGraftTarget at PARSE time: a non-graft target falls through
+      // to the delegate and raises Spark's own parse error instead of
+      // a graft run-time refusal — and a Delta-style extension that
+      // DOES own these spellings is never shadowed for its tables
+      case DescHistory(t) if isGraftTarget(session, t) =>
+        Some(DescribeHistoryCommand(targetOf(t)))
+      case DescDetail(t) if isGraftTarget(session, t) =>
+        Some(DescribeDetailCommand(targetOf(t)))
+      case Vacuum(t, hours) if isGraftTarget(session, t) =>
+        Some(VacuumCommand(targetOf(t), Option(hours).map(_.toDouble)))
+      case Optimize(t, whereSql, zcols) if isGraftTarget(session, t) =>
+        Some(OptimizeCommand(targetOf(t),
+          Option(zcols).map(_.split(",").toSeq.map(c => unquote(c.trim))
+            .filter(_.nonEmpty)).getOrElse(Seq.empty),
+          Option(whereSql).map(_.trim).filter(_.nonEmpty)))
+      case Reorg(t) if isGraftTarget(session, t) =>
+        Some(ReorgPurgeCommand(targetOf(t)))
       case RenameCol(t, from, to) =>
         catalogGraftTable(session, t).map { case (path, ti) =>
+          requireHeadDdl(session, t)
           GraftSqlDml.GraftRenameColumnCommand(path, ti,
             unquote(from), unquote(to))
         }
       case DropCol(t, colName) =>
         catalogGraftTable(session, t).map { case (path, ti) =>
+          requireHeadDdl(session, t)
           GraftSqlDml.GraftDropColumnCommand(path, ti, unquote(colName))
         }
-      case Restore(t, v) =>
+      case Restore(t, v) if isGraftTarget(session, t) =>
         Some(RestoreCommand(targetOf(t), Some(v.toLong), None))
-      case RestoreTs(t, ts) =>
+      case RestoreTs(t, ts) if isGraftTarget(session, t) =>
         Some(RestoreCommand(targetOf(t), None, Some(ts)))
+      case AddConstraint(t, name, check) if isGraftTarget(session, t) =>
+        Some(AddConstraintCommand(targetOf(t), name, check.trim))
+      case DropConstraint(t, name) if isGraftTarget(session, t) =>
+        Some(DropConstraintCommand(targetOf(t), name))
+      case SetNotNull(t, colName) if isGraftTarget(session, t) =>
+        Some(NotNullCommand(targetOf(t), unquote(colName), set = true))
+      case DropNotNull(t, colName) if isGraftTarget(session, t) =>
+        Some(NotNullCommand(targetOf(t), unquote(colName), set = false))
       // TBLPROPERTIES route to the LOG's property store (the store the
       // dv routing consults — the delta posture, where TBLPROPERTIES
       // live in the transaction log, not the metastore). Intercept
@@ -259,15 +288,26 @@ object GraftOpsSql {
       } catch { case scala.util.control.NonFatal(_) => None }
     ctOpt.flatMap { ct =>
       if (!ct.provider.exists(_.equalsIgnoreCase("graftlog"))) None
-      else {
-        require(!ct.storage.properties.contains("versionAsOf"),
-          s"cannot ALTER a time-travel graftlog table $raw — DDL " +
-            "targets the live head")
-        ct.storage.properties.get("path")
-          .orElse(ct.storage.locationUri.map(_.toString))
-          .map(p => (p, ct.identifier))
-      }
+      else ct.storage.properties.get("path")
+        .orElse(ct.storage.locationUri.map(_.toString))
+        .map(p => (p, ct.identifier))
     }
+  }
+
+  /** The versionAsOf guard for the ALTER COLUMN DDL arms ONLY —
+    * [[catalogGraftTable]] is also called from read-only probes
+    * (SHOW/SET TBLPROPERTIES routing, the SELECT time-travel rewrite),
+    * which must serve a pinned table, not refuse it. */
+  private def requireHeadDdl(session: SparkSession, raw: String): Unit = {
+    val pinned =
+      try {
+        val ti = session.sessionState.sqlParser.parseTableIdentifier(raw)
+        session.sessionState.catalog.getTableMetadata(ti)
+          .storage.properties.contains("versionAsOf")
+      } catch { case scala.util.control.NonFatal(_) => false }
+    require(!pinned,
+      s"cannot ALTER a time-travel graftlog table $raw — DDL targets " +
+        "the live head")
   }
 
   private def attrs(fs: (String, DataType)*): Seq[Attribute] =
@@ -303,8 +343,13 @@ object GraftOpsSql {
     }
   }
 
-  case class OptimizeCommand(t: Target, zorderBy: Seq[String])
-      extends LeafRunnableCommand {
+  /** `OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, …)]` — the WHERE form is
+    * the scoped compaction you actually run at scale: only stats/
+    * partition-pruned in-scope files rewrite, everything else carries
+    * by reference ([[TxLogTable.compact]]'s `where`). Returns -1 when
+    * nothing is in scope (no commit, no log churn). */
+  case class OptimizeCommand(t: Target, zorderBy: Seq[String],
+      whereSql: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val path = t.resolve(spark)
@@ -312,7 +357,8 @@ object GraftOpsSql {
         TxLogTable.currentVersion(path))
         .flatMap(f => TxLogTable.partitionValuesOf(f).map(_._1)).distinct
       Seq(Row(TxLogTable.compact(spark, path, zorderBy = zorderBy,
-        partitionBy = parts)))
+        partitionBy = parts,
+        where = whereSql.map(org.apache.spark.sql.functions.expr))))
     }
   }
 
@@ -332,11 +378,18 @@ object GraftOpsSql {
     override def run(spark: SparkSession): Seq[Row] = {
       val path = t.resolve(spark)
       val v = version.getOrElse {
+        // same literal surface as the SELECT time-travel path: epoch
+        // millis, 'yyyy-MM-dd HH:mm:ss', or date-only 'yyyy-MM-dd'
+        // (midnight UTC)
         val raw = timestamp.get
         val ms =
           if (raw.matches("\\d+")) raw.toLong
-          else java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          else {
+            val t = if (raw.contains(" ") || raw.contains("T"))
+              java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+            else java.time.LocalDate.parse(raw).atStartOfDay()
+            t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          }
         TxLogTable.versionAsOf(path, ms)
       }
       Seq(Row(TxLogTable.restore(spark, path, v)))
@@ -370,5 +423,100 @@ object GraftOpsSql {
     override def run(spark: SparkSession): Seq[Row] =
       TxLogTable.tableProperties(t.resolve(spark)).toSeq.sorted
         .map { case (k, v) => Row(k, v) }
+  }
+
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — the SQL
+    * spelling of [[TxLogTable.addCheckConstraint]] (the current
+    * snapshot must already satisfy it; later staged writes validate
+    * pre-publish). */
+  case class AddConstraintCommand(t: Target, name: String,
+      checkSql: String) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      TxLogTable.addCheckConstraint(spark, t.resolve(spark), name, checkSql)
+      Nil
+    }
+  }
+
+  case class DropConstraintCommand(t: Target, name: String)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      TxLogTable.dropCheckConstraint(t.resolve(spark), name)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c SET/DROP NOT NULL` — the NOT NULL
+    * column invariant ([[TxLogTable.setNotNull]]): unlike a CHECK
+    * constraint (which passes NULL by the SQL rule), this is exactly
+    * the rejection of NULL, including a staged frame that omits the
+    * column entirely. */
+  case class NotNullCommand(t: Target, column: String, set: Boolean)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      val path = t.resolve(spark)
+      if (set) TxLogTable.setNotNull(spark, path, column)
+      else TxLogTable.dropNotNull(path, column)
+      Nil
+    }
+  }
+
+  /** SQL `table_changes(t, start[, end])` — Delta's change-feed
+    * table-valued function, rewritten AT PARSE TIME into the batch
+    * readChangeFeed relation (stock Spark has no such TVF, so the
+    * unresolved node would fail analysis). `t` is a string literal
+    * (catalog table, view, or graftlog.`/path`); `start`/`end` are
+    * version numbers, epoch-millis, or timestamp string literals —
+    * a timestamp start resolves to the EARLIEST version at-or-after
+    * it ([[TxLogTable.versionSince]]), an end to the latest at-or-
+    * before ([[TxLogTable.versionAsOf]]), Delta's boundary contract.
+    * `end` defaults to the current head. Both bounds INCLUSIVE
+    * (the readChangeFeed contract). Non-graft or non-literal targets
+    * pass through untouched — Spark's own error stands. */
+  def rewriteTableChanges(session: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    plan transformUp {
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") &&
+            tvf.functionArgs.size >= 2 && tvf.functionArgs.size <= 3 =>
+        val rewritten = tvf.functionArgs.head match {
+          case Literal(t, StringType) =>
+            val raw = String.valueOf(t)
+            val target = targetOf(raw)
+            target.path.orElse(graftPathOf(session, raw)).flatMap { path =>
+              def bound(e: org.apache.spark.sql.catalyst.expressions
+                  .Expression, isEnd: Boolean): Option[Long] = e match {
+                case Literal(v, IntegerType | LongType) =>
+                  Some(String.valueOf(v).toLong)
+                case l @ Literal(_, StringType)
+                    if String.valueOf(l.value).matches("\\d+") &&
+                      String.valueOf(l.value).length < 12 =>
+                  Some(String.valueOf(l.value).toLong)
+                case l: Literal => literalMillis(l).map(ms =>
+                  if (isEnd) TxLogTable.versionAsOf(path, ms)
+                  else TxLogTable.versionSince(path, ms))
+                case _ => None
+              }
+              for {
+                start <- bound(tvf.functionArgs(1), isEnd = false)
+                end <- tvf.functionArgs.drop(2).headOption
+                  .map(e => bound(e, isEnd = true))
+                  .getOrElse(Some(TxLogTable.currentVersion(path)))
+              } yield org.apache.spark.sql.catalyst.plans.logical
+                .SubqueryAlias("table_changes",
+                  session.read.format("graftlog")
+                    .option("readChangeFeed", "true")
+                    .option("startingVersion", start)
+                    .option("endingVersion", end)
+                    .load(path).queryExecution.logical)
+            }
+          case _ => None
+        }
+        rewritten.getOrElse(tvf)
+    }
   }
 }

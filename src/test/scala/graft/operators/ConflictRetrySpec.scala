@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Logical conflict detection for rebase commits
+  * ([[TxLogTable.commitRebaseRetry]]) — the delta world's
+  * ConcurrentAppend rules in place of the round-16 blanket
+  * "anything committed → abort". Interleavings are DETERMINISTIC via
+  * the path-keyed pre-commit test hook (a thread race would be
+  * timing-dependent): the hook fires exactly once, immediately before
+  * the rebase commit's first publish attempt — i.e. after the rewrite
+  * staged from its pinned snapshot, the worst-case window. */
+class ConflictRetrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp = Files.createTempDirectory("graft-conflict").toString
+
+  private def hook(path: String)(body: => Unit): Unit =
+    TxLogTable.testPreCommitHooks.put(
+      new org.apache.hadoop.fs.Path(path).toString, () => body)
+
+  test("compact survives a concurrent append: BOTH commit, appended rows intact") {
+    val path = tmp
+    (1 to 4).foreach(i => TxLogTable.append(spark,
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), path))
+    val v0 = TxLogTable.currentVersion(path)
+    // the append lands between compact's snapshot read and its publish
+    hook(path) {
+      TxLogTable.append(spark, Seq((100L, "raced")).toDF("id", "v"), path)
+    }
+    val cv = TxLogTable.compact(spark, path, targetFiles = 1)
+    // the appended commit won v0+1; the compact retried and took v0+2
+    assert(cv == v0 + 2, s"compact must commit AFTER the append, got $cv")
+    val head = TxLogTable.read(spark, path)
+    assert(head.count() == 5)
+    assert(head.filter(col("id") === 100).count() == 1,
+      "the raced append's row must survive the compaction")
+    // the raced append's file carried into the rebase listing BY REFERENCE
+    val appended = TxLogTable.filesAt(path, v0 + 1)
+      .diff(TxLogTable.filesAt(path, v0))
+    assert(appended.nonEmpty)
+    val atHead = TxLogTable.filesAt(path, cv)
+    assert(appended.forall(atHead.contains),
+      "the interleaved append's files must carry into the compact listing")
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("version") === cv).select("operation")
+      .head().getString(0) == "compact")
+  }
+
+  test("compact still aborts on a concurrent listing-replacing commit") {
+    val path = tmp
+    (1 to 3).foreach(i => TxLogTable.append(spark,
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), path))
+    hook(path) { TxLogTable.deleteWhere(spark, path, col("id") === 2L) }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLogTable.compact(spark, path, targetFiles = 1)
+    }
+    // the table is undamaged and the interleaved delete stands
+    assert(TxLogTable.read(spark, path).count() == 2)
+    // the aborted compact's staged dir was reaped (nothing orphaned
+    // beyond what the log references)
+    val referenced = TxLogTable.allVersions(path)
+      .flatMap(v => TxLogTable.filesAt(path, v))
+      .map(_.split('/').head).toSet
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("data-"))
+      .map(_.getName).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"aborted compact left orphan dirs: ${onDisk.diff(referenced)}")
+  }
+
+  test("dv delete survives a stats-disjoint concurrent append; an overlapping one aborts") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1), path)
+    TxLogTable.append(spark,
+      (51L to 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1), path)
+    // disjoint: the raced append's ids sit far above the delete range
+    hook(path) {
+      TxLogTable.append(spark,
+        (1000L to 1009L).map(i => (i, s"n$i")).toDF("id", "v")
+          .repartition(1), path)
+    }
+    val dv = TxLogTable.deleteWhereDv(spark, path, col("id") <= 10L)
+    assert(dv == 3, s"dv delete must retry past the append, got $dv")
+    assert(TxLogTable.read(spark, path).count() == 100 - 10 + 10)
+    assert(TxLogTable.deletionVectors(path, dv).values.map(_._2).sum == 10)
+
+    // overlapping: the appended file's id range intersects the predicate
+    hook(path) {
+      TxLogTable.append(spark,
+        Seq((11L, "overlap")).toDF("id", "v"), path)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLogTable.deleteWhereDv(spark, path, col("id") <= 12L)
+    }
+    // abort is clean: the raced append committed, no masks recorded
+    // beyond the first delete's, and no orphan dv dirs remain
+    val head = TxLogTable.currentVersion(path)
+    assert(TxLogTable.deletionVectors(path, head).values.map(_._2).sum == 10)
+    val liveDvDirs = TxLogTable.allVersions(path)
+      .flatMap(v => TxLogTable.deletionVectors(path, v).values.map(_._1))
+      .toSet
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("data-dvs-"))
+      .map(_.getName).toSet
+    assert(onDisk == liveDvDirs,
+      s"aborted dv delete left orphan dv dirs: ${onDisk.diff(liveDvDirs)}")
+  }
+
+  test("30 interleaved commits: appends and dv deletes on disjoint key ranges never abort each other") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1), path)
+    var expected = 100L
+    (1 to 15).foreach { i =>
+      // each dv delete is raced by one append in a far-away key range
+      hook(path) {
+        TxLogTable.append(spark,
+          (i * 1000L to i * 1000L + 9L).map(j => (j, s"n$j"))
+            .toDF("id", "v").repartition(1), path)
+      }
+      val v = TxLogTable.deleteWhereDv(spark, path,
+        col("id") === (i * 2L)) // one row per delete, ids 2..30
+      assert(v >= 0, s"delete $i must commit")
+      expected += 10 - 1
+    }
+    assert(TxLogTable.currentVersion(path) == 30,
+      "15 appends + 15 dv deletes = 30 commits, none aborted")
+    assert(TxLogTable.read(spark, path).count() == expected)
+    assert(TxLogTable.deletionVectors(path,
+      TxLogTable.currentVersion(path)).values.map(_._2).sum == 15)
+  }
+
+  test("scoped compact: OPTIMIZE WHERE rewrites only in-scope files, the rest carry by reference") {
+    val path = tmp
+    // 4 small files per partition key
+    (1 to 4).foreach { i =>
+      TxLogTable.append(spark,
+        Seq(("a", i.toLong), ("b", i.toLong + 100)).toDF("p", "id"),
+        path, partitionBy = Seq("p"))
+    }
+    val v0 = TxLogTable.currentVersion(path)
+    val before = TxLogTable.filesAt(path, v0)
+    val aFiles = before.filter(_.contains("p=a"))
+    val bFiles = before.filter(_.contains("p=b"))
+    assert(aFiles.size == 4 && bFiles.size == 4)
+    val cv = TxLogTable.compact(spark, path, targetFiles = 1,
+      where = Some(col("p") === "a"))
+    val after = TxLogTable.filesAt(path, cv)
+    // every out-of-scope file carries BY REFERENCE (identical names)
+    assert(bFiles.forall(after.contains),
+      "p=b files must carry by reference through a p=a-scoped compact")
+    // the in-scope files all rewrote into the compacted dir
+    assert(after.count(_.contains("p=a")) < aFiles.size)
+    assert(aFiles.forall(f => !after.contains(f)))
+    // rows unchanged, partition column recovered
+    val head = TxLogTable.read(spark, path)
+    assert(head.count() == 8)
+    assert(head.filter(col("p") === "a").count() == 4)
+  }
+
+  test("small-files-only compact: minFileMB leaves already-compacted files in place") {
+    val path = tmp
+    // one big file (~> 1 MB of parquet) + three tiny ones
+    val big = spark.range(0, 200000)
+      .select(col("id"),
+        sha2(concat(col("id").cast("string"), lit("pad")), 256).as("v"))
+    TxLogTable.append(spark, big.repartition(1), path)
+    (1 to 3).foreach(i => TxLogTable.append(spark,
+      Seq((1000000L + i, s"small$i")).toDF("id", "v"), path))
+    val v0 = TxLogTable.currentVersion(path)
+    val before = TxLogTable.filesAt(path, v0)
+    val (_, sizes) = TxLogTable.snapshotWithSizes(path, v0)
+    val bigFiles = before.filter(f => sizes(f) >= 1024 * 1024)
+    assert(bigFiles.nonEmpty, "fixture needs a >=1MB file")
+    val cv = TxLogTable.compact(spark, path, targetFiles = 1, minFileMB = 1)
+    val after = TxLogTable.filesAt(path, cv)
+    assert(bigFiles.forall(after.contains),
+      "files at or over minFileMB must carry by reference")
+    assert(after.size == bigFiles.size + 1,
+      "the under-target files must bin-pack into one")
+    assert(TxLogTable.read(spark, path).count() == 200000 + 3)
+    // nothing under target → -1, no commit, no log churn
+    assert(TxLogTable.compact(spark, path, targetFiles = 1,
+      minFileMB = 1) == -1L)
+    assert(TxLogTable.currentVersion(path) == cv)
+  }
+
+  test("merge survives a key-range-disjoint concurrent append") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 20L).map(i => (i, i * 10.0)).toDF("k", "x").repartition(1),
+      path)
+    hook(path) {
+      TxLogTable.append(spark,
+        (500L to 509L).map(i => (i, i * 1.0)).toDF("k", "x")
+          .repartition(1), path)
+    }
+    val v = TxLogTable.upsertByKey(spark, path,
+      Seq((1L, -1.0), (21L, -21.0)).toDF("k", "x"), Seq("k"))
+    assert(v == 2, s"upsert must retry past the append, got $v")
+    val head = TxLogTable.read(spark, path)
+    assert(head.count() == 20 + 10 + 1)
+    assert(head.filter(col("k") === 1L).select("x").head().getDouble(0)
+      == -1.0)
+    assert(head.filter(col("k") === 505L).count() == 1,
+      "the raced append's rows must survive the upsert")
+  }
+
+  test("purge survives any concurrent append (layout-only rewrite)") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1), path)
+    TxLogTable.deleteWhereDv(spark, path, col("id") <= 5L)
+    hook(path) {
+      TxLogTable.append(spark, Seq((2L, "same-range-append"))
+        .toDF("id", "v"), path) // even an in-range append is compatible
+    }
+    val v = TxLogTable.purgeDeletes(spark, path)
+    assert(v == 3, s"purge must retry past the append, got $v")
+    assert(TxLogTable.deletionVectors(path, v).isEmpty)
+    assert(TxLogTable.read(spark, path).count() == 25 + 1)
+  }
+}
