@@ -25,10 +25,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * on an `hdfs://` table would strand the ACID story on the driver's
   * local disk while executors write data to the cluster store.
   *
-  * This deliberately implements the subset the reference uses (append +
-  * read-back; no UPDATE/DELETE/MERGE, matching SURVEY §2.C), with file
-  * listing kept in the log exactly like the delta protocol so readers
-  * never list directories at scale.
+  * Started as the subset the reference uses (append + read-back,
+  * SURVEY §2.C) and grew the full delta-style table surface on top of
+  * the same log: row-level DML (DELETE/UPDATE/MERGE, copy-on-write and
+  * merge-on-read deletion vectors), schema evolution (ADD COLUMNS,
+  * column-mapping RENAME/DROP, widening merges), CHECK constraints and
+  * NOT NULL invariants, incremental conflict-revalidated OPTIMIZE,
+  * RESTORE/CLONE/VACUUM, change feeds, and SetTransaction idempotency —
+  * with the file listing kept in the log exactly like the delta
+  * protocol so readers never list directories at scale.
   */
 object TxLogTable {
 
@@ -2257,6 +2262,22 @@ object TxLogTable {
     * earlier than that, keeps every snapshot at-or-after it intact). */
   def vacuumCompacted(path: String, sinceVersion: Long): Seq[String] = {
     val (fs, root) = fsFor(path)
+    val stale = staleDirsBefore(fs, root, sinceVersion)
+    stale.foreach(d => fs.delete(new HPath(root, d), true))
+    stale
+  }
+
+  /** The dirs [[vacuumCompacted]] WOULD reap, without deleting — the
+    * delta world's `VACUUM … DRY RUN`: an operator sanity-checks the
+    * blast radius (and the time-travel horizon it forfeits) before the
+    * irreversible pass. */
+  def vacuumCompactedDryRun(path: String, sinceVersion: Long): Seq[String] = {
+    val (fs, root) = fsFor(path)
+    staleDirsBefore(fs, root, sinceVersion)
+  }
+
+  private def staleDirsBefore(fs: FileSystem, root: HPath,
+      sinceVersion: Long): Seq[String] = {
     // the closure of every reachable snapshot >= sinceVersion —
     // including each snapshot's deletion-vector dirs (reaping a live dv
     // would RESURRECT its masked rows)
@@ -2266,12 +2287,10 @@ object TxLogTable {
         st.files ++ st.dvs.values.map(_._1)
       }
       .map(_.split('/').head).toSet
-    val stale = fs.listStatus(root).iterator
+    fs.listStatus(root).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-") &&
         !live(s.getPath.getName))
-      .map(_.getPath).toSeq
-    stale.foreach(d => fs.delete(d, true))
-    stale.map(_.getName)
+      .map(_.getPath.getName).toSeq
   }
 
   // ---- CHECK constraints (Delta's table invariants) ----
@@ -2452,12 +2471,18 @@ object TxLogTable {
     * `retainMs`, i.e. [[vacuumCompacted]] keyed by wall clock instead
     * of version number. Time travel into the retained window stays
     * intact; older snapshots whose files were superseded forfeit. */
-  def vacuumRetain(path: String, retainMs: Long): Seq[String] = {
+  def vacuumRetain(path: String, retainMs: Long): Seq[String] =
+    vacuumCompacted(path, retainHorizon(path, retainMs))
+
+  /** [[vacuumRetain]]'s DRY RUN — reports, never deletes. */
+  def vacuumRetainDryRun(path: String, retainMs: Long): Seq[String] =
+    vacuumCompactedDryRun(path, retainHorizon(path, retainMs))
+
+  private def retainHorizon(path: String, retainMs: Long): Long = {
     val cutoff = System.currentTimeMillis() - retainMs
-    val keepFrom = history(path).collectFirst {
+    history(path).collectFirst {
       case (v, ts) if ts >= cutoff => v
     }.getOrElse(currentVersion(path))
-    vacuumCompacted(path, keepFrom)
   }
 
   private def opOf(path: String, v: Long): Option[String] = {
@@ -3600,12 +3625,26 @@ object TxLogTable {
         .filter(predicate).queryExecution.analyzed
         .collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-    val cond =
+    val cond0 =
       try resolve(spark.read.parquet(s"$path/${files.last}").schema)
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
           resolve(readVersion(spark, path, v).schema)
       }
+    // CONSTANT-FOLD the analyzed tree: type coercion wraps literals in
+    // casts (`int_col = '3'` analyzes to `cast(col as double) =
+    // cast('3' as double)`), and an unfolded cast-of-literal is opaque
+    // to the min/max evaluator — the file pruner would keep EVERY file.
+    // The analyzed-only plan never ran the optimizer, so fold here
+    // (exactly Catalyst's ConstantFolding step, scoped to this tree).
+    val cond = cond0.map(_.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        try org.apache.spark.sql.catalyst.expressions.Literal
+          .create(e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow),
+            e.dataType)
+        catch { case scala.util.control.NonFatal(_) => e }
+    })
     schemaMappingAt(path, v) match {
       case Some(m) => cond.map(_.transform {
         case a: org.apache.spark.sql.catalyst.expressions

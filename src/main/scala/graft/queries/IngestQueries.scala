@@ -1660,8 +1660,61 @@ object IngestQueries extends QueryModule {
       FROM generate_series(1, 5) AS t(i)
       ORDER BY p_partkey"""))
 
+  /** A23 SHALLOW CLONE via SQL (`CREATE TABLE … SHALLOW CLONE …
+    * VERSION AS OF n` — Delta's clone spelling over
+    * [[TxLogTable.shallowClone]]): the clone pins a historical version
+    * with ZERO data copied (REQUIREd in-query: identical listing AND
+    * hard-link inode identity), then source and clone evolve
+    * independently — a later DELETE on the source never shows in the
+    * clone, and the clone's own UPDATE never shows in the source.
+    * DuckDB replays the clone's final state as the v0 snapshot plus
+    * its own update. */
+  private val q196 = QueryDef(
+    "q196_shallow_clone",
+    (s, d) => {
+      val tag = new java.io.File(d).getName
+      val src = s"/tmp/graft_clsrc_$tag"
+      val dst = s"/tmp/graft_cldst_$tag"
+      val conf = s.sessionState.newHadoopConf()
+      Seq(src, dst).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, true)
+      }
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      TxLogTable.append(s, sup.repartition(1), src) // v0
+      TxLogTable.updateWhere(s, src,
+        Map("s_acctbal" -> (col("s_acctbal") + lit(50.0))),
+        col("s_suppkey") % 3 === 0) // v1 (post-clone-point noise)
+      val cv = s.sql(s"CREATE TABLE graftlog.`$dst` SHALLOW CLONE " +
+        s"graftlog.`$src` VERSION AS OF 0").head().getLong(0)
+      require(cv == 0L, "clone lands as the destination's v0")
+      val srcFiles = TxLogTable.filesAt(src, 0)
+      require(TxLogTable.filesAt(dst, 0).toSet == srcFiles.toSet,
+        "clone listing must be the source snapshot's, verbatim")
+      def ino(p: String) = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(p), "unix:ino")
+      require(ino(s"$dst/${srcFiles.head}") == ino(s"$src/${srcFiles.head}"),
+        "clone must hard-link, not copy — zero data bytes")
+      // independent evolution both ways
+      TxLogTable.deleteWhere(s, src, col("s_suppkey") % 7 === 0)
+      TxLogTable.updateWhere(s, dst,
+        Map("s_acctbal" -> (col("s_acctbal") * 2)),
+        col("s_suppkey") % 5 === 0)
+      require(TxLogTable.read(s, dst).count() == sup.count(),
+        "the source's delete must never show in the clone")
+      TxLogTable.read(s, dst)
+        .select(col("s_suppkey"), col("s_acctbal"))
+    },
+    Some("""
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal * 2
+                  ELSE s_acctbal END AS s_acctbal
+      FROM supplier
+      ORDER BY s_suppkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180, q184, q188, q189, q191, q192, q193, q194, q195)
+      q177, q180, q184, q188, q189, q191, q192, q193, q194, q195, q196)
 }

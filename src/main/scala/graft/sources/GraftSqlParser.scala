@@ -96,7 +96,9 @@ object GraftOpsSql {
   private val DescDetail =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*$$""".r
   private val Vacuum =
-    s"""(?is)^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
+  private val CloneStmt =
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""".r
   private val Optimize =
     s"""(?is)^\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""".r
   private val Reorg =
@@ -145,8 +147,12 @@ object GraftOpsSql {
         Some(DescribeHistoryCommand(targetOf(t)))
       case DescDetail(t) if isGraftTarget(session, t) =>
         Some(DescribeDetailCommand(targetOf(t)))
-      case Vacuum(t, hours) if isGraftTarget(session, t) =>
-        Some(VacuumCommand(targetOf(t), Option(hours).map(_.toDouble)))
+      case Vacuum(t, hours, dry) if isGraftTarget(session, t) =>
+        Some(VacuumCommand(targetOf(t), Option(hours).map(_.toDouble),
+          dryRun = dry != null))
+      case CloneStmt(dest, src, ver, loc) if isGraftTarget(session, src) =>
+        Some(CloneCommand(targetOf(dest), Option(loc), targetOf(src),
+          Option(ver).map(_.toLong)))
       case Optimize(t, whereSql, zcols) if isGraftTarget(session, t) =>
         Some(OptimizeCommand(targetOf(t),
           Option(zcols).map(_.split(",").toSeq.map(c => unquote(c.trim))
@@ -333,13 +339,44 @@ object GraftOpsSql {
       TxLogTable.tableDetail(spark, t.resolve(spark)).collect().toSeq
   }
 
-  /** Default retention mirrors the delta world's 168h. */
-  case class VacuumCommand(t: Target, retainHours: Option[Double])
-      extends LeafRunnableCommand {
+  /** Default retention mirrors the delta world's 168h. `DRY RUN`
+    * reports the dirs a real pass would reap, deleting nothing — the
+    * blast-radius check before the irreversible vacuum. */
+  case class VacuumCommand(t: Target, retainHours: Option[Double],
+      dryRun: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("reaped" -> StringType)
     override def run(spark: SparkSession): Seq[Row] = {
       val ms = (retainHours.getOrElse(168.0) * 3600 * 1000).toLong
-      TxLogTable.vacuumRetain(t.resolve(spark), ms).map(Row(_))
+      val path = t.resolve(spark)
+      val dirs =
+        if (dryRun) TxLogTable.vacuumRetainDryRun(path, ms)
+        else TxLogTable.vacuumRetain(path, ms)
+      dirs.map(Row(_))
+    }
+  }
+
+  /** `CREATE TABLE dest SHALLOW CLONE src [VERSION AS OF n]
+    * [LOCATION 'path']` — Delta's clone spelling over
+    * [[TxLogTable.shallowClone]]: zero data rewritten (hard links), the
+    * clone evolves independently. `dest` is a `graftlog.`/path``
+    * literal, or a catalog name with a LOCATION clause — the command
+    * then registers the catalog table over the cloned path so name
+    * resolution works immediately. */
+  case class CloneCommand(dest: Target, destLoc: Option[String],
+      src: Target, version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val srcPath = src.resolve(spark)
+      val destPath = dest.path.orElse(destLoc).getOrElse(
+        throw new IllegalArgumentException(
+          "SHALLOW CLONE needs a destination path — use the " +
+            "graftlog.`/path` literal form or add LOCATION '/path'"))
+      val v = TxLogTable.shallowClone(spark, srcPath, destPath, version)
+      dest.ident.foreach { name =>
+        spark.sql(s"CREATE TABLE $name USING graftlog " +
+          s"OPTIONS (path '${destPath.replace("'", "''")}')")
+      }
+      Seq(Row(v))
     }
   }
 

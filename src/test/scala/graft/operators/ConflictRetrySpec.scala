@@ -210,6 +210,43 @@ class ConflictRetrySpec extends SparkSpec {
       "the raced append's rows must survive the upsert")
   }
 
+  test("threaded stress: a REAL concurrent appender during compact loses no rows") {
+    val path = tmp
+    TxLogTable.append(spark,
+      spark.range(0, 100000).select(col("id"),
+        (col("id") % 97).as("v")), path)
+    (1 to 3).foreach(i => TxLogTable.append(spark,
+      Seq((200000L + i, i.toLong)).toDF("id", "v"), path))
+    // a real thread appends while the compact stages + publishes — the
+    // timing is genuinely racy; whatever interleaving happens, the
+    // invariants must hold: compact commits (retrying past appends),
+    // no appended row is lost, every version stays readable
+    val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val appender = new Thread(() => {
+      (1 to 4).foreach { i =>
+        TxLogTable.append(spark,
+          Seq((300000L + i, i.toLong)).toDF("id", "v"), path)
+        appended.incrementAndGet()
+        Thread.sleep(60)
+      }
+    })
+    appender.start()
+    Thread.sleep(30) // let the first append overlap the compact window
+    val cv = TxLogTable.compact(spark, path, targetFiles = 2)
+    appender.join()
+    assert(cv >= 0)
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("operation") === "compact").count() == 1)
+    val head = TxLogTable.read(spark, path)
+    assert(head.count() == 100000L + 3 + appended.get(),
+      "no committed row may be lost across the race")
+    assert(head.filter(col("id") >= 300000L).count() == appended.get())
+    // every version (pre-, mid-, post-race) still resolves and reads
+    TxLogTable.allVersions(path).foreach { v =>
+      assert(TxLogTable.readVersion(spark, path, v).count() > 0)
+    }
+  }
+
   test("purge survives any concurrent append (layout-only rewrite)") {
     val path = tmp
     TxLogTable.append(spark,

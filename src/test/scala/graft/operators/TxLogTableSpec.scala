@@ -418,6 +418,16 @@ class TxLogTableSpec extends SparkSpec {
     val (orKept, _) = TxLogTable.prunedFiles(spark, path,
       col("id") < 50L || col("id") >= 250L)
     assert(orKept.size == 2, orKept.mkString(","))
+    // TYPE-COERCED literals still prune: `double_col = '500.0'` analyzes
+    // with the STRING literal wrapped in a cast, and the condition must
+    // constant-fold before the min/max evaluator sees it (an unfolded
+    // cast-of-literal is opaque and silently kept every file — the
+    // CompactProbe caught exactly this on int-typed partition values)
+    val (coerced, coercedSkip) = TxLogTable.prunedFiles(spark, path,
+      col("x") === "500.0")
+    assert(coerced.size == 1 && coercedSkip.size == 2,
+      s"string-literal equality on a double column must still prune: " +
+        s"kept ${coerced.size}")
     // a predicate shape the evaluator can't reason about keeps everything
     val (allKept, none) = TxLogTable.prunedFiles(spark, path,
       col("id") % 10L === 0L)

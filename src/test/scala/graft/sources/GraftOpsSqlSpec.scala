@@ -233,4 +233,51 @@ class GraftOpsSqlSpec extends SparkSpec {
     assert(TxLogTable.currentVersion(path) == 1L)
     spark.sql("DROP TABLE ops_ctas")
   }
+
+  test("VACUUM ... DRY RUN reports the blast radius without deleting") {
+    val path = fresh()
+    spark.sql(s"OPTIMIZE graftlog.`$path`") // supersedes the 3 small dirs
+    val dry = spark.sql(s"VACUUM graftlog.`$path` RETAIN 0 HOURS DRY RUN")
+      .as[String].collect().toSet
+    assert(dry.size == 3, s"3 superseded dirs expected, got $dry")
+    // nothing deleted: time travel below the compaction still reads
+    assert(TxLogTable.readVersion(spark, path, 0).count() == 10)
+    // the real pass reaps exactly what the dry run named
+    val real = spark.sql(s"VACUUM graftlog.`$path` RETAIN 0 HOURS")
+      .as[String].collect().toSet
+    assert(real == dry)
+    assert(TxLogTable.read(spark, path).count() == 30)
+  }
+
+  test("CREATE TABLE ... SHALLOW CLONE: zero-copy clone via SQL, independent evolution") {
+    val path = fresh()
+    TxLogTable.deleteWhere(spark, path, col("id") === 5L) // v3 on source
+    val destPath = java.nio.file.Files
+      .createTempDirectory("graft-opssql-clone").toString + "/t"
+    // clone the PRE-delete snapshot by version, path-literal dest
+    val v = spark.sql(
+      s"CREATE TABLE graftlog.`$destPath` SHALLOW CLONE graftlog.`$path` " +
+        "VERSION AS OF 2").head().getLong(0)
+    assert(v == 0L)
+    assert(TxLogTable.read(spark, destPath).count() == 30,
+      "the clone serves the pre-delete snapshot")
+    // zero-copy: the cloned bytes are hard links (same inode)
+    val rel = TxLogTable.filesAt(destPath, 0).head
+    def ino(p: String) = java.nio.file.Files.getAttribute(
+      java.nio.file.Paths.get(p), "unix:ino")
+    assert(ino(s"$destPath/$rel") == ino(s"$path/$rel"),
+      "clone must hard-link, not copy")
+    // independent evolution: DML on the clone never touches the source
+    TxLogTable.deleteWhere(spark, destPath, col("id") < 10L)
+    assert(TxLogTable.read(spark, destPath).count() == 20)
+    assert(TxLogTable.read(spark, path).count() == 29)
+    // catalog-name dest with LOCATION registers the table
+    spark.sql("DROP TABLE IF EXISTS ops_clone_ct")
+    val destPath2 = java.nio.file.Files
+      .createTempDirectory("graft-opssql-clone2").toString + "/t"
+    spark.sql(s"CREATE TABLE ops_clone_ct SHALLOW CLONE " +
+      s"graftlog.`$path` LOCATION '$destPath2'")
+    assert(spark.table("ops_clone_ct").count() == 29)
+    spark.sql("DROP TABLE ops_clone_ct")
+  }
 }
