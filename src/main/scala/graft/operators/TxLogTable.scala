@@ -840,6 +840,20 @@ object TxLogTable {
     // a single under-target file with no clustering ask gains nothing
     // from a self-rewrite
     if (scoped && scope.size == 1 && zorderBy.isEmpty) return -1L
+    rewriteScope(spark, path, fs, root, v0, st, scope, targetFileMB,
+      commit, zorderBy, zorderBits, targetFiles, partitionBy, scoped)
+  }
+
+  /** One scope's compaction rewrite + conflict-revalidated rebase
+    * commit — the shared core of [[compact]] (whole selection in one
+    * commit) and [[compactIncremental]] (one commit per bin). */
+  private def rewriteScope(spark: SparkSession, path: String,
+      fs: FileSystem, root: HPath, v0: Long, st: LogState,
+      scope: Seq[String], targetFileMB: Int, commit: CommitPoint,
+      zorderBy: Seq[String], zorderBits: Int, targetFiles: Int,
+      partitionBy: Seq[String], scoped: Boolean): Long = {
+    def sizeOf(f: String): Long =
+      st.sizes.getOrElse(f, fs.getFileStatus(new HPath(root, f)).getLen)
     val carried = st.files.diff(scope)
     val knownSchema = schemaAt(path, v0)
     // the rewrite source: ONLY the in-scope files, their dvs folded in
@@ -887,6 +901,72 @@ object TxLogTable {
       knownSchema.getOrElse(source.schema).json, commit,
       sizes = staged.toMap)
     v
+  }
+
+  /** Bin-packed incremental OPTIMIZE — Delta's COMMIT-PER-BIN posture,
+    * the shape a multi-hour compaction of a 100 TB table actually
+    * needs: the under-`minFileMB` files (optionally restricted by
+    * `where`) group into ~`targetFileMB` bins, PARTITION-ALIGNED
+    * (files from different hive partitions never share a bin — the
+    * merged file must land in ONE partition dir), and each bin
+    * compacts as its OWN conflict-revalidated rebase commit. A crash
+    * or a true conflict loses at most one bin's in-flight work —
+    * every completed bin is already durable and visible — and
+    * concurrent appends abort nothing (each per-bin commit carries
+    * them by reference, the [[commitRebaseRetry]] rule). Single-file
+    * bins are skipped (no layout gain). Bins re-validate against the
+    * LIVE head before rewriting, so a concurrent DML that rewrote a
+    * bin's file drops that file from the bin instead of resurrecting
+    * it. Returns the committed versions, oldest first. */
+  def compactIncremental(spark: SparkSession, path: String,
+      targetFileMB: Int = 256, minFileMB: Int = 64,
+      commit: CommitPoint = CommitPoint.Auto,
+      where: Option[org.apache.spark.sql.Column] = None): Seq[Long] = {
+    require(minFileMB > 0, "compactIncremental needs minFileMB > 0 " +
+      "(the small-files selection IS the operation)")
+    val (fs, root) = fsFor(path)
+    val v0 = versions(fs, root).lastOption.getOrElse(-1L)
+    if (v0 < 0) return Seq.empty
+    val st0 = stateUpTo(fs, root, v0)
+    def sizeOf(st: LogState)(f: String): Long =
+      st.sizes.getOrElse(f, fs.getFileStatus(new HPath(root, f)).getLen)
+    val whereScope = where match {
+      case None => st0.files
+      case Some(p) => prunedFiles(spark, path, p, Some(v0))._1
+    }
+    val small = whereScope
+      .filter(f => sizeOf(st0)(f) < minFileMB * 1024L * 1024L)
+    // partition-aligned first-fit binning in listing order
+    val targetBytes = targetFileMB * 1024L * 1024L
+    val bins = small
+      .groupBy(f => partitionValuesOf(f)
+        .map { case (k, v) => s"$k=${v.getOrElse("")}" }.mkString("/"))
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, fsOfPart) =>
+        val out = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[String])
+        var acc = 0L
+        fsOfPart.sorted.foreach { f =>
+          val sz = sizeOf(st0)(f)
+          if (acc + sz > targetBytes && out.last.nonEmpty) {
+            out += scala.collection.mutable.ArrayBuffer.empty[String]
+            acc = 0L
+          }
+          out.last += f; acc += sz
+        }
+        out.filter(_.size >= 2).map(_.toSeq)
+      }
+    bins.flatMap { bin =>
+      // re-validate against the LIVE head: earlier bins rebased the
+      // listing, and a concurrent DML may have rewritten a bin member
+      val vb = versions(fs, root).lastOption.getOrElse(-1L)
+      val stb = stateUpTo(fs, root, vb)
+      val liveBin = bin.filter(stb.files.toSet)
+      if (liveBin.size < 2) None
+      else Some(rewriteScope(spark, path, fs, root, vb, stb, liveBin,
+        targetFileMB, commit, Seq.empty, 8, targetFiles = 0,
+        partitionBy = Seq.empty, scoped = true))
+    }
   }
 
   /** Log-relative paths of the files (among `all`) that contain at

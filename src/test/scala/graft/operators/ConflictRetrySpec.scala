@@ -210,6 +210,51 @@ class ConflictRetrySpec extends SparkSpec {
       "the raced append's rows must survive the upsert")
   }
 
+  test("compactIncremental: one durable commit per partition-aligned bin, big files untouched") {
+    val path = tmp
+    // 3 small files in each of two partitions + one >=1MB file in p=c
+    (1 to 3).foreach { i =>
+      TxLogTable.append(spark,
+        Seq(("a", i.toLong), ("b", i + 100L)).toDF("p", "id"),
+        path, partitionBy = Seq("p"))
+    }
+    val big = spark.range(0, 120000).select(lit("c").as("p"), col("id"))
+      .select(col("p"),
+        (col("id") + 1000L).as("id"),
+        sha2(concat(col("id").cast("string"), lit("pad")), 256).as("fill"))
+    // align schemas: the small files lack `fill`; widen via a plain
+    // append (schema merges on read)
+    TxLogTable.append(spark, big.repartition(1), path,
+      partitionBy = Seq("p"))
+    val v0 = TxLogTable.currentVersion(path)
+    val before = TxLogTable.filesAt(path, v0)
+    val (_, sizes) = TxLogTable.snapshotWithSizes(path, v0)
+    val bigFiles = before.filter(f => sizes(f) >= 1024 * 1024)
+    assert(bigFiles.nonEmpty, "fixture needs a >=1MB file")
+    val vs = TxLogTable.compactIncremental(spark, path, minFileMB = 1)
+    // one commit per partition bin (p=a and p=b; p=c's file is big)
+    assert(vs.size == 2, s"expected 2 bin commits, got $vs")
+    assert(vs == vs.sorted && vs.last == TxLogTable.currentVersion(path))
+    val ops = TxLogTable.historyDf(spark, path)
+      .filter(col("operation") === "compact").count()
+    assert(ops == 2)
+    val after = TxLogTable.filesAt(path, vs.last)
+    assert(bigFiles.forall(after.contains),
+      "over-target files must carry by reference")
+    assert(after.count(_.contains("p=a")) == 1 &&
+      after.count(_.contains("p=b")) == 1,
+      s"each small-file partition must bin-pack to one file: $after")
+    // every intermediate bin commit is durable and readable
+    vs.foreach(v => assert(
+      TxLogTable.readVersion(spark, path, v).count() == 6L + 120000L))
+    // rows and partition recovery unchanged
+    val head = TxLogTable.read(spark, path)
+    assert(head.filter(col("p") === "a").count() == 3)
+    assert(head.filter(col("p") === "c").count() == 120000)
+    // idempotent: nothing under target remains grouped into a >=2 bin
+    assert(TxLogTable.compactIncremental(spark, path, minFileMB = 1).isEmpty)
+  }
+
   test("threaded stress: a REAL concurrent appender during compact loses no rows") {
     val path = tmp
     TxLogTable.append(spark,
