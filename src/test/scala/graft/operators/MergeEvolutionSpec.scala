@@ -100,6 +100,35 @@ class MergeEvolutionSpec extends SparkSpec {
     spark.catalog.dropTempView("evo_s")
   }
 
+  test("evolution composes with deletion vectors: widen + merge-on-read in sequence") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 12L).map(i => (i, i * 1.0)).toDF("k", "x").repartition(1),
+      path) // v0
+    val src = Seq((3L, -3.0, "t3"), (7L, -7.0, "t7"), (30L, -30.0, "ins"))
+      .toDF("k", "x", "tag")
+    val v = TxLogTable.mergeByKey(spark, path, src, Seq("k"),
+      schemaEvolution = true, useDv = true)
+    // addcolumns(1) then a dv merge(2): the seed file's bytes NEVER
+    // rewrite — old images mask, new images append
+    assert(v == 2L)
+    val ops = TxLogTable.historyDf(spark, path)
+      .orderBy("version").select("operation").collect()
+      .map(_.getString(0)).toSeq
+    assert(ops == Seq("append", "addcolumns", "dvmerge"), ops)
+    assert(TxLogTable.filesAt(path, 0).forall(
+      TxLogTable.filesAt(path, 2).contains),
+      "dv merge must keep the seed file (append-only listing)")
+    assert(TxLogTable.deletionVectors(path, 2).values.map(_._2).sum == 2)
+    val head = TxLogTable.read(spark, path)
+    assert(head.count() == 13)
+    assert(head.filter(col("k") === 3L).select("x", "tag").head()
+      == org.apache.spark.sql.Row(-3.0, "t3"))
+    assert(head.filter(col("k") === 1L).select("tag").head().isNullAt(0))
+    assert(head.filter(col("k") === 30L).select("tag").head().getString(0)
+      == "ins")
+  }
+
   test("without schemaEvolution a widening whole-row merge still refuses loudly") {
     val path = tmp
     TxLogTable.append(spark, Seq((1L, 1.0)).toDF("k", "x"), path)
