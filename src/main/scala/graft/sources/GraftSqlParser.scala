@@ -384,12 +384,28 @@ object GraftOpsSql {
     * the scoped compaction you actually run at scale: only stats/
     * partition-pruned in-scope files rewrite, everything else carries
     * by reference ([[TxLogTable.compact]]'s `where`). Returns -1 when
-    * nothing is in scope (no commit, no log churn). */
+    * nothing is in scope (no commit, no log churn).
+    *
+    * With the table property `graft.optimize.minFileMB` set (the
+    * delta-style posture where compaction policy lives in table
+    * config), a plain `OPTIMIZE t` routes to
+    * [[TxLogTable.compactIncremental]] — bin-packed, one durable
+    * conflict-revalidated commit per partition-aligned bin, files at
+    * or over the threshold untouched; the command returns the LAST
+    * bin's version (or -1 when nothing was under target). ZORDER and
+    * WHERE forms keep the explicit single-commit semantics. */
   case class OptimizeCommand(t: Target, zorderBy: Seq[String],
       whereSql: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val path = t.resolve(spark)
+      val minProp = TxLogTable.tableProperties(path)
+        .get("graft.optimize.minFileMB").map(_.toInt)
+      if (zorderBy.isEmpty && whereSql.isEmpty && minProp.isDefined) {
+        val vs = TxLogTable.compactIncremental(spark, path,
+          minFileMB = minProp.get)
+        return Seq(Row(vs.lastOption.getOrElse(-1L)))
+      }
       val parts = TxLogTable.snapshotFiles(path,
         TxLogTable.currentVersion(path))
         .flatMap(f => TxLogTable.partitionValuesOf(f).map(_._1)).distinct

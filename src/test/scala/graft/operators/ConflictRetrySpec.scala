@@ -255,6 +255,27 @@ class ConflictRetrySpec extends SparkSpec {
     assert(TxLogTable.compactIncremental(spark, path, minFileMB = 1).isEmpty)
   }
 
+  test("table property routes plain SQL OPTIMIZE to bin-packed incremental compaction") {
+    val path = tmp
+    (1 to 4).foreach(i => TxLogTable.append(spark,
+      Seq(("a", i.toLong), ("b", i + 100L)).toDF("p", "id"),
+      path, partitionBy = Seq("p")))
+    TxLogTable.setTableProperty(path, "graft.optimize.minFileMB", "1")
+    val v = spark.sql(s"OPTIMIZE graftlog.`$path`").head().getLong(0)
+    // two partition bins → two commits; the returned version is the last
+    assert(v == TxLogTable.currentVersion(path))
+    assert(TxLogTable.historyDf(spark, path)
+      .filter(col("operation") === "compact").count() == 2)
+    assert(TxLogTable.read(spark, path).count() == 8)
+    // converged: a second plain OPTIMIZE finds nothing under target
+    assert(spark.sql(s"OPTIMIZE graftlog.`$path`").head().getLong(0) == -1L)
+    // explicit ZORDER keeps the single-commit semantics despite the prop
+    val zv = spark.sql(s"OPTIMIZE graftlog.`$path` ZORDER BY (id)")
+      .head().getLong(0)
+    assert(zv == TxLogTable.currentVersion(path))
+    assert(TxLogTable.read(spark, path).count() == 8)
+  }
+
   test("threaded stress: a REAL concurrent appender during compact loses no rows") {
     val path = tmp
     TxLogTable.append(spark,
