@@ -626,41 +626,51 @@ object TxLogTable {
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt > maxConflictRetries) { cleanStaged(); throw e }
-          // wait briefly for the interleaved winner's entry to become
-          // visible (a slow store may still be uploading it); a claim
-          // that never publishes leaves head at base and the original
-          // abort stands
-          var head = versions(fs, root).lastOption.getOrElse(-1L)
-          val deadline = System.currentTimeMillis() + 2000
-          while (head <= base && System.currentTimeMillis() < deadline) {
-            Thread.sleep(10)
-            head = versions(fs, root).lastOption.getOrElse(-1L)
+          // the revalidation itself can fail (an interleaved entry's
+          // readString, a Spark pruning job inside appendCompatible) —
+          // any such non-CME failure must also reap the staged dirs,
+          // not orphan them until vacuum
+          try {
+            attempt += 1
+            if (attempt > maxConflictRetries) { cleanStaged(); throw e }
+            // wait briefly for the interleaved winner's entry to become
+            // visible (a slow store may still be uploading it); a claim
+            // that never publishes leaves head at base and the original
+            // abort stands
+            var head = versions(fs, root).lastOption.getOrElse(-1L)
+            val deadline = System.currentTimeMillis() + 2000
+            while (head <= base && System.currentTimeMillis() < deadline) {
+              Thread.sleep(10)
+              head = versions(fs, root).lastOption.getOrElse(-1L)
+            }
+            if (head <= base) { cleanStaged(); throw e }
+            val inter = (base + 1 to head).map(ver =>
+              readString(fs, new HPath(logDir(root), s"$ver.json")))
+            if (inter.exists(isRebase)) {
+              cleanStaged()
+              throw new java.util.ConcurrentModificationException(
+                s"$op at $root lost to a concurrent listing-replacing " +
+                  s"commit in ($base, $head] — this rewrite derives from " +
+                  "a replaced snapshot; re-run against the new head")
+            }
+            val newFiles = inter.flatMap(fileList)
+            if (!appendCompatible(newFiles)) {
+              cleanStaged()
+              throw new java.util.ConcurrentModificationException(
+                s"$op at $root conflicts with a concurrent append in " +
+                  s"($base, $head]: the appended files may hold rows " +
+                  "this operation read (stats could not exclude them)")
+            }
+            extra = extra ++ newFiles
+            extraSizes = extraSizes ++
+              inter.map(fileSizes).reduceOption(_ ++ _).getOrElse(Map.empty)
+            schema = remergedSchema(schema, inter.map(recordedSchema))
+            base = head
+          } catch {
+            case e2: java.util.ConcurrentModificationException => throw e2
+            case scala.util.control.NonFatal(e2) =>
+              cleanStaged(); throw e2
           }
-          if (head <= base) { cleanStaged(); throw e }
-          val inter = (base + 1 to head).map(ver =>
-            readString(fs, new HPath(logDir(root), s"$ver.json")))
-          if (inter.exists(isRebase)) {
-            cleanStaged()
-            throw new java.util.ConcurrentModificationException(
-              s"$op at $root lost to a concurrent listing-replacing " +
-                s"commit in ($base, $head] — this rewrite derives from " +
-                "a replaced snapshot; re-run against the new head")
-          }
-          val newFiles = inter.flatMap(fileList)
-          if (!appendCompatible(newFiles)) {
-            cleanStaged()
-            throw new java.util.ConcurrentModificationException(
-              s"$op at $root conflicts with a concurrent append in " +
-                s"($base, $head]: the appended files may hold rows " +
-                "this operation read (stats could not exclude them)")
-          }
-          extra = extra ++ newFiles
-          extraSizes = extraSizes ++
-            inter.map(fileSizes).reduceOption(_ ++ _).getOrElse(Map.empty)
-          schema = remergedSchema(schema, inter.map(recordedSchema))
-          base = head
       }
     }
     -1L // unreachable (the loop returns or throws)
@@ -1232,7 +1242,9 @@ object TxLogTable {
       insertProjection: Option[Seq[(String, org.apache.spark.sql.Column)]]
         = None,
       useDv: Boolean = false,
-      schemaEvolution: Boolean = false): Long = {
+      schemaEvolution: Boolean = false,
+      setFromStar: Boolean = false,
+      insertFromStar: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fc, count => fcount, lit => flit, not => fnot, when => fwhen}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__m"),
@@ -1250,25 +1262,23 @@ object TxLogTable {
     // (zero data bytes move; under column mapping the new fields take
     // fresh GUID physical names), and the merge then runs against the
     // widened snapshot. Two log commits, carried files byte-identical.
-    var widenedCols = Seq.empty[String]
-    val v0 = {
-      val base = versions(fs, root).lastOption.getOrElse(-1L)
-      require(base >= 0, s"cannot merge into an empty table at $path " +
-        "(use append for the first commit)")
-      if (!schemaEvolution) base
+    // NOT atomic: every validation below runs BEFORE the widen commit
+    // so a merge the engine would reject never leaves the target
+    // durably widened; a crash BETWEEN the two commits is benign (the
+    // re-run finds nothing missing and proceeds straight to the merge).
+    val base = versions(fs, root).lastOption.getOrElse(-1L)
+    require(base >= 0, s"cannot merge into an empty table at $path " +
+      "(use append for the first commit)")
+    val preSchema = readVersion(spark, path, base).schema
+    val missing: Seq[org.apache.spark.sql.types.StructField] =
+      if (!schemaEvolution) Seq.empty
       else {
-        val have = readVersion(spark, path, base).schema
-          .fieldNames.map(_.toLowerCase).toSet
-        val missing = updates.schema.fields.toSeq
+        val have = preSchema.fieldNames.map(_.toLowerCase).toSet
+        updates.schema.fields.toSeq
           .filterNot(f => have(f.name.toLowerCase))
           .map(f => f.copy(nullable = true))
-        if (missing.isEmpty) base
-        else {
-          widenedCols = missing.map(_.name)
-          addColumns(spark, path, missing, commit)
-        }
       }
-    }
+    val widenedCols = missing.map(_.name)
     // the guard is one extra action per merge; a caller whose updates
     // are distinct BY CONSTRUCTION (e.g. they come off a groupBy on the
     // merge keys) skips it with checkDuplicateKeys = false
@@ -1278,41 +1288,49 @@ object TxLogTable {
       require(dupKeys.isEmpty,
         s"updates carry duplicate keys on (${keyCols.mkString(", ")})")
     }
-    val snapshot = readVersion(spark, path, v0)
-    val dataCols = snapshot.columns.toSeq
+    // post-widen schema, simulated pre-commit: addColumns appends the
+    // missing fields in order, so clause validation can run against it
+    // before anything durable happens
+    val postSchema =
+      org.apache.spark.sql.types.StructType(preSchema.fields ++ missing)
+    val dataCols = postSchema.fieldNames.toSeq
     // under schema evolution the whole-row clauses rewrite to COLUMN-
     // LEVEL semantics against the widened target — Delta's autoMerge
     // contract: UPDATE SET * sets exactly the SOURCE's columns (target
     // columns the source lacks keep their values), INSERT * fills them
-    // with NULL. Explicit caller clauses pass through untouched.
+    // with NULL. Only the STAR forms auto-assign freshly widened
+    // columns (setFromStar/insertFromStar — the SQL layer's pre-widen
+    // star expansions); a genuinely explicit SET list writes exactly
+    // what it says (the new column stays NULL on matched rows), and an
+    // explicit INSERT (cols) list pads unassigned target columns with
+    // NULL — both exactly Delta's clause semantics.
     val (effSet, effProj) =
       if (!schemaEvolution) (whenMatchedSet, insertProjection)
       else {
         import org.apache.spark.sql.functions.{col => fcol, lit => flit2}
         val srcCols = updates.columns.toSeq
-        // SET * semantics: exactly the source's columns update (caller
-        // clauses — including the SQL layer's pre-widen star expansion
-        // — augment with the freshly widened source columns)
         val s0 = whenMatchedSet.getOrElse(
           srcCols.filterNot(keyCols.contains).map(c => c -> fcol(s"s.`$c`")))
         val sAssigned = s0.map(_._1).toSet
-        val es = s0 ++ widenedCols
-          .filter(c => srcCols.contains(c) && !sAssigned(c) &&
-            !keyCols.contains(c))
-          .map(c => c -> fcol(s"s.`$c`"))
-        // INSERT * semantics: source values where present, NULL for
-        // target-only columns; a pre-widen projection pads the same way
+        val es =
+          if (whenMatchedSet.isDefined && !setFromStar) s0
+          else s0 ++ widenedCols
+            .filter(c => srcCols.contains(c) && !sAssigned(c) &&
+              !keyCols.contains(c))
+            .map(c => c -> fcol(s"s.`$c`"))
         val p0 = insertProjection.getOrElse(dataCols.map(c =>
           c -> (if (srcCols.contains(c)) fcol(s"s.`$c`") else flit2(null))))
         val pAssigned = p0.map(_._1).toSet
+        val padFromSource = insertProjection.isEmpty || insertFromStar
         val ep = p0 ++ dataCols.filterNot(pAssigned).map(c =>
-          c -> (if (srcCols.contains(c)) fcol(s"s.`$c`") else flit2(null)))
+          c -> (if (padFromSource && srcCols.contains(c))
+            fcol(s"s.`$c`") else flit2(null)))
         (Some(es), Some(ep))
       }
     require(
       !(effSet.isEmpty ||
           (insertUnmatched && effProj.isEmpty)) ||
-        schemaKey(snapshot.schema) == schemaKey(updates.schema),
+        schemaKey(postSchema) == schemaKey(updates.schema),
       "mergeByKey requires matching schemas on whole-row paths " +
         "(SET * update, or projection-less inserts); use upsertByKey " +
         "for widening merges, schemaEvolution = true to widen the " +
@@ -1320,7 +1338,7 @@ object TxLogTable {
         "insertUnmatched = false (or an insert projection) for a " +
         "narrow source")
     effSet.foreach { set =>
-      val unknown = set.map(_._1).filterNot(snapshot.columns.contains)
+      val unknown = set.map(_._1).filterNot(dataCols.contains)
       require(unknown.isEmpty,
         s"SET targets unknown column(s): ${unknown.mkString(", ")}")
       require(set.forall { case (c, _) => !keyCols.contains(c) },
@@ -1332,6 +1350,11 @@ object TxLogTable {
           s"once; got (${proj.map(_._1).mkString(", ")}) for " +
           s"(${dataCols.mkString(", ")})")
     }
+    // ---- the durable widen (metadata-only), after every validation ----
+    val v0 =
+      if (missing.isEmpty) base
+      else addColumns(spark, path, missing, commit)
+    val snapshot = readVersion(spark, path, v0)
     val keys = updates.select(keyCols.map(fc): _*)
     val (st, touched, rangeCol) =
       filesMatchingKeys(spark, path, v0, keys, keyCols, nullSafeKeys)

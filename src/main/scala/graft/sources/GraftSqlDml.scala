@@ -198,7 +198,67 @@ object GraftSqlDml {
   case class MergeSpec(keyCols: Seq[String], updIf: Option[Column],
       delIf: Option[Column], set: Option[Seq[(String, Column)]],
       insert: Boolean, insIf: Option[Column],
-      insProj: Option[Seq[(String, Column)]])
+      insProj: Option[Seq[(String, Column)]],
+      setStar: Boolean = false, insertStar: Boolean = false)
+
+  /** Was this clause the analyzer's expansion of a STAR form
+    * (`UPDATE SET *` / `INSERT *`)? The parse-tree marker is gone by
+    * resolution time (star actions resolve to per-column assignments),
+    * so detection is two-tier. The distinction gates Delta's schema-
+    * evolution contract — only star clauses auto-assign freshly
+    * widened columns; an explicit list writes exactly what it says.
+    *
+    * Tier 1: the action node's parse ORIGIN — Catalyst records the
+    * statement text + this node's start/stop indices at parse time and
+    * `transformUp` carries them through resolution, so the clause's
+    * own source fragment still reads `… UPDATE SET *` / `… INSERT *`.
+    * Definitive when present (an explicit `INSERT (k, x) VALUES
+    * (s.k, s.x)` over a 2-column target is shape-identical to the
+    * star expansion — only the text tells them apart).
+    *
+    * Tier 2 (no origin text — e.g. a plan-built merge): the expansion
+    * shape — one assignment per TARGET column, each a direct copy of
+    * the same-named SOURCE attribute (modulo type coercion). */
+  private def clauseIsStar(node: MergeAction,
+      assignments: Seq[Assignment],
+      tgt: AttributeSet, src: AttributeSet,
+      targetCols: Seq[String]): Boolean = {
+    // the action node's recorded origin spans the whole statement, so
+    // match the clause KIND's star spelling anywhere in the text (the
+    // surface allows at most one UPDATE and one INSERT clause, so the
+    // spelling is unambiguous)
+    val starRe = node match {
+      case _: UpdateAction => """(?is).*\bUPDATE\s+SET\s*\*.*""".r
+      case _ => """(?is).*\bINSERT\s*\*.*""".r
+    }
+    node.origin.sqlText match {
+      case Some(text) => starRe.matches(text)
+      case None => clauseShapeIsStar(assignments, tgt, src, targetCols)
+    }
+  }
+
+  private def clauseShapeIsStar(assignments: Seq[Assignment],
+      tgt: AttributeSet, src: AttributeSet,
+      targetCols: Seq[String]): Boolean = {
+    def strip(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        strip(c.child)
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        strip(a.child)
+      case other => other
+    }
+    val assigned = scala.collection.mutable.Set.empty[String]
+    val allCopies = assignments.forall { a =>
+      (a.key, strip(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference)
+            if tgt.contains(k) && src.contains(v) &&
+              k.name.equalsIgnoreCase(v.name) =>
+          assigned += k.name.toLowerCase; true
+        case _ => false
+      }
+    }
+    allCopies && targetCols.forall(c => assigned(c.toLowerCase))
+  }
 
   /** Map the analyzer's merge actions onto the engine's clause model. */
   private[sources] def mergeSpec(m: MergeIntoTable): MergeSpec = {
@@ -209,9 +269,11 @@ object GraftSqlDml {
       unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
     val mc = (e: Expression) => mergeColumnOf(e, tgt, src)
 
+    val targetCols = m.targetTable.output.map(_.name)
     var delIf: Option[Column] = None
     var updIf: Option[Column] = None
     var set: Option[Seq[(String, Column)]] = None
+    var setStar = false; var insertStar = false
     var sawUpdate = false; var sawDelete = false
     m.matchedActions.foreach {
       case DeleteAction(cond) =>
@@ -228,6 +290,7 @@ object GraftSqlDml {
         if (sawUpdate) unsupported("at most one WHEN MATCHED … UPDATE")
         sawUpdate = true
         val assignments = ua.assignments
+        setStar = clauseIsStar(ua, assignments, tgt, src, targetCols)
         updIf = ua.condition.map(mc)
         set = Some(assignments.map { a =>
           val name = a.key match {
@@ -271,9 +334,10 @@ object GraftSqlDml {
     var insIf: Option[Column] = None
     var insProj: Option[Seq[(String, Column)]] = None
     m.notMatchedActions.foreach {
-      case InsertAction(cond, assignments) =>
+      case ia @ InsertAction(cond, assignments) =>
         if (insert) unsupported("at most one WHEN NOT MATCHED … INSERT")
         insert = true
+        insertStar = clauseIsStar(ia, assignments, tgt, src, targetCols)
         insIf = cond.map(mc)
         insProj = Some(assignments.map { a =>
           val name = a.key match {
@@ -285,7 +349,8 @@ object GraftSqlDml {
         })
       case other => unsupported(s"not-matched action $other")
     }
-    MergeSpec(keyCols, updIf, delIf, set, insert, insIf, insProj)
+    MergeSpec(keyCols, updIf, delIf, set, insert, insIf, insProj,
+      setStar = setStar, insertStar = insertStar)
   }
 
   // ---- the runnable commands (payloads are Columns, not Expressions:
@@ -431,7 +496,9 @@ object GraftSqlDml {
         whenNotMatchedInsertIf = spec.insIf,
         insertProjection = spec.insProj,
         useDv = dvEnabled(path),
-        schemaEvolution = schemaEvolution)
+        schemaEvolution = schemaEvolution,
+        setFromStar = spec.setStar,
+        insertFromStar = spec.insertStar)
       Nil
     }
   }

@@ -189,8 +189,13 @@ object GraftOpsSql {
       // ONLY graftlog targets: other tables keep Spark's native
       // catalog-property semantics.
       case SetProps(t, pairs) if isGraftTarget(session, t) =>
+        // write DDL: a time-travel-pinned catalog alias must not
+        // mutate the LIVE table's property store (e.g. flip dv
+        // routing for all writers); SHOW stays unguarded
+        requireHeadDdl(session, t)
         Some(SetPropertiesCommand(targetOf(t), parsePairs(pairs)))
       case UnsetProps(t, keys) if isGraftTarget(session, t) =>
+        requireHeadDdl(session, t)
         Some(UnsetPropertiesCommand(targetOf(t),
           keys.split(",").toSeq.map(k =>
             unquote(k.trim.stripPrefix("'").stripSuffix("'")
@@ -300,10 +305,10 @@ object GraftOpsSql {
     }
   }
 
-  /** The versionAsOf guard for the ALTER COLUMN DDL arms ONLY —
-    * [[catalogGraftTable]] is also called from read-only probes
-    * (SHOW/SET TBLPROPERTIES routing, the SELECT time-travel rewrite),
-    * which must serve a pinned table, not refuse it. */
+  /** The versionAsOf guard for the WRITE DDL arms (ALTER COLUMN,
+    * SET/UNSET TBLPROPERTIES) — [[catalogGraftTable]] is also called
+    * from read-only probes (SHOW TBLPROPERTIES, the SELECT time-travel
+    * rewrite), which must serve a pinned table, not refuse it. */
   private def requireHeadDdl(session: SparkSession, raw: String): Unit = {
     val pinned =
       try {

@@ -129,6 +129,83 @@ class MergeEvolutionSpec extends SparkSpec {
       == "ins")
   }
 
+  test("SQL evolution: an EXPLICIT SET list never auto-assigns the widened column") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 6L).map(i => (i, i * 1.0)).toDF("k", "x").repartition(1), path)
+    spark.read.format("graftlog").load(path)
+      .createOrReplaceTempView("evx_t")
+    Seq((2L, -2.0, "two"), (99L, -99.0, "ins"))
+      .toDF("k", "x", "tag").createOrReplaceTempView("evx_s")
+    // Delta's WITH SCHEMA EVOLUTION contract: only UPDATE SET * / INSERT *
+    // auto-assign new columns; 'UPDATE SET x = s.x' writes exactly x, so
+    // the matched row's freshly widened tag stays NULL — while INSERT *
+    // still carries it for inserted rows
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO evx_t t USING evx_s s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET x = s.x
+      WHEN NOT MATCHED THEN INSERT *""")
+    val head = TxLogTable.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "x", "tag"))
+    assert(head.filter(col("k") === 2L).select("x").head().getDouble(0)
+      == -2.0)
+    assert(head.filter(col("k") === 2L).select("tag").head().isNullAt(0),
+      "explicit SET must not silently write the widened column")
+    assert(head.filter(col("k") === 99L).select("tag").head().getString(0)
+      == "ins", "INSERT * still carries the widened column")
+    spark.catalog.dropTempView("evx_t")
+    spark.catalog.dropTempView("evx_s")
+  }
+
+  test("SQL evolution: an EXPLICIT INSERT column list pads unassigned columns with NULL") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 6L).map(i => (i, i * 1.0)).toDF("k", "x").repartition(1), path)
+    spark.read.format("graftlog").load(path)
+      .createOrReplaceTempView("evi_t")
+    Seq((3L, -3.0, "thr"), (88L, -88.0, "new"))
+      .toDF("k", "x", "tag").createOrReplaceTempView("evi_s")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO evi_t t USING evi_s s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT (k, x) VALUES (s.k, s.x)""")
+    val head = TxLogTable.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "x", "tag"))
+    // star update DOES carry the widened column onto the matched row
+    assert(head.filter(col("k") === 3L).select("tag").head().getString(0)
+      == "thr")
+    // the explicit insert list never mentioned tag → NULL (Delta's
+    // explicit-clause contract), even though the source carries it
+    assert(head.filter(col("k") === 88L).select("tag").head().isNullAt(0),
+      "explicit INSERT (cols) must NULL-pad the widened column")
+    spark.catalog.dropTempView("evi_t")
+    spark.catalog.dropTempView("evi_s")
+  }
+
+  test("a merge rejected by validation leaves the target UNWIDENED (no orphan addcolumns commit)") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 4L).map(i => (i, i * 1.0)).toDF("k", "x").repartition(1), path)
+    // duplicate keys in the source → the merge must refuse BEFORE the
+    // durable widen commit
+    val dup = Seq((2L, -2.0, "a"), (2L, -2.5, "b")).toDF("k", "x", "tag")
+    intercept[IllegalArgumentException] {
+      TxLogTable.mergeByKey(spark, path, dup, Seq("k"),
+        schemaEvolution = true)
+    }
+    assert(TxLogTable.currentVersion(path) == 0L,
+      "rejected merge must not commit the widen")
+    assert(TxLogTable.read(spark, path).columns.toSeq == Seq("k", "x"))
+    // a bad explicit SET (unknown column) refuses pre-widen too
+    val src = Seq((2L, -2.0, "a")).toDF("k", "x", "tag")
+    intercept[IllegalArgumentException] {
+      TxLogTable.mergeByKey(spark, path, src, Seq("k"),
+        whenMatchedSet = Some(Map("nope" -> "s.x")),
+        insertUnmatched = false, schemaEvolution = true)
+    }
+    assert(TxLogTable.currentVersion(path) == 0L)
+  }
+
   test("without schemaEvolution a widening whole-row merge still refuses loudly") {
     val path = tmp
     TxLogTable.append(spark, Seq((1L, 1.0)).toDF("k", "x"), path)

@@ -159,6 +159,27 @@ class GraftOpsSqlSpec extends SparkSpec {
     spark.catalog.dropTempView("props_v")
   }
 
+  test("SET/UNSET TBLPROPERTIES refuse a time-travel-pinned catalog alias; SHOW serves it") {
+    val path = fresh()
+    spark.sql("DROP TABLE IF EXISTS props_pin")
+    spark.sql(s"CREATE TABLE props_pin USING graftlog " +
+      s"OPTIONS (path '$path', versionAsOf '0')")
+    // a WRITE DDL through the pinned alias would mutate the LIVE
+    // table's log property store (e.g. flip dv routing for every
+    // writer) — refuse, like every other write DDL on a pinned alias
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE props_pin SET TBLPROPERTIES ('a' = 'b')"))
+    assert(e1.getMessage.contains("time-travel"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE props_pin UNSET TBLPROPERTIES ('a')"))
+    assert(e2.getMessage.contains("time-travel"), e2.getMessage)
+    assert(TxLogTable.tableProperties(path).isEmpty,
+      "the live property store must be untouched")
+    // the read-only probe still serves the pinned alias
+    spark.sql("SHOW TBLPROPERTIES props_pin").collect()
+    spark.sql("DROP TABLE props_pin")
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on tables and views") {
     val path = fresh()
     spark.sql("DROP TABLE IF EXISTS tt_ct")

@@ -1,46 +1,66 @@
 #!/usr/bin/env python3
-"""Merge two same-HEAD Bench artifacts into the committed BENCH_FULL.json.
+"""Merge N same-HEAD Bench artifacts into the committed BENCH_FULL.json.
 
-Per-query MIN across runs (the in-run estimator extended across the
-host's documented multi-minute throttle windows — BASELINE.md), medians
-taken from the run that won each query's min, chains merged min-wise.
-Adds a `note` field recording the merge. Usage:
+Headline methodology (round 18, per ADVICE): the artifact's `value` is
+the BEST SINGLE RUN's raw total — a total some actual run achieved —
+so cross-round comparisons are run-to-run symmetric. The per-query MIN
+merge (the in-run estimator extended across the host's documented
+multi-minute throttle windows — BASELINE.md) is kept as the separate
+`min_merge_total` field and still feeds the per-query `queries` map
+that Bench's throttle self-diagnosis compares against. `raw_totals`
+records every input run's total so the run count is self-documenting.
 
-    python3 tools/merge_bench.py run1.json run2.json BENCH_FULL.json
+Usage:
+
+    python3 tools/merge_bench.py run1.json [run2.json ...] BENCH_FULL.json
 """
 import json, sys
 
 def main():
-    a = json.load(open(sys.argv[1]))
-    b = json.load(open(sys.argv[2]))
-    out_path = sys.argv[3]
-    names = sorted(set(a["queries"]) | set(b["queries"]))
+    runs = [json.load(open(p)) for p in sys.argv[1:-1]]
+    out_path = sys.argv[-1]
+    if not runs:
+        sys.exit("need at least one run artifact")
+    names = sorted(set().union(*[set(r["queries"]) for r in runs]))
     queries, medians = {}, {}
     for n in names:
-        ta, tb = a["queries"].get(n, -1.0), b["queries"].get(n, -1.0)
-        src = a if (tb < 0 or (0 <= ta <= tb)) else b
-        queries[n] = src["queries"][n]
-        medians[n] = src.get("medians", {}).get(n, queries[n])
+        best = min((r for r in runs if r["queries"].get(n, -1.0) >= 0),
+                   key=lambda r: r["queries"][n], default=None)
+        if best is None:
+            queries[n] = -1.0
+            medians[n] = -1.0
+        else:
+            queries[n] = best["queries"][n]
+            medians[n] = best.get("medians", {}).get(n, queries[n])
     chains = {}
-    for n in set(a.get("chains", {})) | set(b.get("chains", {})):
-        vals = [r["chains"][n] for r in (a, b) if n in r.get("chains", {})]
-        chains[n] = min(vals)
-    failed = max(a.get("failed", 0), b.get("failed", 0))
-    total = -1.0 if failed else round(sum(queries.values()), 3)
+    for n in set().union(*[set(r.get("chains", {})) for r in runs]):
+        chains[n] = min(r["chains"][n] for r in runs
+                        if n in r.get("chains", {}))
+    failed = max(r.get("failed", 0) for r in runs)
+    raw_totals = [round(r.get("value", -1.0), 3) for r in runs]
+    complete = [t for r, t in zip(runs, raw_totals)
+                if r.get("failed", 0) == 0 and t >= 0]
+    headline = round(min(complete), 3) if complete and not failed else -1.0
+    min_merge = -1.0 if failed else round(sum(queries.values()), 3)
     merged = {
-        "metric": "total", "value": total, "unit": "sec",
+        "metric": "total", "value": headline, "unit": "sec",
         "queries": queries, "medians": medians, "chains": chains,
-        "median_ratio_vs_committed": b.get("median_ratio_vs_committed"),
-        "uniform_inflation": bool(a.get("uniform_inflation") and
-                                  b.get("uniform_inflation")),
-        "sf": a.get("sf"), "failed": failed,
-        "note": ("per-query min over two same-HEAD 3-pass runs "
-                 f"({a.get('value')}s and {b.get('value')}s raw totals); "
+        "min_merge_total": min_merge,
+        "raw_totals": raw_totals,
+        "median_ratio_vs_committed":
+            runs[-1].get("median_ratio_vs_committed"),
+        "uniform_inflation": all(bool(r.get("uniform_inflation"))
+                                 for r in runs),
+        "sf": runs[0].get("sf"), "failed": failed,
+        "note": (f"headline = best single run of {len(runs)} same-HEAD "
+                 f"3-pass runs (raw totals {raw_totals}); queries map = "
+                 "per-query min across runs, totalling min_merge_total; "
                  "medians from each query's winning run"),
     }
     json.dump(merged, open(out_path, "w"), separators=(",", ":"))
-    print(f"merged {len(queries)} queries -> {out_path}: total {total}s, "
-          f"failed {failed}")
+    print(f"merged {len(queries)} queries from {len(runs)} runs -> "
+          f"{out_path}: headline {headline}s (best single run), "
+          f"min-merge {min_merge}s, failed {failed}")
 
 if __name__ == "__main__":
     main()
