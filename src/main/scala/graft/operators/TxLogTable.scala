@@ -603,7 +603,8 @@ object TxLogTable {
       sizes: Map[String, Long], schemaJson: Option[String],
       cleanupDirs: Seq[String], dvs: Map[String, (String, Long)],
       appendCompatible: Seq[String] => Boolean,
-      maxConflictRetries: Int = 5): Long = {
+      maxConflictRetries: Int = 5,
+      interEntriesOk: Seq[String] => Boolean = _ => true): Long = {
     def cleanStaged(): Unit = cleanupDirs.foreach { d =>
       try fs.delete(new HPath(root, d), true)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -652,6 +653,16 @@ object TxLogTable {
                 s"$op at $root lost to a concurrent listing-replacing " +
                   s"commit in ($base, $head] — this rewrite derives from " +
                   "a replaced snapshot; re-run against the new head")
+            }
+            // entry-level gate (beyond the file-level one below): the
+            // mapping DDL aborts on an interleaved WIDENING append,
+            // whose new column the DDL's pinned recording would hide
+            if (!interEntriesOk(inter)) {
+              cleanStaged()
+              throw new java.util.ConcurrentModificationException(
+                s"$op at $root conflicts with a concurrent commit in " +
+                  s"($base, $head] whose recorded schema this " +
+                  "operation cannot carry; re-run against the new head")
             }
             val newFiles = inter.flatMap(fileList)
             if (!appendCompatible(newFiles)) {
@@ -787,6 +798,132 @@ object TxLogTable {
     v
   }
 
+  /** CONVERT an existing plain-parquet directory into a graftlog table
+    * IN PLACE — the graft spelling of Delta's `CONVERT TO DELTA`
+    * (public contract: delta.io docs; the reference's own lake output
+    * is exactly this hive-partitioned-parquet shape,
+    * `ingester.go:995-1035`): ONE v0 commit that references every
+    * existing data file by its current relative path. ZERO data bytes
+    * move — at 100 TB this is the onboarding path; the only
+    * alternative, a full read-rewrite [[append]], copies the lake for
+    * no information.
+    *
+    * What the one commit carries:
+    *  - the file listing with log-recorded SIZES (from the directory
+    *    walk the convert performs anyway), so post-convert planning
+    *    never re-stats data files;
+    *  - the read-back SCHEMA (one mergeSchema probe read of the root —
+    *    a distributed footer sweep, the same Spark job `CONVERT TO
+    *    DELTA` runs), so fresh relations resolve without their own
+    *    sweep;
+    *  - per-file min/max STATS harvested from the parquet footers
+    *    (metadata-only reads, fanned across a thread pool — no data
+    *    scan), written as one root-level `_stats.json` keyed by
+    *    root-relative path ([[loadStats]] falls back to it for files
+    *    without a stage-dir sidecar), so stats skipping engages on the
+    *    converted files immediately.
+    *
+    * Hive partition values recover from the `k=v` path segments the
+    * files already carry ([[partitionValuesOf]]); `partitionBy`, when
+    * given, is validated against that observed layout (Delta's
+    * PARTITIONED BY clause contract). Mixed layouts refuse. A second
+    * convert refuses (the log exists). Time travel, DML, OPTIMIZE and
+    * VACUUM all work from v0 — with one deliberate asymmetry: the
+    * converted ORIGINALS are never reaped by any vacuum (every reaper
+    * only touches `data-` stage dirs), because the source lake may
+    * still be read in place by external non-graft consumers; graft
+    * never deletes files it did not write. */
+  def convert(spark: SparkSession, path: String,
+      partitionBy: Seq[String] = Seq.empty,
+      commit: CommitPoint = CommitPoint.Auto): Long = {
+    val (fs, root) = fsFor(path)
+    require(fs.exists(root), s"no such directory: $path")
+    versions(fs, root).lastOption.foreach(v => throw new
+        IllegalArgumentException(
+      s"$path is already a graftlog table (at version $v) — " +
+        "CONVERT runs once, on a plain parquet directory"))
+    val listed = listParquet(fs, root)
+    require(listed.nonEmpty, s"no parquet files under $path to convert")
+    val files = listed.map(_._1).sorted
+    require(!files.exists(_.startsWith("data-")),
+      s"$path carries graft stage dirs (data-*) without a log — " +
+        "refusing to convert a partially-deleted table")
+    val layouts = files.map(f => partitionValuesOf(f).map(_._1)).distinct
+    require(layouts.size == 1,
+      s"mixed partition layouts under $path (${layouts.take(3).mkString("; ")}) — convert requires one consistent layout")
+    if (partitionBy.nonEmpty)
+      require(layouts.head == partitionBy,
+        s"declared PARTITIONED BY (${partitionBy.mkString(", ")}) but " +
+          s"the files carry layout (${layouts.head.mkString(", ")})")
+    // read-back-faithful schema: the same partition-discovering
+    // mergeSchema read the post-convert scan performs
+    val schema = spark.read.option("mergeSchema", true)
+      .parquet(path).schema
+    val partCols = layouts.head.toSet
+    writeConvertStats(fs, root, files,
+      org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => partCols(f.name))))
+    fs.mkdirs(logDir(root))
+    // expectedVersion = -1: the commit publishes ONLY as v0 — a racing
+    // first append would otherwise make this listing a phantom v1
+    val v = commitEntry(fs, root, files, rebase = false, Some(-1L),
+      maxRetries = 1, commit, op = "convert", sizes = listed.toMap,
+      schemaJson = Some(schema.json))
+    DeltaInterop.mirror(spark, path, v, files, Seq.empty, schema.json,
+      commit, sizes = listed.toMap)
+    v
+  }
+
+  /** [[convert]]'s stats harvest: footer min/max for every listed file,
+    * fanned across a bounded thread pool (footer reads are independent
+    * metadata I/O; a million-file lake must not pay them serially),
+    * written as ONE root-level `_stats.json` keyed by root-relative
+    * path. Best-effort like every stats sidecar — a harvest failure
+    * leaves the file scanning, never fails the convert. */
+  private def writeConvertStats(fs: FileSystem, root: HPath,
+      files: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType): Unit =
+    try {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val cols = dataSchema.fields.filter(f => statsSupported(f.dataType))
+      if (cols.isEmpty) return
+      val conf = fs.getConf
+      val out = new java.util.concurrent.ConcurrentHashMap[String,
+        Map[String, (org.json4s.JValue, org.json4s.JValue)]]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, math.max(1, Runtime.getRuntime.availableProcessors())))
+      try {
+        val tasks = files.map { rel =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try out.put(rel,
+                footerBounds(conf, new HPath(root, rel), cols.toSeq))
+              catch { case scala.util.control.NonFatal(_) => () }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      val perFile: org.json4s.JObject = org.json4s.JObject(
+        files.toList.flatMap { rel =>
+          Option(out.get(rel)).filter(_.nonEmpty).map { bounds =>
+            rel -> (org.json4s.JObject(cols.toList.flatMap { f =>
+              bounds.get(f.name).map { case (mn, mx) =>
+                f.name -> ((("min" -> mn) ~ ("max" -> mx))
+                  : org.json4s.JValue)
+              }
+            }): org.json4s.JValue)
+          }
+        })
+      writeString(fs, new HPath(root, "_stats.json"),
+        JsonMethods.compact(JsonMethods.render(
+          org.json4s.JObject("files" -> perFile))), overwrite = true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] convert stats for $root failed ($e); files will scan")
+    }
+
   /** Compact the current snapshot's many small data dirs into
     * ~targetFileMB-sized files, published as a REBASE commit (the entry
     * replaces the accumulated listing; `filesUpTo` resets at it). Time
@@ -851,17 +988,21 @@ object TxLogTable {
     // from a self-rewrite
     if (scoped && scope.size == 1 && zorderBy.isEmpty) return -1L
     rewriteScope(spark, path, fs, root, v0, st, scope, targetFileMB,
-      commit, zorderBy, zorderBits, targetFiles, partitionBy, scoped)
+      commit, zorderBy, zorderBits, targetFiles, partitionBy, scoped)._1
   }
 
   /** One scope's compaction rewrite + conflict-revalidated rebase
     * commit — the shared core of [[compact]] (whole selection in one
-    * commit) and [[compactIncremental]] (one commit per bin). */
+    * commit) and [[compactIncremental]] (one commit per bin). Returns
+    * (committed version, staged file list, staged sizes) so the
+    * incremental caller can carry the post-commit state forward
+    * without a log replay per bin. */
   private def rewriteScope(spark: SparkSession, path: String,
       fs: FileSystem, root: HPath, v0: Long, st: LogState,
       scope: Seq[String], targetFileMB: Int, commit: CommitPoint,
       zorderBy: Seq[String], zorderBits: Int, targetFiles: Int,
-      partitionBy: Seq[String], scoped: Boolean): Long = {
+      partitionBy: Seq[String], scoped: Boolean)
+      : (Long, Seq[String], Map[String, Long]) = {
     def sizeOf(f: String): Long =
       st.sizes.getOrElse(f, fs.getFileStatus(new HPath(root, f)).getLen)
     val carried = st.files.diff(scope)
@@ -910,7 +1051,7 @@ object TxLogTable {
     DeltaInterop.mirror(spark, path, v, files, scope,
       knownSchema.getOrElse(source.schema).json, commit,
       sizes = staged.toMap)
-    v
+    (v, files, staged.toMap)
   }
 
   /** Bin-packed incremental OPTIMIZE — Delta's COMMIT-PER-BIN posture,
@@ -966,16 +1107,32 @@ object TxLogTable {
         }
         out.filter(_.size >= 2).map(_.toSeq)
       }
+    // PER-BIN STATE CARRY: each bin must see earlier bins' rebases, but
+    // a thousand-bin run must not pay a log replay per bin — when OUR
+    // commit was the only thing that moved the head, the post-commit
+    // state derives locally (listing minus the bin plus the staged
+    // files); a replay happens only when a CONCURRENT commit actually
+    // interleaved (head moved without us, or the rebase retry folded
+    // extra files in). One cheap version listing per bin remains — it
+    // is the concurrency re-validation itself.
+    var curV = v0
+    var curSt = st0
     bins.flatMap { bin =>
-      // re-validate against the LIVE head: earlier bins rebased the
-      // listing, and a concurrent DML may have rewritten a bin member
-      val vb = versions(fs, root).lastOption.getOrElse(-1L)
-      val stb = stateUpTo(fs, root, vb)
-      val liveBin = bin.filter(stb.files.toSet)
+      val head = versions(fs, root).lastOption.getOrElse(-1L)
+      if (head != curV) { curV = head; curSt = stateUpTo(fs, root, head) }
+      val liveBin = bin.filter(curSt.files.toSet)
       if (liveBin.size < 2) None
-      else Some(rewriteScope(spark, path, fs, root, vb, stb, liveBin,
-        targetFileMB, commit, Seq.empty, 8, targetFiles = 0,
-        partitionBy = Seq.empty, scoped = true))
+      else {
+        val (v, stagedF, stagedS) = rewriteScope(spark, path, fs, root,
+          curV, curSt, liveBin, targetFileMB, commit, Seq.empty, 8,
+          targetFiles = 0, partitionBy = Seq.empty, scoped = true)
+        if (v == curV + 1) {
+          curSt = LogState(curSt.files.diff(liveBin) ++ stagedF,
+            curSt.sizes ++ stagedS, curSt.dvs -- liveBin)
+          curV = v
+        } else { curV = v; curSt = stateUpTo(fs, root, v) }
+        Some(v)
+      }
     }
   }
 
@@ -1935,9 +2092,16 @@ object TxLogTable {
     val widened = org.apache.spark.sql.types.StructType(
       base.fields ++ stampedNew)
     val st = stateUpTo(fs, root, v0)
-    val v = commitEntry(fs, root, st.files.sorted, rebase = true,
-      Some(v0), maxRetries = 1, commit, op = "addcolumns",
-      sizes = st.sizes, schemaJson = Some(widened.json), dvs = st.dvs)
+    // CONFLICT-SURVIVABLE: an append is ALWAYS compatible with a
+    // metadata-only widen — the retry carries the interleaved files by
+    // reference, and [[remergedSchema]] folds a concurrently-widening
+    // append's recording into this commit's (so a streaming appender
+    // never aborts an ALTER TABLE ADD COLUMNS); an interleaved rebase
+    // (DML/compact) still aborts via the standard rule
+    val v = commitRebaseRetry(fs, root, v0, st.files.sorted, commit,
+      txn = None, op = "addcolumns", sizes = st.sizes,
+      schemaJson = Some(widened.json), cleanupDirs = Nil, dvs = st.dvs,
+      appendCompatible = _ => true)
     // a schema-change commit mirrors as a metaData-only Delta entry
     DeltaInterop.mirror(spark, path, v, Seq.empty, Seq.empty,
       widened.json, commit)
@@ -2028,9 +2192,19 @@ object TxLogTable {
         val phys = physicalNameOf(f)
         if (i == idx) stamped(f.copy(name = to), phys) else stamped(f, phys)
       })
-    val v = commitEntry(fs, root, st.files.sorted, rebase = true,
-      Some(v0), maxRetries = 1, commit, op = "renamecolumn",
-      sizes = st.sizes, schemaJson = Some(renamed.json), dvs = st.dvs)
+    // CONFLICT-SURVIVABLE like [[addColumns]], with one extra gate: an
+    // interleaved append is carried by reference ONLY when its recorded
+    // schema proves it did not widen the table (the rename's pinned
+    // mapping recording would otherwise hide the new column); a
+    // widening or recording-less append aborts conservatively
+    val baseNames = base.fieldNames.map(_.toLowerCase).toSet
+    val nonWidening: Seq[String] => Boolean = entries =>
+      entries.forall(e => recordedSchema(e).exists(
+        _.fieldNames.forall(n => baseNames(n.toLowerCase))))
+    val v = commitRebaseRetry(fs, root, v0, st.files.sorted, commit,
+      txn = None, op = "renamecolumn", sizes = st.sizes,
+      schemaJson = Some(renamed.json), cleanupDirs = Nil, dvs = st.dvs,
+      appendCompatible = _ => true, interEntriesOk = nonWidening)
     DeltaInterop.disable(path,
       s"version $v renamed column $from to $to via column mapping; " +
         "the JSON-action mirror cannot express logical-to-physical " +
@@ -2062,9 +2236,17 @@ object TxLogTable {
     val narrowed = org.apache.spark.sql.types.StructType(
       base.fields.filterNot(_.name.equalsIgnoreCase(name))
         .map(f => stamped(f, physicalNameOf(f))))
-    val v = commitEntry(fs, root, st.files.sorted, rebase = true,
-      Some(v0), maxRetries = 1, commit, op = "dropcolumn",
-      sizes = st.sizes, schemaJson = Some(narrowed.json), dvs = st.dvs)
+    // same conflict posture as [[renameColumn]]: appends carry by
+    // reference iff provably non-widening (their recorded columns may
+    // include the dropped one — the mapping projection suppresses it)
+    val baseNames = base.fieldNames.map(_.toLowerCase).toSet
+    val nonWidening: Seq[String] => Boolean = entries =>
+      entries.forall(e => recordedSchema(e).exists(
+        _.fieldNames.forall(n => baseNames(n.toLowerCase))))
+    val v = commitRebaseRetry(fs, root, v0, st.files.sorted, commit,
+      txn = None, op = "dropcolumn", sizes = st.sizes,
+      schemaJson = Some(narrowed.json), cleanupDirs = Nil, dvs = st.dvs,
+      appendCompatible = _ => true, interEntriesOk = nonWidening)
     DeltaInterop.disable(path,
       s"version $v dropped column $name via column mapping; the " +
         "JSON-action mirror cannot express it and external readers " +
@@ -2222,9 +2404,16 @@ object TxLogTable {
     val schemaJson = schemaAt(path, toVersion).map(_.json)
       .getOrElse(readVersion(spark, path, toVersion).schema.json)
     val current = filesUpTo(fs, root, v0)
-    val v = commitEntry(fs, root, target, rebase = true, Some(v0),
-      maxRetries = 1, commit, op = "restore", sizes = targetSizes,
-      schemaJson = Some(schemaJson), dvs = targetState.dvs)
+    // CONFLICT-SURVIVABLE: rows a concurrent append lands while the
+    // restore is committing are NOT part of the history being undone —
+    // the retry carries them by reference on top of the restored
+    // listing (Delta's allowed-retry posture for restore-vs-append); a
+    // concurrent rebase (DML/compact) still aborts, because the restore
+    // diff derives from a listing that commit replaced
+    val v = commitRebaseRetry(fs, root, v0, target, commit,
+      txn = None, op = "restore", sizes = targetSizes,
+      schemaJson = Some(schemaJson), cleanupDirs = Nil,
+      dvs = targetState.dvs, appendCompatible = _ => true)
     DeltaInterop.mirror(spark, path, v,
       target.diff(current), current.diff(target), schemaJson, commit,
       sizes = targetSizes)
@@ -2581,6 +2770,50 @@ object TxLogTable {
   def vacuumRetainDryRun(path: String, retainMs: Long): Seq[String] =
     vacuumCompactedDryRun(path, retainHorizon(path, retainMs))
 
+  /** LOG RETENTION — Delta's `logRetentionDuration` contract: commit
+    * entries older than `retainMs` AND strictly below the newest
+    * checkpoint are EXPIRED (deleted), together with any checkpoint at
+    * or below the expired prefix. Without this, a streaming table
+    * carries one tiny JSON file per commit forever — a million-commit
+    * table pays a million-file log listing on every snapshot
+    * resolution; checkpoints bound REPLAY cost but not LISTING cost.
+    *
+    * What survives: the newest checkpoint, every entry above the
+    * expired prefix, and any mid-range checkpoint (extra time-travel
+    * anchors). Head reads and time travel at or above the horizon are
+    * byte-identical; time travel BELOW the horizon refuses loudly
+    * ([[stateUpTo]]'s contiguity guard names the horizon). Expiry only
+    * deletes LOG files — data and dv dirs referenced only by expired
+    * snapshots become unreferenced and fall to the existing
+    * [[vacuumCompacted]]/[[vacuumRetain]] reapers, never reaped here.
+    *
+    * The expired set is a PREFIX (commit ts is monotonized on read, so
+    * the first retained entry ends the scan): the remaining log is
+    * contiguous from each surviving checkpoint, which is exactly what
+    * snapshot resolution needs. A table with no checkpoint yet expires
+    * nothing (full replay still needs every entry). Returns the
+    * deleted log file names. */
+  def expireLog(path: String, retainMs: Long): Seq[String] = {
+    require(retainMs >= 0, "retainMs must be >= 0")
+    val (fs, root) = fsFor(path)
+    val ckpts = listLog(fs, root, ".checkpoint.json")
+    val newest = ckpts.lastOption.getOrElse(return Seq.empty)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val expired = history(path).takeWhile { case (v, ts) =>
+      v < newest && ts < cutoff
+    }.map(_._1)
+    if (expired.isEmpty) return Seq.empty
+    val horizon = expired.last
+    val doomed =
+      expired.map(v => s"$v.json") ++
+        ckpts.filter(_ <= horizon).map(c => s"$c.checkpoint.json")
+    doomed.foreach { n =>
+      try fs.delete(new HPath(logDir(root), n), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    doomed
+  }
+
   private def retainHorizon(path: String, retainMs: Long): Long = {
     val cutoff = System.currentTimeMillis() - retainMs
     history(path).collectFirst {
@@ -2768,16 +3001,31 @@ object TxLogTable {
     if (i < 0) txt else txt.substring(i)
   }
 
-  private def fileList(txt: String): Seq[String] =
-    """"(data-[^"]+)"""".r.findAllMatchIn(filesArray(txt))
-      .map(_.group(1)).toSeq
+  /** Every file path in the entry's files array — sized
+    * (`{"p":"…","s":n}`) or legacy bare-string elements. Paths are no
+    * longer `data-`-anchored ([[convert]] records in-place files under
+    * root-level `k=v` dirs or flat); soundness now rests on
+    * [[filesArray]]'s scoping alone, which holds: the array is the
+    * entry's LAST field and the schema field's inner quotes are
+    * JSON-escaped, so the raw `"files":[` token cannot occur early.
+    * The alternation consumes sized objects whole, so an object's `p`
+    * key can never read back as a bare-string file. */
+  private val FileElemRe =
+    """\{"p":"([^"]+)","s":\d+\}|"([^"]+)"""".r
+
+  private def fileList(txt: String): Seq[String] = {
+    val arr = filesArray(txt)
+    val body = arr.substring(math.min(arr.length, """"files":[""".length))
+    FileElemRe.findAllMatchIn(body)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
+  }
 
   /** DELETION-VECTOR map recorded in a commit entry's `"dvs":[…]` field
     * (placed BEFORE `"files":[`, so [[filesArray]]'s scope excludes it
     * and a dv path can never read back as a phantom data file):
     * data file → (dv parquet dir, deleted-row count). Only REBASE
     * entries carry it; absent means no deletion vectors. */
-  private val DvRe = """\{"f":"(data-[^"]+)","d":"(data-dvs-[^"]+)","n":(\d+)\}""".r
+  private val DvRe = """\{"f":"([^"]+)","d":"(data-dvs-[^"]+)","n":(\d+)\}""".r
 
   private def dvList(txt: String): Map[String, (String, Long)] = {
     val i = txt.lastIndexOf(""""files":[""")
@@ -2789,7 +3037,7 @@ object TxLogTable {
   /** Per-file physical sizes recorded in a commit entry's
     * `{"p":path,"s":size}` elements. Legacy bare-string elements carry
     * no size and are simply absent from the map. */
-  private val SizedFileRe = """\{"p":"(data-[^"]+)","s":(\d+)\}""".r
+  private val SizedFileRe = """\{"p":"([^"]+)","s":(\d+)\}""".r
 
   private def fileSizes(txt: String): Map[String, Long] =
     SizedFileRe.findAllMatchIn(filesArray(txt))
@@ -3013,8 +3261,20 @@ object TxLogTable {
       val txt = readString(fs, new HPath(logDir(root), s"$c.checkpoint.json"))
       acc = fileList(txt); sizes = fileSizes(txt); dvs = dvList(txt)
     }
-    versions(fs, root)
+    val incr = versions(fs, root)
       .filter(ver => ver <= v && ckpt.forall(ver > _))
+    // LOG-RETENTION guard: replay must be CONTIGUOUS from the resolving
+    // checkpoint (or v0). A hole means [[expireLog]] dropped entries
+    // this snapshot needs — refuse loudly instead of silently serving
+    // a listing missing the expired commits' files.
+    val start = ckpt.getOrElse(-1L)
+    if (incr != (start + 1 to v))
+      throw new IllegalStateException(
+        s"version $v of $root predates the log retention horizon: " +
+          s"entries (${start + 1}..$v) are expired (have " +
+          s"${incr.mkString(",")}); only versions at or above the " +
+          "oldest surviving checkpoint remain time-travelable")
+    incr
       .foreach { ver =>
         val txt = readString(fs, new HPath(logDir(root), s"$ver.json"))
         // a rebase entry (compaction) REPLACES the accumulated listing
@@ -3029,6 +3289,20 @@ object TxLogTable {
     val live = acc.toSet
     LogState(acc, sizes.view.filterKeys(live).toMap,
       dvs.view.filterKeys(live).toMap)
+  }
+
+  /** The log-recorded bytes of version `v`'s OWN entry — the streaming
+    * source's `maxBytesPerTrigger` admission price. For an append this
+    * is exactly the appended files' sizes; a rebase entry (DML /
+    * compact / DDL) lists its whole snapshot, so its price is an
+    * OVERESTIMATE — which only makes the throttle more conservative
+    * (the rebase version gets a batch of its own; admission always
+    * advances at least one version, so it can never stall). One entry
+    * read, no data I/O; pre-size legacy listings price as 0. */
+  private[graft] def commitBytes(path: String, v: Long): Long = {
+    val (fs, root) = fsFor(path)
+    fileSizes(readString(fs,
+      new HPath(logDir(root), s"$v.json"))).values.sum
   }
 
   /** Public probe: the deletion-vector map of version `v` — which data
@@ -3183,9 +3457,18 @@ object TxLogTable {
     * Some("2024-01-01"))). `__HIVE_DEFAULT_PARTITION__` decodes to
     * None (null partition value). Values are %XX-unescaped (hive path
     * escaping; NOT URLDecoder — '+' must stay literal). */
+  /** Hive partition (column, value) pairs from a log-relative path's
+    * `k=v` dir segments. The leading segment is normally the stage dir
+    * (`data-…`) and is skipped — unless it is ITSELF `k=v`: a CONVERTED
+    * table's in-place file partitions from the table root with no
+    * stage dir above it ([[convert]]). */
   private[graft] def partitionValuesOf(rel: String)
-      : Seq[(String, Option[String])] =
-    rel.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
+      : Seq[(String, Option[String])] = {
+    val dirSegs = rel.split('/').dropRight(1).toSeq
+    (dirSegs match {
+      case head +: tail if head.indexOf('=') <= 0 => tail
+      case other => other
+    }).flatMap { seg =>
       val i = seg.indexOf('=')
       if (i <= 0) None
       else {
@@ -3194,6 +3477,7 @@ object TxLogTable {
           (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
       }
     }
+  }
 
   private def unescapePath(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -3238,6 +3522,18 @@ object TxLogTable {
     * yielded downstream. Partitioned listings keep the sweep (their
     * recorded schemas exist only for ops that saw read-back typing;
     * the conservative path costs one footer pass per dir group). */
+  /** Partitioned log-relative files grouped by their hive BASE dir:
+    * normally the leading `data-` stage dir, but a file whose first
+    * segment is already `k=v` is a CONVERTED table's in-place file
+    * ([[convert]]) whose hive root is the TABLE root — group key ""
+    * (the caller resolves "" to the table path itself). */
+  private def partedGroups(parted: Seq[String])
+      : Seq[(String, Seq[String])] =
+    parted.groupBy { f =>
+      val head = f.split('/').head
+      if (head.indexOf('=') > 0) "" else head
+    }.toSeq.sortBy(_._1)
+
   private def scanFiles(spark: SparkSession, path: String,
       files: Seq[String],
       knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -3255,10 +3551,9 @@ object TxLogTable {
         case _ => spark.read.option("mergeSchema", true)
           .parquet(plain.map(f => s"$path/$f"): _*)
       })
-    val partedScans = parted.groupBy(_.split('/').head).toSeq
-      .sortBy(_._1).map { case (dir, fsOfDir) =>
+    val partedScans = partedGroups(parted).map { case (dir, fsOfDir) =>
         spark.read.option("mergeSchema", true)
-          .option("basePath", s"$path/$dir")
+          .option("basePath", if (dir.isEmpty) path else s"$path/$dir")
           .parquet(fsOfDir.map(f => s"$path/$f"): _*)
       }
     alignToSchema(
@@ -3387,10 +3682,9 @@ object TxLogTable {
         case _ => spark.read.option("mergeSchema", true)
           .parquet(plain.map(f => s"$path/$f"): _*)
       })
-    val partedScans = parted.groupBy(_.split('/').head).toSeq
-      .sortBy(_._1).map { case (dir, fsOfDir) =>
+    val partedScans = partedGroups(parted).map { case (dir, fsOfDir) =>
         spark.read.option("mergeSchema", true)
-          .option("basePath", s"$path/$dir")
+          .option("basePath", if (dir.isEmpty) path else s"$path/$dir")
           .parquet(fsOfDir.map(f => s"$path/$f"): _*)
       }
     (plainScan.toSeq ++ partedScans).map(stamp)
@@ -3515,12 +3809,37 @@ object TxLogTable {
 
   /** min/max per column per log-relative file, loaded from each data
     * dir's `_stats.json`. Files in dirs without stats are absent from
-    * the map (they always scan). */
+    * the map (they always scan).
+    *
+    * CONVERTED tables ([[convert]]) keep their data files in place —
+    * under root-level `k=v` partition dirs or flat at the root, with no
+    * `data-` stage dir to carry a sidecar — so their stats live in ONE
+    * root-level `_stats.json` keyed by root-relative path (= the
+    * log-relative path verbatim). It loads only when some listed file
+    * has no per-dir sidecar, and per-dir sidecars win on overlap. */
   private def loadStats(fs: FileSystem, root: HPath, files: Seq[String])
       : Map[String, Map[String, (org.json4s.JValue, org.json4s.JValue)]] = {
-    import org.json4s._
+    val fromDirs = loadDirStats(fs, root, files)
+    if (files.forall(fromDirs.contains)) fromDirs
+    else {
+      val rootSide = parseStatsFile(fs, new HPath(root, "_stats.json"), "")
+      rootSide ++ fromDirs
+    }
+  }
+
+  private def loadDirStats(fs: FileSystem, root: HPath, files: Seq[String])
+      : Map[String, Map[String, (org.json4s.JValue, org.json4s.JValue)]] =
     files.map(_.split('/').head).distinct.flatMap { dir =>
-      val p = new HPath(new HPath(root, dir), "_stats.json")
+      parseStatsFile(fs, new HPath(new HPath(root, dir), "_stats.json"),
+        s"$dir/")
+    }.toMap
+
+  /** One `_stats.json` sidecar as (keyPrefix + file-key) → bounds;
+    * empty on absence or any parse failure (stats are advisory). */
+  private def parseStatsFile(fs: FileSystem, p: HPath, keyPrefix: String)
+      : Map[String, Map[String, (org.json4s.JValue, org.json4s.JValue)]] = {
+    import org.json4s._
+    {
       if (!fs.exists(p)) Seq.empty
       else try {
         // useBigDecimalForDouble: a DecimalType(38,20) bound written in
@@ -3536,7 +3855,7 @@ object TxLogTable {
                   mx <- (o \ "max").toOption
                 } yield cname -> ((mn, mx))
               }.toMap
-              Seq(s"$dir/$fname" -> m)
+              Seq(s"$keyPrefix$fname" -> m)
             case _ => Seq.empty
           }
           case _ => Seq.empty

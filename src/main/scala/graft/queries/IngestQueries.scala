@@ -1713,8 +1713,62 @@ object IngestQueries extends QueryModule {
       FROM supplier
       ORDER BY s_suppkey"""))
 
+  /** A23 metadata-only CONVERT (Delta's `CONVERT TO DELTA`,
+    * [[TxLogTable.convert]]): a plain hive-partitioned parquet lake —
+    * the reference ingester's own output shape (`ingester.go:995-1035`)
+    * — onboards to the ACID surface with ONE v0 commit referencing the
+    * files in place. REQUIREd in-query: zero data files rewritten
+    * (byte-length + mtime identity across the convert), the v0 listing
+    * is exactly the pre-existing relative paths, footer-harvested
+    * stats prune a point predicate immediately, and post-convert ACID
+    * DML (a real DELETE) runs against the converted files. DuckDB
+    * replays the delete as a filter. */
+  private val q197 = QueryDef(
+    "q197_convert_in_place",
+    (s, d) => {
+      val path = s"/tmp/graft_conv_${new java.io.File(d).getName}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      // the plain lake: hive-partitioned by a derived bucket, NOT graft
+      cust.withColumn("nk_bucket", (col("c_nationkey") % 4).cast("string"))
+        .repartition(2).write.partitionBy("nk_bucket").parquet(path)
+      def snapshotDisk(): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(path))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+      }
+      val before = snapshotDisk()
+      val v = TxLogTable.convert(s, path, partitionBy = Seq("nk_bucket"))
+      require(v == 0L, s"convert must land as v0, got $v")
+      require(snapshotDisk() == before,
+        "convert must move ZERO data bytes (no rewrite, no touch)")
+      val files = TxLogTable.filesAt(path, 0)
+      require(files.nonEmpty && files.forall(_.startsWith("nk_bucket=")),
+        s"v0 must reference the in-place hive files, got ${files.take(3)}")
+      // footer-harvested stats engage without any graft-written file
+      val (kept, skipped) = TxLogTable.prunedFiles(s, path,
+        col("nk_bucket") === "9999")
+      require(kept.isEmpty && skipped.nonEmpty,
+        "partition pruning must drop every file for an absent bucket")
+      // ACID DML straight off the converted snapshot
+      TxLogTable.deleteWhere(s, path, col("c_custkey") % 10 === 0)
+      require(TxLogTable.readVersion(s, path, 0).count() == cust.count(),
+        "time travel to the converted v0 must serve the full lake")
+      TxLogTable.read(s, path)
+        .select(col("c_custkey"), col("c_acctbal"))
+    },
+    Some("""
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_custkey % 10 <> 0
+      ORDER BY c_custkey"""))
+
   override val entries: Seq[QueryDef] =
     Seq(q33, q34, q35, q36, q37, q38, q47, q113, q154, q155, q156, q158,
       q161, q162, q163, q164, q165, q169, q170, q172, q173, q174, q176,
-      q177, q180, q184, q188, q189, q191, q192, q193, q194, q195, q196)
+      q177, q180, q184, q188, q189, q191, q192, q193, q194, q195, q196,
+      q197)
 }

@@ -76,8 +76,20 @@ class GraftLogSource extends RelationProvider
       outputMode == Complete())
   }
 
+  /** `option("maxBytesPerTrigger", "128m")` sizes — plain bytes or a
+    * k/m/g suffix, Delta's spelling. */
+  private[sources] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1024L)
+      else if (t.endsWith("m")) (t.dropRight(1), 1024L * 1024)
+      else if (t.endsWith("g")) (t.dropRight(1), 1024L * 1024 * 1024)
+      else (t, 1L)
+    (num.trim.toDouble * mult).toLong
+  }
+
   private def streamOpts(parameters: Map[String, String])
-      : (String, Long, Option[Long]) = {
+      : (String, Long, Option[Long], Option[Long]) = {
     val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException(
@@ -85,6 +97,9 @@ class GraftLogSource extends RelationProvider
     val maxPer = opts.get("maxversionspertrigger").map(_.toLong)
     maxPer.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
+    val maxBytes = opts.get("maxbytespertrigger").map(parseBytes)
+    maxBytes.foreach(b => require(b >= 1,
+      s"maxBytesPerTrigger must be >= 1 byte, got $b"))
     // startingTimestamp — Delta's wall-clock stream anchor: resolves
     // through the monotonized history to the EARLIEST version committed
     // at-or-after the timestamp (a future timestamp starts an initially
@@ -94,7 +109,7 @@ class GraftLogSource extends RelationProvider
       .map(s => TxLogTable.versionSince(path, GraftLogSource.tsMillis(s)))
     require(byVersion.isEmpty || byTs.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
-    (path, byVersion.orElse(byTs).getOrElse(0L), maxPer)
+    (path, byVersion.orElse(byTs).getOrElse(0L), maxPer, maxBytes)
   }
 
   /** STREAMING over the commit log — `spark.readStream
@@ -114,11 +129,16 @@ class GraftLogSource extends RelationProvider
     * against a thousand-commit history (or restarting after long
     * downtime) drains in bounded batches instead of one unbounded one
     * — the delta world's `maxFilesPerTrigger` admission control, on
-    * the commit axis. */
+    * the commit axis. `option("maxBytesPerTrigger", "128m")` bounds
+    * catch-up by LOG-RECORDED bytes instead (Delta's other admission
+    * knob): each batch admits versions until their entry-priced sizes
+    * would exceed the budget, always at least one — so a catch-up over
+    * ten fat commits and one over ten thin ones need no per-table
+    * version-count tuning. Both knobs compose (the stricter wins). */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (path, _, _) = streamOpts(parameters)
+    val (path, _, _, _) = streamOpts(parameters)
     (shortName(), GraftLogStreamSource.feedSchema(sqlContext, path))
   }
 
@@ -126,9 +146,10 @@ class GraftLogSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val (path, startingVersion, maxPerTrigger) = streamOpts(parameters)
+    val (path, startingVersion, maxPerTrigger, maxBytes) =
+      streamOpts(parameters)
     new GraftLogStreamSource(sqlContext, path, startingVersion,
-      maxPerTrigger)
+      maxPerTrigger, maxBytes)
   }
 
   /** The write side — `df.write.format("graftlog").mode(…).save(path)`
@@ -290,7 +311,8 @@ object GraftLogStreamSource {
   * first `getOffset`), so throttling never risks re-reporting an
   * offset below the checkpoint. */
 class GraftLogStreamSource(sqlContext: SQLContext, path: String,
-    startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None)
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -312,13 +334,42 @@ class GraftLogStreamSource(sqlContext: SQLContext, path: String,
     case other => other.json.trim.toLong
   }
 
+  /** Per-version byte prices, cached forever — a committed entry is
+    * immutable, and without the cache a long catch-up would re-read
+    * the whole backlog's entries on EVERY trigger (O(backlog²)). */
+  private val versionBytes =
+    new scala.collection.concurrent.TrieMap[Long, Long]()
+  private def bytesOf(v: Long): Long =
+    versionBytes.getOrElseUpdate(v, TxLogTable.commitBytes(path, v))
+
   override def getOffset: Option[OffsetV1] = {
     val head = TxLogTable.currentVersion(path)
     if (head < startingVersion) None
-    else Some(LongOffset(maxVersionsPerTrigger match {
-      case Some(m) => math.min(head, seenEnd + m)
-      case None => head
-    }))
+    else {
+      // version-count clamp first (cheap), then the byte budget walks
+      // version prices until spent — Delta's maxBytesPerTrigger on the
+      // commit axis. Admission ALWAYS advances at least one version
+      // past seenEnd (a single commit fatter than the budget gets a
+      // batch of its own instead of stalling the stream).
+      val byCount = maxVersionsPerTrigger match {
+        case Some(m) => math.min(head, seenEnd + m)
+        case None => head
+      }
+      val end = maxBytesPerTrigger match {
+        case None => byCount
+        case Some(budget) =>
+          var e = seenEnd
+          var spent = 0L
+          var done = false
+          while (!done && e < byCount) {
+            val b = bytesOf(e + 1)
+            if (e > seenEnd && spent + b > budget) done = true
+            else { spent += b; e += 1 }
+          }
+          math.max(e, math.min(byCount, seenEnd + 1))
+      }
+      Some(LongOffset(end))
+    }
   }
 
   override def getBatch(start: Option[OffsetV1],

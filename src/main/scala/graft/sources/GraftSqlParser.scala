@@ -100,7 +100,9 @@ object GraftOpsSql {
   private val CloneStmt =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""".r
   private val Optimize =
-    s"""(?is)^\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+$T(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""".r
+  private val ConvertStmt =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFTLOG\s+parquet\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$""".r
   private val Reorg =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
   private val RenameCol =
@@ -153,13 +155,23 @@ object GraftOpsSql {
       case CloneStmt(dest, src, ver, loc) if isGraftTarget(session, src) =>
         Some(CloneCommand(targetOf(dest), Option(loc), targetOf(src),
           Option(ver).map(_.toLong)))
-      case Optimize(t, whereSql, zcols) if isGraftTarget(session, t) =>
+      case Optimize(t, full, whereSql, zcols) if isGraftTarget(session, t) =>
         Some(OptimizeCommand(targetOf(t),
           Option(zcols).map(_.split(",").toSeq.map(c => unquote(c.trim))
             .filter(_.nonEmpty)).getOrElse(Seq.empty),
-          Option(whereSql).map(_.trim).filter(_.nonEmpty)))
+          Option(whereSql).map(_.trim).filter(_.nonEmpty),
+          full = full != null))
       case Reorg(t) if isGraftTarget(session, t) =>
         Some(ReorgPurgeCommand(targetOf(t)))
+      // CONVERT targets a PLAIN parquet dir (not yet a graft table),
+      // spelled explicitly — Delta's `CONVERT TO DELTA parquet.\`p\``
+      // shape — so no isGraftTarget probe: convert() itself refuses
+      // an existing log or a non-parquet layout
+      case ConvertStmt(p, partCols) =>
+        Some(ConvertCommand(p,
+          Option(partCols).map(_.split(",").toSeq
+            .map(c => unquote(c.trim)).filter(_.nonEmpty))
+            .getOrElse(Seq.empty)))
       case RenameCol(t, from, to) =>
         catalogGraftTable(session, t).map { case (path, ti) =>
           requireHeadDdl(session, t)
@@ -399,16 +411,27 @@ object GraftOpsSql {
     * or over the threshold untouched; the command returns the LAST
     * bin's version (or -1 when nothing was under target). ZORDER and
     * WHERE forms keep the explicit single-commit semantics. */
+  /** SQL OPTIMIZE routing — the Delta-parity defaults:
+    *  - plain `OPTIMIZE t` is BIN-PACKED SMALL-FILES-ONLY
+    *    ([[TxLogTable.compactIncremental]]): at-target files are never
+    *    rewritten, each bin commits durably on its own. The size cut
+    *    comes from the `graft.optimize.minFileMB` table property when
+    *    set, else half the 256 MB target — Delta's own posture, where
+    *    plain OPTIMIZE never rewrites already-compacted data;
+    *  - `OPTIMIZE t FULL` is the explicit whole-table rewrite opt-in;
+    *  - `ZORDER BY` / `WHERE` forms keep the single-commit scoped
+    *    rewrite (clustering and predicate scoping ARE rewrite asks). */
   case class OptimizeCommand(t: Target, zorderBy: Seq[String],
-      whereSql: Option[String] = None) extends LeafRunnableCommand {
+      whereSql: Option[String] = None, full: Boolean = false)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val path = t.resolve(spark)
-      val minProp = TxLogTable.tableProperties(path)
-        .get("graft.optimize.minFileMB").map(_.toInt)
-      if (zorderBy.isEmpty && whereSql.isEmpty && minProp.isDefined) {
+      if (zorderBy.isEmpty && whereSql.isEmpty && !full) {
+        val minProp = TxLogTable.tableProperties(path)
+          .get("graft.optimize.minFileMB").map(_.toInt)
         val vs = TxLogTable.compactIncremental(spark, path,
-          minFileMB = minProp.get)
+          minFileMB = minProp.getOrElse(128))
         return Seq(Row(vs.lastOption.getOrElse(-1L)))
       }
       val parts = TxLogTable.snapshotFiles(path,
@@ -424,6 +447,17 @@ object GraftOpsSql {
     override val output: Seq[Attribute] = attrs("version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(TxLogTable.purgeDeletes(spark, t.resolve(spark))))
+  }
+
+  /** SQL `CONVERT TO GRAFTLOG parquet.`path` [PARTITIONED BY (cols)]`
+    * — [[TxLogTable.convert]]: one metadata-only v0 commit referencing
+    * the existing parquet files in place. Returns the created version
+    * (always 0). */
+  case class ConvertCommand(path: String, partitionBy: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(TxLogTable.convert(spark, path, partitionBy)))
   }
 
   /** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF 'ts'`

@@ -327,4 +327,93 @@ class ConflictRetrySpec extends SparkSpec {
     assert(TxLogTable.deletionVectors(path, v).isEmpty)
     assert(TxLogTable.read(spark, path).count() == 25 + 1)
   }
+
+  test("a streaming appender never aborts ALTER TABLE ADD COLUMNS: 30 interleaved commits") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), path)
+    var appended = 0
+    (1 to 15).foreach { i =>
+      // worst case every round: the append lands between the DDL's
+      // snapshot read and its publish
+      hook(path) {
+        TxLogTable.append(spark,
+          Seq((100L + i, s"raced$i")).toDF("id", "v"), path)
+        appended += 1
+      }
+      val v = TxLogTable.addColumns(spark, path, Seq(
+        org.apache.spark.sql.types.StructField(s"extra$i",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      assert(v == TxLogTable.currentVersion(path))
+    }
+    assert(appended == 15)
+    val head = TxLogTable.read(spark, path)
+    // every widen landed AND every raced append's row survived
+    assert((1 to 15).forall(i => head.columns.contains(s"extra$i")))
+    assert(head.count() == 10 + 15)
+    assert(head.filter(col("id") >= 100L).count() == 15)
+  }
+
+  test("metadata DDL still aborts on a concurrent DML rebase") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), path)
+    hook(path) { TxLogTable.deleteWhere(spark, path, col("id") === 3L) }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLogTable.addColumns(spark, path, Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    }
+    // the DML stands; the table is unwidened and intact
+    assert(TxLogTable.read(spark, path).count() == 9)
+    assert(!TxLogTable.read(spark, path).columns.contains("x"))
+  }
+
+  test("renameColumn survives a plain concurrent append; a WIDENING one aborts") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), path)
+    hook(path) {
+      TxLogTable.append(spark, Seq((50L, "raced")).toDF("id", "v"), path)
+    }
+    val v = TxLogTable.renameColumn(spark, path, "v", "val")
+    assert(v == 2L, s"rename must retry past the append, got $v")
+    val head = TxLogTable.read(spark, path)
+    assert(head.columns.toSeq == Seq("id", "val"))
+    assert(head.count() == 11, "the raced append's row must survive")
+    // a WIDENING interleaved append would be hidden behind the rename's
+    // pinned mapping recording — it must abort, not silently narrow.
+    // (Only the FIRST rename can race a widening append: once mapping
+    // is on, stage itself refuses unknown columns.)
+    val path2 = tmp
+    TxLogTable.append(spark,
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), path2)
+    hook(path2) {
+      TxLogTable.append(spark,
+        Seq((60L, "w", 1.5)).toDF("id", "v", "extra"), path2)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLogTable.renameColumn(spark, path2, "v", "val")
+    }
+    assert(TxLogTable.read(spark, path2).columns.contains("extra"),
+      "the widening append must stand; the rename must be the loser")
+  }
+
+  test("restore survives a concurrent append: the raced rows ride on top of the restored listing") {
+    val path = tmp
+    TxLogTable.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), path) // v0
+    TxLogTable.deleteWhere(spark, path, col("id") <= 5L) // v1
+    hook(path) {
+      TxLogTable.append(spark, Seq((99L, "raced")).toDF("id", "v"), path)
+    }
+    val v = TxLogTable.restore(spark, path, 0L)
+    assert(v == 3L, s"restore must retry past the append, got $v")
+    val head = TxLogTable.read(spark, path)
+    assert(head.count() == 11,
+      "restored v0 rows plus the raced append's row")
+    assert(head.filter(col("id") === 99L).count() == 1)
+    assert(head.filter(col("id") <= 5L).count() == 5,
+      "the deleted rows are back (that IS the restore)")
+  }
 }

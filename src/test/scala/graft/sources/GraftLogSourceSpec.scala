@@ -285,6 +285,57 @@ class GraftLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("maxBytesPerTrigger: drain batches respect the byte budget (±1 commit); union equals the unthrottled feed; restart resumes exactly") {
+    val path = tmp
+    // 20 commits of ~equal size; budget ~ 3 commits' bytes
+    for (i <- 0 until 20)
+      TxLogTable.append(spark,
+        (0 until 50).map(j => (i * 100L + j, s"row$i-$j")).toDF("id", "s")
+          .repartition(1), path)
+    val perCommit = (0 until 20)
+      .map(v => TxLogTable.commitBytes(path, v))
+    assert(perCommit.forall(_ > 0), "appends must be size-priced")
+    val budget = perCommit.take(3).sum + perCommit.head / 2
+    val expect = TxLogTable.changesPerVersion(spark, path, -1L, 19L)
+      .select(col("id"), col("_commit_version")).as[(Long, Long)]
+      .collect().toSet
+
+    val ckpt = Files.createTempDirectory("graft-dsrc-bytes").toString
+    val batches = new scala.collection.concurrent.TrieMap[Long,
+      Set[(Long, Long)]]()
+    def start() = spark.readStream.format("graftlog")
+      .option("maxBytesPerTrigger", budget.toString).load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches(id) = b.select(col("id"), col("_commit_version"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        ()
+      }.start()
+    // stop mid-drain, then restart: the union must still be exact
+    val q = start()
+    val deadline = System.currentTimeMillis + 60000
+    while (batches.isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(25)
+    q.stop()
+    assert(batches.nonEmpty, "no batch arrived within 60s")
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batches.values.flatten.toSet == expect,
+      "drained union must equal the unthrottled feed exactly")
+    // every batch's admitted commits price within budget ±1 commit
+    // (the last admitted version may overshoot by less than itself)
+    batches.values.foreach { rows =>
+      val vs = rows.map(_._2)
+      val bytes = vs.toSeq.map(v => perCommit(v.toInt)).sum
+      assert(bytes <= budget + perCommit.max,
+        s"batch covering $vs priced $bytes > budget $budget + one commit")
+    }
+    assert(batches.size >= 4,
+      s"20 commits under a ~3.5-commit budget need >= 4 batches, " +
+        s"got ${batches.size}")
+  }
+
   test("maxVersionsPerTrigger: a 50-commit history drains in bounded batches; mid-drain restart resumes exactly") {
     val path = tmp
     for (i <- 0 until 50)

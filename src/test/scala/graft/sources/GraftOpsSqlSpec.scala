@@ -67,6 +67,57 @@ class GraftOpsSqlSpec extends SparkSpec {
     spark.catalog.dropTempView("opt_v")
   }
 
+  test("plain OPTIMIZE is bin-packed small-files-only by default; FULL is the rewrite opt-in") {
+    val path = fresh()
+    // default path: the three small files merge once...
+    val v = spark.sql(s"OPTIMIZE graftlog.`$path`").head().getLong(0)
+    assert(v == 3L)
+    assert(TxLogTable.filesAt(path, 3).size == 1)
+    assert(TxLogTable.read(spark, path).count() == 30)
+    // ...and a second plain OPTIMIZE is a NO-OP (-1): the merged file
+    // is the only candidate and plain OPTIMIZE never rewrites a
+    // lone already-compacted file — Delta's posture
+    assert(spark.sql(s"OPTIMIZE graftlog.`$path`").head().getLong(0)
+      == -1L)
+    assert(TxLogTable.currentVersion(path) == 3L)
+    // OPTIMIZE FULL is the explicit whole-table rewrite: it commits
+    // even where the bin-packed default found nothing to do
+    val vf = spark.sql(s"OPTIMIZE graftlog.`$path` FULL").head().getLong(0)
+    assert(vf == 4L)
+    assert(TxLogTable.read(spark, path).count() == 30)
+  }
+
+  test("OPTIMIZE on a partition-evolved (mixed-layout) table compacts correctly both ways") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mixed").toString
+    // partition EVOLUTION: unpartitioned appends, then partitioned ones
+    (0 until 2).foreach { b =>
+      TxLogTable.append(spark,
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, (i % 2).toString))
+          .toDF("id", "p").repartition(1), path)
+    }
+    (2 until 4).foreach { b =>
+      TxLogTable.append(spark,
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, (i % 2).toString))
+          .toDF("id", "p").repartition(1), path,
+        partitionBy = Seq("p"))
+    }
+    val before = TxLogTable.read(spark, path).orderBy("id").collect().toSeq
+    // plain OPTIMIZE: bins are partition-aligned, so the flat files
+    // merge together and each p=v group merges within itself — rows
+    // and schema survive the mixed layout
+    val v = spark.sql(s"OPTIMIZE graftlog.`$path`").head().getLong(0)
+    assert(v >= 4L)
+    assert(TxLogTable.read(spark, path).orderBy("id").collect().toSeq
+      == before)
+    // FULL on the evolved table: the union-of-observed-partition-cols
+    // rewrite also preserves every row
+    val vf = spark.sql(s"OPTIMIZE graftlog.`$path` FULL").head().getLong(0)
+    assert(vf > v)
+    assert(TxLogTable.read(spark, path).orderBy("id").collect().toSeq
+      == before)
+  }
+
   test("REORG APPLY (PURGE) folds dvs; VACUUM RETAIN reaps by wall clock") {
     val path = fresh()
     TxLogTable.deleteWhereDv(spark, path, col("id").isin(3L, 13L))
