@@ -112,6 +112,34 @@ object CompactProbe {
       f"(${fullBytes.toDouble / math.max(1, scopedBytes)}%.1fx less data)")
     println(f"minFileMB: ${minS}%.2f s, ${minBytes / 1e6}%.1f MB rewritten " +
       "(big files carried by reference)")
+
+    // (d) per-bin overhead flatness: compactIncremental carries the
+    // post-commit state forward locally, so 8x the bin count must cost
+    // ~8x the wall clock (flat per-bin), not 8x-and-growing log replay
+    def buildBins(path: String, parts: Int): Unit = {
+      val r = new org.apache.hadoop.fs.Path(path)
+      r.getFileSystem(spark.sessionState.newHadoopConf()).delete(r, true)
+      for (i <- 0 until 2)
+        TxLogTable.append(spark,
+          li.withColumn("pb", (col("l_orderkey") % parts).cast("string"))
+            .filter(col("l_partkey") % 50 === i).drop("bucket")
+            .repartition(1), path, partitionBy = Seq("pb"))
+    }
+    val bins8 = "/tmp/graft_cprobe_bins8"
+    buildBins(bins8, 8)
+    val (v8, t8) = time("compactIncremental, 8 bins") {
+      TxLogTable.compactIncremental(spark, bins8, minFileMB = 1)
+    }
+    require(v8.size == 8, s"expected 8 bin commits, got ${v8.size}")
+    val bins64 = "/tmp/graft_cprobe_bins64"
+    buildBins(bins64, 64)
+    val (v64, t64) = time("compactIncremental, 64 bins") {
+      TxLogTable.compactIncremental(spark, bins64, minFileMB = 1)
+    }
+    require(v64.size == 64, s"expected 64 bin commits, got ${v64.size}")
+    println(f"per-bin: ${t8 / 8}%.3f s at 8 bins vs " +
+      f"${t64 / 64}%.3f s at 64 bins " +
+      f"(${(t64 / 64) / (t8 / 8)}%.2fx — flat is the target)")
     spark.stop()
   }
 }

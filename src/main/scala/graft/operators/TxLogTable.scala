@@ -3342,8 +3342,38 @@ object TxLogTable {
         writeString(fs, tmp, entry, overwrite = true)
         if (!fs.rename(tmp, new HPath(logDir(root), s"$v.checkpoint.json")))
           fs.delete(tmp, false) // racing checkpoint won; advisory anyway
+        // Delta's posture: expired log entries clean up AS PART OF the
+        // checkpoint write, honoring the retention table property —
+        // no separate maintenance job to schedule. Best-effort like
+        // the checkpoint itself.
+        tableProperties(root.toString).get(PropLogRetention)
+          .flatMap(parseDuration).foreach(ms =>
+            expireLog(root.toString, ms))
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+
+  /** `graft.logRetentionDuration` — when set, [[maybeCheckpoint]]
+    * auto-runs [[expireLog]] with this horizon after every checkpoint
+    * write (Delta's `delta.logRetentionDuration` contract). Values:
+    * `interval N day(s)|hour(s)|minute(s)` (Delta's spelling) or plain
+    * milliseconds. */
+  val PropLogRetention = "graft.logRetentionDuration"
+
+  private[graft] def parseDuration(s: String): Option[Long] = {
+    val t = s.trim.toLowerCase
+    val IntervalRe = """interval\s+(\d+)\s+(day|hour|minute|second)s?""".r
+    t match {
+      case IntervalRe(n, unit) =>
+        val mult = unit match {
+          case "day" => 86400000L
+          case "hour" => 3600000L
+          case "minute" => 60000L
+          case _ => 1000L
+        }
+        Some(n.toLong * mult)
+      case _ => t.toLongOption
+    }
+  }
 
   private val TsRe = """"ts":(\d+)""".r
 

@@ -75,6 +75,30 @@ class LogRetentionSpec extends SparkSpec {
       .isEmpty, "entries inside the retention window must survive")
   }
 
+  test("graft.logRetentionDuration: expiry runs automatically at checkpoint time") {
+    val path = tmp
+    TxLogTable.append(spark, Seq((0L, "seed")).toDF("id", "v"), path)
+    TxLogTable.setTableProperty(path, TxLogTable.PropLogRetention,
+      "interval 0 seconds")
+    (1 until 21).foreach { i =>
+      TxLogTable.append(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), path)
+    } // v0..v20; the checkpoint at 20 auto-expires the pre-10 history
+    assert(!logFiles(path).contains("0.json"),
+      s"auto-expiry must have reaped the pre-checkpoint prefix: " +
+        s"${logFiles(path)}")
+    assert(TxLogTable.read(spark, path).count() == 21)
+    intercept[IllegalStateException](
+      TxLogTable.readVersion(spark, path, 3).count())
+    // the Delta interval spelling parses; garbage is ignored, not fatal
+    assert(TxLogTable.parseDuration("interval 30 days")
+      .contains(30L * 86400000))
+    assert(TxLogTable.parseDuration("interval 2 hours")
+      .contains(7200000L))
+    assert(TxLogTable.parseDuration("86400000").contains(86400000L))
+    assert(TxLogTable.parseDuration("soon").isEmpty)
+  }
+
   test("streaming restart from a checkpointed offset still works after expiry") {
     val path = tmp
     (0 to 30).foreach { i =>
