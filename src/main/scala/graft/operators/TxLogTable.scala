@@ -835,7 +835,9 @@ object TxLogTable {
     * never deletes files it did not write. */
   def convert(spark: SparkSession, path: String,
       partitionBy: Seq[String] = Seq.empty,
-      commit: CommitPoint = CommitPoint.Auto): Long = {
+      commit: CommitPoint = CommitPoint.Auto,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long = {
     val (fs, root) = fsFor(path)
     require(fs.exists(root), s"no such directory: $path")
     versions(fs, root).lastOption.foreach(v => throw new
@@ -856,9 +858,16 @@ object TxLogTable {
         s"declared PARTITIONED BY (${partitionBy.mkString(", ")}) but " +
           s"the files carry layout (${layouts.head.mkString(", ")})")
     // read-back-faithful schema: the same partition-discovering
-    // mergeSchema read the post-convert scan performs
-    val schema = spark.read.option("mergeSchema", true)
-      .parquet(path).schema
+    // mergeSchema read the post-convert scan performs — unless the
+    // caller ASSERTS one (the catalog CONVERT form passes the catalog
+    // schema, whose declared partition types override inference: a
+    // string partition column must not silently become INT)
+    val schema = schemaHint.getOrElse(
+      spark.read.option("mergeSchema", true).parquet(path).schema)
+    schemaHint.foreach { s =>
+      // the hint must still read: one schema-pinned probe
+      spark.read.schema(s).parquet(path).head(1)
+    }
     val partCols = layouts.head.toSet
     writeConvertStats(fs, root, files,
       org.apache.spark.sql.types.StructType(
@@ -3582,8 +3591,18 @@ object TxLogTable {
           .parquet(plain.map(f => s"$path/$f"): _*)
       })
     val partedScans = partedGroups(parted).map { case (dir, fsOfDir) =>
-        spark.read.option("mergeSchema", true)
-          .option("basePath", if (dir.isEmpty) path else s"$path/$dir")
+        // a recorded snapshot schema (read-back-faithful by the commit
+        // contract) pins the partitioned read too: declared partition
+        // TYPES parse instead of re-inferring from path strings (a
+        // converted catalog table's string partition column must not
+        // come back INT), and narrower files null-pad by name — the
+        // same contract as the plain branch. Mapping mode keeps the
+        // sweep (alignToSchema projects physical→logical after).
+        val rdr = knownSchema match {
+          case Some(s) if !mappingActive(s) => spark.read.schema(s)
+          case _ => spark.read.option("mergeSchema", true)
+        }
+        rdr.option("basePath", if (dir.isEmpty) path else s"$path/$dir")
           .parquet(fsOfDir.map(f => s"$path/$f"): _*)
       }
     alignToSchema(
@@ -3713,8 +3732,18 @@ object TxLogTable {
           .parquet(plain.map(f => s"$path/$f"): _*)
       })
     val partedScans = partedGroups(parted).map { case (dir, fsOfDir) =>
-        spark.read.option("mergeSchema", true)
-          .option("basePath", if (dir.isEmpty) path else s"$path/$dir")
+        // a recorded snapshot schema (read-back-faithful by the commit
+        // contract) pins the partitioned read too: declared partition
+        // TYPES parse instead of re-inferring from path strings (a
+        // converted catalog table's string partition column must not
+        // come back INT), and narrower files null-pad by name — the
+        // same contract as the plain branch. Mapping mode keeps the
+        // sweep (alignToSchema projects physical→logical after).
+        val rdr = knownSchema match {
+          case Some(s) if !mappingActive(s) => spark.read.schema(s)
+          case _ => spark.read.option("mergeSchema", true)
+        }
+        rdr.option("basePath", if (dir.isEmpty) path else s"$path/$dir")
           .parquet(fsOfDir.map(f => s"$path/$f"): _*)
       }
     (plainScan.toSeq ++ partedScans).map(stamp)

@@ -103,6 +103,8 @@ object GraftOpsSql {
     s"""(?is)^\\s*OPTIMIZE\\s+$T(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""".r
   private val ConvertStmt =
     """(?is)^\s*CONVERT\s+TO\s+GRAFTLOG\s+parquet\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$""".r
+  private val ConvertTableStmt =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFTLOG\s+([\w.]+)(?:\s+PARTITIONED\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$""".r
   private val Reorg =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
   private val RenameCol =
@@ -169,6 +171,18 @@ object GraftOpsSql {
       // an existing log or a non-parquet layout
       case ConvertStmt(p, partCols) =>
         Some(ConvertCommand(p,
+          Option(partCols).map(_.split(",").toSeq
+            .map(c => unquote(c.trim)).filter(_.nonEmpty))
+            .getOrElse(Seq.empty)))
+      // CONVERT on a CATALOG parquet table (Delta's `CONVERT TO DELTA
+      // db.tbl`): converts the table's location in place AND re-points
+      // the catalog entry's provider to graftlog, so reads/DML by name
+      // route through the ACID surface from then on. Only fires for a
+      // resolvable catalog table whose provider is parquet — anything
+      // else falls through to Spark's own parse error.
+      case ConvertTableStmt(t, partCols) if catalogParquetTable(
+          session, t).isDefined =>
+        Some(ConvertTableCommand(t,
           Option(partCols).map(_.split(",").toSeq
             .map(c => unquote(c.trim)).filter(_.nonEmpty))
             .getOrElse(Seq.empty)))
@@ -301,6 +315,16 @@ object GraftOpsSql {
           session.table(raw).queryExecution.analyzed).isDefined
         catch { case scala.util.control.NonFatal(_) => false }
       }
+
+  /** A resolvable catalog table whose provider is PARQUET — the only
+    * legal target of the catalog-name CONVERT form. */
+  private def catalogParquetTable(session: SparkSession, raw: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    try {
+      val ti = session.sessionState.sqlParser.parseTableIdentifier(raw)
+      Some(session.sessionState.catalog.getTableMetadata(ti))
+        .filter(_.provider.exists(_.equalsIgnoreCase("parquet")))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def catalogGraftTable(session: SparkSession, raw: String)
       : Option[(String, TableIdentifier)] = {
@@ -458,6 +482,43 @@ object GraftOpsSql {
     override val output: Seq[Attribute] = attrs("version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(TxLogTable.convert(spark, path, partitionBy)))
+  }
+
+  /** `CONVERT TO GRAFTLOG db.tbl` — the catalog form: converts the
+    * parquet table's LOCATION in place, then re-points the catalog
+    * entry (provider → graftlog, path in storage properties) and
+    * refreshes, so every later read/INSERT/DML by name routes through
+    * the ACID surface. Partition columns default to the catalog's own
+    * recording; an explicit PARTITIONED BY must agree with the files
+    * (validated inside [[TxLogTable.convert]]). */
+  case class ConvertTableCommand(table: String,
+      partitionBy: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = spark.sessionState.catalog
+      val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val ct = cat.getTableMetadata(ti)
+      require(ct.provider.exists(_.equalsIgnoreCase("parquet")),
+        s"CONVERT TO GRAFTLOG targets a parquet table; $table is " +
+          s"${ct.provider.getOrElse("unknown")}")
+      val path = ct.storage.locationUri.map(_.toString).getOrElse(
+        throw new IllegalStateException(
+          s"catalog table $table records no location"))
+      val parts =
+        if (partitionBy.nonEmpty) partitionBy
+        else ct.partitionColumnNames
+      // the catalog schema IS the read-back contract: its declared
+      // partition types override path inference (a string partition
+      // column must not come back INT after the convert)
+      val v = TxLogTable.convert(spark, path, parts,
+        schemaHint = Some(ct.schema))
+      cat.alterTable(ct.copy(
+        provider = Some("graftlog"),
+        storage = ct.storage.copy(
+          properties = ct.storage.properties + ("path" -> path))))
+      cat.refreshTable(ti)
+      Seq(Row(v))
+    }
   }
 
   /** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF 'ts'`

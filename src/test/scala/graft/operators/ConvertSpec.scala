@@ -127,6 +127,39 @@ class ConvertSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() >= 50)
   }
 
+  test("SQL catalog form: CONVERT TO GRAFTLOG db.tbl re-points the provider; reads and DML by name go ACID") {
+    spark.sql("DROP TABLE IF EXISTS conv_ct")
+    // a prior failed run may have orphaned the managed location
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "conv_ct")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    if (wh.exists()) wipe(wh)
+    (1L to 40L).map(i => (i, (i % 4).toString)).toDF("id", "q")
+      .write.partitionBy("q").format("parquet").saveAsTable("conv_ct")
+    assert(spark.table("conv_ct").count() == 40)
+    val v = spark.sql("CONVERT TO GRAFTLOG conv_ct").head().getLong(0)
+    assert(v == 0L)
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("conv_ct"))
+    assert(ct.provider.exists(_.equalsIgnoreCase("graftlog")))
+    val path = ct.storage.properties("path")
+    assert(TxLogTable.filesAt(path, 0).nonEmpty)
+    // reads and the operational surface resolve by NAME now
+    assert(spark.table("conv_ct").count() == 40)
+    assert(spark.sql("DESCRIBE HISTORY conv_ct")
+      .select("operation").head().getString(0) == "convert")
+    spark.sql("DELETE FROM conv_ct WHERE id <= 4")
+    assert(spark.table("conv_ct").count() == 36)
+    assert(TxLogTable.readVersion(spark, path, 0).count() == 40)
+    // a second convert refuses (already a graftlog table)
+    intercept[Exception](spark.sql("CONVERT TO GRAFTLOG conv_ct"))
+    spark.sql("DROP TABLE conv_ct")
+  }
+
   test("SQL: CONVERT TO GRAFTLOG parquet.`path` [PARTITIONED BY] returns v0") {
     val path = tmp
     (1L to 30L).map(i => (i, (i % 2).toString)).toDF("id", "half")

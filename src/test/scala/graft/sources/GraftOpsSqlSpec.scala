@@ -91,14 +91,16 @@ class GraftOpsSqlSpec extends SparkSpec {
     val path = java.nio.file.Files
       .createTempDirectory("graft-mixed").toString
     // partition EVOLUTION: unpartitioned appends, then partitioned ones
+    // (string partition values that cannot re-infer as a numeric type)
+    def pOf(i: Int) = if (i % 2 == 0) "pa" else "pb"
     (0 until 2).foreach { b =>
       TxLogTable.append(spark,
-        (b * 10 until (b + 1) * 10).map(i => (i.toLong, (i % 2).toString))
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, pOf(i)))
           .toDF("id", "p").repartition(1), path)
     }
     (2 until 4).foreach { b =>
       TxLogTable.append(spark,
-        (b * 10 until (b + 1) * 10).map(i => (i.toLong, (i % 2).toString))
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, pOf(i)))
           .toDF("id", "p").repartition(1), path,
         partitionBy = Seq("p"))
     }
