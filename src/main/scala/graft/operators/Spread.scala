@@ -16,14 +16,51 @@ import org.apache.spark.sql.functions.col
   * `spark.sparkContext.defaultParallelism` gives the local win without
   * ever paying the exchange where input splits suffice. The default at
   * every call site is 0 = never repartition.
+  *
+  * SIZE-ADAPTIVE (optimization guide §2): the spread width is derived
+  * from the plan-estimated input bytes, not pinned to the requested
+  * floor. A blanket `repartition(col)` fans every frame out to
+  * `spark.sql.shuffle.partitions` — for the capped few-hundred-row
+  * chain frames that meant 32 tasks × 32 shuffle blocks of pure
+  * overhead per pass (measured: the 0.7–1.0 s winnow jobs in
+  * q153/q157 carry ~10 KB of data each). Instead the width is
+  * ceil(sizeInBytes / targetBytesPerTask), clamped to
+  * [1, minParallelism]; when the estimate says the current layout
+  * already has enough partitions, the exchange disappears entirely.
+  * `targetBytesPerTask` defaults to 4 MB — deliberately far below the
+  * 128 MB scan-split default, because the passes behind a spread are
+  * CPU-bound per char, not IO-bound — and is parameterized
+  * (`spark.graft.spread.targetBytesPerTask`) for production tuning.
+  * Join-inflated size estimates can only restore the OLD behavior (the
+  * clamp caps the width at `minParallelism`, exactly what the blanket
+  * repartition produced), never degrade below it.
   */
 private[graft] object Spread {
+
+  /** Plan-estimated bytes that justify one spread task. */
+  private def targetBytesPerTask(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.spread.targetBytesPerTask")
+      .map(_.toLong).filter(_ > 0).getOrElse(4L << 20)
+
+  /** `spark.graft.spread.adaptive=false` restores the blanket
+    * repartition(col) (A/B escape hatch; default on). */
+  private def adaptive(df: DataFrame): Boolean =
+    !df.sparkSession.conf.getOption("spark.graft.spread.adaptive")
+      .contains("false")
 
   def byKey(df: DataFrame, key: String, minParallelism: Int): DataFrame =
     // toRdd, not .rdd: the partition count is the same, but .rdd plans an
     // extra row-deserializer stage per call — measurable at bench scale
     if (minParallelism > 0 &&
-        df.queryExecution.toRdd.getNumPartitions < minParallelism)
-      df.repartition(col(key))
-    else df
+        df.queryExecution.toRdd.getNumPartitions < minParallelism) {
+      if (!adaptive(df)) df.repartition(col(key))
+      else {
+        val current = df.queryExecution.toRdd.getNumPartitions
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = BigInt(targetBytesPerTask(df))
+        val n = ((bytes + target - 1) / target).min(BigInt(minParallelism))
+          .max(BigInt(1)).toInt
+        if (n <= current) df else df.repartition(n, col(key))
+      }
+    } else df
 }
