@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions.col
   * ceil(sizeInBytes / targetBytesPerTask), clamped to
   * [1, minParallelism]; when the estimate says the current layout
   * already has enough partitions, the exchange disappears entirely.
-  * `targetBytesPerTask` defaults to 4 MB — deliberately far below the
-  * 128 MB scan-split default, because the passes behind a spread are
-  * CPU-bound per char, not IO-bound — and is parameterized
+  * `targetBytesPerTask` defaults to 64 KB of PLAN-estimated (compressed
+  * parquet) bytes — deliberately far below the 128 MB scan-split
+  * default, because (a) the passes behind a spread are CPU-bound per
+  * char, not IO-bound (measured: a minhash pass over 1.3 MB of
+  * compressed docs costs ~4 s on one core), (b) plan stats do not
+  * shrink through filters so the estimate is an upper bound on real
+  * bytes, and (c) the asymmetry favors over-splitting: an extra task
+  * costs ~20 ms of dispatch, an under-split pass serializes seconds of
+  * CPU (A/B at sf0.1: 64 KB target 31.4 s vs 512 KB 36.3 s vs 4 MB
+  * 49.6 s on the six heaviest spread consumers). Parameterized
   * (`spark.graft.spread.targetBytesPerTask`) for production tuning.
   * Join-inflated size estimates can only restore the OLD behavior (the
   * clamp caps the width at `minParallelism`, exactly what the blanket
@@ -40,7 +47,7 @@ private[graft] object Spread {
   /** Plan-estimated bytes that justify one spread task. */
   private def targetBytesPerTask(df: DataFrame): Long =
     df.sparkSession.conf.getOption("spark.graft.spread.targetBytesPerTask")
-      .map(_.toLong).filter(_ > 0).getOrElse(4L << 20)
+      .map(_.toLong).filter(_ > 0).getOrElse(64L << 10)
 
   /** `spark.graft.spread.adaptive=false` restores the blanket
     * repartition(col) (A/B escape hatch; default on). */
