@@ -50,13 +50,22 @@ object MinHashSig {
   def minhashSig(shingles: Column, n: Int): Column =
     call_function(FnName, shingles, lit(n))
 
+  // Per-n salt byte arrays, computed once per JVM instead of once per
+  // ROW (the hot loop runs n MD5 compressions per shingle; rebuilding n
+  // strings + UTF-8 encodes per row was pure allocation overhead on top).
+  private val saltCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def saltsFor(n: Int): Array[Array[Byte]] =
+    saltCache.computeIfAbsent(n,
+      k => Array.tabulate(k)(i => ("#" + i).getBytes("UTF-8")))
+
   /** Called from both interpreted eval and generated code. */
   def compute(shingles: ArrayData, n: Int): ArrayData = {
     val m = shingles.numElements()
     if (m == 0) return new GenericArrayData(new Array[Any](n)) // all null
     val md = java.security.MessageDigest.getInstance("MD5")
-    val salts: Array[Array[Byte]] =
-      Array.tabulate(n)(i => ("#" + i).getBytes("UTF-8"))
+    val salts = saltsFor(n)
+    val out = new Array[Byte](16) // reused digest buffer (no per-call alloc)
     val mins = Array.fill(n)(Long.MaxValue)
     var j = 0
     while (j < m) {
@@ -68,7 +77,8 @@ object MinHashSig {
           md.reset()
           md.update(base)
           md.update(salts(i))
-          val h = SimHash60.h60Digest(md.digest())
+          md.digest(out, 0, 16)
+          val h = SimHash60.h60Digest(out)
           if (h < mins(i)) mins(i) = h
           i += 1
         }

@@ -49,9 +49,15 @@ object TextFunctions {
   def tokenSet(text: Column): Column =
     array_sort(array_distinct(tokens(text)))
 
-  /** k-word shingles from a token array ([] when fewer than k tokens). */
+  /** k-word shingles from a token array ([] when fewer than k tokens).
+    * k = 1 is the identity (a 1-shingle IS the token): the general
+    * formulation would rebuild the array element-by-element through a
+    * higher-order transform whose lambda (slice + concat_ws) evaluates
+    * INTERPRETED (HOFs are CodegenFallback) — profiled as a top-5
+    * executor frame in the LSH chains, which all shingle at k = 1. */
   def shingles(toks: Column, k: Int): Column =
-    once(toks) { t =>
+    if (k == 1) toks
+    else once(toks) { t =>
       when(size(t) >= k,
         transform(sequence(lit(1), size(t) - lit(k - 1)),
           j => concat_ws(" ", slice(t, j, lit(k)))))
