@@ -510,12 +510,14 @@ object Similarity {
   private def trainOnNormalized(c: DataFrame, nCentroids: Int,
       iters: Int): Seq[(Long, Array[Double])] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val dims = c.select(size(col("cv"))).first().getInt(0)
-    val vm = udaf(graft.functions.VecMean(dims))
     // reindex the md5-ordered seeds to cluster ids 0..K-1 (stable ids a
     // replaying engine can reproduce with a row_number)
     var cents: Seq[(Long, Array[Double])] =
       codebook(c, nCentroids).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    // dims from the collected seeds — the former first() probe was a
+    // whole extra Spark action per training call just to read the width
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    val vm = udaf(graft.functions.VecMean(dims))
     for (_ <- 0 until iters) {
       val means = c
         .withColumn("bucket",
@@ -645,13 +647,18 @@ object Similarity {
   private def trainPqOnNormalized(c: DataFrame, m: Int, ksub: Int,
       iters: Int): Seq[(Int, Long, Array[Double])] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val dims = c.select(size(col("cv"))).first().getInt(0)
+    // ONE seed collect shared by every subspace (this ran codebook() —
+    // an identical orderBy-limit-collect action — once PER subspace,
+    // m actions computing the same rows); dims read from the seeds
+    // instead of a dedicated first() probe action
+    val seeds = codebook(c, ksub)
+    val dims = seeds.headOption.map(_._2.length).getOrElse(0)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val vm = udaf(graft.functions.VecMean(dsub))
     var books: Map[Int, Seq[(Long, Array[Double])]] =
       (0 until m).map { s =>
-        s -> codebook(c, ksub).zipWithIndex.map { case ((_, v), i) =>
+        s -> seeds.zipWithIndex.map { case ((_, v), i) =>
           (i.toLong, v.slice(s * dsub, (s + 1) * dsub))
         }
       }.toMap

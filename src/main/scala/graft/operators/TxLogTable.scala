@@ -1906,8 +1906,12 @@ object TxLogTable {
         fc("__ri").as("ri"))
       .persist()
     try {
-      val touched = matched.select("f").distinct().collect()
-        .map(_.getString(0)).toSeq.sorted
+      // ONE aggregate action yields both the touched-file set and the
+      // per-file fresh-mask totals (it previously ran a distinct-collect
+      // AND a groupBy-count over the same persisted probe — two jobs)
+      val fresh = matched.groupBy("f").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val touched = fresh.keys.toSeq.sorted
       if (touched.isEmpty) return -1L
       // the lineage-derived names must BE listing names (they are, for
       // every layout this table stages; a hypothetical path-encoding
@@ -1928,11 +1932,9 @@ object TxLogTable {
         s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
       dvRows.write.mode(SaveMode.ErrorIfExists)
         .parquet(new HPath(root, dvDir).toString)
-      // per-file masked-row totals from the pre-write frames — fresh
-      // masks (one bounded job over the persisted probe) + the
-      // log-recorded prior totals; zero read-back of the new sidecar
-      val fresh = matched.groupBy("f").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-file masked-row totals from the pre-write frames — the
+      // fresh-mask aggregate above + the log-recorded prior totals;
+      // zero read-back of the new sidecar
       val counts = dvCounts(fresh, touched, st.dvs)
       // an interleaved APPEND is compatible iff stats prove its files
       // hold no predicate-matching row (Delta's ConcurrentAppend rule
@@ -2012,8 +2014,11 @@ object TxLogTable {
         }: _*)
       .persist()
     try {
-      val touched = matched.select("__gf").distinct().collect()
-        .map(_.getString(0)).toSeq.sorted
+      // one aggregate action for touched files + fresh-mask totals
+      // (was a distinct-collect plus a groupBy-count — two jobs)
+      val fresh = matched.groupBy(fc("__gf")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val touched = fresh.keys.toSeq.sorted
       if (touched.isEmpty) return -1L
       val unknownF = touched.filterNot(st.files.toSet)
       require(unknownF.isEmpty,
@@ -2037,9 +2042,7 @@ object TxLogTable {
         s"data-dvs-${java.util.UUID.randomUUID().toString.take(8)}"
       dvRows.write.mode(SaveMode.ErrorIfExists)
         .parquet(new HPath(root, dvDir).toString)
-      // mask totals from the pre-write frames, no sidecar read-back
-      val fresh = matched.groupBy(fc("__gf")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // mask totals from the fresh aggregate above, no sidecar read-back
       val counts = dvCounts(fresh, touched, st.dvs)
       val v = commitRebaseRetry(fs, root, v0,
         (st.files ++ staged.map(_._1)).sorted, commit, txn,

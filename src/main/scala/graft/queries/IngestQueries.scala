@@ -452,7 +452,7 @@ object IngestQueries extends QueryModule {
         col("o_orderkey") > b1 && col("o_orderkey") <= b2,
         col("o_orderkey") > b2 && col("o_orderkey") <= b3,
         col("o_orderkey") > b3
-      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).coalesce(1), path))
       val hi = b1 + (b2 - b1) / 2
       val pred = col("o_orderkey") > b1 && col("o_orderkey") <= hi
       val (kept, skipped) = TxLogTable.prunedFiles(s, path, pred)
@@ -847,7 +847,7 @@ object IngestQueries extends QueryModule {
         col("o_orderkey") > b1 && col("o_orderkey") <= b2,
         col("o_orderkey") > b2 && col("o_orderkey") <= b3,
         col("o_orderkey") > b3
-      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).coalesce(1), path))
       val hi = b1 + (b2 - b1) / 2
       val pred = col("o_orderkey") > b1 && col("o_orderkey") <= hi
       val v0 = TxLogTable.currentVersion(path)
@@ -979,7 +979,7 @@ object IngestQueries extends QueryModule {
         col("o_orderkey") > b1 && col("o_orderkey") <= b2,
         col("o_orderkey") > b2 && col("o_orderkey") <= b3,
         col("o_orderkey") > b3
-      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).coalesce(1), path))
       val hi = b1 + (b2 - b1) / 2
       val out = s.read.format("graftlog").load(path)
         .filter(col("o_orderkey") > b1 && col("o_orderkey") <= hi)
@@ -1132,7 +1132,7 @@ object IngestQueries extends QueryModule {
         col("o_orderkey") > b1 && col("o_orderkey") <= b2,
         col("o_orderkey") > b2 && col("o_orderkey") <= b3,
         col("o_orderkey") > b3
-      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).coalesce(1), path))
       s.read.format("graftlog").load(path).createOrReplaceTempView("t184")
       val v0 = TxLogTable.currentVersion(path)
       val at0 = TxLogTable.filesAt(path, v0)
@@ -1257,7 +1257,7 @@ object IngestQueries extends QueryModule {
         col("o_orderkey") > b1 && col("o_orderkey") <= b2,
         col("o_orderkey") > b2 && col("o_orderkey") <= b3,
         col("o_orderkey") > b3
-      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).coalesce(1), path))
       val v0 = TxLogTable.currentVersion(path)
       val at0 = TxLogTable.filesAt(path, v0)
 
@@ -1378,7 +1378,7 @@ object IngestQueries extends QueryModule {
         col("o_orderkey") > b1 && col("o_orderkey") <= b2,
         col("o_orderkey") > b2 && col("o_orderkey") <= b3,
         col("o_orderkey") > b3
-      ).foreach(p => TxLogTable.append(s, orders.filter(p).repartition(1), path))
+      ).foreach(p => TxLogTable.append(s, orders.filter(p).coalesce(1), path))
       val v0 = TxLogTable.currentVersion(path)
       val at0 = TxLogTable.filesAt(path, v0)
 
@@ -1515,7 +1515,7 @@ object IngestQueries extends QueryModule {
       // 3 appends -> 3 small files per status partition
       (0 until 3).foreach { i =>
         TxLogTable.append(s,
-          orders.filter(col("o_orderkey") % 3 === i).repartition(1),
+          orders.filter(col("o_orderkey") % 3 === i).coalesce(1),
           path, partitionBy = Seq("o_orderstatus"))
       }
       val v0 = TxLogTable.currentVersion(path)
@@ -1575,7 +1575,7 @@ object IngestQueries extends QueryModule {
       root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"))
-      TxLogTable.append(s, cust.repartition(1), path) // v0
+      TxLogTable.append(s, cust.coalesce(1), path) // v0
       TxLogTable.updateWhere(s, path,
         Map("c_acctbal" -> (col("c_acctbal") + lit(100.0))),
         col("c_custkey") % 7 === 0) // v1
@@ -1682,7 +1682,7 @@ object IngestQueries extends QueryModule {
       }
       val sup = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_acctbal"))
-      TxLogTable.append(s, sup.repartition(1), src) // v0
+      TxLogTable.append(s, sup.coalesce(1), src) // v0
       TxLogTable.updateWhere(s, src,
         Map("s_acctbal" -> (col("s_acctbal") + lit(50.0))),
         col("s_suppkey") % 3 === 0) // v1 (post-clone-point noise)
