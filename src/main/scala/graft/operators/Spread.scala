@@ -55,7 +55,13 @@ private[graft] object Spread {
     !df.sparkSession.conf.getOption("spark.graft.spread.adaptive")
       .contains("false")
 
-  def byKey(df: DataFrame, key: String, minParallelism: Int): DataFrame =
+  /** `costWeight` scales the byte estimate for passes whose per-byte CPU
+    * cost is far above the tokenize/winnow norm (e.g. the bigram-shingle
+    * HOF in lmPerplexity evaluates interpreted — measured 1.33× slower
+    * when its spread width was sized at weight 1): width derives from
+    * bytes × weight, still clamped at `minParallelism`. */
+  def byKey(df: DataFrame, key: String, minParallelism: Int,
+      costWeight: Int = 1): DataFrame =
     // toRdd, not .rdd: the partition count is the same, but .rdd plans an
     // extra row-deserializer stage per call — measurable at bench scale
     if (minParallelism > 0 &&
@@ -63,7 +69,8 @@ private[graft] object Spread {
       if (!adaptive(df)) df.repartition(col(key))
       else {
         val current = df.queryExecution.toRdd.getNumPartitions
-        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes *
+          math.max(1, costWeight)
         val target = BigInt(targetBytesPerTask(df))
         val n = ((bytes + target - 1) / target).min(BigInt(minParallelism))
           .max(BigInt(1)).toInt
