@@ -41,7 +41,12 @@ object TextFunctions {
   val md5Family: (Column, Column) => Column =
     (c, salt) => h60(concat(c, lit("#"), salt.cast("string")))
 
-  /** Whitespace tokenization, empty tokens dropped. */
+  /** Whitespace tokenization, empty tokens dropped.
+    * NOTE (round-18 measurement): a custom codegen Tokens expression
+    * (static compiled Pattern + fused empty-filter) was tried and
+    * REGRESSED ~1.5× — Spark's StringSplit splits UTF8String bytes
+    * without materializing a java String, which beats the saved
+    * Pattern.compile and interpreted ArrayFilter pass. Keep built-ins. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 

@@ -55,11 +55,16 @@ private[graft] object Spread {
     !df.sparkSession.conf.getOption("spark.graft.spread.adaptive")
       .contains("false")
 
-  /** `costWeight` scales the byte estimate for passes whose per-byte CPU
-    * cost is far above the tokenize/winnow norm (e.g. the bigram-shingle
-    * HOF in lmPerplexity evaluates interpreted — measured 1.33× slower
-    * when its spread width was sized at weight 1): width derives from
-    * bytes × weight, still clamped at `minParallelism`. */
+  /** `costWeight` tunes the width for passes off the tokenize/winnow
+    * per-byte norm: > 1 multiplies the byte estimate (heavier CPU per
+    * byte → wider); the special value 0 keeps the exchange UN-NUMBERED
+    * (`repartition(col)`) above the tiny-frame cutoff, so AQE sizes the
+    * reduce side from the ACTUAL shuffle bytes — measured best for
+    * multi-consumer frames whose post-exchange stages are individually
+    * cheap (lmPerplexity: a pinned width of 10 or 32 both ran 1.3–1.6×
+    * slower than the AQE-coalesced exchange, because three consumer
+    * stages each pay the task fan-out while the compute is ~0.5 s
+    * total). Tiny frames still skip the exchange entirely either way. */
   def byKey(df: DataFrame, key: String, minParallelism: Int,
       costWeight: Int = 1): DataFrame =
     // toRdd, not .rdd: the partition count is the same, but .rdd plans an
@@ -74,7 +79,9 @@ private[graft] object Spread {
         val target = BigInt(targetBytesPerTask(df))
         val n = ((bytes + target - 1) / target).min(BigInt(minParallelism))
           .max(BigInt(1)).toInt
-        if (n <= current) df else df.repartition(n, col(key))
+        if (n <= current) df
+        else if (costWeight == 0) df.repartition(col(key))
+        else df.repartition(n, col(key))
       }
     } else df
 }

@@ -40,6 +40,15 @@ class SpreadSpec extends SparkSpec {
     assert(Spread.byKey(df, "id", 0) eq df)
   }
 
+  test("costWeight 0: exchange stays un-numbered (AQE-sizable), tiny frames still skip it") {
+    val tiny = (1L to 20L).map(i => (i, s"t$i")).toDF("id", "text").coalesce(1)
+    assert(Spread.byKey(tiny, "id", 8, costWeight = 0) eq tiny)
+    val big = (1L to 2000L).map(i => (i, "x" * 600)).toDF("id", "text").coalesce(1)
+    val out = Spread.byKey(big, "id", 8, costWeight = 0)
+    assert(exchanges(out) > exchanges(big))
+    assert(out.queryExecution.analyzed.toString.contains("RepartitionByExpression"))
+  }
+
   test("escape hatch restores the blanket repartition") {
     spark.conf.set("spark.graft.spread.adaptive", "false")
     try {
