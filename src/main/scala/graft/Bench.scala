@@ -199,7 +199,38 @@ object Bench {
     // tail-parses the final JSON line (BENCH_r02 "parsed" was null with the
     // long line last, so the headline must be the terminal line and short)
     println(fullLine)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"failed":${failed.size},"median_ratio_vs_committed":$ratioJson,"uniform_inflation":$inflated}""")
+    println(terminalLine(results, total, sfNum, failed.size, ratioJson, inflated))
     spark.stop()
+  }
+
+  /** The driver-contract terminal stdout line.
+    *
+    * Round-19 fix (VERDICT r18 item 2): the driver stores only the LAST
+    * ~2000 bytes of stdout and parses the FINAL JSON line, so a
+    * total-only terminal line left PERF per_query/scaling EMPTY every
+    * round, while the full per-query map (~5 KB at 184 queries) is too
+    * long to BE the terminal line (the r02 failure). This line now
+    * carries the per-query map compactly and self-describingly: keys are
+    * the unique "qNN" name prefixes, values are integers in units of
+    * 1/qdiv seconds, and qdiv is auto-selected (1000 → 100 → 10) as the
+    * finest resolution whose line still fits the tail-capture budget
+    * with headroom. Failed queries keep their negative sentinel. The
+    * full-precision full-name map still prints as the FIRST stdout line
+    * and persists in BENCH_FULL.json — nothing about the measurement
+    * methodology changes, only what the terminal line carries. */
+  private[graft] def terminalLine(results: Seq[(String, Double)],
+      total: Double, sfNum: String, failedCount: Int,
+      ratioJson: String, inflated: Boolean): String = {
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val base = s""""metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"failed":$failedCount,"median_ratio_vs_committed":$ratioJson,"uniform_inflation":$inflated"""
+    val prefixes = results.map { case (n, _) => n.split("_")(0) }
+    val compact =
+      if (prefixes.distinct.size != prefixes.size) None // ambiguous → total-only
+      else Iterator(1000, 100, 10).map { div =>
+        val qs = results.zip(prefixes).map { case ((_, v), p) =>
+          "\"" + p + "\":" + math.round(v * div) }.mkString("{", ",", "}")
+        s"""{$base,"qdiv":$div,"queries":$qs}"""
+      }.find(_.length <= 1900)
+    compact.getOrElse(s"""{$base}""")
   }
 }

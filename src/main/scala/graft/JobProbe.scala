@@ -63,7 +63,11 @@ object JobProbe {
     }
 
     // warmup (JIT, codegen, classloading) at the smallest SF
-    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    // warmup dir defaults to the sandbox's smallest SF but is
+    // overridable, so the tool works on any machine/layout (ADVICE r18)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    SparkEntry.queries(name)(spark, warmDir)
       .write.format("noop").mode("overwrite").save()
     graft.queries.Handoff.releaseAll()
     spark.catalog.clearCache()

@@ -20,8 +20,10 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup at the smallest SF (JIT, codegen, classloading)
-    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    // warmup at the smallest SF (JIT, codegen, classloading);
+    // overridable so the tool works on any layout (ADVICE r18)
+    SparkEntry.queries(name)(spark,
+        sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"))
       .write.format("noop").mode("overwrite").save()
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()

@@ -61,13 +61,20 @@ object TextFunctions {
     * INTERPRETED (HOFs are CodegenFallback) — profiled as a top-5
     * executor frame in the LSH chains, which all shingle at k = 1. */
   def shingles(toks: Column, k: Int): Column =
-    if (k == 1) toks
-    else once(toks) { t =>
-      when(size(t) >= k,
-        transform(sequence(lit(1), size(t) - lit(k - 1)),
-          j => concat_ws(" ", slice(t, j, lit(k)))))
-        .otherwise(array().cast("array<string>"))
-    }
+    // coalesce keeps the documented [] contract for a NULL token array
+    // (the former general path's `when` with no matching arm yielded its
+    // `otherwise(array())`); a bare identity/expression would propagate
+    // the null and diverge signatures/band keys for null-text docs
+    // (ADVICE r18). k >= 2 runs the codegen'd [[ShinglesK]] expression —
+    // one tight loop per row instead of an interpreted
+    // transform(slice + concat_ws) lambda per shingle (round 19; the
+    // HOF profiled as a top executor frame in the k=3 LSH chains and
+    // the bigram passes). Values are byte-identical to the HOF form.
+    if (k == 1) coalesce(toks, array().cast("array<string>"))
+    else coalesce(
+      org.apache.spark.sql.graftshim.GraftSqlShim.columnOf(
+        ShinglesK(org.apache.spark.sql.graftshim.GraftSqlShim.exprOf(toks), k)),
+      array().cast("array<string>"))
 
   /** MinHash signature: for seed i, min over shingles of h60(shingle#i).
     * Per-row, no explode, no shuffle. The default md5 family routes

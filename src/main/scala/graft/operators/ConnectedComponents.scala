@@ -65,14 +65,20 @@ object ConnectedComponents {
     // harness releases it after materialization). Reliable mode keeps
     // checkpoint-dir files: nothing pinned in executor memory.
     var releasable = List.empty[org.apache.spark.rdd.RDD[_]]
+    // LAZY truncation (round-19, guide §1.2 — fewer actions): the
+    // checkpoint no longer runs its own materializing count job; the
+    // convergence-checksum aggregate right after it is the materializing
+    // action (computing the aggregate persists the checkpoint blocks as
+    // a side effect of the storage level the lazy checkpoint sets), so
+    // every round costs ONE job where it cost two.
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint()
+      if (reliable) df.checkpoint(eager = false)
       else {
         // Dataset.localCheckpoint keeps the InternalRow fast path (no
         // Row (de)serialization hop); the persisted RDD rides the
         // returned plan's LogicalRDD leaf — hold it for explicit
         // release instead of waiting on ContextCleaner GC
-        val cp = df.localCheckpoint()
+        val cp = df.localCheckpoint(eager = false)
         cp.queryExecution.analyzed.collectLeaves().foreach {
           case l: org.apache.spark.sql.execution.LogicalRDD =>
             releasable ::= l.rdd
@@ -94,9 +100,13 @@ object ConnectedComponents {
     var labels = truncate(edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id")))
-    var prevSum = checksum(labels)
+    // ONE aggregate returns the convergence witness AND the emptiness
+    // probe (formerly a separate edges.isEmpty action), and its
+    // computation materializes the labels AND edges checkpoint blocks
+    // (labels' lineage runs through edges before truncation cuts it)
+    var (prevSum, n0) = checksumCount(labels)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = n0 == 0L
     while (iter < maxIter && !converged) {
       // 1. neighbor-min: v takes min(label(v), min label over neighbors)
       val viaEdges = edges.withColumnRenamed("src", "id")
@@ -112,8 +122,9 @@ object ConnectedComponents {
         .join(jump, Seq("jkey"), "left")
         .select(col("id"),
           coalesce(col("jlabel"), col("jkey")).as("label")))
-      // the new round is materialized: its predecessor (position 1 in
-      // the stack — position 0 is `next`) and anything older except
+      val s = checksumCount(next)._1 // materializes next's blocks
+      // the new round is NOW materialized: its predecessor (position 1
+      // in the stack — position 0 is `next`) and anything older except
       // the loop-invariant edges frame (always last) can go
       releasable match {
         case cur :: rest if rest.size > 1 =>
@@ -121,7 +132,6 @@ object ConnectedComponents {
           releasable = cur :: List(rest.last)
         case _ => ()
       }
-      val s = checksum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
@@ -139,10 +149,16 @@ object ConnectedComponents {
   /** Monotone fixpoint witness: labels only decrease, so equal sums
     * between rounds ⟺ no label changed. Summed as decimal(38,0) — a
     * Long sum could in principle wrap to a colliding value at extreme
-    * id ranges × node counts. */
-  private def checksum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-      lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    * id ranges × node counts. The row count rides the same aggregate
+    * (free: one more cell of partial-agg state), replacing what used to
+    * be a separate isEmpty action. */
+  private def checksumCount(labels: DataFrame): (java.math.BigDecimal, Long) = {
+    val r = labels.agg(
+      coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")),
+      count(lit(1))).head()
+    (r.getDecimal(0), r.getLong(1))
+  }
 
   /** Full dedup decision for a document table given its near-dup pairs:
     * every row of `df` gets `cluster_id` (its own id when unpaired — a

@@ -515,8 +515,12 @@ object Similarity {
     var cents: Seq[(Long, Array[Double])] =
       codebook(c, nCentroids).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     // dims from the collected seeds — the former first() probe was a
-    // whole extra Spark action per training call just to read the width
-    val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    // whole extra Spark action per training call just to read the width.
+    // Fail HERE on an empty corpus (the probe used to throw): dims=0
+    // would silently yield an empty codebook and defer the failure to a
+    // confusing downstream point (ADVICE r18)
+    require(cents.nonEmpty, "cannot train centroids on an empty corpus")
+    val dims = cents.head._2.length
     val vm = udaf(graft.functions.VecMean(dims))
     for (_ <- 0 until iters) {
       val means = c
@@ -652,7 +656,10 @@ object Similarity {
     // m actions computing the same rows); dims read from the seeds
     // instead of a dedicated first() probe action
     val seeds = codebook(c, ksub)
-    val dims = seeds.headOption.map(_._2.length).getOrElse(0)
+    // empty corpus fails loudly here (dims=0 would pass the modulus
+    // check trivially and produce a degenerate codebook — ADVICE r18)
+    require(seeds.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dims = seeds.head._2.length
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val vm = udaf(graft.functions.VecMean(dsub))

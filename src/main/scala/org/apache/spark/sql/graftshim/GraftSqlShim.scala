@@ -46,6 +46,14 @@ object GraftSqlShim {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** The inverse: the catalyst `Expression` behind a `Column` — lets a
+    * session-free Column helper (e.g. [[graft.functions.TextFunctions]])
+    * compose a custom codegen expression without the function-registry
+    * round-trip that needs a SparkSession in hand. */
+  def exprOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Unwrap the session catalog's `V1Table` adapter (`private[sql]`) —
     * a CATALOG table's row-level DML resolves its target to a
     * `DataSourceV2Relation` over this wrapper (the V2SessionCatalog

@@ -568,4 +568,18 @@ class SimilaritySpec extends SparkSpec {
     // deterministic: a rerun lands on identical doubles
     assert(metrics(tight) == t)
   }
+  test("training on an empty corpus fails fast, not with a degenerate codebook") {
+    // ADVICE r18: dims derived from collected seeds must not silently
+    // become 0 on an empty corpus (empty codebook / trivially-passing
+    // modulus check) — the failure belongs here, loudly
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.trainCentroids(empty, "vec_id", "embedding", nCentroids = 4, iters = 1)
+    }
+    assert(e1.getMessage.contains("empty corpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(empty, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+  }
 }
